@@ -1,38 +1,402 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: full 1m→1h→1d rollup cascade on sf0.001 events.
+``queries()``   — one entry per implemented operator from SURVEY.md §2.
+``oracle_sql()`` — DuckDB-equivalent ANSI SQL per query (same column names).
+
+Float-output discipline: aggregated doubles are quantized to integer cents
+(``round(sum*100)`` — the fp error of a sum is orders of magnitude below half
+a cent) and then re-derived by IEEE division of identical operands, so Spark
+and the DuckDB oracle produce bit-identical doubles with no decimal-boundary
+rounding flips.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+from influxer_spark.operators import rollup as R  # noqa: E402
+from influxer_spark.operators.gapfill import gapfill_interpolate  # noqa: E402
+
+
+def _q2(col):  # quantize a double to integer cents (deterministic across engines)
+    return F.round(col * 100, 0).cast("long")
+
+
+def _rollup_out(rolled):
+    """Emit (cnt, sum_v, min_v, max_v, avg_v) with bit-deterministic doubles.
+
+    Sums are quantized to integer cents (fp error of the sum is orders of
+    magnitude below half a cent), then sum/avg are derived by IEEE division of
+    identical operands — so Spark and any ANSI oracle produce the same bits,
+    with no decimal-boundary rounding flips.
+    """
+    cents = _q2(F.col("sum_v"))
+    return rolled.select(
+        "bucket",
+        "event_type",
+        "cnt",
+        (cents / 100.0).alias("sum_v"),
+        "min_v",
+        "max_v",
+        (cents / (F.col("cnt") * 100.0)).alias("avg_v"),
+    )
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: raw events → 1m → 1h → 1d cascade, return the 1d tier."""
+    sf_dir = "/root/testdata/sf0.001"
+    events = _t(spark, sf_dir, "events")
+    tiers = R.rollup_cascade_all(events, "ts", ["event_type"], "value")
+    return _rollup_out(tiers["1d"])
 
+
+# ---------------------------------------------------------------------------
+# queries — time-series core (events table)
+# ---------------------------------------------------------------------------
+
+def _q_rollup_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    r = R.rollup(ev, "ts", ["event_type"], "value", "1m")
+    return _rollup_out(r)
+
+
+def _q_rollup_1h_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    t1m = R.rollup(ev, "ts", ["event_type"], "value", "1m")
+    t1h = R.cascade(t1m, ["event_type"], "1h")
+    return _rollup_out(t1h)
+
+
+def _q_rollup_1d_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    tiers = R.rollup_cascade_all(ev, "ts", ["event_type"], "value")
+    return _rollup_out(tiers["1d"])
+
+
+def _q_rollup_1m_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    r = R.salted_rollup(ev, "ts", ["event_type"], "value", "1m", salt_buckets=8)
+    return _rollup_out(r)
+
+
+def _q_gapfill_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    t1h = R.rollup(ev, "ts", ["event_type"], "value", "1h").withColumn(
+        "avg_v", _q2(F.col("sum_v")) / (F.col("cnt") * 100.0)
+    )
+    filled = gapfill_interpolate(
+        t1h.select("event_type", "bucket", "avg_v"),
+        ["event_type"], "avg_v", "1h",
+    )
+    return filled.select("event_type", "bucket", "avg_v", "filled")
+
+
+def _q_topk_hot_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(
+        F.count("*").alias("cnt"), (_q2(F.sum("value")) / 100.0).alias("sum_v")
+    )
+    w = Window.orderBy(F.desc("cnt"), F.asc("user_id"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("rank", "user_id", "cnt", "sum_v")
+    )
+
+
+def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: gap > 30 min starts a new session; count per user."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    return (
+        ev.withColumn("_new", new_sess)
+        .groupBy("user_id")
+        .agg(F.sum("_new").cast("long").alias("n_sessions"), F.count("*").alias("n_events"))
+    )
+
+
+def _q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-function parity (F1 regex extract): pull k out of the props JSON."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.regexp_extract("props", r'"k":\s*([0-9]+)', 1).cast("long")
+    return (
+        ev.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("cnt"),
+            F.sum("k").alias("sum_k"),
+            (F.sum("k") / F.count("k")).alias("avg_k"),
+        )
+    )
+
+
+def _q_pivot_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perfmon wide reshape (SURVEY A1): pivot event_type counts per hour."""
+    ev = _t(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    p = (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("bucket"))
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    cols = [F.coalesce(F.col(t), F.lit(0)).alias(f"cnt_{t}") for t in types]
+    return p.select("bucket", *cols)
+
+
+def _q_retention_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention-DAG anti-join (SURVEY §2.5): raw minutes NOT yet covered by a
+    rollup built only through 2024-01-15 → candidates that must block expiry."""
+    ev = _t(spark, sf_dir, "events")
+    rolled = R.rollup(
+        ev.filter(F.col("ts") < F.lit("2024-01-15")), "ts", ["event_type"], "value", "1m"
+    )
+    raw_buckets = ev.select(
+        F.date_trunc("minute", "ts").alias("bucket"), "event_type"
+    ).distinct()
+    return (
+        raw_buckets.join(
+            rolled.select("bucket", "event_type"), on=["bucket", "event_type"], how="left_anti"
+        )
+        .groupBy("event_type")
+        .agg(F.count("*").alias("pending_buckets"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries — relational coverage (lineitem / orders / customer / nation)
+# ---------------------------------------------------------------------------
+
+def _q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _q2(F.sum("l_quantity")).alias("_q"),
+            _q2(F.sum("l_extendedprice")).alias("_p"),
+            (_q2(F.sum(disc_price)) / 100.0).alias("sum_disc_price"),
+            (_q2(F.sum(charge)) / 100.0).alias("sum_charge"),
+            _q2(F.sum("l_discount")).alias("_d"),
+            F.count("*").alias("count_order"),
+        )
+        .select(
+            "l_returnflag", "l_linestatus",
+            (F.col("_q") / 100.0).alias("sum_qty"),
+            (F.col("_p") / 100.0).alias("sum_base_price"),
+            "sum_disc_price", "sum_charge",
+            (F.col("_q") / (F.col("count_order") * 100.0)).alias("avg_qty"),
+            (F.col("_p") / (F.col("count_order") * 100.0)).alias("avg_price"),
+            (F.col("_d") / (F.col("count_order") * 100.0)).alias("avg_disc"),
+            "count_order",
+        )
+    )
+
+
+def _q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join chain with explicit broadcast of the small dims (SURVEY §2.5)."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            (_q2(F.sum("o_totalprice")) / 100.0).alias("revenue"),
+        )
+    )
+
+
+def _q_unpivot_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perfmon narrow reshape (SURVEY A1 narrow mode): wide metric columns →
+    long (metric, value) points, then per-metric stats."""
+    li = _t(spark, sf_dir, "lineitem")
+    long = li.selectExpr(
+        "stack(4, 'quantity', l_quantity, 'extendedprice', l_extendedprice, "
+        "'discount', l_discount, 'tax', l_tax) as (metric, value)"
+    )
+    return long.groupBy("metric").agg(
+        F.count("value").alias("cnt"),
+        (_q2(F.sum("value")) / 100.0).alias("sum_v"),
+        F.min("value").alias("min_v"),
+        F.max("value").alias("max_v"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "rollup_1m": _q_rollup_1m,
+        "rollup_1h_cascade": _q_rollup_1h_cascade,
+        "rollup_1d_cascade": _q_rollup_1d_cascade,
+        "rollup_1m_salted": _q_rollup_1m_salted,
+        "gapfill_1h_interpolate": _q_gapfill_1h,
+        "topk_hot_users": _q_topk_hot_users,
+        "sessionize_30m": _q_sessionize,
+        "json_props_extract": _q_json_props,
+        "pivot_event_counts_hourly": _q_pivot_hourly,
+        "retention_candidates": _q_retention_candidates,
+        "tpch_q1_pricing_summary": _q_tpch_q1,
+        "revenue_by_nation": _q_revenue_by_nation,
+        "unpivot_lineitem_metrics": _q_unpivot_lineitem,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_ROLLUP_SELECT = (
+    "SELECT date_trunc('{unit}', ts) AS bucket, event_type, "
+    "count(value) AS cnt, "
+    "CAST(round(sum(value) * 100, 0) AS BIGINT) / 100.0 AS sum_v, "
+    "min(value) AS min_v, max(value) AS max_v, "
+    "CAST(round(sum(value) * 100, 0) AS BIGINT) / (count(value) * 100.0) AS avg_v "
+    "FROM events GROUP BY 1, 2"
+)
+
+_GAPFILL_SQL = """
+WITH h AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket,
+         CAST(round(sum(value) * 100, 0) AS BIGINT) / (count(value) * 100.0) AS obs
+  FROM events GROUP BY 1, 2
+), spine AS (
+  SELECT event_type,
+         unnest(generate_series(min(bucket), max(bucket), INTERVAL 1 HOUR)) AS bucket
+  FROM h GROUP BY event_type
+), j AS (
+  SELECT s.event_type, s.bucket, h.obs, CAST(epoch(s.bucket) AS DOUBLE) AS t
+  FROM spine s LEFT JOIN h ON h.event_type = s.event_type AND h.bucket = s.bucket
+), w AS (
+  SELECT *,
+    last_value(obs IGNORE NULLS) OVER wb AS pv,
+    last_value(CASE WHEN obs IS NOT NULL THEN t END IGNORE NULLS) OVER wb AS pt,
+    first_value(obs IGNORE NULLS) OVER wf AS nv,
+    first_value(CASE WHEN obs IS NOT NULL THEN t END IGNORE NULLS) OVER wf AS nt
+  FROM j
+  WINDOW
+    wb AS (PARTITION BY event_type ORDER BY bucket
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    wf AS (PARTITION BY event_type ORDER BY bucket
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT event_type, bucket,
+  CASE WHEN obs IS NOT NULL THEN obs
+       ELSE pv + (nv - pv) * ((t - pt) / (nt - pt)) END AS avg_v,
+  (obs IS NULL) AS filled
+FROM w
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    pivot_cols = ", ".join(
+        f"count(*) FILTER (WHERE event_type = '{t}') AS cnt_{t}"
+        for t in ["click", "error", "purchase", "signup", "view"]
+    )
+    return {
+        "rollup_1m": _ROLLUP_SELECT.format(unit="minute"),
+        "rollup_1h_cascade": _ROLLUP_SELECT.format(unit="hour"),
+        "rollup_1d_cascade": _ROLLUP_SELECT.format(unit="day"),
+        "rollup_1m_salted": _ROLLUP_SELECT.format(unit="minute"),
+        "gapfill_1h_interpolate": _GAPFILL_SQL,
+        "topk_hot_users": (
+            "SELECT * FROM ("
+            "  SELECT row_number() OVER (ORDER BY count(*) DESC, user_id ASC) AS rank,"
+            "         user_id, count(*) AS cnt,"
+            "         CAST(round(sum(value) * 100, 0) AS BIGINT) / 100.0 AS sum_v"
+            "  FROM events GROUP BY user_id"
+            ") WHERE rank <= 10"
+        ),
+        "sessionize_30m": (
+            "WITH g AS ("
+            "  SELECT user_id,"
+            "    CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800"
+            "         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL"
+            "         THEN 1 ELSE 0 END AS new_sess"
+            "  FROM events)"
+            "SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions,"
+            "       count(*) AS n_events FROM g GROUP BY user_id"
+        ),
+        "json_props_extract": (
+            "SELECT event_type, count(k) AS cnt, sum(k) AS sum_k,"
+            "       sum(k) / count(k) AS avg_k FROM ("
+            "  SELECT event_type,"
+            "         CAST(regexp_extract(props, '\"k\":\\s*([0-9]+)', 1) AS BIGINT) AS k"
+            "  FROM events) GROUP BY event_type"
+        ),
+        "pivot_event_counts_hourly": (
+            f"SELECT date_trunc('hour', ts) AS bucket, {pivot_cols} "
+            "FROM events GROUP BY 1"
+        ),
+        "retention_candidates": (
+            "WITH rolled AS ("
+            "  SELECT date_trunc('minute', ts) AS bucket, event_type"
+            "  FROM events WHERE ts < TIMESTAMP '2024-01-15 00:00:00' GROUP BY 1, 2),"
+            "raw AS ("
+            "  SELECT DISTINCT date_trunc('minute', ts) AS bucket, event_type FROM events)"
+            "SELECT event_type, count(*) AS pending_buckets FROM raw r "
+            "WHERE NOT EXISTS (SELECT 1 FROM rolled d "
+            "  WHERE d.bucket = r.bucket AND d.event_type = r.event_type) "
+            "GROUP BY event_type"
+        ),
+        "tpch_q1_pricing_summary": (
+            "WITH a AS (SELECT l_returnflag, l_linestatus,"
+            " CAST(round(sum(l_quantity) * 100, 0) AS BIGINT) AS _q,"
+            " CAST(round(sum(l_extendedprice) * 100, 0) AS BIGINT) AS _p,"
+            " CAST(round(sum(l_extendedprice * (1 - l_discount)) * 100, 0) AS BIGINT)"
+            "   / 100.0 AS sum_disc_price,"
+            " CAST(round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 100, 0)"
+            "   AS BIGINT) / 100.0 AS sum_charge,"
+            " CAST(round(sum(l_discount) * 100, 0) AS BIGINT) AS _d,"
+            " count(*) AS count_order "
+            "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' "
+            "GROUP BY l_returnflag, l_linestatus) "
+            "SELECT l_returnflag, l_linestatus, _q / 100.0 AS sum_qty,"
+            " _p / 100.0 AS sum_base_price, sum_disc_price, sum_charge,"
+            " _q / (count_order * 100.0) AS avg_qty,"
+            " _p / (count_order * 100.0) AS avg_price,"
+            " _d / (count_order * 100.0) AS avg_disc, count_order FROM a"
+        ),
+        "revenue_by_nation": (
+            "SELECT n_name, count(*) AS n_orders,"
+            " CAST(round(sum(o_totalprice) * 100, 0) AS BIGINT) / 100.0 AS revenue "
+            "FROM orders JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name"
+        ),
+        "unpivot_lineitem_metrics": (
+            "SELECT metric, count(value) AS cnt,"
+            " CAST(round(sum(value) * 100, 0) AS BIGINT) / 100.0 AS sum_v,"
+            " min(value) AS min_v, max(value) AS max_v FROM ("
+            "  SELECT 'quantity' AS metric, l_quantity AS value FROM lineitem"
+            "  UNION ALL SELECT 'extendedprice', l_extendedprice FROM lineitem"
+            "  UNION ALL SELECT 'discount', l_discount FROM lineitem"
+            "  UNION ALL SELECT 'tax', l_tax FROM lineitem"
+            ") GROUP BY metric"
+        ),
+    }

@@ -1,0 +1,116 @@
+"""Gap-fill + linear interpolation over rolled-up buckets (SURVEY.md A5,
+[delegated→build]).
+
+Reference analogue: blank cells are skipped creating series gaps
+(Influxer/GenericFile.cs:81); InfluxDB's ``fill(linear)`` is what the reference
+delegates to.  Implemented natively:
+
+1. per-series spine: ``sequence(min_bucket, max_bucket, interval)`` + explode —
+   NO global calendar cross-join, so the spine shuffle is keyed exactly like
+   the rollup shuffle (series key) and the join is 1:1 per series.
+2. left join observed buckets onto the spine.
+3. linear interpolation via two analytic windows:
+   prev = last(value, ignorenulls) over rows UNBOUNDED PRECEDING..CURRENT,
+   next = first(value, ignorenulls) over rows CURRENT..UNBOUNDED FOLLOWING,
+   filled = prev + (next-prev) * (t-t_prev)/(t_next-t_prev).
+   Spine endpoints are the series' own min/max observed buckets, so
+   interpolation is always bounded (no extrapolation).
+
+Scale notes: spine size is bounded by time-range/interval per series, not by
+raw row count.  The two windows are computed in ONE pass each direction over a
+partitioning already keyed by series — Catalyst reuses the exchange between
+the join and the windows.  All expressions are codegen'd; no UDFs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_INTERVAL = {"1m": "interval 1 minute", "1h": "interval 1 hour", "1d": "interval 1 day"}
+
+
+def gapfill_interpolate(
+    rolled: DataFrame,
+    key_cols: Sequence[str],
+    value_col: str,
+    tier: str = "1h",
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Densify each series' bucket spine and linearly interpolate ``value_col``.
+
+    Returns spine rows with columns: *key_cols, bucket, <value_col> (observed
+    or interpolated), ``filled`` (boolean: True if the row was a gap).
+    """
+    if tier not in _INTERVAL:
+        raise ValueError(f"unknown tier {tier!r}")
+    interval = _INTERVAL[tier]
+    keys = [F.col(k) for k in key_cols]
+
+    # 1. per-series spine
+    spine = (
+        rolled.groupBy(*keys)
+        .agg(F.min(bucket_col).alias("_lo"), F.max(bucket_col).alias("_hi"))
+        .select(
+            *key_cols,
+            F.explode(
+                F.sequence(F.col("_lo"), F.col("_hi"), F.expr(interval))
+            ).alias(bucket_col),
+        )
+    )
+
+    # 2. observed values onto the spine
+    observed = rolled.select(*key_cols, bucket_col, F.col(value_col).alias("_obs"))
+    joined = spine.join(observed, on=[*key_cols, bucket_col], how="left")
+
+    # 3. linear interpolation between nearest observed neighbours
+    w_back = (
+        Window.partitionBy(*keys)
+        .orderBy(bucket_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy(*keys)
+        .orderBy(bucket_col)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    t = F.unix_timestamp(F.col(bucket_col)).cast("double")
+    obs_t = F.when(F.col("_obs").isNotNull(), t)
+
+    df = (
+        joined.withColumn("_pv", F.last("_obs", ignorenulls=True).over(w_back))
+        .withColumn("_pt", F.last(obs_t, ignorenulls=True).over(w_back))
+        .withColumn("_nv", F.first("_obs", ignorenulls=True).over(w_fwd))
+        .withColumn("_nt", F.first(obs_t, ignorenulls=True).over(w_fwd))
+    )
+    frac = (t - F.col("_pt")) / (F.col("_nt") - F.col("_pt"))
+    interp = F.col("_pv") + (F.col("_nv") - F.col("_pv")) * frac
+    return (
+        df.withColumn(
+            value_col,
+            F.when(F.col("_obs").isNotNull(), F.col("_obs")).otherwise(interp),
+        )
+        .withColumn("filled", F.col("_obs").isNull())
+        .drop("_obs", "_pv", "_pt", "_nv", "_nt")
+    )
+
+
+def gapfill_locf(
+    rolled: DataFrame,
+    key_cols: Sequence[str],
+    value_col: str,
+    tier: str = "1h",
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Gap-fill with last-observation-carried-forward (InfluxDB fill(previous))."""
+    filled = gapfill_interpolate(rolled, key_cols, value_col, tier, bucket_col)
+    # recompute: LOCF is just the backward window; reuse interpolate's spine
+    w_back = (
+        Window.partitionBy(*[F.col(k) for k in key_cols])
+        .orderBy(bucket_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    obs = F.when(~F.col("filled"), F.col(value_col))
+    return filled.withColumn(value_col, F.last(obs, ignorenulls=True).over(w_back))

@@ -1,0 +1,156 @@
+"""Continuous-aggregate tier rollup (SURVEY.md A4, [delegated→build]).
+
+The reference delegates per-point precision truncation + rollup to InfluxDB
+(per-point Precision at Influxer/GenericFile.cs:54; retention-policy routing at
+Influxer/GenericFile.cs:250-280).  Here the rollup is native Spark:
+
+- ``rollup(df, tier)``       raw points → (bucket, series…) × (cnt, sum, min, max)
+- ``cascade(rolled, tier)``  finer tier → coarser tier by ALGEBRAIC re-aggregation
+  of partials: sum of counts, sum of sums, min of mins, max of maxes.  Mean is
+  derived as sum/count at read time, so the cascaded mean is EXACT (not a mean
+  of means).  This is the classic partial/final aggregate expressed as
+  materialized tiers (1m → 1h → 1d) rather than one in-plan exchange.
+- ``salted_rollup``          two-phase aggregation with an explicit salt for
+  Zipfian hot series keys (north rule: "hot-url skew ... salted repartition").
+
+Scale notes (100 TB posture):
+- One shuffle per tier, keyed on (series, bucket).  The 1h/1d tiers re-shuffle
+  the *rolled* data (orders of magnitude smaller than raw), never the raw scan.
+- Spark's map-side partial aggregation already collapses hot keys per input
+  partition before the exchange; salting is exposed for the pathological case
+  where a single (key, bucket) pair exceeds a task (billions of identical
+  points per minute).
+- All bucket math is date_trunc (whole-stage-codegen JVM expression); no UDFs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# tier name → (date_trunc unit, parent tier)
+TIERS: dict[str, tuple[str, str | None]] = {
+    "1m": ("minute", None),
+    "1h": ("hour", "1m"),
+    "1d": ("day", "1h"),
+}
+
+AGG_COLS = ["cnt", "sum_v", "min_v", "max_v"]
+
+
+def _trunc_unit(tier: str) -> str:
+    if tier not in TIERS:
+        raise ValueError(f"unknown tier {tier!r}; expected one of {sorted(TIERS)}")
+    return TIERS[tier][0]
+
+
+def rollup(
+    df: DataFrame,
+    ts_col: str,
+    key_cols: Sequence[str],
+    value_col: str,
+    tier: str = "1m",
+) -> DataFrame:
+    """Raw points → one row per (bucket, *key_cols) with count/sum/min/max.
+
+    NULL values contribute to nothing (the reference skips blank cells and the
+    point simply has no field — Influxer/GenericFile.cs:81), so ``cnt`` counts
+    non-null values, matching SQL COUNT(value).
+    """
+    unit = _trunc_unit(tier)
+    bucket = F.date_trunc(unit, F.col(ts_col)).alias("bucket")
+    v = F.col(value_col)
+    return (
+        df.groupBy(bucket, *[F.col(k) for k in key_cols])
+        .agg(
+            F.count(v).alias("cnt"),
+            F.sum(v).alias("sum_v"),
+            F.min(v).alias("min_v"),
+            F.max(v).alias("max_v"),
+        )
+    )
+
+
+def cascade(rolled: DataFrame, key_cols: Sequence[str], tier: str) -> DataFrame:
+    """Re-aggregate a finer tier's partials into ``tier`` (algebraic, exact)."""
+    unit = _trunc_unit(tier)
+    return (
+        rolled.groupBy(
+            F.date_trunc(unit, F.col("bucket")).alias("bucket"),
+            *[F.col(k) for k in key_cols],
+        )
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            F.sum("sum_v").alias("sum_v"),
+            F.min("min_v").alias("min_v"),
+            F.max("max_v").alias("max_v"),
+        )
+    )
+
+
+def with_mean(rolled: DataFrame, decimals: int | None = None) -> DataFrame:
+    """Attach the exact mean (sum/count).  Derived, never stored — cascading a
+    stored mean would be a mean-of-means and wrong for uneven buckets."""
+    mean = F.col("sum_v") / F.col("cnt")
+    if decimals is not None:
+        mean = F.round(mean, decimals)
+    return rolled.withColumn("avg_v", mean)
+
+
+def rollup_cascade_all(
+    df: DataFrame,
+    ts_col: str,
+    key_cols: Sequence[str],
+    value_col: str,
+) -> dict[str, DataFrame]:
+    """Full 1m → 1h → 1d cascade.  Only the 1m tier touches raw data."""
+    t1m = rollup(df, ts_col, key_cols, value_col, "1m")
+    t1h = cascade(t1m, key_cols, "1h")
+    t1d = cascade(t1h, key_cols, "1d")
+    return {"1m": t1m, "1h": t1h, "1d": t1d}
+
+
+def salted_rollup(
+    df: DataFrame,
+    ts_col: str,
+    key_cols: Sequence[str],
+    value_col: str,
+    tier: str = "1m",
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Two-phase rollup with an explicit salt column for extreme key skew.
+
+    Phase 1 groups by (bucket, keys, salt) — hot keys split across
+    ``salt_buckets`` reducers; phase 2 merges the partials (same algebra as
+    ``cascade``).  The salt is derived from a hash of the value column + ts so
+    it is deterministic w.r.t. the data, not row order.
+    """
+    unit = _trunc_unit(tier)
+    salt = F.pmod(
+        F.hash(F.col(ts_col), F.col(value_col)), F.lit(salt_buckets)
+    ).alias("_salt")
+    v = F.col(value_col)
+    partial = (
+        df.groupBy(
+            F.date_trunc(unit, F.col(ts_col)).alias("bucket"),
+            *[F.col(k) for k in key_cols],
+            salt,
+        )
+        .agg(
+            F.count(v).alias("cnt"),
+            F.sum(v).alias("sum_v"),
+            F.min(v).alias("min_v"),
+            F.max(v).alias("max_v"),
+        )
+    )
+    return (
+        partial.groupBy("bucket", *key_cols)
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            F.sum("sum_v").alias("sum_v"),
+            F.min("min_v").alias("min_v"),
+            F.max("max_v").alias("max_v"),
+        )
+    )

@@ -1,0 +1,91 @@
+"""Rollup tier cascade: algebraic correctness (SURVEY.md A4)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from influxer_spark.operators import rollup as R
+
+
+@pytest.fixture(scope="module")
+def events(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/events.parquet").cache()
+
+
+def _sorted_rows(df):
+    return [tuple(r) for r in df.orderBy(*df.columns).collect()]
+
+
+def test_cascade_1h_equals_direct(events):
+    """Re-aggregating 1m partials into 1h must equal rolling up raw at 1h."""
+    t1m = R.rollup(events, "ts", ["event_type"], "value", "1m")
+    cascaded = R.cascade(t1m, ["event_type"], "1h")
+    direct = R.rollup(events, "ts", ["event_type"], "value", "1h")
+    a = _sorted_rows(cascaded.select("bucket", "event_type", "cnt", "min_v", "max_v"))
+    b = _sorted_rows(direct.select("bucket", "event_type", "cnt", "min_v", "max_v"))
+    assert a == b
+    # sums agree to fp tolerance (different addition order)
+    sa = {tuple(r[:2]): r[2] for r in cascaded.select("bucket", "event_type", "sum_v").collect()}
+    sb = {tuple(r[:2]): r[2] for r in direct.select("bucket", "event_type", "sum_v").collect()}
+    assert sa.keys() == sb.keys()
+    for k in sa:
+        assert abs(sa[k] - sb[k]) < 1e-9 * max(1.0, abs(sb[k]))
+
+
+def test_cascade_1d_equals_direct(events):
+    t1m = R.rollup(events, "ts", ["event_type"], "value", "1m")
+    t1h = R.cascade(t1m, ["event_type"], "1h")
+    t1d = R.cascade(t1h, ["event_type"], "1d")
+    direct = R.rollup(events, "ts", ["event_type"], "value", "1d")
+    a = _sorted_rows(t1d.select("bucket", "event_type", "cnt", "min_v", "max_v"))
+    b = _sorted_rows(direct.select("bucket", "event_type", "cnt", "min_v", "max_v"))
+    assert a == b
+
+
+def test_salted_equals_plain(events):
+    plain = R.rollup(events, "ts", ["event_type"], "value", "1m")
+    salted = R.salted_rollup(events, "ts", ["event_type"], "value", "1m", salt_buckets=8)
+    a = _sorted_rows(plain.select("bucket", "event_type", "cnt", "min_v", "max_v"))
+    b = _sorted_rows(salted.select("bucket", "event_type", "cnt", "min_v", "max_v"))
+    assert a == b
+
+
+def test_mean_is_exact_not_mean_of_means(spark):
+    # uneven buckets: minute A has 1 point (v=1), minute B has 3 points (v=2,3,4)
+    rows = [
+        (dt.datetime(2024, 1, 1, 0, 0, 5), "k", 1.0),
+        (dt.datetime(2024, 1, 1, 0, 1, 5), "k", 2.0),
+        (dt.datetime(2024, 1, 1, 0, 1, 15), "k", 3.0),
+        (dt.datetime(2024, 1, 1, 0, 1, 45), "k", 4.0),
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, key string, value double")
+    t1m = R.rollup(df, "ts", ["key"], "value", "1m")
+    t1h = R.with_mean(R.cascade(t1m, ["key"], "1h"))
+    row = t1h.collect()[0]
+    assert row["cnt"] == 4
+    assert row["avg_v"] == pytest.approx(2.5)  # (1+2+3+4)/4, NOT (1 + 3)/2
+
+
+def test_null_values_not_counted(spark):
+    rows = [
+        (dt.datetime(2024, 1, 1, 0, 0, 5), "k", 1.0),
+        (dt.datetime(2024, 1, 1, 0, 0, 6), "k", None),
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, key string, value double")
+    row = R.rollup(df, "ts", ["key"], "value", "1m").collect()[0]
+    assert row["cnt"] == 1 and row["sum_v"] == 1.0
+
+
+def test_rollup_plan_is_single_shuffle(events):
+    """The 1m rollup must be partial agg → one exchange → final agg, no join."""
+    plan = R.rollup(events, "ts", ["event_type"], "value", "1m")._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 1 + plan.count("AQEShuffleRead")  # one logical shuffle
+    assert "Join" not in plan
+
+
+def test_unknown_tier_raises(events):
+    with pytest.raises(ValueError):
+        R.rollup(events, "ts", ["event_type"], "value", "5m")
