@@ -1,0 +1,149 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+on local[$SPARK_GRAFT_CPUS], plus the full pages pipeline (datagen → extract →
+1m/1h/1d cascade → Gorilla) at a deterministic synthetic scale, and prints ONE
+JSON line:
+
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...,
+   "pipeline_points_per_sec": ..., "gorilla_bytes_per_point": ...}
+
+``--scaling`` additionally runs the identical pipeline job at local[8] and
+local[32] (same input, same seed) in separate processes and reports the
+throughput at each plus scaling efficiency (north rule: ≥0.8 from N to 4N).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+BENCH_PAGES_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES_ROWS", "300000"))
+
+HEADLINE = [
+    "rollup_1m",
+    "rollup_1h_cascade",
+    "rollup_1d_cascade",
+    "rollup_1m_salted",
+    "gapfill_1h_interpolate",
+    "sessionize_30m",
+    "pivot_event_counts_hourly",
+    "tpch_q1_pricing_summary",
+    "revenue_by_nation",
+]
+
+
+def _bench_pages_path() -> str:
+    """Deterministic synthetic pages table, cached across runs."""
+    from influxer_spark.datagen import generate_pages
+
+    d = os.path.join(
+        tempfile.gettempdir(), f"influxer_bench_pages_{BENCH_PAGES_ROWS}"
+    )
+    p = os.path.join(d, "pages.parquet")
+    if not os.path.exists(p):
+        generate_pages(d, n_rows=BENCH_PAGES_ROWS, seed=42, days=7)
+    return p
+
+
+def run_pipeline_bench(cores: int, pages_path: str) -> dict:
+    """One pipeline run at the given parallelism; returns throughput stats."""
+    from influxer_spark.pipeline import run_pipeline
+    from influxer_spark.session import get_spark
+
+    spark = get_spark(f"bench_pipeline_{cores}", cores=cores)
+    root = tempfile.mkdtemp(prefix=f"influxer_bench_cat_{cores}_")
+    try:
+        t0 = time.time()
+        res = run_pipeline(spark, pages_path, root, resume=False)
+        elapsed = time.time() - t0
+        points = sum(c.get("points", 0) for c in res.counters.values())
+        bpp = [
+            c["gorilla_bytes_per_point"]
+            for c in res.counters.values()
+            if c.get("gorilla_bytes_per_point")
+        ]
+        return {
+            "cores": cores,
+            "elapsed_s": round(elapsed, 3),
+            "points": points,
+            "points_per_sec": round(points / elapsed, 1),
+            "gorilla_bytes_per_point": round(sum(bpp) / len(bpp), 3) if bpp else None,
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def main() -> None:
+    if "--pipeline-only" in sys.argv:
+        # child mode for --scaling: emit pipeline stats as JSON and exit
+        cores = int(sys.argv[sys.argv.index("--cores") + 1])
+        print(json.dumps(run_pipeline_bench(cores, _bench_pages_path())))
+        return
+
+    if "--scaling" in sys.argv:
+        pages = _bench_pages_path()  # generate once before timing
+        results = {}
+        for cores in (8, 32):
+            out = subprocess.run(
+                [sys.executable, __file__, "--pipeline-only", "--cores", str(cores)],
+                capture_output=True, text=True, check=True,
+            )
+            results[cores] = json.loads(out.stdout.strip().splitlines()[-1])
+        eff = (results[32]["points_per_sec"] / results[8]["points_per_sec"]) / 4.0
+        print(json.dumps({
+            "metric": "pipeline scaling local[8] vs local[32]",
+            "n8": results[8], "n32": results[32],
+            "scaling_efficiency": round(eff, 3),
+            "pages_rows": BENCH_PAGES_ROWS,
+        }))
+        return
+
+    from influxer_spark.session import get_spark
+    import __spark_entry__ as E
+
+    spark = get_spark("bench", cores=CPUS)
+    qs = E.queries()
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        df = qs[name](spark, SF_DIR)
+        t0 = time.time()
+        df.write.mode("overwrite").format("noop").save()
+        dt_s = time.time() - t0
+        timings[name] = round(dt_s, 3)
+        total += dt_s
+
+    # pages pipeline (datagen cached; timing excludes generation)
+    pages = _bench_pages_path()
+    pipe = run_pipeline_bench(CPUS, pages)
+    timings["pages_pipeline"] = pipe["elapsed_s"]
+    total += pipe["elapsed_s"]
+
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    print(json.dumps({
+        "metric": "headline queries + pages pipeline (raw→1m→1h→1d + gorilla)",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "pipeline_points_per_sec": pipe["points_per_sec"],
+        "gorilla_bytes_per_point": pipe["gorilla_bytes_per_point"],
+        "pages_rows": BENCH_PAGES_ROWS,
+        "cpus": CPUS,
+    }))
+
+
+if __name__ == "__main__":
+    main()

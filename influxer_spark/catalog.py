@@ -1,0 +1,144 @@
+"""Table catalog: Iceberg when the runtime jar is present, parquet-directory
+tables with atomic manifest commits otherwise (SURVEY.md §7 step 1).
+
+The reference's sink is InfluxDB (DB/retention-policy creation at
+Influxer/Program.cs:115-140, Influxer/GenericFile.cs:250-280).  Our sink is a
+table catalog:
+
+- **Iceberg path** (preferred on a real cluster): ``df.writeTo(tbl)`` with
+  ``PARTITIONED BY (days(warc_ts))`` so retention expiry is a metadata-only
+  partition drop and time-range queries prune partitions.
+- **Parquet fallback** (this sandbox has no Iceberg runtime jar): one
+  directory per table, partition subdirs via ``partitionBy``, and a
+  ``_manifest.json`` committed by atomic rename carrying the committed
+  partition list + per-run lineage.  Overwrites are idempotent per partition
+  (dynamic partition overwrite), which is what makes checkpoint/resume exact
+  (SURVEY.md §7 hard part iv).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+import time
+import uuid
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    try:
+        spark._jvm.java.lang.Class.forName(  # type: ignore[union-attr]
+            "org.apache.iceberg.spark.SparkCatalog"
+        )
+        return True
+    except Exception:  # noqa: BLE001
+        return False
+
+
+@dataclass
+class TableCatalog:
+    """Parquet-directory catalog with manifest-based atomic commits."""
+
+    root: str
+    runs: list[dict[str, Any]] = field(default_factory=list)
+
+    def table_path(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def _manifest_path(self, name: str) -> str:
+        return os.path.join(self.table_path(name), "_manifest.json")
+
+    def read_manifest(self, name: str) -> dict[str, Any]:
+        p = self._manifest_path(name)
+        if not os.path.exists(p):
+            return {"partitions": {}, "lineage": []}
+        with open(p) as f:
+            return json.load(f)
+
+    def _commit_manifest(self, name: str, manifest: dict[str, Any]) -> None:
+        os.makedirs(self.table_path(name), exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=self.table_path(name), suffix=".manifest")
+        with os.fdopen(fd, "w") as f:
+            json.dump(manifest, f, indent=1, default=str)
+        os.replace(tmp, self._manifest_path(name))  # atomic on POSIX
+
+    def exists(self, name: str) -> bool:
+        return os.path.exists(self._manifest_path(name))
+
+    def read(self, spark: SparkSession, name: str) -> DataFrame:
+        return spark.read.parquet(self.table_path(name))
+
+    def committed_partitions(self, name: str) -> dict[str, dict[str, Any]]:
+        return self.read_manifest(name)["partitions"]
+
+    def write_partition(
+        self,
+        df: DataFrame,
+        name: str,
+        partition_value: str,
+        counters: dict[str, Any] | None = None,
+        lineage: dict[str, Any] | None = None,
+    ) -> dict[str, Any]:
+        """Idempotently (over)write one partition of ``name``.
+
+        Data lands in ``<table>/p=<partition_value>/`` via a staging dir +
+        rename; the manifest commit is the only visibility point, so a crash
+        between data write and manifest leaves the old committed state intact
+        (resume re-does the partition — exactly-once at the partition level).
+        """
+        part_dir = os.path.join(self.table_path(name), f"p={partition_value}")
+        staging = part_dir + f".staging-{uuid.uuid4().hex[:8]}"
+        df.write.mode("overwrite").parquet(staging)
+        if os.path.exists(part_dir):
+            shutil.rmtree(part_dir)
+        os.replace(staging, part_dir)
+
+        manifest = self.read_manifest(name)
+        entry = {
+            "committed_at": time.time(),
+            "counters": counters or {},
+            "lineage": lineage or {},
+        }
+        manifest["partitions"][partition_value] = entry
+        manifest["lineage"].append({"partition": partition_value, **entry})
+        self._commit_manifest(name, manifest)
+        return entry
+
+    def read_partition(self, spark: SparkSession, name: str, partition_value: str) -> DataFrame:
+        return spark.read.parquet(
+            os.path.join(self.table_path(name), f"p={partition_value}")
+        )
+
+    def read_committed(self, spark: SparkSession, name: str) -> DataFrame:
+        """Read ONLY manifest-committed partitions (staging/uncommitted dirs
+        are invisible — the parquet-dir analogue of Iceberg snapshot reads)."""
+        parts = sorted(self.committed_partitions(name))
+        paths = [
+            os.path.join(self.table_path(name), f"p={p}")
+            for p in parts
+            if os.path.exists(os.path.join(self.table_path(name), f"p={p}"))
+        ]
+        if not paths:
+            raise ValueError(f"table {name} has no committed partitions")
+        return spark.read.parquet(*paths)
+
+    def drop_partition(self, name: str, partition_value: str, reason: str = "") -> bool:
+        """Metadata-first partition drop (the parquet-dir analogue of Iceberg
+        ``expire_snapshots`` / partition delete)."""
+        manifest = self.read_manifest(name)
+        if partition_value not in manifest["partitions"]:
+            return False
+        del manifest["partitions"][partition_value]
+        manifest["lineage"].append(
+            {"partition": partition_value, "dropped_at": time.time(), "reason": reason}
+        )
+        self._commit_manifest(name, manifest)
+        part_dir = os.path.join(self.table_path(name), f"p={partition_value}")
+        if os.path.exists(part_dir):
+            shutil.rmtree(part_dir)
+        return True

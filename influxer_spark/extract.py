@@ -1,0 +1,101 @@
+"""Arrow-vectorized html→text extraction + crawl metrics (SURVEY.md §1.4, §2.8).
+
+The reference's per-column Transform stage (ITransform,
+Influxer/Interfaces/ITransform.cs:3-12, chained at
+Influxer/GenericColumn.cs:120-145) maps to vectorized pandas UDFs here, per
+BASELINE.json input_hint: "vectorized pandas/Arrow UDFs (no per-row Python)".
+
+Extraction rule (deterministic, byte-level — this is THE per-row invariant):
+1. decode utf-8,
+2. keep only the <body>…</body> span,
+3. strip all ``<...>`` tags,
+4. collapse whitespace runs to single spaces, strip ends.
+
+Crawl metrics (the analogue of Influxer's numeric fields,
+Influxer/GenericFile.cs:90-94) are computed JVM-side wherever a built-in
+expression exists (length of binary, regexp_count) — UDFs are reserved for
+the extraction itself.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import StringType
+
+_BODY_RE = re.compile(rb"<body[^>]*>(.*?)</body>", re.DOTALL)
+_TAG_RE = re.compile(rb"<[^>]*>")
+_WS_RE = re.compile(rb"[ \t\r\n\f\v]+")
+
+
+def extract_text_bytes(html: bytes) -> str:
+    """Single-value reference implementation (used by refmodel + tests)."""
+    m = _BODY_RE.search(html)
+    body = m.group(1) if m else html
+    stripped = _TAG_RE.sub(b" ", body)
+    collapsed = _WS_RE.sub(b" ", stripped).strip()
+    return collapsed.decode("utf-8")
+
+
+@pandas_udf(StringType())
+def extract_text(html: pd.Series) -> pd.Series:
+    """Arrow-batched html→text. Operates on the raw bytes of each batch —
+    deterministic byte-level regexes, no HTML-parser heuristics, so the same
+    html always yields the same text (per-row invariant)."""
+    return html.map(extract_text_bytes)
+
+
+def with_extracted(pages: DataFrame, validate: bool = False) -> DataFrame:
+    """pages(url, warc_ts, html[, text], lang) → + extracted_text + metrics.
+
+    With ``validate=True`` keeps a boolean ``text_ok`` column comparing the
+    extraction against the stored ``text`` column (byte-identical check).
+    """
+    df = pages.withColumn("extracted_text", extract_text(F.col("html")))
+    if validate and "text" in pages.columns:
+        df = df.withColumn("text_ok", F.col("extracted_text") == F.col("text"))
+    return df
+
+
+def with_crawl_metrics(pages: DataFrame, text_col: str = "extracted_text") -> DataFrame:
+    """Numeric fields per page — all JVM-side Column expressions (codegen):
+
+    - html_bytes:  size of the raw page
+    - text_chars:  extracted text length
+    - n_tokens:    whitespace tokens in the text
+    - n_tags:      markup density
+    - text_ratio:  text_chars / html_bytes (deterministic double division)
+    """
+    t = F.col(text_col)
+    html_bytes = F.length("html").cast("long")
+    text_chars = F.length(t).cast("long")
+    return (
+        pages.withColumn("html_bytes", html_bytes)
+        .withColumn("text_chars", text_chars)
+        .withColumn(
+            "n_tokens",
+            F.when(text_chars == 0, F.lit(0)).otherwise(
+                F.size(F.split(t, " "))
+            ).cast("long"),
+        )
+        .withColumn("n_tags", F.regexp_count(F.col("html").cast("string"), F.lit(r"<[^>]*>")).cast("long"))
+        .withColumn("text_ratio", text_chars.cast("double") / html_bytes.cast("double"))
+    )
+
+
+def pages_to_points(pages_with_metrics: DataFrame) -> DataFrame:
+    """Wide metrics → narrow points (measurement-style long layout, the
+    reference's point model §1.1): (url, warc_ts, lang, metric, value)."""
+    return pages_with_metrics.selectExpr(
+        "url",
+        "warc_ts",
+        "lang",
+        "stack(4, 'html_bytes', cast(html_bytes as double), "
+        "'text_chars', cast(text_chars as double), "
+        "'n_tokens', cast(n_tokens as double), "
+        "'text_ratio', text_ratio) as (metric, value)",
+    )

@@ -1,0 +1,99 @@
+"""Gorilla codec: round-trip + compression properties (SURVEY.md A6)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from influxer_spark.operators.gorilla import decode, encode, encode_series_df
+
+
+def _roundtrip(ts, vs):
+    ts = np.asarray(ts, dtype=np.int64)
+    vs = np.asarray(vs, dtype=np.float64)
+    blob = encode(ts, vs)
+    ts2, vs2 = decode(blob)
+    np.testing.assert_array_equal(ts, ts2)
+    np.testing.assert_array_equal(vs.view(np.uint64), vs2.view(np.uint64))
+    return blob
+
+
+def test_empty_and_single():
+    assert len(_roundtrip([], [])) == 4
+    _roundtrip([1700000000], [3.14])
+
+
+def test_regular_minutes_compress_well():
+    # perfectly regular 1-minute buckets, slowly-varying values — the
+    # Gorilla paper's sweet spot; expect far below 16 bytes/point
+    n = 10_000
+    ts = 1700000000 + 60 * np.arange(n)
+    vs = np.round(100 + np.cumsum(np.random.default_rng(42).normal(0, 0.1, n)), 2)
+    blob = _roundtrip(ts, vs)
+    bpp = len(blob) / n
+    assert bpp < 8.0, f"bytes/point {bpp}"
+
+
+def test_constant_values_near_one_bit():
+    n = 5000
+    ts = 1700000000 + 60 * np.arange(n)
+    vs = np.full(n, 42.5)
+    blob = _roundtrip(ts, vs)
+    assert len(blob) / n < 0.5  # ~2 bits/point (1 ts + 1 value)
+
+
+def test_irregular_timestamps_and_specials():
+    ts = [0, 1, 100000, 100001, 100002, 2**40, 2**40 + 7]
+    vs = [0.0, -0.0, np.inf, -np.inf, 1e-300, -1e300, np.nan]
+    _roundtrip(ts, vs)
+
+
+def test_negative_delta():
+    _roundtrip([100, 50, 200, 199], [1.0, 2.0, 3.0, 4.0])
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2**40),
+            st.floats(allow_nan=False, width=64),
+        ),
+        min_size=0,
+        max_size=200,
+    )
+)
+def test_roundtrip_property(pairs):
+    pairs.sort()
+    ts = [p[0] for p in pairs]
+    vs = [p[1] for p in pairs]
+    _roundtrip(ts, vs)
+
+
+def test_spark_encode_series(spark):
+    import datetime as dt
+
+    rows = []
+    for s, base in [("a", 0), ("b", 1000)]:
+        for i in range(100):
+            rows.append((s, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=i), float(base + i % 7)))
+    df = spark.createDataFrame(rows, "url string, bucket timestamp, v double")
+    enc = encode_series_df(df, ["url"], "bucket", "v").collect()
+    assert len(enc) == 2
+    for r in enc:
+        assert r["n_points"] == 100
+        assert r["encoded_bytes"] < r["raw_bytes"]
+        ts, vs = decode(bytes(r["blob"]))
+        assert len(ts) == 100
+        assert (np.diff(ts) == 60).all()
+
+
+def test_bytes_per_point_reported(spark):
+    import datetime as dt
+
+    rows = [("a", dt.datetime(2024, 1, 1) + dt.timedelta(minutes=i), 1.5) for i in range(1000)]
+    df = spark.createDataFrame(rows, "url string, bucket timestamp, v double")
+    r = encode_series_df(df, ["url"], "bucket", "v").collect()[0]
+    assert r["encoded_bytes"] / r["n_points"] < 1.0

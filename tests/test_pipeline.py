@@ -1,0 +1,143 @@
+"""End-to-end pipeline: extraction invariant, checkpoint/resume, retention DAG."""
+
+from __future__ import annotations
+
+import datetime as dt
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from influxer_spark.catalog import TableCatalog
+from influxer_spark.datagen import generate_pages
+from influxer_spark.extract import extract_text_bytes, with_extracted
+from influxer_spark.operators.retention import RetentionPolicy, apply_retention
+from influxer_spark.pipeline import run_pipeline
+
+
+@pytest.fixture(scope="module")
+def pages_path(tmp_path_factory):
+    d = tmp_path_factory.mktemp("pages")
+    return generate_pages(str(d), n_rows=5000, seed=42, days=3)
+
+
+def test_extraction_invariant_whole_table(spark, pages_path):
+    """North-rule per-row invariant: extracted text byte-identical per url."""
+    pages = spark.read.parquet(pages_path)
+    df = with_extracted(pages, validate=True)
+    assert df.filter(~F.col("text_ok")).count() == 0
+
+
+def test_extraction_is_deterministic_bytes():
+    html = '<html><head><title>x</title></head><body> <p> a  b </p>\t<p>c</p> </body></html>'.encode()
+    assert extract_text_bytes(html) == "a b c"
+    assert extract_text_bytes(html) == extract_text_bytes(html)
+
+
+def test_pipeline_end_to_end_and_resume(spark, pages_path, tmp_path):
+    root = str(tmp_path / "cat")
+    res1 = run_pipeline(spark, pages_path, root, validate_extraction=True)
+    assert len(res1.days_processed) >= 3  # 3-day span (may straddle 4 dates)
+    cat = TableCatalog(root)
+    for tbl in ["raw_points", "rollup_1m", "rollup_1h", "rollup_1d", "rollup_1m_gorilla"]:
+        assert cat.exists(tbl), tbl
+        assert len(cat.committed_partitions(tbl)) == len(res1.days_processed)
+
+    # counters + lineage recorded per partition
+    m = cat.read_manifest("rollup_1m")
+    day0 = res1.days_processed[0]
+    assert m["partitions"][day0]["counters"]["rows_in"] > 0
+    assert m["partitions"][day0]["lineage"]["source"] == pages_path
+
+    # full rerun: everything skipped, nothing recomputed
+    res2 = run_pipeline(spark, pages_path, root)
+    assert res2.days_processed == []
+    assert sorted(res2.days_skipped) == sorted(res1.days_processed)
+
+
+def test_resume_after_partial_run_matches_oneshot(spark, pages_path, tmp_path):
+    """Kill after day 1 → resume → identical final tables vs one-shot run."""
+    root_a = str(tmp_path / "a")
+    root_b = str(tmp_path / "b")
+
+    # one-shot
+    run_pipeline(spark, pages_path, root_a)
+
+    # partial: process only the first day, then "crash"
+    from influxer_spark.pipeline import _distinct_days, process_day
+
+    pages = spark.read.parquet(pages_path)
+    days = _distinct_days(pages)
+    cat_b = TableCatalog(root_b)
+    process_day(spark, pages, cat_b, days[0], source=pages_path)
+    # resume the rest
+    res = run_pipeline(spark, pages_path, root_b)
+    assert days[0] in res.days_skipped
+
+    a, b = TableCatalog(root_a), TableCatalog(root_b)
+    for tbl in ["rollup_1m", "rollup_1h", "rollup_1d"]:
+        da = a.read_committed(spark, tbl).orderBy("bucket", "url", "metric")
+        db = b.read_committed(spark, tbl).orderBy("bucket", "url", "metric")
+        ra = [tuple(r) for r in da.select("bucket", "url", "metric", "cnt", "min_v", "max_v").collect()]
+        rb = [tuple(r) for r in db.select("bucket", "url", "metric", "cnt", "min_v", "max_v").collect()]
+        assert ra == rb, tbl
+
+
+def test_rollup_matches_duckdb_oracle(spark, pages_path, tmp_path):
+    """1m tier equals an independent DuckDB rollup over the same pages."""
+    import duckdb
+
+    root = str(tmp_path / "cat")
+    run_pipeline(spark, pages_path, root, encode_gorilla=False)
+    cat = TableCatalog(root)
+    got = {
+        (r["bucket"], r["url"], r["metric"]): (r["cnt"], r["min_v"], r["max_v"])
+        for r in cat.read_committed(spark, "rollup_1m")
+        .filter(F.col("metric") == "text_chars")
+        .collect()
+    }
+    want_rows = duckdb.sql(
+        f"""
+        SELECT date_trunc('minute', warc_ts) AS bucket, url,
+               count(*) AS cnt, min(length(text)) AS mn, max(length(text)) AS mx
+        FROM read_parquet('{pages_path}') GROUP BY 1, 2
+        """
+    ).fetchall()
+    assert len(want_rows) == len(got)
+    for bucket, url, cnt, mn, mx in want_rows:
+        k = (bucket, url, "text_chars")
+        assert k in got
+        assert got[k] == (cnt, float(mn), float(mx))
+
+
+def test_retention_dag_blocks_until_dependent_committed(tmp_path, spark, pages_path):
+    root = str(tmp_path / "cat")
+    run_pipeline(spark, pages_path, root, encode_gorilla=False)
+    cat = TableCatalog(root)
+    days = sorted(cat.committed_partitions("raw_points"))
+    now = dt.date.fromisoformat(days[-1]) + dt.timedelta(days=1)
+
+    # raw TTL 1 day → all but the last day are overdue; 1m has them → dropped
+    pols = [RetentionPolicy("raw_points", ttl_days=1, depends_on="rollup_1m")]
+    report = apply_retention(cat, pols, now=now)
+    assert set(report["raw_points"]) == set(days[:-1])
+    assert set(cat.committed_partitions("raw_points")) == {days[-1]}
+
+    # but if the dependent tier lacks the partition, expiry is blocked
+    cat.drop_partition("rollup_1m", days[-1], reason="test")
+    pols = [RetentionPolicy("raw_points", ttl_days=0, depends_on="rollup_1m")]
+    report = apply_retention(cat, pols, now=now)
+    assert report.get("blocked:raw_points") == [days[-1]]
+    assert set(cat.committed_partitions("raw_points")) == {days[-1]}
+
+
+def test_catalog_staging_invisible_until_commit(tmp_path, spark):
+    cat = TableCatalog(str(tmp_path / "c"))
+    df = spark.range(5).withColumn("v", F.col("id") * 2)
+    cat.write_partition(df, "t", "2024-01-01")
+    assert cat.read_committed(spark, "t").count() == 5
+    # simulate crash: data dir exists but manifest unaware
+    import os
+    os.makedirs(os.path.join(cat.table_path("t"), "p=2024-01-02.staging-dead"), exist_ok=True)
+    assert cat.read_committed(spark, "t").count() == 5
+    shutil.rmtree(str(tmp_path / "c"))
