@@ -26,6 +26,10 @@ if _REPO not in sys.path:
 
 from influxer_spark.operators import rollup as R  # noqa: E402
 from influxer_spark.operators.gapfill import gapfill_interpolate  # noqa: E402
+from influxer_spark.training_queries import (  # noqa: E402
+    training_oracle_sql,
+    training_queries,
+)
 
 
 def _q2(col):  # quantize a double to integer cents (deterministic across engines)
@@ -269,6 +273,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1_pricing_summary": _q_tpch_q1,
         "revenue_by_nation": _q_revenue_by_nation,
         "unpivot_lineitem_metrics": _q_unpivot_lineitem,
+        **training_queries(),
     }
 
 
@@ -399,4 +404,5 @@ def oracle_sql() -> dict[str, str]:
             "  UNION ALL SELECT 'tax', l_tax FROM lineitem"
             ") GROUP BY metric"
         ),
+        **training_oracle_sql(),
     }

@@ -1,0 +1,391 @@
+"""Deduplication operators for web-scale training-data pipelines.
+
+The reference has no dedup (it pushes every parsed point), but a Common-Crawl
+style corpus at 10^12 documents is unusable without it; these are the standard
+four families, each expressed Spark-first:
+
+- ``exact_dedup``            hash-groupBy on a normalized-text fingerprint.
+- ``minhash_signatures`` /
+  ``lsh_candidate_pairs`` /
+  ``minhash_lsh_dedup``      shingle → MinHash → LSH band-bucket join →
+                             exact-Jaccard verify of the candidates.
+- ``simhash_dedup``          32-bit SimHash + pigeonhole block join
+                             (EXACT for the Hamming radius: distance ≤ 3 with
+                             4 blocks ⇒ at least one block is identical).
+- ``jaccard_pairs``          exact set-similarity join over distinct shingles
+                             (inverted-index self-join — the PPJoin-lite
+                             baseline and the verifier for LSH).
+- ``embedding_neardup``      exact cosine pairs over an embedding column
+                             (small-scale verifier; the scale path is
+                             ``similarity.lsh_ann``).
+
+Cross-engine determinism: every hash bottoms out in ``md5`` (identical in
+Spark and DuckDB); MinHash permutations are ``(a*h + b) % P`` with the literal
+constants below, embedded verbatim in the oracle SQL.
+
+Scale notes (100 TB posture):
+- Everything is shingle-level ``explode`` + hash-partitioned joins; no
+  driver-side collection, no per-row Python.  Shingle hashing / MinHash /
+  SimHash are pure Column expressions inside whole-stage codegen (md5, conv,
+  transform, aggregate) — zero UDFs.
+- LSH banding turns the O(n²) pair space into per-bucket joins; buckets are
+  the shuffle key, so hot buckets (boilerplate shingles) are the skew risk —
+  mitigate with a df-frequency cap on shingles (``max_shingle_freq``) exactly
+  like stop-shingle removal in PPJoin.
+- The exact verifier only touches LSH candidates (broadcast when small,
+  shuffle-join on pair keys when not).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# MinHash universe: permutations (a*h + b) % MERSENNE31 over 32-bit md5-prefix
+# shingle hashes.  Literal constants — the DuckDB oracle embeds the same table.
+MERSENNE31 = 2_147_483_647
+MINHASH_PERMS: list[tuple[int, int]] = [
+    (1_203_114_875, 395_008_973),
+    (655_167_469, 1_105_628_401),
+    (1_487_655_823, 224_817_767),
+    (876_542_219, 1_763_289_041),
+    (1_998_765_431, 87_122_923),
+    (345_678_917, 1_456_789_211),
+    (1_122_334_455, 998_877_665),
+    (777_777_783, 1_234_567_891),
+    (1_594_336_871, 666_555_443),
+    (432_198_765, 1_876_543_209),
+    (1_357_924_681, 246_813_579),
+    (987_654_323, 135_792_467),
+    (1_700_000_009, 555_444_333),
+    (250_000_013, 1_999_999_817),
+    (1_444_333_229, 314_159_263),
+    (271_828_183, 1_618_033_989),
+]
+LSH_BANDS = 4  # 16 perms = 4 bands × 4 rows
+
+
+def h32(col: Column) -> Column:
+    """Deterministic 32-bit hash: first 8 hex chars of md5, as a long.
+
+    Identical in DuckDB: ``CAST('0x' || substr(md5(x), 1, 8) AS BIGINT)``.
+    """
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def normalize_text(col: Column) -> Column:
+    """Canonical form for exact dedup: lowercase, collapsed whitespace."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def word_shingles(col: Column, k: int = 5) -> Column:
+    """Word k-gram shingles as an array<string>.
+
+    Documents with fewer than ``k`` words produce ONE shingle (the whole
+    token list joined) so no document silently drops out of the index.
+    """
+    words = F.split(F.trim(col), r"\s+")
+    n = F.size(words)
+    return F.transform(
+        F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
+        lambda i: F.array_join(F.slice(words, i + 1, k), " "),
+    )
+
+
+def shingle_hashes(col: Column, k: int = 5) -> Column:
+    """array<long> of 32-bit shingle hashes (pure codegen, no UDF)."""
+    return F.transform(word_shingles(col, k), h32)
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact duplicate groups on md5(normalized text).
+
+    Returns one row per distinct fingerprint:
+    ``(fingerprint, n_docs, canonical_id)`` — canonical is the min id, the
+    usual keep-first policy.  Dedup = semi-join back on canonical_id.
+    One shuffle on the fingerprint; trivially scales (group state is O(1)).
+    """
+    fp = F.md5(normalize_text(F.col(text_col))).alias("fingerprint")
+    return (
+        df.groupBy(fp)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min(id_col).alias("canonical_id"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(df: DataFrame, id_col: str, text_col: str, k: int = 5) -> DataFrame:
+    """(id, sig: array<long>[16]) — MinHash signature per document.
+
+    Signature math is whole-stage-codegen Column expressions over the
+    shingle-hash array — the full signature of a document is computed without
+    any shuffle (narrow, scan-side).
+    """
+    hashes = shingle_hashes(F.col(text_col), k)
+    sig = F.array(*[
+        F.array_min(
+            F.transform(hashes, lambda h: (F.lit(a) * (h % MERSENNE31) + F.lit(b)) % MERSENNE31)
+        )
+        for a, b in MINHASH_PERMS
+    ]).alias("sig")
+    return df.select(F.col(id_col).alias("id"), sig)
+
+
+def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
+    """Band the signatures and emit candidate pairs ``(id_a < id_b)``.
+
+    Bands explode to (band_idx, band_key) rows; the self-join shuffles on the
+    band key — this is THE shuffle of LSH dedup, and its skew profile is the
+    shingle-frequency profile (boilerplate → hot buckets → cap upstream).
+    """
+    rows_per_band = len(MINHASH_PERMS) // LSH_BANDS
+    bands = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                "_",
+                *[F.element_at("sig", b * rows_per_band + r + 1) for r in range(rows_per_band)],
+            ).alias("key"),
+        )
+        for b in range(LSH_BANDS)
+    ])
+    banded = sigs.select("id", F.explode(bands).alias("bk")).select(
+        "id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, on=["band", "key"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def distinct_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 5) -> DataFrame:
+    """(id, shingle) rows, distinct per document — the inverted-index input."""
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(word_shingles(F.col(text_col), k)).alias("shingle"),
+        )
+        .distinct()
+    )
+
+
+def _verify_jaccard(cand: DataFrame, ds: DataFrame, min_jaccard: float) -> DataFrame:
+    """Exact Jaccard for candidate pairs from per-doc distinct shingle sets."""
+    sizes = ds.groupBy("id").agg(F.count("*").alias("n"))
+    a = ds.select(F.col("id").alias("id_a"), "shingle")
+    b = ds.select(F.col("id").alias("id_b"), "shingle")
+    inter = (
+        cand.join(a, "id_a")
+        .join(b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    na = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+    )
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    min_jaccard: float = 0.7,
+) -> DataFrame:
+    """MinHash→LSH candidates, then exact-Jaccard verify.
+
+    Output: ``(id_a, id_b, jaccard)`` for LSH-candidate pairs whose true
+    Jaccard ≥ threshold.  Probabilistic RECALL comes from the banding (a pair
+    the bands miss is not reported — that is the LSH contract); reported pairs
+    are exact.  The DuckDB oracle replicates the same bands, so parity is
+    end-to-end deterministic.
+    """
+    sigs = minhash_signatures(df, id_col, text_col, k)
+    cand = lsh_candidate_pairs(sigs)
+    ds = distinct_shingles(df, id_col, text_col, k)
+    return _verify_jaccard(cand, ds, min_jaccard)
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard (inverted-index set-similarity join)
+# ---------------------------------------------------------------------------
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    min_jaccard: float = 0.7,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """All pairs with shingle-set Jaccard ≥ threshold (EXACT, no LSH).
+
+    Inverted-index self-join: only documents sharing ≥1 shingle ever meet.
+    ``max_shingle_freq`` drops stop-shingles (df > cap) before the join —
+    the standard skew guard for boilerplate at crawl scale.  Note the cap
+    changes semantics (capped shingles leave both sets); None = exact.
+    """
+    ds = distinct_shingles(df, id_col, text_col, k)
+    if max_shingle_freq is not None:
+        rare = (
+            ds.groupBy("shingle")
+            .agg(F.count("*").alias("df_"))
+            .filter(F.col("df_") <= max_shingle_freq)
+            .select("shingle")
+        )
+        ds = ds.join(rare, "shingle")
+    a = ds.select(F.col("id").alias("id_a"), "shingle")
+    b = ds.select(F.col("id").alias("id_b"), "shingle")
+    cand = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return _verify_jaccard(cand, ds, min_jaccard)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 32
+SIMHASH_BLOCKS = 4  # pigeonhole: hamming ≤ SIMHASH_BLOCKS-1 ⇒ one block equal
+
+
+def simhash(col: Column) -> Column:
+    """32-bit SimHash over whitespace tokens (with multiplicity).
+
+    bit_j(simhash) = 1 iff Σ_tokens (bit_j(h32(token)) ? +1 : -1) > 0.
+    Pure Column expressions (aggregate over the token-hash array).
+    """
+    tokens = F.split(F.trim(col), r"\s+")
+    hashes = F.transform(tokens, h32)
+    def _vote_merge(j: int):
+        def merge(acc, h):
+            return acc + F.when(h.bitwiseAND(F.lit(2**j)) != 0, F.lit(1)).otherwise(F.lit(-1))
+        return merge
+
+    bits = []
+    for j in range(SIMHASH_BITS):
+        vote = F.aggregate(hashes, F.lit(0).cast("long"), _vote_merge(j))
+        bits.append(F.when(vote > 0, F.lit(2**j).cast("long")).otherwise(F.lit(0).cast("long")))
+    out = bits[0]
+    for bcol in bits[1:]:
+        out = out + bcol
+    return out
+
+
+def simhash_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Pairs with SimHash Hamming distance ≤ ``max_hamming``.
+
+    EXACT for max_hamming ≤ SIMHASH_BLOCKS-1: the 32-bit hash splits into 4
+    8-bit blocks; a pair within distance 3 must agree on ≥1 block
+    (pigeonhole), so the block-equality join loses nothing.  The join
+    shuffles on (block_idx, block_value) — n per-block buckets instead of an
+    O(n²) cross join.
+    """
+    if max_hamming > SIMHASH_BLOCKS - 1:
+        raise ValueError("pigeonhole blocking is exact only for hamming <= blocks-1")
+    bits_per_block = SIMHASH_BITS // SIMHASH_BLOCKS
+    sh = df.select(F.col(id_col).alias("id"), simhash(F.col(text_col)).alias("sh"))
+    blocks = F.array(*[
+        F.struct(
+            F.lit(i).alias("blk"),
+            (F.shiftright("sh", i * bits_per_block) % (2**bits_per_block)).alias("val"),
+        )
+        for i in range(SIMHASH_BLOCKS)
+    ])
+    blocked = sh.select("id", "sh", F.explode(blocks).alias("b")).select(
+        "id", "sh", F.col("b.blk").alias("blk"), F.col("b.val").alias("val")
+    )
+    a, b = blocked.alias("a"), blocked.alias("b")
+    pairs = (
+        a.join(b, on=["blk", "val"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh"))).cast("long").alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.filter(F.col("hamming") <= max_hamming)
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup (exact small-scale verifier)
+# ---------------------------------------------------------------------------
+
+def dot_f64(a: Column, b: Column) -> Column:
+    """Left-to-right double dot product — bit-identical to the oracle's
+    ``list_reduce(list_transform(list_zip(...)))`` because IEEE addition in
+    the same order is deterministic."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot_f64(a, b) / (F.sqrt(dot_f64(a, a)) * F.sqrt(dot_f64(b, b)))
+
+
+def embedding_neardup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    min_cosine: float = 0.4,
+) -> DataFrame:
+    """All vector pairs with cosine ≥ threshold — EXACT O(n²) verifier.
+
+    This is the correctness baseline; at corpus scale use
+    ``similarity.lsh_ann`` (bucketed, approximate) and reserve this for
+    within-bucket verification.  Norms are precomputed once per vector so the
+    pair loop only does the cross dot product.
+    """
+    v = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        F.sqrt(dot_f64(F.col(vec_col), F.col(vec_col))).alias("norm"),
+    )
+    a, b = v.alias("a"), v.alias("b")
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            (
+                dot_f64(F.col("a.vec"), F.col("b.vec"))
+                / (F.col("a.norm") * F.col("b.norm"))
+            ).alias("cos"),
+        )
+        .filter(F.col("cos") >= min_cosine)
+    )

@@ -1,0 +1,331 @@
+"""Driver-contract queries + DuckDB oracle SQL for the training-data
+pipeline operators (dedup / similarity / text analysis / multimodal).
+
+Each Spark query has an oracle built from THE SAME constants
+(``dedup.MINHASH_PERMS``, ``textstats.LANG_PATTERNS``, …) so the two engines
+run the identical deterministic algorithm; parity is bit-level because every
+hash bottoms out in md5 and every float is an IEEE expression with the same
+operand order on both sides (see dedup.dot_f64 / oracle list_reduce).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from influxer_spark.operators import dedup as D
+from influxer_spark.operators import multimodal as M
+from influxer_spark.operators import similarity as S
+from influxer_spark.operators import textstats as T
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments (DuckDB dialect), mirrors of the Column expressions
+# ---------------------------------------------------------------------------
+
+_H32 = "CAST('0x' || substr(md5({x}), 1, 8) AS BIGINT)"
+_NORM = "trim(regexp_replace(lower({x}), '\\s+', ' ', 'g'))"
+
+
+def _shingles_sql(x: str, k: int) -> str:
+    """DuckDB list<varchar> of word k-gram shingles (mirror of word_shingles)."""
+    return (
+        f"list_transform(generate_series(1, greatest(len(string_split_regex(trim({x}), '\\s+')) - {k - 1}, 1)), "
+        f"i -> array_to_string(string_split_regex(trim({x}), '\\s+')[i:i+{k - 1}], ' '))"
+    )
+
+
+def _shingle_hashes_sql(x: str, k: int) -> str:
+    return f"list_transform({_shingles_sql(x, k)}, s -> {_H32.format(x='s')})"
+
+
+_DOT = (
+    "list_reduce(list_transform(list_zip({a}, {b}), "
+    "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (acc, v) -> acc + v)"
+)
+
+
+def _sig_sql() -> str:
+    """MinHash signature as a DuckDB list literal, one list_min per perm."""
+    mins = ", ".join(
+        f"list_min(list_transform(hs, h -> ({a} * (h % {D.MERSENNE31}) + {b}) % {D.MERSENNE31}))"
+        for a, b in D.MINHASH_PERMS
+    )
+    return f"[{mins}]"
+
+
+def _bands_union_sql(src: str) -> str:
+    rows = len(D.MINHASH_PERMS) // D.LSH_BANDS
+    parts = []
+    for b in range(D.LSH_BANDS):
+        key = ", ".join(f"sig[{b * rows + r + 1}]" for r in range(rows))
+        parts.append(f"SELECT id, {b} AS band, concat_ws('_', {key}) AS key FROM {src}")
+    return " UNION ALL ".join(parts)
+
+
+_JACCARD_VERIFY = """
+ds AS (
+  SELECT DISTINCT doc_id AS id, unnest({shingles}) AS shingle FROM documents
+), sizes AS (
+  SELECT id, count(*) AS n FROM ds GROUP BY id
+), inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS inter
+  FROM cand c JOIN ds a ON a.id = c.id_a JOIN ds b ON b.id = c.id_b AND b.shingle = a.shingle
+  GROUP BY c.id_a, c.id_b
+)
+SELECT i.id_a, i.id_b, i.inter / (na.n + nb.n - i.inter) AS jaccard
+FROM inter i JOIN sizes na ON na.id = i.id_a JOIN sizes nb ON nb.id = i.id_b
+WHERE i.inter / (na.n + nb.n - i.inter) >= {thr}
+"""
+
+
+def _minhash_lsh_sql(k: int, thr: float) -> str:
+    return f"""
+WITH hashed AS (
+  SELECT doc_id AS id, {_shingle_hashes_sql('text', k)} AS hs FROM documents
+), sigs AS (
+  SELECT id, {_sig_sql()} AS sig FROM hashed
+), bands AS (
+  {_bands_union_sql('sigs')}
+), cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.id < b.id
+), {_JACCARD_VERIFY.format(shingles=_shingles_sql('text', k), thr=thr)}
+"""
+
+
+def _ngram_jaccard_sql(k: int, thr: float) -> str:
+    return f"""
+WITH ds0 AS (
+  SELECT DISTINCT doc_id AS id, unnest({_shingles_sql('text', k)}) AS shingle FROM documents
+), cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM ds0 a JOIN ds0 b ON a.shingle = b.shingle AND a.id < b.id
+), {_JACCARD_VERIFY.format(shingles=_shingles_sql('text', k), thr=thr)}
+"""
+
+
+def _simhash_sql(max_hamming: int) -> str:
+    token_hashes = (
+        f"list_transform(string_split_regex(trim(text), '\\s+'), t -> {_H32.format(x='t')})"
+    )
+    bit_terms = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> {j}) % 2 = 1 THEN 1 ELSE -1 END)) > 0 "
+        f"THEN CAST({2**j} AS BIGINT) ELSE 0 END)"
+        for j in range(D.SIMHASH_BITS)
+    )
+    bpb = D.SIMHASH_BITS // D.SIMHASH_BLOCKS
+    blocks = " UNION ALL ".join(
+        f"SELECT id, sh, {i} AS blk, (sh >> {i * bpb}) % {2**bpb} AS val FROM sh"
+        for i in range(D.SIMHASH_BLOCKS)
+    )
+    return f"""
+WITH hashed AS (
+  SELECT doc_id AS id, {token_hashes} AS hs FROM documents
+), sh AS (
+  SELECT id, {bit_terms} AS sh FROM hashed
+), blocked AS (
+  {blocks}
+), pairs AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+         bit_count(xor(a.sh, b.sh)) AS hamming
+  FROM blocked a JOIN blocked b ON a.blk = b.blk AND a.val = b.val AND a.id < b.id
+)
+SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming FROM pairs WHERE hamming <= {max_hamming}
+"""
+
+
+def _neardup_cos_sql(thr: float) -> str:
+    dot = _DOT.format(a="a.v", b="b.v")
+    return f"""
+WITH v AS (
+  SELECT vec_id AS id, embedding AS v,
+         sqrt({_DOT.format(a='embedding', b='embedding')}) AS norm
+  FROM embeddings
+)
+SELECT a.id AS id_a, b.id AS id_b, {dot} / (a.norm * b.norm) AS cos
+FROM v a JOIN v b ON a.id < b.id
+WHERE {dot} / (a.norm * b.norm) >= {thr}
+"""
+
+
+def _topk_sql(k: int, mod: int) -> str:
+    dot = _DOT.format(a="q.v", b="c.v")
+    return f"""
+WITH v AS (
+  SELECT vec_id, embedding AS v,
+         sqrt({_DOT.format(a='embedding', b='embedding')}) AS norm
+  FROM embeddings
+), q AS (SELECT vec_id AS query_id, v, norm FROM v WHERE vec_id % {mod} = 0),
+c AS (SELECT vec_id, v, norm FROM v),
+scored AS (
+  SELECT q.query_id, c.vec_id, {dot} / (q.norm * c.norm) AS cos
+  FROM c JOIN q ON c.vec_id <> q.query_id
+)
+SELECT query_id, CAST(rank AS INT) AS rank, vec_id, cos FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
+def _lang_case_sql() -> str:
+    scores = {
+        lang: f"len(regexp_extract_all(text, '{pat}'))"
+        for lang, pat in T.LANG_PATTERNS.items()
+    }
+    clauses = []
+    for lang in T.LANG_PRIORITY:
+        others = ", ".join(scores[o] for o in T.LANG_PRIORITY if o != lang)
+        clauses.append(
+            f"WHEN {scores[lang]} > 0 AND {scores[lang]} >= greatest({others}) THEN '{lang}'"
+        )
+    return "CASE " + " ".join(clauses) + " ELSE 'und' END"
+
+
+# ---------------------------------------------------------------------------
+# Spark query callables
+# ---------------------------------------------------------------------------
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _q_exact_dedup(spark, sf_dir):
+    return D.exact_dedup(_docs(spark, sf_dir), "doc_id", "text")
+
+
+def _q_minhash_lsh(spark, sf_dir):
+    return D.minhash_lsh_dedup(_docs(spark, sf_dir), "doc_id", "text", k=5, min_jaccard=0.7)
+
+
+def _q_ngram_jaccard(spark, sf_dir):
+    return D.jaccard_pairs(_docs(spark, sf_dir), "doc_id", "text", k=5, min_jaccard=0.7)
+
+
+def _q_simhash(spark, sf_dir):
+    return D.simhash_dedup(_docs(spark, sf_dir), "doc_id", "text", max_hamming=3)
+
+
+def _q_embedding_neardup(spark, sf_dir):
+    return D.embedding_neardup(_vecs(spark, sf_dir), "vec_id", "embedding", min_cosine=0.4)
+
+
+def _q_ann_brute_topk(spark, sf_dir):
+    vecs = _vecs(spark, sf_dir)
+    queries = vecs.filter(F.col("vec_id") % 100 == 0)
+    return S.brute_topk(vecs, queries, "vec_id", "embedding", k=10)
+
+
+def _q_ann_lsh_topk(spark, sf_dir):
+    vecs = _vecs(spark, sf_dir)
+    queries = vecs.filter(F.col("vec_id") % 100 == 0)
+    return S.lsh_ann(vecs, queries, "vec_id", "embedding", dim=64, n_planes=8, k=10)
+
+
+def _q_token_stats(spark, sf_dir):
+    return T.token_stats(_docs(spark, sf_dir), "doc_id", "text")
+
+
+def _q_quality(spark, sf_dir):
+    return T.quality_features(_docs(spark, sf_dir), "doc_id", "text")
+
+
+def _q_langid(spark, sf_dir):
+    return T.langid(_docs(spark, sf_dir), "text", label_col="lang")
+
+
+def _q_fingerprints(spark, sf_dir):
+    return T.fingerprints(_docs(spark, sf_dir), "doc_id", "text")
+
+
+def _q_payload_stats(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    nb = F.octet_length(F.encode(F.col("text"), "UTF-8")).cast("long")
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(nb).alias("total_bytes"),
+        F.min(F.ascii(F.substring("text", 1, 1))).cast("long").alias("min_first_byte"),
+        F.max(F.ascii(F.substring("text", 1, 1))).cast("long").alias("max_first_byte"),
+    )
+
+
+def _q_byte_features(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    return M.byte_features(M.with_payload(docs, "doc_id", "text"))
+
+
+def training_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "exact_dedup_documents": _q_exact_dedup,
+        "minhash_lsh_dedup": _q_minhash_lsh,
+        "ngram_jaccard_dedup": _q_ngram_jaccard,
+        "simhash_dedup": _q_simhash,
+        "embedding_neardup_cosine": _q_embedding_neardup,
+        "ann_brute_cosine_topk": _q_ann_brute_topk,
+        "ann_lsh_cosine_topk": _q_ann_lsh_topk,  # rows-only: seeded numpy LSH
+        "token_stats": _q_token_stats,
+        "quality_scores": _q_quality,
+        "langid_confusion": _q_langid,
+        "doc_fingerprints": _q_fingerprints,
+        "binary_payload_stats": _q_payload_stats,
+        "byte_entropy_features": _q_byte_features,  # rows-only: mapInPandas
+    }
+
+
+def training_oracle_sql() -> dict[str, str]:
+    bpe = T.BPE_TOKEN_PATTERN
+    punct = T.PUNCT_PATTERN
+    stop = T.STOPWORD_PATTERN
+    norm = _NORM.format(x="text")
+    return {
+        "exact_dedup_documents": (
+            f"SELECT md5({norm}) AS fingerprint, count(*) AS n_docs, "
+            "min(doc_id) AS canonical_id FROM documents GROUP BY 1"
+        ),
+        "minhash_lsh_dedup": _minhash_lsh_sql(5, 0.7),
+        "ngram_jaccard_dedup": _ngram_jaccard_sql(5, 0.7),
+        "simhash_dedup": _simhash_sql(3),
+        "embedding_neardup_cosine": _neardup_cos_sql(0.4),
+        "ann_brute_cosine_topk": _topk_sql(10, 100),
+        "token_stats": (
+            "SELECT doc_id AS id, "
+            "CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_ws_tokens, "
+            f"CAST(len(regexp_extract_all(text, '{bpe}')) AS BIGINT) AS n_bpe_tokens "
+            "FROM documents"
+        ),
+        "quality_scores": (
+            "SELECT doc_id AS id, CAST(length(text) AS BIGINT) AS n_chars_m, "
+            "CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_words, "
+            f"CAST(len(regexp_extract_all(text, '{punct}')) AS BIGINT) AS n_punct, "
+            f"CAST(len(regexp_extract_all(text, '{stop}')) AS BIGINT) AS n_stop, "
+            f"len(regexp_extract_all(text, '{stop}')) / len(string_split_regex(trim(text), '\\s+')) AS stop_ratio, "
+            f"len(regexp_extract_all(text, '{punct}')) / length(text) AS punct_ratio, "
+            f"(len(regexp_extract_all(text, '{stop}')) / len(string_split_regex(trim(text), '\\s+'))) * 0.5 "
+            "+ (least(len(string_split_regex(trim(text), '\\s+')), 500) / 500) * 0.3 "
+            f"- (len(regexp_extract_all(text, '{punct}')) / length(text)) * 0.2 AS quality "
+            "FROM documents"
+        ),
+        "langid_confusion": (
+            f"SELECT lang AS label_lang, {_lang_case_sql()} AS pred_lang, "
+            "count(*) AS n_docs FROM documents GROUP BY 1, 2"
+        ),
+        "doc_fingerprints": (
+            f"SELECT doc_id AS id, md5({norm}) AS fp_md5, "
+            f"list_min({_shingle_hashes_sql('text', 3)}) AS fp_minshingle, "
+            + _H32.format(x=f"substr({norm}, 1, 64)")
+            + " AS fp_prefix FROM documents"
+        ),
+        "binary_payload_stats": (
+            "SELECT source, count(*) AS n_docs, "
+            "CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes, "
+            "CAST(min(ascii(substr(text, 1, 1))) AS BIGINT) AS min_first_byte, "
+            "CAST(max(ascii(substr(text, 1, 1))) AS BIGINT) AS max_first_byte "
+            "FROM documents GROUP BY source"
+        ),
+    }

@@ -1,0 +1,122 @@
+"""Unit tests for dedup operators (exact / MinHash-LSH / SimHash / Jaccard /
+embedding cosine) on hand-crafted corpora with known duplicate structure."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from influxer_spark.operators import dedup as D
+
+BASE = "the quick brown fox jumps over the lazy dog again and again today"
+NEAR = "the quick brown fox jumps over the lazy cat again and again today"
+OTHER = "completely different content about spark shuffles and parquet files here"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, BASE),
+            (2, BASE.upper()),        # exact dup of 1 after normalization
+            (3, "  " + BASE + " "),   # exact dup of 1 after normalization
+            (4, NEAR),                # near dup of 1 (1 word of 13 changed)
+            (5, OTHER),
+        ],
+        ["doc_id", "text"],
+    )
+
+
+def test_exact_dedup_groups(docs):
+    out = {r["canonical_id"]: r["n_docs"] for r in D.exact_dedup(docs, "doc_id", "text").collect()}
+    assert out == {1: 3, 4: 1, 5: 1}
+
+
+def test_jaccard_pairs_exact(docs):
+    rows = D.jaccard_pairs(docs, "doc_id", "text", k=5, min_jaccard=0.2).collect()
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in rows}
+    assert pairs[(1, 3)] == 1.0  # whitespace-trimmed → identical shingle sets
+    # doc 4 differs from doc 1 in one word → shares some 5-shingles
+    assert 0.2 <= pairs[(1, 4)] < 1.0
+    assert (1, 5) not in pairs and (4, 5) not in pairs
+
+
+def test_jaccard_case_sensitivity(docs):
+    # shingling is NOT normalized: doc 2 (uppercase) shares no shingle with 4
+    rows = D.jaccard_pairs(docs, "doc_id", "text", k=5, min_jaccard=0.01).collect()
+    assert all(not (r["id_a"] == 2 and r["id_b"] == 4) for r in rows)
+
+
+def test_minhash_identical_signatures(spark, docs):
+    sigs = {r["id"]: r["sig"] for r in D.minhash_signatures(docs, "doc_id", "text").collect()}
+    assert sigs[1] == sigs[3]           # whitespace-trimmed → same shingles
+    assert len(sigs[1]) == len(D.MINHASH_PERMS)
+    assert sigs[1] != sigs[5]
+
+
+def test_minhash_lsh_finds_identical_and_near(docs):
+    rows = D.minhash_lsh_dedup(docs, "doc_id", "text", k=5, min_jaccard=0.2).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in rows}
+    assert (1, 3) in pairs              # identical docs always collide in LSH
+    assert all(5 not in p for p in pairs)
+
+
+def test_simhash_near_docs_have_close_hashes(spark):
+    df = spark.createDataFrame([(1, BASE), (2, NEAR), (3, OTHER)], ["doc_id", "text"])
+    sh = {r["id"]: r["sh"] for r in df.select(
+        F.col("doc_id").alias("id"), D.simhash(F.col("text")).alias("sh")
+    ).collect()}
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert ham(sh[1], sh[2]) < ham(sh[1], sh[3])
+    assert 0 <= sh[1] < 2**32
+
+
+def test_simhash_dedup_pairs(spark):
+    df = spark.createDataFrame(
+        [(1, BASE), (2, BASE), (3, OTHER)], ["doc_id", "text"]
+    )
+    rows = D.simhash_dedup(df, "doc_id", "text", max_hamming=3).collect()
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in rows}
+    assert pairs[(1, 2)] == 0
+    assert (1, 3) not in pairs
+
+
+def test_simhash_blocking_radius_guard(spark, docs):
+    with pytest.raises(ValueError):
+        D.simhash_dedup(docs, "doc_id", "text", max_hamming=4)
+
+
+def test_jaccard_stop_shingle_cap(spark):
+    # a shingle present in every doc is dropped by the frequency cap
+    df = spark.createDataFrame(
+        [(i, f"common boilerplate footer text here unique{i} a b c d") for i in range(4)],
+        ["doc_id", "text"],
+    )
+    exact = D.jaccard_pairs(df, "doc_id", "text", k=5, min_jaccard=0.01)
+    capped = D.jaccard_pairs(df, "doc_id", "text", k=5, min_jaccard=0.01, max_shingle_freq=2)
+    assert capped.count() < exact.count()
+
+
+def test_embedding_neardup(spark):
+    vecs = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0, 0.0]),   # ~parallel to 1
+        (3, [0.0, 1.0, 0.0, 0.0]),      # orthogonal
+        (4, [-1.0, 0.0, 0.0, 0.0]),     # antiparallel
+    ]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    rows = D.embedding_neardup(df, "vec_id", "embedding", min_cosine=0.95).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in rows}
+    assert pairs == {(1, 2)}
+
+
+def test_h32_matches_duckdb(spark):
+    import duckdb
+
+    df = spark.createDataFrame([("hello",), ("spark graft",)], ["s"])
+    got = {r["s"]: r["h"] for r in df.select("s", D.h32(F.col("s")).alias("h")).collect()}
+    for s, h in got.items():
+        d = duckdb.sql(
+            f"SELECT CAST('0x' || substr(md5('{s}'), 1, 8) AS BIGINT)"
+        ).fetchone()[0]
+        assert h == d
