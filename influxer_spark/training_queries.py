@@ -256,8 +256,19 @@ def _q_payload_stats(spark, sf_dir):
 
 
 def _q_byte_features(spark, sf_dir):
+    """mapInPandas byte features, quantized to 1e-6 so the numpy summation
+    order vs the oracle's SQL aggregate order can't flip a bit."""
     docs = _docs(spark, sf_dir)
-    return M.byte_features(M.with_payload(docs, "doc_id", "text"))
+    feats = M.byte_features(M.with_payload(docs, "doc_id", "text"))
+
+    def q6(c):
+        return F.round(c * 1000000, 0).cast("long") / 1000000.0
+
+    return feats.select(
+        "id", "n_bytes", "first_byte",
+        q6(F.col("mean_byte")).alias("mean_byte"),
+        q6(F.col("entropy")).alias("entropy"),
+    )
 
 
 def training_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -274,7 +285,7 @@ def training_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid_confusion": _q_langid,
         "doc_fingerprints": _q_fingerprints,
         "binary_payload_stats": _q_payload_stats,
-        "byte_entropy_features": _q_byte_features,  # rows-only: mapInPandas
+        "byte_entropy_features": _q_byte_features,
     }
 
 
@@ -328,4 +339,25 @@ def training_oracle_sql() -> dict[str, str]:
             "CAST(max(ascii(substr(text, 1, 1))) AS BIGINT) AS max_first_byte "
             "FROM documents GROUP BY source"
         ),
+        # documents.text is ASCII (verified at datagen), so chars == bytes and a
+        # per-character histogram mirrors numpy's byte histogram exactly; both
+        # sides quantize mean/entropy to 1e-6 to absorb fp summation order.
+        "byte_entropy_features": """
+WITH chars AS (
+  SELECT doc_id AS id, unnest(split(text, '')) AS ch FROM documents
+), hist AS (
+  SELECT id, ch, count(*) AS c FROM chars GROUP BY 1, 2
+), tot AS (
+  SELECT doc_id AS id, CAST(octet_length(encode(text)) AS BIGINT) AS n,
+         CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS fb
+  FROM documents
+)
+SELECT t.id, t.n AS n_bytes, t.fb AS first_byte,
+  CAST(round(sum(ascii(h.ch) * h.c) / t.n * 1000000, 0) AS BIGINT) / 1000000.0
+    AS mean_byte,
+  CAST(round(-sum((h.c / CAST(t.n AS DOUBLE)) * log2(h.c / CAST(t.n AS DOUBLE)))
+       * 1000000, 0) AS BIGINT) / 1000000.0 AS entropy
+FROM hist h JOIN tot t ON t.id = h.id
+GROUP BY t.id, t.n, t.fb
+""",
     }
