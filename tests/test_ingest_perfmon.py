@@ -1,0 +1,85 @@
+"""Perfmon ingest tests — synthesized PDH fixture (Influxer.Test
+TestPerfmonFile / TestPerfmonFileMultiMeasurement analogues)."""
+
+from __future__ import annotations
+
+import csv
+
+from pyspark.sql import functions as F
+
+from influxer_spark.ingest.perfmon import ingest_perfmon_file, parse_pdh_header
+from tests.ingest_fixtures import write_perfmon
+
+
+def test_pdh_header_parse(tmp_path):
+    path, _exp, _ = write_perfmon(str(tmp_path), n_rows=2)
+    first = open(path, encoding="utf-8").readline().rstrip("\n")
+    offset, counters = parse_pdh_header(first)
+    assert offset == -330
+    objs = {c.performance_object for c in counters}
+    assert objs == {"Memory", "Processor", "PhysicalDisk"}
+    # scrub + Trim('_') on all parts (PerfmonFile.cs:57-65)
+    names = {c.counter_name for c in counters}
+    assert "Pages_Input_sec" in names  # "Pages Input/sec"
+    assert "Idle_Time" in names  # "% Idle Time" → leading % trimmed
+    insts = {c.counter_instance for c in counters if c.counter_instance}
+    assert "Total" in insts  # "_Total" → leading _ trimmed
+    # ':' is NOT in the reserved set → "C:" survives unchanged
+    assert any(c.counter_instance == "C:" for c in counters)
+
+
+def test_perfmon_narrow_golden_count(spark, tmp_path):
+    path, exp, _n_wide = write_perfmon(str(tmp_path))
+    res = ingest_perfmon_file(spark, path)
+    assert res.utc_offset_min == -330
+    assert res.narrow.count() == exp.points_found
+    assert res.bad_lines.count() == 0
+    pts = res.points_narrow()
+    assert pts.columns == [
+        "ts", "Host", "PerformanceObject", "PerformanceCounter",
+        "CounterInstance", "CounterValue",
+    ]
+    assert pts.count() == exp.points_found
+
+
+def test_perfmon_ts_offset_applied(spark, tmp_path):
+    path, _exp, _ = write_perfmon(str(tmp_path), n_rows=3)
+    res = ingest_perfmon_file(spark, path)
+    # first data line ts is 01/01/2017 16:00:00.000 local; offset −330 min
+    tmin = res.narrow.agg(F.min("ts")).collect()[0][0]
+    assert tmin.hour in (10, 11) and tmin.minute in (30, 31, 32)
+
+
+def test_perfmon_wide_dup_last_wins(spark, tmp_path):
+    path, _exp, n_wide_groups = write_perfmon(str(tmp_path))
+    res = ingest_perfmon_file(spark, path)
+
+    # expected: parse the file with plain python; dup counter column
+    # (first + last) — last non-blank wins per (ts,row)
+    rows = list(csv.reader(open(path, encoding="utf-8")))
+    header, body = rows[0], rows[1:]
+    # columns 1 and len-1 are both Memory\Pages Input/sec (by construction)
+    dup_last_idx = len(header) - 1
+
+    wide = {o: res.points_wide(o) for o in res.objects()}
+    assert set(wide) == {"Memory", "PhysicalDisk", "Processor"}
+
+    mem = wide["Memory"].collect()
+    got = {r["ts"]: r["Pages_Input_sec"] for r in mem}
+    checked = 0
+    for line in body:
+        last, first = line[dup_last_idx].strip(), line[1].strip()
+        want = last if last else (first if first else None)
+        if want is None:
+            continue
+        from influxer_spark.ingest.timestamps import py_parse_ts_string
+
+        ts = py_parse_ts_string(line[0], "MM/dd/yyyy HH:mm:ss.fff", -330)
+        if ts in got and got[ts] is not None:
+            assert got[ts] == float(want), (line[0], got[ts], want)
+            checked += 1
+    assert checked > 5
+
+    # total wide points across objects == by-construction group count
+    total_wide = sum(df.count() for df in wide.values())
+    assert total_wide == n_wide_groups
