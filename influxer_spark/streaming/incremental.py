@@ -1,0 +1,149 @@
+"""Incremental 1m tier via Structured Streaming (SURVEY.md §2.7 — optional
+extension; the north rule's resumability is satisfied by the batch
+checkpoint table, this adds the streaming-native route).
+
+The reference is a bounded batch job with a hand-rolled micro-batcher
+(Influxer/GenericFile.cs:298-326: buffer 10k points → POST → retry queue).
+Structured Streaming IS that loop, made durable: source offsets + sink
+commits live in the checkpoint, late data is bounded by the watermark, and
+each micro-batch lands ALGEBRAIC PARTIALS (cnt/sum/min/max) that merge by
+the same cascade algebra as the batch tiers — so readers always see exact
+aggregates regardless of how many batches a bucket was spread across.
+
+Exactly-once: ``foreachBatch`` is at-least-once on retry, so each batch
+writes to its own ``_batch=<id>`` subdirectory and SKIPS if that directory
+is already committed — idempotent replay without a transactional sink.
+(On a real cluster the same flow targets an Iceberg MERGE; the directory
+protocol is the dependency-free stand-in with identical semantics.)
+
+Scale notes:
+- shuffle per micro-batch is keyed (window, series) — identical shape to
+  the batch 1m rollup; watermark bounds state size for update-mode sinks.
+- the merged read (``read_tier``) re-aggregates partials; compaction =
+  rewriting N batch dirs into one, same algebra, any time.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from influxer_spark.operators.rollup import AGG_COLS
+
+
+def stream_rollup_1m(
+    stream_df: DataFrame,
+    ts_col: str,
+    key_cols: Sequence[str],
+    value_col: str,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Watermarked tumbling-window 1m partial aggregate over a stream.
+
+    Returns (bucket, *key_cols, cnt, sum_v, min_v, max_v) — same schema as
+    the batch ``rollup()`` so downstream cascade/gap-fill are shared.
+    """
+    v = F.col(value_col)
+    win = F.window(F.col(ts_col), "1 minute")
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(win, *[F.col(k) for k in key_cols])
+        .agg(
+            F.count(v).alias("cnt"),
+            F.sum(v).alias("sum_v"),
+            F.min(v).alias("min_v"),
+            F.max(v).alias("max_v"),
+        )
+        .select(F.col("window.start").alias("bucket"), *key_cols, *AGG_COLS)
+    )
+
+
+def run_incremental_rollup(
+    spark: SparkSession,
+    input_dir: str,
+    schema,
+    tier_dir: str,
+    checkpoint_dir: str,
+    ts_col: str = "ts",
+    key_cols: Sequence[str] = ("event_type",),
+    value_col: str = "value",
+    watermark: str = "1 hour",
+) -> None:
+    """File-source stream → 1m partials, one idempotent dir per micro-batch.
+
+    ``availableNow`` trigger: drains everything currently in ``input_dir``
+    then stops — rerunning after new files arrive processes ONLY the new
+    files (source offsets in the checkpoint), i.e. checkpoint/resume with
+    no reprocessing, the streaming analogue of pipeline.py's day manifest.
+    """
+    key_cols = list(key_cols)
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+    # watermarks require TIMESTAMP (LTZ); NTZ sources cast losslessly under
+    # the engine's fixed UTC session timezone (session.py)
+    stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    rolled = stream_rollup_1m(stream, ts_col, key_cols, value_col, watermark)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        out = os.path.join(tier_dir, f"_batch={batch_id}")
+        marker = os.path.join(out, "_COMMITTED")
+        if os.path.exists(marker):
+            # at-least-once replay → don't rewrite, but still run the batch
+            # plan: the state stores must execute + commit or the engine
+            # fails commit validation (Spark 4 STATE_STORE_COMMIT_VALIDATION)
+            batch_df.count()
+            return
+        batch_df.write.mode("overwrite").parquet(out)
+        open(marker, "w").close()
+
+    (
+        rolled.writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def read_tier(
+    spark: SparkSession, tier_dir: str, key_cols: Sequence[str] = ("event_type",)
+) -> DataFrame:
+    """Merge all committed batch partials into the exact 1m tier.
+
+    A bucket updated across several micro-batches (late data within the
+    watermark) has one partial row per batch in update mode; the algebraic
+    merge makes the read exact — but note update-mode re-emits the FULL
+    updated aggregate, so the merge takes the LAST emission per key
+    (max batch id), not a sum of emissions.
+    """
+    batches = sorted(
+        d for d in os.listdir(tier_dir)
+        if d.startswith("_batch=")
+        and os.path.exists(os.path.join(tier_dir, d, "_COMMITTED"))
+    )
+    if not batches:
+        raise FileNotFoundError(f"no committed batches under {tier_dir}")
+    dfs = []
+    for d in batches:
+        bid = int(d.split("=", 1)[1])
+        dfs.append(
+            spark.read.parquet(os.path.join(tier_dir, d)).withColumn(
+                "_bid", F.lit(bid)
+            )
+        )
+    allb = dfs[0]
+    for d in dfs[1:]:
+        allb = allb.unionByName(d)
+    keys = ["bucket", *key_cols]
+    # last emission per (bucket, keys) wins: update mode emits the full
+    # refreshed aggregate each time a bucket changes
+    return (
+        allb.groupBy(*keys)
+        .agg(
+            F.max_by(F.struct(*AGG_COLS), "_bid").alias("_s"),
+        )
+        .select(*keys, *[F.col(f"_s.{c}").alias(c) for c in AGG_COLS])
+    )
