@@ -81,6 +81,11 @@ def generate_pages(
             offs = rng.integers(0, span_s, size=n)
             dead = ((offs // 3600) % 24) == (url_ids % 24)
             offs = np.where(dead, (offs + 7200) % span_s, offs)
+            # cluster rows by time: sorted chunks + small row groups give the
+            # engine's per-day range predicates real row-group pruning (the
+            # stand-in for Iceberg days(warc_ts) partitioning at scale)
+            order = np.argsort(offs, kind="stable")
+            offs, url_ids = offs[order], url_ids[order]
             ts = EPOCH_START + offs.astype("timedelta64[s]")
 
             n_words = rng.integers(8, 40, size=n)
@@ -111,7 +116,8 @@ def generate_pages(
                 ],
                 schema=schema,
             )
-            writer.write_batch(batch)
+            # small row groups → min/max stats prune to ~day granularity
+            writer.write_table(pa.Table.from_batches([batch]), row_group_size=16384)
             written += n
     finally:
         writer.close()

@@ -96,7 +96,18 @@ def process_day(
     """Process one day partition through every tier; commit each tier's
     partition with counters + lineage.  Idempotent: a crashed/partial run
     leaves uncommitted staging only, and rerunning overwrites cleanly."""
-    day_pages = pages.filter(F.to_date("warc_ts") == F.lit(day))
+    # day filter as PLAIN RANGE PREDICATES on the timestamp column — unlike
+    # to_date(warc_ts)==day these push down to the parquet scan (row-group
+    # stats pruning; Iceberg days(warc_ts) partition pruning at scale).
+    # Literal cast matches the column type so the cast lands on the constant,
+    # not the column (which would defeat pushdown).
+    import datetime as _dt
+
+    d0 = _dt.datetime.fromisoformat(day)
+    d1 = d0 + _dt.timedelta(days=1)
+    ts_type = dict(pages.dtypes)["warc_ts"]
+    lo, hi = F.lit(d0).cast(ts_type), F.lit(d1).cast(ts_type)
+    day_pages = pages.filter((F.col("warc_ts") >= lo) & (F.col("warc_ts") < hi))
     ext = with_extracted(day_pages, validate=validate_extraction)
     if validate_extraction:
         n_bad = ext.filter(~F.col("text_ok")).count()
@@ -104,8 +115,14 @@ def process_day(
             raise ValueError(f"extraction invariant violated on {n_bad} rows ({day})")
     points = pages_to_points(with_crawl_metrics(ext)).cache()
     try:
-        rows_in = day_pages.count()
-        points_n = points.count()
+        # one action for both counters: every page emits exactly one
+        # html_bytes point, so rows_in is derivable from the cached narrow
+        # points — no second scan of the raw table
+        crow = points.agg(
+            F.count("*").alias("points_n"),
+            F.count(F.when(F.col("metric") == "html_bytes", 1)).alias("rows_in"),
+        ).collect()[0]
+        rows_in, points_n = crow["rows_in"], crow["points_n"]
         lineage = {"source": source, "day": day}
 
         catalog.write_partition(
