@@ -24,6 +24,10 @@ _REPO = os.path.dirname(os.path.abspath(__file__))
 if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
+from influxer_spark.ingest_queries import (  # noqa: E402
+    ingest_oracle_sql,
+    ingest_queries,
+)
 from influxer_spark.operators import rollup as R  # noqa: E402
 from influxer_spark.operators.gapfill import gapfill_interpolate  # noqa: E402
 from influxer_spark.training_queries import (  # noqa: E402
@@ -274,6 +278,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_by_nation": _q_revenue_by_nation,
         "unpivot_lineitem_metrics": _q_unpivot_lineitem,
         **training_queries(),
+        **ingest_queries(),
     }
 
 
@@ -405,4 +410,5 @@ def oracle_sql() -> dict[str, str]:
             ") GROUP BY metric"
         ),
         **training_oracle_sql(),
+        **ingest_oracle_sql(),
     }

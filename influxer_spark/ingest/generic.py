@@ -104,9 +104,16 @@ def resolve_layout(cfg: GenericFileConfig, path: str) -> Layout:
 
 
 def ingest_generic_file(
-    spark: SparkSession, path: str, cfg: GenericFileConfig
+    spark: SparkSession,
+    path: str,
+    cfg: GenericFileConfig,
+    layout: Layout | None = None,
 ) -> IngestResult:
-    layout = resolve_layout(cfg, path)
+    """``layout`` overrides resolution — the hook for P4/P5 column filters
+    (see ingest/filters.py), mirroring the reference's filtered
+    ColumnHeaders list."""
+    if layout is None:
+        layout = resolve_layout(cfg, path)
 
     raw = spark.read.text(path).withColumn(
         "line_no", F.monotonically_increasing_id() + 1

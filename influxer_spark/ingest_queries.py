@@ -1,0 +1,158 @@
+"""Driver-contract queries + DuckDB oracles for the ingest-parity scalar
+operators (SURVEY.md §2.3), run over the driver's fixed tables so the
+correctness gate exercises them independently of the pytest fixtures:
+
+- F8  epoch µs→ms truncation        (epoch_us_truncation)
+- F10 .NET binary-scaled round(2)   (dotnet_round2_parity)
+- F12 reserved-char scrub           (reserved_scrub_texts)
+- F7  .NET→Java time format parse   (dotnet_timeformat_roundtrip)
+
+Every oracle replicates the engine expression IEEE-op-for-op (same operand
+order), so equality is bit-level, no tolerance.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from influxer_spark.ingest.config import RESERVED_CHARS, TimePrecision
+from influxer_spark.ingest.scrub import scrub_col
+from influxer_spark.ingest.timestamps import (
+    dotnet_to_java_format,
+    parse_ts_epoch_col,
+    parse_ts_string_col,
+)
+from influxer_spark.ingest.transforms import dotnet_round2_col
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+# ---------------------------------------------------------------------------
+# F8: epoch at Microseconds precision truncates to milliseconds (toward zero)
+# ---------------------------------------------------------------------------
+
+def _q_epoch_us_truncation(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    us = (
+        F.unix_timestamp(F.col("ts").cast("timestamp")) * 1_000_000
+        + F.date_format("ts", "SSSSSS").cast("long")
+    ).alias("us")
+    out = ev.select("event_id", us)
+    return out.select(
+        "event_id",
+        "us",
+        parse_ts_epoch_col(F.col("us"), TimePrecision.MICROSECONDS).alias("ts_ms"),
+    )
+
+
+_EPOCH_US_SQL = """
+SELECT event_id, CAST(epoch_us(ts) AS BIGINT) AS us,
+       make_timestamp((epoch_us(ts) // 1000) * 1000) AS ts_ms
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# F10: .NET Math.Round(v, 2) — binary scaling, half-to-even
+# ---------------------------------------------------------------------------
+
+def _q_dotnet_round2(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    v = F.col("l_extendedprice") * F.col("l_discount")
+    rounded = dotnet_round2_col(v)
+    return (
+        li.select((F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("id"),
+                  rounded.alias("r2"))
+    )
+
+
+_ROUND2_SQL = """
+SELECT l_orderkey * 10 + l_linenumber AS id,
+  CASE
+    WHEN (l_extendedprice * l_discount) * 100 - floor((l_extendedprice * l_discount) * 100) > 0.5
+      THEN floor((l_extendedprice * l_discount) * 100) + 1
+    WHEN (l_extendedprice * l_discount) * 100 - floor((l_extendedprice * l_discount) * 100) < 0.5
+      THEN floor((l_extendedprice * l_discount) * 100)
+    ELSE floor((l_extendedprice * l_discount) * 100)
+         + CAST(CAST(floor((l_extendedprice * l_discount) * 100) AS BIGINT) % 2 <> 0 AS INT)
+  END / 100.0 AS r2
+FROM lineitem
+"""
+
+
+# ---------------------------------------------------------------------------
+# F12: reserved-identifier scrub over free text
+# ---------------------------------------------------------------------------
+
+def _q_reserved_scrub(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    prefix = F.substring("text", 1, 40)
+    return docs.select(
+        F.col("doc_id").alias("id"), scrub_col(prefix).alias("scrubbed")
+    )
+
+
+def _scrub_sql() -> str:
+    # RE2 (DuckDB) rejects escaped-space etc. from re.escape; build an
+    # RE2-safe class instead: only ] and [ need escaping, rest are literal
+    assert set(RESERVED_CHARS) == set('" ;_()%#./*[]{},')
+    cls = '[\\]\\[" ;_()%#./*{},]'
+    return (
+        "SELECT doc_id AS id, "
+        f"regexp_replace(regexp_replace(substr(text, 1, 40), '^{cls}+|{cls}+$', '', 'g'), "
+        f"'{cls}+', '_', 'g') AS scrubbed FROM documents"
+    )
+
+
+# ---------------------------------------------------------------------------
+# F7: .NET custom time format → parse round-trip
+# ---------------------------------------------------------------------------
+
+_DOTNET_FMT = "MM/dd/yyyy HH:mm:ss.fff"
+
+
+def _q_timeformat_roundtrip(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    # format with the translated Java pattern, then re-parse with the engine's
+    # .NET-format path (+90 min offset) — F7 end-to-end
+    java_fmt = dotnet_to_java_format(_DOTNET_FMT)
+    s = F.date_format(F.col("ts").cast("timestamp"), java_fmt)
+    parsed = parse_ts_string_col(s, _DOTNET_FMT, utc_offset_min=90)
+    return ev.select("event_id", s.alias("formatted"), parsed.alias("parsed_utc"))
+
+
+_TIMEFMT_SQL = """
+SELECT event_id,
+       strftime(ts, '%m/%d/%Y %H:%M:%S.%g') AS formatted,
+       strptime(strftime(ts, '%m/%d/%Y %H:%M:%S.%g'), '%m/%d/%Y %H:%M:%S.%g')
+         + INTERVAL 90 MINUTE AS parsed_utc
+FROM events
+"""
+
+
+def ingest_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "epoch_us_truncation": _q_epoch_us_truncation,
+        "dotnet_round2_parity": _q_dotnet_round2,
+        "reserved_scrub_texts": _q_reserved_scrub,
+        "dotnet_timeformat_roundtrip": _q_timeformat_roundtrip,
+    }
+
+
+def ingest_oracle_sql() -> dict[str, str]:
+    return {
+        "epoch_us_truncation": _EPOCH_US_SQL,
+        "dotnet_round2_parity": _ROUND2_SQL,
+        "reserved_scrub_texts": _scrub_sql(),
+        "dotnet_timeformat_roundtrip": _TIMEFMT_SQL,
+    }

@@ -4,23 +4,30 @@ Gorilla blobs, with per-partition (per-day) checkpoint/resume and lineage
 counters").
 
 The reference's run loop (parse → batch → POST with retry → status report,
-Influxer/GenericFile.cs:282-357) maps here to: per-day partition unit →
-idempotent catalog commit (replaces batch+retry; Spark task retry handles
-transient failure) → manifest counters (ProcessStatus analogue,
+Influxer/GenericFile.cs:282-357) maps here to: pending day partitions →
+ONE wave of distributed jobs over all of them → idempotent per-partition
+catalog commits (replaces batch+retry; Spark task retry handles transient
+failure) → manifest counters (ProcessStatus analogue,
 Influxer/ProcessStatus.cs:3-9) + lineage per partition.
 
 Scale notes:
-- The day loop is a CHECKPOINT boundary, not a parallelism boundary: within a
-  day all work is one distributed DataFrame job; on a cluster, days can also
-  be dispatched concurrently since partitions commit independently.
-- Only the 1m tier reads raw pages; 1h/1d re-aggregate committed 1m partials
+- Days are a CHECKPOINT boundary, not a job boundary: all pending days run
+  in one wave of ~9 Spark jobs TOTAL (scan+extract, 5 partitioned writes,
+  3 small counter aggs) regardless of day count.  A serial per-day loop had
+  a fixed multi-second driver+job overhead per day that capped scaling
+  efficiency at ~0.4 (Amdahl); the wave removes that serial floor — extra
+  executors now shorten every stage.
+- Only the 1m tier reads raw pages; 1h/1d re-aggregate 1m partials
   (orders of magnitude smaller).
-- Partition pruning: the day filter on ``warc_ts`` reaches the parquet scan
-  (PushedFilters), so resume never re-reads completed days' bytes.
+- Partition pruning: the pending-day filter is plain range predicates on
+  ``warc_ts`` (+ an exact day isin when the pending set has holes), so it
+  reaches the parquet scan (row-group stats; Iceberg days() partitions at
+  scale) and resume never re-reads completed days' bytes.
 """
 
 from __future__ import annotations
 
+import datetime as dt
 import time
 from dataclasses import dataclass, field
 from typing import Any
@@ -67,21 +74,178 @@ def run_pipeline(
     pages = spark.read.parquet(pages_path)
     res = PipelineResult()
 
+    all_days = _distinct_days(pages)
     done = set(catalog.committed_partitions("rollup_1d")) if resume else set()
-    for day in _distinct_days(pages):
-        if day in done:
-            res.days_skipped.append(day)
-            continue
-        counters = process_day(
-            spark, pages, catalog, day,
+    pending = [d for d in all_days if d not in done]
+    res.days_skipped = [d for d in all_days if d in done]
+    if pending:
+        res.counters = process_days(
+            spark, pages, catalog, pending,
             encode_gorilla=encode_gorilla,
             validate_extraction=validate_extraction,
             source=pages_path,
         )
-        res.days_processed.append(day)
-        res.counters[day] = counters
+        res.days_processed = pending
     res.elapsed_s = time.time() - t0
     return res
+
+
+def _pending_filter(pages: DataFrame, days: list[str]):
+    """Range predicates (scan-pushable) + exact day membership when the
+    pending set has holes.  Literal casts land on the constants so the
+    column stays bare in the pushed filter."""
+    d0 = dt.datetime.fromisoformat(min(days))
+    d1 = dt.datetime.fromisoformat(max(days)) + dt.timedelta(days=1)
+    ts_type = dict(pages.dtypes)["warc_ts"]
+    pred = (F.col("warc_ts") >= F.lit(d0).cast(ts_type)) & (
+        F.col("warc_ts") < F.lit(d1).cast(ts_type)
+    )
+    if len(days) != (d1 - d0).days:  # holes → exact membership on top
+        pred &= F.date_format("warc_ts", "yyyy-MM-dd").isin(days)
+    return pred
+
+
+def _day_of(col: str):
+    return F.date_format(col, "yyyy-MM-dd").alias("day")
+
+
+def process_days(
+    spark: SparkSession,
+    pages: DataFrame,
+    catalog: TableCatalog,
+    days: list[str],
+    encode_gorilla: bool = True,
+    validate_extraction: bool = False,
+    source: str = "",
+) -> dict[str, dict[str, Any]]:
+    """One distributed wave over every pending day; commits each tier's
+    partitions with counters + lineage.  Idempotent: a crashed/partial run
+    leaves uncommitted staging only, and rerunning overwrites cleanly."""
+    day_pages = pages.filter(_pending_filter(pages, days))
+    ext = with_extracted(day_pages, validate=validate_extraction)
+    if validate_extraction:
+        n_bad = ext.filter(~F.col("text_ok")).count()
+        if n_bad:
+            raise ValueError(f"extraction invariant violated on {n_bad} rows")
+    # cache + persist the metrics WIDE (one row per page): the narrow point
+    # layout quadruplicates url/ts per page, which made raw_points the
+    # biggest write and the cache 2.5x larger — the narrow view is a free
+    # stack() over this cache wherever the point model is needed
+    wide = (
+        with_crawl_metrics(ext)
+        .select(
+            "url", "warc_ts", "lang",
+            "html_bytes", "text_chars", "n_tokens", "text_ratio",
+        )
+        .withColumn("day", _day_of("warc_ts"))
+        .cache()
+    )
+    points = pages_to_points(wide)
+    lineage = {d: {"source": source, "day": d} for d in days}
+    t1m = (
+        R.rollup(points, "warc_ts", POINT_KEYS, "value", "1m")
+        .withColumn("day", _day_of("bucket"))
+        .cache()
+    )
+    try:
+        # one job for both per-day counters, straight off the wide cache
+        stats = {
+            r["day"]: r
+            for r in wide.groupBy("day")
+            .agg(
+                F.count("*").alias("rows_in"),
+                (
+                    F.count("html_bytes") + F.count("text_chars")
+                    + F.count("n_tokens") + F.count("text_ratio")
+                ).alias("points_n"),
+            )
+            .collect()
+        }
+        catalog.write_partitions(
+            wide, "raw_points", days,
+            counters_by_partition={
+                d: {
+                    "rows_in": stats[d]["rows_in"],
+                    "points_out": stats[d]["points_n"],
+                }
+                for d in days
+            },
+            lineage_by_partition=lineage,
+        )
+
+        catalog.write_partitions(
+            t1m, "rollup_1m", days,
+            counters_by_partition={
+                d: {"rows_in": stats[d]["points_n"]} for d in days
+            },
+            lineage_by_partition=lineage,
+        )
+        b1m = {
+            r["day"]: r["n"]
+            for r in t1m.groupBy("day").agg(F.count("*").alias("n")).collect()
+        }
+
+        t1h = R.cascade(t1m.drop("day"), POINT_KEYS, "1h").withColumn(
+            "day", _day_of("bucket")
+        )
+        catalog.write_partitions(
+            t1h, "rollup_1h", days,
+            counters_by_partition={d: {"rows_in": b1m[d]} for d in days},
+            lineage_by_partition=lineage,
+        )
+        t1h_committed = catalog.read_partitions_with_key(
+            spark, "rollup_1h", days
+        ).withColumnRenamed("p", "day")
+        t1d = R.cascade(t1h_committed.drop("day"), POINT_KEYS, "1d").withColumn(
+            "day", _day_of("bucket")
+        )
+        catalog.write_partitions(
+            t1d, "rollup_1d", days,
+            counters_by_partition={d: {"rows_in": b1m[d]} for d in days},
+            lineage_by_partition=lineage,
+        )
+
+        counters: dict[str, dict[str, Any]] = {
+            d: {
+                "rows_in": stats[d]["rows_in"],
+                "points": stats[d]["points_n"],
+                "buckets_1m": b1m[d],
+            }
+            for d in days
+        }
+
+        if encode_gorilla:
+            enc = encode_series_df(
+                t1m.withColumn("v", F.col("sum_v") / F.col("cnt")),
+                ["day", *POINT_KEYS], "bucket", "v",
+            ).withColumn("day", F.element_at("series_keys", 1))
+            catalog.write_partitions(
+                enc, "rollup_1m_gorilla", days,
+                counters_by_partition={d: {"rows_in": b1m[d]} for d in days},
+                lineage_by_partition=lineage,
+            )
+            gstats = (
+                catalog.read_partitions_with_key(spark, "rollup_1m_gorilla", days)
+                .groupBy("p")
+                .agg(
+                    F.sum("n_points").alias("n"),
+                    F.sum("encoded_bytes").alias("enc"),
+                    F.sum("raw_bytes").alias("raw"),
+                )
+                .collect()
+            )
+            for r in gstats:
+                d = r["p"]
+                counters[d]["gorilla_bytes_per_point"] = (
+                    r["enc"] / r["n"] if r["n"] else None
+                )
+                counters[d]["gorilla_ratio"] = (
+                    r["enc"] / r["raw"] if r["raw"] else None
+                )
+        return counters
+    finally:
+        t1m.unpersist()
+        wide.unpersist()
 
 
 def process_day(
@@ -93,91 +257,10 @@ def process_day(
     validate_extraction: bool = False,
     source: str = "",
 ) -> dict[str, Any]:
-    """Process one day partition through every tier; commit each tier's
-    partition with counters + lineage.  Idempotent: a crashed/partial run
-    leaves uncommitted staging only, and rerunning overwrites cleanly."""
-    # day filter as PLAIN RANGE PREDICATES on the timestamp column — unlike
-    # to_date(warc_ts)==day these push down to the parquet scan (row-group
-    # stats pruning; Iceberg days(warc_ts) partition pruning at scale).
-    # Literal cast matches the column type so the cast lands on the constant,
-    # not the column (which would defeat pushdown).
-    import datetime as _dt
-
-    d0 = _dt.datetime.fromisoformat(day)
-    d1 = d0 + _dt.timedelta(days=1)
-    ts_type = dict(pages.dtypes)["warc_ts"]
-    lo, hi = F.lit(d0).cast(ts_type), F.lit(d1).cast(ts_type)
-    day_pages = pages.filter((F.col("warc_ts") >= lo) & (F.col("warc_ts") < hi))
-    ext = with_extracted(day_pages, validate=validate_extraction)
-    if validate_extraction:
-        n_bad = ext.filter(~F.col("text_ok")).count()
-        if n_bad:
-            raise ValueError(f"extraction invariant violated on {n_bad} rows ({day})")
-    points = pages_to_points(with_crawl_metrics(ext)).cache()
-    try:
-        # one action for both counters: every page emits exactly one
-        # html_bytes point, so rows_in is derivable from the cached narrow
-        # points — no second scan of the raw table
-        crow = points.agg(
-            F.count("*").alias("points_n"),
-            F.count(F.when(F.col("metric") == "html_bytes", 1)).alias("rows_in"),
-        ).collect()[0]
-        rows_in, points_n = crow["rows_in"], crow["points_n"]
-        lineage = {"source": source, "day": day}
-
-        catalog.write_partition(
-            points, "raw_points", day,
-            counters={"rows_in": rows_in, "points_out": points_n},
-            lineage=lineage,
-        )
-
-        t1m = R.rollup(points, "warc_ts", POINT_KEYS, "value", "1m")
-        catalog.write_partition(
-            t1m, "rollup_1m", day,
-            counters={"rows_in": points_n}, lineage=lineage,
-        )
-        t1m_committed = catalog.read_partition(spark, "rollup_1m", day).cache()
-        try:
-            buckets_1m = t1m_committed.count()
-            t1h = R.cascade(t1m_committed, POINT_KEYS, "1h")
-            catalog.write_partition(
-                t1h, "rollup_1h", day,
-                counters={"rows_in": buckets_1m}, lineage=lineage,
-            )
-            t1h_committed = catalog.read_partition(spark, "rollup_1h", day)
-            t1d = R.cascade(t1h_committed, POINT_KEYS, "1d")
-            catalog.write_partition(
-                t1d, "rollup_1d", day,
-                counters={"rows_in": buckets_1m}, lineage=lineage,
-            )
-
-            counters: dict[str, Any] = {
-                "rows_in": rows_in,
-                "points": points_n,
-                "buckets_1m": buckets_1m,
-            }
-            if encode_gorilla:
-                enc = encode_series_df(
-                    t1m_committed.withColumn("v", F.col("sum_v") / F.col("cnt")),
-                    POINT_KEYS, "bucket", "v",
-                )
-                catalog.write_partition(
-                    enc, "rollup_1m_gorilla", day,
-                    counters={"rows_in": buckets_1m}, lineage=lineage,
-                )
-                stats = catalog.read_partition(spark, "rollup_1m_gorilla", day).agg(
-                    F.sum("n_points").alias("n"),
-                    F.sum("encoded_bytes").alias("enc"),
-                    F.sum("raw_bytes").alias("raw"),
-                ).collect()[0]
-                counters["gorilla_bytes_per_point"] = (
-                    stats["enc"] / stats["n"] if stats["n"] else None
-                )
-                counters["gorilla_ratio"] = (
-                    stats["enc"] / stats["raw"] if stats["raw"] else None
-                )
-            return counters
-        finally:
-            t1m_committed.unpersist()
-    finally:
-        points.unpersist()
+    """Single-day wave (kept for targeted reprocessing + tests)."""
+    return process_days(
+        spark, pages, catalog, [day],
+        encode_gorilla=encode_gorilla,
+        validate_extraction=validate_extraction,
+        source=source,
+    )[day]
