@@ -101,6 +101,116 @@ def with_lsh_bucket(
     return df.withColumn("lsh_bucket", bucket(F.col(vec_col)))
 
 
+def ivf_random_centroids(dim: int, n_lists: int, seed: int = LSH_SEED) -> np.ndarray:
+    """Deterministic unit-norm random centroids — the data-independent coarse
+    quantizer.  Data-independence is what makes the IVF contract query
+    oracle-able: the same literals are inlined into the DuckDB SQL."""
+    rng = np.random.default_rng(seed)
+    c = rng.standard_normal((n_lists, dim))
+    return c / np.linalg.norm(c, axis=1, keepdims=True)
+
+
+def kmeans_centroids(
+    sample: np.ndarray, n_lists: int, iters: int = 10, seed: int = LSH_SEED
+) -> np.ndarray:
+    """Driver-side Lloyd k-means over a bounded sample — the trained coarse
+    quantizer for production IVF (train on a collected sample, broadcast the
+    centroids; the classic faiss-style flow).  Deterministic: seeded init,
+    fixed iteration count, empty clusters re-seeded from the sample."""
+    rng = np.random.default_rng(seed)
+    sample = np.asarray(sample, dtype=np.float64)
+    cent = sample[rng.choice(len(sample), n_lists, replace=False)].copy()
+    for _ in range(iters):
+        d = sample @ cent.T  # cosine-proportional for normalized input
+        assign = np.argmax(d, axis=1)
+        for j in range(n_lists):
+            members = sample[assign == j]
+            if len(members):
+                cent[j] = members.mean(axis=0)
+            else:
+                cent[j] = sample[rng.integers(len(sample))]
+        cent = cent / np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
+    return cent
+
+
+def _ivf_scores_udf(centroids: np.ndarray):
+    cent = np.ascontiguousarray(centroids, dtype=np.float64)
+
+    @pandas_udf("array<int>")
+    def ranked_lists(vecs: pd.Series) -> pd.Series:
+        m = np.asarray(vecs.tolist(), dtype=np.float64)
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        scores = (m @ cent.T) / np.maximum(norms, 1e-12)  # cosine (cent unit)
+        # argsort desc with stable ties → equal scores keep ascending list id,
+        # matching the oracle's ORDER BY score DESC, cid ASC
+        order = np.argsort(-scores, axis=1, kind="stable")
+        return pd.Series([row.astype("int32").tolist() for row in order])
+
+    return ranked_lists
+
+
+def with_ivf_list(df: DataFrame, vec_col: str, centroids: np.ndarray) -> DataFrame:
+    """Assign each vector to its nearest centroid list (one numpy matmul per
+    Arrow batch; centroids ride into the workers as a closure broadcast)."""
+    ranked = _ivf_scores_udf(centroids)
+    return df.withColumn("ivf_list", ranked(F.col(vec_col)).getItem(0))
+
+
+def ivf_ann(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+    dim: int = 64,
+    n_lists: int = 8,
+    n_probe: int = 2,
+    k: int = 10,
+) -> DataFrame:
+    """IVF approximate top-k: corpus vectors land in their nearest centroid's
+    inverted list; each query scans only its ``n_probe`` nearest lists.
+
+    Scale shape: list assignment is a narrow vectorized pass; the search join
+    shuffles on the (small-cardinality) list id; recall is tuned by
+    n_probe/n_lists.  At 10^12 vectors the inverted lists are the partition
+    keys of the vector table — probing is partition pruning.
+    """
+    if centroids is None:
+        centroids = ivf_random_centroids(dim, n_lists)
+    cb = with_ivf_list(
+        corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cvec")),
+        "cvec", centroids,
+    )
+    ranked = _ivf_scores_udf(centroids)
+    qb = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+        .withColumn("_probes", F.slice(ranked(F.col("qvec")), 1, n_probe))
+        .withColumn("ivf_list", F.explode("_probes"))
+        .drop("_probes")
+    )
+    scored = (
+        cb.join(qb, on="ivf_list")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            (
+                dot_f64(F.col("qvec"), F.col("cvec"))
+                / (
+                    F.sqrt(dot_f64(F.col("qvec"), F.col("qvec")))
+                    * F.sqrt(dot_f64(F.col("cvec"), F.col("cvec")))
+                )
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cos")
+    )
+
+
 def lsh_ann(
     corpus: DataFrame,
     queries: DataFrame,

@@ -170,6 +170,55 @@ SELECT query_id, CAST(rank AS INT) AS rank, vec_id, cos FROM (
 """
 
 
+def _ivf_sql(n_lists: int, n_probe: int, k: int, mod: int) -> str:
+    """IVF ANN oracle: the SAME seeded centroids as the Spark query are
+    inlined as literals (repr round-trips doubles exactly), assignment =
+    argmax cosine with (score DESC, cid ASC) tie-break on both sides."""
+    from influxer_spark.operators.similarity import ivf_random_centroids
+
+    cent = ivf_random_centroids(64, n_lists)
+    values = ", ".join(
+        f"({cid}, [{', '.join(repr(float(x)) for x in row)}])"
+        for cid, row in enumerate(cent)
+    )
+    cdot = _DOT.format(a="v.v", b="c.c")
+    qdot = _DOT.format(a="q.v", b="c.c")
+    sdot = _DOT.format(a="qp.v", b="ca.v")
+    return f"""
+WITH cent(cid, c) AS (VALUES {values}),
+v AS (
+  SELECT vec_id, embedding AS v,
+         sqrt({_DOT.format(a='embedding', b='embedding')}) AS norm
+  FROM embeddings
+), cscore AS (
+  SELECT v.vec_id, v.v, v.norm, c.cid,
+         row_number() OVER (PARTITION BY v.vec_id
+                            ORDER BY {cdot} / v.norm DESC, c.cid ASC) AS rn
+  FROM v CROSS JOIN cent c
+), ca AS (
+  SELECT vec_id, v, norm, cid AS ivf_list FROM cscore WHERE rn = 1
+), q AS (
+  SELECT vec_id AS query_id, v, norm FROM v WHERE vec_id % {mod} = 0
+), qscore AS (
+  SELECT q.query_id, q.v, q.norm, c.cid,
+         row_number() OVER (PARTITION BY q.query_id
+                            ORDER BY {qdot} / q.norm DESC, c.cid ASC) AS rn
+  FROM q CROSS JOIN cent c
+), qp AS (
+  SELECT query_id, v, norm, cid AS ivf_list FROM qscore WHERE rn <= {n_probe}
+), scored AS (
+  SELECT qp.query_id, ca.vec_id, {sdot} / (qp.norm * ca.norm) AS cos
+  FROM ca JOIN qp USING (ivf_list)
+  WHERE ca.vec_id <> qp.query_id
+)
+SELECT query_id, CAST(rank AS INT) AS rank, vec_id, cos FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
 def _lang_case_sql() -> str:
     scores = {
         lang: f"len(regexp_extract_all(text, '{pat}'))"
@@ -228,6 +277,14 @@ def _q_ann_lsh_topk(spark, sf_dir):
     return S.lsh_ann(vecs, queries, "vec_id", "embedding", dim=64, n_planes=8, k=10)
 
 
+def _q_ann_ivf_topk(spark, sf_dir):
+    vecs = _vecs(spark, sf_dir)
+    queries = vecs.filter(F.col("vec_id") % 100 == 0)
+    return S.ivf_ann(
+        vecs, queries, "vec_id", "embedding", dim=64, n_lists=8, n_probe=2, k=10
+    )
+
+
 def _q_token_stats(spark, sf_dir):
     return T.token_stats(_docs(spark, sf_dir), "doc_id", "text")
 
@@ -280,6 +337,7 @@ def training_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_cosine": _q_embedding_neardup,
         "ann_brute_cosine_topk": _q_ann_brute_topk,
         "ann_lsh_cosine_topk": _q_ann_lsh_topk,  # rows-only: seeded numpy LSH
+        "ann_ivf_cosine_topk": _q_ann_ivf_topk,
         "token_stats": _q_token_stats,
         "quality_scores": _q_quality,
         "langid_confusion": _q_langid,
@@ -304,6 +362,7 @@ def training_oracle_sql() -> dict[str, str]:
         "simhash_dedup": _simhash_sql(3),
         "embedding_neardup_cosine": _neardup_cos_sql(0.4),
         "ann_brute_cosine_topk": _topk_sql(10, 100),
+        "ann_ivf_cosine_topk": _ivf_sql(8, 2, 10, 100),
         "token_stats": (
             "SELECT doc_id AS id, "
             "CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_ws_tokens, "

@@ -59,3 +59,40 @@ def test_lsh_ann_subset_of_brute(vecs):
     assert len(ann) >= 1  # wide buckets (2 planes) must catch the near neighbor
     for r in ann:
         assert brute[(r["query_id"], r["vec_id"])] == pytest.approx(r["cos"], abs=0)
+
+
+def test_ivf_deterministic_and_scored_exactly(vecs):
+    q = vecs.filter(F.col("vec_id") == 0)
+    cent = S.ivf_random_centroids(3, 4)
+    a = S.ivf_ann(vecs, q, centroids=cent, n_probe=2, k=5).collect()
+    b = S.ivf_ann(vecs, q, centroids=cent, n_probe=2, k=5).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    # within probed lists the cosine is exact — must agree with brute force
+    brute = {(r["query_id"], r["vec_id"]): r["cos"]
+             for r in S.brute_topk(vecs, q, k=10).collect()}
+    for r in a:
+        assert brute[(r["query_id"], r["vec_id"])] == pytest.approx(r["cos"], abs=0)
+
+
+def test_ivf_full_probe_equals_brute(vecs):
+    """Probing every list makes IVF exhaustive: identical to brute top-k."""
+    q = vecs.filter(F.col("vec_id") == 0)
+    cent = S.ivf_random_centroids(3, 4)
+    ivf = S.ivf_ann(vecs, q, centroids=cent, n_probe=4, k=5).collect()
+    brute = S.brute_topk(vecs, q, k=5).collect()
+    assert [tuple(r) for r in ivf] == [tuple(r) for r in brute]
+
+
+def test_kmeans_centroids_deterministic_and_unit_norm():
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    sample = rng.standard_normal((200, 8))
+    sample /= np.linalg.norm(sample, axis=1, keepdims=True)
+    a = S.kmeans_centroids(sample, 4)
+    b = S.kmeans_centroids(sample, 4)
+    assert np.array_equal(a, b)
+    assert np.allclose(np.linalg.norm(a, axis=1), 1.0)
+    # trained centroids should beat random ones on mean best-cosine
+    rand = S.ivf_random_centroids(8, 4)
+    assert (sample @ a.T).max(axis=1).mean() >= (sample @ rand.T).max(axis=1).mean()
