@@ -117,6 +117,38 @@ def _q_gapfill_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     return filled.select("event_type", "bucket", "avg_v", "filled")
 
 
+def _q_rollup_5m_width(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary bucket width (InfluxDB GROUP BY time(5m) parity)."""
+    ev = _t(spark, sf_dir, "events")
+    r = R.rollup_width(ev, "ts", ["event_type"], "value", 300)
+    return _rollup_out(r)
+
+
+def _q_asof_6h_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event picks up the latest 6h bucket at or before its
+    timestamp for its event_type (union+window formulation; oracle is
+    DuckDB's native ASOF JOIN)."""
+    from influxer_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    r6h = R.rollup_width(ev, "ts", ["event_type"], "value", 21600).select(
+        "event_type",
+        F.col("bucket").alias("ts"),
+        "cnt",
+        (_q2(F.col("sum_v")) / 100.0).alias("sum6h"),
+    )
+    left = ev.filter(F.col("event_id") % 7 == 0).select(
+        "event_id", "event_type", "ts"
+    )
+    joined = asof_join(left, r6h, by=["event_type"], value_cols=["cnt", "sum6h"])
+    return joined.select(
+        "event_id", "event_type",
+        F.col("asof_ts").alias("asof_bucket"),
+        F.col("asof_cnt").alias("asof_cnt"),
+        F.col("asof_sum6h").alias("asof_sum6h"),
+    )
+
+
 def _q_topk_hot_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
@@ -268,6 +300,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_1h_cascade": _q_rollup_1h_cascade,
         "rollup_1d_cascade": _q_rollup_1d_cascade,
         "rollup_1m_salted": _q_rollup_1m_salted,
+        "rollup_5m_width": _q_rollup_5m_width,
+        "asof_join_6h_stats": _q_asof_6h_stats,
         "gapfill_1h_interpolate": _q_gapfill_1h,
         "topk_hot_users": _q_topk_hot_users,
         "sessionize_30m": _q_sessionize,
@@ -334,6 +368,30 @@ def oracle_sql() -> dict[str, str]:
         "rollup_1h_cascade": _ROLLUP_SELECT.format(unit="hour"),
         "rollup_1d_cascade": _ROLLUP_SELECT.format(unit="day"),
         "rollup_1m_salted": _ROLLUP_SELECT.format(unit="minute"),
+        "rollup_5m_width": (
+            "SELECT make_timestamp((CAST(floor(epoch(ts)) AS BIGINT) "
+            " - CAST(floor(epoch(ts)) AS BIGINT) % 300) * 1000000) AS bucket,"
+            " event_type, count(value) AS cnt,"
+            " CAST(round(sum(value) * 100, 0) AS BIGINT) / 100.0 AS sum_v,"
+            " min(value) AS min_v, max(value) AS max_v,"
+            " CAST(round(sum(value) * 100, 0) AS BIGINT) / (count(value) * 100.0)"
+            "   AS avg_v "
+            "FROM events GROUP BY 1, 2"
+        ),
+        "asof_join_6h_stats": (
+            "WITH r6h AS ("
+            "  SELECT event_type,"
+            "    make_timestamp((CAST(floor(epoch(ts)) AS BIGINT)"
+            "      - CAST(floor(epoch(ts)) AS BIGINT) % 21600) * 1000000) AS bucket,"
+            "    count(value) AS cnt,"
+            "    CAST(round(sum(value) * 100, 0) AS BIGINT) / 100.0 AS sum6h"
+            "  FROM events GROUP BY 1, 2),"
+            "l AS (SELECT event_id, event_type, ts FROM events WHERE event_id % 7 = 0)"
+            "SELECT l.event_id, l.event_type, r.bucket AS asof_bucket,"
+            "       r.cnt AS asof_cnt, r.sum6h AS asof_sum6h "
+            "FROM l ASOF LEFT JOIN r6h r"
+            "  ON l.event_type = r.event_type AND l.ts >= r.bucket"
+        ),
         "gapfill_1h_interpolate": _GAPFILL_SQL,
         "topk_hot_users": (
             "SELECT * FROM ("

@@ -112,6 +112,38 @@ def rollup_cascade_all(
     return {"1m": t1m, "1h": t1h, "1d": t1d}
 
 
+def rollup_width(
+    df: DataFrame,
+    ts_col: str,
+    key_cols: Sequence[str],
+    value_col: str,
+    width_seconds: int,
+) -> DataFrame:
+    """Arbitrary-width bucket rollup — InfluxDB ``GROUP BY time(<w>)`` parity
+    for widths the fixed tiers don't cover (5m, 15m, 4h, …).
+
+    Bucket = epoch-aligned floor(ts / w) * w, computed as pure long math in
+    codegen (no window() struct, no UDF) — identical semantics to InfluxDB's
+    epoch-aligned bucketing for widths that divide a day.
+    """
+    if width_seconds <= 0:
+        raise ValueError("width_seconds must be positive")
+    secs = F.unix_timestamp(F.col(ts_col).cast("timestamp"))
+    bucket = F.timestamp_seconds(
+        (secs - (secs % width_seconds)).cast("long")
+    ).alias("bucket")
+    v = F.col(value_col)
+    return (
+        df.groupBy(bucket, *[F.col(k) for k in key_cols])
+        .agg(
+            F.count(v).alias("cnt"),
+            F.sum(v).alias("sum_v"),
+            F.min(v).alias("min_v"),
+            F.max(v).alias("max_v"),
+        )
+    )
+
+
 def salted_rollup(
     df: DataFrame,
     ts_col: str,
