@@ -277,3 +277,42 @@ def encode_series_df(df, key_cols, ts_col: str, value_col: str):
             yield _emit(carry)
 
     return sdf.mapInPandas(_enc_partition, schema=ENCODED_SCHEMA)
+
+
+DECODED_SCHEMA = "series_keys array<string>, ts timestamp, value double"
+
+
+def decode_series_df(encoded):
+    """Inverse Spark wiring: compressed blobs → (series_keys, ts, value) rows.
+
+    One ``mapInPandas`` pass, one output row per encoded point — the read
+    path for querying a Gorilla-compressed tier directly.  Narrow transform
+    (no shuffle): each blob decodes independently wherever it is stored.
+    """
+
+    def _dec(batches):
+        for pdf in batches:
+            keys_out, ts_out, v_out = [], [], []
+            for keys, blob in zip(pdf["series_keys"], pdf["blob"]):
+                ts, vs = decode(bytes(blob))
+                keys = list(keys)
+                keys_out.extend([keys] * len(ts))
+                ts_out.append(ts)
+                v_out.append(vs)
+            ts_all = (
+                np.concatenate(ts_out) if ts_out else np.empty(0, dtype=np.int64)
+            )
+            v_all = (
+                np.concatenate(v_out) if v_out else np.empty(0, dtype=np.float64)
+            )
+            yield pd.DataFrame(
+                {
+                    "series_keys": keys_out,
+                    "ts": pd.to_datetime(ts_all, unit="s"),
+                    "value": v_all,
+                }
+            )
+
+    return encoded.select("series_keys", "blob").mapInPandas(
+        _dec, schema=DECODED_SCHEMA
+    )

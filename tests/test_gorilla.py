@@ -97,3 +97,34 @@ def test_bytes_per_point_reported(spark):
     df = spark.createDataFrame(rows, "url string, bucket timestamp, v double")
     r = encode_series_df(df, ["url"], "bucket", "v").collect()[0]
     assert r["encoded_bytes"] / r["n_points"] < 1.0
+
+
+def test_decode_series_df_roundtrips_pipeline_tier(spark, tmp_path):
+    """Compressed 1m tier decodes back to the exact (series, bucket, mean)
+    rows — the read path for querying Gorilla blobs directly."""
+    from influxer_spark.catalog import TableCatalog
+    from influxer_spark.datagen import generate_pages
+    from influxer_spark.operators.gorilla import decode_series_df
+    from influxer_spark.pipeline import run_pipeline
+    from pyspark.sql import functions as F
+
+    pages = generate_pages(str(tmp_path / "pg"), n_rows=3000, seed=42, days=2)
+    root = str(tmp_path / "cat")
+    run_pipeline(spark, pages, root)
+    cat = TableCatalog(root)
+
+    enc = cat.read_committed(spark, "rollup_1m_gorilla")
+    decoded = decode_series_df(enc).select(
+        F.element_at("series_keys", 2).alias("url"),
+        F.element_at("series_keys", 3).alias("metric"),
+        F.col("ts").alias("bucket"),
+        "value",
+    )
+    want = cat.read_committed(spark, "rollup_1m").select(
+        "url", "metric", "bucket",
+        (F.col("sum_v") / F.col("cnt")).alias("value"),
+    )
+    n = want.count()
+    assert decoded.count() == n
+    # bit-exact equality: decode inverts encode losslessly
+    assert decoded.join(want, on=["url", "metric", "bucket", "value"]).count() == n
