@@ -149,6 +149,21 @@ def _q_asof_6h_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-fill with last-observation-carried-forward (InfluxDB
+    fill(previous))."""
+    from influxer_spark.operators.gapfill import gapfill_locf
+
+    ev = _t(spark, sf_dir, "events")
+    t1h = R.rollup(ev, "ts", ["event_type"], "value", "1h").withColumn(
+        "avg_v", _q2(F.col("sum_v")) / (F.col("cnt") * 100.0)
+    )
+    filled = gapfill_locf(
+        t1h.select("event_type", "bucket", "avg_v"), ["event_type"], "avg_v", "1h"
+    )
+    return filled.select("event_type", "bucket", "avg_v", "filled")
+
+
 def _q_topk_hot_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
@@ -303,6 +318,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_5m_width": _q_rollup_5m_width,
         "asof_join_6h_stats": _q_asof_6h_stats,
         "gapfill_1h_interpolate": _q_gapfill_1h,
+        "gapfill_1h_locf": _q_gapfill_locf,
         "topk_hot_users": _q_topk_hot_users,
         "sessionize_30m": _q_sessionize,
         "json_props_extract": _q_json_props,
@@ -393,6 +409,26 @@ def oracle_sql() -> dict[str, str]:
             "  ON l.event_type = r.event_type AND l.ts >= r.bucket"
         ),
         "gapfill_1h_interpolate": _GAPFILL_SQL,
+        "gapfill_1h_locf": """
+WITH h AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket,
+         CAST(round(sum(value) * 100, 0) AS BIGINT) / (count(value) * 100.0) AS obs
+  FROM events GROUP BY 1, 2
+), spine AS (
+  SELECT event_type,
+         unnest(generate_series(min(bucket), max(bucket), INTERVAL 1 HOUR)) AS bucket
+  FROM h GROUP BY event_type
+), j AS (
+  SELECT s.event_type, s.bucket, h.obs
+  FROM spine s LEFT JOIN h ON h.event_type = s.event_type AND h.bucket = s.bucket
+)
+SELECT event_type, bucket,
+  last_value(obs IGNORE NULLS) OVER (
+    PARTITION BY event_type ORDER BY bucket
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS avg_v,
+  (obs IS NULL) AS filled
+FROM j
+""",
         "topk_hot_users": (
             "SELECT * FROM ("
             "  SELECT row_number() OVER (ORDER BY count(*) DESC, user_id ASC) AS rank,"

@@ -39,7 +39,10 @@ HEADLINE = [
     "rollup_1h_cascade",
     "rollup_1d_cascade",
     "rollup_1m_salted",
+    "rollup_5m_width",
+    "asof_join_6h_stats",
     "gapfill_1h_interpolate",
+    "gapfill_1h_locf",
     "sessionize_30m",
     "pivot_event_counts_hourly",
     "tpch_q1_pricing_summary",

@@ -1,0 +1,165 @@
+"""Console entry point — the reference's CLI surface (Influxer/Program.cs:17-23,
+Influxer/Config/CommandLineProcessor.cs:25-146) re-expressed for the Spark
+engine.  Same switches where they still make sense; the InfluxDB URL/database
+flags become a parquet output directory (the engine's sink is a table, not a
+server).
+
+    python -m influxer_spark -input metrics.csv -format Generic \\
+        -timeformat "yyyy-MM-dd m:ss" -table simple -output /tmp/out
+
+    python -m influxer_spark -input perfmon.csv -format Perfmon -multi \\
+        -output /tmp/out
+
+    python -m influxer_spark -input data.csv -export -autolayout   # S9
+
+Exit codes mirror the reference: 0 = Success, 2 = ProcessedWithErrors,
+1 = Failed/InvalidArgument.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="influxer_spark", add_help=True, prefix_chars="-"
+    )
+    p.add_argument("-input", required=True, help="input file")
+    p.add_argument("-format", default="Generic", choices=["Generic", "Perfmon"])
+    p.add_argument("-table", default="points", help="measurement name")
+    p.add_argument("-timeformat", default=None, help=".NET custom time format")
+    p.add_argument(
+        "-timetype", default="String", choices=["String", "Epoch", "Binary"]
+    )
+    p.add_argument(
+        "-precision", default="Seconds",
+        choices=["Hours", "Minutes", "Seconds", "Milliseconds",
+                 "Microseconds", "Nanoseconds"],
+    )
+    p.add_argument("-splitter", default=None, help="column splitter regex")
+    p.add_argument("-header", type=int, default=1, help="header row number")
+    p.add_argument("-noheader", action="store_true")
+    p.add_argument("-skip", type=int, default=0, help="data rows to skip")
+    p.add_argument("-ignore", default="", help="comment marker")
+    p.add_argument("-utcoffset", type=int, default=0)
+    p.add_argument("-validate", type=int, default=10)
+    p.add_argument("-timecolumn", type=int, default=1)
+    p.add_argument("-columns", default="", help="comma list for -filter columns")
+    p.add_argument("-filter", default="None", choices=["None", "Columns"])
+    p.add_argument("-tags", default="", help="default tags k=v,k2=v2")
+    p.add_argument("-config", default=None, help="layout config JSON file")
+    p.add_argument("-export", action="store_true", help="emit config JSON (S9)")
+    p.add_argument("-autolayout", action="store_true")
+    p.add_argument("-ignoreerrors", action="store_true")
+    p.add_argument("-multi", action="store_true", help="Perfmon MultiMeasurements")
+    p.add_argument("-output", default=None, help="output parquet directory")
+    p.add_argument("-cores", type=int, default=None)
+    return p
+
+
+def _generic_config(args):
+    from influxer_spark.ingest.config import (
+        DEFAULT_COLUMN_SPLITTER,
+        DEFAULT_TIME_FORMAT,
+        GenericFileConfig,
+        TimeFormatType,
+        TimePrecision,
+        load_config,
+    )
+
+    if args.config:
+        cfg = load_config(open(args.config, encoding="utf-8").read())
+    else:
+        cfg = GenericFileConfig()
+    cfg.measurement = args.table
+    cfg.column_splitter = args.splitter or cfg.column_splitter or DEFAULT_COLUMN_SPLITTER
+    cfg.time_format = args.timeformat or cfg.time_format or DEFAULT_TIME_FORMAT
+    cfg.time_format_type = TimeFormatType(args.timetype)
+    cfg.precision = TimePrecision(args.precision)
+    cfg.header_row = args.header
+    cfg.header_missing = args.noheader or cfg.header_missing
+    cfg.skip_rows = args.skip
+    cfg.comment_marker = args.ignore or cfg.comment_marker
+    cfg.utc_offset = args.utcoffset or cfg.utc_offset
+    cfg.validate_rows = args.validate
+    cfg.time_column = args.timecolumn if args.timecolumn != 1 else cfg.time_column
+    cfg.ignore_errors = args.ignoreerrors or cfg.ignore_errors
+    if args.tags:
+        cfg.default_tags = [t.strip() for t in args.tags.split(",") if t.strip()]
+    return cfg
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = _build_parser().parse_args(argv)
+
+    if args.export:  # S9: layout discovery, no processing run
+        from influxer_spark.ingest.config import export_config
+        from influxer_spark.ingest.generic import resolve_layout
+
+        cfg = _generic_config(args)
+        layout = resolve_layout(cfg, getattr(args, "input"))
+        cfg.column_layout = [c for _, c in layout.columns]
+        print(export_config(cfg))
+        return 0
+
+    from influxer_spark.session import get_spark
+
+    spark = get_spark("influxer_spark_cli", cores=args.cores)
+    t0 = time.time()
+
+    if args.format == "Perfmon":
+        from influxer_spark.ingest.config import PerfmonFileConfig
+        from influxer_spark.ingest.perfmon import ingest_perfmon_file
+
+        pcfg = PerfmonFileConfig(
+            measurement=args.table,
+            multi_measurements=args.multi,
+            default_tags=[t for t in args.tags.split(",") if t],
+        )
+        if args.timeformat:
+            pcfg.time_format = args.timeformat
+        res = ingest_perfmon_file(spark, getattr(args, "input"), pcfg)
+        points = res.points_narrow()
+        failed = res.bad_lines.count()
+        found = points.count()
+        if args.output:
+            points.write.mode("overwrite").parquet(args.output)
+        print(
+            f"Processed {found} points ({failed} failed lines) in "
+            f"{time.time() - t0:.1f}s; UTC offset {res.utc_offset_min} min"
+        )
+        return 0 if failed == 0 else 2
+
+    from influxer_spark.ingest.filters import (
+        enforce_failure_budget,
+        filter_columns,
+    )
+    from influxer_spark.ingest.generic import ingest_generic_file, resolve_layout
+
+    cfg = _generic_config(args)
+    layout = None
+    if args.filter == "Columns" and args.columns:
+        layout = filter_columns(
+            resolve_layout(cfg, getattr(args, "input")),
+            [c.strip() for c in args.columns.split(",")],
+            cfg.time_column,
+        )
+    res = ingest_generic_file(spark, getattr(args, "input"), cfg, layout=layout)
+    status = enforce_failure_budget(res, cfg)
+    if args.output:
+        res.points.write.mode("overwrite").parquet(args.output)
+        res.errors.write.mode("overwrite").parquet(args.output + "_errors")
+    print(
+        f"Processed {status['points_found']} points, "
+        f"{status['points_failed']} failed in {time.time() - t0:.1f}s"
+    )
+    for row in res.failure_report().collect():
+        print(f"  {row['error']}: {row['n']} (lines {row['sample_lines']})")
+    return 0 if status["points_failed"] == 0 else 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,43 @@
+"""CLI surface (python -m influxer_spark) — the reference's console contract:
+arg parsing, export mode, exit codes (0 Success / 2 ProcessedWithErrors)."""
+
+from __future__ import annotations
+
+import json
+
+from influxer_spark.__main__ import main
+from influxer_spark.ingest.config import load_config
+from tests.ingest_fixtures import write_perfmon, write_simple_metrics
+
+
+def test_cli_generic_run_and_exit_code(spark, tmp_path, capsys):
+    path, _cfg, exp = write_simple_metrics(str(tmp_path))
+    out = str(tmp_path / "out")
+    rc = main([
+        "-input", path, "-format", "Generic",
+        "-timeformat", "yyyy-MM-dd m:ss", "-table", "simple",
+        "-output", out, "-cores", "8",
+    ])
+    assert rc == 2  # ProcessedWithErrors (1 malformed row)
+    printed = capsys.readouterr().out
+    assert f"Processed {exp.points_found} points, 1 failed" in printed
+    assert spark.read.parquet(out).count() == exp.points_found
+
+
+def test_cli_export_autolayout(tmp_path, capsys):
+    path, _cfg, _exp = write_simple_metrics(str(tmp_path))
+    rc = main([
+        "-input", path, "-timeformat", "yyyy-MM-dd m:ss",
+        "-export", "-autolayout",
+    ])
+    assert rc == 0
+    cfg = load_config(capsys.readouterr().out)
+    assert len(cfg.column_layout) == 13
+    assert cfg.column_layout[1].data_type.value == "NumericalField"
+
+
+def test_cli_perfmon(tmp_path, capsys):
+    path, exp, _ = write_perfmon(str(tmp_path), n_rows=5)
+    rc = main(["-input", path, "-format", "Perfmon", "-cores", "8"])
+    assert rc == 0
+    assert "UTC offset -330" in capsys.readouterr().out
