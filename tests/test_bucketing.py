@@ -1,0 +1,60 @@
+"""Bucketed co-located joins (SURVEY.md §2.5 scale device): pre-bucketing
+both sides of a recurring join key removes the per-query shuffle entirely —
+with broadcast disabled, the plan must contain NO Exchange at all: the join
+consumes the bucketed distribution directly and even the follow-up groupBy
+on the bucket key reuses it."""
+
+from __future__ import annotations
+
+import shutil
+
+from pyspark.sql import functions as F
+
+from influxer_spark.operators import rollup as R
+
+
+def _fmt(spark, df) -> str:
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    t1m = R.rollup(ev, "ts", ["event_type"], "value", "1m")
+    t1h = R.rollup(ev, "ts", ["event_type"], "value", "1h")
+
+    for t in ("b1m", "b1h"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"/tmp/influxer_warehouse/{t}", ignore_errors=True)
+    (
+        t1m.write.mode("overwrite")
+        .bucketBy(8, "event_type").sortBy("event_type")
+        .saveAsTable("b1m")
+    )
+    (
+        t1h.write.mode("overwrite")
+        .bucketBy(8, "event_type").sortBy("event_type")
+        .saveAsTable("b1h")
+    )
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = (
+            spark.table("b1m")
+            .join(
+                spark.table("b1h").withColumnRenamed("bucket", "hbucket"),
+                on="event_type",
+            )
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n"))
+        )
+        plan = _fmt(spark, joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan[:1500]  # zero shuffles end-to-end
+        assert "Bucketed: true" in plan
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

@@ -83,3 +83,21 @@ def test_perfmon_wide_dup_last_wins(spark, tmp_path):
     # total wide points across objects == by-construction group count
     total_wide = sum(df.count() for df in wide.values())
     assert total_wide == n_wide_groups
+
+
+def test_perfmon_points_feed_rollup(spark, tmp_path):
+    """Perfmon ingest → narrow point model → 1m tier: the full reference
+    delegation path for the Perfmon format."""
+    from influxer_spark.operators import rollup as R
+
+    path, exp, _ = write_perfmon(str(tmp_path))
+    res = ingest_perfmon_file(spark, path)
+    pts = res.points_narrow().select(
+        "ts",
+        F.concat_ws(
+            "|", "Host", "PerformanceObject", "PerformanceCounter"
+        ).alias("series"),
+        F.col("CounterValue").alias("value"),
+    )
+    t1m = R.rollup(pts, "ts", ["series"], "value", "1m")
+    assert t1m.agg(F.sum("cnt")).collect()[0][0] == exp.points_found

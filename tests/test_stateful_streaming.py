@@ -1,0 +1,78 @@
+"""applyInPandasWithState: per-key running totals survive a restart —
+checkpointed state continues across availableNow runs."""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from influxer_spark.streaming.stateful import running_totals_stream
+
+
+def _add_file(df, input_dir: str, stage_dir: str, name: str) -> None:
+    staging = os.path.join(stage_dir, name)
+    df.coalesce(1).write.mode("overwrite").parquet(staging)
+    src = glob.glob(os.path.join(staging, "part-*.parquet"))[0]
+    shutil.copy(src, os.path.join(input_dir, f"{name}.parquet"))
+
+
+def _drain(spark, input_dir, schema, out_dir, ckpt):
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    totals = running_totals_stream(stream, "event_type", "value")
+
+    def sink(batch_df, batch_id):
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"b{batch_id}")
+        )
+
+    (
+        totals.writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def _latest_totals(spark, out_dir):
+    latest = {}
+    for b in sorted(
+        os.listdir(out_dir), key=lambda s: int(s[1:])
+    ):
+        for r in spark.read.parquet(os.path.join(out_dir, b)).collect():
+            latest[r["key"]] = r["cnt"]
+    return latest
+
+
+def test_running_totals_resume(spark, sf_dir, tmp_path):
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
+    mid = lo + (hi - lo) / 2
+    d = {n: str(tmp_path / n) for n in ("input", "stage", "out", "ckpt")}
+    os.makedirs(d["input"], exist_ok=True)
+    os.makedirs(d["out"], exist_ok=True)
+
+    first = ev.filter(F.col("ts") < F.lit(mid))
+    _add_file(first, d["input"], d["stage"], "p1")
+    _drain(spark, d["input"], ev.schema, d["out"], d["ckpt"])
+    got1 = _latest_totals(spark, d["out"])
+    want1 = {
+        r["event_type"]: r["n"]
+        for r in first.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    assert got1 == want1
+
+    # second drop: state continues from the checkpoint (cumulative totals)
+    _add_file(ev.filter(F.col("ts") >= F.lit(mid)), d["input"], d["stage"], "p2")
+    _drain(spark, d["input"], ev.schema, d["out"], d["ckpt"])
+    got2 = _latest_totals(spark, d["out"])
+    want2 = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    assert got2 == want2
