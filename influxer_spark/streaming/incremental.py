@@ -108,6 +108,63 @@ def run_incremental_rollup(
     )
 
 
+def _committed_batches(tier_dir: str) -> list[tuple[str, int]]:
+    """Committed data dirs as (dirname, batch_id) — regular ``_batch=N``
+    sink outputs plus any committed ``.compact-N`` consolidation that has
+    not been renamed into place yet (crash recovery: its content is the
+    exact last-emission merge at bid N, so reading it alongside leftovers
+    is consistent)."""
+    out = []
+    for d in os.listdir(tier_dir):
+        if d.startswith("_batch="):
+            bid = int(d.split("=", 1)[1])
+        elif d.startswith(".compact-"):
+            bid = int(d.split("-", 1)[1])
+        else:
+            continue
+        if os.path.exists(os.path.join(tier_dir, d, "_COMMITTED")):
+            out.append((d, bid))
+    return sorted(out)
+
+
+def compact_tier(
+    spark: SparkSession, tier_dir: str, key_cols: Sequence[str] = ("event_type",)
+) -> int:
+    """Fold all committed batch dirs into one (at the max batch id),
+    preserving read_tier's last-emission-wins result exactly.
+
+    Unbounded streams accrete one dir per micro-batch; compaction keeps the
+    read-side merge O(1) dirs.  Crash-safe: the consolidation stages as a
+    committed ``.compact-<maxbid>`` dir that read_tier ALSO accepts — at
+    every step the visible set of committed dirs merges to the same result,
+    and a rerun finishes any pending rename.  Returns dirs removed.
+    """
+    import shutil
+
+    # finish a previously crashed compaction first
+    for d, bid in _committed_batches(tier_dir):
+        if d.startswith(".compact-"):
+            target = os.path.join(tier_dir, f"_batch={bid}")
+            if os.path.exists(target):
+                shutil.rmtree(target)
+            os.replace(os.path.join(tier_dir, d), target)
+
+    batches = _committed_batches(tier_dir)
+    if len(batches) <= 1:
+        return 0
+    merged = read_tier(spark, tier_dir, key_cols)
+    max_bid = max(bid for _, bid in batches)
+    staging = os.path.join(tier_dir, f".compact-{max_bid}")
+    merged.write.mode("overwrite").parquet(staging)
+    open(os.path.join(staging, "_COMMITTED"), "w").close()
+    # from here on the staged dir is authoritative for bid=max_bid; removing
+    # the old dirs in any order keeps the merged view identical
+    for d, _bid in batches:
+        shutil.rmtree(os.path.join(tier_dir, d))
+    os.replace(staging, os.path.join(tier_dir, f"_batch={max_bid}"))
+    return len(batches) - 1
+
+
 def read_tier(
     spark: SparkSession, tier_dir: str, key_cols: Sequence[str] = ("event_type",)
 ) -> DataFrame:
@@ -119,16 +176,11 @@ def read_tier(
     updated aggregate, so the merge takes the LAST emission per key
     (max batch id), not a sum of emissions.
     """
-    batches = sorted(
-        d for d in os.listdir(tier_dir)
-        if d.startswith("_batch=")
-        and os.path.exists(os.path.join(tier_dir, d, "_COMMITTED"))
-    )
+    batches = _committed_batches(tier_dir)
     if not batches:
         raise FileNotFoundError(f"no committed batches under {tier_dir}")
     dfs = []
-    for d in batches:
-        bid = int(d.split("=", 1)[1])
+    for d, bid in batches:
         dfs.append(
             spark.read.parquet(os.path.join(tier_dir, d)).withColumn(
                 "_bid", F.lit(bid)

@@ -91,3 +91,34 @@ def test_replay_is_idempotent(spark, sf_dir, tmp_path):
     )
     n2 = read_tier(spark, d["tier"]).count()
     assert n1 == n2
+
+
+def test_compact_tier_preserves_merge(spark, sf_dir, tmp_path):
+    import os as _os
+
+    from influxer_spark.streaming.incremental import compact_tier
+
+    ev = _events(spark, sf_dir)
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
+    mid = lo + (hi - lo) / 2
+    d = _dirs(tmp_path)
+    _add_file(ev.filter(F.col("ts") < F.lit(mid)), d["input"], d["stage"], "p1")
+    run_incremental_rollup(spark, d["input"], ev.schema, d["tier"], d["ckpt"])
+    _add_file(ev.filter(F.col("ts") >= F.lit(mid)), d["input"], d["stage"], "p2")
+    run_incremental_rollup(spark, d["input"], ev.schema, d["tier"], d["ckpt"])
+
+    before = {
+        (r["bucket"], r["event_type"]): (r["cnt"], r["min_v"], r["max_v"])
+        for r in read_tier(spark, d["tier"]).collect()
+    }
+    removed = compact_tier(spark, d["tier"])
+    assert removed >= 1
+    dirs = [x for x in _os.listdir(d["tier"]) if x.startswith("_batch=")]
+    assert len(dirs) == 1
+    after = {
+        (r["bucket"], r["event_type"]): (r["cnt"], r["min_v"], r["max_v"])
+        for r in read_tier(spark, d["tier"]).collect()
+    }
+    assert after == before
+    # post-compaction the stream continues cleanly
+    assert compact_tier(spark, d["tier"]) == 0
