@@ -141,3 +141,42 @@ def test_catalog_staging_invisible_until_commit(tmp_path, spark):
     os.makedirs(os.path.join(cat.table_path("t"), "p=2024-01-02.staging-dead"), exist_ok=True)
     assert cat.read_committed(spark, "t").count() == 5
     shutil.rmtree(str(tmp_path / "c"))
+
+
+def test_resume_after_partial_tier_commit(spark, pages_path, tmp_path):
+    """Crash AFTER raw+1m commit but BEFORE 1d (the wave's pending set keys
+    off rollup_1d): resume must reprocess the day and leave every tier
+    coherent with a one-shot run."""
+    import shutil as _shutil
+    import os as _os
+
+    root = str(tmp_path / "c")
+    run_pipeline(spark, pages_path, root)
+    cat = TableCatalog(root)
+    days = sorted(cat.committed_partitions("rollup_1d"))
+    victim = days[1]
+
+    # simulate the torn state: 1d (and 1h) lost their commit for one day
+    for tbl in ("rollup_1d", "rollup_1h"):
+        cat.drop_partition(tbl, victim, reason="simulated crash")
+    # and the 1m data dir is half-written garbage
+    p1m = _os.path.join(cat.table_path("rollup_1m"), f"p={victim}")
+    _shutil.rmtree(p1m)
+    _os.makedirs(p1m)
+
+    res = run_pipeline(spark, pages_path, root)
+    assert res.days_processed == [victim]
+
+    # coherence: every tier re-committed and 1d == cascade of 1m
+    for tbl in ("raw_points", "rollup_1m", "rollup_1h", "rollup_1d"):
+        assert victim in cat.committed_partitions(tbl), tbl
+    from influxer_spark.operators import rollup as R
+
+    t1m = cat.read_partition(spark, "rollup_1m", victim)
+    t1d = cat.read_partition(spark, "rollup_1d", victim)
+    want = {
+        (r["bucket"], r["url"], r["metric"]): r["cnt"]
+        for r in R.cascade(R.cascade(t1m, ["url", "metric"], "1h"), ["url", "metric"], "1d").collect()
+    }
+    got = {(r["bucket"], r["url"], r["metric"]): r["cnt"] for r in t1d.collect()}
+    assert got == want
