@@ -24,6 +24,10 @@ _REPO = os.path.dirname(os.path.abspath(__file__))
 if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
+from influxer_spark.influxql_queries import (  # noqa: E402
+    influxql_oracle_sql,
+    influxql_queries,
+)
 from influxer_spark.ingest_queries import (  # noqa: E402
     ingest_oracle_sql,
     ingest_queries,
@@ -329,6 +333,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unpivot_lineitem_metrics": _q_unpivot_lineitem,
         **training_queries(),
         **ingest_queries(),
+        **influxql_queries(),
     }
 
 
@@ -505,4 +510,5 @@ FROM j
         ),
         **training_oracle_sql(),
         **ingest_oracle_sql(),
+        **influxql_oracle_sql(),
     }
