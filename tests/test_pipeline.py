@@ -180,3 +180,34 @@ def test_resume_after_partial_tier_commit(spark, pages_path, tmp_path):
     }
     got = {(r["bucket"], r["url"], r["metric"]): r["cnt"] for r in t1d.collect()}
     assert got == want
+
+
+def test_extraction_matches_spec():
+    """The optimized byte-find extraction is byte-identical to the regex
+    spec on generated pages and adversarial html shapes."""
+    import pyarrow.parquet as pq
+
+    from influxer_spark.extract import _extract_text_bytes_spec, extract_text_bytes
+
+    adversarial = [
+        b"no body at all <p>x</p>",
+        b"<body>unclosed",
+        b"<bodyx y><body class=z> a </body>",
+        b"<body a>inner<body b>deep</body></body>",
+        b"pre<body>\t a \x0b b \x0c</body>post",
+        b"",
+        b"<body><>empty tags<></body>",
+    ]
+    for h in adversarial:
+        assert extract_text_bytes(h) == _extract_text_bytes_spec(h), h
+
+
+def test_extraction_matches_spec_on_corpus(pages_path):
+    import pyarrow.parquet as pq
+
+    from influxer_spark.extract import _extract_text_bytes_spec, extract_text_bytes
+
+    htmls = pq.read_table(pages_path, columns=["html"])["html"].to_pylist()
+    assert all(
+        extract_text_bytes(h) == _extract_text_bytes_spec(h) for h in htmls
+    )
