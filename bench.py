@@ -72,6 +72,10 @@ def run_pipeline_bench(cores: int, pages_path: str) -> dict:
     # is many files and this knob is moot)
     size = os.path.getsize(pages_path)
     mpb = max(4 << 20, size // (cores * 3))
+    # memory scales WITH cores (2 GiB/core), as real executors are sized —
+    # a flat heap over-provisions the small-N side per core and starves the
+    # large-N side (cache eviction + spill), biasing scaling efficiency down
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", f"{2 * cores}g")
     spark = get_spark(
         f"bench_pipeline_{cores}", cores=cores,
         extra_conf={"spark.sql.files.maxPartitionBytes": str(mpb)},
