@@ -56,6 +56,12 @@ def _build_parser() -> argparse.ArgumentParser:
     p.add_argument("-ignoreerrors", action="store_true")
     p.add_argument("-multi", action="store_true", help="Perfmon MultiMeasurements")
     p.add_argument("-output", default=None, help="output parquet directory")
+    p.add_argument(
+        "-rollup", action="store_true",
+        help="also materialize 1m/1h/1d tiers next to the points output — "
+        "the full reference workflow (parse → push → server CQ rollup) in "
+        "one command",
+    )
     p.add_argument("-cores", type=int, default=None)
     return p
 
@@ -152,6 +158,20 @@ def main(argv: list[str] | None = None) -> int:
     if args.output:
         res.points.write.mode("overwrite").parquet(args.output)
         res.errors.write.mode("overwrite").parquet(args.output + "_errors")
+        if args.rollup:
+            from influxer_spark.ingest.generic import to_narrow_points
+            from influxer_spark.operators.rollup import rollup_cascade_all
+
+            narrow = to_narrow_points(res)
+            keys = [
+                c for c in narrow.columns if c not in ("ts", "value")
+            ]  # tags + metric
+            for tier, df in rollup_cascade_all(
+                narrow, "ts", keys, "value"
+            ).items():
+                df.write.mode("overwrite").parquet(
+                    f"{args.output}_rollup_{tier}"
+                )
     print(
         f"Processed {status['points_found']} points, "
         f"{status['points_failed']} failed in {time.time() - t0:.1f}s"

@@ -389,3 +389,64 @@ def embedding_neardup(
         )
         .filter(F.col("cos") >= min_cosine)
     )
+
+
+# ---------------------------------------------------------------------------
+# pair → cluster resolution
+# ---------------------------------------------------------------------------
+
+def dedup_clusters(
+    pairs: DataFrame, max_iterations: int = 20
+) -> DataFrame:
+    """Resolve near-dup PAIRS (id_a, id_b) into clusters: every member maps
+    to its cluster's canonical (minimum) id — connected components by
+    min-label propagation.
+
+    The training-data decision is made per CLUSTER (keep one canonical doc),
+    not per pair: A~B and B~C must collapse A,B,C together even though A~C
+    was never emitted by the candidate generator.
+
+    Algorithm: iterate label <- min(label, min over neighbors' labels) until
+    fixpoint.  Each iteration is one join + one groupBy on the id key — the
+    standard large-scale CC-over-DataFrames loop (converges in O(diameter)
+    iterations; near-dup clusters are shallow, typically 2-3).  Raises if
+    not converged within ``max_iterations`` (pathological chain clusters).
+
+    Returns (id, canonical_id) for every id that appears in any pair.
+    """
+    edges = (
+        pairs.selectExpr("id_a AS src", "id_b AS dst")
+        .union(pairs.selectExpr("id_b AS src", "id_a AS dst"))
+        .distinct()
+    )
+    labels = (
+        edges.groupBy(F.col("src").alias("id"))
+        .agg(F.least(F.min("dst"), F.first("src")).alias("label"))
+        .select("id", F.least("id", "label").alias("label"))
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    "label", F.coalesce("nlabel", F.col("label"))
+                ).alias("label"),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels.localCheckpoint(eager=True)  # cut lineage growth
+        if changed == 0:
+            return labels.withColumnRenamed("label", "canonical_id")
+    raise RuntimeError(f"dedup_clusters did not converge in {max_iterations} iterations")

@@ -41,3 +41,20 @@ def test_cli_perfmon(tmp_path, capsys):
     rc = main(["-input", path, "-format", "Perfmon", "-cores", "8"])
     assert rc == 0
     assert "UTC offset -330" in capsys.readouterr().out
+
+
+def test_cli_rollup_tiers(spark, tmp_path):
+    path, _cfg, exp = write_simple_metrics(str(tmp_path))
+    out = str(tmp_path / "out2")
+    rc = main([
+        "-input", path, "-timeformat", "yyyy-MM-dd m:ss",
+        "-output", out, "-rollup", "-cores", "8",
+    ])
+    assert rc == 2
+    t1m = spark.read.parquet(out + "_rollup_1m")
+    t1d = spark.read.parquet(out + "_rollup_1d")
+    # every ingested numeric value lands in exactly one bucket of each tier
+    from pyspark.sql import functions as F
+
+    assert t1m.agg(F.sum("cnt")).collect()[0][0] == exp.points_found * 12
+    assert t1d.agg(F.sum("cnt")).collect()[0][0] == exp.points_found * 12

@@ -120,3 +120,25 @@ def test_h32_matches_duckdb(spark):
             f"SELECT CAST('0x' || substr(md5('{s}'), 1, 8) AS BIGINT)"
         ).fetchone()[0]
         assert h == d
+
+
+def test_dedup_clusters_transitive(spark):
+    from influxer_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 4), (7, 8), (8, 9), (9, 1)],  # {1,2,3,7,8,9},{4,5}
+        ["id_a", "id_b"],
+    )
+    got = {r["id"]: r["canonical_id"] for r in dedup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 7: 1, 8: 1, 9: 1, 4: 4, 5: 4}
+
+
+def test_dedup_clusters_from_lsh_pairs(spark, docs):
+    from influxer_spark.operators.dedup import dedup_clusters, minhash_lsh_dedup
+
+    pairs = minhash_lsh_dedup(docs, "doc_id", "text", k=3, min_jaccard=0.5)
+    if pairs.count() == 0:
+        return
+    cl = dedup_clusters(pairs.select("id_a", "id_b"))
+    # canonical is the min id of each cluster and a member of it
+    assert cl.filter(F.col("canonical_id") > F.col("id")).count() == 0

@@ -143,3 +143,21 @@ def test_inferred_layout_exportable(spark, tmp_path):
     assert types["ServerName"] == ColumnDataType.TAG
     assert types["TxnCount"] == ColumnDataType.NUMERICAL_FIELD
     assert types["IsHealthy"] == ColumnDataType.BOOLEAN_FIELD
+
+
+def test_config_header_mismatch_is_hard_error(tmp_path):
+    """Config layout naming a column that doesn't match the header is a hard
+    error (GenericFile.cs:174-180)."""
+    from influxer_spark.ingest.config import ColumnConfig, ColumnDataType
+
+    path, cfg, _exp = write_simple_metrics(str(tmp_path))
+    cfg.column_layout = [
+        ColumnConfig(name_in_file="WRONG", influx_name="ts",
+                     data_type=ColumnDataType.TIMESTAMP)
+    ] + [
+        ColumnConfig(influx_name=f"m{i}", data_type=ColumnDataType.NUMERICAL_FIELD)
+        for i in range(12)
+    ]
+    lines = open(path, encoding="utf-8").read().splitlines()
+    with pytest.raises(ValueError, match="mismatch"):
+        refmodel.run_file(cfg, lines)
