@@ -96,6 +96,29 @@ def run_pipeline_bench(cores: int, pages_path: str) -> dict:
         res = run_pipeline(spark, pages_path, root, resume=False)
         elapsed = time.time() - t0
         points = sum(c.get("points", 0) for c in res.counters.values())
+
+        # continuous-aggregate payoff: a 4h GROUP BY answered from the 1h
+        # tier vs recomputed from raw points
+        from influxer_spark.catalog import TableCatalog
+        from influxer_spark.extract import (
+            pages_to_points, with_crawl_metrics, with_extracted,
+        )
+        from influxer_spark.operators.rollup import rollup_width
+        from influxer_spark.query import read_rollup
+
+        cat = TableCatalog(root)
+        t0 = time.time()
+        read_rollup(spark, cat, 4 * 3600).write.mode("overwrite").format(
+            "noop"
+        ).save()
+        t_tier = time.time() - t0
+        t0 = time.time()
+        raw_pts = pages_to_points(
+            with_crawl_metrics(with_extracted(spark.read.parquet(pages_path)))
+        )
+        rollup_width(raw_pts, "warc_ts", ["url", "metric"], "value", 4 * 3600)\
+            .write.mode("overwrite").format("noop").save()
+        t_raw = time.time() - t0
         bpp = [
             c["gorilla_bytes_per_point"]
             for c in res.counters.values()
@@ -107,6 +130,9 @@ def run_pipeline_bench(cores: int, pages_path: str) -> dict:
             "points": points,
             "points_per_sec": round(points / elapsed, 1),
             "gorilla_bytes_per_point": round(sum(bpp) / len(bpp), 3) if bpp else None,
+            "tier_query_4h_s": round(t_tier, 3),
+            "raw_query_4h_s": round(t_raw, 3),
+            "tier_query_speedup": round(t_raw / t_tier, 1) if t_tier else None,
         }
     finally:
         shutil.rmtree(root, ignore_errors=True)
@@ -185,6 +211,7 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "pipeline_points_per_sec": pipe["points_per_sec"],
         "gorilla_bytes_per_point": pipe["gorilla_bytes_per_point"],
+        "tier_query_speedup_4h": pipe.get("tier_query_speedup"),
         "pages_rows": BENCH_PAGES_ROWS,
         "cpus": CPUS,
     }))
