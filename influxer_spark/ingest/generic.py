@@ -60,6 +60,12 @@ class IngestResult:
     errors: DataFrame  # (line_no, error)
     layout: Layout
     measurement: str
+    _parsed: DataFrame | None = None  # cached parse (see ingest_generic_file)
+
+    def unpersist(self) -> None:
+        """Release the cached parse once points/errors are consumed."""
+        if self._parsed is not None:
+            self._parsed.unpersist()
 
     def status(self) -> dict[str, int]:
         """ProcessStatus analogue (Influxer/ProcessStatus.cs:3-9)."""
@@ -124,78 +130,136 @@ def ingest_generic_file(
     if cfg.comment_marker:
         data = data.filter(~F.col("value").startswith(cfg.comment_marker))
 
-    cells = F.split(F.col("value"), cfg.column_splitter)
-    data = data.withColumn("_cells", cells)
-
-    def cell(i: int):
-        return F.replace(F.get(F.col("_cells"), i), F.lit('"'), F.lit(""))
-
-    # (idx, leaf_config, content_col, present_col) in reference pointData order
-    entries: list[tuple[int, ColumnConfig, object, object]] = []
-    errors: list[tuple[object, str]] = []  # (cond, reason) in evaluation order
+    # The pipeline builds through STAGED projections with intermediate
+    # columns: every sub-expression (split, quote strip, transform chain,
+    # typed parse) is computed ONCE and referenced by attribute downstream.
+    # Inlining everything into one projection duplicates each subtree at
+    # every use site (value + error + blank checks…), which produced a
+    # codegen method too large to JIT — measured ~100× slower.
+    # CollapseProject keeps these stages apart because the aliased
+    # expressions are non-cheap and multiply referenced.
+    data = data.withColumn("_cells", F.split(F.col("value"), cfg.column_splitter))
 
     time_idx = cfg.time_column - 1
     required = sorted({idx for idx, _ in layout.columns} | {time_idx})
-    short_row = F.size(F.col("_cells")) <= max(required)
-    errors.append((short_row, "malformed row: missing columns"))
+    errors: list[tuple[object, str]] = []  # (cond, reason) in evaluation order
+    errors.append(
+        (F.size(F.col("_cells")) <= max(required), "malformed row: missing columns")
+    )
 
+    # stage 1: quote-stripped raw cells
+    data = data.withColumns(
+        {
+            f"_raw_{idx}": F.replace(
+                F.get(F.col("_cells"), idx), F.lit('"'), F.lit("")
+            )
+            for idx in required
+        }
+    )
+
+    # stage 2: split fan-out + transform chains → one _c_<n> column per
+    # pointData entry (+ presence flags for split leaves)
+    entries: list[tuple[int, ColumnConfig, str]] = []  # (idx, cfg, content attr)
+    stage2: dict[str, object] = {}
+    n = 0
     for idx, col in layout.columns:
-        content = cell(idx)
+        content = F.col(f"_raw_{idx}")
         if col.has_split:
             leaves, split_err = compile_split(col.split_config, content)
             errors.append((split_err, f"{col.influx_name}: split failed"))
             for leaf_cfg, leaf_val, leaf_present in leaves:
-                entries.append((-1, leaf_cfg, leaf_val, leaf_present))
+                tr = compile_chain(leaf_cfg, leaf_val)
+                # absent leaves never enter pointData (GenericFile.cs:65-68)
+                stage2[f"_c_{n}"] = F.when(leaf_present, tr.content)
+                errors.append(
+                    (leaf_present & tr.error, f"{leaf_cfg.influx_name}: filtered")
+                )
+                entries.append((-1, leaf_cfg, f"_c_{n}"))
+                n += 1
         else:
-            entries.append((idx, col, content, F.lit(True)))
+            tr = compile_chain(col, content)
+            stage2[f"_c_{n}"] = tr.content
+            errors.append((tr.error, f"{col.influx_name}: filtered"))
+            entries.append((idx, col, f"_c_{n}"))
+            n += 1
+    data = data.withColumns(stage2)
 
-    ts_col = None
-    out_tags: list[tuple[str, object]] = []
-    out_fields: list[tuple[str, object, str]] = []  # (name, col, kind)
+    # stage 3: blank-masked effective content (referenced by parse + errors)
+    data = data.withColumns(
+        {
+            f"_e_{i}": F.when(
+                ~(F.col(a).isNull() | (F.trim(F.col(a)) == "")), F.col(a)
+            )
+            for i, (_, _, a) in enumerate(entries)
+        }
+    )
 
-    for tag in cfg.default_tags:  # F13
-        k, v = tag.split("=", 1)
-        out_tags.append((k, F.lit(v)))
+    # stage 4a: validity flags + raw casts as their OWN columns — the error
+    # chain and the typed values reference these attributes instead of
+    # re-embedding the parse trees (a value-tree inside an error condition
+    # is what blew the collapsed expression up combinatorially)
+    from influxer_spark.ingest.transforms import NUMBER_RE, dotnet_round2_col
 
-    for idx, col, content, present in entries:
-        tr = compile_chain(col, content)
-        # absent split leaves never enter pointData (GenericFile.cs:65-68):
-        # mask both the transformed content and any filter error
-        content = F.when(present, tr.content)
-        errors.append((present & tr.error, f"{col.influx_name}: filtered"))
-        blank = content.isNull() | (F.trim(content) == "")
-        effective = F.when(~blank, content)
-
+    ts_attr = None
+    out_tags: list[tuple[str, str]] = []  # (name, attr)
+    out_fields: list[tuple[str, str]] = []
+    stage4a: dict[str, object] = {}
+    stage4b: dict[str, object] = {}
+    field_err_conds: list[tuple[object, str]] = []
+    for i, (idx, col, _a) in enumerate(entries):
+        eff = F.col(f"_e_{i}")
         if idx == time_idx:
             if cfg.time_format_type == TimeFormatType.STRING:
-                parsed = parse_ts_string_col(effective, cfg.time_format, cfg.utc_offset)
+                parsed = parse_ts_string_col(eff, cfg.time_format, cfg.utc_offset)
             elif cfg.time_format_type == TimeFormatType.BINARY:
-                parsed = parse_ts_binary_col(effective)
+                parsed = parse_ts_binary_col(eff)
             else:
-                parsed = parse_ts_epoch_col(effective, cfg.precision)
-            errors.append(
-                (~blank & parsed.isNull(), "timestamp: unparseable"),
+                parsed = parse_ts_epoch_col(eff, cfg.precision)
+            stage4a["_ts"] = parsed
+            ts_attr = "_ts"
+            field_err_conds.append(
+                (eff.isNotNull() & F.col("_ts").isNull(), "timestamp: unparseable")
             )
-            ts_col = parsed
             continue
+        out_name = col.influx_name
         if col.data_type == ColumnDataType.NUMERICAL_FIELD:
-            v, err = parse_double_col(effective)
-            errors.append((err, f"{col.influx_name}: not a number"))
-            out_fields.append((col.influx_name, v, "double"))
+            # regex-validated content always try_casts successfully, so the
+            # error condition needs only the flag, never the value tree
+            stage4a[f"_ok_{i}"] = eff.rlike(NUMBER_RE)
+            stage4a[f"_num_{i}"] = F.replace(
+                eff, F.lit(","), F.lit("")
+            ).try_cast("double")
+            stage4b[f"_v_{i}"] = F.when(
+                F.col(f"_ok_{i}"), dotnet_round2_col(F.col(f"_num_{i}"))
+            )
+            field_err_conds.append(
+                (eff.isNotNull() & ~F.col(f"_ok_{i}"), f"{out_name}: not a number")
+            )
+            out_fields.append((out_name, f"_v_{i}"))
         elif col.data_type == ColumnDataType.STRING_FIELD:
-            out_fields.append((col.influx_name, effective, "string"))
+            stage4b[f"_v_{i}"] = eff
+            out_fields.append((out_name, f"_v_{i}"))
         elif col.data_type == ColumnDataType.BOOLEAN_FIELD:
-            v, err = parse_bool_col(effective)
-            errors.append((err, f"{col.influx_name}: not a boolean"))
-            out_fields.append((col.influx_name, v, "boolean"))
+            stage4a[f"_ok_{i}"] = F.lower(F.trim(eff)).isin("true", "false")
+            stage4b[f"_v_{i}"] = F.when(
+                F.col(f"_ok_{i}"), F.lower(F.trim(eff)) == "true"
+            )
+            field_err_conds.append(
+                (eff.isNotNull() & ~F.col(f"_ok_{i}"), f"{out_name}: not a boolean")
+            )
+            out_fields.append((out_name, f"_v_{i}"))
         elif col.data_type == ColumnDataType.TAG:
-            out_tags.append((col.influx_name, scrub_col(effective)))
+            stage4b[f"_v_{i}"] = scrub_col(eff)
+            out_tags.append((out_name, f"_v_{i}"))
+    data = data.withColumns(stage4a)
+    data = data.withColumns(stage4b)
+    errors.extend(field_err_conds)
 
     # mandatory-field predicate (GenericFile.cs:111-112)
     if out_fields:
-        any_field = out_fields[0][1].isNotNull()
-        for _, v, _ in out_fields[1:]:
-            any_field = any_field | v.isNotNull()
+        any_field = F.col(out_fields[0][1]).isNotNull()
+        for _, a in out_fields[1:]:
+            any_field = any_field | F.col(a).isNotNull()
         no_fields = ~any_field
     else:
         no_fields = F.lit(True)
@@ -206,20 +270,42 @@ def ingest_generic_file(
     for cond, reason in reversed(errors):
         err_col = F.when(cond, F.lit(reason)).otherwise(err_col)
 
+    default_tag_cols = []
+    for tag in cfg.default_tags:  # F13
+        k, v = tag.split("=", 1)
+        default_tag_cols.append(F.lit(v).alias(k))
+
     projected = data.select(
         "line_no",
         err_col.alias("_error"),
-        (ts_col if ts_col is not None else F.lit(None).cast("timestamp")).alias("ts"),
-        *[c.alias(name) for name, c in out_tags],
-        *[c.alias(name) for name, c, _ in out_fields],
+        (
+            F.col(ts_attr) if ts_attr is not None else F.lit(None).cast("timestamp")
+        ).alias("ts"),
+        *default_tag_cols,
+        *[F.col(a).alias(name) for name, a in out_tags],
+        *[F.col(a).alias(name) for name, a in out_fields],
     )
+    # Materialize the parsed output ONCE.  Without this, PushDownPredicates
+    # substitutes the points/errors filter conditions down through every
+    # projection to the scan — the _error test gets re-inlined with
+    # hundreds of copies of the split/parse subtrees (measured: 403
+    # `split(` occurrences in the pushed Filter, ~100× slower), and every
+    # downstream consumer of `points` re-pays the whole parse.  Caching is
+    # the in-session form of the at-scale design (parse once → table →
+    # derive views); MEMORY_AND_DISK spills safely.  Non-deterministic
+    # barrier expressions are NOT a fix: Spark 4 range-folds rand()
+    # comparisons away.
+    projected = projected.persist()
 
-    points = projected.filter(F.col("_error").isNull()).drop("_error", "line_no")
+    points = projected.filter(F.col("_error").isNull()).drop(
+        "_error", "line_no"
+    )
     errs = projected.filter(F.col("_error").isNotNull()).select(
         "line_no", F.col("_error").alias("error")
     )
     return IngestResult(
-        points=points, errors=errs, layout=layout, measurement=cfg.measurement
+        points=points, errors=errs, layout=layout,
+        measurement=cfg.measurement, _parsed=projected,
     )
 
 
