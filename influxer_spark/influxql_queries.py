@@ -177,12 +177,32 @@ FROM integ i JOIN sd s USING (event_type) JOIN modes m USING (event_type)
 """
 
 
+def _q_sample(spark, sf_dir):
+    h = _hourly(spark, sf_dir)
+    return Q.sel_sample(h, ["event_type"], "bucket", "v", 5)
+
+
+_SAMPLE_SQL = f"""
+WITH {_HOURLY_SQL}
+SELECT event_type, bucket, v FROM (
+  SELECT event_type, bucket, v,
+         row_number() OVER (
+           PARTITION BY event_type
+           ORDER BY md5(event_type || '|' ||
+                        CAST(CAST(floor(epoch(bucket)) AS BIGINT) AS VARCHAR))
+         ) AS rn
+  FROM hourly
+) WHERE rn <= 5
+"""
+
+
 def influxql_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "influxql_transforms_1h": _q_transforms,
         "influxql_selectors_1h": _q_selectors,
         "influxql_top3_hours": _q_top3,
         "influxql_integral_stats": _q_integral_stats,
+        "influxql_sample5": _q_sample,
     }
 
 
@@ -192,4 +212,5 @@ def influxql_oracle_sql() -> dict[str, str]:
         "influxql_selectors_1h": _SELECTORS_SQL,
         "influxql_top3_hours": _TOP3_SQL,
         "influxql_integral_stats": _INTEGRAL_SQL,
+        "influxql_sample5": _SAMPLE_SQL,
     }

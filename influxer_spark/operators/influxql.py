@@ -136,6 +136,27 @@ def sel_top(
     )
 
 
+def sel_sample(
+    df: DataFrame, group_cols: Sequence[str], ts_col: str, value_col: str, n: int
+) -> DataFrame:
+    """sample(n): n points per group.  InfluxQL samples randomly; here the
+    choice is SEEDED-deterministic (md5 of the group+timestamp) so reruns,
+    retries, and the correctness oracle all see the same sample — at
+    pipeline scale a nondeterministic sample is a reproducibility bug."""
+    key = F.md5(
+        F.concat_ws(
+            "|", *group_cols,
+            F.unix_timestamp(F.col(ts_col).cast("timestamp")).cast("string"),
+        )
+    )
+    w = Window.partitionBy(*group_cols).orderBy(key)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n)
+        .select(*group_cols, ts_col, value_col)
+    )
+
+
 # ---------------------------------------------------------------------------
 # per-series transforms (one shared sort)
 # ---------------------------------------------------------------------------
