@@ -453,8 +453,8 @@ FROM j
             "       count(*) AS n_events FROM g GROUP BY user_id"
         ),
         "json_props_extract": (
-            "SELECT event_type, count(k) AS cnt, sum(k) AS sum_k,"
-            "       sum(k) / count(k) AS avg_k FROM ("
+            "SELECT event_type, count(k) AS cnt, CAST(sum(k) AS BIGINT) AS sum_k,"
+            "       CAST(sum(k) AS BIGINT) / count(k) AS avg_k FROM ("
             "  SELECT event_type,"
             "         CAST(regexp_extract(props, '\"k\":\\s*([0-9]+)', 1) AS BIGINT) AS k"
             "  FROM events) GROUP BY event_type"

@@ -86,19 +86,22 @@ def with_lsh_bucket(
 ) -> DataFrame:
     """Attach a sign-LSH bucket code (int) to every row.
 
-    One numpy matmul per Arrow batch: (batch × dim) @ (dim × planes) → signs
-    → packed int.  That is the whole cost — no shuffle, no per-row Python.
+    Pure Column expressions: one left-to-right fold dot product per plane
+    (plane inlined as an array literal), sign bits packed into a long.  All
+    JVM-side — no Python in the bucketing path at all — and bit-identical to
+    the DuckDB oracle's sequential ``list_reduce`` sum, which is what makes
+    the LSH contract query value-oracle-able (a BLAS matmul's pairwise
+    summation could flip the sign of a near-zero dot product; a sequential
+    fold cannot diverge from the oracle's identical fold).
     """
     planes = _hyperplanes(dim, n_planes)
-    weights = (2 ** np.arange(n_planes)).astype(np.int64)
-
-    @pandas_udf("long")
-    def bucket(vecs: pd.Series) -> pd.Series:
-        m = np.asarray(vecs.tolist(), dtype=np.float64)
-        signs = (m @ planes) > 0
-        return pd.Series(signs @ weights)
-
-    return df.withColumn("lsh_bucket", bucket(F.col(vec_col)))
+    vec = F.col(vec_col)
+    bucket = F.lit(0).cast("long")
+    for p in range(n_planes):
+        plane_lit = F.array(*[F.lit(float(x)) for x in planes[:, p]])
+        bit = F.when(dot_f64(vec, plane_lit) > 0, F.lit(1)).otherwise(F.lit(0))
+        bucket = bucket + (bit * F.lit(int(2**p))).cast("long")
+    return df.withColumn("lsh_bucket", bucket)
 
 
 def ivf_random_centroids(dim: int, n_lists: int, seed: int = LSH_SEED) -> np.ndarray:

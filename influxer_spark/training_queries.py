@@ -170,6 +170,42 @@ SELECT query_id, CAST(rank AS INT) AS rank, vec_id, cos FROM (
 """
 
 
+def _lsh_sql(n_planes: int, k: int, mod: int) -> str:
+    """Sign-LSH ANN oracle: the SAME seeded hyperplanes as the Spark query
+    are inlined as literals (repr round-trips doubles exactly).  Both sides
+    compute each plane's dot product as a sequential left-to-right fold, so
+    the sign bits — and hence the buckets — are bit-identical by construction."""
+    from influxer_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(64, n_planes)
+    bits = []
+    for p in range(n_planes):
+        lit = "[" + ", ".join(repr(float(x)) for x in planes[:, p]) + "]"
+        d = _DOT.format(a="v", b=lit)
+        bits.append(f"(CASE WHEN {d} > 0 THEN {2 ** p} ELSE 0 END)")
+    bucket = " + ".join(bits)
+    sdot = _DOT.format(a="q.v", b="c.v")
+    return f"""
+WITH v AS (
+  SELECT vec_id, embedding AS v,
+         sqrt({_DOT.format(a='embedding', b='embedding')}) AS norm
+  FROM embeddings
+), b AS (
+  SELECT vec_id, v, norm, CAST({bucket} AS BIGINT) AS bucket FROM v
+), q AS (
+  SELECT vec_id AS query_id, v, norm, bucket FROM b WHERE vec_id % {mod} = 0
+), scored AS (
+  SELECT q.query_id, c.vec_id, {sdot} / (q.norm * c.norm) AS cos
+  FROM b c JOIN q ON c.bucket = q.bucket AND c.vec_id <> q.query_id
+)
+SELECT query_id, CAST(rank AS INT) AS rank, vec_id, cos FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
 def _ivf_sql(n_lists: int, n_probe: int, k: int, mod: int) -> str:
     """IVF ANN oracle: the SAME seeded centroids as the Spark query are
     inlined as literals (repr round-trips doubles exactly), assignment =
@@ -336,7 +372,7 @@ def training_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_dedup": _q_simhash,
         "embedding_neardup_cosine": _q_embedding_neardup,
         "ann_brute_cosine_topk": _q_ann_brute_topk,
-        "ann_lsh_cosine_topk": _q_ann_lsh_topk,  # rows-only: seeded numpy LSH
+        "ann_lsh_cosine_topk": _q_ann_lsh_topk,
         "ann_ivf_cosine_topk": _q_ann_ivf_topk,
         "token_stats": _q_token_stats,
         "quality_scores": _q_quality,
@@ -362,6 +398,7 @@ def training_oracle_sql() -> dict[str, str]:
         "simhash_dedup": _simhash_sql(3),
         "embedding_neardup_cosine": _neardup_cos_sql(0.4),
         "ann_brute_cosine_topk": _topk_sql(10, 100),
+        "ann_lsh_cosine_topk": _lsh_sql(8, 10, 100),
         "ann_ivf_cosine_topk": _ivf_sql(8, 2, 10, 100),
         "token_stats": (
             "SELECT doc_id AS id, "
