@@ -94,9 +94,7 @@ class TableCatalog:
         part_dir = os.path.join(self.table_path(name), f"p={partition_value}")
         staging = part_dir + f".staging-{uuid.uuid4().hex[:8]}"
         df.write.mode("overwrite").parquet(staging)
-        if os.path.exists(part_dir):
-            shutil.rmtree(part_dir)
-        os.replace(staging, part_dir)
+        old_dirs = self._swap_in(staging, part_dir)
 
         manifest = self.read_manifest(name)
         entry = {
@@ -107,7 +105,44 @@ class TableCatalog:
         manifest["partitions"][partition_value] = entry
         manifest["lineage"].append({"partition": partition_value, **entry})
         self._commit_manifest(name, manifest)
+        self._drop_old(old_dirs)
         return entry
+
+    def _swap_in(self, staging: str, dest: str) -> list[str]:
+        """Swap staged data into place WITHOUT destroying the previous
+        committed data: the old dir is renamed aside to a hidden ``.old-*``
+        name (invisible to Spark readers, which skip dot-dirs) and deleted
+        only AFTER the manifest commit succeeds — a crash anywhere in between
+        leaves every committed partition's bytes still on disk."""
+        olds: list[str] = []
+        if os.path.exists(dest):
+            aside = os.path.join(
+                os.path.dirname(dest),
+                f".old-{uuid.uuid4().hex[:8]}-{os.path.basename(dest)}",
+            )
+            os.replace(dest, aside)
+            olds.append(aside)
+        os.replace(staging, dest)
+        return olds
+
+    @staticmethod
+    def _drop_old(old_dirs: list[str]) -> None:
+        for d in old_dirs:
+            shutil.rmtree(d, ignore_errors=True)
+
+    def vacuum(self, name: str) -> int:
+        """Remove garbage from crashed runs: hidden ``.old-*`` / ``.wave-*`` /
+        ``*.staging-*`` dirs.  Safe under the single-writer assumption — every
+        live write's temp dirs exist only within one write_partition(s) call."""
+        tdir = self.table_path(name)
+        if not os.path.isdir(tdir):
+            return 0
+        n = 0
+        for d in os.listdir(tdir):
+            if d.startswith((".old-", ".wave-")) or ".staging-" in d:
+                shutil.rmtree(os.path.join(tdir, d), ignore_errors=True)
+                n += 1
+        return n
 
     def write_partitions(
         self,
@@ -130,16 +165,19 @@ class TableCatalog:
         authoritative; resume redoes the whole wave (partition-level
         exactly-once, same contract as :meth:`write_partition`).
         """
+        self.vacuum(name)
         staging = os.path.join(self.table_path(name), f".wave-{uuid.uuid4().hex[:8]}")
         df.write.mode("overwrite").partitionBy(day_col).parquet(staging)
         manifest = self.read_manifest(name)
+        old_dirs: list[str] = []
         for pv in partition_values:
             src = os.path.join(staging, f"{day_col}={pv}")
             dest = os.path.join(self.table_path(name), f"p={pv}")
-            if os.path.exists(src):
-                if os.path.exists(dest):
-                    shutil.rmtree(dest)
-                os.replace(src, dest)
+            if not os.path.exists(src):
+                # zero rows staged for this value: no data dir, no manifest
+                # entry — committing one would make read_partition throw later
+                continue
+            old_dirs.extend(self._swap_in(src, dest))
             entry = {
                 "committed_at": time.time(),
                 "counters": (counters_by_partition or {}).get(pv, {}),
@@ -147,8 +185,9 @@ class TableCatalog:
             }
             manifest["partitions"][pv] = entry
             manifest["lineage"].append({"partition": pv, **entry})
-        shutil.rmtree(staging, ignore_errors=True)
         self._commit_manifest(name, manifest)
+        self._drop_old(old_dirs)
+        shutil.rmtree(staging, ignore_errors=True)
 
     def read_partitions_with_key(
         self, spark: SparkSession, name: str, partition_values: list[str]

@@ -143,6 +143,53 @@ def test_catalog_staging_invisible_until_commit(tmp_path, spark):
     shutil.rmtree(str(tmp_path / "c"))
 
 
+def test_wave_commit_crash_preserves_committed_bytes(tmp_path, spark, monkeypatch):
+    """Crash anywhere inside write_partitions must leave every previously
+    committed partition READABLE: old data is renamed aside (hidden) and only
+    deleted after the manifest commit succeeds (ADVICE r1, medium)."""
+    import os
+
+    cat = TableCatalog(str(tmp_path / "c"))
+    df1 = spark.range(10).select(
+        F.col("id"), F.when(F.col("id") < 5, "2024-01-01").otherwise("2024-01-02").alias("day")
+    )
+    cat.write_partitions(df1, "t", ["2024-01-01", "2024-01-02"])
+    assert cat.read_committed(spark, "t").count() == 10
+
+    # crash between swap-in and manifest commit
+    def boom(name, manifest):
+        raise RuntimeError("simulated crash before manifest commit")
+
+    monkeypatch.setattr(cat, "_commit_manifest", boom)
+    df2 = df1.filter(F.col("id") < 8)  # would rewrite both days
+    with pytest.raises(RuntimeError):
+        cat.write_partitions(df2, "t", ["2024-01-01", "2024-01-02"])
+    monkeypatch.undo()
+
+    # every manifest-committed partition still has a readable data dir
+    for pv in cat.committed_partitions("t"):
+        assert cat.read_partition(spark, "t", pv).count() > 0
+    assert cat.read_committed(spark, "t").count() in (8, 10)  # torn but readable
+
+    # resume: the wave is idempotently redone; crash garbage is vacuumed
+    cat.write_partitions(df2, "t", ["2024-01-01", "2024-01-02"])
+    assert cat.read_committed(spark, "t").count() == 8
+    leftovers = [
+        d for d in os.listdir(cat.table_path("t"))
+        if d.startswith((".old-", ".wave-"))
+    ]
+    assert leftovers == []
+
+
+def test_wave_commit_skips_empty_partition_values(tmp_path, spark):
+    """A requested partition value with zero staged rows must NOT get a
+    manifest entry (read_partition on it would throw)."""
+    cat = TableCatalog(str(tmp_path / "c"))
+    df = spark.range(5).select(F.col("id"), F.lit("2024-01-01").alias("day"))
+    cat.write_partitions(df, "t", ["2024-01-01", "2024-01-02"])
+    assert sorted(cat.committed_partitions("t")) == ["2024-01-01"]
+
+
 def test_resume_after_partial_tier_commit(spark, pages_path, tmp_path):
     """Crash AFTER raw+1m commit but BEFORE 1d (the wave's pending set keys
     off rollup_1d): resume must reprocess the day and leave every tier
