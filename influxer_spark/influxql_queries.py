@@ -77,7 +77,8 @@ SELECT event_type, bucket, v,
   END AS nn_deriv_h,
   CASE WHEN count(v) OVER w3 = 3 THEN avg(v) OVER w3 END AS ma3,
   sum(s_c) OVER wc / 100.0 AS csum,
-  CAST(epoch(bucket) - lag(epoch(bucket)) OVER w AS DOUBLE) / 60 AS elapsed_min
+  CAST(floor((epoch(bucket) - lag(epoch(bucket)) OVER w) / 60) AS BIGINT)
+    AS elapsed_min
 FROM hourly
 WINDOW
   w AS (PARTITION BY event_type ORDER BY bucket),
@@ -107,7 +108,7 @@ ranked AS (
 SELECT h.event_type, max(h.v) - min(h.v) AS spread,
        arg_min(h.v, h.bucket) AS first_v, arg_max(h.v, h.bucket) AS last_v,
        (SELECT r.v FROM ranked r WHERE r.event_type = h.event_type
-        AND r.rn = greatest(CAST(ceil(0.9 * r.n) AS INT), 1)) AS p90
+        AND r.rn = CAST(floor(0.9 * r.n + 0.5) AS INT)) AS p90
 FROM hourly h GROUP BY h.event_type
 """
 

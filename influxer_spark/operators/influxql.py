@@ -18,8 +18,9 @@ groupBys — the same physical shapes as the rollup tiers, so everything
 scales identically.
 
 Semantics notes (InfluxQL reference behavior):
-- percentile(p) is NEAREST-RANK: the element at ceil(p/100*n) of the sorted
-  values — an actual data point, not an interpolation.
+- percentile(p) is NEAREST-RANK with InfluxDB's rounding: the element at
+  1-based rank floor(n*p/100 + 0.5) of the sorted values — an actual data
+  point, not an interpolation; no row when the rank rounds below 1.
 - derivative yields (v-prev)/(t-prev) scaled to ``unit`` seconds; first row
   of each series yields nothing.
 - moving_average(n) emits only once n points have accumulated.
@@ -56,14 +57,17 @@ def agg_stddev(df: DataFrame, group_cols: Sequence[str], value_col: str) -> Data
 def agg_percentile(
     df: DataFrame, group_cols: Sequence[str], value_col: str, p: float
 ) -> DataFrame:
-    """Nearest-rank percentile: the ceil(p/100*n)-th smallest VALUE."""
+    """Nearest-rank percentile, InfluxDB's exact rounding: the value at
+    1-based rank ``floor(n*p/100 + 0.5)`` of the sorted values — an actual
+    data point, not an interpolation.  When the rank rounds below 1 the
+    group emits NO row (InfluxDB returns nothing), unlike a clamped ceil."""
     w = Window.partitionBy(*group_cols).orderBy(value_col)
     ranked = df.withColumn("_rn", F.row_number().over(w)).withColumn(
         "_n", F.count("*").over(Window.partitionBy(*group_cols))
     )
-    target = F.ceil(F.lit(p) / 100.0 * F.col("_n")).cast("int")
+    target = F.floor(F.lit(p) / 100.0 * F.col("_n") + 0.5).cast("int")
     return (
-        ranked.filter(F.col("_rn") == F.greatest(target, F.lit(1)))
+        ranked.filter((target >= 1) & (F.col("_rn") == target))
         .select(*group_cols, F.col(value_col).alias(f"p{int(p)}"))
     )
 
@@ -196,9 +200,12 @@ def tr_non_negative_derivative(
 def tr_elapsed(
     df: DataFrame, key_cols: Sequence[str], ts_col: str, unit_seconds: int = 1
 ) -> Column:
+    """InfluxQL elapsed(): integer count of whole units between consecutive
+    points (InfluxDB divides the ns delta by the unit with integer
+    truncation — fractional units are floored away)."""
     w = _series_window(key_cols, ts_col)
     t = F.unix_timestamp(F.col(ts_col).cast("timestamp"))
-    return ((t - F.lag(t).over(w)) / unit_seconds).cast("double")
+    return F.floor((t - F.lag(t).over(w)) / unit_seconds).cast("long")
 
 
 def tr_moving_average(

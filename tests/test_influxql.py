@@ -27,6 +27,27 @@ def test_percentile_nearest_rank(spark):
     assert Q.agg_median(df, ["k"], "v").collect()[0]["median"] == 20.0
 
 
+def test_percentile_influxdb_rounding(spark):
+    """InfluxDB rounds the rank: floor(n*p/100 + 0.5); below 1 → no row.
+    n=5, p=44 → floor(2.7) = 2nd smallest (a ceil impl would give the 3rd)."""
+    df = _frame(spark)  # sorted v: 10,20,20,30,40
+    assert Q.agg_percentile(df, ["k"], "v", 44.0).collect()[0]["p44"] == 20.0
+    assert Q.agg_percentile(df, ["k"], "v", 5.0).collect() == []  # rank 0 → no row
+
+
+def test_elapsed_truncates_to_whole_units(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [("a", t0, 1.0), ("a", t0 + dt.timedelta(seconds=90), 2.0)],
+        ["k", "ts", "v"],
+    )
+    out = df.select(Q.tr_elapsed(df, ["k"], "ts", 60).alias("el")).orderBy("el").collect()
+    # 90 s at unit=60 s → 1 whole minute (InfluxQL integer truncation), not 1.5
+    assert [r["el"] for r in out] == [None, 1]
+
+
 def test_mode_tie_breaks_to_smallest(spark):
     df = spark.createDataFrame(
         [("a", 1.0), ("a", 1.0), ("a", 3.0), ("a", 3.0), ("a", 2.0)], ["k", "v"]
