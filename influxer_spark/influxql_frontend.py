@@ -1,0 +1,876 @@
+"""InfluxQL string front-end: parse InfluxQL SELECT text onto the engine's
+operator library (operators/influxql.py, operators/gapfill.py, rollup-shaped
+groupBys).
+
+A reference user's actual artifact is an InfluxQL string — the reference
+pushes points into InfluxDB (Influxer/GenericFile.cs:303) and its users then
+type ``SELECT derivative(mean(value), 1s) FROM m GROUP BY time(1m), host``.
+This module closes the "could switch today" gap: the same strings run here,
+compiled to the SAME Spark plans the Python API produces (the parser is a
+front-end only — every physical shape is one of the already plan-tested
+operators: single-shuffle groupBy for aggregates, one shared series sort for
+transforms, per-series spine join for fill()).
+
+Supported surface
+-----------------
+- ``SELECT <proj> [, <proj>…] FROM <measurement>``; projections are field
+  refs, function calls (aggregates / selectors / transforms, incl. one-level
+  nesting ``derivative(mean(v), 1s)``), and +,-,*,/ arithmetic over them;
+  ``AS`` aliases.
+- aggregates: count sum mean min max spread stddev median mode
+  percentile(f, p) integral(f[, unit]) first last
+- multi-row selectors: top(f, n) bottom(f, n) sample(f, n) (sole projection)
+- transforms: difference derivative(f[, unit]) non_negative_derivative
+  elapsed(f[, unit]) moving_average(f, n) cumulative_sum
+- ``WHERE`` with AND/OR, parens, = != <> < <= > >= =~ /re/ !~ /re/,
+  ``time`` bounds (string literals, epoch-ns ints, ``now() - 1d``).
+- ``GROUP BY time(<dur>[, <offset>])[, tag…]`` and plain tag grouping.
+- ``fill(none | null | previous | linear | <number>)``.
+- ``ORDER BY time [ASC|DESC]``, ``LIMIT n`` / ``OFFSET n`` (per InfluxQL:
+  applied per series group when tags are grouped).
+
+Deliberate deviations (documented, tested):
+- fill() spine defaults to each series' observed [min, max] bucket range
+  unless WHERE pins both time bounds (InfluxDB refuses fill without bounds).
+- sample(n) is seeded-deterministic (operators/influxql.sel_sample).
+- SLIMIT/SOFFSET, subqueries, multi-measurement FROM, and ``GROUP BY *``
+  are not supported and raise ``InfluxQLError``.
+
+Scale notes: every query compiles to (a) one groupBy on (bucket, tags) —
+partial-aggregated map-side, shuffled once; (b) transforms as windows over
+that SAME (tags) partitioning — Catalyst reuses the exchange; (c) fill as a
+per-series spine join keyed identically.  Percentile/median/mode/integral
+aggregate via sort_array(collect_list(…)) + expression folds: per-GROUP
+state, bounded by points-per-bucket (not table size), all codegen — the
+exact trade InfluxDB itself makes (those functions buffer the window).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from influxer_spark.operators import influxql as Q
+from influxer_spark.operators.gapfill import fill_buckets
+
+
+class InfluxQLError(ValueError):
+    """Parse or planning error with position context."""
+
+
+# ---------------------------------------------------------------------------
+# lexer
+# ---------------------------------------------------------------------------
+
+_DUR_UNITS = {"ns": 1e-9, "u": 1e-6, "µ": 1e-6, "ms": 1e-3, "s": 1, "m": 60,
+              "h": 3600, "d": 86400, "w": 604800}
+
+_TOKEN_RE = re.compile(
+    r"""\s*(?:
+      (?P<duration>\d+(?:ns|us|u|µ|ms|s|m|h|d|w)\b)
+    | (?P<number>\d+\.\d+|\.\d+|\d+)
+    | (?P<string>'(?:[^'\\]|\\.)*')
+    | (?P<qident>"(?:[^"]|"")*")
+    | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
+    | (?P<op><=|>=|!=|<>|=~|!~|[=<>(),*;+\-/%])
+    )""",
+    re.X,
+)
+
+_REGEX_RE = re.compile(r"\s*/((?:[^/\\]|\\.)*)/")
+
+
+@dataclass
+class Tok:
+    kind: str   # duration number string qident ident op regex eof
+    text: str
+    pos: int
+
+
+def tokenize(s: str) -> list[Tok]:
+    toks: list[Tok] = []
+    i = 0
+    while i < len(s):
+        if s[i:].isspace():
+            break
+        # regex literal only ever follows =~ / !~ (avoids clash with '/')
+        if toks and toks[-1].kind == "op" and toks[-1].text in ("=~", "!~"):
+            m = _REGEX_RE.match(s, i)
+            if m:
+                toks.append(Tok("regex", m.group(1), i))
+                i = m.end()
+                continue
+        m = _TOKEN_RE.match(s, i)
+        if not m or m.end() == i:
+            raise InfluxQLError(f"unexpected character at {i}: {s[i:i+10]!r}")
+        kind = m.lastgroup or "op"
+        toks.append(Tok(kind, m.group(kind), i))
+        i = m.end()
+    toks.append(Tok("eof", "", len(s)))
+    return toks
+
+
+def parse_duration(text: str) -> float:
+    m = re.fullmatch(r"(\d+)(ns|us|u|µ|ms|s|m|h|d|w)", text)
+    if not m:
+        raise InfluxQLError(f"bad duration {text!r}")
+    unit = "u" if m.group(2) == "us" else m.group(2)
+    return int(m.group(1)) * _DUR_UNITS[unit]
+
+
+# ---------------------------------------------------------------------------
+# AST
+# ---------------------------------------------------------------------------
+
+@dataclass
+class Num:
+    value: float
+
+
+@dataclass
+class Str:
+    value: str
+
+
+@dataclass
+class Dur:
+    seconds: float
+
+
+@dataclass
+class Ref:
+    name: str
+
+
+@dataclass
+class Call:
+    fname: str
+    args: list[Any]
+
+
+@dataclass
+class Bin:
+    op: str
+    left: Any
+    right: Any
+
+
+@dataclass
+class Cmp:
+    op: str
+    left: Any
+    right: Any
+
+
+@dataclass
+class Bool:
+    op: str           # 'and' | 'or'
+    parts: list[Any]
+
+
+@dataclass
+class Rex:
+    pattern: str
+
+
+@dataclass
+class Select:
+    projections: list[tuple[Any, str | None]]  # (expr, alias)
+    measurement: str
+    where: Any | None = None
+    time_width: float | None = None
+    time_offset: float = 0.0
+    group_tags: list[str] = field(default_factory=list)
+    fill_mode: str = "none"                    # none null previous linear value
+    fill_value: float | None = None
+    order_desc: bool = False
+    limit: int | None = None
+    offset: int | None = None
+
+
+class _Parser:
+    def __init__(self, sql: str):
+        self.toks = tokenize(sql)
+        self.i = 0
+
+    def peek(self) -> Tok:
+        return self.toks[self.i]
+
+    def next(self) -> Tok:
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def kw(self, *words: str) -> bool:
+        """Consume the keyword sequence if present (case-insensitive)."""
+        j = self.i
+        for w in words:
+            t = self.toks[j]
+            if t.kind != "ident" or t.text.upper() != w:
+                return False
+            j += 1
+        self.i = j
+        return True
+
+    def expect_op(self, op: str) -> None:
+        t = self.next()
+        if t.kind != "op" or t.text != op:
+            raise InfluxQLError(f"expected {op!r} at {t.pos}, got {t.text!r}")
+
+    def ident(self) -> str:
+        t = self.next()
+        if t.kind == "ident":
+            return t.text
+        if t.kind == "qident":
+            return t.text[1:-1].replace('""', '"')
+        raise InfluxQLError(f"expected identifier at {t.pos}, got {t.text!r}")
+
+    # --- value expressions (projections) ---
+
+    def expr(self) -> Any:
+        node = self.term()
+        while self.peek().kind == "op" and self.peek().text in "+-":
+            op = self.next().text
+            node = Bin(op, node, self.term())
+        return node
+
+    def term(self) -> Any:
+        node = self.factor()
+        while self.peek().kind == "op" and self.peek().text in ("*", "/", "%"):
+            op = self.next().text
+            node = Bin(op, node, self.factor())
+        return node
+
+    def factor(self) -> Any:
+        t = self.peek()
+        if t.kind == "op" and t.text == "-":
+            self.next()
+            return Bin("-", Num(0.0), self.factor())
+        if t.kind == "op" and t.text == "(":
+            self.next()
+            node = self.expr()
+            self.expect_op(")")
+            return node
+        if t.kind == "number":
+            self.next()
+            return Num(float(t.text))
+        if t.kind == "duration":
+            self.next()
+            return Dur(parse_duration(t.text))
+        if t.kind == "string":
+            self.next()
+            return Str(t.text[1:-1])
+        if t.kind in ("ident", "qident"):
+            name = self.ident()
+            if self.peek().kind == "op" and self.peek().text == "(":
+                self.next()
+                args: list[Any] = []
+                if not (self.peek().kind == "op" and self.peek().text == ")"):
+                    args.append(self.expr())
+                    while self.peek().kind == "op" and self.peek().text == ",":
+                        self.next()
+                        args.append(self.expr())
+                self.expect_op(")")
+                return Call(name.lower(), args)
+            return Ref(name)
+        raise InfluxQLError(f"unexpected token {t.text!r} at {t.pos}")
+
+    # --- conditions (WHERE) ---
+
+    def cond(self) -> Any:
+        parts = [self.cond_and()]
+        while self.kw("OR"):
+            parts.append(self.cond_and())
+        return parts[0] if len(parts) == 1 else Bool("or", parts)
+
+    def cond_and(self) -> Any:
+        parts = [self.cond_cmp()]
+        while self.kw("AND"):
+            parts.append(self.cond_cmp())
+        return parts[0] if len(parts) == 1 else Bool("and", parts)
+
+    def cond_cmp(self) -> Any:
+        if self.peek().kind == "op" and self.peek().text == "(":
+            # could be a parenthesised condition OR an arithmetic operand;
+            # conditions are the only grammar that reaches here
+            self.next()
+            node = self.cond()
+            self.expect_op(")")
+            return node
+        left = self.expr()
+        t = self.next()
+        if t.kind != "op" or t.text not in ("=", "!=", "<>", "<", "<=", ">", ">=", "=~", "!~"):
+            raise InfluxQLError(f"expected comparison at {t.pos}, got {t.text!r}")
+        op = "!=" if t.text == "<>" else t.text
+        if op in ("=~", "!~"):
+            rt = self.next()
+            if rt.kind != "regex":
+                raise InfluxQLError(f"expected /regex/ at {rt.pos}")
+            return Cmp(op, left, Rex(rt.text))
+        return Cmp(op, left, self.expr())
+
+    # --- statement ---
+
+    def select(self) -> Select:
+        if not self.kw("SELECT"):
+            raise InfluxQLError("expected SELECT")
+        projections: list[tuple[Any, str | None]] = []
+        while True:
+            e = self.expr()
+            alias = self.ident() if self.kw("AS") else None
+            projections.append((e, alias))
+            if self.peek().kind == "op" and self.peek().text == ",":
+                self.next()
+                continue
+            break
+        if not self.kw("FROM"):
+            raise InfluxQLError("expected FROM")
+        measurement = self.ident()
+        if self.peek().kind == "op" and self.peek().text == ",":
+            raise InfluxQLError("multi-measurement FROM is not supported")
+        stmt = Select(projections, measurement)
+
+        if self.kw("WHERE"):
+            stmt.where = self.cond()
+
+        if self.kw("GROUP", "BY"):
+            while True:
+                t = self.peek()
+                if t.kind == "op" and t.text == "*":
+                    raise InfluxQLError(
+                        "GROUP BY * is not supported: name the tags explicitly"
+                    )
+                if t.kind == "ident" and t.text.upper() == "TIME":
+                    self.next()
+                    self.expect_op("(")
+                    d = self.next()
+                    if d.kind != "duration":
+                        raise InfluxQLError(f"time() needs a duration at {d.pos}")
+                    stmt.time_width = parse_duration(d.text)
+                    if self.peek().kind == "op" and self.peek().text == ",":
+                        self.next()
+                        o = self.next()
+                        if o.kind != "duration":
+                            raise InfluxQLError(f"time() offset must be a duration at {o.pos}")
+                        stmt.time_offset = parse_duration(o.text)
+                    self.expect_op(")")
+                else:
+                    stmt.group_tags.append(self.ident())
+                if self.peek().kind == "op" and self.peek().text == ",":
+                    self.next()
+                    continue
+                break
+
+        if self.kw("FILL"):
+            self.expect_op("(")
+            t = self.next()
+            if t.kind == "ident" and t.text.lower() in ("none", "null", "previous", "linear"):
+                stmt.fill_mode = t.text.lower()
+            elif t.kind == "number":
+                stmt.fill_mode = "value"
+                stmt.fill_value = float(t.text)
+            elif t.kind == "op" and t.text == "-":
+                n = self.next()
+                if n.kind != "number":
+                    raise InfluxQLError(f"bad fill() at {t.pos}")
+                stmt.fill_mode = "value"
+                stmt.fill_value = -float(n.text)
+            else:
+                raise InfluxQLError(f"bad fill() argument {t.text!r}")
+            self.expect_op(")")
+
+        if self.kw("ORDER", "BY"):
+            if not self.kw("TIME"):
+                raise InfluxQLError("only ORDER BY time is supported")
+            if self.kw("DESC"):
+                stmt.order_desc = True
+            else:
+                self.kw("ASC")
+        if self.kw("SLIMIT") or self.kw("SOFFSET"):
+            raise InfluxQLError("SLIMIT/SOFFSET are not supported")
+        if self.kw("LIMIT"):
+            stmt.limit = int(self.next().text)
+        if self.kw("OFFSET"):
+            stmt.offset = int(self.next().text)
+        t = self.peek()
+        if not (t.kind == "eof" or (t.kind == "op" and t.text == ";")):
+            raise InfluxQLError(f"trailing input at {t.pos}: {t.text!r}")
+        return stmt
+
+
+def parse(sql: str) -> Select:
+    return _Parser(sql).select()
+
+
+# ---------------------------------------------------------------------------
+# planner / executor
+# ---------------------------------------------------------------------------
+
+AGGS = {"count", "sum", "mean", "min", "max", "spread", "stddev", "median",
+        "mode", "percentile", "integral", "first", "last"}
+TRANSFORMS = {"difference", "derivative", "non_negative_derivative", "elapsed",
+              "moving_average", "cumulative_sum"}
+SELECTORS_MULTI = {"top", "bottom", "sample"}
+
+
+def _agg_expr(fname: str, v: Column, t: Column, args: list[Any]) -> Column:
+    """One aggregate as a pure groupBy expression (composable: any mix of
+    aggregates runs in ONE shuffle)."""
+    if fname == "count":
+        return F.count(v).cast("long")
+    if fname == "sum":
+        return F.sum(v)
+    if fname == "mean":
+        return F.avg(v)
+    if fname == "min":
+        return F.min(v)
+    if fname == "max":
+        return F.max(v)
+    if fname == "spread":
+        return F.max(v) - F.min(v)
+    if fname == "stddev":
+        return F.stddev_samp(v)
+    if fname in ("median", "percentile"):
+        p = 50.0 if fname == "median" else float(args[1].value)
+        slist = F.sort_array(F.collect_list(v))
+        # operand order matches agg_percentile and the oracles: (p/100) * n
+        rank = F.floor(F.lit(p) / 100.0 * F.size(slist) + 0.5).cast("int")
+        # F.get is 0-based and NULL out-of-bounds (no ANSI error); rank<1 → NULL
+        return F.when(rank >= 1, F.get(slist, rank - 1))
+    if fname == "mode":
+        slist = F.sort_array(F.collect_list(v))
+        tnull = F.get(slist, F.lit(-1))  # typed NULL of the element type
+        init = F.struct(
+            tnull.alias("bv"), F.lit(0).cast("long").alias("bc"),
+            tnull.alias("cv"), F.lit(0).cast("long").alias("cc"),
+        )
+
+        def merge(acc: Column, x: Column) -> Column:
+            run = F.when(
+                acc.getField("cv").isNotNull() & (acc.getField("cv") == x),
+                acc.getField("cc") + 1,
+            ).otherwise(F.lit(1).cast("long"))
+            better = run > acc.getField("bc")  # strict: ties keep the SMALLER value
+            return F.struct(
+                F.when(better, x).otherwise(acc.getField("bv")).alias("bv"),
+                F.when(better, run).otherwise(acc.getField("bc")).alias("bc"),
+                x.alias("cv"), run.alias("cc"),
+            )
+
+        return F.aggregate(slist, init, merge, lambda acc: acc.getField("bv"))
+    if fname == "integral":
+        unit = float(args[1].seconds) if len(args) > 1 else 1.0
+        pairs = F.sort_array(F.collect_list(F.struct(t.alias("t"), v.alias("v"))))
+        init = F.struct(
+            F.lit(None).cast("double").alias("pt"),
+            F.lit(None).cast("double").alias("pv"),
+            F.lit(0.0).alias("area"),
+        )
+
+        def step(acc: Column, x: Column) -> Column:
+            trap = (x.getField("v") + acc.getField("pv")) / 2.0 * (
+                x.getField("t") - acc.getField("pt")
+            )
+            area = F.when(acc.getField("pt").isNotNull(), acc.getField("area") + trap
+                          ).otherwise(acc.getField("area"))
+            return F.struct(
+                x.getField("t").alias("pt"), x.getField("v").alias("pv"),
+                area.alias("area"),
+            )
+
+        return F.aggregate(pairs, init, step, lambda a: a.getField("area")) / unit
+    if fname == "first":
+        return F.min(F.struct(t.alias("t"), v.alias("v"))).getField("v")
+    if fname == "last":
+        return F.max(F.struct(t.alias("t"), v.alias("v"))).getField("v")
+    raise InfluxQLError(f"unknown aggregate {fname!r}")
+
+
+def _default_name(e: Any) -> str:
+    if isinstance(e, Call):
+        return e.fname
+    if isinstance(e, Ref):
+        return e.name
+    if isinstance(e, Bin):
+        return _default_name(e.left)
+    return "value"
+
+
+def _walk_calls(e: Any, out: list[Call]) -> None:
+    if isinstance(e, Call):
+        out.append(e)
+        for a in e.args:
+            _walk_calls(a, out)
+    elif isinstance(e, Bin):
+        _walk_calls(e.left, out)
+        _walk_calls(e.right, out)
+
+
+def _agg_key(c: Call) -> tuple:
+    def k(a: Any) -> tuple:
+        if isinstance(a, Ref):
+            return ("ref", a.name)
+        if isinstance(a, Num):
+            return ("num", a.value)
+        if isinstance(a, Dur):
+            return ("dur", a.seconds)
+        raise InfluxQLError(f"unsupported aggregate argument inside {c.fname}()")
+
+    return (c.fname, tuple(k(a) for a in c.args))
+
+
+class InfluxQLEngine:
+    """Executes InfluxQL SELECT strings over registered DataFrames.
+
+    ``tables`` maps measurement name → DataFrame; ``ts_col`` names the time
+    column on those frames (``time`` in queries always refers to it).
+    """
+
+    def __init__(self, tables: dict[str, DataFrame], ts_col: str = "ts"):
+        self.tables = tables
+        self.ts_col = ts_col
+
+    # --- condition compilation ---
+
+    def _time_col(self) -> Column:
+        return F.col(self.ts_col).cast("timestamp")
+
+    def _operand(self, e: Any, time_side: bool) -> Column:
+        if isinstance(e, Num):
+            if time_side:  # epoch-ns integer literal
+                return F.timestamp_seconds(F.lit(e.value / 1e9))
+            return F.lit(e.value)
+        if isinstance(e, Str):
+            return F.lit(e.value).cast("timestamp") if time_side else F.lit(e.value)
+        if isinstance(e, Dur):
+            return F.lit(e.seconds)
+        if isinstance(e, Ref):
+            return self._time_col() if e.name == "time" else F.col(e.name)
+        if isinstance(e, Call) and e.fname == "now" and not e.args:
+            return F.current_timestamp()
+        if isinstance(e, Bin):
+            # time arithmetic: now() - 1d, time + 6h …
+            left = self._operand(e.left, time_side)
+            if isinstance(e.right, Dur) and time_side:
+                iv = F.expr(f"interval {e.right.seconds} seconds")
+                return left - iv if e.op == "-" else left + iv
+            right = self._operand(e.right, time_side)
+            return {"+": left + right, "-": left - right,
+                    "*": left * right, "/": left / right}[e.op]
+        raise InfluxQLError(f"unsupported WHERE operand {e!r}")
+
+    def _is_time(self, e: Any) -> bool:
+        if isinstance(e, Ref) and e.name == "time":
+            return True
+        if isinstance(e, Call) and e.fname == "now":
+            return True
+        if isinstance(e, Bin):
+            return self._is_time(e.left) or self._is_time(e.right)
+        return False
+
+    def _cond(self, e: Any) -> Column:
+        if isinstance(e, Bool):
+            cols = [self._cond(p) for p in e.parts]
+            out = cols[0]
+            for c in cols[1:]:
+                out = (out & c) if e.op == "and" else (out | c)
+            return out
+        if isinstance(e, Cmp):
+            if isinstance(e.right, Rex):
+                col = self._operand(e.left, False)
+                m = col.rlike(e.right.pattern)
+                return m if e.op == "=~" else ~m
+            time_side = self._is_time(e.left) or self._is_time(e.right)
+            lc = self._operand(e.left, time_side)
+            rc = self._operand(e.right, time_side)
+            return {"=": lc == rc, "!=": lc != rc, "<": lc < rc,
+                    "<=": lc <= rc, ">": lc > rc, ">=": lc >= rc}[e.op]
+        raise InfluxQLError(f"unsupported condition {e!r}")
+
+    def _time_bounds(self, e: Any) -> tuple[Any, Any]:
+        """Extract literal [lo, hi) time bounds from top-level ANDed cmps —
+        used to pin the fill() spine to the queried range like InfluxDB.
+        Returns (lo, hi_exclusive_flag) values as (iso_string, op) pairs."""
+        lo = hi = None
+        parts = e.parts if isinstance(e, Bool) and e.op == "and" else [e]
+        for p in parts:
+            if not (isinstance(p, Cmp) and isinstance(p.left, Ref)
+                    and p.left.name == "time" and isinstance(p.right, Str)):
+                continue
+            if p.op in (">", ">="):
+                lo = (p.right.value, p.op)
+            elif p.op in ("<", "<="):
+                hi = (p.right.value, p.op)
+        return lo, hi
+
+    @staticmethod
+    def _aligned_bounds(lo: tuple, hi: tuple, width: float, offset: float):
+        """Bucket-align WHERE time bounds for the fill spine: first bucket =
+        bucket(lo) (a partial first bucket still renders, like InfluxDB);
+        last bucket = bucket(last instant satisfying the hi bound).  Naive
+        datetimes are UTC (the engine pins spark.sql.session.timeZone=UTC)."""
+        import datetime as dt
+
+        w, off = int(width), int(offset)
+
+        def to_secs(s: str) -> int:
+            d = dt.datetime.fromisoformat(s)
+            return int(d.replace(tzinfo=dt.timezone.utc).timestamp())
+
+        lo_s = to_secs(lo[0])
+        hi_s = to_secs(hi[0]) - (1 if hi[1] == "<" else 0)
+        lo_b = lo_s - ((lo_s - off) % w)
+        hi_b = hi_s - ((hi_s - off) % w)
+        if hi_b < lo_b:
+            return None
+        return (
+            dt.datetime.fromtimestamp(lo_b, dt.timezone.utc).replace(tzinfo=None),
+            dt.datetime.fromtimestamp(hi_b, dt.timezone.utc).replace(tzinfo=None),
+        )
+
+    # --- projection compilation ---
+
+    def _field(self, e: Any) -> Column:
+        if isinstance(e, Ref):
+            return F.col(e.name)
+        if isinstance(e, Num):
+            return F.lit(e.value)
+        if isinstance(e, Dur):
+            return F.lit(e.seconds)
+        if isinstance(e, Bin):
+            left, right = self._field(e.left), self._field(e.right)
+            return {"+": left + right, "-": left - right, "*": left * right,
+                    "/": left / right, "%": left % right}[e.op]
+        raise InfluxQLError(f"unsupported expression {e!r}")
+
+    def execute(self, sql: str) -> DataFrame:
+        stmt = parse(sql)
+        if stmt.measurement not in self.tables:
+            raise InfluxQLError(f"unknown measurement {stmt.measurement!r}")
+        df = self.tables[stmt.measurement]
+        if stmt.where is not None:
+            df = df.filter(self._cond(stmt.where))
+
+        calls: list[Call] = []
+        for e, _ in stmt.projections:
+            _walk_calls(e, calls)
+        multi = [c for c in calls if c.fname in SELECTORS_MULTI]
+        has_agg = any(c.fname in AGGS for c in calls)
+
+        if multi:
+            return self._exec_selector(stmt, df, multi)
+        if stmt.time_width is not None or has_agg:
+            return self._exec_agg(stmt, df)
+        return self._exec_raw(stmt, df)
+
+    # --- raw mode: fields + transforms over raw points ---
+
+    def _exec_raw(self, stmt: Select, df: DataFrame) -> DataFrame:
+        keys = stmt.group_tags
+        ts = self.ts_col
+        cols, names = [], []
+        for e, alias in stmt.projections:
+            name = alias or _default_name(e)
+            names.append(name)
+            cols.append(self._proj(e, df, keys, ts, F.col).alias(name))
+        out = df.select(F.col(ts).alias("time"), *keys, *cols)
+        if cols and all(self._rooted_in_transform(e) for e, _ in stmt.projections):
+            keep = None
+            for n in names:
+                c = F.col(n).isNotNull()
+                keep = c if keep is None else (keep | c)
+            out = out.filter(keep)
+        return self._finish(stmt, out, keys)
+
+    def _rooted_in_transform(self, e: Any) -> bool:
+        if isinstance(e, Call):
+            return e.fname in TRANSFORMS
+        if isinstance(e, Bin):
+            return self._rooted_in_transform(e.left) or self._rooted_in_transform(e.right)
+        return False
+
+    def _proj(self, e: Any, df: DataFrame, keys: list[str], ts: str,
+              resolve: Callable[[str], Column]) -> Column:
+        """Evaluate a projection expr; ``resolve`` maps a field name to a
+        Column in the current frame (raw: F.col; bucketed: the agg alias)."""
+        if isinstance(e, Ref):
+            return resolve(e.name)
+        if isinstance(e, Num):
+            return F.lit(e.value)
+        if isinstance(e, Bin):
+            left = self._proj(e.left, df, keys, ts, resolve)
+            right = self._proj(e.right, df, keys, ts, resolve)
+            return {"+": left + right, "-": left - right, "*": left * right,
+                    "/": left / right, "%": left % right}[e.op]
+        if isinstance(e, Call):
+            if e.fname in TRANSFORMS:
+                arg = self._proj(e.args[0], df, keys, ts, resolve) if e.args else None
+                if e.fname == "difference":
+                    return Q.tr_difference(df, keys, ts, arg)
+                if e.fname == "derivative":
+                    unit = e.args[1].seconds if len(e.args) > 1 else 1
+                    return Q.tr_derivative(df, keys, ts, arg, unit)
+                if e.fname == "non_negative_derivative":
+                    unit = e.args[1].seconds if len(e.args) > 1 else 1
+                    return Q.tr_non_negative_derivative(df, keys, ts, arg, unit)
+                if e.fname == "elapsed":
+                    unit = e.args[1].seconds if len(e.args) > 1 else 1
+                    return Q.tr_elapsed(df, keys, ts, unit)
+                if e.fname == "moving_average":
+                    return Q.tr_moving_average(df, keys, ts, arg, int(e.args[1].value))
+                if e.fname == "cumulative_sum":
+                    return Q.tr_cumulative_sum(df, keys, ts, arg)
+            if e.fname in AGGS:
+                # only reachable via resolve in bucketed mode
+                return resolve(("agg", _agg_key(e)))  # type: ignore[arg-type]
+        raise InfluxQLError(f"unsupported projection {e!r}")
+
+    # --- aggregate mode: GROUP BY time(w)[, tags] or plain tag aggregation ---
+
+    def _bucket(self, width: float, offset: float) -> Column:
+        secs = F.unix_timestamp(self._time_col()).cast("long")
+        w, off = int(width), int(offset)
+        return F.timestamp_seconds(secs - ((secs - off) % w))
+
+    def _exec_agg(self, stmt: Select, df: DataFrame) -> DataFrame:
+        keys = stmt.group_tags
+        ts = self.ts_col
+        # stage 1: every distinct aggregate in ONE groupBy
+        agg_calls: dict[tuple, Call] = {}
+        for e, _ in stmt.projections:
+            found: list[Call] = []
+            _walk_calls(e, found)
+            for c in found:
+                if c.fname in AGGS:
+                    agg_calls[_agg_key(c)] = c
+                elif c.fname in TRANSFORMS:
+                    if stmt.time_width is None:
+                        raise InfluxQLError(
+                            f"{c.fname}() over an aggregate needs GROUP BY time()"
+                        )
+                else:
+                    raise InfluxQLError(f"unknown function {c.fname!r}")
+        if not agg_calls:
+            raise InfluxQLError("aggregate query without any aggregate function")
+        t_expr = F.unix_timestamp(self._time_col()).cast("double")
+        aliases = {k: f"_a{i}" for i, k in enumerate(agg_calls)}
+        aggs = []
+        for k, c in agg_calls.items():
+            if not c.args or not isinstance(c.args[0], Ref):
+                raise InfluxQLError(f"{c.fname}() needs a field argument")
+            v = F.col(c.args[0].name)
+            aggs.append(_agg_expr(c.fname, v, t_expr, c.args).alias(aliases[k]))
+
+        if stmt.time_width is not None:
+            bucket = self._bucket(stmt.time_width, stmt.time_offset).alias("time")
+            grouped = df.groupBy(bucket, *keys).agg(*aggs)
+            if stmt.fill_mode != "none":
+                bounds = None
+                if stmt.where is not None:
+                    lo, hi = self._time_bounds(stmt.where)
+                    if lo is not None and hi is not None:
+                        bounds = self._aligned_bounds(
+                            lo, hi, stmt.time_width, stmt.time_offset
+                        )
+                grouped = fill_buckets(
+                    grouped, keys, list(aliases.values()),
+                    int(stmt.time_width),
+                    mode=stmt.fill_mode, fill_value=stmt.fill_value,
+                    bucket_col="time", spine_bounds=bounds,
+                ).drop("filled")
+            frame_ts = "time"
+        else:
+            grouped = df.groupBy(*keys).agg(*aggs)
+            frame_ts = None
+
+        def resolve(key: Any) -> Column:
+            if isinstance(key, tuple) and key[0] == "agg":
+                return F.col(aliases[key[1]])
+            raise InfluxQLError(
+                f"bare field {key!r} in an aggregate query (InfluxQL requires "
+                "every projection to be aggregated)"
+            )
+
+        cols, names = [], []
+        for e, alias in stmt.projections:
+            name = alias or _default_name(e)
+            names.append(name)
+            if frame_ts is None and isinstance(e, Call) and e.fname in TRANSFORMS:
+                raise InfluxQLError(f"{e.fname}() needs GROUP BY time()")
+            cols.append(
+                self._proj(e, grouped, keys, frame_ts or ts, resolve).alias(name)
+            )
+        lead = [F.col("time")] if frame_ts else []
+        out = grouped.select(*lead, *keys, *cols)
+        # transform-only result rows that are all-NULL are dropped (InfluxDB
+        # emits nothing for e.g. the first bucket of a derivative)
+        if frame_ts and all(
+            self._rooted_in_transform(e) for e, _ in stmt.projections
+        ):
+            keep = None
+            for n in names:
+                c = F.col(n).isNotNull()
+                keep = c if keep is None else (keep | c)
+            out = out.filter(keep)
+        return self._finish(stmt, out, keys)
+
+    # --- multi-row selectors: top / bottom / sample ---
+
+    def _exec_selector(self, stmt: Select, df: DataFrame, multi: list[Call]) -> DataFrame:
+        if len(stmt.projections) != 1 or len(multi) != 1 or not isinstance(
+            stmt.projections[0][0], Call
+        ):
+            raise InfluxQLError("top()/bottom()/sample() must be the sole projection")
+        if stmt.time_width is not None:
+            raise InfluxQLError(
+                "top()/bottom()/sample() with GROUP BY time() is not supported"
+            )
+        c = multi[0]
+        alias = stmt.projections[0][1] or c.fname
+        fld = c.args[0].name
+        n = int(c.args[1].value)
+        keys = stmt.group_tags
+        if c.fname in ("top", "bottom"):
+            out = Q.sel_top(df, keys, fld, n, ts_col=self.ts_col,
+                            bottom=c.fname == "bottom")
+        else:
+            out = Q.sel_sample(df, keys, self.ts_col, fld, n)
+        out = out.withColumnRenamed(fld, alias).withColumnRenamed(self.ts_col, "time")
+        return self._finish(stmt, out, keys)
+
+    # --- shared tail: ORDER BY time / LIMIT / OFFSET ---
+
+    def _finish(self, stmt: Select, out: DataFrame, keys: list[str]) -> DataFrame:
+        has_time = "time" in out.columns
+        if stmt.limit is None and stmt.offset is None:
+            if stmt.order_desc and has_time:
+                out = out.orderBy(F.desc("time"))
+            return out
+        off = stmt.offset or 0
+        if keys and has_time:
+            # InfluxQL applies LIMIT per series group
+            order = F.desc("time") if stmt.order_desc else F.asc("time")
+            w = Window.partitionBy(*keys).orderBy(order)
+            out = (
+                out.withColumn("_rn", F.row_number().over(w))
+                .filter((F.col("_rn") > off)
+                        & (F.col("_rn") <= off + (stmt.limit or 1 << 62)))
+                .drop("_rn")
+            )
+            return out
+        if has_time:
+            out = out.orderBy(F.desc("time") if stmt.order_desc else F.asc("time"))
+        if off:
+            out = out.offset(off)
+        if stmt.limit is not None:
+            out = out.limit(stmt.limit)
+        return out
+
+
+def influxql(sql: str, tables: dict[str, DataFrame], ts_col: str = "ts") -> DataFrame:
+    """One-shot convenience: run an InfluxQL SELECT over named DataFrames."""
+    return InfluxQLEngine(tables, ts_col=ts_col).execute(sql)

@@ -14,7 +14,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from influxer_spark.operators import influxql as Q
+from influxer_spark.influxql_frontend import influxql
 
 _HOURLY_SQL = """
 hourly AS (
@@ -43,22 +43,22 @@ def _hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_transforms(spark, sf_dir):
+    # the InfluxQL STRING is the artifact a reference user actually has;
+    # cumulative_sum runs over the EXACT integer cents (s_c): a float running
+    # sum lands on rounding boundaries (DuckDB windows sum pairwise via
+    # segment tree), integers cannot
     h = _hourly(spark, sf_dir)
-    keys, ts = ["event_type"], "bucket"
-    return h.select(
-        "event_type",
-        "bucket",
-        "v",
-        Q.tr_difference(h, keys, ts, "v").alias("diff_v"),
-        Q.tr_derivative(h, keys, ts, "v", 3600).alias("deriv_h"),
-        Q.tr_non_negative_derivative(h, keys, ts, "v", 3600).alias("nn_deriv_h"),
-        Q.tr_moving_average(h, keys, ts, "v", 3).alias("ma3"),
-        # cumulative sum runs over the EXACT integer cents (s_c): a float
-        # running sum lands on rounding boundaries (and DuckDB windows sum
-        # pairwise via segment tree), integers cannot
-        (Q.tr_cumulative_sum(h, keys, ts, "s_c") / 100.0).alias("csum"),
-        Q.tr_elapsed(h, keys, ts, 60).alias("elapsed_min"),
+    out = influxql(
+        "SELECT v, difference(v) AS diff_v, derivative(v, 1h) AS deriv_h,"
+        " non_negative_derivative(v, 1h) AS nn_deriv_h,"
+        " moving_average(v, 3) AS ma3,"
+        " cumulative_sum(s_c) / 100.0 AS csum,"
+        " elapsed(v, 1m) AS elapsed_min"
+        " FROM hourly GROUP BY event_type",
+        {"hourly": h},
+        ts_col="bucket",
     )
+    return out.withColumnRenamed("time", "bucket")
 
 
 _TRANSFORMS_SQL = f"""
@@ -91,10 +91,12 @@ WINDOW
 
 def _q_selectors(spark, sf_dir):
     h = _hourly(spark, sf_dir)
-    spread = Q.agg_spread(h, ["event_type"], "v")
-    fl = Q.sel_first_last(h, ["event_type"], "bucket", "v")
-    p90 = Q.agg_percentile(h, ["event_type"], "v", 90.0)
-    return spread.join(fl, "event_type").join(p90, "event_type")
+    return influxql(
+        "SELECT spread(v) AS spread, first(v) AS first_v, last(v) AS last_v,"
+        " percentile(v, 90) AS p90 FROM hourly GROUP BY event_type",
+        {"hourly": h},
+        ts_col="bucket",
+    )
 
 
 _SELECTORS_SQL = f"""
@@ -115,9 +117,12 @@ FROM hourly h GROUP BY h.event_type
 
 def _q_top3(spark, sf_dir):
     h = _hourly(spark, sf_dir)
-    return Q.sel_top(h, ["event_type"], "v", 3, ts_col="bucket").select(
-        "event_type", F.col("bucket"), "v", "rank"
+    out = influxql(
+        "SELECT top(v, 3) FROM hourly GROUP BY event_type",
+        {"hourly": h},
+        ts_col="bucket",
     )
+    return out.withColumnRenamed("time", "bucket").withColumnRenamed("top", "v")
 
 
 _TOP3_SQL = f"""
@@ -132,17 +137,24 @@ SELECT event_type, bucket, v, CAST(rank AS INT) AS rank FROM (
 
 
 def _q_integral_stats(spark, sf_dir):
+    # quantization (q2/q6) is an oracle-comparison artifact, applied OUTSIDE
+    # the InfluxQL string (InfluxQL has no round()); the query itself is
+    # exactly what a reference user would type
     h = _hourly(spark, sf_dir)
     q2 = lambda c: F.round(c * 100, 0).cast("long") / 100.0  # noqa: E731
     q6 = lambda c: F.round(c * 1000000, 0).cast("long") / 1000000.0  # noqa: E731
-    integ = Q.agg_integral(h, ["event_type"], "bucket", "v", 3600).select(
-        "event_type", q2(F.col("integral")).alias("integral_h")
+    out = influxql(
+        "SELECT integral(v, 1h) AS integral_h, stddev(v) AS stddev_q,"
+        " mode(cnt) AS mode FROM hourly GROUP BY event_type",
+        {"hourly": h},
+        ts_col="bucket",
     )
-    sd = Q.agg_stddev(h, ["event_type"], "v").select(
-        "event_type", q6(F.col("stddev")).alias("stddev_q")
+    return out.select(
+        "event_type",
+        q2(F.col("integral_h")).alias("integral_h"),
+        q6(F.col("stddev_q")).alias("stddev_q"),
+        "mode",
     )
-    md = Q.agg_mode(h, ["event_type"], "cnt")
-    return integ.join(sd, "event_type").join(md, "event_type")
 
 
 _INTEGRAL_SQL = f"""
@@ -180,7 +192,12 @@ FROM integ i JOIN sd s USING (event_type) JOIN modes m USING (event_type)
 
 def _q_sample(spark, sf_dir):
     h = _hourly(spark, sf_dir)
-    return Q.sel_sample(h, ["event_type"], "bucket", "v", 5)
+    out = influxql(
+        "SELECT sample(v, 5) FROM hourly GROUP BY event_type",
+        {"hourly": h},
+        ts_col="bucket",
+    )
+    return out.withColumnRenamed("time", "bucket").withColumnRenamed("sample", "v")
 
 
 _SAMPLE_SQL = f"""
@@ -197,6 +214,115 @@ SELECT event_type, bucket, v FROM (
 """
 
 
+def _q_fill_linear_6h(spark, sf_dir):
+    """Full string-front-end pipeline: WHERE time bounds → GROUP BY time(6h)
+    → fill(linear) with the spine pinned to the queried range.  Aggregates
+    are integer cents + counts so the interpolation operands are exact on
+    both engines (oracle-parity discipline)."""
+    h = _hourly(spark, sf_dir)
+    # thin the series so fill() has real gaps to interpolate
+    sparse = h.filter((F.dayofmonth("bucket") % 3 == 0) & (F.hour("bucket") < 12))
+    out = influxql(
+        "SELECT sum(s_c) / (count(s_c) * 100.0) AS avg_v"
+        " FROM hourly"
+        " WHERE time >= '2024-01-03 00:00:00' AND time < '2024-01-10 00:00:00'"
+        " GROUP BY time(6h), event_type fill(linear)",
+        {"hourly": sparse},
+        ts_col="bucket",
+    )
+    return out.withColumnRenamed("time", "bucket")
+
+
+_FILL_LINEAR_SQL = f"""
+WITH {_HOURLY_SQL},
+sparse AS (
+  SELECT * FROM hourly
+  WHERE day(bucket) % 3 = 0 AND hour(bucket) < 12
+    AND bucket >= TIMESTAMP '2024-01-03 00:00:00'
+    AND bucket < TIMESTAMP '2024-01-10 00:00:00'
+),
+g AS (
+  SELECT event_type,
+         make_timestamp((CAST(floor(epoch(bucket)) AS BIGINT) // 21600 * 21600)
+                        * 1000000) AS bucket,
+         CAST(sum(s_c) AS BIGINT) AS s, count(s_c) AS c
+  FROM sparse GROUP BY 1, 2
+),
+spine AS (
+  SELECT event_type,
+         unnest(generate_series(TIMESTAMP '2024-01-03 00:00:00',
+                                TIMESTAMP '2024-01-09 18:00:00',
+                                INTERVAL 6 HOUR)) AS bucket
+  FROM g GROUP BY event_type
+),
+j AS (
+  SELECT sp.event_type, sp.bucket, g.s, g.c,
+         CAST(epoch(sp.bucket) AS DOUBLE) AS t,
+         (g.s IS NOT NULL) AS hit
+  FROM spine sp LEFT JOIN g
+    ON g.event_type = sp.event_type AND g.bucket = sp.bucket
+),
+w AS (
+  SELECT *,
+    last_value(s IGNORE NULLS) OVER wb AS ps,
+    last_value(c IGNORE NULLS) OVER wb AS pc,
+    last_value(CASE WHEN hit THEN t END IGNORE NULLS) OVER wb AS pt,
+    first_value(s IGNORE NULLS) OVER wf AS ns,
+    first_value(c IGNORE NULLS) OVER wf AS nc,
+    first_value(CASE WHEN hit THEN t END IGNORE NULLS) OVER wf AS nt
+  FROM j
+  WINDOW
+    wb AS (PARTITION BY event_type ORDER BY bucket
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    wf AS (PARTITION BY event_type ORDER BY bucket
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+),
+filled AS (
+  SELECT event_type, bucket,
+    COALESCE(CAST(s AS DOUBLE), ps + (ns - ps) * ((t - pt) / (nt - pt))) AS fs,
+    COALESCE(CAST(c AS DOUBLE), pc + (nc - pc) * ((t - pt) / (nt - pt))) AS fc
+  FROM w
+)
+SELECT event_type, bucket, fs / (fc * 100.0) AS avg_v FROM filled
+"""
+
+
+def _q_deriv_sum_6h(spark, sf_dir):
+    """Transform-of-aggregate through the string front-end:
+    derivative(sum(…)) over 6h buckets, first bucket per series dropped
+    (InfluxDB emits nothing for it).  Derivative operands are exact integer
+    cents, so the division is bit-identical on both engines."""
+    h = _hourly(spark, sf_dir)
+    out = influxql(
+        "SELECT derivative(sum(s_c), 6h) / 100.0 AS dv"
+        " FROM hourly GROUP BY time(6h), event_type",
+        {"hourly": h},
+        ts_col="bucket",
+    )
+    return out.withColumnRenamed("time", "bucket")
+
+
+_DERIV_SUM_SQL = f"""
+WITH {_HOURLY_SQL},
+g AS (
+  SELECT event_type,
+         make_timestamp((CAST(floor(epoch(bucket)) AS BIGINT) // 21600 * 21600)
+                        * 1000000) AS bucket,
+         CAST(sum(s_c) AS BIGINT) AS s
+  FROM hourly GROUP BY 1, 2
+),
+d AS (
+  SELECT event_type, bucket,
+    CASE WHEN epoch(bucket) - lag(epoch(bucket)) OVER w > 0 THEN
+      (s - lag(s) OVER w)
+        / CAST(epoch(bucket) - lag(epoch(bucket)) OVER w AS DOUBLE) * 21600.0
+    END / 100.0 AS dv
+  FROM g WINDOW w AS (PARTITION BY event_type ORDER BY bucket)
+)
+SELECT event_type, bucket, dv FROM d WHERE dv IS NOT NULL
+"""
+
+
 def influxql_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "influxql_transforms_1h": _q_transforms,
@@ -204,6 +330,8 @@ def influxql_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "influxql_top3_hours": _q_top3,
         "influxql_integral_stats": _q_integral_stats,
         "influxql_sample5": _q_sample,
+        "influxql_fill_linear_6h": _q_fill_linear_6h,
+        "influxql_deriv_sum_6h": _q_deriv_sum_6h,
     }
 
 
@@ -214,4 +342,6 @@ def influxql_oracle_sql() -> dict[str, str]:
         "influxql_top3_hours": _TOP3_SQL,
         "influxql_integral_stats": _INTEGRAL_SQL,
         "influxql_sample5": _SAMPLE_SQL,
+        "influxql_fill_linear_6h": _FILL_LINEAR_SQL,
+        "influxql_deriv_sum_6h": _DERIV_SUM_SQL,
     }

@@ -114,3 +114,90 @@ def gapfill_locf(
     )
     obs = F.when(~F.col("filled"), F.col(value_col))
     return filled.withColumn(value_col, F.last(obs, ignorenulls=True).over(w_back))
+
+
+def fill_buckets(
+    rolled: DataFrame,
+    key_cols: Sequence[str],
+    value_cols: Sequence[str],
+    width_seconds: int,
+    mode: str = "null",
+    fill_value: float | None = None,
+    bucket_col: str = "bucket",
+    spine_bounds: tuple | None = None,
+) -> DataFrame:
+    """General gap-fill: arbitrary bucket width, many value columns, all of
+    InfluxQL's ``fill()`` modes — the execution layer under the InfluxQL
+    string front-end's ``GROUP BY time(w) fill(...)``.
+
+    mode: 'null' (spine rows with NULLs), 'previous' (LOCF), 'linear'
+    (bounded interpolation), 'value' (constant ``fill_value``).
+    ``spine_bounds=(lo_ts, hi_ts)`` pins the spine to the query's WHERE time
+    range (InfluxDB fills the queried range); default is each series' own
+    observed min/max (no extrapolation).
+
+    Same scale shape as gapfill_interpolate: per-series spine (no calendar
+    cross-join), 1:1 join keyed like the rollup shuffle, and ONE shared
+    backward + forward window pair for every value column.
+    """
+    if mode not in ("null", "previous", "linear", "value"):
+        raise ValueError(f"unknown fill mode {mode!r}")
+    keys = [F.col(k) for k in key_cols]
+    interval = F.expr(f"interval {int(width_seconds)} seconds")
+
+    if spine_bounds is not None:
+        lo, hi = spine_bounds
+        bounds = rolled.groupBy(*keys).agg(
+            F.lit(lo).cast("timestamp").alias("_lo"),
+            F.lit(hi).cast("timestamp").alias("_hi"),
+        )
+    else:
+        bounds = rolled.groupBy(*keys).agg(
+            F.min(bucket_col).alias("_lo"), F.max(bucket_col).alias("_hi")
+        )
+    spine = bounds.select(
+        *key_cols,
+        F.explode(F.sequence(F.col("_lo"), F.col("_hi"), interval)).alias(bucket_col),
+    )
+    observed = rolled.select(
+        *key_cols, bucket_col, *[F.col(c).alias(f"_obs_{c}") for c in value_cols]
+    )
+    # a spine row is "filled" iff no observed bucket matched; use a marker
+    # column so all-NULL observed aggregates aren't misread as gaps
+    marked = observed.withColumn("_hit", F.lit(True))
+    joined = spine.join(marked, on=[*key_cols, bucket_col], how="left")
+    filled_flag = F.col("_hit").isNull()
+
+    w_back = (
+        Window.partitionBy(*keys)
+        .orderBy(bucket_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy(*keys)
+        .orderBy(bucket_col)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    t = F.unix_timestamp(F.col(bucket_col)).cast("double")
+
+    out = joined
+    for c in value_cols:
+        obs = F.col(f"_obs_{c}")
+        if mode == "null":
+            v = obs
+        elif mode == "value":
+            v = F.when(filled_flag, F.lit(fill_value)).otherwise(obs)
+        elif mode == "previous":
+            v = F.coalesce(obs, F.last(obs, ignorenulls=True).over(w_back))
+        else:  # linear
+            obs_t = F.when(obs.isNotNull(), t)
+            pv = F.last(obs, ignorenulls=True).over(w_back)
+            pt = F.last(obs_t, ignorenulls=True).over(w_back)
+            nv = F.first(obs, ignorenulls=True).over(w_fwd)
+            nt = F.first(obs_t, ignorenulls=True).over(w_fwd)
+            frac = (t - pt) / (nt - pt)
+            v = F.coalesce(obs, pv + (nv - pv) * frac)
+        out = out.withColumn(c, v)
+    return out.withColumn("filled", filled_flag).select(
+        *key_cols, bucket_col, *value_cols, "filled"
+    )

@@ -39,6 +39,12 @@ def _series_window(key_cols: Sequence[str], ts_col: str) -> Window:
     return Window.partitionBy(*[F.col(k) for k in key_cols]).orderBy(ts_col)
 
 
+def _vc(value: str | Column) -> Column:
+    """Transforms accept a column NAME or a computed Column (the InfluxQL
+    string front-end feeds staged aggregate expressions straight in)."""
+    return F.col(value) if isinstance(value, str) else value
+
+
 # ---------------------------------------------------------------------------
 # aggregates (per (keys) or (keys, bucket) group — pass the full group key)
 # ---------------------------------------------------------------------------
@@ -166,22 +172,24 @@ def sel_sample(
 # ---------------------------------------------------------------------------
 
 def tr_difference(
-    df: DataFrame, key_cols: Sequence[str], ts_col: str, value_col: str
+    df: DataFrame, key_cols: Sequence[str], ts_col: str, value_col: str | Column
 ) -> Column:
     w = _series_window(key_cols, ts_col)
-    return F.col(value_col) - F.lag(value_col).over(w)
+    v = _vc(value_col)
+    return v - F.lag(v).over(w)
 
 
 def tr_derivative(
     df: DataFrame,
     key_cols: Sequence[str],
     ts_col: str,
-    value_col: str,
+    value_col: str | Column,
     unit_seconds: int = 1,
 ) -> Column:
     w = _series_window(key_cols, ts_col)
     t = F.unix_timestamp(F.col(ts_col).cast("timestamp")).cast("double")
-    dv = F.col(value_col) - F.lag(value_col).over(w)
+    v = _vc(value_col)
+    dv = v - F.lag(v).over(w)
     dt = t - F.lag(t).over(w)
     return F.when(dt > 0, dv / dt * unit_seconds)
 
@@ -190,7 +198,7 @@ def tr_non_negative_derivative(
     df: DataFrame,
     key_cols: Sequence[str],
     ts_col: str,
-    value_col: str,
+    value_col: str | Column,
     unit_seconds: int = 1,
 ) -> Column:
     d = tr_derivative(df, key_cols, ts_col, value_col, unit_seconds)
@@ -209,19 +217,18 @@ def tr_elapsed(
 
 
 def tr_moving_average(
-    df: DataFrame, key_cols: Sequence[str], ts_col: str, value_col: str, n: int
+    df: DataFrame, key_cols: Sequence[str], ts_col: str, value_col: str | Column, n: int
 ) -> Column:
     """Average of the trailing n points; NULL until n points accumulated."""
     w = _series_window(key_cols, ts_col).rowsBetween(-(n - 1), 0)
-    return F.when(
-        F.count(value_col).over(w) == n, F.avg(value_col).over(w)
-    )
+    v = _vc(value_col)
+    return F.when(F.count(v).over(w) == n, F.avg(v).over(w))
 
 
 def tr_cumulative_sum(
-    df: DataFrame, key_cols: Sequence[str], ts_col: str, value_col: str
+    df: DataFrame, key_cols: Sequence[str], ts_col: str, value_col: str | Column
 ) -> Column:
     w = _series_window(key_cols, ts_col).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    return F.sum(value_col).over(w)
+    return F.sum(_vc(value_col)).over(w)

@@ -1,0 +1,219 @@
+"""InfluxQL string front-end: parser structure, executor semantics vs
+hand-computed frames, fill() modes, selectors, LIMIT-per-series, errors."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from influxer_spark.influxql_frontend import (
+    InfluxQLEngine,
+    InfluxQLError,
+    influxql,
+    parse,
+    parse_duration,
+)
+
+T0 = dt.datetime(2024, 1, 1, 0, 0)
+
+
+@pytest.fixture(scope="module")
+def m(spark):
+    rows = []
+    for host, base in (("a", 10.0), ("b", 100.0)):
+        for i, v in enumerate([1.0, 2.0, 4.0, 8.0, 16.0, 32.0]):
+            rows.append((host, T0 + dt.timedelta(seconds=30 * i), base + v))
+    # a gap: host "a" has nothing in minute 3..4
+    rows.append(("a", T0 + dt.timedelta(minutes=5), 99.0))
+    return spark.createDataFrame(rows, ["host", "ts", "value"])
+
+
+def _eng(m):
+    return InfluxQLEngine({"cpu": m}, ts_col="ts")
+
+
+# --- parser ---
+
+def test_parse_structure():
+    s = parse(
+        "SELECT derivative(mean(value), 1s) AS d FROM cpu "
+        "WHERE time >= '2024-01-01' AND host = 'a' "
+        "GROUP BY time(1m), host fill(linear) ORDER BY time DESC LIMIT 3"
+    )
+    assert s.measurement == "cpu"
+    assert s.time_width == 60.0 and s.group_tags == ["host"]
+    assert s.fill_mode == "linear" and s.order_desc and s.limit == 3
+    e, alias = s.projections[0]
+    assert alias == "d" and e.fname == "derivative" and e.args[0].fname == "mean"
+
+
+def test_parse_durations():
+    assert parse_duration("90s") == 90
+    assert parse_duration("1m") == 60
+    assert parse_duration("6h") == 21600
+    assert parse_duration("2d") == 172800
+    assert parse_duration("500ms") == 0.5
+    assert parse_duration("100ns") == pytest.approx(1e-7)
+
+
+def test_parse_errors():
+    with pytest.raises(InfluxQLError):
+        parse("SELECT mean(v) FROM m GROUP BY *")
+    with pytest.raises(InfluxQLError):
+        parse("SELECT v FROM m SLIMIT 5")
+    with pytest.raises(InfluxQLError):
+        parse("SELECT v FROM m, n")
+    with pytest.raises(InfluxQLError):
+        parse("SELECT FROM m")
+
+
+# --- aggregate mode ---
+
+def test_mean_groupby_time_and_tag(m, spark):
+    out = influxql(
+        "SELECT mean(value) AS avg_v, count(value) AS cnt FROM cpu GROUP BY time(1m), host",
+        {"cpu": m},
+    )
+    rows = {(r["host"], r["time"].minute): (r["avg_v"], r["cnt"]) for r in out.collect()}
+    assert rows[("a", 0)] == ((11.0 + 12.0) / 2, 2)
+    assert rows[("b", 2)] == ((116.0 + 132.0) / 2, 2)
+    assert rows[("a", 5)] == (99.0, 1)
+
+
+def test_all_aggregates_one_shuffle(m):
+    out = influxql(
+        "SELECT spread(value) AS sp, stddev(value) AS sd, median(value) AS md,"
+        " percentile(value, 90) AS p90, mode(value) AS mo, first(value) AS fv,"
+        " last(value) AS lv, integral(value, 1m) AS integ, sum(value) AS s,"
+        " min(value) AS mn, max(value) AS mx "
+        "FROM cpu WHERE host = 'a' AND time < '2024-01-01 00:05:00' GROUP BY host",
+        {"cpu": m},
+    )
+    r = out.collect()[0]
+    # host a values: 11,12,14,18,26,42 at 30s spacing
+    assert r["sp"] == 31.0
+    assert r["md"] == 14.0  # floor(6*0.5+0.5)=3rd of sorted
+    assert r["p90"] == 26.0  # rank floor(6*0.9+0.5)=5 → 5th smallest
+    assert r["fv"] == 11.0 and r["lv"] == 42.0
+    assert r["mo"] == 11.0  # all unique → tie → smallest
+    assert r["mn"] == 11.0 and r["mx"] == 42.0 and r["s"] == 123.0
+    # trapezoids at 30s: (11.5+13+16+22+34)*30 /60 per-minute
+    assert r["integ"] == pytest.approx((11.5 + 13 + 16 + 22 + 34) * 30 / 60)
+
+
+def test_derivative_of_mean_drops_first_bucket(m):
+    out = influxql(
+        "SELECT derivative(mean(value), 1m) AS d FROM cpu GROUP BY time(1m), host",
+        {"cpu": m},
+    ).filter(F.col("host") == "a").orderBy("time").collect()
+    # buckets for a: 0m avg 11.5, 1m avg 16, 2m avg 34, 5m 99
+    assert [r["time"].minute for r in out] == [1, 2, 5]
+    assert out[0]["d"] == pytest.approx(4.5)
+    assert out[1]["d"] == pytest.approx(18.0)
+    assert out[2]["d"] == pytest.approx((99 - 34) / 3.0)
+
+
+def test_bare_field_in_agg_query_rejected(m):
+    with pytest.raises(InfluxQLError):
+        influxql("SELECT value, mean(value) FROM cpu GROUP BY time(1m)", {"cpu": m})
+
+
+# --- fill ---
+
+def test_fill_previous_and_linear(m):
+    base = "SELECT mean(value) AS v FROM cpu WHERE host = 'a' GROUP BY time(1m), host"
+    none = influxql(base, {"cpu": m}).collect()
+    assert len(none) == 4  # minutes 0,1,2,5 — no fill by default
+
+    prev = influxql(base + " fill(previous)", {"cpu": m}).orderBy("time").collect()
+    assert [r["time"].minute for r in prev] == [0, 1, 2, 3, 4, 5]
+    assert prev[3]["v"] == prev[2]["v"] == 34.0  # LOCF
+
+    lin = influxql(base + " fill(linear)", {"cpu": m}).orderBy("time").collect()
+    assert lin[3]["v"] == pytest.approx(34 + (99 - 34) / 3)
+    assert lin[4]["v"] == pytest.approx(34 + 2 * (99 - 34) / 3)
+
+    filled = influxql(base + " fill(-1)", {"cpu": m}).orderBy("time").collect()
+    assert filled[3]["v"] == -1.0 and filled[4]["v"] == -1.0
+
+    nul = influxql(base + " fill(null)", {"cpu": m}).orderBy("time").collect()
+    assert nul[3]["v"] is None and len(nul) == 6
+
+
+def test_fill_spine_pinned_to_where_range(m):
+    out = influxql(
+        "SELECT mean(value) AS v FROM cpu WHERE host = 'a'"
+        " AND time >= '2024-01-01 00:00:00' AND time < '2024-01-01 00:10:00'"
+        " GROUP BY time(1m), host fill(null)",
+        {"cpu": m},
+    )
+    # InfluxDB fills the QUERIED range: 10 one-minute buckets, not min..max
+    assert out.count() == 10
+
+
+# --- raw transforms / selectors / limit ---
+
+def test_raw_transform_drops_all_null_rows(m):
+    out = influxql(
+        "SELECT difference(value) AS d FROM cpu GROUP BY host",
+        {"cpu": m},
+    ).filter(F.col("host") == "a").orderBy("time").collect()
+    assert len(out) == 6  # 7 points per series a → first dropped
+    assert out[0]["d"] == 1.0
+
+
+def test_top_bottom_sample(m):
+    top = influxql("SELECT top(value, 2) FROM cpu GROUP BY host", {"cpu": m})
+    rows = top.orderBy("host", "rank").collect()
+    assert [(r["host"], r["top"]) for r in rows] == [
+        ("a", 99.0), ("a", 42.0), ("b", 132.0), ("b", 116.0)
+    ]
+    bot = influxql("SELECT bottom(value, 1) FROM cpu GROUP BY host", {"cpu": m})
+    assert {r["bottom"] for r in bot.collect()} == {11.0, 101.0}
+    smp = influxql("SELECT sample(value, 3) FROM cpu GROUP BY host", {"cpu": m})
+    assert smp.count() == 6
+
+
+def test_limit_applies_per_series(m):
+    out = influxql(
+        "SELECT mean(value) AS v FROM cpu GROUP BY time(1m), host LIMIT 2",
+        {"cpu": m},
+    )
+    assert out.count() == 4  # 2 buckets × 2 hosts
+    assert out.groupBy("host").count().collect()[0]["count"] == 2
+
+
+def test_where_regex_and_or(m):
+    out = influxql(
+        "SELECT count(value) AS c FROM cpu"
+        " WHERE host =~ /^a$/ OR value > 130 GROUP BY host",
+        {"cpu": m},
+    )
+    rows = {r["host"]: r["c"] for r in out.collect()}
+    assert rows == {"a": 7, "b": 1}
+
+
+def test_where_now_minus_duration_parses(m):
+    # now()-relative bounds must compile (values depend on wall clock)
+    out = influxql(
+        "SELECT count(value) AS c FROM cpu WHERE time < now() - 1d GROUP BY host",
+        {"cpu": m},
+    )
+    assert out.count() == 2  # all 2024 data is older than now()-1d
+
+
+def test_arithmetic_on_aggregates(m):
+    out = influxql(
+        "SELECT sum(value) / count(value) AS avg2, mean(value) AS avg1"
+        " FROM cpu GROUP BY host",
+        {"cpu": m},
+    ).collect()
+    for r in out:
+        assert r["avg2"] == pytest.approx(r["avg1"])
+
+
+def test_unknown_measurement(m):
+    with pytest.raises(InfluxQLError):
+        influxql("SELECT mean(v) FROM nope GROUP BY time(1m)", {"cpu": m})
