@@ -38,7 +38,7 @@ Scale notes (100 TB posture):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # MinHash universe: permutations (a*h + b) % MERSENNE31 over 32-bit md5-prefix
@@ -140,13 +140,7 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str, k: int = 5) ->
     return df.select(F.col(id_col).alias("id"), sig)
 
 
-def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
-    """Band the signatures and emit candidate pairs ``(id_a < id_b)``.
-
-    Bands explode to (band_idx, band_key) rows; the self-join shuffles on the
-    band key — this is THE shuffle of LSH dedup, and its skew profile is the
-    shingle-frequency profile (boilerplate → hot buckets → cap upstream).
-    """
+def _banded(sigs: DataFrame) -> DataFrame:
     rows_per_band = len(MINHASH_PERMS) // LSH_BANDS
     bands = F.array(*[
         F.struct(
@@ -158,15 +152,54 @@ def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
         )
         for b in range(LSH_BANDS)
     ])
-    banded = sigs.select("id", F.explode(bands).alias("bk")).select(
+    return sigs.select("id", F.explode(bands).alias("bk")).select(
         "id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
+
+
+def lsh_candidate_pairs(sigs: DataFrame, max_bucket_size: int | None = None) -> DataFrame:
+    """Band the signatures and emit candidate pairs ``(id_a < id_b)``.
+
+    Bands explode to (band_idx, band_key) rows; the self-join shuffles on the
+    band key — this is THE shuffle of LSH dedup, and its skew profile is the
+    shingle-frequency profile.  ``max_bucket_size`` is the hot-bucket guard
+    for boilerplate-heavy corpora: a band bucket holding m docs contributes
+    m(m-1)/2 within-bucket comparisons, so one million-doc bucket (every page
+    sharing a site template) turns the join quadratic.  Buckets over the cap
+    are DROPPED — near-dups that collide only in a mega-bucket are template
+    artifacts, not content dups (the standard MinHash-at-web-scale trade).
+    Use :func:`lsh_dropped_buckets` to count what a cap discards — never cap
+    silently.
+
+    The bucket-size window partitions exactly like the self-join shuffle, so
+    the guard adds no extra exchange.
+    """
+    banded = _banded(sigs)
+    if max_bucket_size is not None:
+        w = Window.partitionBy("band", "key")
+        banded = (
+            banded.withColumn("_bsz", F.count("*").over(w))
+            .filter(F.col("_bsz") <= max_bucket_size)
+            .drop("_bsz")
+        )
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(b, on=["band", "key"])
         .filter(F.col("a.id") < F.col("b.id"))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
+    )
+
+
+def lsh_dropped_buckets(sigs: DataFrame, max_bucket_size: int) -> DataFrame:
+    """The band buckets a ``max_bucket_size`` cap would drop:
+    ``(band, key, bucket_size)`` — run/aggregate this alongside a capped
+    dedup so the discard is a reported counter, not a silent truncation."""
+    return (
+        _banded(sigs)
+        .groupBy("band", "key")
+        .agg(F.count("*").alias("bucket_size"))
+        .filter(F.col("bucket_size") > max_bucket_size)
     )
 
 
@@ -212,6 +245,8 @@ def minhash_lsh_dedup(
     text_col: str,
     k: int = 5,
     min_jaccard: float = 0.7,
+    max_bucket_size: int | None = None,
+    log_dropped: bool = True,
 ) -> DataFrame:
     """MinHash→LSH candidates, then exact-Jaccard verify.
 
@@ -220,9 +255,22 @@ def minhash_lsh_dedup(
     the bands miss is not reported — that is the LSH contract); reported pairs
     are exact.  The DuckDB oracle replicates the same bands, so parity is
     end-to-end deterministic.
+
+    ``max_bucket_size`` caps band-bucket size (hot-bucket guard — see
+    :func:`lsh_candidate_pairs`); when set and ``log_dropped``, the dropped
+    buckets are counted (one small aggregate job) and logged — no silent caps.
     """
     sigs = minhash_signatures(df, id_col, text_col, k)
-    cand = lsh_candidate_pairs(sigs)
+    if max_bucket_size is not None and log_dropped:
+        dropped = lsh_dropped_buckets(sigs, max_bucket_size).count()
+        if dropped:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "minhash_lsh_dedup: dropping %d band buckets over "
+                "max_bucket_size=%d (boilerplate guard)", dropped, max_bucket_size
+            )
+    cand = lsh_candidate_pairs(sigs, max_bucket_size=max_bucket_size)
     ds = distinct_shingles(df, id_col, text_col, k)
     return _verify_jaccard(cand, ds, min_jaccard)
 

@@ -142,3 +142,37 @@ def test_dedup_clusters_from_lsh_pairs(spark, docs):
     cl = dedup_clusters(pairs.select("id_a", "id_b"))
     # canonical is the min id of each cluster and a member of it
     assert cl.filter(F.col("canonical_id") > F.col("id")).count() == 0
+
+
+def test_lsh_hot_bucket_guard(spark):
+    """A pathological boilerplate corpus (every doc identical template) puts
+    all docs in the same band buckets; the cap bounds the within-bucket join
+    and the dropped buckets are reported, never silently discarded."""
+    from influxer_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        lsh_dropped_buckets,
+        minhash_lsh_dedup,
+        minhash_signatures,
+    )
+
+    boiler = "copyright footer navigation menu subscribe newsletter terms "
+    rows = [(i, boiler * 4) for i in range(40)]  # identical template text
+    rows += [(100, "a genuinely unique document about owls and rivers flowing"),
+             (101, "a genuinely unique document about owls and rivers flowing")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    sigs = minhash_signatures(docs, "doc_id", "text", k=5)
+    # uncapped: the 40-doc template bucket yields 40*39/2 pairs per band
+    assert lsh_candidate_pairs(sigs).count() >= 40 * 39 // 2
+    # capped: template buckets (size 40 > 10) dropped; the unique near-pair
+    # (bucket size 2) survives
+    capped = lsh_candidate_pairs(sigs, max_bucket_size=10)
+    pairs = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert pairs == {(100, 101)}
+    # and the discard is observable, not silent
+    dropped = lsh_dropped_buckets(sigs, max_bucket_size=10).collect()
+    assert len(dropped) >= 1 and all(r["bucket_size"] == 40 for r in dropped)
+    # end-to-end: capped dedup still verifies the surviving pair exactly
+    out = minhash_lsh_dedup(docs, "doc_id", "text", k=5, min_jaccard=0.7,
+                            max_bucket_size=10).collect()
+    assert {(r["id_a"], r["id_b"]) for r in out} == {(100, 101)}
