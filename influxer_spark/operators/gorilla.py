@@ -72,10 +72,10 @@ def _ctz64(x: int) -> int:
     return (x & -x).bit_length() - 1 if x else 64
 
 
-def encode(timestamps: np.ndarray, values: np.ndarray) -> bytes:
-    """Encode parallel (int64 epoch-seconds, float64) arrays → blob.
-
-    Layout: [n:32][t0:64][v0:64][interleaved ts/value bit-stream...]
+def _encode_reference(timestamps: np.ndarray, values: np.ndarray) -> bytes:
+    """Scalar reference encoder (the round-1 implementation) — kept as the
+    parity oracle for the vectorized :func:`encode`; property tests assert
+    byte-identical output on random series.
     """
     ts = np.asarray(timestamps, dtype=np.int64)
     vs = np.asarray(values, dtype=np.float64)
@@ -140,6 +140,312 @@ def encode(timestamps: np.ndarray, values: np.ndarray) -> bytes:
     return w.getvalue()
 
 
+_MASK64 = (1 << 64) - 1
+_VECTORIZE_MIN = 128
+
+
+def encode(timestamps: np.ndarray, values: np.ndarray) -> bytes:
+    """Encode parallel (int64 epoch-seconds, float64) arrays → blob.
+
+    Layout: [n:32][t0:64][v0:64][interleaved ts/value bit-stream...]
+
+    Fully vectorized except one Python iteration per VALUE-WINDOW CHANGE:
+    dod bucket classification, XOR lead/trail geometry, per-run emission and
+    the final word-level bit packing are all numpy.  The Gorilla value state
+    (prev leading/length window) only changes on a \'11\' emission, so between
+    window changes every point is a \'0\' or \'10\' branch decided by a
+    vectorized predicate — the sequential state machine collapses to one
+    Python step per run (typically hundreds/thousands of points per run on
+    homogeneous metric series; adversarial series degrade gracefully to
+    per-point).  Byte-identical to :func:`_encode_reference` (property
+    tested).
+    """
+    ts = np.asarray(timestamps, dtype=np.int64)
+    vs = np.asarray(values, dtype=np.float64)
+    n = len(ts)
+    if len(vs) != n:
+        raise ValueError("timestamps/values length mismatch")
+    if n < _VECTORIZE_MIN:
+        # numpy fixed costs lose below ~100 points; the scalar reference is
+        # byte-identical and faster for short series (measured crossover)
+        return _encode_reference(ts, vs)
+    head_vals = [n, int(ts[0]) & _MASK64, int(vs[0:1].view(np.uint64)[0])]
+    head_bits = [32, 64, 64]
+    if n == 1:
+        return _pack(np.array(head_vals, dtype=np.uint64),
+                     np.array(head_bits, dtype=np.uint64))
+
+    deltas = np.diff(ts)
+    dods = np.diff(deltas)
+    bits64 = vs.view(np.uint64)
+    xors = (bits64[1:] ^ bits64[:-1]).astype(np.uint64)
+    m = n - 1  # value entries; value index i pairs with ts entry for i >= 1
+
+    head_vals.append(int(deltas[0]) & _MASK64)
+    head_bits.append(64)
+
+    # --- vectorized dod classification, aligned to value index i (i>=1);
+    # the rare 68-bit branch splits into (prefix+hi32, 36) + (lo32, 32) ---
+    tsA_val = np.zeros(m, dtype=np.uint64)
+    tsA_bits = np.zeros(m, dtype=np.uint64)
+    tsB_val = np.zeros(m, dtype=np.uint64)
+    tsB_mask = np.zeros(m, dtype=bool)
+    if m > 1:
+        du = dods.astype(np.int64)
+        big = du.astype(np.uint64)  # two\'s-complement 64-bit
+        conds = [
+            du == 0,
+            (du >= -63) & (du <= 64),
+            (du >= -255) & (du <= 256),
+            (du >= -2047) & (du <= 2048),
+        ]
+        tsA_val[1:] = np.select(
+            conds,
+            [
+                np.zeros(m - 1, dtype=np.uint64),
+                np.uint64(0b10 << 7) | (big & np.uint64(0x7F)),
+                np.uint64(0b110 << 9) | (big & np.uint64(0x1FF)),
+                np.uint64(0b1110 << 12) | (big & np.uint64(0xFFF)),
+            ],
+            default=np.uint64(0b1111 << 32) | (big >> np.uint64(32)),
+        )
+        tsA_bits[1:] = np.select(conds, [1, 9, 12, 16], default=36).astype(np.uint64)
+        tsB_val[1:] = big & np.uint64(0xFFFFFFFF)
+        tsB_mask[1:] = ~(conds[0] | conds[1] | conds[2] | conds[3])
+    tsA_mask = np.ones(m, dtype=bool)
+    tsA_mask[0] = False  # first delta already in the header
+
+    # --- vectorized XOR bit geometry (byte-table clz/ctz: no per-bit blowup) ---
+    be = xors.byteswap().view(np.uint8).reshape(-1, 8)
+    nzb = be != 0
+    rows = np.arange(m)
+    first_nz = nzb.argmax(axis=1)
+    last_nz = 7 - nzb[:, ::-1].argmax(axis=1)
+    zero = ~nzb.any(axis=1)
+    lead_arr = np.where(zero, 64, first_nz * 8 + _CLZ8[be[rows, first_nz]])
+    lead_arr = np.minimum(lead_arr, 31)  # Gorilla clips leading to 5 bits
+    trail_arr = np.where(zero, 64, (7 - last_nz) * 8 + _CTZ8[be[rows, last_nz]])
+    len_arr = (64 - lead_arr - trail_arr).astype(np.int64)
+
+    out_vals = [np.array(head_vals, dtype=np.uint64)]
+    out_bits = [np.array(head_bits, dtype=np.uint64)]
+
+    def emit_run(lo: int, hi: int, pl: int, pL: int) -> None:
+        """Emit points [lo, hi): all \'0\' or \'10\' branches under window
+        (pl, pL).  Four entry slots per point — tsA, tsB, value, value-spill —
+        masked and raveled in stream order."""
+        z = zero[lo:hi]
+        if pl >= 0:
+            shift = np.uint64(64 - pl - pL)
+            payload = xors[lo:hi] >> shift
+            if pL <= 62:
+                v_val = np.where(z, np.uint64(0),
+                                 np.uint64(0b10 << pL) | payload)
+                v_bits = np.where(z, np.uint64(1), np.uint64(pL + 2))
+                vb_mask = np.zeros(hi - lo, dtype=bool)
+                vb_val = v_val  # unused
+            else:  # 63/64-bit window: control and payload can\'t fuse
+                v_val = np.where(z, np.uint64(0), np.uint64(0b10))
+                v_bits = np.where(z, np.uint64(1), np.uint64(2))
+                vb_mask = ~z
+                vb_val = payload
+        else:  # no window yet: the run is all zeros by construction
+            v_val = np.zeros(hi - lo, dtype=np.uint64)
+            v_bits = np.ones(hi - lo, dtype=np.uint64)
+            vb_mask = np.zeros(hi - lo, dtype=bool)
+            vb_val = v_val
+        slots_v = np.stack(
+            [tsA_val[lo:hi], tsB_val[lo:hi], v_val, vb_val], axis=1
+        ).ravel()
+        slots_b = np.stack(
+            [
+                tsA_bits[lo:hi],
+                np.full(hi - lo, 32, dtype=np.uint64),
+                v_bits,
+                np.full(hi - lo, pL if pL > 0 else 1, dtype=np.uint64),
+            ],
+            axis=1,
+        ).ravel()
+        mask = np.stack(
+            [tsA_mask[lo:hi], tsB_mask[lo:hi], np.ones(hi - lo, dtype=bool), vb_mask],
+            axis=1,
+        ).ravel()
+        out_vals.append(slots_v[mask])
+        out_bits.append(slots_b[mask])
+
+    def first_bust(start: int, pl: int, pL: int) -> int:
+        """First index >= start whose point cannot be emitted under the
+        current window (doubling lookahead keeps worst case O(1) amortized)."""
+        look = 64
+        s = start
+        while s < m:
+            e = min(m, s + look)
+            if pl >= 0:
+                ok = zero[s:e] | (
+                    (lead_arr[s:e] >= pl) & (trail_arr[s:e] >= 64 - pl - pL)
+                )
+            else:
+                ok = zero[s:e]
+            bad = np.flatnonzero(~ok)
+            if len(bad):
+                return s + int(bad[0])
+            s = e
+            look *= 2
+        return m
+
+    buf_v: list[int] = []
+    buf_b: list[int] = []
+
+    def flush_buf() -> None:
+        if buf_v:
+            out_vals.append(np.array(buf_v, dtype=np.uint64))
+            out_bits.append(np.array(buf_b, dtype=np.uint64))
+            buf_v.clear()
+            buf_b.clear()
+
+    # native-int mirrors for the scalar path (lazy: long-run series never pay)
+    py = None
+
+    def ensure_py():
+        nonlocal py
+        if py is None:
+            py = (
+                xors.tolist(), lead_arr.tolist(), trail_arr.tolist(),
+                len_arr.tolist(), tsA_val.tolist(), tsA_bits.tolist(),
+                tsB_val.tolist(), tsB_mask.tolist(),
+            )
+        return py
+
+    RUN_MIN = 64        # vectorize runs at least this long
+    SCALAR_CHUNK = 512  # in bursty regions, stay scalar this many points
+
+    i = 0
+    prev_lead, prev_len = -1, 0
+    while i < m:
+        j = first_bust(i, prev_lead, prev_len)
+        if j - i >= RUN_MIN or j >= m:
+            flush_buf()
+            if j > i:
+                emit_run(i, j, prev_lead, prev_len)
+            if j >= m:
+                break
+            # bust point j: '11' branch establishes a new window
+            xs, lds, trs, lns, tav, tab, tbv, tbm = ensure_py()
+            i = j  # fall through to scalar emit of the single bust point
+            end = j + 1
+        else:
+            xs, lds, trs, lns, tav, tab, tbv, tbm = ensure_py()
+            end = min(m, i + SCALAR_CHUNK)
+        ap_v, ap_b = buf_v.append, buf_b.append
+        while i < end:
+            # scalar point: ts entry (fused with a 1-bit '0' value when it
+            # fits) + value branch, exactly the reference logic
+            x = xs[i]
+            if i > 0:
+                tv, tb = tav[i], tab[i]
+                if tbm[i]:
+                    ap_v(tv)
+                    ap_b(tb)
+                    tv, tb = tbv[i], 32
+            else:
+                tv, tb = 0, 0  # no ts entry for the first value
+            if x == 0:
+                ap_v(tv << 1)
+                ap_b(tb + 1)
+            else:
+                lead, trail = lds[i], trs[i]
+                if (
+                    prev_lead >= 0
+                    and lead >= prev_lead
+                    and (64 - prev_lead - prev_len) <= trail
+                ):
+                    payload = x >> (64 - prev_lead - prev_len)
+                    if prev_len <= 62:
+                        vval = (0b10 << prev_len) | payload
+                        vbits = prev_len + 2
+                    else:  # 63/64-bit window: control can't fuse with payload
+                        ap_v((tv << 2) | 0b10)
+                        ap_b(tb + 2)
+                        ap_v(payload)
+                        ap_b(prev_len)
+                        i += 1
+                        continue
+                else:
+                    length = lns[i]
+                    ctrl = (0b11 << 11) | (lead << 6) | (length - 1)
+                    prev_lead, prev_len = lead, length
+                    if length <= 51:  # 13 control bits + payload fit in 64
+                        vval = (ctrl << length) | (x >> trail)
+                        vbits = 13 + length
+                    else:
+                        ap_v((tv << 13) | ctrl)  # tb <= 36, always fuses
+                        ap_b(tb + 13)
+                        ap_v(x >> trail)
+                        ap_b(length)
+                        i += 1
+                        continue
+                if tb + vbits <= 64:
+                    ap_v((tv << vbits) | vval)
+                    ap_b(tb + vbits)
+                else:
+                    ap_v(tv)
+                    ap_b(tb)
+                    ap_v(vval)
+                    ap_b(vbits)
+            i += 1
+    flush_buf()
+    return _pack(np.concatenate(out_vals), np.concatenate(out_bits))
+
+
+# per-byte leading/trailing-zero-count tables for the vectorized bit geometry
+_CLZ8 = np.array([8] + [8 - int(i).bit_length() for i in range(1, 256)],
+                 dtype=np.int64)
+_CTZ8 = np.array([8] + [(int(i) & -int(i)).bit_length() - 1 for i in range(1, 256)],
+                 dtype=np.int64)
+
+
+def _scatter_or_sorted(idx: np.ndarray, val: np.ndarray, size: int) -> np.ndarray:
+    """OR `val` into a zeroed uint64 array at (non-decreasing) `idx`.
+    Contributions to one word occupy disjoint bit ranges, so group-SUM == OR;
+    grouping a sorted index is one reduceat — no ufunc.at, no per-bit temp."""
+    out = np.zeros(size, dtype=np.uint64)
+    if not len(idx):
+        return out
+    uidx, starts = np.unique(idx, return_index=True)
+    out[uidx] = np.add.reduceat(val, starts)
+    return out
+
+
+def _pack(vals: list[int], nbits: list[int]) -> bytes:
+    """Vectorized WORD-level bit packing: entry i occupies global bits
+    [off_i, off_i + b_i); its value lands in word off_i>>6 (and spills into
+    the next word when it straddles the boundary).  Two sorted scatter-ORs —
+    one for the in-word parts, one for the spills — build the stream with
+    O(entries) temps (a per-bit unpackbits gather costs ~30 bytes of memory
+    traffic per OUTPUT BIT, which loses badly on memory-bandwidth-poor
+    hosts).  Zero-pads the final byte exactly like _BitWriter."""
+    v = np.array(vals, dtype=np.uint64)
+    b = np.array(nbits, dtype=np.uint64)
+    end = np.cumsum(b)
+    off = end - b
+    total = int(end[-1])
+    w = (off >> np.uint64(6)).astype(np.int64)
+    s = off & np.uint64(63)
+    right = s + b  # bit position of the entry's end within word w (1..127)
+    fits = right <= 64
+    # shifts taken mod 64 so the unselected where-branch never shifts >= 64
+    # (numpy evaluates both branches; an out-of-range shift is UB)
+    sh_hi = np.where(fits, np.uint64(64) - right, right - np.uint64(64)) % np.uint64(64)
+    hi = np.where(fits, v << sh_hi, v >> sh_hi)
+    lo = np.where(fits, np.uint64(0), v << ((np.uint64(128) - right) % np.uint64(64)))
+    n_words = (total + 63) >> 6
+    words = _scatter_or_sorted(w, hi, n_words)
+    spill = ~fits
+    words += _scatter_or_sorted(w[spill] + 1, lo[spill], n_words)
+    n_bytes = (total + 7) >> 3
+    return words.byteswap().tobytes()[:n_bytes]
+
+
 def decode(blob: bytes) -> tuple[np.ndarray, np.ndarray]:
     """Inverse of :func:`encode`."""
     r = _BitReader(blob)
@@ -194,7 +500,20 @@ def decode(blob: bytes) -> tuple[np.ndarray, np.ndarray]:
 
 
 def _sext(v: int, bits: int) -> int:
-    return v - (1 << bits) if v >= (1 << (bits - 1)) else v
+    """Sign-extend a Gorilla dod bucket value.
+
+    Gorilla's buckets are ASYMMETRIC — [-63,64], [-255,256], [-2047,2048]
+    (Pelkonen et al. §4.1) — so the top positive value (e.g. +64 = 0b1000000)
+    shares the bit pattern two's complement would call the most-negative
+    value.  Since that most-negative value is NOT in the encode range, the
+    comparison must be STRICT (v > 2^(bits-1)): 64 decodes as +64, 65..127 as
+    -63..-1.  The full-width 64-bit branch uses plain two's complement
+    (strictness is irrelevant there only for dod = -2^63, which cannot arise
+    from real epoch deltas; see test_gorilla for the pinned boundary cases).
+    """
+    if bits == 64:
+        return v - (1 << 64) if v >= (1 << 63) else v
+    return v - (1 << bits) if v > (1 << (bits - 1)) else v
 
 
 # ---------------------------------------------------------------------------

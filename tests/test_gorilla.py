@@ -155,3 +155,49 @@ def test_compression_ratio_on_realistic_series():
 
     dts, dvs = decode(blob)
     assert np.array_equal(dts, ts) and np.array_equal(dvs, vs)
+
+
+def test_vectorized_matches_reference_bytes():
+    """The vectorized encoder must be BYTE-identical to the scalar reference
+    across workload shapes (incl. the adversarial alternating-magnitude case
+    that busts the value window every point)."""
+    import numpy as np
+
+    from influxer_spark.operators.gorilla import _encode_reference
+
+    rng = np.random.default_rng(99)
+    for trial in range(120):
+        n = int(rng.integers(0, 120))
+        ts = (
+            np.cumsum(rng.integers(1, 5000, n)).astype(np.int64)
+            if n else np.array([], dtype=np.int64)
+        )
+        style = trial % 4
+        if style == 0:
+            vs = np.round(rng.normal(100, 5, n), 2)
+        elif style == 1:
+            vs = np.repeat(rng.normal(0, 1), n)
+        elif style == 2:
+            vs = rng.normal(0, 1e10, n)
+        else:
+            vs = np.where(
+                np.arange(n) % 2 == 0,
+                rng.normal(1, 1e-6, n),
+                rng.normal(1e300, 1e290, n),
+            )
+        assert encode(ts, vs) == _encode_reference(ts, vs), (trial, n)
+
+
+def test_dod_bucket_boundaries_roundtrip():
+    """Gorilla's dod buckets are ASYMMETRIC ([-63,64], [-255,256],
+    [-2047,2048]); the top positive value shares the two's-complement bit
+    pattern of the (out-of-range) most-negative value, so decode must
+    sign-extend with a STRICT comparison.  Round 1 decoded dod=+64 as -64."""
+    import numpy as np
+
+    for dod in (64, -63, 63, -64, 256, -255, 2048, -2047, 65, 257, 2049,
+                -2048, -256, 10**6):
+        ts = np.array([0, 100, 200, 300 + dod], dtype=np.int64)
+        vs = np.array([1.0, 2.0, 3.0, 4.0])
+        dts, _ = decode(encode(ts, vs))
+        assert np.array_equal(dts, ts), dod
