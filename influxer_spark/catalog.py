@@ -1,5 +1,8 @@
-"""Table catalog: Iceberg when the runtime jar is present, parquet-directory
-tables with atomic manifest commits otherwise (SURVEY.md §7 step 1).
+"""Table catalog: Iceberg when the runtime jar is present, otherwise the
+ICEBERG METADATA MODEL re-implemented over parquet directories (SURVEY.md §7
+step 1) — versioned snapshot manifests + an atomically-swapped current
+pointer, immutable versioned partition data, time-travel reads, and
+``expire_snapshots`` garbage collection.
 
 The reference's sink is InfluxDB (DB/retention-policy creation at
 Influxer/Program.cs:115-140, Influxer/GenericFile.cs:250-280).  Our sink is a
@@ -7,19 +10,37 @@ table catalog:
 
 - **Iceberg path** (preferred on a real cluster): ``df.writeTo(tbl)`` with
   ``PARTITIONED BY (days(warc_ts))`` so retention expiry is a metadata-only
-  partition drop and time-range queries prune partitions.
-- **Parquet fallback** (this sandbox has no Iceberg runtime jar): one
-  directory per table, partition subdirs via ``partitionBy``, and a
-  ``_manifest.json`` committed by atomic rename carrying the committed
-  partition list + per-run lineage.  Overwrites are idempotent per partition
-  (dynamic partition overwrite), which is what makes checkpoint/resume exact
-  (SURVEY.md §7 hard part iv).
+  partition drop and time-range queries prune partitions.  Probe with
+  :func:`iceberg_available`; this sandbox has no runtime jar and no network,
+  so the model below carries the same semantics.
+- **Snapshot-manifest path** (this implementation):
+
+  * data layout: ``<table>/p=<value>/v=<uuid>/part-*.parquet`` — partition
+    data is IMMUTABLE and versioned; an overwrite writes a NEW ``v=`` dir and
+    never touches the old bytes (Iceberg's immutable data files).
+  * metadata: ``_manifest.v<N>.json`` snapshot files + a ``_current`` pointer
+    committed by atomic rename — the pointer flip is the ONLY visibility
+    point, so readers see either the old snapshot or the new one, never a
+    torn mix (Iceberg's metadata.json swap).
+  * ``read_committed(..., as_of=<snapshot>)`` = time travel
+    (``VERSION AS OF``); :meth:`snapshots` lists history.
+  * :meth:`expire_snapshots` = Iceberg's ``expire_snapshots``: retire old
+    manifest versions and delete exactly the data dirs no retained snapshot
+    references.
+  * :meth:`drop_partition` is metadata-only (a new snapshot without the
+    partition); bytes are reclaimed by ``expire_snapshots`` — the analogue of
+    ``ALTER TABLE … DROP PARTITION`` + expiry, and what the retention DAG
+    calls.
+
+Per-partition commits stay idempotent (dynamic-overwrite semantics), which
+is what makes checkpoint/resume exact (SURVEY.md §7 hard part iv).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import tempfile
 import time
@@ -28,6 +49,8 @@ from dataclasses import dataclass, field
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
+
+_MANIFEST_RE = re.compile(r"_manifest\.v(\d+)\.json$")
 
 
 def iceberg_available(spark: SparkSession) -> bool:
@@ -42,7 +65,7 @@ def iceberg_available(spark: SparkSession) -> bool:
 
 @dataclass
 class TableCatalog:
-    """Parquet-directory catalog with manifest-based atomic commits."""
+    """Parquet-directory catalog with snapshot-manifest atomic commits."""
 
     root: str
     runs: list[dict[str, Any]] = field(default_factory=list)
@@ -50,31 +73,150 @@ class TableCatalog:
     def table_path(self, name: str) -> str:
         return os.path.join(self.root, name)
 
-    def _manifest_path(self, name: str) -> str:
-        return os.path.join(self.table_path(name), "_manifest.json")
+    # ------------------------------------------------------------------
+    # snapshot metadata
+    # ------------------------------------------------------------------
 
-    def read_manifest(self, name: str) -> dict[str, Any]:
-        p = self._manifest_path(name)
+    def _current_path(self, name: str) -> str:
+        return os.path.join(self.table_path(name), "_current")
+
+    def _manifest_file(self, name: str, version: int) -> str:
+        return os.path.join(self.table_path(name), f"_manifest.v{version:06d}.json")
+
+    def current_snapshot(self, name: str) -> int | None:
+        p = self._current_path(name)
         if not os.path.exists(p):
-            return {"partitions": {}, "lineage": []}
+            return None
         with open(p) as f:
+            return int(f.read().strip())
+
+    def snapshots(self, name: str) -> list[int]:
+        """All retained snapshot versions, ascending (Iceberg history)."""
+        tdir = self.table_path(name)
+        if not os.path.isdir(tdir):
+            return []
+        out = []
+        for fn in os.listdir(tdir):
+            m = _MANIFEST_RE.match(fn)
+            if m:
+                out.append(int(m.group(1)))
+        return sorted(out)
+
+    def read_manifest(self, name: str, as_of: int | None = None) -> dict[str, Any]:
+        version = self.current_snapshot(name) if as_of is None else as_of
+        if version is None:
+            # legacy single-manifest layout (pre-snapshot catalogs)
+            legacy = os.path.join(self.table_path(name), "_manifest.json")
+            if os.path.exists(legacy):
+                with open(legacy) as f:
+                    return json.load(f)
+            return {"partitions": {}, "lineage": [], "snapshot_id": None}
+        mf = self._manifest_file(name, version)
+        if not os.path.exists(mf):
+            raise ValueError(
+                f"table {name} has no snapshot {version} "
+                f"(retained: {self.snapshots(name)})"
+            )
+        with open(mf) as f:
             return json.load(f)
 
-    def _commit_manifest(self, name: str, manifest: dict[str, Any]) -> None:
-        os.makedirs(self.table_path(name), exist_ok=True)
-        fd, tmp = tempfile.mkstemp(dir=self.table_path(name), suffix=".manifest")
-        with os.fdopen(fd, "w") as f:
+    def _commit_manifest(self, name: str, manifest: dict[str, Any]) -> int:
+        """Write the next snapshot manifest, then atomically flip _current —
+        the single visibility point (Iceberg's metadata.json swap)."""
+        tdir = self.table_path(name)
+        os.makedirs(tdir, exist_ok=True)
+        parent = self.current_snapshot(name)
+        version = (parent or 0) + 1
+        manifest["snapshot_id"] = version
+        manifest["parent_id"] = parent
+        manifest["committed_at"] = time.time()
+        with open(self._manifest_file(name, version), "w") as f:
             json.dump(manifest, f, indent=1, default=str)
-        os.replace(tmp, self._manifest_path(name))  # atomic on POSIX
+        fd, tmp = tempfile.mkstemp(dir=tdir, suffix=".current")
+        with os.fdopen(fd, "w") as f:
+            f.write(str(version))
+        os.replace(tmp, self._current_path(name))  # atomic on POSIX
+        return version
 
     def exists(self, name: str) -> bool:
-        return os.path.exists(self._manifest_path(name))
+        return self.current_snapshot(name) is not None or os.path.exists(
+            os.path.join(self.table_path(name), "_manifest.json")
+        )
+
+    # ------------------------------------------------------------------
+    # reads
+    # ------------------------------------------------------------------
+
+    def committed_partitions(
+        self, name: str, as_of: int | None = None
+    ) -> dict[str, dict[str, Any]]:
+        return self.read_manifest(name, as_of)["partitions"]
+
+    def _partition_dir(self, name: str, pv: str, entry: dict[str, Any]) -> str:
+        base = os.path.join(self.table_path(name), f"p={pv}")
+        d = entry.get("dir")
+        return os.path.join(base, d) if d else base  # legacy: unversioned dir
+
+    def partition_paths(
+        self, name: str, partition_values: list[str], as_of: int | None = None
+    ) -> list[str]:
+        """Resolve committed partition values to their live data dirs."""
+        parts = self.committed_partitions(name, as_of)
+        return [
+            self._partition_dir(name, v, parts[v])
+            for v in partition_values
+            if v in parts
+        ]
+
+    def read_partition(
+        self, spark: SparkSession, name: str, partition_value: str,
+        as_of: int | None = None,
+    ) -> DataFrame:
+        parts = self.committed_partitions(name, as_of)
+        if partition_value not in parts:
+            raise ValueError(f"table {name} has no committed partition {partition_value}")
+        return spark.read.parquet(
+            self._partition_dir(name, partition_value, parts[partition_value])
+        )
+
+    def read_partitions_with_key(
+        self, spark: SparkSession, name: str, partition_values: list[str],
+        as_of: int | None = None,
+    ) -> DataFrame:
+        """Read given partitions keeping the partition value as column ``p``."""
+        from pyspark.sql import functions as F
+
+        parts = self.committed_partitions(name, as_of)
+        paths = [
+            self._partition_dir(name, v, parts[v])
+            for v in partition_values
+            if v in parts
+        ]
+        df = spark.read.option("basePath", self.table_path(name)).parquet(*paths)
+        # partition inference types p=2024-03-01 as DATE; keep the catalog's
+        # partition keys as plain strings; v is the internal data version
+        df = df.withColumn("p", F.col("p").cast("string"))
+        return df.drop("v") if "v" in df.columns else df
+
+    def read_committed(
+        self, spark: SparkSession, name: str, as_of: int | None = None
+    ) -> DataFrame:
+        """Read ONLY snapshot-committed partitions (staging/uncommitted and
+        orphaned data versions are invisible — Iceberg snapshot isolation).
+        ``as_of`` reads a historical snapshot (VERSION AS OF)."""
+        parts = self.committed_partitions(name, as_of)
+        paths = [self._partition_dir(name, v, e) for v, e in sorted(parts.items())]
+        paths = [p for p in paths if os.path.exists(p)]
+        if not paths:
+            raise ValueError(f"table {name} has no committed partitions")
+        return spark.read.parquet(*paths)
 
     def read(self, spark: SparkSession, name: str) -> DataFrame:
-        return spark.read.parquet(self.table_path(name))
+        return self.read_committed(spark, name)
 
-    def committed_partitions(self, name: str) -> dict[str, dict[str, Any]]:
-        return self.read_manifest(name)["partitions"]
+    # ------------------------------------------------------------------
+    # writes
+    # ------------------------------------------------------------------
 
     def write_partition(
         self,
@@ -86,63 +228,26 @@ class TableCatalog:
     ) -> dict[str, Any]:
         """Idempotently (over)write one partition of ``name``.
 
-        Data lands in ``<table>/p=<partition_value>/`` via a staging dir +
-        rename; the manifest commit is the only visibility point, so a crash
-        between data write and manifest leaves the old committed state intact
-        (resume re-does the partition — exactly-once at the partition level).
+        Data lands in an immutable NEW ``p=<value>/v=<uuid>/`` dir; the
+        snapshot-pointer flip is the only visibility point, so a crash
+        anywhere leaves the previous snapshot fully intact AND readable
+        (old bytes are never touched — reclaimed later by expire/vacuum).
         """
-        part_dir = os.path.join(self.table_path(name), f"p={partition_value}")
-        staging = part_dir + f".staging-{uuid.uuid4().hex[:8]}"
-        df.write.mode("overwrite").parquet(staging)
-        old_dirs = self._swap_in(staging, part_dir)
+        vdir = f"v={uuid.uuid4().hex[:8]}"
+        dest = os.path.join(self.table_path(name), f"p={partition_value}", vdir)
+        df.write.mode("overwrite").parquet(dest)
 
         manifest = self.read_manifest(name)
         entry = {
             "committed_at": time.time(),
+            "dir": vdir,
             "counters": counters or {},
             "lineage": lineage or {},
         }
         manifest["partitions"][partition_value] = entry
         manifest["lineage"].append({"partition": partition_value, **entry})
         self._commit_manifest(name, manifest)
-        self._drop_old(old_dirs)
         return entry
-
-    def _swap_in(self, staging: str, dest: str) -> list[str]:
-        """Swap staged data into place WITHOUT destroying the previous
-        committed data: the old dir is renamed aside to a hidden ``.old-*``
-        name (invisible to Spark readers, which skip dot-dirs) and deleted
-        only AFTER the manifest commit succeeds — a crash anywhere in between
-        leaves every committed partition's bytes still on disk."""
-        olds: list[str] = []
-        if os.path.exists(dest):
-            aside = os.path.join(
-                os.path.dirname(dest),
-                f".old-{uuid.uuid4().hex[:8]}-{os.path.basename(dest)}",
-            )
-            os.replace(dest, aside)
-            olds.append(aside)
-        os.replace(staging, dest)
-        return olds
-
-    @staticmethod
-    def _drop_old(old_dirs: list[str]) -> None:
-        for d in old_dirs:
-            shutil.rmtree(d, ignore_errors=True)
-
-    def vacuum(self, name: str) -> int:
-        """Remove garbage from crashed runs: hidden ``.old-*`` / ``.wave-*`` /
-        ``*.staging-*`` dirs.  Safe under the single-writer assumption — every
-        live write's temp dirs exist only within one write_partition(s) call."""
-        tdir = self.table_path(name)
-        if not os.path.isdir(tdir):
-            return 0
-        n = 0
-        for d in os.listdir(tdir):
-            if d.startswith((".old-", ".wave-")) or ".staging-" in d:
-                shutil.rmtree(os.path.join(tdir, d), ignore_errors=True)
-                n += 1
-        return n
 
     def write_partitions(
         self,
@@ -154,78 +259,51 @@ class TableCatalog:
         lineage_by_partition: dict[str, dict[str, Any]] | None = None,
     ) -> None:
         """Idempotently (over)write MANY partitions of ``name`` in ONE Spark
-        job (``partitionBy`` into staging, then per-partition rename + a
-        single manifest commit).
+        job (``partitionBy`` into staging, then per-partition rename into
+        immutable ``v=`` dirs + ONE snapshot commit).
 
         This is the wave-mode commit path: at 1000-executor scale, pending
         partitions are processed as one job wave, not a serial loop — the
         per-partition granularity survives only in the COMMIT (manifest) and
         RESUME (pending-set) logic, never in job structure.  A crash between
-        renames and the manifest commit leaves the previous committed state
-        authoritative; resume redoes the whole wave (partition-level
-        exactly-once, same contract as :meth:`write_partition`).
+        renames and the snapshot-pointer flip leaves the previous snapshot
+        authoritative and every previously committed byte on disk; resume
+        redoes the whole wave (partition-level exactly-once).  Partition
+        values with zero staged rows get no manifest entry.
         """
-        self.vacuum(name)
         staging = os.path.join(self.table_path(name), f".wave-{uuid.uuid4().hex[:8]}")
         df.write.mode("overwrite").partitionBy(day_col).parquet(staging)
         manifest = self.read_manifest(name)
-        old_dirs: list[str] = []
         for pv in partition_values:
             src = os.path.join(staging, f"{day_col}={pv}")
-            dest = os.path.join(self.table_path(name), f"p={pv}")
             if not os.path.exists(src):
                 # zero rows staged for this value: no data dir, no manifest
                 # entry — committing one would make read_partition throw later
                 continue
-            old_dirs.extend(self._swap_in(src, dest))
+            vdir = f"v={uuid.uuid4().hex[:8]}"
+            pdir = os.path.join(self.table_path(name), f"p={pv}")
+            os.makedirs(pdir, exist_ok=True)
+            os.replace(src, os.path.join(pdir, vdir))
             entry = {
                 "committed_at": time.time(),
+                "dir": vdir,
                 "counters": (counters_by_partition or {}).get(pv, {}),
                 "lineage": (lineage_by_partition or {}).get(pv, {}),
             }
             manifest["partitions"][pv] = entry
             manifest["lineage"].append({"partition": pv, **entry})
         self._commit_manifest(name, manifest)
-        self._drop_old(old_dirs)
         shutil.rmtree(staging, ignore_errors=True)
 
-    def read_partitions_with_key(
-        self, spark: SparkSession, name: str, partition_values: list[str]
-    ) -> DataFrame:
-        """Read given partitions keeping the partition value as column ``p``."""
-        paths = [
-            os.path.join(self.table_path(name), f"p={v}")
-            for v in partition_values
-            if os.path.exists(os.path.join(self.table_path(name), f"p={v}"))
-        ]
-        from pyspark.sql import functions as F
-
-        df = spark.read.option("basePath", self.table_path(name)).parquet(*paths)
-        # partition inference types p=2024-03-01 as DATE; keep the catalog's
-        # partition keys as plain strings
-        return df.withColumn("p", F.col("p").cast("string"))
-
-    def read_partition(self, spark: SparkSession, name: str, partition_value: str) -> DataFrame:
-        return spark.read.parquet(
-            os.path.join(self.table_path(name), f"p={partition_value}")
-        )
-
-    def read_committed(self, spark: SparkSession, name: str) -> DataFrame:
-        """Read ONLY manifest-committed partitions (staging/uncommitted dirs
-        are invisible — the parquet-dir analogue of Iceberg snapshot reads)."""
-        parts = sorted(self.committed_partitions(name))
-        paths = [
-            os.path.join(self.table_path(name), f"p={p}")
-            for p in parts
-            if os.path.exists(os.path.join(self.table_path(name), f"p={p}"))
-        ]
-        if not paths:
-            raise ValueError(f"table {name} has no committed partitions")
-        return spark.read.parquet(*paths)
+    # ------------------------------------------------------------------
+    # retention / expiry / gc
+    # ------------------------------------------------------------------
 
     def drop_partition(self, name: str, partition_value: str, reason: str = "") -> bool:
-        """Metadata-first partition drop (the parquet-dir analogue of Iceberg
-        ``expire_snapshots`` / partition delete)."""
+        """Metadata-only partition drop: a new snapshot without the partition
+        (the analogue of Iceberg ``DROP PARTITION``).  Bytes remain until
+        :meth:`expire_snapshots` retires every snapshot referencing them —
+        so time travel across a retention drop still works."""
         manifest = self.read_manifest(name)
         if partition_value not in manifest["partitions"]:
             return False
@@ -234,7 +312,44 @@ class TableCatalog:
             {"partition": partition_value, "dropped_at": time.time(), "reason": reason}
         )
         self._commit_manifest(name, manifest)
-        part_dir = os.path.join(self.table_path(name), f"p={partition_value}")
-        if os.path.exists(part_dir):
-            shutil.rmtree(part_dir)
         return True
+
+    def expire_snapshots(self, name: str, keep_last: int = 1) -> dict[str, int]:
+        """Iceberg ``expire_snapshots``: retain the last ``keep_last``
+        snapshots, delete older manifest files, and delete exactly the data
+        dirs no retained snapshot references.  Also sweeps crashed-run
+        staging and orphaned (never-committed) data versions."""
+        kept = self.snapshots(name)[-max(1, keep_last):]
+        referenced: set[str] = set()
+        for v in kept:
+            for pv, e in self.read_manifest(name, v)["partitions"].items():
+                referenced.add(os.path.join(f"p={pv}", e.get("dir", "")).rstrip("/"))
+        tdir = self.table_path(name)
+        dropped_manifests = dropped_dirs = 0
+        for fn in list(os.listdir(tdir)):
+            m = _MANIFEST_RE.match(fn)
+            if m and int(m.group(1)) not in kept:
+                os.remove(os.path.join(tdir, fn))
+                dropped_manifests += 1
+                continue
+            full = os.path.join(tdir, fn)
+            if fn.startswith(".wave-") and os.path.isdir(full):
+                shutil.rmtree(full, ignore_errors=True)
+                dropped_dirs += 1
+            elif fn.startswith("p=") and os.path.isdir(full):
+                for sub in list(os.listdir(full)):
+                    rel = os.path.join(fn, sub)
+                    if sub.startswith("v=") and rel not in referenced:
+                        shutil.rmtree(os.path.join(full, sub), ignore_errors=True)
+                        dropped_dirs += 1
+                if not os.listdir(full):
+                    os.rmdir(full)
+        return {"manifests": dropped_manifests, "data_dirs": dropped_dirs}
+
+    def vacuum(self, name: str) -> int:
+        """Reclaim everything not reachable from the CURRENT snapshot
+        (expire to 1 retained snapshot).  Returns count of removed items."""
+        if not os.path.isdir(self.table_path(name)):
+            return 0
+        res = self.expire_snapshots(name, keep_last=1)
+        return res["manifests"] + res["data_dirs"]

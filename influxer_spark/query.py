@@ -80,7 +80,7 @@ def read_rollup(
     parts = _partitions_in_range(catalog, table, start, end)
     if not parts:
         raise ValueError(f"no committed {table} partitions in range")
-    paths = [os.path.join(catalog.table_path(table), f"p={p}") for p in parts]
+    paths = catalog.partition_paths(table, parts)
     df = spark.read.parquet(*paths)
     if start is not None:
         df = df.filter(F.col("bucket") >= F.lit(start))

@@ -143,10 +143,11 @@ def test_catalog_staging_invisible_until_commit(tmp_path, spark):
     shutil.rmtree(str(tmp_path / "c"))
 
 
-def test_wave_commit_crash_preserves_committed_bytes(tmp_path, spark, monkeypatch):
-    """Crash anywhere inside write_partitions must leave every previously
-    committed partition READABLE: old data is renamed aside (hidden) and only
-    deleted after the manifest commit succeeds (ADVICE r1, medium)."""
+def test_wave_commit_crash_preserves_committed_snapshot(tmp_path, spark, monkeypatch):
+    """Crash anywhere inside write_partitions must leave the previous
+    SNAPSHOT fully intact: data dirs are immutable (a rewrite lands in a new
+    v= dir) and the snapshot-pointer flip is the only visibility point
+    (ADVICE r1, medium)."""
     import os
 
     cat = TableCatalog(str(tmp_path / "c"))
@@ -156,9 +157,9 @@ def test_wave_commit_crash_preserves_committed_bytes(tmp_path, spark, monkeypatc
     cat.write_partitions(df1, "t", ["2024-01-01", "2024-01-02"])
     assert cat.read_committed(spark, "t").count() == 10
 
-    # crash between swap-in and manifest commit
+    # crash between data staging and the snapshot-pointer flip
     def boom(name, manifest):
-        raise RuntimeError("simulated crash before manifest commit")
+        raise RuntimeError("simulated crash before snapshot commit")
 
     monkeypatch.setattr(cat, "_commit_manifest", boom)
     df2 = df1.filter(F.col("id") < 8)  # would rewrite both days
@@ -166,19 +167,59 @@ def test_wave_commit_crash_preserves_committed_bytes(tmp_path, spark, monkeypatc
         cat.write_partitions(df2, "t", ["2024-01-01", "2024-01-02"])
     monkeypatch.undo()
 
-    # every manifest-committed partition still has a readable data dir
+    # readers still see EXACTLY the old snapshot — not a torn mix
+    assert cat.read_committed(spark, "t").count() == 10
     for pv in cat.committed_partitions("t"):
-        assert cat.read_partition(spark, "t", pv).count() > 0
-    assert cat.read_committed(spark, "t").count() in (8, 10)  # torn but readable
+        assert cat.read_partition(spark, "t", pv).count() == 5
 
-    # resume: the wave is idempotently redone; crash garbage is vacuumed
+    # resume: the wave is idempotently redone; vacuum reclaims orphans
     cat.write_partitions(df2, "t", ["2024-01-01", "2024-01-02"])
     assert cat.read_committed(spark, "t").count() == 8
+    cat.vacuum("t")
     leftovers = [
-        d for d in os.listdir(cat.table_path("t"))
-        if d.startswith((".old-", ".wave-"))
+        d for d in os.listdir(cat.table_path("t")) if d.startswith(".wave-")
     ]
     assert leftovers == []
+    # after vacuum each partition holds exactly its one live data version
+    for pv in ("2024-01-01", "2024-01-02"):
+        vs = os.listdir(os.path.join(cat.table_path("t"), f"p={pv}"))
+        assert len([v for v in vs if v.startswith("v=")]) == 1
+
+
+def test_snapshot_time_travel_and_expiry(tmp_path, spark):
+    """Iceberg-model semantics on the parquet catalog: every commit is a new
+    snapshot, as_of reads history (incl. across a retention drop), and
+    expire_snapshots deletes exactly the unreferenced data versions."""
+    import os
+
+    cat = TableCatalog(str(tmp_path / "c"))
+    df1 = spark.range(6).select(F.col("id"), F.lit("2024-01-01").alias("day"))
+    cat.write_partitions(df1, "t", ["2024-01-01"])
+    s1 = cat.current_snapshot("t")
+    df2 = spark.range(3).select(F.col("id"), F.lit("2024-01-01").alias("day"))
+    cat.write_partitions(df2, "t", ["2024-01-01"])
+    s2 = cat.current_snapshot("t")
+    assert cat.snapshots("t") == [s1, s2] and s2 == s1 + 1
+
+    # time travel: VERSION AS OF
+    assert cat.read_committed(spark, "t", as_of=s1).count() == 6
+    assert cat.read_committed(spark, "t").count() == 3
+
+    # metadata-only drop; history still readable
+    assert cat.drop_partition("t", "2024-01-01", reason="ttl")
+    assert cat.committed_partitions("t") == {}
+    assert cat.read_committed(spark, "t", as_of=s2).count() == 3
+
+    # expiry: keep only the latest snapshot → old manifests + all data gone
+    res = cat.expire_snapshots("t", keep_last=1)
+    assert res["manifests"] == 2 and res["data_dirs"] == 2
+    with pytest.raises(ValueError):
+        cat.read_manifest("t", as_of=s1)
+    assert not any(
+        d.startswith("p=") and os.listdir(os.path.join(cat.table_path("t"), d))
+        for d in os.listdir(cat.table_path("t"))
+        if os.path.isdir(os.path.join(cat.table_path("t"), d))
+    )
 
 
 def test_wave_commit_skips_empty_partition_values(tmp_path, spark):
