@@ -31,22 +31,24 @@ def _build_parser() -> argparse.ArgumentParser:
     p.add_argument("-format", default="Generic", choices=["Generic", "Perfmon"])
     p.add_argument("-table", default="points", help="measurement name")
     p.add_argument("-timeformat", default=None, help=".NET custom time format")
+    # None defaults: "apply only when explicitly passed" so flags never
+    # clobber settings loaded via -config (S9 export/reload round-trip)
     p.add_argument(
-        "-timetype", default="String", choices=["String", "Epoch", "Binary"]
+        "-timetype", default=None, choices=["String", "Epoch", "Binary"]
     )
     p.add_argument(
-        "-precision", default="Seconds",
+        "-precision", default=None,
         choices=["Hours", "Minutes", "Seconds", "Milliseconds",
                  "Microseconds", "Nanoseconds"],
     )
     p.add_argument("-splitter", default=None, help="column splitter regex")
-    p.add_argument("-header", type=int, default=1, help="header row number")
+    p.add_argument("-header", type=int, default=None, help="header row number")
     p.add_argument("-noheader", action="store_true")
-    p.add_argument("-skip", type=int, default=0, help="data rows to skip")
+    p.add_argument("-skip", type=int, default=None, help="data rows to skip")
     p.add_argument("-ignore", default="", help="comment marker")
     p.add_argument("-utcoffset", type=int, default=0)
-    p.add_argument("-validate", type=int, default=10)
-    p.add_argument("-timecolumn", type=int, default=1)
+    p.add_argument("-validate", type=int, default=None)
+    p.add_argument("-timecolumn", type=int, default=None)
     p.add_argument("-columns", default="", help="comma list for -filter columns")
     p.add_argument("-filter", default="None", choices=["None", "Columns"])
     p.add_argument("-tags", default="", help="default tags k=v,k2=v2")
@@ -83,15 +85,21 @@ def _generic_config(args):
     cfg.measurement = args.table
     cfg.column_splitter = args.splitter or cfg.column_splitter or DEFAULT_COLUMN_SPLITTER
     cfg.time_format = args.timeformat or cfg.time_format or DEFAULT_TIME_FORMAT
-    cfg.time_format_type = TimeFormatType(args.timetype)
-    cfg.precision = TimePrecision(args.precision)
-    cfg.header_row = args.header
+    if args.timetype is not None:
+        cfg.time_format_type = TimeFormatType(args.timetype)
+    if args.precision is not None:
+        cfg.precision = TimePrecision(args.precision)
+    if args.header is not None:
+        cfg.header_row = args.header
     cfg.header_missing = args.noheader or cfg.header_missing
-    cfg.skip_rows = args.skip
+    if args.skip is not None:
+        cfg.skip_rows = args.skip
     cfg.comment_marker = args.ignore or cfg.comment_marker
     cfg.utc_offset = args.utcoffset or cfg.utc_offset
-    cfg.validate_rows = args.validate
-    cfg.time_column = args.timecolumn if args.timecolumn != 1 else cfg.time_column
+    if args.validate is not None:
+        cfg.validate_rows = args.validate
+    if args.timecolumn is not None:
+        cfg.time_column = args.timecolumn
     cfg.ignore_errors = args.ignoreerrors or cfg.ignore_errors
     if args.tags:
         cfg.default_tags = [t.strip() for t in args.tags.split(",") if t.strip()]

@@ -161,6 +161,13 @@ def ingest_generic_file(
     # pointData entry (+ presence flags for split leaves)
     entries: list[tuple[int, ColumnConfig, str]] = []  # (idx, cfg, content attr)
     stage2: dict[str, object] = {}
+    # reference error order (GenericFile.cs:60-110): loop 1 raises ALL split
+    # errors in column order; loop 2 then walks pointData raising each
+    # entry's transform-filter error and parse error IN ENTRY ORDER — so
+    # filter and parse conditions interleave per entry, they don't group by
+    # kind (ADVICE r1: a numeric error in an early column outranks a filter
+    # hit in a later one)
+    entry_filter_err: list[tuple[object, str]] = []
     n = 0
     for idx, col in layout.columns:
         content = F.col(f"_raw_{idx}")
@@ -171,7 +178,7 @@ def ingest_generic_file(
                 tr = compile_chain(leaf_cfg, leaf_val)
                 # absent leaves never enter pointData (GenericFile.cs:65-68)
                 stage2[f"_c_{n}"] = F.when(leaf_present, tr.content)
-                errors.append(
+                entry_filter_err.append(
                     (leaf_present & tr.error, f"{leaf_cfg.influx_name}: filtered")
                 )
                 entries.append((-1, leaf_cfg, f"_c_{n}"))
@@ -179,7 +186,7 @@ def ingest_generic_file(
         else:
             tr = compile_chain(col, content)
             stage2[f"_c_{n}"] = tr.content
-            errors.append((tr.error, f"{col.influx_name}: filtered"))
+            entry_filter_err.append((tr.error, f"{col.influx_name}: filtered"))
             entries.append((idx, col, f"_c_{n}"))
             n += 1
     data = data.withColumns(stage2)
@@ -205,7 +212,7 @@ def ingest_generic_file(
     out_fields: list[tuple[str, str]] = []
     stage4a: dict[str, object] = {}
     stage4b: dict[str, object] = {}
-    field_err_conds: list[tuple[object, str]] = []
+    entry_parse_err: dict[int, tuple[object, str]] = {}
     for i, (idx, col, _a) in enumerate(entries):
         eff = F.col(f"_e_{i}")
         if idx == time_idx:
@@ -217,8 +224,8 @@ def ingest_generic_file(
                 parsed = parse_ts_epoch_col(eff, cfg.precision)
             stage4a["_ts"] = parsed
             ts_attr = "_ts"
-            field_err_conds.append(
-                (eff.isNotNull() & F.col("_ts").isNull(), "timestamp: unparseable")
+            entry_parse_err[i] = (
+                eff.isNotNull() & F.col("_ts").isNull(), "timestamp: unparseable"
             )
             continue
         out_name = col.influx_name
@@ -232,8 +239,8 @@ def ingest_generic_file(
             stage4b[f"_v_{i}"] = F.when(
                 F.col(f"_ok_{i}"), dotnet_round2_col(F.col(f"_num_{i}"))
             )
-            field_err_conds.append(
-                (eff.isNotNull() & ~F.col(f"_ok_{i}"), f"{out_name}: not a number")
+            entry_parse_err[i] = (
+                eff.isNotNull() & ~F.col(f"_ok_{i}"), f"{out_name}: not a number"
             )
             out_fields.append((out_name, f"_v_{i}"))
         elif col.data_type == ColumnDataType.STRING_FIELD:
@@ -244,8 +251,8 @@ def ingest_generic_file(
             stage4b[f"_v_{i}"] = F.when(
                 F.col(f"_ok_{i}"), F.lower(F.trim(eff)) == "true"
             )
-            field_err_conds.append(
-                (eff.isNotNull() & ~F.col(f"_ok_{i}"), f"{out_name}: not a boolean")
+            entry_parse_err[i] = (
+                eff.isNotNull() & ~F.col(f"_ok_{i}"), f"{out_name}: not a boolean"
             )
             out_fields.append((out_name, f"_v_{i}"))
         elif col.data_type == ColumnDataType.TAG:
@@ -253,7 +260,11 @@ def ingest_generic_file(
             out_tags.append((out_name, f"_v_{i}"))
     data = data.withColumns(stage4a)
     data = data.withColumns(stage4b)
-    errors.extend(field_err_conds)
+    # loop-2 interleave: per entry, filter error then parse error
+    for i in range(len(entries)):
+        errors.append(entry_filter_err[i])
+        if i in entry_parse_err:
+            errors.append(entry_parse_err[i])
 
     # mandatory-field predicate (GenericFile.cs:111-112)
     if out_fields:

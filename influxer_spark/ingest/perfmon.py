@@ -162,25 +162,36 @@ class PerfmonResult:
 
     def points_wide(self, performance_object: str) -> DataFrame:
         """MultiMeasurements mode (PerfmonFile.cs:87-117): one point per
-        (object, host, ts); duplicate counter names last-wins (max col_idx,
-        PerfmonFile.cs:110-113); CounterInstance = first non-blank instance
-        in header order (PerfmonFile.cs:105-106)."""
+        (object, host, ts); duplicate counter names last-wins among PARSED
+        values (max col_idx, PerfmonFile.cs:107-113).
+
+        CounterInstance is HEADER metadata, not row data: the reference tags
+        the point from the first counter in column order whose header
+        instance is non-blank, before and regardless of any value parse
+        (PerfmonFile.cs:104-105) — so it is a constant per (object, host),
+        computed here from the counters list and attached as a literal map
+        (no join, and rows whose values failed to parse can't change it)."""
         grp = self.narrow.filter(F.col("object") == performance_object)
         names = sorted(
             {c.counter_name for c in self.counters
              if c.performance_object == performance_object}
         )
-        inst = F.min_by(
-            F.when(F.col("instance") != "", F.col("instance")), "col_idx"
-        ).alias("CounterInstance")
+        inst_by_host: dict[str, str] = {}
+        for c in sorted(self.counters, key=lambda c: c.column_index):
+            if c.performance_object == performance_object and c.counter_instance.strip():
+                inst_by_host.setdefault(c.host, c.counter_instance)
+        if inst_by_host:
+            mapping = F.create_map(
+                *[F.lit(x) for kv in inst_by_host.items() for x in kv]
+            )
+            inst = mapping[F.col("Host")]
+        else:
+            inst = F.lit(None).cast("string")
         return (
             grp.groupBy("ts", F.col("host").alias("Host"))
             .pivot("counter", names)
             .agg(F.max_by("value", "col_idx"))
-            .join(
-                grp.groupBy("ts", F.col("host").alias("Host")).agg(inst),
-                on=["ts", "Host"],
-            )
+            .withColumn("CounterInstance", inst)
         )
 
     def objects(self) -> list[str]:

@@ -58,3 +58,39 @@ def test_cli_rollup_tiers(spark, tmp_path):
 
     assert t1m.agg(F.sum("cnt")).collect()[0][0] == exp.points_found * 12
     assert t1d.agg(F.sum("cnt")).collect()[0][0] == exp.points_found * 12
+
+
+def test_cli_config_reload_preserves_settings(tmp_path):
+    """S9 round-trip: settings loaded via -config must survive when the
+    corresponding CLI flags are not passed (argparse defaults used to
+    clobber timetype/precision/header/skip/validate — ADVICE r1)."""
+    import json
+
+    from influxer_spark.__main__ import _build_parser, _generic_config
+
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps({
+        "measurement": "m",
+        "time_format_type": "Epoch",
+        "precision": "Milliseconds",
+        "header_row": 3,
+        "skip_rows": 5,
+        "validate_rows": 42,
+        "time_column": 2,
+    }))
+    args = _build_parser().parse_args(
+        ["-input", "x.csv", "-config", str(cfg_path)]
+    )
+    cfg = _generic_config(args)
+    assert cfg.time_format_type.value == "Epoch"
+    assert cfg.precision.value == "Milliseconds"
+    assert (cfg.header_row, cfg.skip_rows, cfg.validate_rows, cfg.time_column) == (3, 5, 42, 2)
+    # explicit flags still win
+    args2 = _build_parser().parse_args(
+        ["-input", "x.csv", "-config", str(cfg_path), "-timetype", "String", "-skip", "0"]
+    )
+    cfg2 = _generic_config(args2)
+    assert cfg2.time_format_type.value == "String" and cfg2.skip_rows == 0
+    # and bare defaults (no config) still come from GenericFileConfig
+    cfg3 = _generic_config(_build_parser().parse_args(["-input", "x.csv"]))
+    assert cfg3.header_row == 1 and cfg3.validate_rows == 10

@@ -161,3 +161,42 @@ def test_config_header_mismatch_is_hard_error(tmp_path):
     lines = open(path, encoding="utf-8").read().splitlines()
     with pytest.raises(ValueError, match="mismatch"):
         refmodel.run_file(cfg, lines)
+
+
+def test_multi_defect_row_attribution_order(spark, tmp_path):
+    """Reference order (GenericFile.cs:75-110): errors raise in pointData
+    ENTRY order, each entry's filter error before its parse error — a row
+    with a numeric defect in an EARLY column and a filter hit in a LATER
+    column reports 'not a number', not 'filtered' (ADVICE r1; totals were
+    already right, per-reason counts were not)."""
+    from influxer_spark.ingest.config import (
+        ColumnConfig,
+        ColumnDataType,
+        FilterTransformation,
+        GenericFileConfig,
+    )
+
+    path = str(tmp_path / "m.csv")
+    with open(path, "w", encoding="utf-8") as f:
+        f.write("ts,val,txn\n")
+        f.write("01/01/2024 00:00:00.000,1.5,OK_Load\n")
+        # BOTH defects: val unparseable (col 2) AND txn filtered (col 3)
+        f.write("01/01/2024 00:00:01.000,not-a-num,DEBUG_Beat\n")
+        # filter-only defect
+        f.write("01/01/2024 00:00:02.000,2.5,DEBUG_Beat\n")
+    cfg = GenericFileConfig(
+        time_format="MM/dd/yyyy HH:mm:ss.fff",
+        column_layout=[
+            ColumnConfig("ts", "ts", ColumnDataType.UNKNOWN, skip=True),
+            ColumnConfig("val", "val", ColumnDataType.NUMERICAL_FIELD),
+            ColumnConfig(
+                "txn", "txn", ColumnDataType.TAG,
+                filter_transformations=[FilterTransformation(regex="^DEBUG_")],
+            ),
+        ],
+    )
+    res = ingest_generic_file(spark, path, cfg)
+    errs = {r["line_no"]: r["error"] for r in res.errors.collect()}
+    assert errs[3] == "val: not a number"   # early parse beats later filter
+    assert errs[4] == "txn: filtered"
+    assert res.points.count() == 1

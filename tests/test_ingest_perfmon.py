@@ -101,3 +101,31 @@ def test_perfmon_points_feed_rollup(spark, tmp_path):
     )
     t1m = R.rollup(pts, "ts", ["series"], "value", "1m")
     assert t1m.agg(F.sum("cnt")).collect()[0][0] == exp.points_found
+
+
+def test_wide_counter_instance_is_header_metadata(spark, tmp_path):
+    """PerfmonFile.cs:104-105: CounterInstance is tagged from the FIRST
+    counter in column order with a non-blank HEADER instance, before and
+    regardless of value parse — a blank-instance first column (even with an
+    unparseable value) must not yield NULL (ADVICE r1)."""
+    path = str(tmp_path / "mix.csv")
+    header = [
+        "(PDH-CSV 4.0) (India Standard Time)(-330)",
+        r"\\HOST1\Network(   )\Bytes Total/sec",      # blank instance, col 1
+        r"\\HOST1\Network(eth0)\Bytes Sent/sec",      # non-blank,  col 2
+    ]
+    rows = [
+        ['"01/01/2017 16:00:00.000"', '" "', '"5.5"'],   # col1 value unparseable
+        ['"01/01/2017 16:00:01.000"', '"1.0"', '"6.5"'],
+    ]
+    with open(path, "w", encoding="utf-8") as f:
+        f.write(",".join(f'"{h}"' for h in header) + "\n")
+        for r in rows:
+            f.write(",".join(r) + "\n")
+    res = ingest_perfmon_file(spark, path)
+    wide = res.points_wide("Network").orderBy("ts").collect()
+    assert len(wide) == 2
+    # both rows tagged eth0 (header metadata), incl. the row where the
+    # blank-instance column's value failed to parse
+    assert [r["CounterInstance"] for r in wide] == ["eth0", "eth0"]
+    assert wide[0]["Bytes_Total_sec"] is None and wide[0]["Bytes_Sent_sec"] == 5.5

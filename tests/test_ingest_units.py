@@ -265,3 +265,79 @@ def test_fixed_width_split(spark):
     ).collect()
     assert tuple(row[0])[:4] == ("aa", "bb", "cc", False)
     assert tuple(row[1])[:4] == ("aa", "bb", "c", False)  # short tail chunk ok
+
+
+def test_ns_precision_truncation_deviation_pinned(spark):
+    """PINNED DEVIATION (VERDICT r1 #7): the reference keeps nanosecond
+    epochs at 100ns tick resolution (epoch/100 ticks,
+    Influxer/ExtensionMethods.cs:55-69); Spark timestamps hold µs, so this
+    engine truncates to µs.  The divergence is therefore EXACTLY the
+    sub-µs part of the 100ns tick — never more, and zero for µs-aligned
+    inputs.  A change that widens this (e.g. ms truncation) must fail here."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from influxer_spark.ingest.config import TimePrecision
+    from influxer_spark.ingest.timestamps import parse_ts_epoch_col
+
+    ns = 1_700_000_000_123_456_789  # sub-µs component: 789 ns
+    df = spark.createDataFrame([(str(ns),)], ["c"])
+    got = df.select(
+        parse_ts_epoch_col(F.col("c"), TimePrecision.NANOSECONDS).alias("ts")
+    ).collect()[0]["ts"]
+    # engine semantics: µs truncation
+    want_us = ns // 1000
+    epoch = dt.datetime(1970, 1, 1)
+    assert got == epoch + dt.timedelta(microseconds=want_us)
+    # .NET semantics: 100ns ticks; the pinned delta is exactly the sub-µs
+    # remainder of the tick (here 700 ns), strictly < 1 µs
+    dotnet_ticks_ns = (ns // 100) * 100
+    delta_ns = dotnet_ticks_ns - want_us * 1000
+    assert delta_ns == 700 and 0 <= delta_ns < 1000
+    # µs-aligned input: no deviation at all
+    ns_aligned = 1_700_000_000_123_456_000
+    df2 = spark.createDataFrame([(str(ns_aligned),)], ["c"])
+    got2 = df2.select(
+        parse_ts_epoch_col(F.col("c"), TimePrecision.NANOSECONDS).alias("ts")
+    ).collect()[0]["ts"]
+    assert got2 == epoch + dt.timedelta(microseconds=ns_aligned // 1000)
+    assert (ns_aligned // 100) * 100 == (ns_aligned // 1000) * 1000
+
+
+def test_frombinary_local_kind_deviation_pinned(spark):
+    """PINNED DEVIATION (VERDICT r1 #7): .NET DateTime.FromBinary applies a
+    local-timezone adjustment when the kind bits (63-62) say Local
+    (Influxer/GenericFile.cs:126-130); this engine masks the kind bits and
+    interprets ticks verbatim for ALL four kind prefixes — i.e. Local's tz
+    adjustment is deliberately not replicated (timezone-dependent output
+    would break cross-engine determinism; fixtures use UTC).  All kinds
+    must decode identically to the tick value."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from influxer_spark.ingest.timestamps import parse_ts_binary_col, py_parse_ts_binary
+
+    base = dt.datetime(2017, 5, 13, 12, 30, 45)
+    ticks = int((base - dt.datetime(1, 1, 1)).total_seconds()) * 10_000_000
+    kinds = {
+        "unspecified": 0,
+        "utc": 1 << 62,
+        "local": 2 << 62,  # .NET would tz-adjust this one; we must not
+        "local2": 3 << 62,
+    }
+    rows = [(name, str((ticks | bits) - (1 << 64) if (ticks | bits) >= (1 << 63) else (ticks | bits)))
+            for name, bits in kinds.items()]
+    df = spark.createDataFrame(rows, ["kind", "c"])
+    got = {
+        r["kind"]: r["ts"]
+        for r in df.select(
+            "kind", parse_ts_binary_col(F.col("c")).alias("ts")
+        ).collect()
+    }
+    assert all(v == base for v in got.values()), got
+    # python mirror agrees (refmodel path)
+    for bits in kinds.values():
+        signed = (ticks | bits) - (1 << 64) if (ticks | bits) >= (1 << 63) else (ticks | bits)
+        assert py_parse_ts_binary(signed) == base
