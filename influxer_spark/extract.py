@@ -19,13 +19,15 @@ the extraction itself.
 
 from __future__ import annotations
 
+import os
 import re
 
 import pandas as pd
+import pyarrow as pa
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import StringType
+from pyspark.sql.types import StringType, StructField, StructType
 
 _BODY_RE = re.compile(rb"<body[^>]*>(.*?)</body>", re.DOTALL)
 _TAG_RE = re.compile(rb"<[^>]*>")
@@ -64,21 +66,58 @@ def extract_text_bytes(html: bytes) -> str:
     return b" ".join(stripped.split()).decode("utf-8")
 
 
+def _impl() -> str:
+    """'arrow' (default): batch-vectorized numpy kernel over the Arrow
+    buffers — zero per-row Python (north-rule input_hint).  'scalar': the
+    per-row C-loop path (bytes.find/re.sub), kept as the byte-parity
+    witness and for the measured single-core tradeoff (BASELINE.md)."""
+    return os.environ.get("SPARK_GRAFT_EXTRACT_IMPL", "arrow")
+
+
 @pandas_udf(StringType())
 def extract_text(html: pd.Series) -> pd.Series:
     """Arrow-batched html→text. Operates on the raw bytes of each batch —
     deterministic byte-level regexes, no HTML-parser heuristics, so the same
     html always yields the same text (per-row invariant)."""
-    return html.map(extract_text_bytes)
+    if _impl() == "scalar":
+        return html.map(extract_text_bytes)
+    from influxer_spark.extract_kernel import extract_kernel
+
+    return extract_kernel(pa.array(html, type=pa.large_binary())).to_pandas()
 
 
 def with_extracted(pages: DataFrame, validate: bool = False) -> DataFrame:
     """pages(url, warc_ts, html[, text], lang) → + extracted_text + metrics.
 
+    Default path is ``mapInArrow``: batches stay Arrow RecordBatches end to
+    end (scan → kernel → downstream), no pandas materialization and no
+    per-row Python.  Note mapInArrow is a projection barrier — Catalyst
+    cannot prune *input* columns below it, so hot paths should select the
+    columns they need before calling (pipeline.py does).
+
     With ``validate=True`` keeps a boolean ``text_ok`` column comparing the
     extraction against the stored ``text`` column (byte-identical check).
     """
-    df = pages.withColumn("extracted_text", extract_text(F.col("html")))
+    if _impl() == "arrow":
+        from influxer_spark.extract_kernel import extract_kernel
+
+        names = list(pages.columns)
+        h = names.index("html")
+        out_schema = StructType(
+            list(pages.schema.fields) + [StructField("extracted_text", StringType())]
+        )
+
+        def fn(batches):
+            for b in batches:
+                ext = extract_kernel(b.column(h)).cast(pa.string())
+                yield pa.RecordBatch.from_arrays(
+                    [b.column(i) for i in range(b.num_columns)] + [ext],
+                    names=names + ["extracted_text"],
+                )
+
+        df = pages.mapInArrow(fn, schema=out_schema)
+    else:
+        df = pages.withColumn("extracted_text", extract_text(F.col("html")))
     if validate and "text" in pages.columns:
         df = df.withColumn("text_ok", F.col("extracted_text") == F.col("text"))
     return df
@@ -105,7 +144,15 @@ def with_crawl_metrics(pages: DataFrame, text_col: str = "extracted_text") -> Da
                 F.size(F.split(t, " "))
             ).cast("long"),
         )
-        .withColumn("n_tags", F.regexp_count(F.col("html").cast("string"), F.lit(r"<[^>]*>")).cast("long"))
+        # ISO-8859-1 decode is byte-lossless (every byte maps to one char),
+        # so tag counting is exact even on invalid-UTF-8 html; a utf8 cast
+        # would collapse bad sequences into replacement chars (VERDICT r1)
+        .withColumn(
+            "n_tags",
+            F.regexp_count(
+                F.decode(F.col("html"), "ISO-8859-1"), F.lit(r"<[^>]*>")
+            ).cast("long"),
+        )
         .withColumn("text_ratio", text_chars.cast("double") / html_bytes.cast("double"))
     )
 

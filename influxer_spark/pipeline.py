@@ -122,6 +122,12 @@ def process_days(
     partitions with counters + lineage.  Idempotent: a crashed/partial run
     leaves uncommitted staging only, and rerunning overwrites cleanly."""
     day_pages = pages.filter(_pending_filter(pages, days))
+    # mapInArrow is a projection barrier: select the hot-path columns here so
+    # the parquet scan prunes (text is only read when validating)
+    need = ["url", "warc_ts", "html", "lang"] + (
+        ["text"] if validate_extraction and "text" in pages.columns else []
+    )
+    day_pages = day_pages.select([c for c in need if c in pages.columns])
     ext = with_extracted(day_pages, validate=validate_extraction)
     if validate_extraction:
         n_bad = ext.filter(~F.col("text_ok")).count()
