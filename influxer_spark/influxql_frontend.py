@@ -27,14 +27,26 @@ Supported surface
 - ``GROUP BY time(<dur>[, <offset>])[, tag…]`` and plain tag grouping.
 - ``fill(none | null | previous | linear | <number>)``.
 - ``ORDER BY time [ASC|DESC]``, ``LIMIT n`` / ``OFFSET n`` (per InfluxQL:
-  applied per series group when tags are grouped).
+  applied per series group when tags are grouped), ``SLIMIT``/``SOFFSET``
+  (series selection: distinct-tags frame → offset/limit → broadcast
+  semijoin — no global sort of the data).
+- ``GROUP BY *`` (all tag columns; the engine's tag model is string-typed
+  non-time columns), subqueries ``FROM ( SELECT … )`` (inner runs first,
+  outer plans over its result with ``time`` as the time column), and
+  ``SELECT … INTO target`` (registers the result as a queryable
+  measurement).
+- Metadata surface: ``SHOW MEASUREMENTS | FIELD KEYS | TAG KEYS |
+  TAG VALUES … WITH KEY = k | DATABASES | CONTINUOUS QUERIES``, plus
+  ``CREATE/DROP CONTINUOUS QUERY`` with ``run_continuous_queries()`` as the
+  batch recompute driver (the incremental path is streaming/incremental.py).
 
 Deliberate deviations (documented, tested):
 - fill() spine defaults to each series' observed [min, max] bucket range
   unless WHERE pins both time bounds (InfluxDB refuses fill without bounds).
 - sample(n) is seeded-deterministic (operators/influxql.sel_sample).
-- SLIMIT/SOFFSET, subqueries, multi-measurement FROM, and ``GROUP BY *``
-  are not supported and raise ``InfluxQLError``.
+- ``INTO`` returns the written rows (a DataFrame engine returns data, not
+  InfluxDB's written-count summary) and registers in-session.
+- multi-measurement FROM is not supported and raises ``InfluxQLError``.
 
 Scale notes: every query compiles to (a) one groupBy on (bucket, tags) —
 partial-aggregated map-side, shuffled once; (b) transforms as windows over
@@ -180,16 +192,21 @@ class Rex:
 @dataclass
 class Select:
     projections: list[tuple[Any, str | None]]  # (expr, alias)
-    measurement: str
+    measurement: str | None
     where: Any | None = None
     time_width: float | None = None
     time_offset: float = 0.0
     group_tags: list[str] = field(default_factory=list)
+    group_star: bool = False                   # GROUP BY * (all tag columns)
     fill_mode: str = "none"                    # none null previous linear value
     fill_value: float | None = None
     order_desc: bool = False
     limit: int | None = None
     offset: int | None = None
+    slimit: int | None = None                  # series limit (distinct tag sets)
+    soffset: int | None = None
+    into: str | None = None                    # SELECT … INTO target
+    sub: "Select | None" = None                # FROM ( SELECT … ) subquery
 
 
 class _Parser:
@@ -315,7 +332,7 @@ class _Parser:
 
     # --- statement ---
 
-    def select(self) -> Select:
+    def select(self, nested: bool = False) -> Select:
         if not self.kw("SELECT"):
             raise InfluxQLError("expected SELECT")
         projections: list[tuple[Any, str | None]] = []
@@ -327,12 +344,19 @@ class _Parser:
                 self.next()
                 continue
             break
+        into = self.ident() if self.kw("INTO") else None
         if not self.kw("FROM"):
             raise InfluxQLError("expected FROM")
-        measurement = self.ident()
+        if self.peek().kind == "op" and self.peek().text == "(":
+            self.next()
+            sub = self.select(nested=True)
+            self.expect_op(")")
+            stmt = Select(projections, None, sub=sub)
+        else:
+            stmt = Select(projections, self.ident())
         if self.peek().kind == "op" and self.peek().text == ",":
             raise InfluxQLError("multi-measurement FROM is not supported")
-        stmt = Select(projections, measurement)
+        stmt.into = into
 
         if self.kw("WHERE"):
             stmt.where = self.cond()
@@ -341,9 +365,12 @@ class _Parser:
             while True:
                 t = self.peek()
                 if t.kind == "op" and t.text == "*":
-                    raise InfluxQLError(
-                        "GROUP BY * is not supported: name the tags explicitly"
-                    )
+                    self.next()
+                    stmt.group_star = True
+                    if self.peek().kind == "op" and self.peek().text == ",":
+                        self.next()
+                        continue
+                    break
                 if t.kind == "ident" and t.text.upper() == "TIME":
                     self.next()
                     self.expect_op("(")
@@ -390,13 +417,22 @@ class _Parser:
                 stmt.order_desc = True
             else:
                 self.kw("ASC")
-        if self.kw("SLIMIT") or self.kw("SOFFSET"):
-            raise InfluxQLError("SLIMIT/SOFFSET are not supported")
-        if self.kw("LIMIT"):
-            stmt.limit = int(self.next().text)
-        if self.kw("OFFSET"):
-            stmt.offset = int(self.next().text)
+        while True:  # LIMIT / OFFSET / SLIMIT / SOFFSET in any order
+            if self.kw("SLIMIT"):
+                stmt.slimit = int(self.next().text)
+            elif self.kw("SOFFSET"):
+                stmt.soffset = int(self.next().text)
+            elif self.kw("LIMIT"):
+                stmt.limit = int(self.next().text)
+            elif self.kw("OFFSET"):
+                stmt.offset = int(self.next().text)
+            else:
+                break
         t = self.peek()
+        if nested:
+            if not (t.kind == "op" and t.text == ")"):
+                raise InfluxQLError(f"unterminated subquery at {t.pos}: {t.text!r}")
+            return stmt
         if not (t.kind == "eof" or (t.kind == "op" and t.text == ";")):
             raise InfluxQLError(f"trailing input at {t.pos}: {t.text!r}")
         return stmt
@@ -530,9 +566,16 @@ class InfluxQLEngine:
     column on those frames (``time`` in queries always refers to it).
     """
 
-    def __init__(self, tables: dict[str, DataFrame], ts_col: str = "ts"):
+    def __init__(
+        self,
+        tables: dict[str, DataFrame],
+        ts_col: str = "ts",
+        database: str = "db0",
+    ):
         self.tables = tables
         self.ts_col = ts_col
+        self.database = database
+        self.cqs: dict[str, str] = {}  # continuous-query name → SELECT…INTO text
 
     # --- condition compilation ---
 
@@ -648,10 +691,47 @@ class InfluxQLEngine:
         raise InfluxQLError(f"unsupported expression {e!r}")
 
     def execute(self, sql: str) -> DataFrame:
+        first = sql.lstrip().split(None, 1)[0].upper() if sql.strip() else ""
+        if first in ("SHOW", "CREATE", "DROP"):
+            return self.execute_statement(sql)
         stmt = parse(sql)
+        out = self._run(stmt)
+        if stmt.into:
+            # INTO registers the result as a new measurement (queryable
+            # immediately); deviation from InfluxDB's written-count result —
+            # a DataFrame engine returns the data it wrote
+            reg = out
+            if "time" in reg.columns and self.ts_col != "time":
+                reg = reg.withColumnRenamed("time", self.ts_col)
+            self.tables[stmt.into] = reg
+        return out
+
+    def _run(self, stmt: Select) -> DataFrame:
+        if stmt.sub is not None:
+            # subquery: run the inner SELECT, then the outer over its result
+            # (inner emits a 'time' column; tags pass through by name)
+            inner = self._run(stmt.sub)
+            if "time" not in inner.columns:
+                raise InfluxQLError(
+                    "outer query needs a time column: give the subquery "
+                    "GROUP BY time() or raw projections"
+                )
+            sub_eng = InfluxQLEngine({"__sub__": inner}, ts_col="time")
+            from dataclasses import replace as _replace
+
+            return sub_eng._run(_replace(stmt, measurement="__sub__", sub=None))
         if stmt.measurement not in self.tables:
             raise InfluxQLError(f"unknown measurement {stmt.measurement!r}")
         df = self.tables[stmt.measurement]
+        if stmt.group_star:
+            # GROUP BY * = every tag column; the engine's tag model is
+            # "string-typed columns that aren't the time column"
+            from dataclasses import replace as _replace
+
+            tags = sorted(
+                n for n, t in df.dtypes if t == "string" and n != self.ts_col
+            )
+            stmt = _replace(stmt, group_tags=tags, group_star=False)
         if stmt.where is not None:
             df = df.filter(self._cond(stmt.where))
 
@@ -845,6 +925,17 @@ class InfluxQLEngine:
     # --- shared tail: ORDER BY time / LIMIT / OFFSET ---
 
     def _finish(self, stmt: Select, out: DataFrame, keys: list[str]) -> DataFrame:
+        if (stmt.slimit is not None or stmt.soffset) and keys:
+            # SLIMIT/SOFFSET select SERIES (distinct tag sets) in tag order.
+            # Series cardinality is small next to points, so: tiny distinct
+            # frame → offset/limit → broadcast semijoin back (no global sort
+            # of the data, no single-partition window)
+            series = out.select(*keys).distinct().orderBy(*keys)
+            if stmt.soffset:
+                series = series.offset(stmt.soffset)
+            if stmt.slimit is not None:
+                series = series.limit(stmt.slimit)
+            out = out.join(F.broadcast(series), on=keys, how="left_semi")
         has_time = "time" in out.columns
         if stmt.limit is None and stmt.offset is None:
             if stmt.order_desc and has_time:
@@ -871,6 +962,113 @@ class InfluxQLEngine:
         return out
 
 
+    # --- metadata statements (SHOW …) and continuous queries ---
+
+    def _spark(self):
+        if not self.tables:
+            raise InfluxQLError("no measurements registered")
+        return next(iter(self.tables.values())).sparkSession
+
+    _FIELD_TYPES = {
+        "double": "float", "float": "float",
+        "bigint": "integer", "int": "integer",
+        "smallint": "integer", "tinyint": "integer",
+        "boolean": "boolean", "decimal": "float",
+    }
+
+    def _tags_of(self, name: str) -> list[str]:
+        # the engine's tag model: string-typed columns that aren't time
+        df = self.tables[name]
+        return sorted(n for n, t in df.dtypes if t == "string" and n != self.ts_col)
+
+    def execute_statement(self, sql: str) -> DataFrame:
+        """SHOW MEASUREMENTS / FIELD KEYS / TAG KEYS / TAG VALUES / DATABASES /
+        CONTINUOUS QUERIES, CREATE|DROP CONTINUOUS QUERY — the InfluxQL
+        metadata surface over the registered measurements."""
+        p = _Parser(sql)
+        spark = self._spark()
+        if p.kw("SHOW"):
+            if p.kw("DATABASES"):
+                return spark.createDataFrame([(self.database,)], "name string")
+            if p.kw("MEASUREMENTS"):
+                return spark.createDataFrame(
+                    [(m,) for m in sorted(self.tables)], "name string"
+                )
+            if p.kw("FIELD", "KEYS"):
+                m = self._from_measurement(p)
+                tags = set(self._tags_of(m))
+                rows = [
+                    (n, self._FIELD_TYPES[t.split("(")[0]])
+                    for n, t in self.tables[m].dtypes
+                    if n != self.ts_col and n not in tags
+                    and t.split("(")[0] in self._FIELD_TYPES
+                ]
+                return spark.createDataFrame(rows, "fieldKey string, fieldType string")
+            if p.kw("TAG", "KEYS"):
+                m = self._from_measurement(p)
+                return spark.createDataFrame(
+                    [(t,) for t in self._tags_of(m)], "tagKey string"
+                )
+            if p.kw("TAG", "VALUES"):
+                m = self._from_measurement(p)
+                if not (p.kw("WITH") and p.kw("KEY")):
+                    raise InfluxQLError("SHOW TAG VALUES needs WITH KEY = <tag>")
+                p.expect_op("=")
+                key = p.ident()
+                if key not in self._tags_of(m):
+                    raise InfluxQLError(f"{key!r} is not a tag of {m!r}")
+                # distributed distinct — tag cardinality ≪ points
+                return (
+                    self.tables[m]
+                    .select(F.lit(key).alias("key"), F.col(key).alias("value"))
+                    .distinct()
+                )
+            if p.kw("CONTINUOUS", "QUERIES"):
+                return spark.createDataFrame(
+                    [(n, q) for n, q in self.cqs.items()] or [],
+                    "name string, query string",
+                )
+            raise InfluxQLError(f"unsupported SHOW statement: {sql!r}")
+        if p.kw("CREATE", "CONTINUOUS", "QUERY"):
+            name = p.ident()
+            if p.kw("ON"):
+                p.ident()  # database name (single-database engine)
+            m = re.search(r"\bBEGIN\b(.*)\bEND\b\s*;?\s*$", sql, re.I | re.S)
+            if not m:
+                raise InfluxQLError("CREATE CONTINUOUS QUERY needs BEGIN … END")
+            inner = m.group(1).strip()
+            if parse(inner).into is None:
+                raise InfluxQLError("a continuous query must SELECT … INTO …")
+            self.cqs[name] = inner
+            return spark.createDataFrame([(name, inner)], "name string, query string")
+        if p.kw("DROP", "CONTINUOUS", "QUERY"):
+            name = p.ident()
+            if p.kw("ON"):
+                p.ident()
+            if name not in self.cqs:
+                raise InfluxQLError(f"unknown continuous query {name!r}")
+            del self.cqs[name]
+            return spark.createDataFrame([(name,)], "dropped string")
+        raise InfluxQLError(f"unsupported statement: {sql!r}")
+
+    def _from_measurement(self, p: "_Parser") -> str:
+        if p.kw("FROM"):
+            m = p.ident()
+        elif len(self.tables) == 1:
+            m = next(iter(self.tables))
+        else:
+            raise InfluxQLError("FROM <measurement> required (several registered)")
+        if m not in self.tables:
+            raise InfluxQLError(f"unknown measurement {m!r}")
+        return m
+
+    def run_continuous_queries(self) -> dict[str, DataFrame]:
+        """Execute every registered CQ (full recompute into its INTO target,
+        the batch analogue of InfluxDB's periodic CQ runs; the *incremental*
+        path at scale is streaming/incremental.py's watermarked 1m tier)."""
+        return {name: self.execute(q) for name, q in self.cqs.items()}
+
+
 def influxql(sql: str, tables: dict[str, DataFrame], ts_col: str = "ts") -> DataFrame:
-    """One-shot convenience: run an InfluxQL SELECT over named DataFrames."""
+    """One-shot convenience: run an InfluxQL statement over named DataFrames."""
     return InfluxQLEngine(tables, ts_col=ts_col).execute(sql)

@@ -323,6 +323,70 @@ SELECT event_type, bucket, dv FROM d WHERE dv IS NOT NULL
 """
 
 
+# ---------------------------------------------------------------------------
+# Round-2 surface: subquery, SLIMIT/SOFFSET, SHOW TAG VALUES — each runs the
+# literal InfluxQL string through the parser; aggregates are order-stable
+# (max/count) over the pre-quantized hourly frame, so no output rounding.
+# ---------------------------------------------------------------------------
+
+def _q_subquery(spark, sf_dir):
+    h = _hourly(spark, sf_dir)
+    return influxql(
+        "SELECT max(h2) AS mx, count(h2) AS n FROM ("
+        "SELECT max(v) AS h2 FROM hourly GROUP BY time(2h), event_type"
+        ") GROUP BY time(6h), event_type",
+        {"hourly": h},
+        ts_col="bucket",
+    )
+
+
+_BUCKET = (
+    "make_timestamp((CAST(floor(epoch({src})) AS BIGINT)"
+    " - CAST(floor(epoch({src})) AS BIGINT) % {w}) * 1000000)"
+)
+
+_SUBQUERY_SQL = (
+    "WITH " + _HOURLY_SQL + ", h2 AS ("
+    "  SELECT " + _BUCKET.format(src="bucket", w=7200) + " AS b2, event_type,"
+    "         max(v) AS h2 FROM hourly GROUP BY 1, 2) "
+    "SELECT " + _BUCKET.format(src="b2", w=21600) + " AS time, event_type,"
+    "       max(h2) AS mx, count(h2) AS n FROM h2 GROUP BY 1, 2"
+)
+
+
+def _q_slimit(spark, sf_dir):
+    h = _hourly(spark, sf_dir)
+    return influxql(
+        "SELECT max(v) AS mx FROM hourly GROUP BY time(6h), event_type"
+        " SLIMIT 2 SOFFSET 1",
+        {"hourly": h},
+        ts_col="bucket",
+    )
+
+
+_SLIMIT_SQL = (
+    "WITH " + _HOURLY_SQL + " "
+    "SELECT " + _BUCKET.format(src="bucket", w=21600) + " AS time, event_type,"
+    "       max(v) AS mx FROM hourly "
+    "WHERE event_type IN (SELECT DISTINCT event_type FROM events"
+    "                     ORDER BY event_type LIMIT 2 OFFSET 1) "
+    "GROUP BY 1, 2"
+)
+
+
+def _q_show_tag_values(spark, sf_dir):
+    from influxer_spark.influxql_frontend import InfluxQLEngine
+
+    h = _hourly(spark, sf_dir)
+    eng = InfluxQLEngine({"hourly": h}, ts_col="bucket")
+    return eng.execute("SHOW TAG VALUES FROM hourly WITH KEY = event_type")
+
+
+_SHOW_TAG_VALUES_SQL = (
+    "SELECT 'event_type' AS key, event_type AS value FROM events GROUP BY 2"
+)
+
+
 def influxql_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "influxql_transforms_1h": _q_transforms,
@@ -332,6 +396,9 @@ def influxql_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "influxql_sample5": _q_sample,
         "influxql_fill_linear_6h": _q_fill_linear_6h,
         "influxql_deriv_sum_6h": _q_deriv_sum_6h,
+        "influxql_subquery_6h_max": _q_subquery,
+        "influxql_slimit_series": _q_slimit,
+        "influxql_show_tag_values": _q_show_tag_values,
     }
 
 
@@ -344,4 +411,7 @@ def influxql_oracle_sql() -> dict[str, str]:
         "influxql_sample5": _SAMPLE_SQL,
         "influxql_fill_linear_6h": _FILL_LINEAR_SQL,
         "influxql_deriv_sum_6h": _DERIV_SUM_SQL,
+        "influxql_subquery_6h_max": _SUBQUERY_SQL,
+        "influxql_slimit_series": _SLIMIT_SQL,
+        "influxql_show_tag_values": _SHOW_TAG_VALUES_SQL,
     }

@@ -140,12 +140,66 @@ FROM events
 """
 
 
+# ---------------------------------------------------------------------------
+# Line-protocol sink (the reference's wire output, sinks.py): format events
+# as InfluxDB line protocol — tags sorted + escaped, string/int/decimal field
+# values, ns timestamps.  The oracle replicates the escaping with chained
+# replace() (inserted backslashes never contain further escapables, so the
+# chain equals the engine's single-pass class replace).
+# ---------------------------------------------------------------------------
+
+def _q_line_protocol(spark, sf_dir):
+    from influxer_spark.sinks import to_line_protocol
+
+    ev = _events(spark, sf_dir)
+    pts = ev.select(
+        "ts",
+        F.col("event_type").alias("etype"),
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("user"),
+        "props",
+        (F.round(F.col("value") * 100, 0).cast("long") / 100.0)
+        .cast("decimal(12,2)")
+        .alias("value"),
+        F.regexp_extract("props", r'"k":\s*([0-9]+)', 1).cast("long").alias("k"),
+    )
+    return to_line_protocol(
+        pts,
+        measurement="events",
+        tags=["etype", "user", "props"],
+        fields=["value", "k", "props"],
+        ts_col="ts",
+        precision="ns",
+    )
+
+
+def _lp_sql() -> str:
+    esc_tag = (
+        "replace(replace(replace({0}, ',', '\\,'), '=', '\\='), ' ', '\\ ')"
+    )
+    esc_str = "replace(replace({0}, '\\', '\\\\'), '\"', '\\\"')"
+    return (
+        "SELECT concat("
+        "  'events',"
+        "  ',etype=', " + esc_tag.format("event_type") + ","
+        "  ',props=', " + esc_tag.format("props") + ","
+        "  ',user=', " + esc_tag.format("concat('u', CAST(user_id AS VARCHAR))") + ","
+        "  ' value=', CAST(CAST(CAST(round(value * 100, 0) AS BIGINT) / 100.0"
+        "                        AS DECIMAL(12,2)) AS VARCHAR),"
+        "  ',k=', CAST(CAST(regexp_extract(props, '\"k\":\\s*([0-9]+)', 1)"
+        "                   AS BIGINT) AS VARCHAR), 'i',"
+        "  ',props=\"', " + esc_str.format("props") + ", '\"',"
+        "  ' ', CAST(epoch_ns(ts) AS VARCHAR)"
+        ") AS line FROM events"
+    )
+
+
 def ingest_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "epoch_us_truncation": _q_epoch_us_truncation,
         "dotnet_round2_parity": _q_dotnet_round2,
         "reserved_scrub_texts": _q_reserved_scrub,
         "dotnet_timeformat_roundtrip": _q_timeformat_roundtrip,
+        "line_protocol_events": _q_line_protocol,
     }
 
 
@@ -155,4 +209,5 @@ def ingest_oracle_sql() -> dict[str, str]:
         "dotnet_round2_parity": _ROUND2_SQL,
         "reserved_scrub_texts": _scrub_sql(),
         "dotnet_timeformat_roundtrip": _TIMEFMT_SQL,
+        "line_protocol_events": _lp_sql(),
     }

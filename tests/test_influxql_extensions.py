@@ -1,0 +1,123 @@
+"""Round-2 InfluxQL surface: subqueries, INTO, GROUP BY *, SLIMIT/SOFFSET,
+SHOW statements, continuous queries."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from influxer_spark.influxql_frontend import InfluxQLEngine, InfluxQLError
+
+T0 = dt.datetime(2024, 3, 1, 0, 0, 0)
+
+
+@pytest.fixture()
+def eng(spark):
+    rows = []
+    for h in range(4):
+        for m in (0, 20, 40):
+            for i, host in enumerate(["a", "b", "c"]):
+                rows.append(
+                    Row(
+                        ts=T0 + dt.timedelta(hours=h, minutes=m),
+                        host=host,
+                        dc="dc1" if host != "c" else "dc2",
+                        value=float(h * 100 + m + i),
+                        hits=h * 10 + i,
+                    )
+                )
+    df = spark.createDataFrame(rows)
+    return InfluxQLEngine({"cpu": df}, ts_col="ts")
+
+
+def test_subquery_max_of_hourly_mean(eng):
+    out = eng.execute(
+        "SELECT max(hm) FROM (SELECT mean(value) AS hm FROM cpu "
+        "GROUP BY time(1h), host) GROUP BY time(2h), host"
+    )
+    rows = {(r["time"], r["host"]): r["max"] for r in out.collect()}
+    # host a: hour-0 mean = (0+20+40)/3 = 20, hour-1 = 120 → 2h max = 120
+    assert rows[(T0, "a")] == 120.0
+    assert rows[(T0 + dt.timedelta(hours=2), "b")] == 321.0
+
+
+def test_subquery_requires_time(eng):
+    with pytest.raises(InfluxQLError, match="time"):
+        eng.execute("SELECT mean(m) FROM (SELECT mean(value) AS m FROM cpu GROUP BY host) GROUP BY time(1h)")
+
+
+def test_group_by_star(eng):
+    star = eng.execute("SELECT mean(value) FROM cpu GROUP BY time(1h), *")
+    named = eng.execute("SELECT mean(value) FROM cpu GROUP BY time(1h), dc, host")
+    assert sorted(star.columns) == sorted(named.columns)
+    assert sorted(map(tuple, star.collect())) == sorted(map(tuple, named.collect()))
+
+
+def test_slimit_soffset(eng):
+    out = eng.execute(
+        "SELECT mean(value) FROM cpu GROUP BY time(1h), host SLIMIT 1 SOFFSET 1"
+    )
+    assert {r["host"] for r in out.collect()} == {"b"}
+    out2 = eng.execute("SELECT mean(value) FROM cpu GROUP BY time(1h), host SLIMIT 2")
+    assert {r["host"] for r in out2.collect()} == {"a", "b"}
+
+
+def test_limit_and_slimit_compose(eng):
+    out = eng.execute(
+        "SELECT mean(value) FROM cpu GROUP BY time(1h), host LIMIT 2 SLIMIT 1"
+    )
+    rows = out.collect()
+    assert {r["host"] for r in rows} == {"a"} and len(rows) == 2
+
+
+def test_into_registers_measurement(eng):
+    eng.execute(
+        "SELECT mean(value) AS mv INTO cpu_1h FROM cpu GROUP BY time(1h), host"
+    )
+    assert "cpu_1h" in eng.tables
+    back = eng.execute("SELECT max(mv) FROM cpu_1h GROUP BY host")
+    assert {r["host"]: r["max"] for r in back.collect()}["a"] == 320.0
+
+
+def test_show_measurements_and_keys(eng):
+    assert [r["name"] for r in eng.execute("SHOW MEASUREMENTS").collect()] == ["cpu"]
+    tags = [r["tagKey"] for r in eng.execute("SHOW TAG KEYS FROM cpu").collect()]
+    assert tags == ["dc", "host"]
+    fk = {r["fieldKey"]: r["fieldType"] for r in eng.execute("SHOW FIELD KEYS FROM cpu").collect()}
+    assert fk == {"value": "float", "hits": "integer"}
+    vals = {r["value"] for r in eng.execute(
+        "SHOW TAG VALUES FROM cpu WITH KEY = dc"
+    ).collect()}
+    assert vals == {"dc1", "dc2"}
+    assert [r["name"] for r in eng.execute("SHOW DATABASES").collect()] == ["db0"]
+
+
+def test_show_tag_values_rejects_field(eng):
+    with pytest.raises(InfluxQLError, match="not a tag"):
+        eng.execute("SHOW TAG VALUES FROM cpu WITH KEY = value")
+
+
+def test_continuous_query_lifecycle(eng):
+    eng.execute(
+        'CREATE CONTINUOUS QUERY cq_1h ON db0 BEGIN '
+        "SELECT mean(value) AS mv INTO cpu_1h FROM cpu GROUP BY time(1h), host END"
+    )
+    shown = eng.execute("SHOW CONTINUOUS QUERIES").collect()
+    assert [r["name"] for r in shown] == ["cq_1h"]
+    res = eng.run_continuous_queries()
+    assert set(res) == {"cq_1h"}
+    assert "cpu_1h" in eng.tables
+    assert eng.tables["cpu_1h"].count() == 4 * 3  # 4 hours × 3 hosts
+    eng.execute("DROP CONTINUOUS QUERY cq_1h ON db0")
+    assert eng.cqs == {}
+    with pytest.raises(InfluxQLError, match="unknown continuous query"):
+        eng.execute("DROP CONTINUOUS QUERY cq_1h")
+
+
+def test_cq_requires_into(eng):
+    with pytest.raises(InfluxQLError, match="INTO"):
+        eng.execute(
+            "CREATE CONTINUOUS QUERY bad ON db0 BEGIN "
+            "SELECT mean(value) FROM cpu GROUP BY time(1h) END"
+        )

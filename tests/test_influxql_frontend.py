@@ -60,13 +60,20 @@ def test_parse_durations():
 
 def test_parse_errors():
     with pytest.raises(InfluxQLError):
-        parse("SELECT mean(v) FROM m GROUP BY *")
-    with pytest.raises(InfluxQLError):
-        parse("SELECT v FROM m SLIMIT 5")
-    with pytest.raises(InfluxQLError):
         parse("SELECT v FROM m, n")
     with pytest.raises(InfluxQLError):
         parse("SELECT FROM m")
+    with pytest.raises(InfluxQLError):
+        parse("SELECT v FROM (SELECT v FROM m")  # unterminated subquery
+
+
+def test_parse_round2_surface():
+    s = parse("SELECT mean(v) FROM m GROUP BY time(1h), * SLIMIT 5 SOFFSET 2")
+    assert s.group_star and s.slimit == 5 and s.soffset == 2
+    s = parse("SELECT mean(v) AS mv INTO m1h FROM m GROUP BY time(1h)")
+    assert s.into == "m1h"
+    s = parse("SELECT max(mv) FROM (SELECT mean(v) AS mv FROM m GROUP BY time(1h))")
+    assert s.sub is not None and s.sub.measurement == "m"
 
 
 # --- aggregate mode ---
