@@ -576,6 +576,8 @@ class InfluxQLEngine:
         self.ts_col = ts_col
         self.database = database
         self.cqs: dict[str, str] = {}  # continuous-query name → SELECT…INTO text
+        # retention-policy name → (duration_s | None for INF, replicaN, default)
+        self.retention: dict[str, tuple[float | None, int, bool]] = {}
 
     # --- condition compilation ---
 
@@ -692,7 +694,7 @@ class InfluxQLEngine:
 
     def execute(self, sql: str) -> DataFrame:
         first = sql.lstrip().split(None, 1)[0].upper() if sql.strip() else ""
-        if first in ("SHOW", "CREATE", "DROP"):
+        if first in ("SHOW", "CREATE", "DROP", "ALTER"):
             return self.execute_statement(sql)
         stmt = parse(sql)
         out = self._run(stmt)
@@ -1028,7 +1030,58 @@ class InfluxQLEngine:
                     [(n, q) for n, q in self.cqs.items()] or [],
                     "name string, query string",
                 )
+            if p.kw("RETENTION", "POLICIES"):
+                return spark.createDataFrame(
+                    [
+                        (n, "INF" if d is None else f"{int(d)}s", r, dflt)
+                        for n, (d, r, dflt) in self.retention.items()
+                    ]
+                    or [],
+                    "name string, duration string, replicaN int, default boolean",
+                )
             raise InfluxQLError(f"unsupported SHOW statement: {sql!r}")
+        if p.kw("CREATE", "RETENTION", "POLICY") or p.kw("ALTER", "RETENTION", "POLICY"):
+            name = p.ident()
+            if p.kw("ON"):
+                p.ident()
+            duration: float | None = None
+            replican = 1
+            dflt = False
+            while True:
+                if p.kw("DURATION"):
+                    t = p.next()
+                    if t.kind == "ident" and t.text.upper() == "INF":
+                        duration = None
+                    elif t.kind == "duration":
+                        duration = parse_duration(t.text)
+                    else:
+                        raise InfluxQLError(f"bad DURATION at {t.pos}")
+                elif p.kw("REPLICATION"):
+                    replican = int(p.next().text)
+                elif p.kw("SHARD"):
+                    p.kw("DURATION")
+                    p.next()  # shard duration is a no-op here (no shard groups)
+                elif p.kw("DEFAULT"):
+                    dflt = True
+                else:
+                    break
+            if dflt:  # single DEFAULT per database
+                self.retention = {
+                    n: (d, r, False) for n, (d, r, _) in self.retention.items()
+                }
+            self.retention[name] = (duration, replican, dflt)
+            return spark.createDataFrame(
+                [(name, "INF" if duration is None else f"{int(duration)}s")],
+                "name string, duration string",
+            )
+        if p.kw("DROP", "RETENTION", "POLICY"):
+            name = p.ident()
+            if p.kw("ON"):
+                p.ident()
+            if name not in self.retention:
+                raise InfluxQLError(f"unknown retention policy {name!r}")
+            del self.retention[name]
+            return spark.createDataFrame([(name,)], "dropped string")
         if p.kw("CREATE", "CONTINUOUS", "QUERY"):
             name = p.ident()
             if p.kw("ON"):
@@ -1061,6 +1114,23 @@ class InfluxQLEngine:
         if m not in self.tables:
             raise InfluxQLError(f"unknown measurement {m!r}")
         return m
+
+    def retention_dag(self, tables: dict[str, tuple[str, str | None]]):
+        """Bridge the DDL-registered policies onto the engine's retention
+        DAG (operators/retention.py): ``tables`` maps policy name →
+        (catalog table, dependent tier).  INF-duration policies never
+        expire and are omitted.  Feed the result to ``apply_retention``."""
+        from influxer_spark.operators.retention import RetentionPolicy
+
+        out = []
+        for name, (dur, _r, _d) in self.retention.items():
+            if name not in tables or dur is None:
+                continue
+            table, dep = tables[name]
+            out.append(
+                RetentionPolicy(table, ttl_days=max(1, int(dur // 86400)), depends_on=dep)
+            )
+        return out
 
     def run_continuous_queries(self) -> dict[str, DataFrame]:
         """Execute every registered CQ (full recompute into its INTO target,

@@ -36,9 +36,18 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = max(cores, 8)
 
+    builder = SparkSession.builder.appName(app_name)
+    # honour spark-submit: only default to local[N] when no master was set
+    # by the launcher (code-level .master() would override --master and pin
+    # a cluster submission to local mode)
+    from pyspark import SparkConf
+
+    if "SPARK_GRAFT_MASTER" in os.environ:
+        builder = builder.master(os.environ["SPARK_GRAFT_MASTER"])
+    elif not SparkConf(loadDefaults=True).contains("spark.master"):
+        builder = builder.master(f"local[{cores}]")
     builder = (
-        SparkSession.builder.appName(app_name)
-        .master(f"local[{cores}]")
+        builder
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")

@@ -115,6 +115,34 @@ def test_continuous_query_lifecycle(eng):
         eng.execute("DROP CONTINUOUS QUERY cq_1h")
 
 
+def test_retention_policy_ddl(eng):
+    eng.execute('CREATE RETENTION POLICY "raw" ON db0 DURATION 7d REPLICATION 1 DEFAULT')
+    eng.execute("CREATE RETENTION POLICY monthly ON db0 DURATION 30d REPLICATION 2")
+    eng.execute("CREATE RETENTION POLICY forever ON db0 DURATION INF REPLICATION 1")
+    rows = {r["name"]: r for r in eng.execute("SHOW RETENTION POLICIES ON db0").collect()}
+    assert rows["raw"]["duration"] == "604800s" and rows["raw"]["default"]
+    assert rows["monthly"]["replicaN"] == 2 and not rows["monthly"]["default"]
+    assert rows["forever"]["duration"] == "INF"
+    # a later DEFAULT displaces the previous one
+    eng.execute("ALTER RETENTION POLICY monthly ON db0 DURATION 30d DEFAULT")
+    rows = {r["name"]: r for r in eng.execute("SHOW RETENTION POLICIES").collect()}
+    assert rows["monthly"]["default"] and not rows["raw"]["default"]
+    # bridge onto the engine's retention DAG
+    dag = eng.retention_dag(
+        {"raw": ("raw_points", "rollup_1m"), "monthly": ("rollup_1m", None),
+         "forever": ("rollup_1d", None)}
+    )
+    by_table = {p.table: p for p in dag}
+    assert by_table["raw_points"].ttl_days == 7
+    assert by_table["raw_points"].depends_on == "rollup_1m"
+    assert by_table["rollup_1m"].ttl_days == 30
+    assert "rollup_1d" not in by_table  # INF never expires
+    eng.execute("DROP RETENTION POLICY forever ON db0")
+    assert set(eng.retention) == {"raw", "monthly"}
+    with pytest.raises(InfluxQLError, match="unknown retention policy"):
+        eng.execute("DROP RETENTION POLICY forever ON db0")
+
+
 def test_cq_requires_into(eng):
     with pytest.raises(InfluxQLError, match="INTO"):
         eng.execute(
