@@ -67,10 +67,14 @@ def extract_text_bytes(html: bytes) -> str:
 
 
 def _impl() -> str:
-    """'arrow' (default): batch-vectorized numpy kernel over the Arrow
-    buffers — zero per-row Python (north-rule input_hint).  'scalar': the
-    per-row C-loop path (bytes.find/re.sub), kept as the byte-parity
-    witness and for the measured single-core tradeoff (BASELINE.md)."""
+    """'arrow' (default): batch-vectorized numpy kernel over raw Arrow
+    buffers via mapInArrow — zero per-row Python (north-rule input_hint),
+    no pandas materialization.  'arrowcol': same kernel inside the
+    column-level pandas UDF (only html ships to the worker, but the
+    pandas boundary costs more than it saves — measured, BASELINE.md).
+    'scalar': the per-row C-loop path (bytes.find/re.sub), kept as the
+    byte-parity witness; statistically tied with 'arrow' end-to-end on
+    this VM (median 73.7s vs 74.2s, pinned local[8], 8M rows ×3)."""
     return os.environ.get("SPARK_GRAFT_EXTRACT_IMPL", "arrow")
 
 

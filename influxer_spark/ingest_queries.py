@@ -193,6 +193,48 @@ def _lp_sql() -> str:
     )
 
 
+# ---------------------------------------------------------------------------
+# Line-protocol READ path (sinks.parse_line_protocol): write∘parse must be
+# the identity — format events as lines, parse back, project the typed
+# values; the oracle is the identity SELECT over events.
+# ---------------------------------------------------------------------------
+
+def _q_line_protocol_roundtrip(spark, sf_dir):
+    from influxer_spark.sinks import parse_line_protocol, to_line_protocol
+
+    ev = _events(spark, sf_dir)
+    pts = ev.select(
+        "ts",
+        F.col("event_type").alias("etype"),
+        "props",
+        F.col("user_id").alias("uid"),
+        F.regexp_extract("props", r'"k":\s*([0-9]+)', 1).cast("long").alias("k"),
+    )
+    lines = to_line_protocol(
+        pts,
+        measurement="events",
+        tags=["etype", "props"],
+        fields=["uid", "k"],
+        ts_col="ts",
+        precision="ns",
+    ).withColumnRenamed("line", "value")
+    parsed = parse_line_protocol(lines, precision="ns")
+    return parsed.select(
+        F.col("tags")["etype"].alias("etype"),
+        F.col("tags")["props"].alias("props"),
+        F.col("fields")["uid"].cast("long").alias("uid"),
+        F.col("fields")["k"].cast("long").alias("k"),
+        F.col("ts").alias("ts"),
+    )
+
+
+_LP_ROUNDTRIP_SQL = (
+    "SELECT event_type AS etype, props, user_id AS uid,"
+    "       CAST(regexp_extract(props, '\"k\":\\s*([0-9]+)', 1) AS BIGINT) AS k,"
+    "       ts FROM events"
+)
+
+
 def ingest_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "epoch_us_truncation": _q_epoch_us_truncation,
@@ -200,6 +242,7 @@ def ingest_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reserved_scrub_texts": _q_reserved_scrub,
         "dotnet_timeformat_roundtrip": _q_timeformat_roundtrip,
         "line_protocol_events": _q_line_protocol,
+        "line_protocol_roundtrip": _q_line_protocol_roundtrip,
     }
 
 
@@ -210,4 +253,5 @@ def ingest_oracle_sql() -> dict[str, str]:
         "reserved_scrub_texts": _scrub_sql(),
         "dotnet_timeformat_roundtrip": _TIMEFMT_SQL,
         "line_protocol_events": _lp_sql(),
+        "line_protocol_roundtrip": _LP_ROUNDTRIP_SQL,
     }

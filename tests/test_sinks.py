@@ -123,6 +123,73 @@ def test_write_and_readback(spark, tmp_path):
     assert back.filter(F.col("value").rlike(r"^m,host=h\d v=\d+\.\d+ \d+$")).count() == 10
 
 
+def test_parse_roundtrip(spark):
+    from influxer_spark.sinks import parse_line_protocol
+
+    rows = [
+        Row(ts=TS, host="h 1", region="eu,west", msg='say "hi"\\now', cnt=3, val=2.5),
+        Row(ts=TS, host="a=b", region=None, msg="plain words here", cnt=7, val=12.0),
+        Row(ts=TS, host="", region="r", msg=None, cnt=None, val=0.25),
+    ]
+    df = spark.createDataFrame(rows)
+    lines = to_line_protocol(
+        df, measurement="cpu load,1", tags=["host", "region"],
+        fields=["cnt", "val", "msg"], ts_col="ts",
+    ).withColumnRenamed("line", "value")
+    parsed = parse_line_protocol(lines).collect()
+    assert len(parsed) == 3
+    by_host = {p["tags"].get("host"): p for p in parsed}
+    p = by_host["h 1"]
+    assert p["measurement"] == "cpu load,1"
+    assert p["tags"] == {"host": "h 1", "region": "eu,west"}
+    assert p["fields"] == {"cnt": "3", "val": "2.5", "msg": 'say "hi"\\now'}
+    assert p["field_types"] == {"cnt": "integer", "val": "float", "msg": "string"}
+    assert p["ts"] == TS
+    p2 = by_host["a=b"]
+    assert "region" not in p2["tags"]
+    assert p2["fields"]["msg"] == "plain words here"
+    p3 = by_host.get(None)  # empty host tag omitted on write
+    assert p3["fields"] == {"val": "0.25"}
+
+
+def test_parse_booleans_and_precisions(spark):
+    from influxer_spark.sinks import parse_line_protocol
+
+    us = TS_NS // 1000
+    lines = spark.createDataFrame(
+        [
+            (f"m ok=true,bad=f,n=-5i {TS_NS}",),
+            (f"m v=1.5 {us}",),
+        ],
+        "value string",
+    )
+    p1 = parse_line_protocol(lines.limit(1)).collect()[0]
+    assert p1["fields"] == {"ok": "true", "bad": "false", "n": "-5"}
+    assert p1["field_types"] == {"ok": "boolean", "bad": "boolean", "n": "integer"}
+    assert p1["ts"] == TS
+    us_line = lines.filter(F.col("value").startswith("m v=1.5"))
+    p2 = parse_line_protocol(us_line, precision="us").collect()[0]
+    assert p2["ts"] == TS
+
+
+def test_read_write_roundtrip_files(spark, tmp_path):
+    from influxer_spark.sinks import read_line_protocol
+
+    df = spark.createDataFrame(
+        [Row(ts=TS, host=f"h {i}", v=float(i) + 0.5, n=i) for i in range(20)],
+        "ts timestamp, host string, v double, n long",
+    )
+    path = os.path.join(tmp_path, "lp")
+    write_line_protocol(df, path, measurement="m", tags=["host"], fields=["v", "n"], ts_col="ts")
+    back = read_line_protocol(spark, path)
+    got = sorted(
+        (r["tags"]["host"], float(r["fields"]["v"]), int(r["fields"]["n"]), r["ts"])
+        for r in back.collect()
+    )
+    exp = sorted((f"h {i}", float(i) + 0.5, i, TS) for i in range(20))
+    assert got == exp
+
+
 def test_requires_field_and_single_measurement(spark):
     df = spark.createDataFrame([Row(ts=TS, v=1.0)], "ts timestamp, v double")
     with pytest.raises(ValueError, match="field"):
