@@ -64,8 +64,30 @@ def _build_parser() -> argparse.ArgumentParser:
         "the full reference workflow (parse → push → server CQ rollup) in "
         "one command",
     )
+    p.add_argument(
+        "-lineprotocol", default=None, metavar="DIR",
+        help="also write the points as InfluxDB line-protocol text files — "
+        "the reference's actual wire output (GenericFile.cs:303), so the "
+        "result can be replayed into a real InfluxDB with `influx write`",
+    )
     p.add_argument("-cores", type=int, default=None)
     return p
+
+
+def _write_lineprotocol(points, measurement: str, path: str, ts_col: str = "ts") -> None:
+    """Wide points → line protocol: string-typed columns are tags, numeric/
+    boolean columns are fields (the engine's tag model, = InfluxDB's)."""
+    from influxer_spark.sinks import write_line_protocol
+
+    tags = [n for n, t in points.dtypes if t == "string" and n != ts_col]
+    fields = [
+        n for n, t in points.dtypes
+        if n != ts_col and n not in tags
+        and (t in ("double", "float", "boolean") or t.endswith("int") or t == "bigint")
+    ]
+    write_line_protocol(
+        points, path, measurement=measurement, tags=tags, fields=fields, ts_col=ts_col
+    )
 
 
 def _generic_config(args):
@@ -141,6 +163,8 @@ def main(argv: list[str] | None = None) -> int:
         found = points.count()
         if args.output:
             points.write.mode("overwrite").parquet(args.output)
+        if args.lineprotocol:
+            _write_lineprotocol(points, args.table, args.lineprotocol)
         print(
             f"Processed {found} points ({failed} failed lines) in "
             f"{time.time() - t0:.1f}s; UTC offset {res.utc_offset_min} min"
@@ -163,6 +187,8 @@ def main(argv: list[str] | None = None) -> int:
         )
     res = ingest_generic_file(spark, getattr(args, "input"), cfg, layout=layout)
     status = enforce_failure_budget(res, cfg)
+    if args.lineprotocol:
+        _write_lineprotocol(res.points, cfg.measurement, args.lineprotocol)
     if args.output:
         res.points.write.mode("overwrite").parquet(args.output)
         res.errors.write.mode("overwrite").parquet(args.output + "_errors")

@@ -46,7 +46,9 @@ Deliberate deviations (documented, tested):
 - sample(n) is seeded-deterministic (operators/influxql.sel_sample).
 - ``INTO`` returns the written rows (a DataFrame engine returns data, not
   InfluxDB's written-count summary) and registers in-session.
-- multi-measurement FROM is not supported and raises ``InfluxQLError``.
+- multi-measurement ``FROM m1, m2`` and ``FROM /regex/`` union the
+  per-measurement results with a leading ``measurement`` column (the
+  DataFrame rendering of InfluxDB's per-measurement series keying).
 
 Scale notes: every query compiles to (a) one groupBy on (bucket, tags) —
 partial-aggregated map-side, shuffled once; (b) transforms as windows over
@@ -109,8 +111,12 @@ def tokenize(s: str) -> list[Tok]:
     while i < len(s):
         if s[i:].isspace():
             break
-        # regex literal only ever follows =~ / !~ (avoids clash with '/')
-        if toks and toks[-1].kind == "op" and toks[-1].text in ("=~", "!~"):
+        # regex literal only ever follows =~ / !~ or FROM (avoids clash
+        # with the '/' operator)
+        if toks and (
+            (toks[-1].kind == "op" and toks[-1].text in ("=~", "!~"))
+            or (toks[-1].kind == "ident" and toks[-1].text.upper() == "FROM")
+        ):
             m = _REGEX_RE.match(s, i)
             if m:
                 toks.append(Tok("regex", m.group(1), i))
@@ -207,6 +213,8 @@ class Select:
     soffset: int | None = None
     into: str | None = None                    # SELECT … INTO target
     sub: "Select | None" = None                # FROM ( SELECT … ) subquery
+    measurements: list[str] | None = None      # FROM m1, m2 (several)
+    measurement_rex: str | None = None         # FROM /regex/
 
 
 class _Parser:
@@ -352,10 +360,16 @@ class _Parser:
             sub = self.select(nested=True)
             self.expect_op(")")
             stmt = Select(projections, None, sub=sub)
+        elif self.peek().kind == "regex":
+            stmt = Select(projections, None, measurement_rex=self.next().text)
         else:
-            stmt = Select(projections, self.ident())
-        if self.peek().kind == "op" and self.peek().text == ",":
-            raise InfluxQLError("multi-measurement FROM is not supported")
+            names = [self.ident()]
+            while self.peek().kind == "op" and self.peek().text == ",":
+                self.next()
+                names.append(self.ident())
+            stmt = Select(projections, names[0])
+            if len(names) > 1:
+                stmt.measurements = names
         stmt.into = into
 
         if self.kw("WHERE"):
@@ -722,6 +736,34 @@ class InfluxQLEngine:
             from dataclasses import replace as _replace
 
             return sub_eng._run(_replace(stmt, measurement="__sub__", sub=None))
+        if stmt.measurements or stmt.measurement_rex is not None:
+            # several measurements: the same plan per table, unioned with a
+            # leading `measurement` column — the DataFrame rendering of
+            # InfluxDB's per-measurement series keying (per-series LIMIT and
+            # SLIMIT apply within each measurement, as in InfluxDB)
+            from dataclasses import replace as _replace
+            from functools import reduce
+
+            if stmt.measurement_rex is not None:
+                names = sorted(
+                    m for m in self.tables if re.search(stmt.measurement_rex, m)
+                )
+                if not names:
+                    raise InfluxQLError(
+                        f"no measurement matches /{stmt.measurement_rex}/"
+                    )
+            else:
+                names = stmt.measurements
+            outs = [
+                self._run(
+                    _replace(
+                        stmt, measurement=m, measurements=None,
+                        measurement_rex=None, into=None,
+                    )
+                ).select(F.lit(m).alias("measurement"), "*")
+                for m in names
+            ]
+            return reduce(lambda a, b: a.unionByName(b), outs)
         if stmt.measurement not in self.tables:
             raise InfluxQLError(f"unknown measurement {stmt.measurement!r}")
         df = self.tables[stmt.measurement]

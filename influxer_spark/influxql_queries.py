@@ -374,6 +374,32 @@ _SLIMIT_SQL = (
 )
 
 
+def _q_multi_measurement(spark, sf_dir):
+    # FROM /regex/ over two registered measurements → union keyed by a
+    # leading `measurement` column; max/count stay order-stable for the hash
+    from influxer_spark.influxql_frontend import InfluxQLEngine
+
+    h = _hourly(spark, sf_dir)
+    eng = InfluxQLEngine(
+        {"hourly": h, "hourly_err": h.filter(F.col("event_type") == "error")},
+        ts_col="bucket",
+    )
+    return eng.execute(
+        "SELECT max(v) AS mx, count(v) AS n FROM /^hourly/"
+        " GROUP BY time(6h), event_type"
+    )
+
+
+_MULTI_SQL = (
+    "WITH " + _HOURLY_SQL + ", six AS ("
+    "  SELECT " + _BUCKET.format(src="bucket", w=21600) + " AS time, event_type,"
+    "         max(v) AS mx, count(v) AS n FROM hourly GROUP BY 1, 2) "
+    "SELECT 'hourly' AS measurement, * FROM six "
+    "UNION ALL "
+    "SELECT 'hourly_err' AS measurement, * FROM six WHERE event_type = 'error'"
+)
+
+
 def _q_show_tag_values(spark, sf_dir):
     from influxer_spark.influxql_frontend import InfluxQLEngine
 
@@ -399,6 +425,7 @@ def influxql_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "influxql_subquery_6h_max": _q_subquery,
         "influxql_slimit_series": _q_slimit,
         "influxql_show_tag_values": _q_show_tag_values,
+        "influxql_multi_measurement": _q_multi_measurement,
     }
 
 
@@ -414,4 +441,5 @@ def influxql_oracle_sql() -> dict[str, str]:
         "influxql_subquery_6h_max": _SUBQUERY_SQL,
         "influxql_slimit_series": _SLIMIT_SQL,
         "influxql_show_tag_values": _SHOW_TAG_VALUES_SQL,
+        "influxql_multi_measurement": _MULTI_SQL,
     }

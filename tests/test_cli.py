@@ -94,3 +94,25 @@ def test_cli_config_reload_preserves_settings(tmp_path):
     # and bare defaults (no config) still come from GenericFileConfig
     cfg3 = _generic_config(_build_parser().parse_args(["-input", "x.csv"]))
     assert cfg3.header_row == 1 and cfg3.validate_rows == 10
+
+
+def test_cli_lineprotocol_output(spark, tmp_path):
+    from influxer_spark.sinks import parse_line_protocol
+
+    path, _cfg, exp = write_simple_metrics(str(tmp_path))
+    lp = str(tmp_path / "lp")
+    rc = main([
+        "-input", path, "-format", "Generic",
+        "-timeformat", "yyyy-MM-dd m:ss", "-table", "simple",
+        "-lineprotocol", lp, "-cores", "8",
+    ])
+    assert rc == 2
+    lines = spark.read.text(lp)
+    parsed = parse_line_protocol(lines)
+    rows = parsed.collect()
+    assert rows
+    assert all(r["measurement"] == "simple" for r in rows)
+    # one line per ingested CSV row = one InfluxDatapoint = one reference
+    # "point"; every field value rides that row's line
+    assert len(rows) == exp.points_found
+    assert all(r["fields"] for r in rows)

@@ -115,6 +115,30 @@ def test_continuous_query_lifecycle(eng):
         eng.execute("DROP CONTINUOUS QUERY cq_1h")
 
 
+def test_multi_measurement_from(eng, spark):
+    eng.tables["gpu"] = eng.tables["cpu"].withColumn("value", F.col("value") * 2)
+    out = eng.execute("SELECT max(value) FROM cpu, gpu GROUP BY time(1h), host")
+    assert out.columns[0] == "measurement"
+    rows = {(r["measurement"], r["time"], r["host"]): r["max"] for r in out.collect()}
+    assert rows[("gpu", T0, "a")] == 2 * rows[("cpu", T0, "a")]
+    # regex FROM matches the same set
+    rex = eng.execute("SELECT max(value) FROM /pu$/ GROUP BY time(1h), host")
+    assert rex.count() == out.count()
+    with pytest.raises(InfluxQLError, match="no measurement matches"):
+        eng.execute("SELECT max(value) FROM /nope/ GROUP BY time(1h)")
+    del eng.tables["gpu"]
+
+
+def test_multi_measurement_per_series_limit(eng):
+    eng.tables["gpu"] = eng.tables["cpu"]
+    out = eng.execute(
+        "SELECT max(value) FROM cpu, gpu GROUP BY time(1h), host LIMIT 1"
+    )
+    # LIMIT 1 applies per (measurement, host) series: 2 measurements × 3 hosts
+    assert out.count() == 6
+    del eng.tables["gpu"]
+
+
 def test_retention_policy_ddl(eng):
     eng.execute('CREATE RETENTION POLICY "raw" ON db0 DURATION 7d REPLICATION 1 DEFAULT')
     eng.execute("CREATE RETENTION POLICY monthly ON db0 DURATION 30d REPLICATION 2")

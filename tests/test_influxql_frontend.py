@@ -60,11 +60,13 @@ def test_parse_durations():
 
 def test_parse_errors():
     with pytest.raises(InfluxQLError):
-        parse("SELECT v FROM m, n")
-    with pytest.raises(InfluxQLError):
         parse("SELECT FROM m")
     with pytest.raises(InfluxQLError):
         parse("SELECT v FROM (SELECT v FROM m")  # unterminated subquery
+    s = parse("SELECT v FROM m, n")
+    assert s.measurements == ["m", "n"]
+    s = parse("SELECT v FROM /^cpu/")
+    assert s.measurement_rex == "^cpu"
 
 
 def test_parse_round2_surface():
