@@ -315,6 +315,59 @@ def jaccard_pairs(
 
 
 # ---------------------------------------------------------------------------
+# benchmark decontamination (n-gram overlap screen)
+# ---------------------------------------------------------------------------
+
+def ngram_decontam(
+    corpus: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+) -> DataFrame:
+    """Flag corpus documents that share any word ``k``-gram with a benchmark
+    (eval-set) corpus — the standard training-data decontamination screen
+    (GPT-3 App. C / PaLM-style 8-gram overlap).
+
+    Returns (id, n_grams, n_contaminated, contam_frac) for contaminated
+    documents only: per-doc distinct k-gram count, how many of those appear
+    anywhere in the benchmark set, and their ratio.
+
+    Scale: benchmark suites are tiny relative to a crawl (≤ millions of
+    grams), so the bench side is distinct-ed and **broadcast** — the corpus
+    streams exactly once through explode → broadcast-hash-join → one
+    partial-aggregated shuffle on doc id.  No corpus-side self-join, no
+    sort-merge exchange; the plan survives a 100× corpus scale-up with the
+    broadcast side unchanged.
+    """
+    def grams(d: DataFrame) -> DataFrame:
+        return d.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.array_distinct(word_shingles(F.col(text_col), k))).alias(
+                "gram"
+            ),
+        )
+
+    bench_g = grams(bench).select("gram").distinct().withColumn("hit", F.lit(1))
+    return (
+        grams(corpus)
+        .join(F.broadcast(bench_g), "gram", "left")
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.count("hit").alias("n_contaminated"),
+        )
+        .filter(F.col("n_contaminated") > 0)
+        .select(
+            "id",
+            "n_grams",
+            "n_contaminated",
+            (F.col("n_contaminated") / F.col("n_grams")).alias("contam_frac"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

@@ -23,7 +23,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from influxer_spark.operators.dedup import h32, normalize_text, shingle_hashes
+from influxer_spark.operators.dedup import (
+    h32,
+    normalize_text,
+    shingle_hashes,
+    word_shingles,
+)
 
 # language → distinctive-stopword alternation (shared with the oracle SQL)
 LANG_PATTERNS: dict[str, str] = {
@@ -105,6 +110,61 @@ def langid(df: DataFrame, text_col: str, label_col: str | None = None) -> DataFr
     pred = predicted_lang(F.col(text_col)).alias("pred_lang")
     keys = ([F.col(label_col).alias("label_lang")] if label_col else []) + [pred]
     return df.groupBy(*keys).agg(F.count("*").alias("n_docs"))
+
+
+def _top_multiplicity(arr: Column) -> Column:
+    """Max multiplicity of any element of ``arr`` — the longest run in the
+    sorted array.  O(n log n) per row, pure codegen: boundary positions where
+    adjacent sorted elements differ, then max gap between boundaries.  Keeps
+    the whole computation row-local (no explode → no shuffle)."""
+    s = F.array_sort(arr)
+    n = F.size(s)
+    bounds = F.filter(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: (i > F.lit(0)) & (F.get(s, i) != F.get(s, i - 1)),
+    )
+    full = F.concat(F.array(F.lit(0)), bounds, F.array(n))
+    m = F.size(full)
+    return F.array_max(
+        F.zip_with(F.slice(full, 1, m - 1), F.slice(full, 2, m - 1), lambda a, b: b - a)
+    )
+
+
+def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style repetition signals per document (Rae et al. 2021 §A1.1):
+    duplicate-word fraction, top-unigram fraction, top-bigram fraction — the
+    standard "is this page boilerplate/spam?" filters for crawl curation.
+
+    (doc_id, n_words, n_distinct_words, top_word_cnt, dup_word_frac,
+    top_word_frac, n_bigrams, top_bigram_cnt, top_bigram_frac)
+
+    Scale: zero shuffles — every statistic is computed inside the row via
+    array expressions (`_top_multiplicity`), so the operator is a pure map
+    over the corpus scan; the alternative explode→groupBy(doc, gram) plan
+    shuffles the entire tokenized corpus twice.  Per-row cost is
+    O(words · log words), bounded by document length, independent of corpus
+    size.  Every ratio is long/long IEEE division with identical operand
+    order in the oracle SQL, so values are bit-exact across engines.
+    """
+    t = F.col(text_col)
+    words = F.split(F.trim(t), r"\s+")
+    bigrams = word_shingles(t, 2)
+    nw = F.size(words).cast("long")
+    nd = F.size(F.array_distinct(words)).cast("long")
+    top_w = _top_multiplicity(words).cast("long")
+    nb = F.size(bigrams).cast("long")
+    top_b = _top_multiplicity(bigrams).cast("long")
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        nw.alias("n_words"),
+        nd.alias("n_distinct_words"),
+        top_w.alias("top_word_cnt"),
+        ((nw - nd) / nw).alias("dup_word_frac"),
+        (top_w / nw).alias("top_word_frac"),
+        nb.alias("n_bigrams"),
+        top_b.alias("top_bigram_cnt"),
+        (top_b / nb).alias("top_bigram_frac"),
+    )
 
 
 def fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

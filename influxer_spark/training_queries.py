@@ -325,6 +325,19 @@ def _q_token_stats(spark, sf_dir):
     return T.token_stats(_docs(spark, sf_dir), "doc_id", "text")
 
 
+def _q_repetition(spark, sf_dir):
+    return T.repetition_stats(_docs(spark, sf_dir), "doc_id", "text")
+
+
+def _q_decontam(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    # k=4 on the synthetic corpus ≈ the overlap rate a 8/13-gram screen sees
+    # on real crawl text (19 flagged docs at sf0.01 vs 1 at k=8)
+    return D.ngram_decontam(corpus, bench, "doc_id", "text", k=4)
+
+
 def _q_quality(spark, sf_dir):
     return T.quality_features(_docs(spark, sf_dir), "doc_id", "text")
 
@@ -375,6 +388,8 @@ def training_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_cosine_topk": _q_ann_lsh_topk,
         "ann_ivf_cosine_topk": _q_ann_ivf_topk,
         "token_stats": _q_token_stats,
+        "repetition_stats": _q_repetition,
+        "ngram_decontam": _q_decontam,
         "quality_scores": _q_quality,
         "langid_confusion": _q_langid,
         "doc_fingerprints": _q_fingerprints,
@@ -406,6 +421,54 @@ def training_oracle_sql() -> dict[str, str]:
             f"CAST(len(regexp_extract_all(text, '{bpe}')) AS BIGINT) AS n_bpe_tokens "
             "FROM documents"
         ),
+        # unigram/bigram multiplicities via unnest→GROUP BY; Spark computes
+        # the same counts row-locally (longest sorted run).  All fractions
+        # are BIGINT/BIGINT IEEE division with identical operand order.
+        "repetition_stats": f"""
+WITH base AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w,
+         {_shingles_sql('text', 2)} AS bg
+  FROM documents
+), uni AS (
+  SELECT doc_id, wd, count(*) AS c
+  FROM (SELECT doc_id, unnest(w) AS wd FROM base) GROUP BY 1, 2
+), au AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+         CAST(count(*) AS BIGINT) AS n_distinct_words,
+         CAST(max(c) AS BIGINT) AS top_word_cnt
+  FROM uni GROUP BY 1
+), bi AS (
+  SELECT doc_id, g, count(*) AS c
+  FROM (SELECT doc_id, unnest(bg) AS g FROM base) GROUP BY 1, 2
+), ab AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+         CAST(max(c) AS BIGINT) AS top_bigram_cnt
+  FROM bi GROUP BY 1
+)
+SELECT au.doc_id, n_words, n_distinct_words, top_word_cnt,
+       (n_words - n_distinct_words) / n_words AS dup_word_frac,
+       top_word_cnt / n_words AS top_word_frac,
+       n_bigrams, top_bigram_cnt,
+       top_bigram_cnt / n_bigrams AS top_bigram_frac
+FROM au JOIN ab USING (doc_id)
+""",
+        "ngram_decontam": f"""
+WITH g AS (
+  SELECT DISTINCT doc_id, unnest({_shingles_sql('text', 4)}) AS gram
+  FROM documents
+), bench AS (
+  SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0
+), agg AS (
+  SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(count(b.gram) AS BIGINT) AS n_contaminated
+  FROM (SELECT doc_id, gram FROM g WHERE doc_id % 50 <> 0) c
+  LEFT JOIN bench b ON c.gram = b.gram
+  GROUP BY 1
+)
+SELECT doc_id AS id, n_grams, n_contaminated,
+       n_contaminated / n_grams AS contam_frac
+FROM agg WHERE n_contaminated > 0
+""",
         "quality_scores": (
             "SELECT doc_id AS id, CAST(length(text) AS BIGINT) AS n_chars_m, "
             "CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_words, "

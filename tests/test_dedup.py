@@ -176,3 +176,27 @@ def test_lsh_hot_bucket_guard(spark):
     out = minhash_lsh_dedup(docs, "doc_id", "text", k=5, min_jaccard=0.7,
                             max_bucket_size=10).collect()
     assert {(r["id_a"], r["id_b"]) for r in out} == {(100, 101)}
+
+
+def test_ngram_decontam_flags_planted_overlap(spark):
+    from influxer_spark.operators.dedup import ngram_decontam
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")], ["doc_id", "text"]
+    )
+    corpus = spark.createDataFrame(
+        [
+            # contains the bench 4-gram "beta gamma delta epsilon"
+            (1, "zz beta gamma delta epsilon yy"),
+            # no 4-gram overlap
+            (2, "one two three four five"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = ngram_decontam(corpus, bench, "doc_id", "text", k=4).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["id"] == 1
+    assert r["n_grams"] == 3            # 6 words → 3 distinct 4-grams
+    assert r["n_contaminated"] == 1     # only "beta gamma delta epsilon"
+    assert r["contam_frac"] == 1 / 3

@@ -72,3 +72,34 @@ def test_fingerprints_stable_under_case_and_space(spark):
     assert fps[1]["fp_md5"] != fps[3]["fp_md5"]
     # minshingle fingerprint is case-sensitive (content-level, not normalized)
     assert fps[1]["fp_minshingle"] != fps[2]["fp_minshingle"]
+
+
+def test_repetition_stats_known_values(spark):
+    # "a a a b": words a×3 b×1; bigrams "a a"×2, "a b"×1
+    df = spark.createDataFrame([(1, "a a a b"), (2, "x")], ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in
+           T.repetition_stats(df, "doc_id", "text").collect()}
+    r = out[1]
+    assert (r["n_words"], r["n_distinct_words"], r["top_word_cnt"]) == (4, 2, 3)
+    assert r["dup_word_frac"] == 2 / 4
+    assert r["top_word_frac"] == 3 / 4
+    assert (r["n_bigrams"], r["top_bigram_cnt"]) == (3, 2)
+    assert r["top_bigram_frac"] == 2 / 3
+    # single-word doc: one word, one fallback "bigram" (the whole doc)
+    s = out[2]
+    assert (s["n_words"], s["n_distinct_words"], s["top_word_cnt"]) == (1, 1, 1)
+    assert (s["n_bigrams"], s["top_bigram_cnt"]) == (1, 1)
+
+
+def test_top_multiplicity_matches_python(spark):
+    import collections
+    rows = [
+        (1, "q w e r t y q w q"),
+        (2, "z z z z"),
+        (3, "one two three four five six"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r["top_word_cnt"] for r in
+           T.repetition_stats(df, "doc_id", "text").collect()}
+    for i, text in rows:
+        assert got[i] == max(collections.Counter(text.split()).values()), i
