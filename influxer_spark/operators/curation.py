@@ -1,0 +1,166 @@
+"""Corpus-curation operators: vocabulary statistics, per-domain caps, and a
+CCNet-style unigram language-model quality score.
+
+The reference's pipeline ends at "points pushed per measurement"
+(Influxer/Program.cs:78-102 prints per-file totals); a training-data curator
+needs the corpus-level analogues of those run statistics — which tokens
+dominate the corpus, which sources over-contribute, and how "surprising"
+each document is under the corpus' own unigram distribution (the
+perplexity-filter proxy of CCNet / Wenzek et al. 2019).
+
+Determinism discipline (see training_queries.py): every floating-point
+number that crosses the Spark/DuckDB oracle boundary is derived from
+integers by a single IEEE division with identical operand order.  The LM
+score NEVER sums raw ``ln`` terms — JVM ``Math.log`` and libm disagree by
+1 ulp on ~3% of inputs, and float summation order differs between engines —
+instead each vocabulary entry's log-probability is quantized ONCE to a
+scaled BIGINT and per-document scores are pure integer sums (order-free).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT = r"\s+"
+LOGPROB_SCALE = 1_000_000
+
+
+def _doc_tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, token, m) — per-document token multiplicities.
+
+    The explode is immediately re-aggregated on (id, token), so the shuffle
+    volume is the *distinct* tokens per document, not the token stream; the
+    map-side partial aggregation absorbs within-partition repetition before
+    anything moves.
+    """
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.split(F.trim(F.col(text_col)), TOKEN_SPLIT)).alias("token"),
+        )
+        .groupBy("id", "token")
+        .agg(F.count("*").alias("m"))
+    )
+
+
+def token_doc_freq(
+    df: DataFrame, id_col: str, text_col: str, top_k: int = 100
+) -> DataFrame:
+    """(token, doc_freq, total_freq) — the corpus vocabulary table, top
+    ``top_k`` tokens by document frequency (ties → total_freq desc, then
+    token asc; fully deterministic).
+
+    This is the DF/IDF table every corpus filter pipeline needs (stopword
+    discovery, boilerplate shingle caps, IDF weighting).
+
+    Scale: two-level aggregation instead of ``countDistinct`` — the
+    (id, token) pre-aggregate makes the second groupBy distinct-free, so
+    Spark plans two plain partial-aggregated shuffles rather than an Expand.
+    The final top-k is a TakeOrderedAndProject (per-partition heaps, no
+    global sort).
+    """
+    return (
+        _doc_tokens(df, id_col, text_col)
+        .groupBy("token")
+        .agg(
+            F.count("*").alias("doc_freq"),
+            F.sum("m").alias("total_freq"),
+        )
+        .orderBy(F.desc("doc_freq"), F.desc("total_freq"), F.asc("token"))
+        .limit(top_k)
+    )
+
+
+def domain_cap(
+    df: DataFrame,
+    id_col: str,
+    domain_col: str,
+    order_col: str,
+    n: int,
+) -> DataFrame:
+    """Keep at most ``n`` documents per domain/source — the standard
+    per-domain downsampling step that stops a handful of giant hosts from
+    dominating a crawl-derived corpus (C4 keeps 1 page per URL; curated
+    sets cap pages per registered domain).
+
+    Ranks by (``order_col`` desc, ``id_col`` asc) — "best n per domain"
+    with a deterministic tiebreak — and returns
+    (id, domain, <order_col>, rank).
+
+    Scale: one shuffle on the domain key, then a rank filter that Spark
+    pushes into the window as a running limit.  For a pathologically hot
+    domain (one host = one partition's worth of rows) the same call can be
+    preceded by a per-partition local top-n (groupBy domain with a
+    ``max_by``-style partial heap) — not done by default because the window
+    form is exact and the hot-domain case is precisely what the cap itself
+    removes from downstream stages.
+    """
+    w = Window.partitionBy(domain_col).orderBy(
+        F.desc(order_col), F.asc(id_col)
+    )
+    return (
+        df.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= n)
+        .select(
+            F.col(id_col).alias("id"),
+            F.col(domain_col).alias("domain"),
+            F.col(order_col),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def unigram_logprob(
+    df: DataFrame, id_col: str, text_col: str, scale: int = LOGPROB_SCALE
+) -> DataFrame:
+    """CCNet-style unigram LM score: train a unigram distribution on the
+    corpus itself, then score every document by its mean token
+    log-probability (higher = more typical; the real CCNet filters on a
+    KenLM 5-gram — the unigram version is the same plumbing with a
+    broadcastable model).
+
+    Returns (id, n_tokens, sum_logp_q, avg_logprob) where
+    ``sum_logp_q = Σ_t m_t · round(ln(cnt_t/total)·scale)`` (BIGINT) and
+    ``avg_logprob = sum_logp_q / (scale · n_tokens)``.
+
+    Bit-exactness: ``ln`` is evaluated once per *vocabulary entry* and
+    immediately quantized to a scaled BIGINT, so the per-document
+    aggregation is integer arithmetic — immune to both the JVM/libm 1-ulp
+    ``ln`` divergence (only ~vocab-size chances to flip a rounding
+    boundary, not ~token-stream-size) and to float summation-order
+    nondeterminism.  The final division is one IEEE op on exact integers.
+
+    Scale: the vocabulary is built from the (id, token) pre-aggregate
+    (same two-shuffle shape as ``token_doc_freq``); the corpus total is a
+    1-row aggregate broadcast onto the vocab; the score join is on the
+    token key — AQE broadcasts the vocab side when it fits (a unigram
+    model does even for web-scale corpora; a few hundred million distinct
+    tokens is the pathological ceiling) and falls back to a shuffle join
+    when it doesn't.
+    """
+    dt = _doc_tokens(df, id_col, text_col)
+    vocab = dt.groupBy("token").agg(F.sum("m").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    vq = vocab.crossJoin(F.broadcast(total)).select(
+        "token",
+        F.round(F.log(F.col("cnt") / F.col("total")) * scale, 0)
+        .cast("long")
+        .alias("q"),
+    )
+    return (
+        dt.join(vq, "token")
+        .groupBy("id")
+        .agg(
+            F.sum("m").alias("n_tokens"),
+            F.sum(F.col("m") * F.col("q")).alias("sum_logp_q"),
+        )
+        .select(
+            "id",
+            "n_tokens",
+            "sum_logp_q",
+            (F.col("sum_logp_q") / (F.lit(scale) * F.col("n_tokens"))).alias(
+                "avg_logprob"
+            ),
+        )
+    )

@@ -15,6 +15,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from influxer_spark.operators import curation as C
 from influxer_spark.operators import dedup as D
 from influxer_spark.operators import multimodal as M
 from influxer_spark.operators import similarity as S
@@ -338,6 +339,18 @@ def _q_decontam(spark, sf_dir):
     return D.ngram_decontam(corpus, bench, "doc_id", "text", k=4)
 
 
+def _q_token_doc_freq(spark, sf_dir):
+    return C.token_doc_freq(_docs(spark, sf_dir), "doc_id", "text", top_k=20)
+
+
+def _q_domain_cap(spark, sf_dir):
+    return C.domain_cap(_docs(spark, sf_dir), "doc_id", "source", "n_chars", n=3)
+
+
+def _q_unigram_logprob(spark, sf_dir):
+    return C.unigram_logprob(_docs(spark, sf_dir), "doc_id", "text")
+
+
 def _q_quality(spark, sf_dir):
     return T.quality_features(_docs(spark, sf_dir), "doc_id", "text")
 
@@ -390,6 +403,9 @@ def training_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": _q_token_stats,
         "repetition_stats": _q_repetition,
         "ngram_decontam": _q_decontam,
+        "token_doc_freq": _q_token_doc_freq,
+        "domain_cap_top3": _q_domain_cap,
+        "unigram_logprob_scores": _q_unigram_logprob,
         "quality_scores": _q_quality,
         "langid_confusion": _q_langid,
         "doc_fingerprints": _q_fingerprints,
@@ -468,6 +484,55 @@ WITH g AS (
 SELECT doc_id AS id, n_grams, n_contaminated,
        n_contaminated / n_grams AS contam_frac
 FROM agg WHERE n_contaminated > 0
+""",
+        # (id, token) pre-aggregate mirror of curation._doc_tokens; every
+        # count is BIGINT and the only float (avg_logprob) is one IEEE
+        # division of identical integer operands.
+        "token_doc_freq": """
+WITH dt AS (
+  SELECT doc_id, token, count(*) AS m
+  FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+        FROM documents)
+  GROUP BY 1, 2
+)
+SELECT token, CAST(count(*) AS BIGINT) AS doc_freq,
+       CAST(sum(m) AS BIGINT) AS total_freq
+FROM dt GROUP BY 1
+ORDER BY doc_freq DESC, total_freq DESC, token ASC
+LIMIT 20
+""",
+        "domain_cap_top3": """
+SELECT doc_id AS id, source AS domain, n_chars, CAST(rank AS BIGINT) AS rank
+FROM (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id ASC) AS rank
+  FROM documents
+)
+WHERE rank <= 3
+""",
+        # per-vocab-entry ln quantized to scaled BIGINT (q), then pure
+        # integer per-doc sums — order-independent, immune to the JVM/libm
+        # 1-ulp ln divergence at the token-stream scale.
+        "unigram_logprob_scores": """
+WITH dt AS (
+  SELECT doc_id, token, count(*) AS m
+  FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+        FROM documents)
+  GROUP BY 1, 2
+), v AS (
+  SELECT token, CAST(sum(m) AS BIGINT) AS cnt FROM dt GROUP BY 1
+), tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM v),
+vq AS (
+  SELECT token, CAST(round(ln(cnt / total) * 1000000, 0) AS BIGINT) AS q
+  FROM v, tot
+)
+SELECT doc_id AS id, CAST(sum(m) AS BIGINT) AS n_tokens,
+       CAST(sum(m * q) AS BIGINT) AS sum_logp_q,
+       CAST(sum(m * q) AS BIGINT) / (1000000 * CAST(sum(m) AS BIGINT))
+         AS avg_logprob
+FROM dt JOIN vq USING (token)
+GROUP BY 1
 """,
         "quality_scores": (
             "SELECT doc_id AS id, CAST(length(text) AS BIGINT) AS n_chars_m, "

@@ -1,0 +1,79 @@
+"""Unit tests for corpus-curation operators (curation.py): known-value
+checks on tiny frames plus a Python-mirror property for the LM score."""
+
+import math
+
+import pytest
+
+from influxer_spark.operators import curation as C
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.createDataFrame(
+        [
+            (1, "a b a c", "s1", 7),
+            (2, "a b", "s1", 3),
+            (3, "c c c", "s1", 5),
+            (4, "a d", "s2", 3),
+        ],
+        ["doc_id", "text", "source", "n_chars"],
+    )
+
+
+def test_token_doc_freq_counts_and_order(spark, corpus):
+    rows = C.token_doc_freq(corpus, "doc_id", "text", top_k=3).collect()
+    # a: docs {1,2,4} total 4; c: docs {1,3} total 4; b: docs {1,2} total 2
+    assert [(r["token"], r["doc_freq"], r["total_freq"]) for r in rows] == [
+        ("a", 3, 4),
+        ("c", 2, 4),
+        ("b", 2, 2),
+    ]
+
+
+def test_token_doc_freq_tiebreak_deterministic(spark):
+    # b and z identical on both counts -> token asc decides the cut
+    df = spark.createDataFrame(
+        [(1, "z b"), (2, "z b"), (3, "q q q")], ["doc_id", "text"]
+    )
+    rows = C.token_doc_freq(df, "doc_id", "text", top_k=2).collect()
+    # doc_freq: z=2 b=2 q=1; total_freq: z=2 b=2 -> token asc: b before z
+    assert [r["token"] for r in rows] == ["b", "z"]
+
+
+def test_domain_cap_keeps_best_n(spark, corpus):
+    out = C.domain_cap(corpus, "doc_id", "source", "n_chars", n=2).collect()
+    kept = {(r["domain"], r["id"], r["rank"]) for r in out}
+    # s1: doc1 (7 chars) rank 1, doc3 (5) rank 2, doc2 dropped; s2: doc4
+    assert kept == {("s1", 1, 1), ("s1", 3, 2), ("s2", 4, 1)}
+
+
+def test_domain_cap_tiebreak_on_id(spark):
+    df = spark.createDataFrame(
+        [(10, "s", 5), (11, "s", 5), (12, "s", 5)],
+        ["doc_id", "source", "n_chars"],
+    )
+    out = C.domain_cap(df, "doc_id", "source", "n_chars", n=2).collect()
+    assert {r["id"] for r in out} == {10, 11}
+
+
+def test_unigram_logprob_matches_python_mirror(spark, corpus):
+    texts = {1: "a b a c", 2: "a b", 3: "c c c", 4: "a d"}
+    toks = {i: t.split() for i, t in texts.items()}
+    cnt: dict[str, int] = {}
+    for ts in toks.values():
+        for t in ts:
+            cnt[t] = cnt.get(t, 0) + 1
+    total = sum(cnt.values())
+    q = {t: round(math.log(c / total) * 1_000_000) for t, c in cnt.items()}
+    out = {
+        r["id"]: r
+        for r in C.unigram_logprob(corpus, "doc_id", "text").collect()
+    }
+    for i, ts in toks.items():
+        sum_q = sum(q[t] for t in ts)
+        assert out[i]["n_tokens"] == len(ts)
+        assert out[i]["sum_logp_q"] == sum_q
+        assert out[i]["avg_logprob"] == sum_q / (1_000_000 * len(ts))
+    # the doc containing the rarest token scores lowest
+    assert out[4]["avg_logprob"] < out[2]["avg_logprob"]
