@@ -35,6 +35,11 @@ Supported surface
   outer plans over its result with ``time`` as the time column), and
   ``SELECT … INTO target`` (registers the result as a queryable
   measurement).
+- ``tz('Area/City')``: WHERE time string literals are interpreted as
+  wall-clock in the zone, ``GROUP BY time()`` boundaries are aligned to the
+  zone's (DST-aware) wall clock, and result ``time`` values render as wall
+  clock in that zone.  For subqueries the conversion happens once at the
+  innermost level; the outer query then operates in wall space directly.
 - Metadata surface: ``SHOW MEASUREMENTS | FIELD KEYS | TAG KEYS |
   TAG VALUES … WITH KEY = k | DATABASES | CONTINUOUS QUERIES``, plus
   ``CREATE/DROP CONTINUOUS QUERY`` with ``run_continuous_queries()`` as the
@@ -46,6 +51,10 @@ Deliberate deviations (documented, tested):
 - sample(n) is seeded-deterministic (operators/influxql.sel_sample).
 - ``INTO`` returns the written rows (a DataFrame engine returns data, not
   InfluxDB's written-count summary) and registers in-session.
+- tz() result times are NTZ wall-clock values in the query zone (a
+  DataFrame engine has no per-cell zone rendering); during a DST fall-back
+  hour two UTC hours share one wall hour and aggregate into one bucket
+  (InfluxDB keys buckets by UTC instant and emits both).
 - multi-measurement ``FROM m1, m2`` and ``FROM /regex/`` union the
   per-measurement results with a leading ``measurement`` column (the
   DataFrame rendering of InfluxDB's per-measurement series keying).
@@ -211,6 +220,7 @@ class Select:
     offset: int | None = None
     slimit: int | None = None                  # series limit (distinct tag sets)
     soffset: int | None = None
+    tz: str | None = None                      # tz('Area/City') display zone
     into: str | None = None                    # SELECT … INTO target
     sub: "Select | None" = None                # FROM ( SELECT … ) subquery
     measurements: list[str] | None = None      # FROM m1, m2 (several)
@@ -442,6 +452,13 @@ class _Parser:
                 stmt.offset = int(self.next().text)
             else:
                 break
+        if self.kw("TZ"):
+            self.expect_op("(")
+            z = self.next()
+            if z.kind != "string":
+                raise InfluxQLError(f"tz() needs a quoted zone name at {z.pos}")
+            stmt.tz = z.text[1:-1]
+            self.expect_op(")")
         t = self.peek()
         if nested:
             if not (t.kind == "op" and t.text == ")"):
@@ -589,6 +606,7 @@ class InfluxQLEngine:
         self.tables = tables
         self.ts_col = ts_col
         self.database = database
+        self._tz: str | None = None    # per-statement tz() zone (set by _run)
         self.cqs: dict[str, str] = {}  # continuous-query name → SELECT…INTO text
         # retention-policy name → (duration_s | None for INF, replicaN, default)
         self.retention: dict[str, tuple[float | None, int, bool]] = {}
@@ -604,7 +622,11 @@ class InfluxQLEngine:
                 return F.timestamp_seconds(F.lit(e.value / 1e9))
             return F.lit(e.value)
         if isinstance(e, Str):
-            return F.lit(e.value).cast("timestamp") if time_side else F.lit(e.value)
+            if time_side:
+                t = F.lit(e.value).cast("timestamp")
+                # tz(): time string literals are wall-clock in the query zone
+                return F.to_utc_timestamp(t, self._tz) if self._tz else t
+            return F.lit(e.value)
         if isinstance(e, Dur):
             return F.lit(e.seconds)
         if isinstance(e, Ref):
@@ -723,10 +745,17 @@ class InfluxQLEngine:
         return out
 
     def _run(self, stmt: Select) -> DataFrame:
+        self._tz = stmt.tz
         if stmt.sub is not None:
             # subquery: run the inner SELECT, then the outer over its result
-            # (inner emits a 'time' column; tags pass through by name)
-            inner = self._run(stmt.sub)
+            # (inner emits a 'time' column; tags pass through by name).
+            # tz() applies to the whole statement, inner query included.
+            from dataclasses import replace as _tzrep
+
+            sub = stmt.sub if stmt.sub.tz or not stmt.tz else _tzrep(
+                stmt.sub, tz=stmt.tz
+            )
+            inner = self._run(sub)
             if "time" not in inner.columns:
                 raise InfluxQLError(
                     "outer query needs a time column: give the subquery "
@@ -735,7 +764,12 @@ class InfluxQLEngine:
             sub_eng = InfluxQLEngine({"__sub__": inner}, ts_col="time")
             from dataclasses import replace as _replace
 
-            return sub_eng._run(_replace(stmt, measurement="__sub__", sub=None))
+            # tz() was applied at the innermost level, so the inner result's
+            # `time` is already in wall-clock space — the outer query runs
+            # without tz (plain arithmetic on wall times is then correct)
+            return sub_eng._run(
+                _replace(stmt, measurement="__sub__", sub=None, tz=None)
+            )
         if stmt.measurements or stmt.measurement_rex is not None:
             # several measurements: the same plan per table, unioned with a
             # leading `measurement` column — the DataFrame rendering of
@@ -801,7 +835,10 @@ class InfluxQLEngine:
             name = alias or _default_name(e)
             names.append(name)
             cols.append(self._proj(e, df, keys, ts, F.col).alias(name))
-        out = df.select(F.col(ts).alias("time"), *keys, *cols)
+        t_out = F.col(ts)
+        if self._tz:
+            t_out = F.from_utc_timestamp(t_out, self._tz)
+        out = df.select(t_out.alias("time"), *keys, *cols)
         if cols and all(self._rooted_in_transform(e) for e, _ in stmt.projections):
             keep = None
             for n in names:
@@ -856,7 +893,14 @@ class InfluxQLEngine:
     # --- aggregate mode: GROUP BY time(w)[, tags] or plain tag aggregation ---
 
     def _bucket(self, width: float, offset: float) -> Column:
-        secs = F.unix_timestamp(self._time_col()).cast("long")
+        t = self._time_col()
+        if self._tz:
+            # tz(): bucket boundaries are aligned to the zone's wall clock
+            # (DST-aware, from_utc_timestamp applies the per-instant offset)
+            # and the bucket timestamp renders in that wall clock, exactly
+            # like InfluxDB's tz() output
+            t = F.from_utc_timestamp(t, self._tz)
+        secs = F.unix_timestamp(t).cast("long")
         w, off = int(width), int(offset)
         return F.timestamp_seconds(secs - ((secs - off) % w))
 
@@ -964,6 +1008,10 @@ class InfluxQLEngine:
         else:
             out = Q.sel_sample(df, keys, self.ts_col, fld, n)
         out = out.withColumnRenamed(fld, alias).withColumnRenamed(self.ts_col, "time")
+        if self._tz:
+            out = out.withColumn(
+                "time", F.from_utc_timestamp(F.col("time"), self._tz)
+            )
         return self._finish(stmt, out, keys)
 
     # --- shared tail: ORDER BY time / LIMIT / OFFSET ---

@@ -226,3 +226,82 @@ def test_arithmetic_on_aggregates(m):
 def test_unknown_measurement(m):
     with pytest.raises(InfluxQLError):
         influxql("SELECT mean(v) FROM nope GROUP BY time(1m)", {"cpu": m})
+
+
+# --- tz() ---
+
+def test_tz_parse():
+    s = parse("SELECT mean(value) FROM cpu GROUP BY time(1h) tz('America/New_York')")
+    assert s.tz == "America/New_York"
+
+
+def test_tz_bucket_alignment_and_rendering(spark):
+    # 2024-01-05 03:30 UTC = 2024-01-04 22:30 EST (UTC-5): the local day
+    # bucket is Jan 4, not Jan 5
+    rows = [
+        ("h", dt.datetime(2024, 1, 5, 3, 30), 10.0),
+        ("h", dt.datetime(2024, 1, 5, 6, 30), 20.0),  # 01:30 EST Jan 5
+    ]
+    df = spark.createDataFrame(rows, ["host", "ts", "value"])
+    eng = InfluxQLEngine({"cpu": df}, ts_col="ts")
+    out = eng.execute(
+        "SELECT mean(value) FROM cpu GROUP BY time(1d) tz('America/New_York')"
+    ).collect()
+    got = {r["time"]: r["mean"] for r in out}
+    assert got == {
+        dt.datetime(2024, 1, 4): 10.0,
+        dt.datetime(2024, 1, 5): 20.0,
+    }
+
+
+def test_tz_dst_aware_day_boundary(spark):
+    # US DST starts 2024-03-10: EST (UTC-5) before, EDT (UTC-4) after.
+    # 2024-03-11 03:30 UTC = 2024-03-10 23:30 EDT -> local day Mar 10;
+    # without tz the UTC day would be Mar 11.
+    rows = [("h", dt.datetime(2024, 3, 11, 3, 30), 7.0)]
+    df = spark.createDataFrame(rows, ["host", "ts", "value"])
+    eng = InfluxQLEngine({"cpu": df}, ts_col="ts")
+    out = eng.execute(
+        "SELECT mean(value) FROM cpu GROUP BY time(1d) tz('America/New_York')"
+    ).collect()
+    assert out[0]["time"] == dt.datetime(2024, 3, 10)
+
+
+def test_tz_where_literal_is_local_wall_clock(spark):
+    rows = [
+        ("h", dt.datetime(2024, 1, 1, 4, 0), 1.0),   # 23:00 EST Dec 31
+        ("h", dt.datetime(2024, 1, 1, 5, 0), 2.0),   # 00:00 EST Jan 1
+        ("h", dt.datetime(2024, 1, 1, 6, 0), 3.0),   # 01:00 EST Jan 1
+    ]
+    df = spark.createDataFrame(rows, ["host", "ts", "value"])
+    eng = InfluxQLEngine({"cpu": df}, ts_col="ts")
+    out = eng.execute(
+        "SELECT value FROM cpu WHERE time >= '2024-01-01 00:00:00' "
+        "tz('America/New_York')"
+    ).collect()
+    # the literal means local midnight = 05:00 UTC -> rows 2 and 3 survive,
+    # rendered in wall clock
+    assert {(r["time"], r["value"]) for r in out} == {
+        (dt.datetime(2024, 1, 1, 0, 0), 2.0),
+        (dt.datetime(2024, 1, 1, 1, 0), 3.0),
+    }
+
+
+def test_tz_subquery_single_conversion(spark):
+    rows = [
+        ("h", dt.datetime(2024, 1, 5, 3, 30), 10.0),   # 22:30 EST Jan 4
+        ("h", dt.datetime(2024, 1, 5, 6, 30), 20.0),   # 01:30 EST Jan 5
+        ("h", dt.datetime(2024, 1, 5, 7, 30), 40.0),   # 02:30 EST Jan 5
+    ]
+    df = spark.createDataFrame(rows, ["host", "ts", "value"])
+    eng = InfluxQLEngine({"cpu": df}, ts_col="ts")
+    out = eng.execute(
+        "SELECT max(m) FROM (SELECT mean(value) AS m FROM cpu "
+        "GROUP BY time(1h)) GROUP BY time(1d) tz('America/New_York')"
+    ).collect()
+    got = {r["time"]: r["max"] for r in out}
+    # inner hours convert once: 22:00 Jan 4 -> day Jan 4; 01:00/02:00 Jan 5
+    assert got == {
+        dt.datetime(2024, 1, 4): 10.0,
+        dt.datetime(2024, 1, 5): 40.0,
+    }
