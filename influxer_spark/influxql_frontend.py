@@ -40,8 +40,10 @@ Supported surface
   zone's (DST-aware) wall clock, and result ``time`` values render as wall
   clock in that zone.  For subqueries the conversion happens once at the
   innermost level; the outer query then operates in wall space directly.
-- Metadata surface: ``SHOW MEASUREMENTS | FIELD KEYS | TAG KEYS |
+- Metadata surface: ``SHOW MEASUREMENTS | SERIES | FIELD KEYS | TAG KEYS |
   TAG VALUES … WITH KEY = k | DATABASES | CONTINUOUS QUERIES``, plus
+  data lifecycle: ``DELETE FROM m [WHERE …]``, ``DROP MEASUREMENT |
+  SERIES FROM m WHERE <tags> | DATABASE``, ``CREATE DATABASE``, and
   ``CREATE/DROP CONTINUOUS QUERY`` with ``run_continuous_queries()`` as the
   batch recompute driver (the incremental path is streaming/incremental.py).
 
@@ -606,6 +608,7 @@ class InfluxQLEngine:
         self.tables = tables
         self.ts_col = ts_col
         self.database = database
+        self.databases: set[str] = {database}
         self._tz: str | None = None    # per-statement tz() zone (set by _run)
         self.cqs: dict[str, str] = {}  # continuous-query name → SELECT…INTO text
         # retention-policy name → (duration_s | None for INF, replicaN, default)
@@ -730,7 +733,7 @@ class InfluxQLEngine:
 
     def execute(self, sql: str) -> DataFrame:
         first = sql.lstrip().split(None, 1)[0].upper() if sql.strip() else ""
-        if first in ("SHOW", "CREATE", "DROP", "ALTER"):
+        if first in ("SHOW", "CREATE", "DROP", "ALTER", "DELETE"):
             return self.execute_statement(sql)
         stmt = parse(sql)
         out = self._run(stmt)
@@ -1081,7 +1084,23 @@ class InfluxQLEngine:
         spark = self._spark()
         if p.kw("SHOW"):
             if p.kw("DATABASES"):
-                return spark.createDataFrame([(self.database,)], "name string")
+                return spark.createDataFrame(
+                    [(d,) for d in sorted(self.databases)], "name string"
+                )
+            if p.kw("SERIES"):
+                # series key = measurement + sorted tag k=v pairs; a
+                # distributed distinct over the tag columns (cardinality of
+                # series ≪ points, same shape as SHOW TAG VALUES)
+                m = self._from_measurement(p)
+                tags = self._tags_of(m)
+                if not tags:
+                    return spark.createDataFrame([(m,)], "key string")
+                key = F.concat_ws(
+                    ",",
+                    F.lit(m),
+                    *[F.concat_ws("=", F.lit(t), F.col(t)) for t in tags],
+                )
+                return self.tables[m].select(key.alias("key")).distinct()
             if p.kw("MEASUREMENTS"):
                 return spark.createDataFrame(
                     [(m,) for m in sorted(self.tables)], "name string"
@@ -1192,7 +1211,60 @@ class InfluxQLEngine:
                 raise InfluxQLError(f"unknown continuous query {name!r}")
             del self.cqs[name]
             return spark.createDataFrame([(name,)], "dropped string")
+        if p.kw("CREATE", "DATABASE"):
+            name = p.ident()
+            self.databases.add(name)
+            return spark.createDataFrame([(name,)], "created string")
+        if p.kw("DROP", "DATABASE"):
+            name = p.ident()
+            if name not in self.databases:
+                raise InfluxQLError(f"unknown database {name!r}")
+            self.databases.discard(name)
+            return spark.createDataFrame([(name,)], "dropped string")
+        if p.kw("DROP", "MEASUREMENT"):
+            name = p.ident()
+            if name not in self.tables:
+                raise InfluxQLError(f"unknown measurement {name!r}")
+            del self.tables[name]
+            return spark.createDataFrame([(name,)], "dropped string")
+        if p.kw("DROP", "SERIES"):
+            # tag-predicate delete; InfluxDB forbids time bounds here
+            if not p.kw("FROM"):
+                raise InfluxQLError("DROP SERIES needs FROM <measurement>")
+            name = p.ident()
+            if name not in self.tables:
+                raise InfluxQLError(f"unknown measurement {name!r}")
+            if not p.kw("WHERE"):
+                raise InfluxQLError("DROP SERIES needs a WHERE tag predicate")
+            cond = p.cond()
+            if self._mentions_time(cond):
+                raise InfluxQLError("DROP SERIES does not accept time predicates")
+            self.tables[name] = self.tables[name].filter(~self._cond(cond))
+            return spark.createDataFrame([(name,)], "dropped_series_from string")
+        if p.kw("DELETE"):
+            # DELETE FROM m [WHERE …]: keep the complement — the lazy-frame
+            # analogue of InfluxDB's tombstones; the persisted-table analogue
+            # is catalog drop_partitions / retention.apply_retention
+            if not p.kw("FROM"):
+                raise InfluxQLError("DELETE needs FROM <measurement>")
+            name = p.ident()
+            if name not in self.tables:
+                raise InfluxQLError(f"unknown measurement {name!r}")
+            if p.kw("WHERE"):
+                self.tables[name] = self.tables[name].filter(
+                    ~self._cond(p.cond())
+                )
+            else:
+                self.tables[name] = self.tables[name].limit(0)
+            return spark.createDataFrame([(name,)], "deleted_from string")
         raise InfluxQLError(f"unsupported statement: {sql!r}")
+
+    def _mentions_time(self, e: Any) -> bool:
+        if isinstance(e, Bool):
+            return any(self._mentions_time(p) for p in e.parts)
+        if isinstance(e, Cmp):
+            return self._is_time(e.left) or self._is_time(e.right)
+        return False
 
     def _from_measurement(self, p: "_Parser") -> str:
         if p.kw("FROM"):

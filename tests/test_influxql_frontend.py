@@ -305,3 +305,50 @@ def test_tz_subquery_single_conversion(spark):
         dt.datetime(2024, 1, 4): 10.0,
         dt.datetime(2024, 1, 5): 40.0,
     }
+
+
+# --- data lifecycle statements ---
+
+def test_delete_where_and_drop_series(spark):
+    rows = [
+        ("a", T0, 1.0), ("a", T0 + dt.timedelta(hours=1), 2.0),
+        ("b", T0, 3.0),
+    ]
+    df = spark.createDataFrame(rows, ["host", "ts", "value"])
+    eng = InfluxQLEngine({"cpu": df}, ts_col="ts")
+    eng.execute("DELETE FROM cpu WHERE time < '2024-01-01 00:30:00'")
+    left = eng.execute("SELECT value FROM cpu").collect()
+    assert sorted(r["value"] for r in left) == [2.0]
+    # time predicates are rejected for DROP SERIES
+    with pytest.raises(InfluxQLError):
+        eng.execute("DROP SERIES FROM cpu WHERE time > '2024-01-01'")
+
+    eng2 = InfluxQLEngine({"cpu": df}, ts_col="ts")
+    eng2.execute("DROP SERIES FROM cpu WHERE host = 'a'")
+    assert sorted(
+        r["value"] for r in eng2.execute("SELECT value FROM cpu").collect()
+    ) == [3.0]
+
+
+def test_show_series_and_drop_measurement(spark):
+    df = spark.createDataFrame(
+        [("a", "us", T0, 1.0), ("b", "eu", T0, 2.0)],
+        ["host", "region", "ts", "value"],
+    )
+    eng = InfluxQLEngine({"cpu": df, "mem": df}, ts_col="ts")
+    keys = sorted(r["key"] for r in eng.execute("SHOW SERIES FROM cpu").collect())
+    assert keys == ["cpu,host=a,region=us", "cpu,host=b,region=eu"]
+    eng.execute("DROP MEASUREMENT cpu")
+    assert [r["name"] for r in eng.execute("SHOW MEASUREMENTS").collect()] == [
+        "mem"
+    ]
+
+
+def test_create_drop_database(spark):
+    df = spark.createDataFrame([("a", T0, 1.0)], ["host", "ts", "value"])
+    eng = InfluxQLEngine({"cpu": df}, ts_col="ts", database="db0")
+    eng.execute("CREATE DATABASE db1")
+    names = [r["name"] for r in eng.execute("SHOW DATABASES").collect()]
+    assert names == ["db0", "db1"]
+    eng.execute("DROP DATABASE db1")
+    assert [r["name"] for r in eng.execute("SHOW DATABASES").collect()] == ["db0"]
