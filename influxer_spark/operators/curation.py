@@ -111,6 +111,101 @@ def domain_cap(
     )
 
 
+def prefix_sum(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    out_col: str = "cumsum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Distributed inclusive prefix sum of ``value_col`` in ``order_col``
+    order (``order_col`` must be unique for a deterministic result).
+
+    Spark's window cumsum over a global ORDER BY collapses to a single
+    partition — the classic scale trap.  This is the standard two-pass MPP
+    prefix scan instead: range-partition on the order key, per-partition
+    window cumsum (parallel), then add each partition's base offset.  The
+    only driver-side data is ONE ROW PER PARTITION (the partial sums) —
+    bounded by the partition count, not the data; their running sum is
+    broadcast back.  ``repartitionByRange`` assigns ascending key ranges to
+    ascending partition ids, which is what makes the offsets well-defined.
+    """
+    spark = df.sparkSession
+    n = num_partitions or df.rdd.getNumPartitions()
+    d = df.repartitionByRange(n, F.col(order_col)).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    totals = sorted(
+        d.groupBy("_pid").agg(F.sum(value_col).alias("_t")).collect(),
+        key=lambda r: r["_pid"],
+    )
+    offs, acc = [], 0
+    for r in totals:
+        offs.append((r["_pid"], acc))
+        acc += r["_t"] or 0
+    off_df = spark.createDataFrame(offs, ["_pid", "_off"]) if offs else None
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    if off_df is None:
+        return df.withColumn(out_col, F.lit(0).cast("long"))
+    return (
+        d.join(F.broadcast(off_df), "_pid")
+        .withColumn(out_col, F.sum(value_col).over(w) + F.col("_off"))
+        .drop("_pid", "_off")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    budget: int,
+    shard_col: str | None = None,
+) -> DataFrame:
+    """Concat-then-chunk sequence packing: lay documents end-to-end in
+    ``id_col`` order and cut every ``budget`` tokens — each document's
+    training-sequence assignment is ``floor(start_offset / budget)``.  The
+    standard pre-tokenization packing step for LLM training shards (docs
+    may span a boundary, exactly as in GPT-style packed pretraining).
+
+    Returns (id[, shard], n_tokens, start_offset, seq_id).
+
+    Scale: with ``shard_col`` the cumsum is a per-shard window — embarrass-
+    ingly parallel, one shuffle on the shard key (the realistic layout:
+    packing happens within output shards).  Without it, the global offset
+    uses :func:`prefix_sum`'s two-pass scan — NOT a single-partition global
+    window.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        *([F.col(shard_col).alias("shard")] if shard_col else []),
+        F.size(F.split(F.trim(F.col(text_col)), TOKEN_SPLIT))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    if shard_col:
+        w = (
+            Window.partitionBy("shard")
+            .orderBy("id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        cum = toks.withColumn("cumsum", F.sum("n_tokens").over(w))
+    else:
+        cum = prefix_sum(toks, "id", "n_tokens")
+    return cum.select(
+        "id",
+        *(["shard"] if shard_col else []),
+        "n_tokens",
+        (F.col("cumsum") - F.col("n_tokens")).alias("start_offset"),
+        F.floor((F.col("cumsum") - F.col("n_tokens")) / budget)
+        .cast("long")
+        .alias("seq_id"),
+    )
+
+
 def unigram_logprob(
     df: DataFrame, id_col: str, text_col: str, scale: int = LOGPROB_SCALE
 ) -> DataFrame:

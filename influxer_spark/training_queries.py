@@ -351,6 +351,16 @@ def _q_unigram_logprob(spark, sf_dir):
     return C.unigram_logprob(_docs(spark, sf_dir), "doc_id", "text")
 
 
+def _q_pack_global(spark, sf_dir):
+    return C.pack_sequences(_docs(spark, sf_dir), "doc_id", "text", budget=512)
+
+
+def _q_pack_sharded(spark, sf_dir):
+    return C.pack_sequences(
+        _docs(spark, sf_dir), "doc_id", "text", budget=512, shard_col="source"
+    )
+
+
 def _q_quality(spark, sf_dir):
     return T.quality_features(_docs(spark, sf_dir), "doc_id", "text")
 
@@ -404,6 +414,8 @@ def training_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": _q_repetition,
         "ngram_decontam": _q_decontam,
         "token_doc_freq": _q_token_doc_freq,
+        "pack_sequences_global": _q_pack_global,
+        "pack_sequences_sharded": _q_pack_sharded,
         "domain_cap_top3": _q_domain_cap,
         "unigram_logprob_scores": _q_unigram_logprob,
         "quality_scores": _q_quality,
@@ -500,6 +512,37 @@ SELECT token, CAST(count(*) AS BIGINT) AS doc_freq,
 FROM dt GROUP BY 1
 ORDER BY doc_freq DESC, total_freq DESC, token ASC
 LIMIT 20
+""",
+        # DuckDB's global window cumsum IS the single-partition plan the
+        # Spark operator avoids (two-pass prefix scan); values must agree.
+        "pack_sequences_global": """
+WITH t AS (
+  SELECT doc_id AS id,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT id, n_tokens,
+         sum(n_tokens) OVER (ORDER BY id ROWS UNBOUNDED PRECEDING) AS cumsum
+  FROM t
+)
+SELECT id, n_tokens, CAST(cumsum - n_tokens AS BIGINT) AS start_offset,
+       CAST(floor((cumsum - n_tokens) / 512) AS BIGINT) AS seq_id
+FROM c
+""",
+        "pack_sequences_sharded": """
+WITH t AS (
+  SELECT doc_id AS id, source AS shard,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT id, shard, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY shard ORDER BY id
+                             ROWS UNBOUNDED PRECEDING) AS cumsum
+  FROM t
+)
+SELECT id, shard, n_tokens, CAST(cumsum - n_tokens AS BIGINT) AS start_offset,
+       CAST(floor((cumsum - n_tokens) / 512) AS BIGINT) AS seq_id
+FROM c
 """,
         "domain_cap_top3": """
 SELECT doc_id AS id, source AS domain, n_chars, CAST(rank AS BIGINT) AS rank

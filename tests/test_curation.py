@@ -77,3 +77,43 @@ def test_unigram_logprob_matches_python_mirror(spark, corpus):
         assert out[i]["avg_logprob"] == sum_q / (1_000_000 * len(ts))
     # the doc containing the rarest token scores lowest
     assert out[4]["avg_logprob"] < out[2]["avg_logprob"]
+
+
+def test_prefix_sum_multi_partition_matches_python(spark):
+    rows = [(i, (i * 7) % 13 + 1) for i in range(200)]
+    df = spark.createDataFrame(rows, ["k", "v"])
+    out = {
+        r["k"]: r["cumsum"]
+        for r in C.prefix_sum(df, "k", "v", num_partitions=7).collect()
+    }
+    acc = 0
+    for k, v in rows:
+        acc += v
+        assert out[k] == acc, k
+
+
+def test_pack_sequences_boundary_spanning(spark):
+    # budget 5; docs of 3,3,3 tokens: starts 0,3,6 -> seq 0,0,1
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "d e f"), (3, "g h i")], ["doc_id", "text"]
+    )
+    out = {r["id"]: r for r in
+           C.pack_sequences(df, "doc_id", "text", budget=5).collect()}
+    assert (out[1]["start_offset"], out[1]["seq_id"]) == (0, 0)
+    assert (out[2]["start_offset"], out[2]["seq_id"]) == (3, 0)
+    assert (out[3]["start_offset"], out[3]["seq_id"]) == (6, 1)
+
+
+def test_pack_sequences_sharded_independent_offsets(spark):
+    df = spark.createDataFrame(
+        [(1, "a b", "s1"), (2, "c d", "s2"), (3, "e f", "s1")],
+        ["doc_id", "text", "source"],
+    )
+    out = {
+        r["id"]: r
+        for r in C.pack_sequences(
+            df, "doc_id", "text", budget=3, shard_col="source"
+        ).collect()
+    }
+    assert out[1]["start_offset"] == 0 and out[2]["start_offset"] == 0
+    assert out[3]["start_offset"] == 2  # second doc within s1 only
