@@ -38,6 +38,10 @@ from influxer_spark.training_queries import (  # noqa: E402
     training_oracle_sql,
     training_queries,
 )
+from influxer_spark.webclean_queries import (  # noqa: E402
+    webclean_oracle_sql,
+    webclean_queries,
+)
 
 
 def _q2(col):  # quantize a double to integer cents (deterministic across engines)
@@ -334,6 +338,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **training_queries(),
         **ingest_queries(),
         **influxql_queries(),
+        **webclean_queries(),
     }
 
 
@@ -511,4 +516,5 @@ FROM j
         **training_oracle_sql(),
         **ingest_oracle_sql(),
         **influxql_oracle_sql(),
+        **webclean_oracle_sql(),
     }
