@@ -481,9 +481,64 @@ def parse(sql: str) -> Select:
 
 AGGS = {"count", "sum", "mean", "min", "max", "spread", "stddev", "median",
         "mode", "percentile", "integral", "first", "last"}
-TRANSFORMS = {"difference", "derivative", "non_negative_derivative", "elapsed",
-              "moving_average", "cumulative_sum"}
+TRANSFORMS = {"difference", "non_negative_difference", "derivative",
+              "non_negative_derivative", "elapsed", "moving_average",
+              "cumulative_sum"}
 SELECTORS_MULTI = {"top", "bottom", "sample"}
+# InfluxQL SELECT-clause math (InfluxDB 1.8 "mathematical functions"):
+# applied per value in raw queries, or to the aggregate result in GROUP BY
+# time() queries — abs(mean(v)) etc.  Pure Column exprs, stay in codegen.
+MATH_FNS_1 = {"abs", "acos", "asin", "atan", "ceil", "cos", "exp", "floor",
+              "ln", "log2", "log10", "round", "sin", "sqrt", "tan"}
+MATH_FNS_2 = {"atan2", "pow", "log"}
+MATH_FNS = MATH_FNS_1 | MATH_FNS_2
+
+
+def _math_expr(fname: str, args: list[Column]) -> Column:
+    a = args[0]
+    if fname in MATH_FNS_2 and len(args) != 2:
+        raise InfluxQLError(f"{fname}() takes two arguments")
+    if fname == "abs":
+        return F.abs(a)
+    if fname == "sqrt":
+        return F.sqrt(a)
+    if fname == "exp":
+        return F.exp(a)
+    if fname == "ln":
+        return F.log(a)
+    if fname == "log2":
+        return F.log2(a)
+    if fname == "log10":
+        return F.log10(a)
+    if fname == "sin":
+        return F.sin(a)
+    if fname == "cos":
+        return F.cos(a)
+    if fname == "tan":
+        return F.tan(a)
+    if fname == "asin":
+        return F.asin(a)
+    if fname == "acos":
+        return F.acos(a)
+    if fname == "atan":
+        return F.atan(a)
+    if fname == "round":
+        # InfluxDB round() = Go math.Round: half away from zero, like
+        # Spark's HALF_UP round at scale 0 (double in, double out)
+        return F.round(a, 0)
+    if fname == "ceil":
+        # InfluxDB ceil/floor return floats; Spark's return LONG — cast back
+        return F.ceil(a).cast("double")
+    if fname == "floor":
+        return F.floor(a).cast("double")
+    if fname == "pow":
+        return F.pow(a, args[1])
+    if fname == "atan2":
+        return F.atan2(a, args[1])
+    if fname == "log":
+        # InfluxQL log(x, b) = log base b — Go computes Log(x)/Log(b)
+        return F.log(a) / F.log(args[1])
+    raise InfluxQLError(f"unknown math function {fname!r}")
 
 
 def _agg_expr(fname: str, v: Column, t: Column, args: list[Any]) -> Column:
@@ -587,6 +642,9 @@ def _agg_key(c: Call) -> tuple:
             return ("num", a.value)
         if isinstance(a, Dur):
             return ("dur", a.seconds)
+        if isinstance(a, Call) and a.fname == "distinct" and len(a.args) == 1 \
+                and isinstance(a.args[0], Ref):
+            return ("distinct", a.args[0].name)
         raise InfluxQLError(f"unsupported aggregate argument inside {c.fname}()")
 
     return (c.fname, tuple(k(a) for a in c.args))
@@ -822,6 +880,8 @@ class InfluxQLEngine:
         multi = [c for c in calls if c.fname in SELECTORS_MULTI]
         has_agg = any(c.fname in AGGS for c in calls)
 
+        if any(c.fname == "distinct" for c in calls) and not has_agg:
+            return self._exec_distinct(stmt, df)
         if multi:
             return self._exec_selector(stmt, df, multi)
         if stmt.time_width is not None or has_agg:
@@ -852,6 +912,10 @@ class InfluxQLEngine:
 
     def _rooted_in_transform(self, e: Any) -> bool:
         if isinstance(e, Call):
+            if e.fname in MATH_FNS:
+                # abs(difference(v)) is still transform-rooted — the NULL
+                # first row must be dropped exactly as for difference(v)
+                return any(self._rooted_in_transform(a) for a in e.args)
             return e.fname in TRANSFORMS
         if isinstance(e, Bin):
             return self._rooted_in_transform(e.left) or self._rooted_in_transform(e.right)
@@ -875,6 +939,8 @@ class InfluxQLEngine:
                 arg = self._proj(e.args[0], df, keys, ts, resolve) if e.args else None
                 if e.fname == "difference":
                     return Q.tr_difference(df, keys, ts, arg)
+                if e.fname == "non_negative_difference":
+                    return Q.tr_non_negative_difference(df, keys, ts, arg)
                 if e.fname == "derivative":
                     unit = e.args[1].seconds if len(e.args) > 1 else 1
                     return Q.tr_derivative(df, keys, ts, arg, unit)
@@ -888,6 +954,9 @@ class InfluxQLEngine:
                     return Q.tr_moving_average(df, keys, ts, arg, int(e.args[1].value))
                 if e.fname == "cumulative_sum":
                     return Q.tr_cumulative_sum(df, keys, ts, arg)
+            if e.fname in MATH_FNS:
+                args = [self._proj(a, df, keys, ts, resolve) for a in e.args]
+                return _math_expr(e.fname, args)
             if e.fname in AGGS:
                 # only reachable via resolve in bucketed mode
                 return resolve(("agg", _agg_key(e)))  # type: ignore[arg-type]
@@ -923,6 +992,10 @@ class InfluxQLEngine:
                         raise InfluxQLError(
                             f"{c.fname}() over an aggregate needs GROUP BY time()"
                         )
+                elif c.fname in MATH_FNS:
+                    pass  # applied to the aggregate result in _proj
+                elif c.fname == "distinct":
+                    pass  # validated below (must be nested in count())
                 else:
                     raise InfluxQLError(f"unknown function {c.fname!r}")
         if not agg_calls:
@@ -931,9 +1004,21 @@ class InfluxQLEngine:
         aliases = {k: f"_a{i}" for i, k in enumerate(agg_calls)}
         aggs = []
         for k, c in agg_calls.items():
-            if not c.args or not isinstance(c.args[0], Ref):
+            a0 = c.args[0] if c.args else None
+            if isinstance(a0, Call) and a0.fname == "distinct":
+                # count(distinct(f)) — the only InfluxQL nesting of distinct
+                if c.fname != "count" or not isinstance(a0.args[0], Ref):
+                    raise InfluxQLError(
+                        "distinct() may only be nested inside count()"
+                    )
+                aggs.append(
+                    F.count_distinct(F.col(a0.args[0].name))
+                    .cast("long").alias(aliases[k])
+                )
+                continue
+            if not isinstance(a0, Ref):
                 raise InfluxQLError(f"{c.fname}() needs a field argument")
-            v = F.col(c.args[0].name)
+            v = F.col(a0.name)
             aggs.append(_agg_expr(c.fname, v, t_expr, c.args).alias(aliases[k]))
 
         if stmt.time_width is not None:
@@ -987,6 +1072,35 @@ class InfluxQLEngine:
                 c = F.col(n).isNotNull()
                 keep = c if keep is None else (keep | c)
             out = out.filter(keep)
+        return self._finish(stmt, out, keys)
+
+    def _exec_distinct(self, stmt: Select, df: DataFrame) -> DataFrame:
+        """Bare ``SELECT distinct(f)``: one row per distinct field value per
+        series, at InfluxDB's epoch-0 timestamp.  A distributed distinct
+        (one shuffle on the value+tags key) — never a collect."""
+        e, alias = stmt.projections[0]
+        if (
+            len(stmt.projections) != 1
+            or not isinstance(e, Call)
+            or e.fname != "distinct"
+            or len(e.args) != 1
+            or not isinstance(e.args[0], Ref)
+        ):
+            raise InfluxQLError("distinct(field) must be the sole projection")
+        if stmt.time_width is not None:
+            raise InfluxQLError("distinct() with GROUP BY time() is not supported")
+        keys = stmt.group_tags
+        name = alias or "distinct"
+        out = (
+            df.select(*keys, F.col(e.args[0].name).alias(name))
+            .distinct()
+            .select(
+                F.timestamp_seconds(F.lit(0)).alias("time"),
+                *keys,
+                F.col(name),
+            )
+            .orderBy(*keys, name)
+        )
         return self._finish(stmt, out, keys)
 
     # --- multi-row selectors: top / bottom / sample ---

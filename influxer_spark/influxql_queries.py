@@ -413,8 +413,100 @@ _SHOW_TAG_VALUES_SQL = (
 )
 
 
+# ---------------------------------------------------------------------------
+# Round-2 surface: math functions, non_negative_difference, count(distinct)
+# — every float that crosses the oracle boundary is either an exact integer,
+# an exact integer-cents division, or a correctly-rounded IEEE op (sqrt,
+# floor, pow on integers); ln/log are deliberately NOT oracled (JVM Math.log
+# vs libm differ by 1 ulp on ~3% of inputs).
+# ---------------------------------------------------------------------------
+
+
+def _q_math_6h(spark, sf_dir):
+    h = _hourly(spark, sf_dir)
+    out = influxql(
+        "SELECT floor(sum(s_c) / 100.0) AS fl, abs(sum(s_c)) AS ab,"
+        " sqrt(abs(sum(s_c))) AS sq, pow(count(cnt), 2) AS pw"
+        " FROM hourly GROUP BY time(6h), event_type",
+        {"hourly": h},
+        ts_col="bucket",
+    )
+    return out.withColumnRenamed("time", "bucket")
+
+
+_MATH_6H_SQL = f"""
+WITH {_HOURLY_SQL},
+g AS (
+  SELECT event_type,
+         make_timestamp((CAST(floor(epoch(bucket)) AS BIGINT) // 21600 * 21600)
+                        * 1000000) AS bucket,
+         CAST(sum(s_c) AS BIGINT) AS s, count(cnt) AS n
+  FROM hourly GROUP BY 1, 2
+)
+SELECT event_type, bucket,
+  floor(s / 100.0) AS fl,
+  abs(s) AS ab,
+  sqrt(CAST(abs(s) AS DOUBLE)) AS sq,
+  pow(n, 2) AS pw
+FROM g
+"""
+
+
+def _q_nnd_6h(spark, sf_dir):
+    """non_negative_difference over 6h sums: negative steps emit NO row
+    (InfluxDB semantics), remaining values are exact cents / 100.0."""
+    h = _hourly(spark, sf_dir)
+    out = influxql(
+        "SELECT non_negative_difference(sum(s_c)) / 100.0 AS nnd"
+        " FROM hourly GROUP BY time(6h), event_type",
+        {"hourly": h},
+        ts_col="bucket",
+    )
+    return out.withColumnRenamed("time", "bucket")
+
+
+_NND_6H_SQL = f"""
+WITH {_HOURLY_SQL},
+g AS (
+  SELECT event_type,
+         make_timestamp((CAST(floor(epoch(bucket)) AS BIGINT) // 21600 * 21600)
+                        * 1000000) AS bucket,
+         CAST(sum(s_c) AS BIGINT) AS s
+  FROM hourly GROUP BY 1, 2
+),
+d AS (
+  SELECT event_type, bucket, s - lag(s) OVER w AS dd
+  FROM g WINDOW w AS (PARTITION BY event_type ORDER BY bucket)
+)
+SELECT event_type, bucket, dd / 100.0 AS nnd
+FROM d WHERE dd IS NOT NULL AND dd >= 0
+"""
+
+
+def _q_count_distinct_1d(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = influxql(
+        "SELECT count(distinct(user_id)) AS uu, count(user_id) AS n"
+        " FROM events GROUP BY time(1d), event_type",
+        {"events": ev},
+        ts_col="ts",
+    )
+    return out.withColumnRenamed("time", "bucket")
+
+
+_COUNT_DISTINCT_SQL = (
+    "SELECT event_type, date_trunc('day', ts) AS bucket, "
+    "CAST(count(DISTINCT user_id) AS BIGINT) AS uu, "
+    "CAST(count(user_id) AS BIGINT) AS n "
+    "FROM events GROUP BY 1, 2"
+)
+
+
 def influxql_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "influxql_math_6h": _q_math_6h,
+        "influxql_nnd_6h": _q_nnd_6h,
+        "influxql_count_distinct_1d": _q_count_distinct_1d,
         "influxql_transforms_1h": _q_transforms,
         "influxql_selectors_1h": _q_selectors,
         "influxql_top3_hours": _q_top3,
@@ -431,6 +523,9 @@ def influxql_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def influxql_oracle_sql() -> dict[str, str]:
     return {
+        "influxql_math_6h": _MATH_6H_SQL,
+        "influxql_nnd_6h": _NND_6H_SQL,
+        "influxql_count_distinct_1d": _COUNT_DISTINCT_SQL,
         "influxql_transforms_1h": _TRANSFORMS_SQL,
         "influxql_selectors_1h": _SELECTORS_SQL,
         "influxql_top3_hours": _TOP3_SQL,

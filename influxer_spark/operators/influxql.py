@@ -179,6 +179,16 @@ def tr_difference(
     return v - F.lag(v).over(w)
 
 
+def tr_non_negative_difference(
+    df: DataFrame, key_cols: Sequence[str], ts_col: str, value_col: str | Column
+) -> Column:
+    """InfluxQL non_negative_difference(): like difference() but negative
+    results are dropped (NULL here; the frontend's transform-NULL filter
+    removes the rows, matching InfluxDB emitting nothing for them)."""
+    d = tr_difference(df, key_cols, ts_col, value_col)
+    return F.when(d >= 0, d)
+
+
 def tr_derivative(
     df: DataFrame,
     key_cols: Sequence[str],

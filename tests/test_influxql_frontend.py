@@ -352,3 +352,66 @@ def test_create_drop_database(spark):
     assert names == ["db0", "db1"]
     eng.execute("DROP DATABASE db1")
     assert [r["name"] for r in eng.execute("SHOW DATABASES").collect()] == ["db0"]
+
+
+# --- math functions, non_negative_difference, distinct ---
+
+def test_math_raw_and_nested_agg(m):
+    eng = _eng(m)
+    r = eng.execute(
+        "SELECT abs(value) AS a, pow(value, 2) AS p, floor(value) AS fl "
+        "FROM cpu WHERE host = 'a'"
+    ).orderBy("time").collect()[0]
+    assert (r["a"], r["p"], r["fl"]) == (11.0, 121.0, 11.0)
+    # math over an aggregate result (abs(mean(v)))
+    rows = eng.execute(
+        "SELECT abs(mean(value)) AS am FROM cpu GROUP BY time(1m), host"
+    ).orderBy("time", "host").collect()
+    assert rows[0]["am"] == 11.5  # host a, minute 0: (11+12)/2
+
+
+def test_math_log_round_semantics(spark):
+    df = spark.createDataFrame(
+        [("a", T0, 8.0), ("a", T0 + dt.timedelta(seconds=1), -2.5)],
+        ["host", "ts", "value"],
+    )
+    eng = InfluxQLEngine({"m": df}, ts_col="ts")
+    rows = eng.execute(
+        "SELECT log(value, 2) AS l, round(value) AS r FROM m"
+    ).orderBy("time").collect()
+    assert rows[0]["l"] == 3.0 and rows[0]["r"] == 8.0
+    # InfluxDB round() is half away from zero: -2.5 -> -3
+    assert rows[1]["r"] == -3.0
+
+
+def test_non_negative_difference_drops_negatives(spark):
+    vals = [1.0, 5.0, 3.0, 10.0]
+    df = spark.createDataFrame(
+        [("a", T0 + dt.timedelta(minutes=i), v) for i, v in enumerate(vals)],
+        ["host", "ts", "value"],
+    )
+    eng = InfluxQLEngine({"m": df}, ts_col="ts")
+    out = eng.execute(
+        "SELECT non_negative_difference(value) AS d FROM m"
+    ).orderBy("time").collect()
+    # diffs 4, -2, 7 -> negative row dropped entirely (like InfluxDB)
+    assert [r["d"] for r in out] == [4.0, 7.0]
+
+
+def test_count_distinct_and_bare_distinct(m):
+    eng = _eng(m)
+    r = eng.execute(
+        "SELECT count(distinct(value)) AS cd FROM cpu GROUP BY host"
+    ).orderBy("host").collect()
+    assert [x["cd"] for x in r] == [7, 6]  # host a has the extra 99.0 point
+    d = eng.execute("SELECT distinct(value) FROM cpu GROUP BY host").collect()
+    assert all(x["time"] == dt.datetime(1970, 1, 1) for x in d)
+    a_vals = sorted(x["distinct"] for x in d if x["host"] == "a")
+    assert a_vals == [11.0, 12.0, 14.0, 18.0, 26.0, 42.0, 99.0]
+
+
+def test_distinct_requires_sole_projection(m):
+    with pytest.raises(InfluxQLError):
+        _eng(m).execute("SELECT distinct(value), value FROM cpu")
+    with pytest.raises(InfluxQLError):
+        _eng(m).execute("SELECT mean(distinct(value)) FROM cpu")
