@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from influxer_spark.operators import curation as C
 from influxer_spark.operators import dedup as D
 from influxer_spark.operators import multimodal as M
+from influxer_spark.operators import retrieval as R
 from influxer_spark.operators import similarity as S
 from influxer_spark.operators import textstats as T
 
@@ -339,6 +340,61 @@ def _q_decontam(spark, sf_dir):
     return D.ngram_decontam(corpus, bench, "doc_id", "text", k=4)
 
 
+_BM25_TERMS = ["customer", "spark", "vector", "window"]
+
+
+def _q_bm25(spark, sf_dir):
+    return R.bm25_topk(
+        _docs(spark, sf_dir), "doc_id", "text", _BM25_TERMS, k=15
+    )
+
+
+def _bm25_sql(k: int) -> str:
+    """BM25 oracle: same quantize-then-integer-sum shape as the Spark op.
+
+    The float constants are emitted via repr() of the SAME Python floats the
+    Spark expression was built from, so both engines parse identical
+    doubles (1.2 + 1.0 in binary is NOT the literal 2.2 — never re-derive
+    constants on one side only)."""
+    k1, b = 1.2, 0.75
+    k1p1, one_m_b = repr(k1 + 1.0), repr(1.0 - b)
+    terms = ", ".join(f"('{t}')" for t in _BM25_TERMS)
+    return f"""
+WITH dt AS (
+  SELECT doc_id AS id, token, CAST(count(*) AS BIGINT) AS m
+  FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+        FROM documents)
+  GROUP BY 1, 2
+), dl AS (
+  SELECT id, CAST(sum(m) AS BIGINT) AS dl FROM dt GROUP BY 1
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents
+), tok AS (
+  SELECT CAST(sum(m) AS BIGINT) AS n_tokens FROM dt
+), terms(token) AS (VALUES {terms}),
+dfreq AS (
+  SELECT dt.token, CAST(count(*) AS BIGINT) AS df
+  FROM dt JOIN terms ON dt.token = terms.token GROUP BY 1
+), idf AS (
+  SELECT token,
+    CAST(round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * {R.IDF_SCALE}, 0)
+         AS BIGINT) AS idf_q
+  FROM dfreq, tot
+), contrib AS (
+  SELECT dt.id,
+    CAST(round((idf_q / {float(R.IDF_SCALE)!r}) * (m * {k1p1})
+      / (m + {k1!r} * ({one_m_b} + {b!r} * dl / (n_tokens / n_docs)))
+      * {R.SCORE_SCALE}, 0) AS BIGINT) AS cq
+  FROM dt JOIN idf ON idf.token = dt.token JOIN dl ON dl.id = dt.id, tot, tok
+)
+SELECT id, CAST(count(*) AS BIGINT) AS n_hit_terms,
+  CAST(sum(cq) AS BIGINT) AS score_q,
+  CAST(sum(cq) AS BIGINT) / {float(R.SCORE_SCALE)!r} AS score
+FROM contrib GROUP BY 1
+ORDER BY score_q DESC, id ASC LIMIT {k}
+"""
+
+
 def _q_token_doc_freq(spark, sf_dir):
     return C.token_doc_freq(_docs(spark, sf_dir), "doc_id", "text", top_k=20)
 
@@ -413,6 +469,7 @@ def training_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": _q_token_stats,
         "repetition_stats": _q_repetition,
         "ngram_decontam": _q_decontam,
+        "bm25_topk_terms": _q_bm25,
         "token_doc_freq": _q_token_doc_freq,
         "pack_sequences_global": _q_pack_global,
         "pack_sequences_sharded": _q_pack_sharded,
@@ -436,6 +493,7 @@ def training_oracle_sql() -> dict[str, str]:
             f"SELECT md5({norm}) AS fingerprint, count(*) AS n_docs, "
             "min(doc_id) AS canonical_id FROM documents GROUP BY 1"
         ),
+        "bm25_topk_terms": _bm25_sql(15),
         "minhash_lsh_dedup": _minhash_lsh_sql(5, 0.7),
         "ngram_jaccard_dedup": _ngram_jaccard_sql(5, 0.7),
         "simhash_dedup": _simhash_sql(3),
