@@ -346,6 +346,80 @@ class TableCatalog:
                     os.rmdir(full)
         return {"manifests": dropped_manifests, "data_dirs": dropped_dirs}
 
+    def compact_partition(
+        self,
+        spark: SparkSession,
+        name: str,
+        partition_value: str,
+        target_file_mb: int = 128,
+    ) -> dict[str, Any]:
+        """Bin-pack one partition's small files into ~``target_file_mb``
+        outputs (Iceberg's ``rewrite_data_files`` binpack strategy).
+
+        Streaming commits (streaming/incremental.py) and per-day waves leave
+        many small parquet files; at scale, scan task count — and the
+        NameNode/S3 listing cost — tracks file count, so compaction is what
+        keeps the 1000-executor read path at ``maxPartitionBytes``-sized
+        splits.  The rewrite lands in a NEW immutable ``v=`` dir + snapshot
+        commit (data identical, counters/lineage preserved, a ``compaction``
+        note added) — readers never see a half-compacted partition, and time
+        travel to the pre-compaction snapshot still works until
+        :meth:`expire_snapshots` reclaims it.
+        """
+        parts = self.committed_partitions(name)
+        if partition_value not in parts:
+            raise ValueError(
+                f"table {name} has no committed partition {partition_value}"
+            )
+        entry = parts[partition_value]
+        src = self._partition_dir(name, partition_value, entry)
+        data_files = [
+            fn for fn in os.listdir(src)
+            if fn.endswith(".parquet") and not fn.startswith(("_", "."))
+        ]
+        n_bytes = sum(os.path.getsize(os.path.join(src, fn)) for fn in data_files)
+        n_target = max(1, -(-n_bytes // (target_file_mb << 20)))  # ceil
+        if len(data_files) <= n_target:
+            return {"compacted": False, "files": len(data_files), "bytes": n_bytes}
+        df = spark.read.parquet(src)
+        vdir = f"v={uuid.uuid4().hex[:8]}"
+        dest = os.path.join(self.table_path(name), f"p={partition_value}", vdir)
+        # coalesce, not repartition: a narrow merge of input splits — no
+        # shuffle; parquet re-encode is the only cost
+        df.coalesce(n_target).write.mode("overwrite").parquet(dest)
+        manifest = self.read_manifest(name)
+        new_entry = dict(manifest["partitions"][partition_value])
+        new_entry["dir"] = vdir
+        new_entry["committed_at"] = time.time()
+        new_entry["compaction"] = {
+            "from_dir": entry.get("dir"),
+            "files_before": len(data_files),
+            "files_after": n_target,
+            "bytes": n_bytes,
+        }
+        manifest["partitions"][partition_value] = new_entry
+        manifest["lineage"].append({"partition": partition_value, **new_entry})
+        self._commit_manifest(name, manifest)
+        return {
+            "compacted": True,
+            "files_before": len(data_files),
+            "files_after": n_target,
+            "bytes": n_bytes,
+        }
+
+    def compact(
+        self, spark: SparkSession, name: str, target_file_mb: int = 128
+    ) -> dict[str, Any]:
+        """Compact every committed partition (driver loop over partition
+        METADATA — bounded by partition count, never data; each rewrite is
+        its own Spark job, so a scheduler can run them as a wave)."""
+        out: dict[str, Any] = {"partitions": 0, "rewritten": 0}
+        for pv in sorted(self.committed_partitions(name)):
+            res = self.compact_partition(spark, name, pv, target_file_mb)
+            out["partitions"] += 1
+            out["rewritten"] += int(res.get("compacted", False))
+        return out
+
     def vacuum(self, name: str) -> int:
         """Reclaim everything not reachable from the CURRENT snapshot
         (expire to 1 retained snapshot).  Returns count of removed items."""

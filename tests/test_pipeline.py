@@ -299,3 +299,42 @@ def test_extraction_matches_spec_on_corpus(pages_path):
     assert all(
         extract_text_bytes(h) == _extract_text_bytes_spec(h) for h in htmls
     )
+
+
+def test_compaction_binpacks_files_preserving_data(tmp_path, spark):
+    """compact_partition = Iceberg rewrite_data_files binpack: fewer files,
+    identical rows, snapshot-isolated (pre-compaction snapshot still
+    readable until expiry), counters preserved in the manifest entry."""
+    import os
+
+    cat = TableCatalog(str(tmp_path / "c"))
+    df = spark.range(1000).select(
+        F.col("id"), F.lit("2024-01-01").alias("day")
+    ).repartition(16)
+    cat.write_partitions(df, "t", ["2024-01-01"])
+    s1 = cat.current_snapshot("t")
+    pdir = os.path.join(cat.table_path("t"), "p=2024-01-01")
+    before = cat.committed_partitions("t")["2024-01-01"]["dir"]
+    n_files = len([
+        f for f in os.listdir(os.path.join(pdir, before)) if f.endswith(".parquet")
+    ])
+    assert n_files == 16
+
+    res = cat.compact_partition(spark, "t", "2024-01-01", target_file_mb=128)
+    assert res["compacted"] and res["files_before"] == 16 and res["files_after"] == 1
+
+    entry = cat.committed_partitions("t")["2024-01-01"]
+    assert entry["dir"] != before
+    assert entry["compaction"]["files_before"] == 16
+    live = os.path.join(pdir, entry["dir"])
+    assert len([f for f in os.listdir(live) if f.endswith(".parquet")]) == 1
+    # identical data, and the pre-compaction snapshot still time-travels
+    assert sorted(
+        r["id"] for r in cat.read_committed(spark, "t").collect()
+    ) == list(range(1000))
+    assert cat.read_committed(spark, "t", as_of=s1).count() == 1000
+    # second compact is a no-op; expiry reclaims exactly the old version
+    assert not cat.compact_partition(spark, "t", "2024-01-01")["compacted"]
+    cat.expire_snapshots("t", keep_last=1)
+    assert sorted(os.listdir(pdir)) == [entry["dir"]]
+    assert cat.read_committed(spark, "t").count() == 1000
