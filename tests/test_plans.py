@@ -80,3 +80,44 @@ def test_day_filter_pushes_to_scan(spark, tmp_path):
     assert m, "no PushedFilters in scan"
     assert "GreaterThanOrEqual(warc_ts" in m.group(1), m.group(1)
     assert "LessThan(warc_ts" in m.group(1), m.group(1)
+
+
+@pytest.fixture(scope="module")
+def plans2(spark, sf_dir):
+    qs = E.queries()
+    return {
+        name: _fmt(spark, qs[name](spark, sf_dir))
+        for name in ["line_dedup_corpus", "bm25_topk_terms", "pii_scrub_counts",
+                     "token_doc_freq"]
+    }
+
+
+def test_line_dedup_no_expand_no_cross(plans2):
+    """line-frequency table must be a two-level plain aggregation (no Expand
+    from countDistinct) and the freq join must not be a cartesian product."""
+    p = plans2["line_dedup_corpus"]
+    assert "Expand" not in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_token_doc_freq_two_plain_aggs(plans2):
+    p = plans2["token_doc_freq"]
+    assert "Expand" not in p
+    # top-k is a heap, not a global sort of the vocabulary
+    assert "TakeOrderedAndProject" in p
+
+
+def test_bm25_broadcasts_term_side(plans2):
+    """The few-row term/idf frames broadcast; the corpus side must never
+    sort-merge against them. The final top-k is a per-partition heap."""
+    p = plans2["bm25_topk_terms"]
+    assert "BroadcastHashJoin" in p
+    assert "TakeOrderedAndProject" in p
+
+
+def test_pii_scrub_stays_in_codegen(plans2):
+    """Regex scrub is pure Column exprs — no Python UDF eval node, one scan,
+    no shuffle at all (Exchange absent)."""
+    p = plans2["pii_scrub_counts"]
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "Exchange" not in p
