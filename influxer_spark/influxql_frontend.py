@@ -668,6 +668,8 @@ class InfluxQLEngine:
         self.database = database
         self.databases: set[str] = {database}
         self._tz: str | None = None    # per-statement tz() zone (set by _run)
+        # measurement → continuous-aggregate config (see register_tiered)
+        self.tiered: dict[str, dict[str, Any]] = {}
         self.cqs: dict[str, str] = {}  # continuous-query name → SELECT…INTO text
         # retention-policy name → (duration_s | None for INF, replicaN, default)
         self.retention: dict[str, tuple[float | None, int, bool]] = {}
@@ -859,7 +861,15 @@ class InfluxQLEngine:
                 for m in names
             ]
             return reduce(lambda a, b: a.unionByName(b), outs)
+        if stmt.measurement in self.tiered and self._tiered_answerable(stmt):
+            return self._exec_tiered(stmt)
         if stmt.measurement not in self.tables:
+            if stmt.measurement in self.tiered:
+                raise InfluxQLError(
+                    f"measurement {stmt.measurement!r} is tier-only and this "
+                    "query is not answerable from rollup partials (needs the "
+                    "raw table registered too)"
+                )
             raise InfluxQLError(f"unknown measurement {stmt.measurement!r}")
         df = self.tables[stmt.measurement]
         if stmt.group_star:
@@ -1043,6 +1053,20 @@ class InfluxQLEngine:
             grouped = df.groupBy(*keys).agg(*aggs)
             frame_ts = None
 
+        return self._agg_tail(stmt, grouped, keys, aliases, frame_ts, ts)
+
+    def _agg_tail(
+        self,
+        stmt: Select,
+        grouped: DataFrame,
+        keys: list[str],
+        aliases: dict[tuple, str],
+        frame_ts: str | None,
+        ts: str,
+    ) -> DataFrame:
+        """Shared projection/finish stage over an already-aggregated frame —
+        used by _exec_agg (raw aggregation) and _exec_tiered (the frame came
+        from a materialized rollup tier)."""
         def resolve(key: Any) -> Column:
             if isinstance(key, tuple) and key[0] == "agg":
                 return F.col(aliases[key[1]])
@@ -1102,6 +1126,172 @@ class InfluxQLEngine:
             .orderBy(*keys, name)
         )
         return self._finish(stmt, out, keys)
+
+    # --- continuous-aggregate routing: serve GROUP BY time() from tiers ---
+
+    _TIER_AGGS = {"count", "sum", "mean", "min", "max", "spread"}
+
+    def register_tiered(
+        self,
+        name: str,
+        catalog: Any,
+        key_cols: tuple[str, ...] = ("url", "metric"),
+        value_field: str = "value",
+    ) -> None:
+        """Serve this measurement's ``GROUP BY time(w)`` aggregate queries
+        from the catalog's materialized rollup tiers (``rollup_1m/1h/1d``)
+        instead of raw points — the continuous-aggregate rewrite surfaced
+        through the InfluxQL text front-end, i.e. what InfluxDB's storage
+        tiers do behind ``GROUP BY time()`` (SURVEY.md §2.4; the reference
+        delegates this to the InfluxDB server).
+
+        Routing is exact-only: count/sum/mean/min/max/spread over the tier's
+        value field, epoch-aligned widths and bounds, group tags ⊆ tier
+        keys.  Anything else silently falls back to the raw table registered
+        under the same name (or errors if there is none).  At 10^12-point
+        scale the rewrite reads O(buckets) instead of O(points) with
+        manifest-level partition pruning.
+        """
+        self.tiered[name] = {
+            "catalog": catalog,
+            "key_cols": tuple(key_cols),
+            "value_field": value_field,
+        }
+
+    def _tiered_answerable(self, stmt: Select) -> bool:
+        import datetime as _dt
+
+        cfg = self.tiered[stmt.measurement]
+        if stmt.time_width is None or stmt.time_offset or stmt.tz:
+            return False
+        w = int(stmt.time_width)
+        if stmt.time_width != w or w % 60 != 0:
+            return False
+        if not set(stmt.group_tags) <= set(cfg["key_cols"]):
+            return False
+        calls: list[Call] = []
+        for e, _ in stmt.projections:
+            _walk_calls(e, calls)
+        aggish = [
+            c for c in calls
+            if c.fname in AGGS or c.fname in SELECTORS_MULTI
+            or c.fname == "distinct"
+        ]
+        if not aggish:
+            return False
+        for c in aggish:
+            if c.fname not in self._TIER_AGGS:
+                return False
+            if not (c.args and isinstance(c.args[0], Ref)
+                    and c.args[0].name == cfg["value_field"]):
+                return False
+        if stmt.where is None:
+            return True
+        # every WHERE ref must exist on the tier frame, and time bounds must
+        # be bucket-aligned [>=, <) — a mid-bucket bound needs raw points
+        def refs(e: Any) -> set[str]:
+            if isinstance(e, Bool):
+                out: set[str] = set()
+                for p in e.parts:
+                    out |= refs(p)
+                return out
+            if isinstance(e, (Cmp, Bin)):
+                return refs(e.left) | refs(e.right)
+            if isinstance(e, Ref):
+                return {e.name}
+            return set()
+
+        if not refs(stmt.where) <= {"time", *cfg["key_cols"]}:
+            return False
+        parts = (
+            stmt.where.parts
+            if isinstance(stmt.where, Bool) and stmt.where.op == "and"
+            else [stmt.where]
+        )
+        n_time = sum(
+            1 for p in parts
+            if isinstance(p, Cmp) and isinstance(p.left, Ref)
+            and p.left.name == "time"
+        )
+        lo, hi = self._time_bounds(stmt.where)
+        if n_time != (lo is not None) + (hi is not None):
+            return False  # a time cmp _time_bounds couldn't capture
+        for bound, op_ok in ((lo, ">="), (hi, "<")):
+            if bound is None:
+                continue
+            val, op = bound
+            if op != op_ok:
+                return False
+            try:
+                t = _dt.datetime.fromisoformat(val)
+            except ValueError:
+                return False
+            if t.tzinfo is None:  # naive literals are UTC, like the engine
+                t = t.replace(tzinfo=_dt.timezone.utc)
+            if int(t.timestamp()) % w != 0:
+                return False
+        return True
+
+    def _exec_tiered(self, stmt: Select) -> DataFrame:
+        import datetime as _dt
+
+        from influxer_spark import query as _qapi
+
+        cfg = self.tiered[stmt.measurement]
+        w = int(stmt.time_width)
+        lo, hi = (
+            self._time_bounds(stmt.where) if stmt.where is not None
+            else (None, None)
+        )
+        start = _dt.datetime.fromisoformat(lo[0]) if lo else None
+        end = _dt.datetime.fromisoformat(hi[0]) if hi else None
+        tier = _qapi.select_tier(w)
+        cat = cfg["catalog"]
+        table = f"rollup_{tier}"
+        parts = _qapi._partitions_in_range(cat, table, start, end)
+        if not parts:
+            raise InfluxQLError(f"no committed {table} partitions in range")
+        df = self._spark().read.parquet(*cat.partition_paths(table, parts))
+        if stmt.where is not None:
+            # compile the WHERE against the tier frame: its time column is
+            # `bucket` (bounds are bucket-aligned, so filtering buckets is
+            # exactly filtering the points they summarize)
+            df = df.filter(
+                InfluxQLEngine({}, ts_col="bucket")._cond(stmt.where)
+            )
+        keys = stmt.group_tags
+        agg_calls: dict[tuple, Call] = {}
+        for e, _ in stmt.projections:
+            found: list[Call] = []
+            _walk_calls(e, found)
+            for c in found:
+                if c.fname in AGGS:
+                    agg_calls[_agg_key(c)] = c
+        aliases = {k: f"_a{i}" for i, k in enumerate(agg_calls)}
+        combine = {
+            "count": F.sum("cnt").cast("long"),
+            "sum": F.sum("sum_v"),
+            "mean": F.sum("sum_v") / F.sum("cnt"),
+            "min": F.min("min_v"),
+            "max": F.max("max_v"),
+            "spread": F.max("max_v") - F.min("min_v"),
+        }
+        aggs = [combine[c.fname].alias(aliases[k]) for k, c in agg_calls.items()]
+        secs = F.unix_timestamp(F.col("bucket").cast("timestamp")).cast("long")
+        bucket = F.timestamp_seconds(secs - (secs % w)).alias("time")
+        grouped = df.groupBy(bucket, *keys).agg(*aggs)
+        if stmt.fill_mode != "none":
+            bounds = None
+            if lo is not None and hi is not None:
+                bounds = self._aligned_bounds(
+                    lo, hi, stmt.time_width, stmt.time_offset
+                )
+            grouped = fill_buckets(
+                grouped, keys, list(aliases.values()), w,
+                mode=stmt.fill_mode, fill_value=stmt.fill_value,
+                bucket_col="time", spine_bounds=bounds,
+            ).drop("filled")
+        return self._agg_tail(stmt, grouped, keys, aliases, "time", "time")
 
     # --- multi-row selectors: top / bottom / sample ---
 
@@ -1174,9 +1364,14 @@ class InfluxQLEngine:
     # --- metadata statements (SHOW …) and continuous queries ---
 
     def _spark(self):
-        if not self.tables:
-            raise InfluxQLError("no measurements registered")
-        return next(iter(self.tables.values())).sparkSession
+        if self.tables:
+            return next(iter(self.tables.values())).sparkSession
+        from pyspark.sql import SparkSession
+
+        s = SparkSession.getActiveSession()
+        if s is not None:
+            return s
+        raise InfluxQLError("no measurements registered")
 
     _FIELD_TYPES = {
         "double": "float", "float": "float",

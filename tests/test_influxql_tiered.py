@@ -1,0 +1,107 @@
+"""InfluxQL → continuous-aggregate routing: GROUP BY time() queries on a
+registered tiered measurement are served from materialized rollup tiers
+(exact vs raw recompute), with fallback to the raw table for semantics the
+partials can't answer."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from influxer_spark.catalog import TableCatalog
+from influxer_spark.datagen import generate_pages
+from influxer_spark.extract import pages_to_points, with_crawl_metrics, with_extracted
+from influxer_spark.influxql_frontend import InfluxQLEngine, InfluxQLError
+from influxer_spark.pipeline import run_pipeline
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("tiered")
+    pages = generate_pages(str(d / "pg"), n_rows=3000, seed=42, days=3)
+    root = str(d / "cat")
+    run_pipeline(spark, pages, root, encode_gorilla=False)
+    points = pages_to_points(
+        with_crawl_metrics(with_extracted(spark.read.parquet(pages)))
+    )
+    return points, TableCatalog(root)
+
+
+def _engines(points, cat):
+    raw = InfluxQLEngine({"pages": points}, ts_col="warc_ts")
+    tiered = InfluxQLEngine({"pages": points}, ts_col="warc_ts")
+    tiered.register_tiered("pages", cat, key_cols=("url", "metric"))
+    return raw, tiered
+
+
+def test_tier_served_matches_raw_recompute(built):
+    points, cat = built
+    raw, tiered = _engines(points, cat)
+    q = (
+        "SELECT count(value) AS cnt, min(value) AS mn, max(value) AS mx "
+        "FROM pages GROUP BY time(4h), metric"
+    )
+    want = {tuple(r[:2]): tuple(r[2:]) for r in raw.execute(q).collect()}
+    got = {tuple(r[:2]): tuple(r[2:]) for r in tiered.execute(q).collect()}
+    assert got == want and len(got) > 10
+
+
+def test_tier_served_reads_tier_not_raw(built):
+    points, cat = built
+    _, tiered = _engines(points, cat)
+    df = tiered.execute(
+        "SELECT mean(value) FROM pages GROUP BY time(4h), metric"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "rollup_1h" in plan  # 4h buckets re-aggregate the 1h tier
+
+
+def test_tier_routing_respects_aligned_where_and_fill(built):
+    points, cat = built
+    raw, tiered = _engines(points, cat)
+    days = sorted(cat.committed_partitions("rollup_1h"))
+    lo, hi = days[0], days[-1]
+    q = (
+        f"SELECT sum(value) AS s FROM pages WHERE time >= '{lo}' "
+        f"AND time < '{hi}' AND metric = 'n_tokens' "
+        "GROUP BY time(1h), metric fill(previous)"
+    )
+    want = [
+        (r["time"], r["metric"], round(r["s"], 6))
+        for r in raw.execute(q).orderBy("time").collect()
+    ]
+    got_df = tiered.execute(q)
+    got = [
+        (r["time"], r["metric"], round(r["s"], 6))
+        for r in got_df.orderBy("time").collect()
+    ]
+    assert got == want and len(got) > 0
+    assert "rollup_1h" in got_df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_unanswerable_falls_back_to_raw(built):
+    points, cat = built
+    _, tiered = _engines(points, cat)
+    # percentile needs raw points — falls through to the registered table
+    df = tiered.execute(
+        "SELECT percentile(value, 90) FROM pages GROUP BY time(1h), metric"
+    )
+    assert "rollup_" not in df._jdf.queryExecution().executedPlan().toString()
+    # mid-bucket (unaligned) WHERE bound also needs raw
+    df2 = tiered.execute(
+        "SELECT count(value) FROM pages "
+        "WHERE time >= '2024-01-01 00:00:30' GROUP BY time(1m)"
+    )
+    assert "rollup_" not in df2._jdf.queryExecution().executedPlan().toString()
+
+
+def test_tier_only_measurement_errors_on_unanswerable(built):
+    _, cat = built
+    eng = InfluxQLEngine({}, ts_col="warc_ts")
+    eng.register_tiered("pages", cat, key_cols=("url", "metric"))
+    # answerable → works without any raw table
+    assert eng.execute(
+        "SELECT mean(value) FROM pages GROUP BY time(1d), metric"
+    ).count() > 0
+    with pytest.raises(InfluxQLError, match="tier-only"):
+        eng.execute("SELECT stddev(value) FROM pages GROUP BY time(1h)")
