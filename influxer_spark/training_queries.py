@@ -19,6 +19,7 @@ from influxer_spark.operators import curation as C
 from influxer_spark.operators import dedup as D
 from influxer_spark.operators import multimodal as M
 from influxer_spark.operators import retrieval as R
+from influxer_spark.operators import sampling as SA
 from influxer_spark.operators import similarity as S
 from influxer_spark.operators import textstats as T
 
@@ -456,6 +457,68 @@ def _q_byte_features(spark, sf_dir):
     )
 
 
+def _q_hash_split(spark, sf_dir):
+    return SA.hash_split(
+        _docs(spark, sf_dir), "doc_id",
+        [("train", 0.8), ("val", 0.1), ("test", 0.1)],
+    ).select(F.col("doc_id").alias("id"), "split")
+
+
+def _q_stratified_sample(spark, sf_dir):
+    return SA.stratified_sample(
+        _docs(spark, sf_dir), "doc_id", "lang",
+        rates={"en": 0.25, "zh": 1.0, "es": 0.5}, default_rate=0.1,
+    ).select(F.col("doc_id").alias("id"), "lang")
+
+
+def _q_global_shuffle(spark, sf_dir):
+    return SA.global_shuffle(_docs(spark, sf_dir), "doc_id")
+
+
+def _q_quantize_int8(spark, sf_dir):
+    return SA.quantize_embeddings_int8(_vecs(spark, sf_dir), "vec_id", "embedding")
+
+
+# md5-threshold bucket shared by hash_split / stratified_sample oracles
+_BUCKET = (
+    "(CAST('0x' || substr(md5('{seed}' || CAST({x} AS VARCHAR)), 1, 8) "
+    "AS BIGINT) % 1000000)"
+)
+
+_SHUFFLE_KEY = (
+    "md5('shuffle' || CAST(doc_id AS VARCHAR)) || ':' "
+    "|| CAST(doc_id AS VARCHAR)"
+)
+
+_QUANT_INT8_SQL = """
+WITH x AS (
+  SELECT vec_id, list_transform(embedding, e -> CAST(e AS DOUBLE)) AS v
+  FROM embeddings
+), m AS (
+  SELECT vec_id, v,
+         list_aggregate(list_transform(v, e -> abs(e)), 'max') AS mx
+  FROM x
+), qq AS (
+  SELECT vec_id, v, mx,
+    CASE WHEN mx > CAST(0.0 AS DOUBLE) THEN mx / CAST(127.0 AS DOUBLE)
+         ELSE CAST(0.0 AS DOUBLE) END AS scale,
+    list_transform(v, e ->
+      CASE WHEN mx > CAST(0.0 AS DOUBLE)
+           THEN CAST(floor(e / (mx / CAST(127.0 AS DOUBLE))
+                           + CAST(0.5 AS DOUBLE)) AS INTEGER)
+           ELSE 0 END) AS q
+  FROM m
+)
+SELECT vec_id AS id, CAST(len(v) AS BIGINT) AS dim, scale,
+  array_to_string(q, ',') AS q_csv,
+  CAST(floor(list_reduce(list_transform(list_zip(v, q),
+      p -> (p[1] - CAST(p[2] AS DOUBLE)*scale)
+           * (p[1] - CAST(p[2] AS DOUBLE)*scale)),
+      (a,b) -> a+b) * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS err_e6
+FROM qq
+"""
+
+
 def training_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_dedup_documents": _q_exact_dedup,
@@ -480,6 +543,10 @@ def training_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": _q_fingerprints,
         "binary_payload_stats": _q_payload_stats,
         "byte_entropy_features": _q_byte_features,
+        "hash_split_documents": _q_hash_split,
+        "stratified_sample_lang": _q_stratified_sample,
+        "global_shuffle_documents": _q_global_shuffle,
+        "embedding_quantize_int8": _q_quantize_int8,
     }
 
 
@@ -685,4 +752,23 @@ SELECT t.id, t.n AS n_bytes, t.fb AS first_byte,
 FROM hist h JOIN tot t ON t.id = h.id
 GROUP BY t.id, t.n, t.fb
 """,
+        "hash_split_documents": (
+            "SELECT doc_id AS id, CASE WHEN "
+            + _BUCKET.format(seed="split", x="doc_id")
+            + " < 800000 THEN 'train' WHEN "
+            + _BUCKET.format(seed="split", x="doc_id")
+            + " < 900000 THEN 'val' ELSE 'test' END AS split FROM documents"
+        ),
+        "stratified_sample_lang": (
+            "SELECT doc_id AS id, lang FROM documents WHERE "
+            + _BUCKET.format(seed="sample", x="doc_id")
+            + " < CASE lang WHEN 'en' THEN 250000 WHEN 'zh' THEN 1000000 "
+            "WHEN 'es' THEN 500000 ELSE 100000 END"
+        ),
+        "global_shuffle_documents": (
+            f"SELECT doc_id AS id, {_SHUFFLE_KEY} AS shuffle_key, "
+            f"CAST(row_number() OVER (ORDER BY {_SHUFFLE_KEY}) AS BIGINT) "
+            "AS shuffle_rank FROM documents"
+        ),
+        "embedding_quantize_int8": _QUANT_INT8_SQL,
     }

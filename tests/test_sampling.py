@@ -1,0 +1,125 @@
+"""Deterministic sampling / split / shuffle / int8-quantization operators
+(operators/sampling.py): stability, nesting, permutation, and error-bound
+properties, plus the zero-shuffle plan guarantees that make them free at
+10^12-doc scale."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from influxer_spark.operators import sampling as SA
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def vecs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def test_hash_split_partitions_exhaustively(docs):
+    out = SA.hash_split(docs, "doc_id", [("train", 0.8), ("val", 0.1), ("test", 0.1)])
+    n = docs.count()
+    by = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(by.values()) == n  # every row assigned exactly once
+    assert 0.7 * n < by["train"] < 0.9 * n
+    assert by["val"] > 0 and by["test"] > 0
+
+
+def test_hash_split_is_stable_and_order_independent(docs):
+    a = SA.hash_split(docs, "doc_id", [("a", 0.5), ("b", 0.5)])
+    b = SA.hash_split(docs.orderBy(F.desc("doc_id")), "doc_id", [("a", 0.5), ("b", 0.5)])
+    assert (
+        a.select("doc_id", "split").exceptAll(b.select("doc_id", "split")).count() == 0
+    )
+
+
+def test_hash_split_assignments_survive_corpus_growth(docs):
+    """Adding documents must not reshuffle existing assignments."""
+    half = docs.filter(F.col("doc_id") % 2 == 0)
+    full = SA.hash_split(docs, "doc_id", [("train", 0.9), ("test", 0.1)])
+    part = SA.hash_split(half, "doc_id", [("train", 0.9), ("test", 0.1)])
+    joined = part.select("doc_id", F.col("split").alias("s1")).join(
+        full.select("doc_id", F.col("split").alias("s2")), "doc_id"
+    )
+    assert joined.filter(F.col("s1") != F.col("s2")).count() == 0
+
+
+def test_stratified_sample_nested_across_rates(docs):
+    """hash-threshold membership: the low-rate sample ⊆ the high-rate sample."""
+    lo = SA.stratified_sample(docs, "doc_id", "lang", {}, default_rate=0.1)
+    hi = SA.stratified_sample(docs, "doc_id", "lang", {}, default_rate=0.4)
+    assert lo.select("doc_id").exceptAll(hi.select("doc_id")).count() == 0
+    assert lo.count() < hi.count()
+
+
+def test_stratified_sample_respects_per_stratum_rates(docs):
+    out = SA.stratified_sample(
+        docs, "doc_id", "lang", rates={"zh": 1.0, "en": 0.0}, default_rate=0.5
+    )
+    got = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    all_ = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert got["zh"] == all_["zh"]  # rate 1.0 keeps everything
+    assert "en" not in got  # rate 0.0 keeps nothing
+    for lang in got:
+        if lang not in ("zh", "en"):
+            assert 0 < got[lang] <= all_[lang]
+
+
+def test_split_and_sample_plans_have_no_exchange(docs):
+    """The scan-side guarantee: assignment/filtering shuffles nothing."""
+    for df in (
+        SA.hash_split(docs, "doc_id", [("a", 0.5), ("b", 0.5)]),
+        SA.stratified_sample(docs, "doc_id", "lang", {"en": 0.5}, 0.1),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+
+
+def test_global_shuffle_is_a_permutation(docs):
+    n = docs.count()
+    out = SA.global_shuffle(docs, "doc_id").collect()
+    assert sorted(r["shuffle_rank"] for r in out) == list(range(1, n + 1))
+    # rank order == key order
+    by_rank = sorted(out, key=lambda r: r["shuffle_rank"])
+    keys = [r["shuffle_key"] for r in by_rank]
+    assert keys == sorted(keys)
+
+
+def test_global_shuffle_seed_changes_order_not_membership(docs):
+    a = SA.global_shuffle(docs, "doc_id", seed="s1")
+    b = SA.global_shuffle(docs, "doc_id", seed="s2")
+    ja = {r["id"]: r["shuffle_rank"] for r in a.collect()}
+    jb = {r["id"]: r["shuffle_rank"] for r in b.collect()}
+    assert set(ja) == set(jb)
+    assert any(ja[i] != jb[i] for i in ja)  # actually permuted differently
+
+
+def test_quantize_int8_bounds_and_reconstruction(vecs):
+    out = SA.quantize_embeddings_int8(vecs, "vec_id", "embedding")
+    rows = out.collect()
+    raw = {r["vec_id"]: r["embedding"] for r in vecs.collect()}
+    assert len(rows) == len(raw)
+    for r in rows:
+        codes = [int(c) for c in r["q_csv"].split(",")]
+        assert len(codes) == r["dim"]
+        assert all(-127 <= c <= 127 for c in codes)
+        # |x - q*scale| <= scale/2 per element
+        for x, q in zip(raw[r["id"]], codes):
+            assert abs(x - q * r["scale"]) <= r["scale"] / 2 + 1e-12
+        assert r["err_e6"] >= 0
+
+
+def test_quantize_int8_zero_vector_is_safe(spark):
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0]), (2, [1.0, -2.0, 0.5])],
+        "id long, v array<float>",
+    )
+    rows = {r["id"]: r for r in SA.quantize_embeddings_int8(df, "id", "v").collect()}
+    assert rows[1]["q_csv"] == "0,0,0" and rows[1]["scale"] == 0.0
+    assert rows[1]["err_e6"] == 0
+    assert rows[2]["q_csv"].split(",")[1] == "-127"  # max-|x| element saturates
