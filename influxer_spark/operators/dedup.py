@@ -551,3 +551,48 @@ def dedup_clusters(
         if changed == 0:
             return labels.withColumnRenamed("label", "canonical_id")
     raise RuntimeError(f"dedup_clusters did not converge in {max_iterations} iterations")
+
+
+def cluster_keep(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    order_col: str,
+) -> DataFrame:
+    """The fuzzy-dedup DECISION step: resolve near-dup pairs into clusters
+    and keep the best document of each cluster (highest ``order_col``,
+    ties → lowest id).  Docs in no pair are their own singleton cluster and
+    are always kept.
+
+    Returns one row per document: (id, cluster_id, <order_col>, rnk, keep) —
+    ``filter(keep)`` is the deduplicated corpus, and the non-kept rows are
+    the audit trail (which near-duplicate shadowed each dropped doc).
+    "Keep the best, not the first" matters in practice: crawl near-dup
+    clusters mix truncated/boilerplate variants with the full page, and
+    canonical-min-id would keep whichever hashed lowest.
+
+    Scale: :func:`dedup_clusters` is the O(diameter) min-label CC loop;
+    the cluster map is tiny relative to the corpus (only docs appearing in
+    pairs), so the join back is broadcast-able (AQE picks it up), and the
+    per-cluster rank window shuffles only on cluster_id with 2-3-row
+    groups.
+    """
+    clusters = dedup_clusters(pairs.select("id_a", "id_b"))
+    tagged = (
+        docs.select(F.col(id_col).alias("id"), F.col(order_col))
+        .join(clusters, "id", "left")
+        .select(
+            "id",
+            F.coalesce("canonical_id", F.col("id")).alias("cluster_id"),
+            F.col(order_col).cast("long"),
+        )
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc(order_col), F.asc("id")
+    )
+    rn = F.row_number().over(w)
+    return tagged.select(
+        "id", "cluster_id", order_col,
+        rn.cast("long").alias("rnk"),
+        (rn == 1).alias("keep"),
+    )

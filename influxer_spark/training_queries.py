@@ -479,6 +479,42 @@ def _q_quantize_int8(spark, sf_dir):
     return SA.quantize_embeddings_int8(_vecs(spark, sf_dir), "vec_id", "embedding")
 
 
+def _q_cluster_keep(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    pairs = D.minhash_lsh_dedup(docs, "doc_id", "text", k=5, min_jaccard=0.7)
+    return D.cluster_keep(docs, pairs, "doc_id", "n_chars")
+
+
+def _cluster_keep_sql() -> str:
+    """Recursive-CTE transitive closure over the SAME minhash-LSH pairs
+    (small at oracle scale), then best-per-cluster by (n_chars desc, id)."""
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT id_a, id_b FROM ({_minhash_lsh_sql(5, 0.7)}) t
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+), cc(id, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, cc.r FROM edges e JOIN cc ON cc.id = e.dst
+), canon AS (
+  SELECT id, min(r) AS cluster_id FROM cc GROUP BY id
+), tagged AS (
+  SELECT d.doc_id AS id, coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+         CAST(d.n_chars AS BIGINT) AS n_chars
+  FROM documents d LEFT JOIN canon c ON c.id = d.doc_id
+)
+SELECT id, cluster_id, n_chars,
+  CAST(row_number() OVER (PARTITION BY cluster_id
+       ORDER BY n_chars DESC, id ASC) AS BIGINT) AS rnk,
+  (row_number() OVER (PARTITION BY cluster_id
+       ORDER BY n_chars DESC, id ASC) = 1) AS keep
+FROM tagged
+"""
+
+
 # md5-threshold bucket shared by hash_split / stratified_sample oracles
 _BUCKET = (
     "(CAST('0x' || substr(md5('{seed}' || CAST({x} AS VARCHAR)), 1, 8) "
@@ -547,6 +583,7 @@ def training_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample_lang": _q_stratified_sample,
         "global_shuffle_documents": _q_global_shuffle,
         "embedding_quantize_int8": _q_quantize_int8,
+        "dedup_cluster_keep": _q_cluster_keep,
     }
 
 
@@ -771,4 +808,5 @@ GROUP BY t.id, t.n, t.fb
             "AS shuffle_rank FROM documents"
         ),
         "embedding_quantize_int8": _QUANT_INT8_SQL,
+        "dedup_cluster_keep": _cluster_keep_sql(),
     }

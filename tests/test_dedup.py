@@ -200,3 +200,29 @@ def test_ngram_decontam_flags_planted_overlap(spark):
     assert r["n_grams"] == 3            # 6 words → 3 distinct 4-grams
     assert r["n_contaminated"] == 1     # only "beta gamma delta epsilon"
     assert r["contam_frac"] == 1 / 3
+
+
+def test_cluster_keep_transitive_best_per_cluster(spark):
+    from influxer_spark.operators.dedup import cluster_keep
+
+    docs = spark.createDataFrame(
+        [(1, 100), (2, 300), (3, 200), (4, 50), (5, 999)],
+        ["doc_id", "n_chars"],
+    )
+    # A~B and B~C: 1,2,3 collapse transitively; 4 pairs with nobody... but
+    # include (4,1) to make one 4-member cluster; 5 is a singleton
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 1)], ["id_a", "id_b"]
+    )
+    rows = {r["id"]: r for r in cluster_keep(docs, pairs, "doc_id", "n_chars").collect()}
+    assert len(rows) == 5
+    # all four connected docs share one cluster (min id = 1)
+    assert {rows[i]["cluster_id"] for i in (1, 2, 3, 4)} == {1}
+    # keeper is the HIGHEST n_chars (id 2), not the canonical min id
+    assert rows[2]["keep"] and rows[2]["rnk"] == 1
+    assert not rows[1]["keep"] and not rows[3]["keep"] and not rows[4]["keep"]
+    # singleton keeps itself
+    assert rows[5]["cluster_id"] == 5 and rows[5]["keep"]
+    # ranks within the big cluster follow n_chars desc, id asc
+    order = sorted((rows[i]["rnk"], i) for i in (1, 2, 3, 4))
+    assert [i for _, i in order] == [2, 3, 1, 4]
