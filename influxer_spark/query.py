@@ -52,12 +52,14 @@ def _partitions_in_range(
     parts = []
     for p in sorted(catalog.committed_partitions(table)):
         try:
-            day = dt.date.fromisoformat(p)
+            day0 = dt.datetime.combine(dt.date.fromisoformat(p), dt.time.min)
         except ValueError:
             continue
-        if start is not None and day < start.date():
+        # half-open overlap with [start, end): a query ending exactly at
+        # midnight must NOT read the next day's partition
+        if start is not None and day0 + dt.timedelta(days=1) <= start:
             continue
-        if end is not None and day > end.date():
+        if end is not None and day0 >= end:
             continue
         parts.append(p)
     return parts
@@ -101,3 +103,52 @@ def read_rollup(
         .withColumn("avg_v", F.col("sum_v") / F.col("cnt"))
     )
     return rolled
+
+
+def read_series(
+    spark: SparkSession,
+    catalog: TableCatalog,
+    start: dt.datetime | None = None,
+    end: dt.datetime | None = None,
+    key_cols: Sequence[str] = ("url", "metric"),
+    table: str = "rollup_1m_gorilla",
+) -> DataFrame:
+    """Point-level read of the Gorilla-compressed archive tier: decode
+    blobs back to the exact per-series 1m mean series ``(…keys, bucket,
+    v)`` — the read path for data whose plain-parquet 1m tier has been
+    retention-expired while the ~8-bytes/point archive is kept (the
+    retention DAG's cold end; the reference delegates this tier to
+    InfluxDB's TSM storage, Influxer/GenericFile.cs:262-271).
+
+    Exactness: the codec round-trip is bit-identical (tests/test_gorilla),
+    so this equals the expired ``rollup_1m``'s ``sum_v/cnt`` series
+    exactly.  Wider re-aggregates of count/sum/min/max should come from
+    the surviving 1h/1d tiers instead (they remain algebraically exact);
+    this path serves the finest-grain value series.
+
+    Scale: manifest-level partition pruning picks the day dirs; decode is
+    a narrow mapInPandas (no shuffle) — each blob decodes where it lives,
+    and the time filter on decoded buckets drops whole blobs' output
+    early (blobs are per-(day,series), so a day-pruned scan already reads
+    only in-range blobs).
+    """
+    from influxer_spark.operators.gorilla import decode_series_df
+
+    parts = _partitions_in_range(catalog, table, start, end)
+    if not parts:
+        raise ValueError(f"no committed {table} partitions in range")
+    enc = spark.read.parquet(*catalog.partition_paths(table, parts))
+    pts = decode_series_df(enc)
+    out = pts.select(
+        *[
+            F.element_at("series_keys", i + 2).alias(k)
+            for i, k in enumerate(key_cols)
+        ],
+        F.col("ts").alias("bucket"),
+        F.col("value").alias("v"),
+    )
+    if start is not None:
+        out = out.filter(F.col("bucket") >= F.lit(start))
+    if end is not None:
+        out = out.filter(F.col("bucket") < F.lit(end))
+    return out

@@ -67,3 +67,52 @@ def test_read_rollup_prunes_dropped_partitions(spark, built):
     df = read_rollup(spark, cat, 4 * 3600, start=start)
     assert df.count() > 0
     assert df.agg(F.min("bucket")).collect()[0][0] >= start
+
+
+@pytest.fixture(scope="module")
+def built_gorilla(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("qarchive")
+    pages = generate_pages(str(d / "pg"), n_rows=3000, seed=11, days=3)
+    root = str(d / "cat")
+    run_pipeline(spark, pages, root, encode_gorilla=True)
+    return pages, TableCatalog(root)
+
+
+def test_read_series_decodes_expired_1m_tier_exactly(spark, built_gorilla):
+    """Retention lifecycle: expire the plain 1m tier; the Gorilla archive
+    still answers the 1m mean series bit-exactly."""
+    from influxer_spark.query import read_series
+
+    _pages, cat = built_gorilla
+    want = {
+        (r["url"], r["metric"], r["bucket"]): r["sum_v"] / r["cnt"]
+        for r in spark.read.parquet(
+            *cat.partition_paths("rollup_1m", sorted(cat.committed_partitions("rollup_1m")))
+        ).collect()
+    }
+    # drop + expire every 1m parquet partition (the DAG's cold transition)
+    for day in sorted(cat.committed_partitions("rollup_1m")):
+        assert cat.drop_partition("rollup_1m", day, reason="cold-archive")
+    cat.expire_snapshots("rollup_1m", keep_last=1)
+    assert not cat.committed_partitions("rollup_1m")
+
+    got = {
+        (r["url"], r["metric"], r["bucket"]): r["v"]
+        for r in read_series(spark, cat).collect()
+    }
+    assert got == want  # bit-exact: codec round-trip + same IEEE division
+
+
+def test_read_series_prunes_and_filters_time_range(spark, built_gorilla):
+    from influxer_spark.query import read_series
+
+    _pages, cat = built_gorilla
+    days = sorted(cat.committed_partitions("rollup_1m_gorilla"))
+    assert len(days) == 3
+    d1 = dt.datetime.fromisoformat(days[1])
+    out = read_series(spark, cat, start=d1, end=d1 + dt.timedelta(days=1))
+    mins = out.select(F.min("bucket").alias("lo"), F.max("bucket").alias("hi")).collect()[0]
+    assert mins["lo"] >= d1 and mins["hi"] < d1 + dt.timedelta(days=1)
+    # manifest pruning: only the one day dir is in the scan
+    files = out.inputFiles()
+    assert files and all(f"p={days[1]}" in f for f in files)
