@@ -50,3 +50,63 @@ def running_totals_stream(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def dedup_stream(
+    stream_df: DataFrame, id_col: str, fingerprint_col: str
+) -> DataFrame:
+    """Streaming exact dedup: emit each fingerprint's FIRST document only
+    (ties within a micro-batch → lowest id), across micro-batches and
+    restarts — the incremental form of ``dedup.exact_dedup`` for a live
+    crawl feed, where re-fetches of an unchanged page must not re-enter
+    the corpus.
+
+    Output rows: ``(fingerprint, id, n_dups)`` — one per fingerprint per
+    batch it appears in; ``n_dups`` is the cumulative duplicate count, and
+    only the first emission carries the surviving ``id`` (later ones have
+    ``id`` NULL: pure counter updates, filter ``id IS NOT NULL`` for the
+    deduplicated stream).
+
+    Scale posture: state is one tiny record per DISTINCT fingerprint,
+    hash-partitioned by the same shuffle as a streaming aggregate and
+    stored in the checkpoint (RocksDB state store on a real cluster) —
+    the seen-set is sharded, never a driver-side structure, and a resumed
+    ``availableNow`` run continues it exactly.  State is never dropped
+    (``NoTimeout``): dedup correctness is unbounded-lookback by
+    definition; cap it deliberately with a TTL'd variant if the product
+    semantics allow re-admission.
+    """
+
+    def first_seen(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        n_dups = state.get[0] if state.exists else 0
+        seen_before = state.exists
+        batch_rows = 0
+        mins: list[Any] = []
+        for pdf in pdfs:  # a group may span several pandas chunks
+            if not len(pdf):
+                continue
+            batch_rows += len(pdf)
+            mins.append(pdf[id_col].min())
+        keep = str(min(mins)) if mins and not seen_before else None
+        n_dups += batch_rows - (1 if keep is not None else 0)
+        state.update((n_dups,))
+        yield pd.DataFrame(
+            {
+                "fingerprint": [key[0]],
+                "id": [keep],
+                "n_dups": [n_dups],
+            }
+        )
+
+    return (
+        stream_df.groupBy(fingerprint_col)
+        .applyInPandasWithState(
+            first_seen,
+            outputStructType="fingerprint string, id string, n_dups long",
+            stateStructType="n_dups long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

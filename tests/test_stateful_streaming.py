@@ -76,3 +76,59 @@ def test_running_totals_resume(spark, sf_dir, tmp_path):
         for r in ev.groupBy("event_type").agg(F.count("*").alias("n")).collect()
     }
     assert got2 == want2
+
+
+def _drain_dedup(spark, input_dir, schema, out_dir, ckpt):
+    from influxer_spark.streaming.stateful import dedup_stream
+
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+    stream = stream.withColumn(
+        "fp", F.md5(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")))
+    )
+    out = dedup_stream(stream, "doc_id", "fp")
+
+    def sink(batch_df, batch_id):
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"b{batch_id}")
+        )
+
+    (
+        out.writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def test_dedup_stream_first_seen_across_restarts(spark, tmp_path):
+    d = {n: str(tmp_path / n) for n in ("input", "stage", "out", "ckpt")}
+    os.makedirs(d["input"], exist_ok=True)
+    os.makedirs(d["out"], exist_ok=True)
+    schema = "doc_id long, text string"
+
+    p1 = spark.createDataFrame(
+        [(7, "alpha beta"), (3, "ALPHA   beta"), (5, "gamma")], schema
+    )
+    _add_file(p1, d["input"], d["stage"], "p1")
+    _drain_dedup(spark, d["input"], schema, d["out"], d["ckpt"])
+    rows1 = spark.read.parquet(os.path.join(d["out"], "b0")).collect()
+    kept1 = {r["id"] for r in rows1 if r["id"] is not None}
+    assert kept1 == {"3", "5"}  # normalized dup of alpha-beta: min id wins
+    dups1 = {r["fingerprint"]: r["n_dups"] for r in rows1}
+    assert sorted(dups1.values()) == [0, 1]
+
+    # second drop AFTER a full stop: checkpointed seen-set continues
+    p2 = spark.createDataFrame(
+        [(9, "alpha beta"), (1, "delta")], schema
+    )
+    _add_file(p2, d["input"], d["stage"], "p2")
+    _drain_dedup(spark, d["input"], schema, d["out"], d["ckpt"])
+    batches = sorted(os.listdir(d["out"]), key=lambda s: int(s[1:]))
+    rows2 = spark.read.parquet(os.path.join(d["out"], batches[-1])).collect()
+    kept2 = {r["id"] for r in rows2 if r["id"] is not None}
+    assert kept2 == {"1"}  # doc 9 is a dup of the fingerprint seen in run 1
+    alpha_fp = [r["fingerprint"] for r in rows1 if r["n_dups"] == 1][0]
+    dups2 = {r["fingerprint"]: r["n_dups"] for r in rows2}
+    assert dups2[alpha_fp] == 2  # cumulative across the restart
