@@ -324,6 +324,83 @@ def _q_ann_ivf_topk(spark, sf_dir):
     )
 
 
+def _q_pq_encode(spark, sf_dir):
+    books = S.pq_random_codebooks(64, m=8, ksub=16)
+    return S.pq_encode(_vecs(spark, sf_dir), "vec_id", "embedding", books)
+
+
+def _q_pq_adc_topk(spark, sf_dir):
+    vecs = _vecs(spark, sf_dir)
+    queries = vecs.filter(F.col("vec_id") % 100 == 0)
+    books = S.pq_random_codebooks(64, m=8, ksub=16)
+    return S.pq_adc_topk(vecs, queries, books, "vec_id", "embedding", k=10)
+
+
+def _pq_dists_sql(books, j: int) -> str:
+    """DuckDB list<double> of subspace-j squared distances — mirrors
+    similarity._subspace_dists fold-for-fold (seeded codebooks inlined as
+    literals, like the IVF centroids)."""
+    _, ksub, dsub = books.shape
+    sub = (
+        f"list_transform(embedding, e -> CAST(e AS DOUBLE))"
+        f"[{j * dsub + 1}:{(j + 1) * dsub}]"
+    )
+    cents = []
+    for c in range(ksub):
+        # CAST('…' AS DOUBLE) per element: a bare literal list is unified to
+        # DECIMAL(19,18) by DuckDB, which ROUNDS elements needing >18
+        # fractional digits (1-ULP drift vs Spark's exact doubles)
+        lit = "[" + ", ".join(
+            f"CAST('{float(x)!r}' AS DOUBLE)" for x in books[j, c]
+        ) + "]"
+        cents.append(
+            f"list_reduce(list_transform(list_zip({sub}, {lit}), "
+            "p -> (p[1]-p[2])*(p[1]-p[2])), (a,b) -> a+b)"
+        )
+    return "[" + ", ".join(cents) + "]"
+
+
+def _pq_encode_sql() -> str:
+    books = S.pq_random_codebooks(64, m=8, ksub=16)
+    m = books.shape[0]
+    dcols = ", ".join(f"{_pq_dists_sql(books, j)} AS d{j}" for j in range(m))
+    codes = ", ".join(
+        f"CAST(list_position(d{j}, list_aggregate(d{j}, 'min')) - 1 AS INTEGER)"
+        for j in range(m)
+    )
+    sse = " + ".join(f"list_aggregate(d{j}, 'min')" for j in range(m))
+    return f"""
+WITH d AS (SELECT vec_id, {dcols} FROM embeddings)
+SELECT vec_id AS id, array_to_string([{codes}], ',') AS pq_csv,
+  CAST(floor(({sse}) * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS sse_e6
+FROM d
+"""
+
+
+def _pq_adc_sql(k: int, mod: int) -> str:
+    books = S.pq_random_codebooks(64, m=8, ksub=16)
+    m = books.shape[0]
+    dcols = ", ".join(f"{_pq_dists_sql(books, j)} AS d{j}" for j in range(m))
+    code_list = ", ".join(
+        f"list_position(d{j}, list_aggregate(d{j}, 'min'))" for j in range(m)
+    )
+    luts = ", ".join(f"{_pq_dists_sql(books, j)} AS lut{j}" for j in range(m))
+    adist = " + ".join(f"q.lut{j}[c.codes[{j + 1}]]" for j in range(m))
+    return f"""
+WITH d AS (SELECT vec_id, {dcols} FROM embeddings),
+codes AS (SELECT vec_id, [{code_list}] AS codes FROM d),
+q AS (SELECT vec_id AS query_id, {luts} FROM embeddings WHERE vec_id % {mod} = 0),
+scored AS (
+  SELECT q.query_id, c.vec_id, {adist} AS adist
+  FROM codes c JOIN q ON c.vec_id <> q.query_id
+)
+SELECT query_id, CAST(rank AS INT) AS rank, vec_id, adist FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+       ORDER BY adist ASC, vec_id ASC) AS rank FROM scored
+) WHERE rank <= {k}
+"""
+
+
 def _q_token_stats(spark, sf_dir):
     return T.token_stats(_docs(spark, sf_dir), "doc_id", "text")
 
@@ -565,6 +642,8 @@ def training_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_brute_cosine_topk": _q_ann_brute_topk,
         "ann_lsh_cosine_topk": _q_ann_lsh_topk,
         "ann_ivf_cosine_topk": _q_ann_ivf_topk,
+        "pq_encode_codes": _q_pq_encode,
+        "pq_adc_cosine_topk": _q_pq_adc_topk,
         "token_stats": _q_token_stats,
         "repetition_stats": _q_repetition,
         "ngram_decontam": _q_decontam,
@@ -605,6 +684,8 @@ def training_oracle_sql() -> dict[str, str]:
         "ann_brute_cosine_topk": _topk_sql(10, 100),
         "ann_lsh_cosine_topk": _lsh_sql(8, 10, 100),
         "ann_ivf_cosine_topk": _ivf_sql(8, 2, 10, 100),
+        "pq_encode_codes": _pq_encode_sql(),
+        "pq_adc_cosine_topk": _pq_adc_sql(10, 100),
         "token_stats": (
             "SELECT doc_id AS id, "
             "CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_ws_tokens, "

@@ -96,3 +96,91 @@ def test_kmeans_centroids_deterministic_and_unit_norm():
     # trained centroids should beat random ones on mean best-cosine
     rand = S.ivf_random_centroids(8, 4)
     assert (sample @ a.T).max(axis=1).mean() >= (sample @ rand.T).max(axis=1).mean()
+
+
+# ---------------------------------------------------------------------------
+# product quantization
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def pq_vecs(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    mat = rng.standard_normal((40, 8))
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    rows = [(i, [float(x) for x in mat[i]]) for i in range(40)]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"]), mat
+
+
+def _np_codes(mat, books):
+    import numpy as np
+
+    m, ksub, dsub = books.shape
+    codes = np.empty((len(mat), m), dtype=int)
+    for j in range(m):
+        sub = mat[:, j * dsub : (j + 1) * dsub]
+        d = ((sub[:, None, :] - books[None, j]) ** 2).sum(axis=2)
+        codes[:, j] = np.argmin(d, axis=1)
+    return codes
+
+
+def test_pq_encode_matches_numpy_nearest_centroid(pq_vecs):
+    import numpy as np
+
+    df, mat = pq_vecs
+    books = S.pq_random_codebooks(8, m=2, ksub=4)
+    got = {r["id"]: [int(c) for c in r["pq_csv"].split(",")]
+           for r in S.pq_encode(df, "vec_id", "embedding", books).collect()}
+    want = _np_codes(mat, books)
+    for i in range(len(mat)):
+        assert got[i] == list(want[i])
+
+
+def test_pq_encode_deterministic(pq_vecs):
+    df, _ = pq_vecs
+    books = S.pq_random_codebooks(8, m=4, ksub=4)
+    a = sorted(map(tuple, S.pq_encode(df, "vec_id", "embedding", books).collect()))
+    b = sorted(map(tuple, S.pq_encode(df, "vec_id", "embedding", books).collect()))
+    assert a == b
+
+
+def test_pq_trained_codebooks_cut_sse(pq_vecs):
+    """Lloyd-trained codebooks must reconstruct better than random ones."""
+    df, mat = pq_vecs
+    rand = S.pq_random_codebooks(8, m=2, ksub=4)
+    trained = S.pq_train_codebooks(mat, m=2, ksub=4)
+    sse = lambda books: sum(
+        r["sse_e6"] for r in S.pq_encode(df, "vec_id", "embedding", books).collect()
+    )
+    assert sse(trained) < sse(rand)
+    import numpy as np
+    assert np.array_equal(trained, S.pq_train_codebooks(mat, m=2, ksub=4))
+
+
+def test_pq_adc_topk_matches_numpy_adc(pq_vecs):
+    """ADC scores = exact numpy asymmetric distances over the same codes."""
+    import numpy as np
+
+    df, mat = pq_vecs
+    books = S.pq_train_codebooks(mat, m=2, ksub=4)
+    q = df.filter(F.col("vec_id") < 2)
+    got = S.pq_adc_topk(df, q, books, "vec_id", "embedding", k=5).collect()
+    codes = _np_codes(mat, books)
+    m, ksub, dsub = books.shape
+    for r in got:
+        qv, cv = mat[r["query_id"]], codes[r["vec_id"]]
+        adist = 0.0
+        for j in range(m):
+            diff = qv[j * dsub : (j + 1) * dsub] - books[j, cv[j]]
+            adist += float((diff * diff).sum())
+        assert r["adist"] == pytest.approx(adist, rel=1e-12)
+        assert r["vec_id"] != r["query_id"]
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["adist"]))
+    for ranks in by_q.values():
+        ranks.sort()
+        assert [x[0] for x in ranks] == list(range(1, 6))
+        assert all(ranks[i][1] <= ranks[i + 1][1] for i in range(len(ranks) - 1))
