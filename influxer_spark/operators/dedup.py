@@ -492,6 +492,58 @@ def embedding_neardup(
     )
 
 
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids,
+    min_cosine: float = 0.4,
+) -> DataFrame:
+    """SemDeDup-shaped semantic near-dup pairs: cluster embeddings to their
+    nearest centroid, then compare pairs ONLY within a cluster (Abbas et al.
+    2023, "SemDeDup" — k-means buckets bound the quadratic term).
+
+    This is the scale path for :func:`embedding_neardup`: the O(n²) blowup
+    becomes Σ O(|cluster|²), and at corpus scale ``len(centroids)`` is chosen
+    ~ n/target_cluster_size so every cluster's pair loop is bounded.  The
+    join shuffles on cluster_id; assignment itself is whole-stage-codegen
+    fold dots (``similarity.nearest_centroid_expr``), so the operator is
+    value-oracle-able with the centroid literals inlined.
+
+    Recall note (by design, same as the paper): pairs straddling a cluster
+    boundary are missed; the exact :func:`embedding_neardup` remains the
+    within-bucket verifier.
+
+    Output (cluster_id, id_a, id_b, cos) with id_a < id_b.
+    """
+    from influxer_spark.operators.similarity import nearest_centroid_expr
+
+    v = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        F.sqrt(dot_f64(F.col(vec_col), F.col(vec_col))).alias("norm"),
+        nearest_centroid_expr(vec_col, centroids).alias("cluster_id"),
+    )
+    a, b = v.alias("a"), v.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.cluster_id") == F.col("b.cluster_id"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.cluster_id").alias("cluster_id"),
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            (
+                dot_f64(F.col("a.vec"), F.col("b.vec"))
+                / (F.col("a.norm") * F.col("b.norm"))
+            ).alias("cos"),
+        )
+        .filter(F.col("cos") >= min_cosine)
+    )
+
+
 # ---------------------------------------------------------------------------
 # pair → cluster resolution
 # ---------------------------------------------------------------------------

@@ -326,6 +326,21 @@ def _subspace_dists(vec_col: str, books: np.ndarray, j: int):
     return F.array(*dists)
 
 
+def _pq_code_and_min(vec_col: str, books: np.ndarray):
+    """(code_cols, min_cols) for every subspace: the 0-based nearest-centroid
+    index (ties -> lowest, via first-position-of-min on the exact doubles)
+    and the minimal squared distance itself."""
+    m = books.shape[0]
+    code_cols, min_cols = [], []
+    for j in range(m):
+        dists = _subspace_dists(vec_col, books, j)
+        code_cols.append(
+            (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+        )
+        min_cols.append(F.array_min(dists))
+    return code_cols, min_cols
+
+
 def pq_encode(
     df: DataFrame,
     id_col: str,
@@ -342,15 +357,7 @@ def pq_encode(
     Everything is whole-stage-codegen Column math: encode is a narrow
     scan-side projection, no UDF, no shuffle.
     """
-    m = books.shape[0]
-    code_cols = []
-    min_cols = []
-    for j in range(m):
-        dists = _subspace_dists(vec_col, books, j)
-        code_cols.append(
-            (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
-        )
-        min_cols.append(F.array_min(dists))
+    code_cols, min_cols = _pq_code_and_min(vec_col, books)
     sse = min_cols[0]
     for c in min_cols[1:]:
         sse = sse + c
@@ -407,6 +414,107 @@ def pq_adc_topk(
         adist = adist + F.element_at(
             F.col(f"lut{j}"), F.element_at("codes", j + 1) + 1
         )
+    scored = joined.select("query_id", "vec_id", adist.alias("adist"))
+    w = Window.partitionBy("query_id").orderBy(F.asc("adist"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("rank").cast("int"), "vec_id", "adist")
+    )
+
+
+# ---------------------------------------------------------------------------
+# codegen centroid assignment + IVF-PQ (list pruning over compressed codes)
+# ---------------------------------------------------------------------------
+
+def centroid_dots_expr(vec_col: str, centroids: np.ndarray):
+    """array<double> of raw dot products vector·centroid_j — sequential
+    left folds with the centroids inlined as literals, so the doubles are
+    bit-identical to the oracle's ``list_reduce`` (the dot_f64 discipline).
+    Raw dots order clusters exactly like cosine for a fixed vector (its norm
+    is one positive scalar), without the quotient's extra rounding step that
+    could merge two distinct scores."""
+    dots = []
+    for c in centroids:
+        lit = F.array(*[F.lit(float(x)) for x in c])
+        dots.append(dot_f64(F.col(vec_col), lit))
+    return F.array(*dots)
+
+
+def nearest_centroid_expr(vec_col: str, centroids: np.ndarray):
+    """0-based id of the max-dot centroid; ties -> lowest id (first position
+    of the max), matching the oracle's ORDER BY dot DESC, cid ASC.  Pure
+    whole-stage-codegen Column math — unlike :func:`with_ivf_list`'s numpy
+    matmul (BLAS pairwise sums), this is value-oracle-safe even when two
+    centroid scores are a ULP apart."""
+    dots = centroid_dots_expr(vec_col, centroids)
+    return (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
+
+
+def probe_lists_expr(vec_col: str, centroids: np.ndarray, n_probe: int):
+    """array<int> of the ``n_probe`` highest-dot centroid ids, ordered by
+    (dot desc, id asc).  Implemented as array_sort over (negated dot, id)
+    structs — negation is IEEE-exact, so the ordering is identical to the
+    oracle's window rank."""
+    ranked = F.array_sort(
+        F.array(*[
+            F.struct(
+                (-dot_f64(F.col(vec_col),
+                          F.array(*[F.lit(float(x)) for x in c]))).alias("neg"),
+                F.lit(cid).cast("int").alias("cid"),
+            )
+            for cid, c in enumerate(centroids)
+        ])
+    )
+    return F.slice(F.transform(ranked, lambda s: s.cid), 1, n_probe)
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: np.ndarray,
+    books: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 2,
+    k: int = 10,
+) -> DataFrame:
+    """IVF-PQ: coarse centroids prune the search to ``n_probe`` inverted
+    lists; within them, vectors are scored from their PQ codes by ADC.
+    This is the composition that serves 10^12 vectors: the list id is the
+    vector table's partition key (probing = partition pruning) and each
+    vector is m small ints, not dim floats (the index fits in memory).
+
+    Deviation from faiss IndexIVFPQ noted: codes quantize the RAW vector,
+    not the residual (vector - centroid) — residual encoding needs one
+    data-dependent centroid lookup inside the encode expression; the search
+    plumbing (prune -> LUT -> ADC -> top-k) is identical either way.
+
+    Output (query_id, rank, vec_id, adist) by (adist asc, vec_id asc).
+    """
+    m = books.shape[0]
+    code_cols, _ = _pq_code_and_min(vec_col, books)
+    cb = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        nearest_centroid_expr(vec_col, centroids).alias("ivf_list"),
+        *[c.alias(f"c{j}") for j, c in enumerate(code_cols)],
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.explode(probe_lists_expr(vec_col, centroids, n_probe)).alias(
+            "ivf_list"
+        ),
+        *[
+            _subspace_dists(vec_col, books, j).alias(f"lut{j}")
+            for j in range(m)
+        ],
+    )
+    joined = cb.join(F.broadcast(q), on="ivf_list").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    adist = F.element_at(F.col("lut0"), F.col("c0") + 1)
+    for j in range(1, m):
+        adist = adist + F.element_at(F.col(f"lut{j}"), F.col(f"c{j}") + 1)
     scored = joined.select("query_id", "vec_id", adist.alias("adist"))
     w = Window.partitionBy("query_id").orderBy(F.asc("adist"), F.asc("vec_id"))
     return (

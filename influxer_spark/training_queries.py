@@ -401,6 +401,121 @@ SELECT query_id, CAST(rank AS INT) AS rank, vec_id, adist FROM (
 """
 
 
+def _q_semantic_dedup(spark, sf_dir):
+    cent = S.ivf_random_centroids(64, 8)
+    return D.semantic_dedup(
+        _vecs(spark, sf_dir), "vec_id", "embedding", cent, min_cosine=0.4
+    )
+
+
+def _q_ivf_pq_topk(spark, sf_dir):
+    vecs = _vecs(spark, sf_dir)
+    queries = vecs.filter(F.col("vec_id") % 100 == 0)
+    cent = S.ivf_random_centroids(64, 8)
+    books = S.pq_random_codebooks(64, m=8, ksub=16)
+    return S.ivf_pq_topk(
+        vecs, queries, cent, books, "vec_id", "embedding", n_probe=2, k=10
+    )
+
+
+def _cent_values_cast(cent) -> str:
+    """VALUES rows (cid, [CAST('…' AS DOUBLE), …]) — the CAST-per-element
+    form keeps DuckDB from unifying the list to DECIMAL(19,18) and rounding
+    (see _pq_dists_sql)."""
+    return ", ".join(
+        "({}, [{}])".format(
+            cid, ", ".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in row)
+        )
+        for cid, row in enumerate(cent)
+    )
+
+
+def _semantic_dedup_sql(n_clusters: int, thr: float) -> str:
+    """Semantic-dedup oracle: centroid assignment by raw-dot argmax (dot
+    DESC, cid ASC — Spark's first-position-of-max), pairs joined within a
+    cluster only."""
+    from influxer_spark.operators.similarity import ivf_random_centroids
+
+    cent = ivf_random_centroids(64, n_clusters)
+    cdot = _DOT.format(a="v.v", b="c.c")
+    pdot = _DOT.format(a="a.v", b="b.v")
+    return f"""
+WITH cent(cid, c) AS (VALUES {_cent_values_cast(cent)}),
+v AS (
+  SELECT vec_id AS id, embedding AS v,
+         sqrt({_DOT.format(a='embedding', b='embedding')}) AS norm
+  FROM embeddings
+), sc AS (
+  SELECT v.id, v.v, v.norm, c.cid,
+         row_number() OVER (PARTITION BY v.id
+                            ORDER BY {cdot} DESC, c.cid ASC) AS rn
+  FROM v CROSS JOIN cent c
+), a AS (
+  SELECT id, v, norm, CAST(cid AS INT) AS cluster_id FROM sc WHERE rn = 1
+)
+SELECT a.cluster_id, a.id AS id_a, b.id AS id_b,
+       {pdot} / (a.norm * b.norm) AS cos
+FROM a JOIN a b ON a.cluster_id = b.cluster_id AND a.id < b.id
+WHERE {pdot} / (a.norm * b.norm) >= {thr}
+"""
+
+
+def _ivf_pq_sql(n_clusters: int, n_probe: int, k: int, mod: int) -> str:
+    """IVF-PQ oracle: coarse assignment + probe ranks replicate the Spark
+    fold dots; codes and LUTs replicate _pq_dists_sql; adist is the same
+    left-to-right LUT sum."""
+    from influxer_spark.operators.similarity import (
+        ivf_random_centroids, pq_random_codebooks,
+    )
+
+    cent = ivf_random_centroids(64, n_clusters)
+    books = pq_random_codebooks(64, m=8, ksub=16)
+    m = books.shape[0]
+    cdot = _DOT.format(a="v.v", b="c.c")
+    qdot = _DOT.format(a="q.v", b="c.c")
+    dcols = ", ".join(f"{_pq_dists_sql(books, j)} AS d{j}" for j in range(m))
+    code_list = ", ".join(
+        f"list_position(d{j}, list_aggregate(d{j}, 'min'))" for j in range(m)
+    )
+    luts = ", ".join(f"{_pq_dists_sql(books, j)} AS lut{j}" for j in range(m))
+    adist = " + ".join(f"ql.lut{j}[cd.codes[{j + 1}]]" for j in range(m))
+    return f"""
+WITH cent(cid, c) AS (VALUES {_cent_values_cast(cent)}),
+v AS (SELECT vec_id, embedding AS v FROM embeddings),
+sc AS (
+  SELECT v.vec_id, c.cid,
+         row_number() OVER (PARTITION BY v.vec_id
+                            ORDER BY {cdot} DESC, c.cid ASC) AS rn
+  FROM v CROSS JOIN cent c
+), ca AS (
+  SELECT vec_id, cid AS ivf_list FROM sc WHERE rn = 1
+), d AS (SELECT vec_id, {dcols} FROM embeddings),
+codes AS (SELECT vec_id, [{code_list}] AS codes FROM d),
+q AS (SELECT vec_id AS query_id, v FROM v WHERE vec_id % {mod} = 0),
+qprobe AS (
+  SELECT q.query_id, c.cid AS ivf_list,
+         row_number() OVER (PARTITION BY q.query_id
+                            ORDER BY {qdot} DESC, c.cid ASC) AS rn
+  FROM q CROSS JOIN cent c
+), qp AS (
+  SELECT query_id, ivf_list FROM qprobe WHERE rn <= {n_probe}
+), qlut AS (
+  SELECT vec_id AS query_id, {luts} FROM embeddings WHERE vec_id % {mod} = 0
+), scored AS (
+  SELECT qp.query_id, ca.vec_id, {adist} AS adist
+  FROM qp
+  JOIN ca ON ca.ivf_list = qp.ivf_list
+  JOIN codes cd ON cd.vec_id = ca.vec_id
+  JOIN qlut ql ON ql.query_id = qp.query_id
+  WHERE ca.vec_id <> qp.query_id
+)
+SELECT query_id, CAST(rank AS INT) AS rank, vec_id, adist FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+       ORDER BY adist ASC, vec_id ASC) AS rank FROM scored
+) WHERE rank <= {k}
+"""
+
+
 def _q_token_stats(spark, sf_dir):
     return T.token_stats(_docs(spark, sf_dir), "doc_id", "text")
 
@@ -644,6 +759,8 @@ def training_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_cosine_topk": _q_ann_ivf_topk,
         "pq_encode_codes": _q_pq_encode,
         "pq_adc_cosine_topk": _q_pq_adc_topk,
+        "ivf_pq_adc_topk": _q_ivf_pq_topk,
+        "semantic_dedup_pairs": _q_semantic_dedup,
         "token_stats": _q_token_stats,
         "repetition_stats": _q_repetition,
         "ngram_decontam": _q_decontam,
@@ -686,6 +803,8 @@ def training_oracle_sql() -> dict[str, str]:
         "ann_ivf_cosine_topk": _ivf_sql(8, 2, 10, 100),
         "pq_encode_codes": _pq_encode_sql(),
         "pq_adc_cosine_topk": _pq_adc_sql(10, 100),
+        "ivf_pq_adc_topk": _ivf_pq_sql(8, 2, 10, 100),
+        "semantic_dedup_pairs": _semantic_dedup_sql(8, 0.4),
         "token_stats": (
             "SELECT doc_id AS id, "
             "CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_ws_tokens, "

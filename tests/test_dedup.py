@@ -226,3 +226,50 @@ def test_cluster_keep_transitive_best_per_cluster(spark):
     # ranks within the big cluster follow n_chars desc, id asc
     order = sorted((rows[i]["rnk"], i) for i in (1, 2, 3, 4))
     assert [i for _, i in order] == [2, 3, 1, 4]
+
+
+def test_semantic_dedup_single_cluster_equals_exact(spark):
+    """One cluster = no pruning: semantic_dedup must equal embedding_neardup."""
+    import numpy as np
+    from influxer_spark.operators import similarity as S
+
+    rng = np.random.default_rng(5)
+    mat = rng.standard_normal((30, 8))
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(30)],
+        ["vec_id", "embedding"],
+    )
+    cent = S.ivf_random_centroids(8, 1)
+    sem = D.semantic_dedup(df, "vec_id", "embedding", cent, 0.2).collect()
+    exact = D.embedding_neardup(df, "vec_id", "embedding", 0.2).collect()
+    assert sorted((r["id_a"], r["id_b"], r["cos"]) for r in sem) == sorted(
+        (r["id_a"], r["id_b"], r["cos"]) for r in exact
+    )
+    assert all(r["cluster_id"] == 0 for r in sem)
+
+
+def test_semantic_dedup_is_within_cluster_subset_of_exact(spark):
+    """Pairs are a subset of the exact pairs, with bit-identical cosines,
+    and both sides of every pair share a cluster."""
+    import numpy as np
+    from influxer_spark.operators import similarity as S
+
+    rng = np.random.default_rng(6)
+    mat = rng.standard_normal((40, 8))
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(40)],
+        ["vec_id", "embedding"],
+    )
+    cent = S.ivf_random_centroids(8, 4)
+    sem = D.semantic_dedup(df, "vec_id", "embedding", cent, 0.1).collect()
+    exact = {(r["id_a"], r["id_b"]): r["cos"]
+             for r in D.embedding_neardup(df, "vec_id", "embedding", 0.1).collect()}
+    assign = {r["vec_id"]: r["c"] for r in df.select(
+        "vec_id", S.nearest_centroid_expr("embedding", cent).alias("c")
+    ).collect()}
+    assert len(sem) >= 1
+    for r in sem:
+        assert exact[(r["id_a"], r["id_b"])] == r["cos"]
+        assert assign[r["id_a"]] == assign[r["id_b"]] == r["cluster_id"]

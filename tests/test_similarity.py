@@ -184,3 +184,43 @@ def test_pq_adc_topk_matches_numpy_adc(pq_vecs):
         ranks.sort()
         assert [x[0] for x in ranks] == list(range(1, 6))
         assert all(ranks[i][1] <= ranks[i + 1][1] for i in range(len(ranks) - 1))
+
+
+def test_ivf_pq_full_probe_equals_pq_adc(pq_vecs):
+    """Probing every list disables pruning: IVF-PQ == plain PQ ADC search."""
+    df, mat = pq_vecs
+    cent = S.ivf_random_centroids(8, 4)
+    books = S.pq_random_codebooks(8, m=2, ksub=4)
+    q = df.filter(F.col("vec_id") < 2)
+    full = S.ivf_pq_topk(df, q, cent, books, "vec_id", "embedding",
+                         n_probe=4, k=5).collect()
+    plain = S.pq_adc_topk(df, q, books, "vec_id", "embedding", k=5).collect()
+    assert sorted(map(tuple, full)) == sorted(map(tuple, plain))
+
+
+def test_ivf_pq_prunes_to_probed_lists(pq_vecs):
+    """With n_probe=1 every hit must come from the query's own nearest list."""
+    df, mat = pq_vecs
+    cent = S.ivf_random_centroids(8, 4)
+    books = S.pq_random_codebooks(8, m=2, ksub=4)
+    q = df.filter(F.col("vec_id") < 3)
+    got = S.ivf_pq_topk(df, q, cent, books, "vec_id", "embedding",
+                        n_probe=1, k=5).collect()
+    lists = {r["vec_id"]: r["ivf_list"] for r in df.select(
+        "vec_id", S.nearest_centroid_expr("embedding", cent).alias("ivf_list")
+    ).collect()}
+    for r in got:
+        assert lists[r["vec_id"]] == lists[r["query_id"]]
+
+
+def test_ivf_pq_corpus_side_is_pure_codegen(pq_vecs):
+    """The corpus encode/assign path must stay JVM-side (no Python eval)."""
+    df, _ = pq_vecs
+    cent = S.ivf_random_centroids(8, 4)
+    books = S.pq_random_codebooks(8, m=2, ksub=4)
+    q = df.filter(F.col("vec_id") < 2)
+    plan = (
+        S.ivf_pq_topk(df, q, cent, books, "vec_id", "embedding", n_probe=2, k=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Python" not in plan and "ArrowEval" not in plan
