@@ -311,19 +311,31 @@ def pq_train_codebooks(
     return books
 
 
-def _subspace_dists(vec_col: str, books: np.ndarray, j: int):
-    """array<double> of squared distances from subvector j to each of its
-    ksub centroids — sequential left folds (dedup.dot_f64 discipline), so
-    the doubles are bit-identical to the oracle's list_reduce."""
-    _, ksub, dsub = books.shape
-    sub = F.slice(F.transform(F.col(vec_col), lambda x: x.cast("double")),
-                  j * dsub + 1, dsub)
+def _subspace_dists_from(sub, books: np.ndarray, j: int):
+    """array<double> of squared distances from a dsub-wide subvector Column
+    to each of subspace j's ksub centroids — sequential left folds
+    (dedup.dot_f64 discipline), so the doubles are bit-identical to the
+    oracle's list_reduce."""
+    _, ksub, _ = books.shape
     dists = []
     for c in range(ksub):
         cent = F.array(*[F.lit(float(x)) for x in books[j, c]])
         diff2 = F.zip_with(sub, cent, lambda a, b: (a - b) * (a - b))
         dists.append(F.aggregate(diff2, F.lit(0.0), lambda acc, x: acc + x))
     return F.array(*dists)
+
+
+def _subvector(vec_col: str, books: np.ndarray, j: int):
+    _, _, dsub = books.shape
+    return F.slice(
+        F.transform(F.col(vec_col), lambda x: x.cast("double")),
+        j * dsub + 1, dsub,
+    )
+
+
+def _subspace_dists(vec_col: str, books: np.ndarray, j: int):
+    """Subspace-j distances of the RAW vector (non-residual PQ)."""
+    return _subspace_dists_from(_subvector(vec_col, books, j), books, j)
 
 
 def _pq_code_and_min(vec_col: str, books: np.ndarray):
@@ -469,6 +481,26 @@ def probe_lists_expr(vec_col: str, centroids: np.ndarray, n_probe: int):
     return F.slice(F.transform(ranked, lambda s: s.cid), 1, n_probe)
 
 
+def _residual_subvector(vec_col: str, list_col: str, centroids: np.ndarray,
+                        books: np.ndarray, j: int):
+    """Subvector j of (vector - its list's coarse centroid): the coarse
+    centroid row is selected by the data-dependent list id from an inlined
+    array-of-arrays literal, sliced, and subtracted elementwise (exact IEEE,
+    oracle-mirrorable)."""
+    _, _, dsub = books.shape
+    coarse = F.element_at(
+        F.array(*[
+            F.array(*[F.lit(float(x)) for x in c]) for c in centroids
+        ]),
+        F.col(list_col) + 1,
+    )
+    return F.zip_with(
+        _subvector(vec_col, books, j),
+        F.slice(coarse, j * dsub + 1, dsub),
+        lambda a, b: a - b,
+    )
+
+
 def ivf_pq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -478,6 +510,7 @@ def ivf_pq_topk(
     vec_col: str = "embedding",
     n_probe: int = 2,
     k: int = 10,
+    residual: bool = False,
 ) -> DataFrame:
     """IVF-PQ: coarse centroids prune the search to ``n_probe`` inverted
     lists; within them, vectors are scored from their PQ codes by ADC.
@@ -485,27 +518,47 @@ def ivf_pq_topk(
     vector table's partition key (probing = partition pruning) and each
     vector is m small ints, not dim floats (the index fits in memory).
 
-    Deviation from faiss IndexIVFPQ noted: codes quantize the RAW vector,
-    not the residual (vector - centroid) — residual encoding needs one
-    data-dependent centroid lookup inside the encode expression; the search
-    plumbing (prune -> LUT -> ADC -> top-k) is identical either way.
+    ``residual=True`` is the faiss IndexIVFPQ default: codes quantize
+    (vector - coarse centroid) and each query builds one LUT PER PROBED
+    LIST from its own residual against that list's centroid — finer codes
+    where the coarse quantizer already explains most of the vector.
+    ``residual=False`` quantizes the raw vector (one LUT per query,
+    list-independent).  Both stay whole-stage codegen end to end.
 
     Output (query_id, rank, vec_id, adist) by (adist asc, vec_id asc).
     """
     m = books.shape[0]
-    code_cols, _ = _pq_code_and_min(vec_col, books)
-    cb = corpus.select(
+    if residual:
+        corpus_sub = lambda j: _residual_subvector(  # noqa: E731
+            vec_col, "ivf_list", centroids, books, j
+        )
+        query_sub = corpus_sub
+    else:
+        corpus_sub = lambda j: _subvector(vec_col, books, j)  # noqa: E731
+        query_sub = corpus_sub
+    assigned = corpus.select(
         F.col(id_col).alias("vec_id"),
+        F.col(vec_col),
         nearest_centroid_expr(vec_col, centroids).alias("ivf_list"),
-        *[c.alias(f"c{j}") for j, c in enumerate(code_cols)],
     )
+    code_cols = []
+    for j in range(m):
+        d = _subspace_dists_from(corpus_sub(j), books, j)
+        code_cols.append(
+            (F.array_position(d, F.array_min(d)) - 1).cast("int").alias(f"c{j}")
+        )
+    cb = assigned.select("vec_id", "ivf_list", *code_cols)
     q = queries.select(
         F.col(id_col).alias("query_id"),
+        F.col(vec_col),
         F.explode(probe_lists_expr(vec_col, centroids, n_probe)).alias(
             "ivf_list"
         ),
+    ).select(
+        "query_id",
+        "ivf_list",
         *[
-            _subspace_dists(vec_col, books, j).alias(f"lut{j}")
+            _subspace_dists_from(query_sub(j), books, j).alias(f"lut{j}")
             for j in range(m)
         ],
     )

@@ -336,15 +336,20 @@ def _q_pq_adc_topk(spark, sf_dir):
     return S.pq_adc_topk(vecs, queries, books, "vec_id", "embedding", k=10)
 
 
-def _pq_dists_sql(books, j: int) -> str:
+def _pq_dists_sql(books, j: int, center: str | None = None) -> str:
     """DuckDB list<double> of subspace-j squared distances — mirrors
     similarity._subspace_dists fold-for-fold (seeded codebooks inlined as
-    literals, like the IVF centroids)."""
+    literals, like the IVF centroids).  ``center`` (a SQL list<double> expr,
+    e.g. the joined coarse-centroid row) switches to residual distances:
+    (vec - center) sliced to subspace j, mirroring _residual_subvector."""
     _, ksub, dsub = books.shape
     sub = (
         f"list_transform(embedding, e -> CAST(e AS DOUBLE))"
         f"[{j * dsub + 1}:{(j + 1) * dsub}]"
     )
+    if center is not None:
+        csub = f"({center})[{j * dsub + 1}:{(j + 1) * dsub}]"
+        sub = f"list_transform(list_zip({sub}, {csub}), p -> p[1] - p[2])"
     cents = []
     for c in range(ksub):
         # CAST('…' AS DOUBLE) per element: a bare literal list is unified to
@@ -418,6 +423,17 @@ def _q_ivf_pq_topk(spark, sf_dir):
     )
 
 
+def _q_ivf_pq_residual(spark, sf_dir):
+    vecs = _vecs(spark, sf_dir)
+    queries = vecs.filter(F.col("vec_id") % 100 == 0)
+    cent = S.ivf_random_centroids(64, 8)
+    books = S.pq_random_codebooks(64, m=8, ksub=16)
+    return S.ivf_pq_topk(
+        vecs, queries, cent, books, "vec_id", "embedding",
+        n_probe=2, k=10, residual=True,
+    )
+
+
 def _cent_values_cast(cent) -> str:
     """VALUES rows (cid, [CAST('…' AS DOUBLE), …]) — the CAST-per-element
     form keeps DuckDB from unifying the list to DECIMAL(19,18) and rounding
@@ -460,10 +476,15 @@ WHERE {pdot} / (a.norm * b.norm) >= {thr}
 """
 
 
-def _ivf_pq_sql(n_clusters: int, n_probe: int, k: int, mod: int) -> str:
+def _ivf_pq_sql(
+    n_clusters: int, n_probe: int, k: int, mod: int, residual: bool = False
+) -> str:
     """IVF-PQ oracle: coarse assignment + probe ranks replicate the Spark
     fold dots; codes and LUTs replicate _pq_dists_sql; adist is the same
-    left-to-right LUT sum."""
+    left-to-right LUT sum.  ``residual`` mirrors the faiss-default mode:
+    codes/LUTs quantize (vector - coarse centroid of the assigned/probed
+    list), so the code CTE joins the centroid row and the LUT CTE is keyed
+    per (query, probed list)."""
     from influxer_spark.operators.similarity import (
         ivf_random_centroids, pq_random_codebooks,
     )
@@ -473,12 +494,39 @@ def _ivf_pq_sql(n_clusters: int, n_probe: int, k: int, mod: int) -> str:
     m = books.shape[0]
     cdot = _DOT.format(a="v.v", b="c.c")
     qdot = _DOT.format(a="q.v", b="c.c")
-    dcols = ", ".join(f"{_pq_dists_sql(books, j)} AS d{j}" for j in range(m))
+    center = "ct.c" if residual else None
+    dcols = ", ".join(
+        f"{_pq_dists_sql(books, j, center)} AS d{j}" for j in range(m)
+    )
     code_list = ", ".join(
         f"list_position(d{j}, list_aggregate(d{j}, 'min'))" for j in range(m)
     )
-    luts = ", ".join(f"{_pq_dists_sql(books, j)} AS lut{j}" for j in range(m))
+    luts = ", ".join(
+        f"{_pq_dists_sql(books, j, center)} AS lut{j}" for j in range(m)
+    )
     adist = " + ".join(f"ql.lut{j}[cd.codes[{j + 1}]]" for j in range(m))
+    if residual:
+        d_from = (
+            "FROM embeddings e JOIN ca ON ca.vec_id = e.vec_id "
+            "JOIN cent ct ON ct.cid = ca.ivf_list"
+        )
+        d_sel = "e.vec_id"
+        qlut_sql = f"""
+  SELECT e.vec_id AS query_id, qp.ivf_list, {luts}
+  FROM embeddings e
+  JOIN qp ON qp.query_id = e.vec_id
+  JOIN cent ct ON ct.cid = qp.ivf_list
+"""
+        ql_join = ("JOIN qlut ql ON ql.query_id = qp.query_id "
+                   "AND ql.ivf_list = qp.ivf_list")
+    else:
+        d_from = "FROM embeddings e"
+        d_sel = "e.vec_id"
+        qlut_sql = (
+            f"\n  SELECT vec_id AS query_id, {luts} FROM embeddings "
+            f"WHERE vec_id % {mod} = 0\n"
+        )
+        ql_join = "JOIN qlut ql ON ql.query_id = qp.query_id"
     return f"""
 WITH cent(cid, c) AS (VALUES {_cent_values_cast(cent)}),
 v AS (SELECT vec_id, embedding AS v FROM embeddings),
@@ -489,9 +537,7 @@ sc AS (
   FROM v CROSS JOIN cent c
 ), ca AS (
   SELECT vec_id, cid AS ivf_list FROM sc WHERE rn = 1
-), d AS (SELECT vec_id, {dcols} FROM embeddings),
-codes AS (SELECT vec_id, [{code_list}] AS codes FROM d),
-q AS (SELECT vec_id AS query_id, v FROM v WHERE vec_id % {mod} = 0),
+), q AS (SELECT vec_id AS query_id, v FROM v WHERE vec_id % {mod} = 0),
 qprobe AS (
   SELECT q.query_id, c.cid AS ivf_list,
          row_number() OVER (PARTITION BY q.query_id
@@ -499,14 +545,14 @@ qprobe AS (
   FROM q CROSS JOIN cent c
 ), qp AS (
   SELECT query_id, ivf_list FROM qprobe WHERE rn <= {n_probe}
-), qlut AS (
-  SELECT vec_id AS query_id, {luts} FROM embeddings WHERE vec_id % {mod} = 0
-), scored AS (
+), d AS (SELECT {d_sel}, {dcols} {d_from}),
+codes AS (SELECT vec_id, [{code_list}] AS codes FROM d),
+qlut AS ({qlut_sql}), scored AS (
   SELECT qp.query_id, ca.vec_id, {adist} AS adist
   FROM qp
   JOIN ca ON ca.ivf_list = qp.ivf_list
   JOIN codes cd ON cd.vec_id = ca.vec_id
-  JOIN qlut ql ON ql.query_id = qp.query_id
+  {ql_join}
   WHERE ca.vec_id <> qp.query_id
 )
 SELECT query_id, CAST(rank AS INT) AS rank, vec_id, adist FROM (
@@ -760,6 +806,7 @@ def training_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_encode_codes": _q_pq_encode,
         "pq_adc_cosine_topk": _q_pq_adc_topk,
         "ivf_pq_adc_topk": _q_ivf_pq_topk,
+        "ivf_pq_residual_topk": _q_ivf_pq_residual,
         "semantic_dedup_pairs": _q_semantic_dedup,
         "token_stats": _q_token_stats,
         "repetition_stats": _q_repetition,
@@ -804,6 +851,7 @@ def training_oracle_sql() -> dict[str, str]:
         "pq_encode_codes": _pq_encode_sql(),
         "pq_adc_cosine_topk": _pq_adc_sql(10, 100),
         "ivf_pq_adc_topk": _ivf_pq_sql(8, 2, 10, 100),
+        "ivf_pq_residual_topk": _ivf_pq_sql(8, 2, 10, 100, residual=True),
         "semantic_dedup_pairs": _semantic_dedup_sql(8, 0.4),
         "token_stats": (
             "SELECT doc_id AS id, "

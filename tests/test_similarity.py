@@ -224,3 +224,32 @@ def test_ivf_pq_corpus_side_is_pure_codegen(pq_vecs):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Python" not in plan and "ArrowEval" not in plan
+
+
+def test_ivf_pq_residual_matches_numpy_adc(pq_vecs):
+    """Residual mode (faiss default): corpus codes quantize (vec - its
+    list centroid); each query LUT is built from (qvec - probed-list
+    centroid).  Verified against an exact numpy mirror."""
+    import numpy as np
+
+    df, mat = pq_vecs
+    cent = S.ivf_random_centroids(8, 4)
+    books = S.pq_random_codebooks(8, m=2, ksub=4)
+    q = df.filter(F.col("vec_id") < 2)
+    got = S.ivf_pq_topk(df, q, cent, books, "vec_id", "embedding",
+                        n_probe=4, k=5, residual=True).collect()
+    assert len(got) == 10
+    assign = np.argmax(mat @ cent.T, axis=1)
+    res = mat - cent[assign]
+    codes = _np_codes(res, books)
+    m, ksub, dsub = books.shape
+    for r in got:
+        # query residual vs the CORPUS vector's list (full probe: every
+        # list is probed, so the scoring list is the corpus vector's own)
+        qres = mat[r["query_id"]] - cent[assign[r["vec_id"]]]
+        cv = codes[r["vec_id"]]
+        adist = 0.0
+        for j in range(m):
+            diff = qres[j * dsub : (j + 1) * dsub] - books[j, cv[j]]
+            adist += float((diff * diff).sum())
+        assert r["adist"] == pytest.approx(adist, rel=1e-12)
