@@ -483,7 +483,36 @@ AGGS = {"count", "sum", "mean", "min", "max", "spread", "stddev", "median",
         "mode", "percentile", "integral", "first", "last"}
 TRANSFORMS = {"difference", "non_negative_difference", "derivative",
               "non_negative_derivative", "elapsed", "moving_average",
-              "cumulative_sum"}
+              "cumulative_sum",
+              # trailing-window technical analysis (Column-shaped, so they
+              # compose like any other transform)
+              "chande_momentum_oscillator", "kaufmans_efficiency_ratio"}
+# recurrence-shaped technical analysis: each output depends on ALL history,
+# so these run as per-series folds (DataFrame-shaped) — routed to _exec_fold,
+# where ema(mean(v), n) … GROUP BY time(w) desugars to the aggregate query
+# followed by the fold over its emitted series
+FOLD_TRANSFORMS = {"exponential_moving_average",
+                   "double_exponential_moving_average",
+                   "triple_exponential_moving_average",
+                   "triple_exponential_derivative",
+                   "relative_strength_index",
+                   "kaufmans_adaptive_moving_average"}
+# prediction: holt_winters(agg(f), N, S) — fitted per series, so it also
+# takes over the whole SELECT (routed to _exec_hw)
+HW_FNS = {"holt_winters", "holt_winters_with_fit"}
+# fn, accepts (hold, warmup_type) extra args
+_FOLD_DISPATCH = {
+    "exponential_moving_average": (Q.tr_exponential_moving_average, True),
+    "double_exponential_moving_average": (
+        Q.tr_double_exponential_moving_average, True),
+    "triple_exponential_moving_average": (
+        Q.tr_triple_exponential_moving_average, True),
+    "triple_exponential_derivative": (
+        Q.tr_triple_exponential_derivative, True),
+    "relative_strength_index": (Q.tr_relative_strength_index, False),
+    "kaufmans_adaptive_moving_average": (
+        Q.tr_kaufmans_adaptive_moving_average, False),
+}
 SELECTORS_MULTI = {"top", "bottom", "sample"}
 # InfluxQL SELECT-clause math (InfluxDB 1.8 "mathematical functions"):
 # applied per value in raw queries, or to the aggregate result in GROUP BY
@@ -884,6 +913,17 @@ class InfluxQLEngine:
         if stmt.where is not None:
             df = df.filter(self._cond(stmt.where))
 
+        if any(
+            isinstance(e, Call) and e.fname in FOLD_TRANSFORMS
+            for e, _ in stmt.projections
+        ):
+            return self._exec_fold(stmt, df)
+        if any(
+            isinstance(e, Call) and e.fname in HW_FNS
+            for e, _ in stmt.projections
+        ):
+            return self._exec_hw(stmt, df)
+
         calls: list[Call] = []
         for e, _ in stmt.projections:
             _walk_calls(e, calls)
@@ -964,6 +1004,14 @@ class InfluxQLEngine:
                     return Q.tr_moving_average(df, keys, ts, arg, int(e.args[1].value))
                 if e.fname == "cumulative_sum":
                     return Q.tr_cumulative_sum(df, keys, ts, arg)
+                if e.fname == "chande_momentum_oscillator":
+                    return Q.tr_chande_momentum_oscillator(
+                        df, keys, ts, arg, int(e.args[1].value)
+                    )
+                if e.fname == "kaufmans_efficiency_ratio":
+                    return Q.tr_kaufmans_efficiency_ratio(
+                        df, keys, ts, arg, int(e.args[1].value)
+                    )
             if e.fname in MATH_FNS:
                 args = [self._proj(a, df, keys, ts, resolve) for a in e.args]
                 return _math_expr(e.fname, args)
@@ -1096,6 +1144,128 @@ class InfluxQLEngine:
                 c = F.col(n).isNotNull()
                 keep = c if keep is None else (keep | c)
             out = out.filter(keep)
+        return self._finish(stmt, out, keys)
+
+    # --- fold mode: recurrence transforms (EMA family, RSI, KAMA) ---
+
+    def _exec_fold(self, stmt: Select, df: DataFrame) -> DataFrame:
+        """Recurrence transforms are DataFrame-shaped (per-series fold), so
+        they take over the whole SELECT: the call must be the sole
+        projection.  ``ema(mean(v), n) … GROUP BY time(w)`` desugars into
+        the aggregate query followed by the fold over its series — exactly
+        InfluxDB's evaluate-aggregate-then-transform order."""
+        if len(stmt.projections) != 1 or not (
+            isinstance(stmt.projections[0][0], Call)
+            and stmt.projections[0][0].fname in FOLD_TRANSFORMS
+        ):
+            raise InfluxQLError(
+                "a recurrence transform (exponential_moving_average family, "
+                "relative_strength_index, kaufmans_adaptive_moving_average) "
+                "must be the only projection"
+            )
+        e, alias = stmt.projections[0]
+        fn, has_warm = _FOLD_DISPATCH[e.fname]
+        if len(e.args) < 2 or not isinstance(e.args[1], Num):
+            raise InfluxQLError(f"{e.fname}(field, n) needs an integer period")
+        n = int(e.args[1].value)
+        kwargs: dict[str, Any] = {}
+        rest = e.args[2:]
+        if has_warm:
+            if rest and isinstance(rest[0], Num):
+                kwargs["hold"] = int(rest[0].value)
+                rest = rest[1:]
+            if rest and isinstance(rest[0], (Str, Ref)):
+                w0 = rest[0]
+                kwargs["warmup"] = (
+                    w0.value if isinstance(w0, Str) else w0.name
+                ).lower()
+                rest = rest[1:]
+        if rest:
+            raise InfluxQLError(f"too many arguments to {e.fname}()")
+        keys = stmt.group_tags
+        name = alias or e.fname
+        arg0 = e.args[0]
+        if isinstance(arg0, Call) and arg0.fname in AGGS:
+            if stmt.time_width is None:
+                raise InfluxQLError(
+                    f"{e.fname}() over an aggregate needs GROUP BY time()"
+                )
+            from dataclasses import replace as _replace
+
+            inner = _replace(
+                stmt, projections=[(arg0, "__fv__")], limit=None, offset=None,
+                slimit=None, soffset=None, order_desc=False, into=None,
+            )
+            frame = self._exec_agg(inner, df)
+            out = fn(frame, keys, "time", "__fv__", n, **kwargs)
+            out = out.select(
+                "time", *keys, F.col(e.fname).alias(name)
+            )
+        else:
+            if not isinstance(arg0, Ref):
+                raise InfluxQLError(
+                    f"{e.fname}() needs a field or aggregate argument"
+                )
+            if stmt.time_width is not None:
+                raise InfluxQLError(
+                    f"{e.fname}(field) with GROUP BY time() needs an "
+                    "aggregate argument, e.g. "
+                    f"{e.fname}(mean({arg0.name}), {n})"
+                )
+            out = fn(df, keys, self.ts_col, arg0.name, n, **kwargs)
+            t_out = F.col(self.ts_col)
+            if self._tz:
+                t_out = F.from_utc_timestamp(t_out, self._tz)
+            out = out.select(
+                t_out.alias("time"), *keys, F.col(e.fname).alias(name)
+            )
+        return self._finish(stmt, out, keys)
+
+    def _exec_hw(self, stmt: Select, df: DataFrame) -> DataFrame:
+        """holt_winters(agg(f), N, S) [WITH GROUP BY time(w)]: run the
+        aggregate query, then fit-and-forecast per series
+        (operators/holtwinters.py) — N points at the w interval."""
+        if len(stmt.projections) != 1 or not (
+            isinstance(stmt.projections[0][0], Call)
+            and stmt.projections[0][0].fname in HW_FNS
+        ):
+            raise InfluxQLError(
+                "holt_winters() must be the only projection"
+            )
+        e, alias = stmt.projections[0]
+        if (
+            len(e.args) != 3
+            or not isinstance(e.args[0], Call)
+            or e.args[0].fname not in AGGS
+            or not isinstance(e.args[1], Num)
+            or not isinstance(e.args[2], Num)
+        ):
+            raise InfluxQLError(
+                f"{e.fname}(agg(field), N, S) needs an aggregate and two "
+                "integer arguments"
+            )
+        if stmt.time_width is None:
+            raise InfluxQLError(f"{e.fname}() needs GROUP BY time()")
+        from dataclasses import replace as _replace
+
+        from influxer_spark.operators.holtwinters import holt_winters
+
+        inner = _replace(
+            stmt, projections=[(e.args[0], "__fv__")], limit=None,
+            offset=None, slimit=None, soffset=None, order_desc=False,
+            into=None,
+        )
+        frame = self._exec_agg(inner, df)
+        keys = stmt.group_tags
+        name = alias or e.fname
+        out = holt_winters(
+            frame, keys, "time", "__fv__",
+            n_predict=int(e.args[1].value),
+            season_length=int(e.args[2].value),
+            interval_seconds=stmt.time_width,
+            with_fit=e.fname.endswith("_with_fit"),
+        )
+        out = out.select("time", *keys, F.col("holt_winters").alias(name))
         return self._finish(stmt, out, keys)
 
     def _exec_distinct(self, stmt: Select, df: DataFrame) -> DataFrame:

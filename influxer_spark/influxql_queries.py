@@ -502,6 +502,253 @@ _COUNT_DISTINCT_SQL = (
 )
 
 
+# ---------------------------------------------------------------------------
+# Technical-analysis family (recurrences + trailing chains).  The Spark side
+# folds each series in time order (operators/influxql.py); the oracles replay
+# the IDENTICAL sequential recurrence with recursive CTEs — one row per
+# iteration, same operand order, so the doubles are bit-exact with no output
+# rounding.  Trailing-window sums (CMO/KER) are explicit oldest-first
+# addition chains on both sides (a sliding-frame SUM's float order is
+# engine-defined).
+# ---------------------------------------------------------------------------
+
+
+def _dlit(x: float) -> str:
+    """Correctly-rounded double literal (bare decimals become DECIMAL and
+    round; the string CAST is exact)."""
+    return f"CAST('{x!r}' AS DOUBLE)"
+
+
+# MATERIALIZED matters: a recursive member re-executes its whole input
+# subtree per iteration, so an inlined hourly-aggregation pipeline runs
+# ~700× (measured 5.3 s → 0.63 s for the EMA oracle)
+_HOURLY_MAT_SQL = _HOURLY_SQL.replace("hourly AS (", "hourly AS MATERIALIZED (")
+
+_RANKED_SQL = """
+s AS MATERIALIZED (
+  SELECT event_type, bucket, v,
+         row_number() OVER (PARTITION BY event_type ORDER BY bucket) AS rn
+  FROM hourly
+)
+"""
+
+
+def _ema_cte(src: str, name: str, n: int) -> str:
+    """Recursive CTE running the exponential-warmup EMA fold over ``src``
+    (event_type, bucket, rn, v) — mirrors _ema_arr merge-for-merge."""
+    alpha = _dlit(2.0 / (n + 1))
+    a = f"(CASE WHEN s.rn <= {n} THEN 2.0/(s.rn+1.0) ELSE {alpha} END)"
+    return f"""
+{name} AS (
+  SELECT event_type, bucket, rn,
+         (2.0/(rn+1.0)) * v + (1.0 - 2.0/(rn+1.0)) * 0.0 AS v
+  FROM {src} WHERE rn = 1
+  UNION ALL
+  SELECT s.event_type, s.bucket, s.rn,
+         {a} * s.v + (1.0 - {a}) * r.v AS v
+  FROM {src} s JOIN {name} r
+    ON s.event_type = r.event_type AND s.rn = r.rn + 1
+)
+"""
+
+
+def _q_ema(spark, sf_dir):
+    h = _hourly(spark, sf_dir)
+    out = influxql(
+        "SELECT exponential_moving_average(v, 10) AS ema"
+        " FROM hourly GROUP BY event_type",
+        {"hourly": h},
+        ts_col="bucket",
+    )
+    return out.withColumnRenamed("time", "bucket")
+
+
+_EMA_SQL = (
+    f"WITH RECURSIVE {_HOURLY_MAT_SQL}, {_RANKED_SQL}, {_ema_cte('s', 'r', 10)} "
+    "SELECT bucket, event_type, v AS ema FROM r"
+)
+
+
+def _q_rsi(spark, sf_dir):
+    h = _hourly(spark, sf_dir)
+    out = influxql(
+        "SELECT relative_strength_index(v, 14) AS rsi"
+        " FROM hourly GROUP BY event_type",
+        {"hourly": h},
+        ts_col="bucket",
+    )
+    return out.withColumnRenamed("time", "bucket")
+
+
+def _rsi_sql(n: int) -> str:
+    nf, nm1 = f"{float(n)!r}", f"{float(n - 1)!r}"
+    return f"""
+WITH RECURSIVE {_HOURLY_MAT_SQL}, {_RANKED_SQL},
+r AS (
+  SELECT event_type, bucket, rn, v,
+         CAST(0.0 AS DOUBLE) AS ag, CAST(0.0 AS DOUBLE) AS al,
+         CAST(NULL AS DOUBLE) AS rsi
+  FROM s WHERE rn = 1
+  UNION ALL
+  SELECT event_type, bucket, rn, v, ag, al,
+    CASE WHEN rn >= {n + 1} THEN
+      CASE WHEN al = 0 THEN CASE WHEN ag = 0 THEN 50.0 ELSE 100.0 END
+           ELSE 100.0 - 100.0 / (1.0 + ag / al) END
+    END AS rsi
+  FROM (
+    SELECT event_type, bucket, rn, v,
+      CASE WHEN rn <= {n} THEN ag0 + g
+           WHEN rn = {n + 1} THEN (ag0 + g) / {nf}
+           ELSE (ag0 * {nm1} + g) / {nf} END AS ag,
+      CASE WHEN rn <= {n} THEN al0 + l
+           WHEN rn = {n + 1} THEN (al0 + l) / {nf}
+           ELSE (al0 * {nm1} + l) / {nf} END AS al
+    FROM (
+      SELECT s.event_type, s.bucket, s.rn, s.v, r.ag AS ag0, r.al AS al0,
+             CASE WHEN s.v - r.v > 0 THEN s.v - r.v ELSE 0.0 END AS g,
+             CASE WHEN s.v - r.v < 0 THEN -(s.v - r.v) ELSE 0.0 END AS l
+      FROM s JOIN r ON s.event_type = r.event_type AND s.rn = r.rn + 1
+    )
+  )
+)
+SELECT bucket, event_type, rsi FROM r WHERE rsi IS NOT NULL
+"""
+
+
+def _delta_sql(j: int) -> str:
+    cur = "v" if j == 0 else f"lag(v, {j}) OVER w"
+    return f"({cur} - lag(v, {j + 1}) OVER w)"
+
+
+def _chain_sql(n: int, term) -> str:
+    return " + ".join(term(_delta_sql(j)) for j in range(n - 1, -1, -1))
+
+
+def _q_cmo_ker(spark, sf_dir):
+    h = _hourly(spark, sf_dir)
+    out = influxql(
+        "SELECT chande_momentum_oscillator(v, 14) AS cmo,"
+        " kaufmans_efficiency_ratio(v, 14) AS ker"
+        " FROM hourly GROUP BY event_type",
+        {"hourly": h},
+        ts_col="bucket",
+    )
+    return out.withColumnRenamed("time", "bucket")
+
+
+def _cmo_ker_sql(n: int) -> str:
+    up = _chain_sql(n, lambda d: f"CASE WHEN {d} > 0 THEN {d} ELSE 0.0 END")
+    down = _chain_sql(n, lambda d: f"CASE WHEN {d} < 0 THEN -{d} ELSE 0.0 END")
+    vol = _chain_sql(n, lambda d: f"abs({d})")
+    return f"""
+WITH {_HOURLY_SQL},
+t AS (
+  SELECT event_type, bucket,
+         {up} AS up, {down} AS down, {vol} AS vol,
+         abs(v - lag(v, {n}) OVER w) AS chg,
+         lag(v, {n}) OVER w IS NULL AS miss
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY bucket)
+)
+SELECT bucket, event_type,
+  CASE WHEN miss THEN NULL
+       WHEN up + down = 0 THEN 0.0
+       ELSE 100.0 * (up - down) / (up + down) END AS cmo,
+  CASE WHEN vol = 0 THEN 0.0 ELSE chg / vol END AS ker
+FROM t
+WHERE (CASE WHEN miss THEN NULL
+            WHEN up + down = 0 THEN 0.0
+            ELSE 100.0 * (up - down) / (up + down) END) IS NOT NULL
+   OR (CASE WHEN vol = 0 THEN 0.0 ELSE chg / vol END) IS NOT NULL
+"""
+
+
+def _q_kama(spark, sf_dir):
+    h = _hourly(spark, sf_dir)
+    out = influxql(
+        "SELECT kaufmans_adaptive_moving_average(v, 10) AS kama"
+        " FROM hourly GROUP BY event_type",
+        {"hourly": h},
+        ts_col="bucket",
+    )
+    return out.withColumnRenamed("time", "bucket")
+
+
+def _kama_sql(n: int) -> str:
+    from influxer_spark.operators.influxql import _KAMA_FAST, _KAMA_SLOW
+
+    c1 = _dlit(2.0 / (_KAMA_FAST + 1) - 2.0 / (_KAMA_SLOW + 1))
+    c2 = _dlit(2.0 / (_KAMA_SLOW + 1))
+    vol = _chain_sql(n, lambda d: f"abs({d})")
+    return f"""
+WITH RECURSIVE {_HOURLY_MAT_SQL},
+e AS (
+  SELECT event_type, bucket, v,
+         row_number() OVER (PARTITION BY event_type ORDER BY bucket) AS rn,
+         {vol} AS vol, abs(v - lag(v, {n}) OVER w) AS chg
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY bucket)
+),
+s AS MATERIALIZED (
+  SELECT event_type, bucket, rn, v,
+         (CASE WHEN vol = 0 THEN 0.0 ELSE chg / vol END) * {c1} + {c2} AS t
+  FROM e
+),
+r AS (
+  SELECT event_type, bucket, rn, v, v AS kama FROM s WHERE rn = {n}
+  UNION ALL
+  SELECT s.event_type, s.bucket, s.rn, s.v,
+         r.kama + (s.t * s.t) * (s.v - r.kama) AS kama
+  FROM s JOIN r ON s.event_type = r.event_type AND s.rn = r.rn + 1
+)
+SELECT bucket, event_type, kama FROM r WHERE rn > {n}
+"""
+
+
+def _q_trix(spark, sf_dir):
+    h = _hourly(spark, sf_dir)
+    out = influxql(
+        "SELECT triple_exponential_derivative(v, 9) AS trix"
+        " FROM hourly GROUP BY event_type",
+        {"hourly": h},
+        ts_col="bucket",
+    )
+    return out.withColumnRenamed("time", "bucket")
+
+
+def _trix_sql(n: int) -> str:
+    return f"""
+WITH RECURSIVE {_HOURLY_MAT_SQL}, {_RANKED_SQL},
+{_ema_cte('s', 'e1', n)},
+e1m AS MATERIALIZED (SELECT * FROM e1),
+{_ema_cte('e1m', 'e2', n)},
+e2m AS MATERIALIZED (SELECT * FROM e2),
+{_ema_cte('e2m', 'e3', n)},
+d AS (
+  SELECT event_type, bucket, rn, v AS e3, lag(v) OVER w AS pe3
+  FROM e3 WINDOW w AS (PARTITION BY event_type ORDER BY rn)
+)
+SELECT bucket, event_type,
+  CASE WHEN pe3 = 0 THEN NULL
+       ELSE 100.0 * (e3 - pe3) / pe3 END AS trix
+FROM d WHERE rn >= 2
+"""
+
+
+def _q_holt_winters(spark, sf_dir):
+    """Rows-only contract query (iterative Nelder-Mead fit — no SQL
+    oracle; method semantics pinned by tests/test_holtwinters.py):
+    forecast 24 hourly means per event_type with a daily (24h) season."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = influxql(
+        "SELECT holt_winters(mean(value), 24, 24) AS hw"
+        " FROM events GROUP BY time(1h), event_type",
+        {"events": ev},
+        ts_col="ts",
+    )
+    return out.withColumnRenamed("time", "bucket")
+
+
 def influxql_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "influxql_math_6h": _q_math_6h,
@@ -518,6 +765,12 @@ def influxql_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "influxql_slimit_series": _q_slimit,
         "influxql_show_tag_values": _q_show_tag_values,
         "influxql_multi_measurement": _q_multi_measurement,
+        "influxql_ema_series": _q_ema,
+        "influxql_rsi_series": _q_rsi,
+        "influxql_cmo_ker_series": _q_cmo_ker,
+        "influxql_kama_series": _q_kama,
+        "influxql_trix_series": _q_trix,
+        "holt_winters_forecast_24h": _q_holt_winters,
     }
 
 
@@ -537,4 +790,9 @@ def influxql_oracle_sql() -> dict[str, str]:
         "influxql_slimit_series": _SLIMIT_SQL,
         "influxql_show_tag_values": _SHOW_TAG_VALUES_SQL,
         "influxql_multi_measurement": _MULTI_SQL,
+        "influxql_ema_series": _EMA_SQL,
+        "influxql_rsi_series": _rsi_sql(14),
+        "influxql_cmo_ker_series": _cmo_ker_sql(14),
+        "influxql_kama_series": _kama_sql(10),
+        "influxql_trix_series": _trix_sql(9),
     }

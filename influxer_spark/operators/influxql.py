@@ -29,7 +29,7 @@ Semantics notes (InfluxQL reference behavior):
 
 from __future__ import annotations
 
-from collections.abc import Sequence
+from collections.abc import Callable, Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -242,3 +242,369 @@ def tr_cumulative_sum(
         Window.unboundedPreceding, Window.currentRow
     )
     return F.sum(_vc(value_col)).over(w)
+
+
+# ---------------------------------------------------------------------------
+# technical-analysis transforms (InfluxQL 1.8 "predictors & technical
+# analysis" family).  Two execution shapes, both JVM-side (no Python):
+#
+# - trailing-window ops (chande_momentum_oscillator, kaufmans_efficiency_
+#   ratio) are Column expressions over the shared series sort.  The trailing
+#   sums are EXPLICIT oldest-first lag-addition chains, not frame SUMs: a
+#   sliding-frame SUM's float addition order is engine-defined (DuckDB
+#   windows sum pairwise via segment tree), so a chain is the only form the
+#   oracle can replay bit-exactly.
+#
+# - recurrences (exponential_moving_average family, relative_strength_index,
+#   kaufmans_adaptive_moving_average) cannot be window expressions — each
+#   output depends on ALL history.  They run as one groupBy(series) →
+#   sort_array(collect_list) → F.aggregate fold → explode: a single shuffle
+#   on the series key, the fold itself a Catalyst higher-order function
+#   (JVM, no Python workers).  The DuckDB oracles replay the identical
+#   sequential recurrence with a recursive CTE, so doubles are bit-exact.
+#   Cost note: the fold appends to an array per point (O(L²) copy for a
+#   series of length L) — fine for rollup-tier series (1e3–1e4 buckets);
+#   for very long raw series route through a grouped-kernel mapInPandas
+#   like operators/gorilla.py.
+#
+# Semantics (pinned by tests/test_influxql_ta.py against plain-Python
+# mirrors; InfluxDB implements these via the gota library):
+# - EMA: alpha = 2/(n+1).  warmup_type "exponential" (InfluxDB default)
+#   uses dynamic alpha 2/(i+1) for the first n points (point 1 → alpha 1,
+#   i.e. seeded with the first value) and emits from the first point;
+#   "simple" seeds with SMA(n) and emits from point n; "none" seeds with
+#   the first value and applies the fixed alpha immediately.  ``hold``
+#   (InfluxDB HOLD_PERIOD) suppresses output before the hold-th point.
+# - DEMA = 2·EMA − EMA(EMA); TEMA = 3·EMA − 3·EMA² + EMA³ (each stage
+#   re-smooths the previous stage's EMITTED stream, as InfluxDB does).
+# - TRIX (triple_exponential_derivative) = 100·(e3ᵢ − e3ᵢ₋₁)/e3ᵢ₋₁.
+# - RSI: Wilder — seed avg gain/loss = mean of the first n deltas, then
+#   avg = (prev·(n−1) + cur)/n; RSI = 100 − 100/(1 + avgGain/avgLoss);
+#   avgLoss = 0 → 100 (50 when avgGain is also 0).  Emits from point n+1.
+# - CMO = 100·(ΣUp − ΣDown)/(ΣUp + ΣDown) over the trailing n deltas
+#   (0 when the denominator is 0); emits once n deltas exist.
+# - KER = |vᵢ − vᵢ₋ₙ| / Σ|Δ| over the same trailing n deltas (0 when the
+#   volatility is 0).  KAMA: sc = (er·(2/3 − 2/31) + 2/31)², seeded with
+#   the point-n value, kamaᵢ = kamaᵢ₋₁ + sc·(vᵢ − kamaᵢ₋₁) from point n+1.
+# ---------------------------------------------------------------------------
+
+_TV = "array<struct<t:timestamp,v:double>>"
+
+
+def _delta_at(v: Column, j: int, w) -> Column:
+    """The j-back delta vᵢ₋ⱼ − vᵢ₋ⱼ₋₁ built from PLAIN lags of v — window
+    functions can't nest, so lag(gain, j) over a gain that itself contains
+    lag(v) is illegal; lag(v, j) − lag(v, j+1) says the same thing legally."""
+    cur = _vc(v) if j == 0 else F.lag(_vc(v), j).over(w)
+    return cur - F.lag(_vc(v), j + 1).over(w)
+
+
+def _delta_chain(v: Column, n: int, w, term: Callable[[Column], Column]) -> Column:
+    """((term(Δₙ₋₁) + term(Δₙ₋₂)) + …) + term(Δ₀) — the trailing-n sum as
+    an explicit oldest-first addition chain: a sliding-frame SUM's float
+    order is engine-defined (DuckDB sums pairwise via segment tree), a
+    chain is the one order the oracle replays bit-exactly.  NULL until
+    n deltas exist (the oldest lag poisons the chain)."""
+    acc = term(_delta_at(v, n - 1, w))
+    for j in range(n - 2, -1, -1):
+        acc = acc + term(_delta_at(v, j, w))
+    return acc
+
+
+def tr_chande_momentum_oscillator(
+    df: DataFrame, key_cols: Sequence[str], ts_col: str,
+    value_col: str | Column, n: int,
+) -> Column:
+    w = _series_window(key_cols, ts_col)
+    up = _delta_chain(
+        value_col, n, w, lambda d: F.when(d > 0, d).otherwise(F.lit(0.0))
+    )
+    down = _delta_chain(
+        value_col, n, w, lambda d: F.when(d < 0, -d).otherwise(F.lit(0.0))
+    )
+    # the gain/loss CASE maps a NULL delta to 0.0, so the chain is NOT
+    # poisoned by missing history — gate explicitly on the oldest lag
+    avail = F.lag(_vc(value_col), n).over(w).isNotNull()
+    return F.when(avail & (up + down == 0), F.lit(0.0)).when(
+        avail, F.lit(100.0) * (up - down) / (up + down)
+    )
+
+
+def tr_kaufmans_efficiency_ratio(
+    df: DataFrame, key_cols: Sequence[str], ts_col: str,
+    value_col: str | Column, n: int,
+) -> Column:
+    w = _series_window(key_cols, ts_col)
+    v = _vc(value_col)
+    vol = _delta_chain(value_col, n, w, F.abs)
+    change = F.abs(v - F.lag(v, n).over(w))
+    return F.when(vol == 0, F.lit(0.0)).otherwise(change / vol)
+
+
+def _collected(
+    df: DataFrame, key_cols: Sequence[str], ts_col: str,
+    value_col: str | Column, extra: dict[str, Column] | None = None,
+) -> DataFrame:
+    """One row per series: (keys…, _arr) with _arr time-sorted.  ``extra``
+    columns (e.g. window-derived smoothing constants) are materialized as
+    projections FIRST — window expressions can't nest inside collect_list."""
+    fields = [
+        F.col(ts_col).cast("timestamp").alias("t"),
+        _vc(value_col).cast("double").alias("v"),
+    ]
+    for name, c in (extra or {}).items():
+        df = df.withColumn(f"_x_{name}", c)
+        fields.append(F.col(f"_x_{name}").alias(name))
+    return df.groupBy(*key_cols).agg(
+        F.sort_array(F.collect_list(F.struct(*fields))).alias("_arr")
+    )
+
+
+def _explode_series(
+    grouped: DataFrame, key_cols: Sequence[str], ts_col: str,
+    arr: Column, out_name: str,
+) -> DataFrame:
+    return grouped.select(*key_cols, F.explode(arr).alias("_p")).select(
+        *key_cols,
+        F.col("_p.t").alias(ts_col),
+        F.col("_p.v").alias(out_name),
+    )
+
+
+def _ema_arr(arr: Column, n: int, warmup: str) -> Column:
+    """array<struct<t,v>> → array of EMITTED EMA points (see module note
+    for warmup semantics).  Pure fold — bit-exact against the oracle's
+    recursive CTE because both run a·v + (1−a)·prev in input order."""
+    alpha = 2.0 / (n + 1)
+
+    def merge(acc: Column, x: Column) -> Column:
+        i2 = acc["i"] + 1
+        if warmup == "exponential":
+            a = F.when(i2 <= n, F.lit(2.0) / (i2 + F.lit(1.0))).otherwise(
+                F.lit(alpha)
+            )
+            emit = F.lit(True)
+        elif warmup == "none":
+            a = F.when(i2 == 1, F.lit(1.0)).otherwise(F.lit(alpha))
+            emit = F.lit(True)
+        elif warmup == "simple":
+            a = F.lit(alpha)  # only used past the seed
+            emit = i2 >= n
+        else:
+            raise ValueError(f"unknown warmup_type {warmup!r}")
+        if warmup == "simple":
+            s2 = acc["s"] + x["v"]
+            ema2 = (
+                F.when(i2 < n, F.lit(0.0))
+                .when(i2 == n, s2 / F.lit(float(n)))
+                .otherwise(a * x["v"] + (F.lit(1.0) - a) * acc["ema"])
+            )
+        else:
+            s2 = F.lit(0.0)
+            ema2 = a * x["v"] + (F.lit(1.0) - a) * acc["ema"]
+        point = F.array(F.struct(x["t"].alias("t"), ema2.alias("v")))
+        out2 = F.when(emit, F.concat(acc["out"], point)).otherwise(acc["out"])
+        return F.struct(
+            i2.alias("i"), ema2.alias("ema"), s2.alias("s"), out2.alias("out")
+        )
+
+    init = F.struct(
+        F.lit(0).cast("long").alias("i"),
+        F.lit(0.0).alias("ema"),
+        F.lit(0.0).alias("s"),
+        F.array().cast(_TV).alias("out"),
+    )
+    return F.aggregate(arr, init, merge, lambda acc: acc["out"])
+
+
+def _hold_slice(out: Column, in_size: Column, hold: int) -> Column:
+    """InfluxDB HOLD_PERIOD: suppress outputs for input points before the
+    hold-th.  Emitted points are a suffix of the inputs, so dropping
+    max(0, hold − first_emit_index) leading outputs implements it."""
+    if hold <= 0:
+        return out
+    first_emit = in_size - F.size(out) + 1  # 1-based input index
+    drop = F.greatest(F.lit(hold) - first_emit, F.lit(0))
+    return F.slice(out, drop + 1, F.greatest(F.size(out) - drop, F.lit(0)))
+
+
+def tr_exponential_moving_average(
+    df: DataFrame, key_cols: Sequence[str], ts_col: str,
+    value_col: str | Column, n: int, hold: int = 0,
+    warmup: str = "exponential",
+) -> DataFrame:
+    g = _collected(df, key_cols, ts_col, value_col)
+    out = _hold_slice(_ema_arr(F.col("_arr"), n, warmup), F.size("_arr"), hold)
+    return _explode_series(g, key_cols, ts_col, out, "exponential_moving_average")
+
+
+def _suffix_zip(a: Column, b: Column, combine) -> Column:
+    """zip the SUFFIX of a (longer) with b (shorter): emitted streams are
+    suffix-aligned, so position |a|−|b|+i of a matches position i of b."""
+    off = F.size(a) - F.size(b)
+    return F.zip_with(F.slice(a, off + 1, F.size(b)), b, combine)
+
+
+def _dema_arr(arr: Column, n: int, warmup: str) -> tuple[Column, Column, Column]:
+    e1 = _ema_arr(arr, n, warmup)
+    e2 = _ema_arr(e1, n, warmup)
+    e3 = _ema_arr(e2, n, warmup)
+    return e1, e2, e3
+
+
+def tr_double_exponential_moving_average(
+    df: DataFrame, key_cols: Sequence[str], ts_col: str,
+    value_col: str | Column, n: int, hold: int = 0,
+    warmup: str = "exponential",
+) -> DataFrame:
+    g = _collected(df, key_cols, ts_col, value_col)
+    e1, e2, _ = _dema_arr(F.col("_arr"), n, warmup)
+    out = _suffix_zip(
+        e1, e2,
+        lambda a, b: F.struct(
+            b["t"].alias("t"), (F.lit(2.0) * a["v"] - b["v"]).alias("v")
+        ),
+    )
+    out = _hold_slice(out, F.size("_arr"), hold)
+    return _explode_series(
+        g, key_cols, ts_col, out, "double_exponential_moving_average"
+    )
+
+
+def tr_triple_exponential_moving_average(
+    df: DataFrame, key_cols: Sequence[str], ts_col: str,
+    value_col: str | Column, n: int, hold: int = 0,
+    warmup: str = "exponential",
+) -> DataFrame:
+    g = _collected(df, key_cols, ts_col, value_col)
+    e1, e2, e3 = _dema_arr(F.col("_arr"), n, warmup)
+    z23 = _suffix_zip(
+        e2, e3,
+        lambda b, c: F.struct(
+            c["t"].alias("t"), b["v"].alias("bv"), c["v"].alias("cv")
+        ),
+    )
+    out = _suffix_zip(
+        e1, z23,
+        lambda a, z: F.struct(
+            z["t"].alias("t"),
+            (
+                F.lit(3.0) * a["v"] - F.lit(3.0) * z["bv"] + z["cv"]
+            ).alias("v"),
+        ),
+    )
+    out = _hold_slice(out, F.size("_arr"), hold)
+    return _explode_series(
+        g, key_cols, ts_col, out, "triple_exponential_moving_average"
+    )
+
+
+def tr_triple_exponential_derivative(
+    df: DataFrame, key_cols: Sequence[str], ts_col: str,
+    value_col: str | Column, n: int, hold: int = 0,
+    warmup: str = "exponential",
+) -> DataFrame:
+    """TRIX: percent rate of change of the triple-smoothed EMA."""
+    g = _collected(df, key_cols, ts_col, value_col)
+    _, _, e3 = _dema_arr(F.col("_arr"), n, warmup)
+    ln = F.size(e3) - 1
+    out = F.zip_with(
+        F.slice(e3, 2, ln),
+        F.slice(e3, 1, ln),
+        lambda cur, prev: F.struct(
+            cur["t"].alias("t"),
+            F.when(prev["v"] == 0, F.lit(None).cast("double"))
+            .otherwise(F.lit(100.0) * (cur["v"] - prev["v"]) / prev["v"])
+            .alias("v"),
+        ),
+    )
+    out = _hold_slice(out, F.size("_arr"), hold)
+    return _explode_series(
+        g, key_cols, ts_col, out, "triple_exponential_derivative"
+    )
+
+
+def tr_relative_strength_index(
+    df: DataFrame, key_cols: Sequence[str], ts_col: str,
+    value_col: str | Column, n: int,
+) -> DataFrame:
+    """Wilder RSI (see module note).  One fold carries (avgGain, avgLoss,
+    prev); the seed phase accumulates plain sums so the seed average is a
+    single division — the same op order the oracle's recursive CTE runs."""
+    nf = float(n)
+
+    def merge(acc: Column, x: Column) -> Column:
+        i2 = acc["i"] + 1
+        d = x["v"] - acc["prev"]
+        g = F.when(d > 0, d).otherwise(F.lit(0.0))
+        ls = F.when(d < 0, -d).otherwise(F.lit(0.0))
+        ag2 = (
+            F.when(i2 == 1, F.lit(0.0))
+            .when(i2 <= n, acc["ag"] + g)
+            .when(i2 == n + 1, (acc["ag"] + g) / F.lit(nf))
+            .otherwise((acc["ag"] * F.lit(nf - 1.0) + g) / F.lit(nf))
+        )
+        al2 = (
+            F.when(i2 == 1, F.lit(0.0))
+            .when(i2 <= n, acc["al"] + ls)
+            .when(i2 == n + 1, (acc["al"] + ls) / F.lit(nf))
+            .otherwise((acc["al"] * F.lit(nf - 1.0) + ls) / F.lit(nf))
+        )
+        rsi = F.when(
+            al2 == 0, F.when(ag2 == 0, F.lit(50.0)).otherwise(F.lit(100.0))
+        ).otherwise(F.lit(100.0) - F.lit(100.0) / (F.lit(1.0) + ag2 / al2))
+        point = F.array(F.struct(x["t"].alias("t"), rsi.alias("v")))
+        out2 = F.when(i2 >= n + 1, F.concat(acc["out"], point)).otherwise(
+            acc["out"]
+        )
+        return F.struct(
+            i2.alias("i"), x["v"].alias("prev"), ag2.alias("ag"),
+            al2.alias("al"), out2.alias("out"),
+        )
+
+    init = F.struct(
+        F.lit(0).cast("long").alias("i"), F.lit(0.0).alias("prev"),
+        F.lit(0.0).alias("ag"), F.lit(0.0).alias("al"),
+        F.array().cast(_TV).alias("out"),
+    )
+    g = _collected(df, key_cols, ts_col, value_col)
+    out = F.aggregate(F.col("_arr"), init, merge, lambda acc: acc["out"])
+    return _explode_series(g, key_cols, ts_col, out, "relative_strength_index")
+
+
+_KAMA_FAST, _KAMA_SLOW = 2, 30
+
+
+def tr_kaufmans_adaptive_moving_average(
+    df: DataFrame, key_cols: Sequence[str], ts_col: str,
+    value_col: str | Column, n: int,
+) -> DataFrame:
+    """KAMA: the smoothing constant is computed PER ROW from the trailing
+    efficiency ratio (a window chain, shares the series sort), then one
+    fold runs the recurrence over (v, sc)."""
+    c1 = 2.0 / (_KAMA_FAST + 1) - 2.0 / (_KAMA_SLOW + 1)
+    c2 = 2.0 / (_KAMA_SLOW + 1)
+    er = tr_kaufmans_efficiency_ratio(df, key_cols, ts_col, value_col, n)
+    t = er * F.lit(c1) + F.lit(c2)
+    sc = t * t
+
+    def merge(acc: Column, x: Column) -> Column:
+        i2 = acc["i"] + 1
+        k2 = (
+            F.when(i2 < n, F.lit(0.0))
+            .when(i2 == n, x["v"])  # seed (not emitted)
+            .otherwise(acc["kama"] + x["sc"] * (x["v"] - acc["kama"]))
+        )
+        point = F.array(F.struct(x["t"].alias("t"), k2.alias("v")))
+        out2 = F.when(i2 > n, F.concat(acc["out"], point)).otherwise(acc["out"])
+        return F.struct(i2.alias("i"), k2.alias("kama"), out2.alias("out"))
+
+    init = F.struct(
+        F.lit(0).cast("long").alias("i"), F.lit(0.0).alias("kama"),
+        F.array().cast(_TV).alias("out"),
+    )
+    g = _collected(df, key_cols, ts_col, value_col, extra={"sc": sc})
+    out = F.aggregate(F.col("_arr"), init, merge, lambda acc: acc["out"])
+    return _explode_series(
+        g, key_cols, ts_col, out, "kaufmans_adaptive_moving_average"
+    )

@@ -26,6 +26,8 @@ def test_oracle_keys_subset_of_queries():
     # every SQL-expressible query should carry an oracle; track exceptions here
     rows_only = q - o
     for name in rows_only:
-        assert name.startswith(("gorilla", "minhash", "simhash", "ann_", "stream")), (
+        assert name.startswith(
+            ("gorilla", "minhash", "simhash", "ann_", "stream", "holt_winters")
+        ), (
             f"{name} has no oracle_sql entry but is not a known rows-only op"
         )

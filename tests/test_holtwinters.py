@@ -1,0 +1,117 @@
+"""Holt-Winters (operators/holtwinters.py): method properties the fit must
+satisfy regardless of optimizer trajectory, determinism, and the string
+front-end path.  (No SQL oracle by nature — iterative optimization.)
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from influxer_spark.operators.holtwinters import holt_winters
+
+T0 = dt.datetime(2024, 1, 1)
+HOUR_US = 3_600_000_000
+
+
+def _series(spark, values, key="a", step_h=1):
+    rows = [
+        (key, T0 + dt.timedelta(hours=i * step_h), float(v))
+        for i, v in enumerate(values)
+    ]
+    return spark.createDataFrame(rows, ["k", "ts", "v"])
+
+
+def test_linear_series_forecast_is_exact_continuation(spark):
+    """Holt's linear method reproduces an exactly-linear series with zero
+    one-step error for ANY smoothing params (trend init = the true slope),
+    so the forecast is the exact continuation — optimizer-independent."""
+    vals = [3.0 + 2.0 * i for i in range(12)]
+    out = holt_winters(
+        _series(spark, vals), ["k"], "ts", "v",
+        n_predict=4, season_length=0, interval_seconds=3600,
+    ).orderBy("ts").collect()
+    assert len(out) == 4
+    for h, r in enumerate(out, start=1):
+        assert r["holt_winters"] == pytest.approx(3.0 + 2.0 * (11 + h), abs=1e-9)
+        assert r["ts"] == T0 + dt.timedelta(hours=11 + h)
+
+
+def test_seasonal_series_forecast_tracks_season(spark):
+    """Linear trend + exact additive season of length 4: the fitted model
+    reproduces it, so forecasts must continue trend + season closely."""
+    season = [5.0, -2.0, 0.5, -3.5]
+    vals = [10.0 + 0.5 * i + season[i % 4] for i in range(24)]
+    out = holt_winters(
+        _series(spark, vals), ["k"], "ts", "v",
+        n_predict=8, season_length=4, interval_seconds=3600,
+    ).orderBy("ts").collect()
+    assert len(out) == 8
+    for h, r in enumerate(out, start=1):
+        want = 10.0 + 0.5 * (23 + h) + season[(23 + h) % 4]
+        assert r["holt_winters"] == pytest.approx(want, rel=0.02, abs=0.3)
+
+
+def test_with_fit_emits_history_then_forecast(spark):
+    vals = [3.0 + 2.0 * i for i in range(10)]
+    out = holt_winters(
+        _series(spark, vals), ["k"], "ts", "v",
+        n_predict=3, season_length=0, interval_seconds=3600, with_fit=True,
+    ).orderBy("ts").collect()
+    # fitted one-step-ahead values start at the 2nd point: 9 history + 3
+    assert len(out) == 12
+    assert out[0]["ts"] == T0 + dt.timedelta(hours=1)
+    # on a linear series the fitted values are the series itself
+    for i, r in enumerate(out[:9]):
+        assert r["holt_winters"] == pytest.approx(vals[i + 1], abs=1e-9)
+
+
+def test_deterministic_and_per_series_isolated(spark):
+    vals_a = [math.sin(i / 3.0) * 4 + i * 0.2 + 7 for i in range(20)]
+    vals_b = [v * 2 + 1 for v in vals_a]
+    df = _series(spark, vals_a, "a").unionByName(_series(spark, vals_b, "b"))
+    run = lambda: holt_winters(  # noqa: E731
+        df, ["k"], "ts", "v", 5, 0, 3600
+    ).orderBy("k", "ts").collect()
+    r1, r2 = run(), run()
+    assert [x["holt_winters"] for x in r1] == [x["holt_winters"] for x in r2]
+    a = [x["holt_winters"] for x in r1 if x["k"] == "a"]
+    b = [x["holt_winters"] for x in r1 if x["k"] == "b"]
+    assert len(a) == len(b) == 5
+    assert all(abs(2 * x + 1 - y) < 1.5 for x, y in zip(a, b))
+
+
+def test_too_short_series_emits_nothing(spark):
+    out = holt_winters(
+        _series(spark, [5.0]), ["k"], "ts", "v", 3, 0, 3600
+    ).collect()
+    assert out == []
+
+
+def test_frontend_holt_winters_string(spark):
+    from influxer_spark.influxql_frontend import influxql
+
+    vals = [3.0 + 2.0 * i for i in range(12)]
+    raw = _series(spark, vals)
+    out = influxql(
+        "SELECT holt_winters(mean(v), 4, 0) AS hw FROM m"
+        " GROUP BY time(1h), k",
+        {"m": raw}, ts_col="ts",
+    ).orderBy("time").collect()
+    assert len(out) == 4
+    for h, r in enumerate(out, start=1):
+        assert r["hw"] == pytest.approx(3.0 + 2.0 * (11 + h), abs=1e-9)
+        assert r["time"] == T0 + dt.timedelta(hours=11 + h)
+
+
+def test_frontend_holt_winters_requires_group_by_time(spark):
+    from influxer_spark.influxql_frontend import InfluxQLError, influxql
+
+    with pytest.raises(InfluxQLError, match="GROUP BY time"):
+        influxql(
+            "SELECT holt_winters(mean(v), 4, 0) FROM m GROUP BY k",
+            {"m": _series(spark, [1.0, 2.0])}, ts_col="ts",
+        )

@@ -1,0 +1,345 @@
+"""InfluxQL technical-analysis family (operators/influxql.py) vs plain-
+Python mirrors of the pinned semantics (module docstring of influxql.py).
+
+The mirrors run the recurrences in input order with ordinary Python floats,
+so equality here is BIT-exact (`==`, not approx) — the same discipline the
+DuckDB oracles rely on.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from influxer_spark.operators import influxql as Q
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+def _series(spark, values, key="a"):
+    rows = [
+        (key, T0 + dt.timedelta(hours=i), float(v)) for i, v in enumerate(values)
+    ]
+    return spark.createDataFrame(rows, ["k", "ts", "v"])
+
+
+VALUES = [10.0, 12.5, 11.0, 11.0, 14.75, 13.0, 16.5, 15.25, 15.25, 18.0,
+          17.5, 20.0, 19.25, 21.0, 22.5, 21.75]
+
+
+# --- python mirrors -------------------------------------------------------
+
+def py_ema(vals, n, warmup="exponential"):
+    alpha = 2.0 / (n + 1)
+    out, ema, s = [], 0.0, 0.0
+    for i, v in enumerate(vals, start=1):
+        if warmup == "exponential":
+            a = 2.0 / (i + 1.0) if i <= n else alpha
+            ema = a * v + (1.0 - a) * ema
+            out.append(ema)
+        elif warmup == "none":
+            a = 1.0 if i == 1 else alpha
+            ema = a * v + (1.0 - a) * ema
+            out.append(ema)
+        else:  # simple
+            if i < n:
+                s += v
+                ema = 0.0
+            elif i == n:
+                s += v
+                ema = s / float(n)
+                out.append(ema)
+            else:
+                ema = alpha * v + (1.0 - alpha) * ema
+                out.append(ema)
+    return out
+
+
+def py_rsi(vals, n):
+    out, ag, al, prev = [], 0.0, 0.0, 0.0
+    for i, v in enumerate(vals, start=1):
+        if i == 1:
+            prev = v
+            continue
+        d = v - prev
+        g = d if d > 0 else 0.0
+        ls = -d if d < 0 else 0.0
+        if i <= n:
+            ag, al = ag + g, al + ls
+        elif i == n + 1:
+            ag, al = (ag + g) / float(n), (al + ls) / float(n)
+        else:
+            ag = (ag * (n - 1.0) + g) / float(n)
+            al = (al * (n - 1.0) + ls) / float(n)
+        prev = v
+        if i >= n + 1:
+            if al == 0:
+                out.append(50.0 if ag == 0 else 100.0)
+            else:
+                out.append(100.0 - 100.0 / (1.0 + ag / al))
+    return out
+
+
+def py_cmo(vals, n):
+    out = []
+    for i in range(n, len(vals)):
+        up = down = 0.0
+        for j in range(n - 1, -1, -1):
+            d = vals[i - j] - vals[i - j - 1]
+            up = up + (d if d > 0 else 0.0)
+            down = down + (-d if d < 0 else 0.0)
+        out.append(0.0 if up + down == 0 else 100.0 * (up - down) / (up + down))
+    return out
+
+
+def py_ker(vals, n):
+    out = []
+    for i in range(n, len(vals)):
+        vol = 0.0
+        for j in range(n - 1, -1, -1):
+            vol = vol + abs(vals[i - j] - vals[i - j - 1])
+        change = abs(vals[i] - vals[i - n])
+        out.append(0.0 if vol == 0 else change / vol)
+    return out
+
+
+def py_kama(vals, n):
+    c1 = 2.0 / (Q._KAMA_FAST + 1) - 2.0 / (Q._KAMA_SLOW + 1)
+    c2 = 2.0 / (Q._KAMA_SLOW + 1)
+    ers = py_ker(vals, n)
+    out, kama = [], vals[n - 1]
+    for i in range(n, len(vals)):
+        t = ers[i - n] * c1 + c2
+        kama = kama + t * t * (vals[i] - kama)
+        out.append(kama)
+    return out
+
+
+# --- tests ----------------------------------------------------------------
+
+def _got(df, name):
+    return [r[name] for r in df.orderBy("ts").collect()]
+
+
+@pytest.mark.parametrize("warmup,n", [("exponential", 4), ("simple", 4),
+                                      ("none", 4), ("exponential", 1)])
+def test_ema_matches_python(spark, warmup, n):
+    df = _series(spark, VALUES)
+    got = _got(
+        Q.tr_exponential_moving_average(df, ["k"], "ts", "v", n, warmup=warmup),
+        "exponential_moving_average",
+    )
+    assert got == py_ema(VALUES, n, warmup)
+
+
+def test_ema_hold_suppresses_leading_points(spark):
+    df = _series(spark, VALUES)
+    got = _got(
+        Q.tr_exponential_moving_average(df, ["k"], "ts", "v", 4, hold=6),
+        "exponential_moving_average",
+    )
+    assert got == py_ema(VALUES, 4)[5:]  # emits from the 6th input point
+
+
+def test_dema_tema_match_python(spark):
+    n, df = 4, _series(spark, VALUES)
+    e1 = py_ema(VALUES, n)
+    e2 = py_ema(e1, n)
+    e3 = py_ema(e2, n)
+    dema = [2.0 * a - b for a, b in zip(e1, e2)]
+    tema = [3.0 * a - 3.0 * b + c for a, b, c in zip(e1, e2, e3)]
+    got_d = _got(
+        Q.tr_double_exponential_moving_average(df, ["k"], "ts", "v", n),
+        "double_exponential_moving_average",
+    )
+    got_t = _got(
+        Q.tr_triple_exponential_moving_average(df, ["k"], "ts", "v", n),
+        "triple_exponential_moving_average",
+    )
+    assert got_d == dema and got_t == tema
+
+
+def test_dema_suffix_alignment_simple_warmup(spark):
+    """With simple warmup e2 starts n−1 points after e1 — the suffix zip
+    must pair e1[n−1:] with e2, not truncate from the front of e2."""
+    n, df = 4, _series(spark, VALUES)
+    e1 = py_ema(VALUES, n, "simple")
+    e2 = py_ema(e1, n, "simple")
+    dema = [2.0 * a - b for a, b in zip(e1[n - 1:], e2)]
+    got = _got(
+        Q.tr_double_exponential_moving_average(
+            df, ["k"], "ts", "v", n, warmup="simple"
+        ),
+        "double_exponential_moving_average",
+    )
+    assert got == dema
+
+
+def test_trix_matches_python(spark):
+    n, df = 4, _series(spark, VALUES)
+    e3 = py_ema(py_ema(py_ema(VALUES, n), n), n)
+    trix = [
+        100.0 * (e3[i] - e3[i - 1]) / e3[i - 1] for i in range(1, len(e3))
+    ]
+    got = _got(
+        Q.tr_triple_exponential_derivative(df, ["k"], "ts", "v", n),
+        "triple_exponential_derivative",
+    )
+    assert got == trix
+
+
+def test_rsi_matches_python(spark):
+    n, df = 5, _series(spark, VALUES)
+    got = _got(
+        Q.tr_relative_strength_index(df, ["k"], "ts", "v", n),
+        "relative_strength_index",
+    )
+    assert got == py_rsi(VALUES, n)
+
+
+def test_rsi_flat_and_rising_edges(spark):
+    flat = [5.0] * 8          # all deltas 0 → avgLoss 0, avgGain 0 → 50
+    rising = list(range(8))   # avgLoss 0, avgGain > 0 → 100
+    assert _got(
+        Q.tr_relative_strength_index(_series(spark, flat), ["k"], "ts", "v", 3),
+        "relative_strength_index",
+    ) == [50.0] * 5
+    assert _got(
+        Q.tr_relative_strength_index(
+            _series(spark, [float(x) for x in rising]), ["k"], "ts", "v", 3
+        ),
+        "relative_strength_index",
+    ) == [100.0] * 5
+
+
+def test_cmo_ker_match_python(spark):
+    n, df = 5, _series(spark, VALUES)
+    w_cmo = Q.tr_chande_momentum_oscillator(df, ["k"], "ts", "v", n)
+    w_ker = Q.tr_kaufmans_efficiency_ratio(df, ["k"], "ts", "v", n)
+    out = df.select("ts", w_cmo.alias("cmo"), w_ker.alias("ker")).orderBy("ts")
+    rows = out.collect()
+    got_cmo = [r["cmo"] for r in rows if r["cmo"] is not None]
+    got_ker = [r["ker"] for r in rows if r["ker"] is not None]
+    assert got_cmo == py_cmo(VALUES, n)
+    assert got_ker == py_ker(VALUES, n)
+    # emits only once n deltas exist
+    assert all(r["cmo"] is None for r in rows[:n])
+
+
+def test_kama_matches_python(spark):
+    n, df = 5, _series(spark, VALUES)
+    got = _got(
+        Q.tr_kaufmans_adaptive_moving_average(df, ["k"], "ts", "v", n),
+        "kaufmans_adaptive_moving_average",
+    )
+    assert got == py_kama(VALUES, n)
+
+
+def test_multi_series_isolation(spark):
+    """Recurrences must not leak across series: two interleaved series give
+    exactly the per-series mirrors."""
+    a = _series(spark, VALUES, "a")
+    b = _series(spark, [v * 3.0 + 1.0 for v in VALUES], "b")
+    df = a.unionByName(b)
+    out = Q.tr_exponential_moving_average(df, ["k"], "ts", "v", 4)
+    got_a = [
+        r["exponential_moving_average"]
+        for r in out.filter(F.col("k") == "a").orderBy("ts").collect()
+    ]
+    got_b = [
+        r["exponential_moving_average"]
+        for r in out.filter(F.col("k") == "b").orderBy("ts").collect()
+    ]
+    assert got_a == py_ema(VALUES, 4)
+    assert got_b == py_ema([v * 3.0 + 1.0 for v in VALUES], 4)
+
+
+def test_fold_plan_stays_jvm_side(spark):
+    """The recurrence path is collect_list + higher-order-function fold —
+    no Python workers anywhere in the plan."""
+    df = _series(spark, VALUES)
+    plan = (
+        Q.tr_relative_strength_index(df, ["k"], "ts", "v", 5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Python" not in plan and "ArrowEval" not in plan
+
+
+# --- string front-end integration ------------------------------------------
+
+def test_frontend_ema_raw_string(spark):
+    from influxer_spark.influxql_frontend import influxql
+
+    df = _series(spark, VALUES)
+    out = influxql(
+        "SELECT exponential_moving_average(v, 4) AS ema FROM m GROUP BY k",
+        {"m": df}, ts_col="ts",
+    )
+    assert [r["ema"] for r in out.orderBy("time").collect()] == py_ema(VALUES, 4)
+
+
+def test_frontend_ema_warmup_and_hold_args(spark):
+    from influxer_spark.influxql_frontend import influxql
+
+    df = _series(spark, VALUES)
+    out = influxql(
+        "SELECT exponential_moving_average(v, 4, 6, 'simple') AS ema"
+        " FROM m GROUP BY k",
+        {"m": df}, ts_col="ts",
+    )
+    mirror = py_ema(VALUES, 4, "simple")[2:]  # simple emits from pt 4; hold 6
+    assert [r["ema"] for r in out.orderBy("time").collect()] == mirror
+
+
+def test_frontend_rsi_of_aggregate_desugars(spark):
+    from influxer_spark.influxql_frontend import influxql
+
+    df = _series(spark, VALUES)
+    out = influxql(
+        "SELECT relative_strength_index(mean(v), 3) AS rsi"
+        " FROM m GROUP BY time(2h), k",
+        {"m": df}, ts_col="ts",
+    )
+    means = [
+        (VALUES[i] + VALUES[i + 1]) / 2 for i in range(0, len(VALUES), 2)
+    ]
+    assert [r["rsi"] for r in out.orderBy("time").collect()] == py_rsi(means, 3)
+
+
+def test_frontend_cmo_string_with_other_columns(spark):
+    from influxer_spark.influxql_frontend import influxql
+
+    df = _series(spark, VALUES)
+    out = influxql(
+        "SELECT chande_momentum_oscillator(v, 5) AS cmo,"
+        " kaufmans_efficiency_ratio(v, 5) AS ker FROM m GROUP BY k",
+        {"m": df}, ts_col="ts",
+    )
+    rows = out.orderBy("time").collect()
+    assert [r["cmo"] for r in rows] == py_cmo(VALUES, 5)
+    assert [r["ker"] for r in rows] == py_ker(VALUES, 5)
+
+
+def test_frontend_fold_rejects_extra_projection(spark):
+    from influxer_spark.influxql_frontend import InfluxQLError, influxql
+
+    df = _series(spark, VALUES)
+    with pytest.raises(InfluxQLError, match="only projection"):
+        influxql(
+            "SELECT exponential_moving_average(v, 4), v FROM m GROUP BY k",
+            {"m": df}, ts_col="ts",
+        )
+
+
+def test_frontend_fold_field_with_group_by_time_rejected(spark):
+    from influxer_spark.influxql_frontend import InfluxQLError, influxql
+
+    df = _series(spark, VALUES)
+    with pytest.raises(InfluxQLError, match="aggregate argument"):
+        influxql(
+            "SELECT kaufmans_adaptive_moving_average(v, 4) FROM m"
+            " GROUP BY time(2h), k",
+            {"m": df}, ts_col="ts",
+        )
