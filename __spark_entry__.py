@@ -113,6 +113,24 @@ def _q_rollup_1m_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rollup_out(r)
 
 
+def _q_sketch_distinct_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-user counts served from tiers: 1m sketches HLL-union up the
+    cascade to 1d (rollup.py rollup_with_distinct/cascade_with_distinct).
+    Rows-only contract entry — DataSketches HLL internals have no DuckDB
+    equivalent; the strong checks are in tests/test_rollup_sketch.py
+    (cascaded estimate ≡ direct coarse rollup, ≤5%% error vs exact)."""
+    ev = _t(spark, sf_dir, "events")
+    t1m = R.rollup_with_distinct(
+        ev, "ts", ["event_type"], "value", "user_id", "1m"
+    )
+    t1d = R.cascade_with_distinct(
+        R.cascade_with_distinct(t1m, ["event_type"], "1h"), ["event_type"], "1d"
+    )
+    return R.with_distinct_count(t1d).select(
+        "bucket", "event_type", "cnt", F.col("uu").cast("long").alias("uu")
+    )
+
+
 def _q_gapfill_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     t1h = R.rollup(ev, "ts", ["event_type"], "value", "1h").withColumn(
@@ -323,6 +341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_1h_cascade": _q_rollup_1h_cascade,
         "rollup_1d_cascade": _q_rollup_1d_cascade,
         "rollup_1m_salted": _q_rollup_1m_salted,
+        "sketch_distinct_tiers": _q_sketch_distinct_tiers,
         "rollup_5m_width": _q_rollup_5m_width,
         "asof_join_6h_stats": _q_asof_6h_stats,
         "gapfill_1h_interpolate": _q_gapfill_1h,

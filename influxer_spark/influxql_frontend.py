@@ -890,6 +890,23 @@ class InfluxQLEngine:
                 for m in names
             ]
             return reduce(lambda a, b: a.unionByName(b), outs)
+        # TA-over-aggregate routes BEFORE the tiered check: the fold/fit
+        # desugars its inner aggregate through _run, so the inner GROUP BY
+        # time() query gets continuous-aggregate serving on its own
+        ta_root = next(
+            (
+                e for e, _ in stmt.projections
+                if isinstance(e, Call)
+                and (e.fname in FOLD_TRANSFORMS or e.fname in HW_FNS)
+            ),
+            None,
+        )
+        if ta_root is not None and any(
+            isinstance(a, Call) and a.fname in AGGS for a in ta_root.args[:1]
+        ):
+            if ta_root.fname in HW_FNS:
+                return self._exec_hw(stmt, None)
+            return self._exec_fold(stmt, None)
         if stmt.measurement in self.tiered and self._tiered_answerable(stmt):
             return self._exec_tiered(stmt)
         if stmt.measurement not in self.tables:
@@ -1148,7 +1165,14 @@ class InfluxQLEngine:
 
     # --- fold mode: recurrence transforms (EMA family, RSI, KAMA) ---
 
-    def _exec_fold(self, stmt: Select, df: DataFrame) -> DataFrame:
+    def _frame_keys(self, stmt: Select, frame: DataFrame) -> list[str]:
+        """Series keys of a desugared inner-aggregate frame.  GROUP BY *
+        resolves during the inner _run, so read the tags off the frame."""
+        if stmt.group_star:
+            return [c for c in frame.columns if c not in ("time", "__fv__")]
+        return stmt.group_tags
+
+    def _exec_fold(self, stmt: Select, df: DataFrame | None) -> DataFrame:
         """Recurrence transforms are DataFrame-shaped (per-series fold), so
         they take over the whole SELECT: the call must be the sole
         projection.  ``ema(mean(v), n) … GROUP BY time(w)`` desugars into
@@ -1196,7 +1220,10 @@ class InfluxQLEngine:
                 stmt, projections=[(arg0, "__fv__")], limit=None, offset=None,
                 slimit=None, soffset=None, order_desc=False, into=None,
             )
-            frame = self._exec_agg(inner, df)
+            # through _run, not _exec_agg: a tiered measurement's inner
+            # aggregate is then served from materialized rollups
+            frame = self._run(inner)
+            keys = self._frame_keys(stmt, frame)
             out = fn(frame, keys, "time", "__fv__", n, **kwargs)
             out = out.select(
                 "time", *keys, F.col(e.fname).alias(name)
@@ -1221,7 +1248,7 @@ class InfluxQLEngine:
             )
         return self._finish(stmt, out, keys)
 
-    def _exec_hw(self, stmt: Select, df: DataFrame) -> DataFrame:
+    def _exec_hw(self, stmt: Select, df: DataFrame | None) -> DataFrame:
         """holt_winters(agg(f), N, S) [WITH GROUP BY time(w)]: run the
         aggregate query, then fit-and-forecast per series
         (operators/holtwinters.py) — N points at the w interval."""
@@ -1255,8 +1282,8 @@ class InfluxQLEngine:
             offset=None, slimit=None, soffset=None, order_desc=False,
             into=None,
         )
-        frame = self._exec_agg(inner, df)
-        keys = stmt.group_tags
+        frame = self._run(inner)  # tier-served when registered
+        keys = self._frame_keys(stmt, frame)
         name = alias or e.fname
         out = holt_winters(
             frame, keys, "time", "__fv__",

@@ -144,6 +144,82 @@ def rollup_width(
     )
 
 
+# ---------------------------------------------------------------------------
+# Distinct-count sketches in the tiers.  count/sum/min/max cascade
+# algebraically, but COUNT(DISTINCT user) does not — re-aggregating exact
+# distinct counts across buckets is wrong (overlap) and carrying exact value
+# sets is O(cardinality).  The classic continuous-aggregate answer is a
+# MERGEABLE sketch per bucket: Spark's built-in Apache DataSketches HLL
+# (hll_sketch_agg / hll_union_agg, JVM-side, no UDF).  Union of per-minute
+# sketches == sketch of the union, so the 1m→1h→1d cascade stays exact
+# *as a sketch*: the cascaded estimate is bit-identical to a direct rollup
+# at the coarser tier (asserted in tests/test_rollup_sketch.py).  Storage
+# is ~2^lg_k bytes per (bucket, series) regardless of cardinality — the
+# property that keeps a 10^12-event distinct-users dashboard answerable
+# from tiers instead of a raw COUNT(DISTINCT) over 100 TB.
+# No DuckDB value-oracle by nature (DataSketches internals); accuracy and
+# cascade-consistency are pinned by tests instead.
+# ---------------------------------------------------------------------------
+
+
+def rollup_with_distinct(
+    df: DataFrame,
+    ts_col: str,
+    key_cols: Sequence[str],
+    value_col: str,
+    distinct_col: str,
+    tier: str = "1m",
+    lg_k: int = 12,
+) -> DataFrame:
+    """``rollup`` plus a mergeable HLL sketch of ``distinct_col`` per
+    bucket (column ``uu_sketch: binary``)."""
+    unit = _trunc_unit(tier)
+    bucket = F.date_trunc(unit, F.col(ts_col)).alias("bucket")
+    v = F.col(value_col)
+    return (
+        df.groupBy(bucket, *[F.col(k) for k in key_cols])
+        .agg(
+            F.count(v).alias("cnt"),
+            F.sum(v).alias("sum_v"),
+            F.min(v).alias("min_v"),
+            F.max(v).alias("max_v"),
+            F.hll_sketch_agg(F.col(distinct_col), F.lit(lg_k)).alias(
+                "uu_sketch"
+            ),
+        )
+    )
+
+
+def cascade_with_distinct(
+    rolled: DataFrame, key_cols: Sequence[str], tier: str
+) -> DataFrame:
+    """``cascade`` plus HLL union of the finer tier's sketches — the
+    distinct-count analogue of sum-of-sums."""
+    unit = _trunc_unit(tier)
+    return (
+        rolled.groupBy(
+            F.date_trunc(unit, F.col("bucket")).alias("bucket"),
+            *[F.col(k) for k in key_cols],
+        )
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            F.sum("sum_v").alias("sum_v"),
+            F.min("min_v").alias("min_v"),
+            F.max("max_v").alias("max_v"),
+            F.hll_union_agg(F.col("uu_sketch")).alias("uu_sketch"),
+        )
+    )
+
+
+def with_distinct_count(rolled: DataFrame) -> DataFrame:
+    """Attach the distinct-count estimate (``uu``).  Derived at read time,
+    never stored — the sketch is the tier's source of truth so further
+    cascades stay mergeable."""
+    return rolled.withColumn(
+        "uu", F.hll_sketch_estimate(F.col("uu_sketch"))
+    )
+
+
 def salted_rollup(
     df: DataFrame,
     ts_col: str,

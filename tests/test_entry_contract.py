@@ -27,7 +27,8 @@ def test_oracle_keys_subset_of_queries():
     rows_only = q - o
     for name in rows_only:
         assert name.startswith(
-            ("gorilla", "minhash", "simhash", "ann_", "stream", "holt_winters")
+            ("gorilla", "minhash", "simhash", "ann_", "stream",
+             "holt_winters", "sketch")
         ), (
             f"{name} has no oracle_sql entry but is not a known rows-only op"
         )

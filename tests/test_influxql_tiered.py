@@ -105,3 +105,23 @@ def test_tier_only_measurement_errors_on_unanswerable(built):
     ).count() > 0
     with pytest.raises(InfluxQLError, match="tier-only"):
         eng.execute("SELECT stddev(value) FROM pages GROUP BY time(1h)")
+
+
+def test_ta_over_aggregate_served_from_tier(built):
+    """ema(mean(value)) … GROUP BY time(4h): the desugared inner aggregate
+    must be tier-served (plan reads rollup_1h), and the fold's values must
+    equal the same query over the raw engine."""
+    points, cat = built
+    raw, tiered = _engines(points, cat)
+    q = (
+        "SELECT exponential_moving_average(mean(value), 6) AS ema "
+        "FROM pages GROUP BY time(4h), metric"
+    )
+    df = tiered.execute(q)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "rollup_1h" in plan
+    want = {tuple(r[:2]): r[2] for r in raw.execute(q).collect()}
+    got = {tuple(r[:2]): r[2] for r in df.collect()}
+    assert got.keys() == want.keys() and len(got) > 10
+    for k, v in got.items():
+        assert v == pytest.approx(want[k], rel=1e-12)
