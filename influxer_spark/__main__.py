@@ -70,6 +70,17 @@ def _build_parser() -> argparse.ArgumentParser:
         "the reference's actual wire output (GenericFile.cs:303), so the "
         "result can be replayed into a real InfluxDB with `influx write`",
     )
+    p.add_argument(
+        "-query", default=None, metavar="INFLUXQL",
+        help="run an InfluxQL statement against -input (a parquet table "
+        "registered as the -table measurement) instead of ingesting — "
+        "SELECT/SHOW/DELETE/DROP via the string front-end, incl. GROUP BY "
+        "time(), fill(), transforms, technical analysis, holt_winters",
+    )
+    p.add_argument(
+        "-timecol", default="ts",
+        help="time column of the -input table in -query mode (default ts)",
+    )
     p.add_argument("-cores", type=int, default=None)
     return p
 
@@ -145,6 +156,27 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark("influxer_spark_cli", cores=args.cores)
     t0 = time.time()
+
+    if args.query:
+        from influxer_spark.influxql_frontend import InfluxQLEngine
+
+        eng = InfluxQLEngine(
+            {args.table: spark.read.parquet(getattr(args, "input"))},
+            ts_col=args.timecol,
+        )
+        out = eng.execute(args.query)
+        if args.output:
+            out.write.mode("overwrite").parquet(args.output)
+        rows = out.limit(21).collect()
+        cols = out.columns
+        print("\t".join(cols))
+        for r in rows[:20]:
+            print("\t".join(str(r[c]) for c in cols))
+        if len(rows) > 20:
+            print("…")
+        n = out.count()
+        print(f"{n} rows in {time.time() - t0:.1f}s")
+        return 0
 
     if args.format == "Perfmon":
         from influxer_spark.ingest.config import PerfmonFileConfig

@@ -116,3 +116,18 @@ def test_cli_lineprotocol_output(spark, tmp_path):
     # "point"; every field value rides that row's line
     assert len(rows) == exp.points_found
     assert all(r["fields"] for r in rows)
+
+
+def test_cli_query_mode(spark, sf_dir, tmp_path, capsys):
+    out = str(tmp_path / "q_out")
+    rc = main([
+        "-input", f"{sf_dir}/events.parquet", "-table", "events",
+        "-timecol", "ts", "-output", out, "-cores", "8",
+        "-query", "SELECT count(value) AS n FROM events"
+        " GROUP BY time(1d), event_type",
+    ])
+    assert rc == 0
+    printed = capsys.readouterr().out
+    assert printed.splitlines()[0] == "time\tevent_type\tn"
+    got = spark.read.parquet(out)
+    assert got.count() > 0 and set(got.columns) == {"time", "event_type", "n"}
