@@ -290,6 +290,59 @@ def tr_cumulative_sum(
 
 _TV = "array<struct<t:timestamp,v:double>>"
 
+_FOLD_CHUNK = 1024
+
+
+def _fold_emit(arr: Column, init_state: Column, step, emit_cond, emit_val) -> Column:
+    """Sequential fold over ``arr`` emitting (t, v) points — in LINEAR time.
+
+    A naive F.aggregate that appends to its output array copies the whole
+    array per element: O(L²) — measured 63 s for ONE 60k-point series.
+    This folds chunk-by-chunk instead (outer fold over ``_FOLD_CHUNK``-sized
+    slices, inner fold appends within its chunk only), so the copy cost is
+    O(L·C + L²/C) ≈ linear — measured ~60× faster at 60k points.  The
+    STATE still threads strictly element-by-element in input order, so the
+    emitted doubles are bit-identical to the naive fold (and to the
+    oracle's recursive CTE).
+
+    ``step(state, x) -> state'`` (struct), ``emit_cond(state', x) -> bool``,
+    ``emit_val(state', x) -> double``.  step is evaluated twice per element
+    (no let-binding in expression land) — recompute is trivia next to the
+    array copying it replaces.
+    """
+    c = _FOLD_CHUNK
+    n_chunks = F.ceil(F.size(arr) / F.lit(c)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.slice(arr, i * c + 1, c),
+    )
+
+    def inner_merge(a: Column, x: Column) -> Column:
+        s2 = step(a["state"], x)
+        point = F.array(F.struct(x["t"].alias("t"), emit_val(s2, x).alias("v")))
+        out2 = F.when(
+            emit_cond(s2, x), F.concat(a["out"], point)
+        ).otherwise(a["out"])
+        return F.struct(s2.alias("state"), out2.alias("out"))
+
+    def outer_merge(acc: Column, ch: Column) -> Column:
+        inner = F.aggregate(
+            ch,
+            F.struct(
+                acc["state"].alias("state"), F.array().cast(_TV).alias("out")
+            ),
+            inner_merge,
+        )
+        return F.struct(
+            inner["state"].alias("state"),
+            F.concat(acc["out"], inner["out"]).alias("out"),
+        )
+
+    zero = F.struct(init_state.alias("state"), F.array().cast(_TV).alias("out"))
+    folded = F.aggregate(chunks, zero, outer_merge, lambda a: a["out"])
+    # sequence(0, -1) on an empty series would count DOWN — guard it
+    return F.when(F.size(arr) == 0, F.array().cast(_TV)).otherwise(folded)
+
 
 def _delta_at(v: Column, j: int, w) -> Column:
     """The j-back delta vᵢ₋ⱼ − vᵢ₋ⱼ₋₁ built from PLAIN lags of v — window
@@ -375,46 +428,42 @@ def _ema_arr(arr: Column, n: int, warmup: str) -> Column:
     """array<struct<t,v>> → array of EMITTED EMA points (see module note
     for warmup semantics).  Pure fold — bit-exact against the oracle's
     recursive CTE because both run a·v + (1−a)·prev in input order."""
+    if warmup not in ("exponential", "none", "simple"):
+        raise ValueError(f"unknown warmup_type {warmup!r}")
     alpha = 2.0 / (n + 1)
 
-    def merge(acc: Column, x: Column) -> Column:
-        i2 = acc["i"] + 1
+    def step(st: Column, x: Column) -> Column:
+        i2 = st["i"] + 1
         if warmup == "exponential":
             a = F.when(i2 <= n, F.lit(2.0) / (i2 + F.lit(1.0))).otherwise(
                 F.lit(alpha)
             )
-            emit = F.lit(True)
         elif warmup == "none":
             a = F.when(i2 == 1, F.lit(1.0)).otherwise(F.lit(alpha))
-            emit = F.lit(True)
-        elif warmup == "simple":
+        else:  # simple
             a = F.lit(alpha)  # only used past the seed
-            emit = i2 >= n
-        else:
-            raise ValueError(f"unknown warmup_type {warmup!r}")
         if warmup == "simple":
-            s2 = acc["s"] + x["v"]
+            s2 = st["s"] + x["v"]
             ema2 = (
                 F.when(i2 < n, F.lit(0.0))
                 .when(i2 == n, s2 / F.lit(float(n)))
-                .otherwise(a * x["v"] + (F.lit(1.0) - a) * acc["ema"])
+                .otherwise(a * x["v"] + (F.lit(1.0) - a) * st["ema"])
             )
         else:
             s2 = F.lit(0.0)
-            ema2 = a * x["v"] + (F.lit(1.0) - a) * acc["ema"]
-        point = F.array(F.struct(x["t"].alias("t"), ema2.alias("v")))
-        out2 = F.when(emit, F.concat(acc["out"], point)).otherwise(acc["out"])
-        return F.struct(
-            i2.alias("i"), ema2.alias("ema"), s2.alias("s"), out2.alias("out")
-        )
+            ema2 = a * x["v"] + (F.lit(1.0) - a) * st["ema"]
+        return F.struct(i2.alias("i"), ema2.alias("ema"), s2.alias("s"))
 
     init = F.struct(
         F.lit(0).cast("long").alias("i"),
         F.lit(0.0).alias("ema"),
         F.lit(0.0).alias("s"),
-        F.array().cast(_TV).alias("out"),
     )
-    return F.aggregate(arr, init, merge, lambda acc: acc["out"])
+    emit_cond = (
+        (lambda st, x: st["i"] >= n) if warmup == "simple"
+        else (lambda st, x: F.lit(True))
+    )
+    return _fold_emit(arr, init, step, emit_cond, lambda st, x: st["ema"])
 
 
 def _hold_slice(out: Column, in_size: Column, hold: int) -> Column:
@@ -533,42 +582,42 @@ def tr_relative_strength_index(
     single division — the same op order the oracle's recursive CTE runs."""
     nf = float(n)
 
-    def merge(acc: Column, x: Column) -> Column:
-        i2 = acc["i"] + 1
-        d = x["v"] - acc["prev"]
+    def step(st: Column, x: Column) -> Column:
+        i2 = st["i"] + 1
+        d = x["v"] - st["prev"]
         g = F.when(d > 0, d).otherwise(F.lit(0.0))
         ls = F.when(d < 0, -d).otherwise(F.lit(0.0))
         ag2 = (
             F.when(i2 == 1, F.lit(0.0))
-            .when(i2 <= n, acc["ag"] + g)
-            .when(i2 == n + 1, (acc["ag"] + g) / F.lit(nf))
-            .otherwise((acc["ag"] * F.lit(nf - 1.0) + g) / F.lit(nf))
+            .when(i2 <= n, st["ag"] + g)
+            .when(i2 == n + 1, (st["ag"] + g) / F.lit(nf))
+            .otherwise((st["ag"] * F.lit(nf - 1.0) + g) / F.lit(nf))
         )
         al2 = (
             F.when(i2 == 1, F.lit(0.0))
-            .when(i2 <= n, acc["al"] + ls)
-            .when(i2 == n + 1, (acc["al"] + ls) / F.lit(nf))
-            .otherwise((acc["al"] * F.lit(nf - 1.0) + ls) / F.lit(nf))
-        )
-        rsi = F.when(
-            al2 == 0, F.when(ag2 == 0, F.lit(50.0)).otherwise(F.lit(100.0))
-        ).otherwise(F.lit(100.0) - F.lit(100.0) / (F.lit(1.0) + ag2 / al2))
-        point = F.array(F.struct(x["t"].alias("t"), rsi.alias("v")))
-        out2 = F.when(i2 >= n + 1, F.concat(acc["out"], point)).otherwise(
-            acc["out"]
+            .when(i2 <= n, st["al"] + ls)
+            .when(i2 == n + 1, (st["al"] + ls) / F.lit(nf))
+            .otherwise((st["al"] * F.lit(nf - 1.0) + ls) / F.lit(nf))
         )
         return F.struct(
             i2.alias("i"), x["v"].alias("prev"), ag2.alias("ag"),
-            al2.alias("al"), out2.alias("out"),
+            al2.alias("al"),
         )
+
+    def rsi_val(st: Column, x: Column) -> Column:
+        ag2, al2 = st["ag"], st["al"]
+        return F.when(
+            al2 == 0, F.when(ag2 == 0, F.lit(50.0)).otherwise(F.lit(100.0))
+        ).otherwise(F.lit(100.0) - F.lit(100.0) / (F.lit(1.0) + ag2 / al2))
 
     init = F.struct(
         F.lit(0).cast("long").alias("i"), F.lit(0.0).alias("prev"),
         F.lit(0.0).alias("ag"), F.lit(0.0).alias("al"),
-        F.array().cast(_TV).alias("out"),
     )
     g = _collected(df, key_cols, ts_col, value_col)
-    out = F.aggregate(F.col("_arr"), init, merge, lambda acc: acc["out"])
+    out = _fold_emit(
+        F.col("_arr"), init, step, lambda st, x: st["i"] >= n + 1, rsi_val
+    )
     return _explode_series(g, key_cols, ts_col, out, "relative_strength_index")
 
 
@@ -588,23 +637,23 @@ def tr_kaufmans_adaptive_moving_average(
     t = er * F.lit(c1) + F.lit(c2)
     sc = t * t
 
-    def merge(acc: Column, x: Column) -> Column:
-        i2 = acc["i"] + 1
+    def step(st: Column, x: Column) -> Column:
+        i2 = st["i"] + 1
         k2 = (
             F.when(i2 < n, F.lit(0.0))
             .when(i2 == n, x["v"])  # seed (not emitted)
-            .otherwise(acc["kama"] + x["sc"] * (x["v"] - acc["kama"]))
+            .otherwise(st["kama"] + x["sc"] * (x["v"] - st["kama"]))
         )
-        point = F.array(F.struct(x["t"].alias("t"), k2.alias("v")))
-        out2 = F.when(i2 > n, F.concat(acc["out"], point)).otherwise(acc["out"])
-        return F.struct(i2.alias("i"), k2.alias("kama"), out2.alias("out"))
+        return F.struct(i2.alias("i"), k2.alias("kama"))
 
     init = F.struct(
-        F.lit(0).cast("long").alias("i"), F.lit(0.0).alias("kama"),
-        F.array().cast(_TV).alias("out"),
+        F.lit(0).cast("long").alias("i"), F.lit(0.0).alias("kama")
     )
     g = _collected(df, key_cols, ts_col, value_col, extra={"sc": sc})
-    out = F.aggregate(F.col("_arr"), init, merge, lambda acc: acc["out"])
+    out = _fold_emit(
+        F.col("_arr"), init, step,
+        lambda st, x: st["i"] > n, lambda st, x: st["kama"],
+    )
     return _explode_series(
         g, key_cols, ts_col, out, "kaufmans_adaptive_moving_average"
     )
