@@ -343,3 +343,28 @@ def test_frontend_fold_field_with_group_by_time_rejected(spark):
             " GROUP BY time(2h), k",
             {"m": df}, ts_col="ts",
         )
+
+
+def test_fold_chunk_boundaries_bit_exact(spark):
+    """_fold_emit processes 1024-element chunks; a series spanning several
+    chunks must thread state across boundaries with no element dropped,
+    duplicated, or reordered — asserted bit-exactly vs the Python mirror
+    at L=2500 for all three recurrence families."""
+    vals = [float((i * 37) % 97) + 0.25 * (i % 7) for i in range(2500)]
+    df = _series(spark, vals)
+    assert _got(
+        Q.tr_exponential_moving_average(df, ["k"], "ts", "v", 10),
+        "exponential_moving_average",
+    ) == py_ema(vals, 10)
+    assert _got(
+        Q.tr_exponential_moving_average(df, ["k"], "ts", "v", 10, warmup="simple"),
+        "exponential_moving_average",
+    ) == py_ema(vals, 10, "simple")
+    assert _got(
+        Q.tr_relative_strength_index(df, ["k"], "ts", "v", 14),
+        "relative_strength_index",
+    ) == py_rsi(vals, 14)
+    assert _got(
+        Q.tr_kaufmans_adaptive_moving_average(df, ["k"], "ts", "v", 10),
+        "kaufmans_adaptive_moving_average",
+    ) == py_kama(vals, 10)
