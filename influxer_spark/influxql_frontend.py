@@ -1504,9 +1504,24 @@ class InfluxQLEngine:
         c = multi[0]
         alias = stmt.projections[0][1] or c.fname
         fld = c.args[0].name
-        n = int(c.args[1].value)
+        n = int(c.args[-1].value)
         keys = stmt.group_tags
-        if c.fname in ("top", "bottom"):
+        tag_args = [
+            a.name for a in c.args[1:-1] if isinstance(a, Ref)
+        ]
+        if len(tag_args) != len(c.args) - 2:
+            raise InfluxQLError(
+                f"{c.fname}(field[, tag_key…], N): middle arguments must be "
+                "tag identifiers"
+            )
+        if c.fname in ("top", "bottom") and tag_args:
+            # top(v, host, 3): the extreme point of each of the N
+            # most-extreme tag values (InfluxDB per-tag form)
+            out = Q.sel_top_tags(
+                df, keys, fld, tag_args, n, ts_col=self.ts_col,
+                bottom=c.fname == "bottom",
+            )
+        elif c.fname in ("top", "bottom"):
             out = Q.sel_top(df, keys, fld, n, ts_col=self.ts_col,
                             bottom=c.fname == "bottom")
         else:

@@ -735,6 +735,35 @@ FROM d WHERE rn >= 2
 """
 
 
+def _q_top_per_tag(spark, sf_dir):
+    """InfluxDB's per-tag top form: top(v, event_type, 3) = the greatest
+    point of each of the 3 event_types with the greatest maxima."""
+    h = _hourly(spark, sf_dir)
+    out = influxql(
+        "SELECT top(v, event_type, 3) FROM hourly",
+        {"hourly": h},
+        ts_col="bucket",
+    )
+    return out.withColumnRenamed("time", "bucket")
+
+
+_TOP_PER_TAG_SQL = f"""
+WITH {_HOURLY_SQL},
+pt AS (
+  SELECT event_type, bucket, v,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY v DESC, bucket ASC) AS rt
+  FROM hourly
+),
+m AS (SELECT event_type, bucket, v FROM pt WHERE rt = 1)
+SELECT bucket, event_type, v AS top, CAST(rank AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (ORDER BY v DESC, bucket ASC, event_type ASC)
+         AS rank
+  FROM m
+) WHERE rank <= 3
+"""
+
+
 def _q_holt_winters(spark, sf_dir):
     """Rows-only contract query (iterative Nelder-Mead fit — no SQL
     oracle; method semantics pinned by tests/test_holtwinters.py):
@@ -770,6 +799,7 @@ def influxql_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "influxql_cmo_ker_series": _q_cmo_ker,
         "influxql_kama_series": _q_kama,
         "influxql_trix_series": _q_trix,
+        "influxql_top_per_tag": _q_top_per_tag,
         "holt_winters_forecast_24h": _q_holt_winters,
     }
 
@@ -795,4 +825,5 @@ def influxql_oracle_sql() -> dict[str, str]:
         "influxql_cmo_ker_series": _cmo_ker_sql(14),
         "influxql_kama_series": _kama_sql(10),
         "influxql_trix_series": _trix_sql(9),
+        "influxql_top_per_tag": _TOP_PER_TAG_SQL,
     }

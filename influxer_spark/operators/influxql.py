@@ -146,6 +146,37 @@ def sel_top(
     )
 
 
+def sel_top_tags(
+    df: DataFrame, group_cols: Sequence[str], value_col: str,
+    tag_cols: Sequence[str], n: int, ts_col: str = "ts", bottom: bool = False,
+) -> DataFrame:
+    """InfluxQL ``top(field, tag_key…, N)``: the extreme point of each of
+    the N most-extreme tag values — one point per distinct tag combo (its
+    greatest/least value; ties → earlier timestamp), then the top/bottom N
+    of those per group.  Two window passes over the SAME partitioning
+    prefix, so Catalyst plans one exchange."""
+    order = [F.asc(value_col)] if bottom else [F.desc(value_col)]
+    w_tag = Window.partitionBy(
+        *[F.col(k) for k in group_cols], *[F.col(t) for t in tag_cols]
+    ).orderBy(*order, F.asc(ts_col))
+    per_tag = (
+        df.withColumn("_rt", F.row_number().over(w_tag))
+        .filter(F.col("_rt") == 1)
+        .drop("_rt")
+    )
+    w_grp = Window.partitionBy(*[F.col(k) for k in group_cols]).orderBy(
+        *order, F.asc(ts_col), *[F.asc(t) for t in tag_cols]
+    )
+    return (
+        per_tag.withColumn("_rn", F.row_number().over(w_grp))
+        .filter(F.col("_rn") <= n)
+        .select(
+            *group_cols, ts_col, *tag_cols, value_col,
+            F.col("_rn").alias("rank"),
+        )
+    )
+
+
 def sel_sample(
     df: DataFrame, group_cols: Sequence[str], ts_col: str, value_col: str, n: int
 ) -> DataFrame:

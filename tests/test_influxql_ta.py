@@ -368,3 +368,21 @@ def test_fold_chunk_boundaries_bit_exact(spark):
         Q.tr_kaufmans_adaptive_moving_average(df, ["k"], "ts", "v", 10),
         "kaufmans_adaptive_moving_average",
     ) == py_kama(vals, 10)
+
+
+def test_frontend_top_per_tag(spark):
+    """top(v, k, 2): one point per tag value (its max; ties -> earlier ts),
+    then the 2 greatest of those across tags."""
+    from influxer_spark.influxql_frontend import influxql
+
+    a = _series(spark, [1.0, 9.0, 3.0], "a")
+    b = _series(spark, [8.0, 2.0, 8.0], "b")   # tie at 8.0 -> earlier ts
+    c = _series(spark, [4.0, 4.0, 5.0], "c")
+    df = a.unionByName(b).unionByName(c)
+    rows = influxql(
+        "SELECT top(v, k, 2) FROM m", {"m": df}, ts_col="ts"
+    ).orderBy("rank").collect()
+    assert [(r["k"], r["top"], r["rank"]) for r in rows] == [
+        ("a", 9.0, 1), ("b", 8.0, 2)
+    ]
+    assert rows[1]["time"] == T0  # tie broke to the earlier point
