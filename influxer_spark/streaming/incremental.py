@@ -40,24 +40,39 @@ def stream_rollup_1m(
     key_cols: Sequence[str],
     value_col: str,
     watermark: str = "1 hour",
+    distinct_col: str | None = None,
+    lg_k: int = 12,
 ) -> DataFrame:
     """Watermarked tumbling-window 1m partial aggregate over a stream.
 
-    Returns (bucket, *key_cols, cnt, sum_v, min_v, max_v) — same schema as
-    the batch ``rollup()`` so downstream cascade/gap-fill are shared.
+    Returns (bucket, *key_cols, cnt, sum_v, min_v, max_v[, uu_sketch]) —
+    same schema as the batch ``rollup()``/``rollup_with_distinct()`` so
+    downstream cascade/gap-fill/sketch-union are shared.
     """
     v = F.col(value_col)
     win = F.window(F.col(ts_col), "1 minute")
+    aggs = [
+        F.count(v).alias("cnt"),
+        F.sum(v).alias("sum_v"),
+        F.min(v).alias("min_v"),
+        F.max(v).alias("max_v"),
+    ]
+    out_cols = list(AGG_COLS)
+    if distinct_col is not None:
+        # mergeable HLL sketch per bucket (rollup.py rollup_with_distinct's
+        # streaming twin) — update-mode re-emission carries the refreshed
+        # sketch, so read_tier's last-emission merge stays correct
+        aggs.append(
+            F.hll_sketch_agg(F.col(distinct_col), F.lit(lg_k)).alias(
+                "uu_sketch"
+            )
+        )
+        out_cols.append("uu_sketch")
     return (
         stream_df.withWatermark(ts_col, watermark)
         .groupBy(win, *[F.col(k) for k in key_cols])
-        .agg(
-            F.count(v).alias("cnt"),
-            F.sum(v).alias("sum_v"),
-            F.min(v).alias("min_v"),
-            F.max(v).alias("max_v"),
-        )
-        .select(F.col("window.start").alias("bucket"), *key_cols, *AGG_COLS)
+        .agg(*aggs)
+        .select(F.col("window.start").alias("bucket"), *key_cols, *out_cols)
     )
 
 
@@ -71,6 +86,7 @@ def run_incremental_rollup(
     key_cols: Sequence[str] = ("event_type",),
     value_col: str = "value",
     watermark: str = "1 hour",
+    distinct_col: str | None = None,
 ) -> None:
     """File-source stream → 1m partials, one idempotent dir per micro-batch.
 
@@ -84,7 +100,10 @@ def run_incremental_rollup(
     # watermarks require TIMESTAMP (LTZ); NTZ sources cast losslessly under
     # the engine's fixed UTC session timezone (session.py)
     stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
-    rolled = stream_rollup_1m(stream, ts_col, key_cols, value_col, watermark)
+    rolled = stream_rollup_1m(
+        stream, ts_col, key_cols, value_col, watermark,
+        distinct_col=distinct_col,
+    )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         out = os.path.join(tier_dir, f"_batch={batch_id}")
@@ -191,11 +210,13 @@ def read_tier(
         allb = allb.unionByName(d)
     keys = ["bucket", *key_cols]
     # last emission per (bucket, keys) wins: update mode emits the full
-    # refreshed aggregate each time a bucket changes
+    # refreshed aggregate each time a bucket changes.  All non-key data
+    # columns ride the same max_by (incl. uu_sketch when present).
+    data_cols = [c for c in allb.columns if c not in keys and c != "_bid"]
     return (
         allb.groupBy(*keys)
         .agg(
-            F.max_by(F.struct(*AGG_COLS), "_bid").alias("_s"),
+            F.max_by(F.struct(*data_cols), "_bid").alias("_s"),
         )
-        .select(*keys, *[F.col(f"_s.{c}").alias(c) for c in AGG_COLS])
+        .select(*keys, *[F.col(f"_s.{c}").alias(c) for c in data_cols])
     )

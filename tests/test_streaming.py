@@ -122,3 +122,45 @@ def test_compact_tier_preserves_merge(spark, sf_dir, tmp_path):
     assert after == before
     # post-compaction the stream continues cleanly
     assert compact_tier(spark, d["tier"]) == 0
+
+
+def test_streamed_sketch_matches_batch_estimate(spark, sf_dir, tmp_path):
+    """distinct_col: the streamed tier's HLL sketches — merged across two
+    micro-batch runs with a re-aggregated bucket — give the same 1h
+    cascaded distinct estimates as a batch rollup_with_distinct over the
+    full input."""
+    ev = _events(spark, sf_dir).orderBy("ts")
+    d = _dirs(tmp_path)
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    cut = lo + (hi - lo) / 2
+    _add_file(ev.filter(F.col("ts") <= cut), d["input"], d["stage"], "a")
+    run_incremental_rollup(
+        spark, d["input"], ev.schema, d["tier"], d["ckpt"],
+        distinct_col="user_id",
+    )
+    _add_file(ev.filter(F.col("ts") > cut), d["input"], d["stage"], "b")
+    run_incremental_rollup(
+        spark, d["input"], ev.schema, d["tier"], d["ckpt"],
+        distinct_col="user_id",
+    )
+    merged = read_tier(spark, d["tier"])
+    got = {
+        (r["bucket"], r["event_type"]): r["uu"]
+        for r in R.with_distinct_count(
+            R.cascade_with_distinct(merged, ["event_type"], "1h")
+        ).collect()
+    }
+    want = {
+        (r["bucket"], r["event_type"]): r["uu"]
+        for r in R.with_distinct_count(
+            R.cascade_with_distinct(
+                R.rollup_with_distinct(
+                    ev, "ts", ["event_type"], "value", "user_id"
+                ),
+                ["event_type"],
+                "1h",
+            )
+        ).collect()
+    }
+    assert got == want
+    _assert_tier_matches_batch(merged.drop("uu_sketch"), ev)
