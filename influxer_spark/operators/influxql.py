@@ -320,7 +320,7 @@ def tr_cumulative_sum(
 
 _TV = "array<struct<t:timestamp,v:double>>"
 
-_FOLD_CHUNK = 1024
+_FOLD_CHUNK = 64
 
 
 def _fold_emit(arr: Column, init_state: Column, step, emit_cond, emit_val) -> Column:
@@ -328,23 +328,38 @@ def _fold_emit(arr: Column, init_state: Column, step, emit_cond, emit_val) -> Co
 
     A naive F.aggregate that appends to its output array copies the whole
     array per element: O(L²) — measured 63 s for ONE 60k-point series.
-    This folds chunk-by-chunk instead (outer fold over ``_FOLD_CHUNK``-sized
-    slices, inner fold appends within its chunk only), so the copy cost is
-    O(L·C + L²/C) ≈ linear — measured ~60× faster at 60k points.  The
-    STATE still threads strictly element-by-element in input order, so the
-    emitted doubles are bit-identical to the naive fold (and to the
-    oracle's recursive CTE).
+    Two passes over ``_FOLD_CHUNK``-sized slices instead:
+
+    1. boundary pass — fold chunk-by-chunk carrying ONLY the state,
+       collecting the state at the start of every chunk (tiny appends);
+    2. emit pass — one inner fold per chunk, seeded from its boundary
+       state, appending within the chunk only, chunk outputs flattened.
+
+    Copy cost is O(L·C/2) with no outer-concat term, so C can be small
+    (sweep: naive 71 s → chunked-concat 23 s → two-pass ~13 s at 10M
+    points, local[8]).  The boundary array is bound ONCE per row via a
+    single-element-transform let (inlining it would re-evaluate the
+    whole pass-1 fold per chunk).  State still threads strictly
+    element-by-element in input order, so emitted doubles are
+    bit-identical to the naive fold (and to the oracle's recursive CTE).
 
     ``step(state, x) -> state'`` (struct), ``emit_cond(state', x) -> bool``,
-    ``emit_val(state', x) -> double``.  step is evaluated twice per element
-    (no let-binding in expression land) — recompute is trivia next to the
-    array copying it replaces.
+    ``emit_val(state', x) -> double``.
     """
     c = _FOLD_CHUNK
     n_chunks = F.ceil(F.size(arr) / F.lit(c)).cast("int")
-    chunks = F.transform(
-        F.sequence(F.lit(0), n_chunks - 1),
-        lambda i: F.slice(arr, i * c + 1, c),
+    idx = F.sequence(F.lit(0), n_chunks - 1)
+
+    def chunk_of(i: Column) -> Column:
+        return F.slice(arr, i * c + 1, c)
+
+    # pass 1: bounds[i+1] = state BEFORE chunk i (bounds[1] = init)
+    bounds = F.aggregate(
+        idx,
+        F.array(init_state),
+        lambda b, i: F.concat(
+            b, F.array(F.aggregate(chunk_of(i), F.element_at(b, -1), step))
+        ),
     )
 
     def inner_merge(a: Column, x: Column) -> Column:
@@ -355,21 +370,24 @@ def _fold_emit(arr: Column, init_state: Column, step, emit_cond, emit_val) -> Co
         ).otherwise(a["out"])
         return F.struct(s2.alias("state"), out2.alias("out"))
 
-    def outer_merge(acc: Column, ch: Column) -> Column:
-        inner = F.aggregate(
-            ch,
+    def emit_chunk(b: Column, i: Column) -> Column:
+        return F.aggregate(
+            chunk_of(i),
             F.struct(
-                acc["state"].alias("state"), F.array().cast(_TV).alias("out")
+                F.element_at(b, i + 1).alias("state"),
+                F.array().cast(_TV).alias("out"),
             ),
             inner_merge,
-        )
-        return F.struct(
-            inner["state"].alias("state"),
-            F.concat(acc["out"], inner["out"]).alias("out"),
+            lambda a: a["out"],
         )
 
-    zero = F.struct(init_state.alias("state"), F.array().cast(_TV).alias("out"))
-    folded = F.aggregate(chunks, zero, outer_merge, lambda a: a["out"])
+    folded = F.element_at(
+        F.transform(
+            F.array(bounds),
+            lambda b: F.flatten(F.transform(idx, lambda i: emit_chunk(b, i))),
+        ),
+        F.lit(1),
+    )
     # sequence(0, -1) on an empty series would count DOWN — guard it
     return F.when(F.size(arr) == 0, F.array().cast(_TV)).otherwise(folded)
 
@@ -524,11 +542,15 @@ def _suffix_zip(a: Column, b: Column, combine) -> Column:
     return F.zip_with(F.slice(a, off + 1, F.size(b)), b, combine)
 
 
-def _dema_arr(arr: Column, n: int, warmup: str) -> tuple[Column, Column, Column]:
-    e1 = _ema_arr(arr, n, warmup)
-    e2 = _ema_arr(e1, n, warmup)
-    e3 = _ema_arr(e2, n, warmup)
-    return e1, e2, e3
+def _dema_stages(g: DataFrame, n: int, warmup: str) -> DataFrame:
+    """Materialize each EMA stage as a column: feeding one _fold_emit's
+    expression tree into the next multiplies it (the fold references its
+    input several times) — three nested stages blow the analyzer's
+    iteration budget.  Projections keep every stage's input a plain
+    attribute reference."""
+    g = g.withColumn("_e1", _ema_arr(F.col("_arr"), n, warmup))
+    g = g.withColumn("_e2", _ema_arr(F.col("_e1"), n, warmup))
+    return g.withColumn("_e3", _ema_arr(F.col("_e2"), n, warmup))
 
 
 def tr_double_exponential_moving_average(
@@ -536,10 +558,9 @@ def tr_double_exponential_moving_average(
     value_col: str | Column, n: int, hold: int = 0,
     warmup: str = "exponential",
 ) -> DataFrame:
-    g = _collected(df, key_cols, ts_col, value_col)
-    e1, e2, _ = _dema_arr(F.col("_arr"), n, warmup)
+    g = _dema_stages(_collected(df, key_cols, ts_col, value_col), n, warmup)
     out = _suffix_zip(
-        e1, e2,
+        F.col("_e1"), F.col("_e2"),
         lambda a, b: F.struct(
             b["t"].alias("t"), (F.lit(2.0) * a["v"] - b["v"]).alias("v")
         ),
@@ -555,8 +576,8 @@ def tr_triple_exponential_moving_average(
     value_col: str | Column, n: int, hold: int = 0,
     warmup: str = "exponential",
 ) -> DataFrame:
-    g = _collected(df, key_cols, ts_col, value_col)
-    e1, e2, e3 = _dema_arr(F.col("_arr"), n, warmup)
+    g = _dema_stages(_collected(df, key_cols, ts_col, value_col), n, warmup)
+    e1, e2, e3 = F.col("_e1"), F.col("_e2"), F.col("_e3")
     z23 = _suffix_zip(
         e2, e3,
         lambda b, c: F.struct(
@@ -584,8 +605,8 @@ def tr_triple_exponential_derivative(
     warmup: str = "exponential",
 ) -> DataFrame:
     """TRIX: percent rate of change of the triple-smoothed EMA."""
-    g = _collected(df, key_cols, ts_col, value_col)
-    _, _, e3 = _dema_arr(F.col("_arr"), n, warmup)
+    g = _dema_stages(_collected(df, key_cols, ts_col, value_col), n, warmup)
+    e3 = F.col("_e3")
     ln = F.size(e3) - 1
     out = F.zip_with(
         F.slice(e3, 2, ln),
