@@ -115,3 +115,17 @@ def test_frontend_holt_winters_requires_group_by_time(spark):
             "SELECT holt_winters(mean(v), 4, 0) FROM m GROUP BY k",
             {"m": _series(spark, [1.0, 2.0])}, ts_col="ts",
         )
+
+
+def test_frontend_holt_winters_with_fit_string(spark):
+    from influxer_spark.influxql_frontend import influxql
+
+    vals = [3.0 + 2.0 * i for i in range(12)]
+    out = influxql(
+        "SELECT holt_winters_with_fit(mean(v), 3, 0) AS hw FROM m"
+        " GROUP BY time(1h), k",
+        {"m": _series(spark, vals)}, ts_col="ts",
+    ).orderBy("time").collect()
+    assert len(out) == 11 + 3  # fitted history from pt 2 + forecasts
+    for i, r in enumerate(out):
+        assert r["hw"] == pytest.approx(3.0 + 2.0 * (i + 1), abs=1e-9)
