@@ -113,6 +113,78 @@ def _q_rollup_1m_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rollup_out(r)
 
 
+def _q_gorilla_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gorilla codec VALUE-oracled end-to-end (upgrades A6 from
+    pytest-only): encode each event_type's 1m mean series to XOR +
+    delta-of-delta blobs, decode back, return the points.  The oracle is
+    the plain SQL rollup — a hash match proves the round trip is lossless
+    bit-for-bit on real data."""
+    from influxer_spark.operators.gorilla import (
+        decode_series_df,
+        encode_series_df,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    t1m = R.rollup(ev, "ts", ["event_type"], "value", "1m").withColumn(
+        "avg_v", _q2(F.col("sum_v")) / (F.col("cnt") * 100.0)
+    )
+    enc = encode_series_df(t1m, ["event_type"], "bucket", "avg_v")
+    dec = decode_series_df(enc)
+    return dec.select(
+        F.element_at("series_keys", 1).alias("event_type"),
+        F.col("ts").cast("timestamp").alias("bucket"),
+        F.col("value").alias("avg_v"),
+    )
+
+
+def _q_stream_rollup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-Streaming 1m tier VALUE-oracled (upgrades §2.7 from
+    pytest-only): land events as two time-ordered files, drain them with
+    TWO availableNow runs against one checkpoint (a real stop/resume), and
+    merge the committed micro-batch partials.  The oracle is the plain
+    batch rollup SQL — a hash match proves watermarked streaming partials
+    + last-emission merge reproduce the batch tier exactly.  Sums are
+    quantized to cents (streaming aggregation order differs)."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from influxer_spark.streaming import read_tier, run_incremental_rollup
+
+    ev = _t(spark, sf_dir, "events").orderBy("ts")
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    cut = lo + (hi - lo) / 2
+    root = tempfile.mkdtemp(prefix="stream_gate_")
+    d = {n: os.path.join(root, n) for n in ("input", "tier", "ckpt", "stage")}
+    os.makedirs(d["input"])
+    for name, part in (
+        ("a", ev.filter(F.col("ts") <= cut)),
+        ("b", ev.filter(F.col("ts") > cut)),
+    ):
+        staging = os.path.join(d["stage"], name)
+        part.coalesce(1).write.mode("overwrite").parquet(staging)
+        src = glob.glob(os.path.join(staging, "part-*.parquet"))[0]
+        if name == "a":  # second file lands between the two runs
+            shutil.copy(src, os.path.join(d["input"], "a.parquet"))
+    run_incremental_rollup(
+        spark, d["input"], ev.schema, d["tier"], d["ckpt"]
+    )
+    shutil.copy(
+        glob.glob(os.path.join(d["stage"], "b", "part-*.parquet"))[0],
+        os.path.join(d["input"], "b.parquet"),
+    )
+    run_incremental_rollup(
+        spark, d["input"], ev.schema, d["tier"], d["ckpt"]
+    )
+    merged = read_tier(spark, d["tier"])
+    return merged.select(
+        "bucket", "event_type", "cnt",
+        (_q2(F.col("sum_v")) / 100.0).alias("sum_v"),
+        "min_v", "max_v",
+    )
+
+
 def _q_sketch_distinct_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct-user counts served from tiers: 1m sketches HLL-union up the
     cascade to 1d (rollup.py rollup_with_distinct/cascade_with_distinct).
@@ -342,6 +414,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_1d_cascade": _q_rollup_1d_cascade,
         "rollup_1m_salted": _q_rollup_1m_salted,
         "sketch_distinct_tiers": _q_sketch_distinct_tiers,
+        "gorilla_roundtrip_1m": _q_gorilla_roundtrip,
+        "stream_rollup_replay_1m": _q_stream_rollup_replay,
         "rollup_5m_width": _q_rollup_5m_width,
         "asof_join_6h_stats": _q_asof_6h_stats,
         "gapfill_1h_interpolate": _q_gapfill_1h,
@@ -410,6 +484,21 @@ def oracle_sql() -> dict[str, str]:
     )
     return {
         "rollup_1m": _ROLLUP_SELECT.format(unit="minute"),
+        # a resumed stream's merged partials must equal the batch rollup
+        "stream_rollup_replay_1m": (
+            "SELECT date_trunc('minute', ts) AS bucket, event_type, "
+            "count(value) AS cnt, "
+            "CAST(round(sum(value) * 100, 0) AS BIGINT) / 100.0 AS sum_v, "
+            "min(value) AS min_v, max(value) AS max_v "
+            "FROM events GROUP BY 1, 2"
+        ),
+        # the Gorilla round trip must reproduce the plain rollup exactly
+        "gorilla_roundtrip_1m": (
+            "SELECT date_trunc('minute', ts) AS bucket, event_type, "
+            "CAST(round(sum(value) * 100, 0) AS BIGINT) "
+            "/ (count(value) * 100.0) AS avg_v "
+            "FROM events GROUP BY 1, 2"
+        ),
         "rollup_1h_cascade": _ROLLUP_SELECT.format(unit="hour"),
         "rollup_1d_cascade": _ROLLUP_SELECT.format(unit="day"),
         "rollup_1m_salted": _ROLLUP_SELECT.format(unit="minute"),
