@@ -111,6 +111,40 @@ def stratified_sample(
     return df.filter(b < thr)
 
 
+def upsample_epochs(
+    df: DataFrame,
+    id_col: str,
+    weight: float,
+    seed: str = "epoch",
+    out_col: str = "epoch",
+) -> DataFrame:
+    """Multi-epoch upsampling — the other half of mixture building
+    (stratified_sample downsamples; training mixes also UPweight sources,
+    e.g. "wikipedia at 2.3 epochs").  weight = k + f emits k full copies
+    (epoch 0..k−1) plus a fractional epoch k holding the rows with
+    hash_bucket(id) < f — deterministic, and nested like
+    stratified_sample: raising the weight only ADDS (id, epoch) rows, so
+    mixture ablations stay comparable.
+
+    Zero shuffles: one scan-side explode of a per-row epoch range (rows
+    with zero epochs are filtered BEFORE the explode — sequence(0, −1)
+    would count down).
+    """
+    if weight < 0:
+        raise ValueError("weight must be non-negative")
+    k = int(weight)
+    thr = int(round((weight - k) * BUCKETS))
+    n = F.lit(k) + (hash_bucket(F.col(id_col), seed) < thr).cast("int")
+    return (
+        df.withColumn("_n_epochs", n)
+        .filter(F.col("_n_epochs") > 0)
+        .withColumn(
+            out_col, F.explode(F.sequence(F.lit(0), F.col("_n_epochs") - 1))
+        )
+        .drop("_n_epochs")
+    )
+
+
 def global_shuffle(
     df: DataFrame,
     id_col: str,

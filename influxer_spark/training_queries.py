@@ -709,6 +709,20 @@ def _q_stratified_sample(spark, sf_dir):
     ).select(F.col("doc_id").alias("id"), "lang")
 
 
+def _q_upsample_epochs(spark, sf_dir):
+    return SA.upsample_epochs(
+        _docs(spark, sf_dir).select("doc_id"), "doc_id", 2.3
+    ).select(F.col("doc_id").alias("id"), F.col("epoch").cast("int"))
+
+
+_UPSAMPLE_SQL = (
+    "SELECT doc_id AS id, CAST(unnest(range(0, 2 + CASE WHEN "
+    "(CAST('0x' || substr(md5('epoch' || CAST(doc_id AS VARCHAR)), 1, 8) "
+    "AS BIGINT) % 1000000) < 300000 THEN 1 ELSE 0 END)) AS INT) AS epoch "
+    "FROM documents"
+)
+
+
 def _q_global_shuffle(spark, sf_dir):
     return SA.global_shuffle(_docs(spark, sf_dir), "doc_id")
 
@@ -824,6 +838,7 @@ def training_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "byte_entropy_features": _q_byte_features,
         "hash_split_documents": _q_hash_split,
         "stratified_sample_lang": _q_stratified_sample,
+        "upsample_epochs_mixture": _q_upsample_epochs,
         "global_shuffle_documents": _q_global_shuffle,
         "embedding_quantize_int8": _q_quantize_int8,
         "dedup_cluster_keep": _q_cluster_keep,
@@ -1050,6 +1065,7 @@ GROUP BY t.id, t.n, t.fb
             + " < CASE lang WHEN 'en' THEN 250000 WHEN 'zh' THEN 1000000 "
             "WHEN 'es' THEN 500000 ELSE 100000 END"
         ),
+        "upsample_epochs_mixture": _UPSAMPLE_SQL,
         "global_shuffle_documents": (
             f"SELECT doc_id AS id, {_SHUFFLE_KEY} AS shuffle_key, "
             f"CAST(row_number() OVER (ORDER BY {_SHUFFLE_KEY}) AS BIGINT) "

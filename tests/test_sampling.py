@@ -123,3 +123,29 @@ def test_quantize_int8_zero_vector_is_safe(spark):
     assert rows[1]["q_csv"] == "0,0,0" and rows[1]["scale"] == 0.0
     assert rows[1]["err_e6"] == 0
     assert rows[2]["q_csv"].split(",")[1] == "-127"  # max-|x| element saturates
+
+
+def test_upsample_epochs_properties(spark, sf_dir):
+    from influxer_spark.operators import sampling as SA
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    n = docs.count()
+    up = SA.upsample_epochs(docs, "doc_id", 2.3)
+    rows = up.collect()
+    # every doc gets epochs 0 and 1; ~30% get epoch 2
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r["doc_id"], []).append(r["epoch"])
+    assert len(per_doc) == n
+    assert all(sorted(v)[:2] == [0, 1] for v in per_doc.values())
+    frac = sum(1 for v in per_doc.values() if len(v) == 3) / n
+    assert 0.15 < frac < 0.45
+    # nested: raising the weight only ADDS (id, epoch) pairs
+    lo = {(r["doc_id"], r["epoch"]) for r in SA.upsample_epochs(
+        docs, "doc_id", 1.1).collect()}
+    hi = {(r["doc_id"], r["epoch"]) for r in rows}
+    assert lo <= hi
+    # weight < 1 downsamples (no full copy), weight 0 empties
+    some = SA.upsample_epochs(docs, "doc_id", 0.4).count()
+    assert 0 < some < n
+    assert SA.upsample_epochs(docs, "doc_id", 0.0).count() == 0
