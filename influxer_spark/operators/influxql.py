@@ -153,8 +153,9 @@ def sel_top_tags(
     """InfluxQL ``top(field, tag_key…, N)``: the extreme point of each of
     the N most-extreme tag values — one point per distinct tag combo (its
     greatest/least value; ties → earlier timestamp), then the top/bottom N
-    of those per group.  Two window passes over the SAME partitioning
-    prefix, so Catalyst plans one exchange."""
+    of those per group.  Two windows = two exchanges, but the second only
+    moves the per-tag maxima (one row per tag combo — series cardinality,
+    not points), so it is a no-op at scale."""
     order = [F.asc(value_col)] if bottom else [F.desc(value_col)]
     w_tag = Window.partitionBy(
         *[F.col(k) for k in group_cols], *[F.col(t) for t in tag_cols]
