@@ -822,6 +822,24 @@ class InfluxQLEngine:
 
     def execute(self, sql: str) -> DataFrame:
         first = sql.lstrip().split(None, 1)[0].upper() if sql.strip() else ""
+        if first == "EXPLAIN":
+            # InfluxQL EXPLAIN [ANALYZE] <select> — rendered honestly as
+            # the Spark physical plan (this engine's actual execution),
+            # one row per plan line; ANALYZE runs the query first and
+            # appends the row count
+            rest = sql.lstrip()[7:].lstrip()
+            analyze = rest[:7].upper() == "ANALYZE"
+            if analyze:
+                rest = rest[7:].lstrip()
+            df = self.execute(rest)
+            lines = (
+                df._jdf.queryExecution().executedPlan().toString().splitlines()
+            )
+            if analyze:
+                lines.append(f"rows: {df.count()}")
+            return self._spark().createDataFrame(
+                [(ln,) for ln in lines], ["plan"]
+            )
         if first in ("SHOW", "CREATE", "DROP", "ALTER", "DELETE"):
             return self.execute_statement(sql)
         stmt = parse(sql)

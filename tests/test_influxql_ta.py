@@ -386,3 +386,20 @@ def test_frontend_top_per_tag(spark):
         ("a", 9.0, 1), ("b", 8.0, 2)
     ]
     assert rows[1]["time"] == T0  # tie broke to the earlier point
+
+
+def test_frontend_explain(spark):
+    from influxer_spark.influxql_frontend import influxql
+
+    df = _series(spark, VALUES)
+    plan = influxql(
+        "EXPLAIN SELECT mean(v) FROM m GROUP BY time(2h), k",
+        {"m": df}, ts_col="ts",
+    ).collect()
+    text = "\n".join(r["plan"] for r in plan)
+    assert "HashAggregate" in text
+    analyzed = influxql(
+        "EXPLAIN ANALYZE SELECT mean(v) FROM m GROUP BY time(2h), k",
+        {"m": df}, ts_col="ts",
+    ).collect()
+    assert analyzed[-1]["plan"] == "rows: 8"
