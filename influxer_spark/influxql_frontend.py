@@ -484,6 +484,9 @@ AGGS = {"count", "sum", "mean", "min", "max", "spread", "stddev", "median",
 TRANSFORMS = {"difference", "non_negative_difference", "derivative",
               "non_negative_derivative", "elapsed", "moving_average",
               "cumulative_sum",
+              # engine extension: counter-reset-aware rate (Prometheus
+              # rate() semantics InfluxQL lacks)
+              "counter_rate",
               # trailing-window technical analysis (Column-shaped, so they
               # compose like any other transform)
               "chande_momentum_oscillator", "kaufmans_efficiency_ratio"}
@@ -1032,6 +1035,9 @@ class InfluxQLEngine:
                 if e.fname == "non_negative_derivative":
                     unit = e.args[1].seconds if len(e.args) > 1 else 1
                     return Q.tr_non_negative_derivative(df, keys, ts, arg, unit)
+                if e.fname == "counter_rate":
+                    unit = e.args[1].seconds if len(e.args) > 1 else 1
+                    return Q.tr_counter_rate(df, keys, ts, arg, unit)
                 if e.fname == "elapsed":
                     unit = e.args[1].seconds if len(e.args) > 1 else 1
                     return Q.tr_elapsed(df, keys, ts, unit)

@@ -735,6 +735,107 @@ FROM d WHERE rn >= 2
 """
 
 
+def _q_counter_rate(spark, sf_dir):
+    """Engine-extension transform (Prometheus rate() semantics): a counter
+    drop is a restart, so the post-reset value is the delta.  Element-wise
+    window expression on identical operands — bit-exact, no rounding."""
+    h = _hourly(spark, sf_dir)
+    out = influxql(
+        "SELECT counter_rate(v, 1h) AS cr FROM hourly GROUP BY event_type",
+        {"hourly": h},
+        ts_col="bucket",
+    )
+    return out.withColumnRenamed("time", "bucket")
+
+
+_COUNTER_RATE_SQL = f"""
+WITH {_HOURLY_SQL}
+SELECT bucket, event_type, cr FROM (
+  SELECT event_type, bucket,
+    CASE WHEN epoch(bucket) - lag(epoch(bucket)) OVER w > 0 THEN
+      (CASE WHEN v - lag(v) OVER w < 0 THEN v ELSE v - lag(v) OVER w END)
+      / CAST(epoch(bucket) - lag(epoch(bucket)) OVER w AS DOUBLE) * 3600
+    END AS cr
+  FROM hourly WINDOW w AS (PARTITION BY event_type ORDER BY bucket)
+) WHERE cr IS NOT NULL
+"""
+
+
+def _q_lttb(spark, sf_dir):
+    """LTTB downsample of each hourly series to 50 points (engine
+    extension; TimescaleDB lttb()).  Oracle replays the bucket selection
+    with a recursive CTE — bit-exact incl. ties and bucket averages."""
+    from influxer_spark.operators.lttb import lttb
+
+    h = _hourly(spark, sf_dir)
+    return lttb(h, ["event_type"], "bucket", "v", 50)
+
+
+def _lttb_sql(t: int) -> str:
+    nb = t - 2
+    # bucket sums replay _fsum: left fold seeded 0.0 (list_prepend)
+    sum_ = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "list_transform(lst[{a}:{b}], p -> {get})), (x, y) -> x + y)"
+    )
+    sx = sum_.format(a="e + 1", b="e2", get="CAST(p.t AS DOUBLE)")
+    sy = sum_.format(a="e + 1", b="e2", get="p.v")
+    return f"""
+WITH RECURSIVE {_HOURLY_MAT_SQL},
+ser AS MATERIALIZED (
+  SELECT event_type,
+         list(struct_pack(t := CAST(floor(epoch(bucket)) AS BIGINT), v := v)
+              ORDER BY bucket) AS lst
+  FROM hourly GROUP BY event_type
+),
+meta AS MATERIALIZED (
+  SELECT event_type, lst, len(lst) AS L,
+         (CAST(len(lst) AS DOUBLE) - 2.0) / {float(nb)!r} AS every
+  FROM ser
+),
+r AS (
+  SELECT event_type, lst, L, every, -1 AS i, 0 AS prev,
+         CAST(NULL AS BIGINT) AS sel_t, CAST(NULL AS DOUBLE) AS sel_v
+  FROM meta
+  UNION ALL
+  SELECT event_type, lst, L, every, i, sel,
+         lst[sel + 1].t, lst[sel + 1].v
+  FROM (
+    SELECT *, s + CAST(list_position(areas, list_aggregate(areas, 'max'))
+                       AS INT) - 1 AS sel
+    FROM (
+      SELECT *, list_transform(lst[s + 1:e], p ->
+        abs((px - ax) * (p.v - py)
+            - (px - CAST(p.t AS DOUBLE)) * (ay - py))) AS areas
+      FROM (
+        SELECT *,
+          CASE WHEN i = {nb - 1} THEN CAST(lst[L].t AS DOUBLE)
+               ELSE {sx} / CAST(e2 - e AS DOUBLE) END AS ax,
+          CASE WHEN i = {nb - 1} THEN lst[L].v
+               ELSE {sy} / CAST(e2 - e AS DOUBLE) END AS ay
+        FROM (
+          SELECT event_type, lst, L, every, prev,
+            r.i + 1 AS i,
+            CAST(lst[prev + 1].t AS DOUBLE) AS px, lst[prev + 1].v AS py,
+            1 + CAST(floor(CAST(r.i + 1 AS DOUBLE) * every) AS INT) AS s,
+            1 + CAST(floor(CAST(r.i + 2 AS DOUBLE) * every) AS INT) AS e,
+            1 + CAST(floor(CAST(r.i + 3 AS DOUBLE) * every) AS INT) AS e2
+          FROM r WHERE r.i < {nb - 1}
+        )
+      )
+    )
+  )
+)
+SELECT make_timestamp(t * 1000000) AS bucket, event_type, v AS lttb FROM (
+  SELECT event_type, lst[1].t AS t, lst[1].v AS v FROM meta
+  UNION ALL
+  SELECT event_type, sel_t, sel_v FROM r WHERE i >= 0
+  UNION ALL
+  SELECT event_type, lst[L].t, lst[L].v FROM meta
+)
+"""
+
+
 def _q_top_per_tag(spark, sf_dir):
     """InfluxDB's per-tag top form: top(v, event_type, 3) = the greatest
     point of each of the 3 event_types with the greatest maxima."""
@@ -800,6 +901,8 @@ def influxql_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "influxql_kama_series": _q_kama,
         "influxql_trix_series": _q_trix,
         "influxql_top_per_tag": _q_top_per_tag,
+        "influxql_counter_rate": _q_counter_rate,
+        "lttb_downsample_50": _q_lttb,
         "holt_winters_forecast_24h": _q_holt_winters,
     }
 
@@ -826,4 +929,6 @@ def influxql_oracle_sql() -> dict[str, str]:
         "influxql_kama_series": _kama_sql(10),
         "influxql_trix_series": _trix_sql(9),
         "influxql_top_per_tag": _TOP_PER_TAG_SQL,
+        "influxql_counter_rate": _COUNTER_RATE_SQL,
+        "lttb_downsample_50": _lttb_sql(50),
     }

@@ -267,6 +267,28 @@ def tr_moving_average(
     return F.when(F.count(v).over(w) == n, F.avg(v).over(w))
 
 
+def tr_counter_rate(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    value_col: str | Column,
+    unit_seconds: int = 1,
+) -> Column:
+    """Counter-reset-aware rate (engine extension; the Prometheus
+    ``rate()`` / TimescaleDB ``counter_agg`` semantics InfluxQL lacks):
+    like ``non_negative_derivative`` but a DROP in a monotonic counter is
+    a process restart, so the post-reset value IS the delta (the counter
+    restarted from 0), not a discarded point.  Per-row window expression
+    over the shared series sort; emits nothing for the first point."""
+    w = _series_window(key_cols, ts_col)
+    v = _vc(value_col)
+    t = F.unix_timestamp(F.col(ts_col).cast("timestamp")).cast("double")
+    d = v - F.lag(v).over(w)
+    adj = F.when(d < 0, v).otherwise(d)
+    dt = t - F.lag(t).over(w)
+    return F.when(dt > 0, adj / dt * unit_seconds)
+
+
 def tr_cumulative_sum(
     df: DataFrame, key_cols: Sequence[str], ts_col: str, value_col: str | Column
 ) -> Column:

@@ -403,3 +403,13 @@ def test_frontend_explain(spark):
         {"m": df}, ts_col="ts",
     ).collect()
     assert analyzed[-1]["plan"] == "rows: 8"
+
+
+def test_counter_rate_reset_semantics(spark):
+    """A counter drop is a restart: the post-reset VALUE is the delta."""
+    df = _series(spark, [10.0, 14.0, 2.0, 8.0])
+    out = df.select(
+        "ts", Q.tr_counter_rate(df, ["k"], "ts", "v", 3600).alias("cr")
+    ).orderBy("ts").collect()
+    assert out[0]["cr"] is None
+    assert [r["cr"] for r in out[1:]] == [4.0, 2.0, 6.0]
