@@ -761,6 +761,43 @@ SELECT bucket, event_type, cr FROM (
 """
 
 
+def _q_anomaly_mad(spark, sf_dir):
+    """Robust outlier flags over the hourly series; medians are
+    nearest-rank data points so the whole pipeline is float-sum-free."""
+    from influxer_spark.operators.influxql import anomaly_mad
+
+    h = _hourly(spark, sf_dir).select("event_type", "bucket", "v")
+    return anomaly_mad(h, ["event_type"], "bucket", "v", k=3.5)
+
+
+_ANOMALY_MAD_SQL = f"""
+WITH {_HOURLY_SQL},
+med AS (
+  SELECT event_type, v AS med FROM (
+    SELECT event_type, v,
+           row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn,
+           count(*) OVER (PARTITION BY event_type) AS n
+    FROM hourly
+  ) WHERE rn = CAST(floor(0.5 * n + 0.5) AS BIGINT)
+),
+ad AS (
+  SELECT h.event_type, h.bucket, h.v, m.med, abs(h.v - m.med) AS adv
+  FROM hourly h JOIN med m USING (event_type)
+),
+mad AS (
+  SELECT event_type, adv AS mad FROM (
+    SELECT event_type, adv,
+           row_number() OVER (PARTITION BY event_type ORDER BY adv) AS rn,
+           count(*) OVER (PARTITION BY event_type) AS n
+    FROM ad
+  ) WHERE rn = CAST(floor(0.5 * n + 0.5) AS BIGINT)
+)
+SELECT a.event_type, a.bucket, a.v, a.med, d.mad,
+       (a.adv > 3.5 * d.mad) AS anomaly
+FROM ad a JOIN mad d USING (event_type)
+"""
+
+
 def _q_lttb(spark, sf_dir):
     """LTTB downsample of each hourly series to 50 points (engine
     extension; TimescaleDB lttb()).  Oracle replays the bucket selection
@@ -903,6 +940,7 @@ def influxql_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "influxql_top_per_tag": _q_top_per_tag,
         "influxql_counter_rate": _q_counter_rate,
         "lttb_downsample_50": _q_lttb,
+        "anomaly_mad_hourly": _q_anomaly_mad,
         "holt_winters_forecast_24h": _q_holt_winters,
     }
 
@@ -931,4 +969,5 @@ def influxql_oracle_sql() -> dict[str, str]:
         "influxql_top_per_tag": _TOP_PER_TAG_SQL,
         "influxql_counter_rate": _COUNTER_RATE_SQL,
         "lttb_downsample_50": _lttb_sql(50),
+        "anomaly_mad_hourly": _ANOMALY_MAD_SQL,
     }

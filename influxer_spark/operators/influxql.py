@@ -298,6 +298,43 @@ def tr_cumulative_sum(
     return F.sum(_vc(value_col)).over(w)
 
 
+def anomaly_mad(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    k: float = 3.5,
+) -> DataFrame:
+    """Robust per-series anomaly flags: |v − median| > k·MAD (median
+    absolute deviation) — the monitoring-side outlier test (Kapacitor's
+    sigma() role, but median/MAD instead of mean/stddev so a burst of
+    outliers can't mask itself by inflating the baseline).
+
+    Exactness: both medians are NEAREST-RANK (the engine's percentile
+    semantics) — actual data points, no interpolation and no float
+    summation, so the oracle replays them bit-for-bit.  Emits every row
+    with (med, mad, anomaly); MAD = 0 (constant series) flags any v ≠ med.
+
+    Shape: two single-shuffle grouped medians on the SAME key + one
+    broadcast-size join back (series cardinality, not points).
+    """
+    med = agg_median(df, list(key_cols), value_col).withColumnRenamed(
+        "median", "med"
+    )
+    with_med = df.join(F.broadcast(med), on=list(key_cols), how="inner")
+    absdev = with_med.withColumn(
+        "_ad", F.abs(F.col(value_col) - F.col("med"))
+    )
+    mad = agg_median(absdev, list(key_cols), "_ad").withColumnRenamed(
+        "median", "mad"
+    )
+    out = absdev.join(F.broadcast(mad), on=list(key_cols), how="inner")
+    return out.select(
+        *key_cols, ts_col, value_col, "med", "mad",
+        (F.col("_ad") > F.lit(k) * F.col("mad")).alias("anomaly"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # technical-analysis transforms (InfluxQL 1.8 "predictors & technical
 # analysis" family).  Two execution shapes, both JVM-side (no Python):

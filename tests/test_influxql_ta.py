@@ -413,3 +413,15 @@ def test_counter_rate_reset_semantics(spark):
     ).orderBy("ts").collect()
     assert out[0]["cr"] is None
     assert [r["cr"] for r in out[1:]] == [4.0, 2.0, 6.0]
+
+
+def test_anomaly_mad_flags_outliers(spark):
+    vals = [10.0, 10.5, 9.8, 10.2, 10.1, 50.0, 10.3, 9.9, 10.0, 10.4]
+    df = _series(spark, vals)
+    rows = Q.anomaly_mad(df, ["k"], "ts", "v", k=3.5).orderBy("ts").collect()
+    flagged = [i for i, r in enumerate(rows) if r["anomaly"]]
+    assert flagged == [5]
+    # constant series: MAD 0, any deviation flags
+    flat = [5.0] * 6 + [5.1]
+    rows = Q.anomaly_mad(_series(spark, flat), ["k"], "ts", "v").orderBy("ts").collect()
+    assert [r["anomaly"] for r in rows] == [False] * 6 + [True]
