@@ -425,3 +425,42 @@ def test_anomaly_mad_flags_outliers(spark):
     flat = [5.0] * 6 + [5.1]
     rows = Q.anomaly_mad(_series(spark, flat), ["k"], "ts", "v").orderBy("ts").collect()
     assert [r["anomaly"] for r in rows] == [False] * 6 + [True]
+
+
+# --- property tests: random finite series must match the mirrors exactly ---
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_finite = st.floats(
+    min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+)
+
+
+@settings(max_examples=12, deadline=None)
+@given(vals=st.lists(_finite, min_size=2, max_size=120),
+       n=st.integers(min_value=1, max_value=8))
+def test_property_ema_bit_exact(spark, vals, n):
+    df = _series(spark, vals)
+    got = _got(
+        Q.tr_exponential_moving_average(df, ["k"], "ts", "v", n),
+        "exponential_moving_average",
+    )
+    assert got == py_ema(vals, n)
+
+
+@settings(max_examples=12, deadline=None)
+@given(vals=st.lists(_finite, min_size=6, max_size=120),
+       n=st.integers(min_value=2, max_value=5))
+def test_property_rsi_kama_bit_exact(spark, vals, n):
+    df = _series(spark, vals)
+    got_rsi = _got(
+        Q.tr_relative_strength_index(df, ["k"], "ts", "v", n),
+        "relative_strength_index",
+    )
+    assert got_rsi == py_rsi(vals, n)
+    got_kama = _got(
+        Q.tr_kaufmans_adaptive_moving_average(df, ["k"], "ts", "v", n),
+        "kaufmans_adaptive_moving_average",
+    )
+    assert got_kama == py_kama(vals, n)

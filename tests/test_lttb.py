@@ -97,3 +97,19 @@ def test_lttb_threshold_validation(spark):
     df = _series(spark, [1.0, 2.0, 3.0, 4.0])
     with pytest.raises(ValueError):
         lttb(df, ["k"], "ts", "v", 2)
+
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_finite = st.floats(
+    min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(vals=st.lists(_finite, min_size=3, max_size=80),
+       t=st.integers(min_value=3, max_value=12))
+def test_property_lttb_bit_exact(spark, vals, t):
+    got, want = _run(spark, vals, t)
+    assert got == want
