@@ -798,6 +798,66 @@ FROM ad a JOIN mad d USING (event_type)
 """
 
 
+def _q_cusum(spark, sf_dir):
+    from influxer_spark.operators.influxql import cusum_changepoints
+
+    h = _hourly(spark, sf_dir).select("event_type", "bucket", "v")
+    return cusum_changepoints(
+        h, ["event_type"], "bucket", "v", slack_mads=0.5, h_mads=5.0
+    )
+
+
+def _cusum_sql(slack_mads: float, h_mads: float) -> str:
+    return f"""
+WITH RECURSIVE {_HOURLY_MAT_SQL},
+med AS (
+  SELECT event_type, v AS mu FROM (
+    SELECT event_type, v,
+           row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn,
+           count(*) OVER (PARTITION BY event_type) AS n
+    FROM hourly
+  ) WHERE rn = CAST(floor(0.5 * n + 0.5) AS BIGINT)
+),
+ad AS (
+  SELECT h.event_type, h.bucket, h.v, m.mu, abs(h.v - m.mu) AS adv
+  FROM hourly h JOIN med m USING (event_type)
+),
+madt AS (
+  SELECT event_type, adv AS mad FROM (
+    SELECT event_type, adv,
+           row_number() OVER (PARTITION BY event_type ORDER BY adv) AS rn,
+           count(*) OVER (PARTITION BY event_type) AS n
+    FROM ad
+  ) WHERE rn = CAST(floor(0.5 * n + 0.5) AS BIGINT)
+),
+s AS MATERIALIZED (
+  SELECT a.event_type, a.bucket, a.v, a.mu,
+         {slack_mads!r} * d.mad AS sl, {h_mads!r} * d.mad AS h,
+         row_number() OVER (PARTITION BY a.event_type
+                            ORDER BY a.bucket) AS rn
+  FROM ad a JOIN madt d USING (event_type)
+),
+r AS (
+  SELECT event_type, bucket, v, mu, sl, h, rn,
+    CASE WHEN 0.0 + (v - mu - sl) > 0 THEN 0.0 + (v - mu - sl)
+         ELSE 0.0 END AS sp,
+    CASE WHEN 0.0 + (mu - sl - v) > 0 THEN 0.0 + (mu - sl - v)
+         ELSE 0.0 END AS sn
+  FROM s WHERE rn = 1
+  UNION ALL
+  SELECT s.event_type, s.bucket, s.v, s.mu, s.sl, s.h, s.rn,
+    CASE WHEN r.sp + (s.v - s.mu - s.sl) > 0
+         THEN r.sp + (s.v - s.mu - s.sl) ELSE 0.0 END,
+    CASE WHEN r.sn + (s.mu - s.sl - s.v) > 0
+         THEN r.sn + (s.mu - s.sl - s.v) ELSE 0.0 END
+  FROM s JOIN r ON s.event_type = r.event_type AND s.rn = r.rn + 1
+)
+SELECT bucket, event_type, v, sp AS s_pos, sn AS s_neg,
+       (sp > h OR sn > h) AS alarm
+FROM r
+"""
+
+
 def _q_lttb(spark, sf_dir):
     """LTTB downsample of each hourly series to 50 points (engine
     extension; TimescaleDB lttb()).  Oracle replays the bucket selection
@@ -941,6 +1001,7 @@ def influxql_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "influxql_counter_rate": _q_counter_rate,
         "lttb_downsample_50": _q_lttb,
         "anomaly_mad_hourly": _q_anomaly_mad,
+        "cusum_changepoints_hourly": _q_cusum,
         "holt_winters_forecast_24h": _q_holt_winters,
     }
 
@@ -970,4 +1031,5 @@ def influxql_oracle_sql() -> dict[str, str]:
         "influxql_counter_rate": _COUNTER_RATE_SQL,
         "lttb_downsample_50": _lttb_sql(50),
         "anomaly_mad_hourly": _ANOMALY_MAD_SQL,
+        "cusum_changepoints_hourly": _cusum_sql(0.5, 5.0),
     }

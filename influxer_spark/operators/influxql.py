@@ -298,6 +298,89 @@ def tr_cumulative_sum(
     return F.sum(_vc(value_col)).over(w)
 
 
+def cusum_changepoints(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    slack_mads: float = 0.5,
+    h_mads: float = 5.0,
+) -> DataFrame:
+    """Tabular CUSUM changepoint detection (Page 1954, public) per series:
+    s⁺ = max(0, s⁺ + (v − μ − k)), s⁻ = max(0, s⁻ + (μ − k − v)); alarm
+    when either exceeds h.  Catches sustained LEVEL SHIFTS that per-point
+    outlier tests (anomaly_mad) miss.
+
+    μ is the nearest-rank median and k/h are in MAD units, so every input
+    to the recurrence is an exact data-point-derived double (no float
+    summation anywhere except the recurrence itself, which the oracle's
+    recursive CTE replays in identical order).  One grouped-median pass ×2
+    + the per-series fold — same shuffle shape as the TA transforms.
+
+    Output: (keys…, ts, v, s_pos, s_neg, alarm).
+    """
+    med = agg_median(df, list(key_cols), value_col).withColumnRenamed(
+        "median", "_mu"
+    )
+    with_med = df.join(F.broadcast(med), on=list(key_cols), how="inner")
+    absdev = with_med.withColumn(
+        "_ad", F.abs(F.col(value_col) - F.col("_mu"))
+    )
+    mad = agg_median(absdev, list(key_cols), "_ad").withColumnRenamed(
+        "median", "_mad"
+    )
+    src = absdev.join(F.broadcast(mad), on=list(key_cols), how="inner")
+    slack = F.lit(slack_mads) * F.col("_mad")
+    h = F.lit(h_mads) * F.col("_mad")
+    g = _collected(
+        src, key_cols, ts_col, value_col,
+        extra={"mu": F.col("_mu"), "sl": slack, "h": h},
+    )
+
+    def step(st: Column, x: Column) -> Column:
+        up = st["sp"] + (x["v"] - x["mu"] - x["sl"])
+        dn = st["sn"] + (x["mu"] - x["sl"] - x["v"])
+        sp2 = F.when(up > 0, up).otherwise(F.lit(0.0))
+        sn2 = F.when(dn > 0, dn).otherwise(F.lit(0.0))
+        return F.struct(sp2.alias("sp"), sn2.alias("sn"))
+
+    init = F.struct(F.lit(0.0).alias("sp"), F.lit(0.0).alias("sn"))
+    # emit (t, sp) and (t, sn) streams via two folds sharing the arr, then
+    # zip — cheaper than widening _fold_emit's point struct for one op
+    sp_arr = _fold_emit(
+        F.col("_arr"), init, step,
+        lambda st, x: F.lit(True), lambda st, x: st["sp"],
+    )
+    sn_arr = _fold_emit(
+        F.col("_arr"), init, step,
+        lambda st, x: F.lit(True), lambda st, x: st["sn"],
+    )
+    zipped = F.zip_with(
+        F.zip_with(
+            F.col("_arr"), sp_arr,
+            lambda a, p: F.struct(
+                a["t"].alias("t"), a["v"].alias("v"),
+                a["h"].alias("h"), p["v"].alias("sp"),
+            ),
+        ),
+        sn_arr,
+        lambda z, q: F.struct(
+            z["t"].alias("t"), z["v"].alias("v"), z["sp"].alias("sp"),
+            q["v"].alias("sn"),
+            ((z["sp"] > z["h"]) | (q["v"] > z["h"])).alias("alarm"),
+        ),
+    )
+    ex = g.select(*key_cols, F.explode(zipped).alias("_p"))
+    return ex.select(
+        *key_cols,
+        F.col("_p.t").alias(ts_col),
+        F.col("_p.v").alias(value_col),
+        F.col("_p.sp").alias("s_pos"),
+        F.col("_p.sn").alias("s_neg"),
+        F.col("_p.alarm").alias("alarm"),
+    )
+
+
 def anomaly_mad(
     df: DataFrame,
     key_cols: Sequence[str],

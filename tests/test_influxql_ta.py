@@ -464,3 +464,38 @@ def test_property_rsi_kama_bit_exact(spark, vals, n):
         "kaufmans_adaptive_moving_average",
     )
     assert got_kama == py_kama(vals, n)
+
+
+def test_cusum_detects_level_shift(spark):
+    """A sustained +2 shift that never trips a per-point MAD test must
+    accumulate into a CUSUM alarm."""
+    vals = [10.0 + 0.1 * ((i * 7) % 5) for i in range(30)]
+    shifted = vals + [v + 2.0 for v in vals]
+    df = _series(spark, shifted)
+    rows = Q.cusum_changepoints(
+        df, ["k"], "ts", "v", slack_mads=1.0, h_mads=8.0
+    ).orderBy("ts").collect()
+    # no alarms in the stable first half; alarms appear after the shift
+    assert not any(r["alarm"] for r in rows[:30])
+    assert any(r["alarm"] for r in rows[30:])
+    first_alarm = next(i for i, r in enumerate(rows) if r["alarm"])
+    assert 30 <= first_alarm <= 45  # fires within ~15 points of the shift
+    # per-point MAD test at the same scale misses the 2.0 shift entirely
+    mrows = Q.anomaly_mad(df, ["k"], "ts", "v", k=8.0).collect()
+    assert not any(r["anomaly"] for r in mrows)
+
+
+def test_cusum_matches_python_mirror(spark):
+    vals = [float((i * 37) % 23) + 0.5 * (i % 3) for i in range(60)]
+    df = _series(spark, vals)
+    rows = Q.cusum_changepoints(df, ["k"], "ts", "v").orderBy("ts").collect()
+    sv = sorted(vals)
+    mu = sv[int(0.5 * len(vals) + 0.5) - 1]
+    sad = sorted(abs(v - mu) for v in vals)
+    mad = sad[int(0.5 * len(vals) + 0.5) - 1]
+    sl, sp, sn = 0.5 * mad, 0.0, 0.0
+    for r, v in zip(rows, vals):
+        up, dn = sp + (v - mu - sl), sn + (mu - sl - v)
+        sp = up if up > 0 else 0.0
+        sn = dn if dn > 0 else 0.0
+        assert (r["s_pos"], r["s_neg"]) == (sp, sn)
