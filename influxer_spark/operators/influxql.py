@@ -599,6 +599,9 @@ def _collected(
     for name, c in (extra or {}).items():
         df = df.withColumn(f"_x_{name}", c)
         fields.append(F.col(f"_x_{name}").alias(name))
+    # a NULL point would poison every later state in a recurrence; InfluxDB
+    # series transforms skip null points, so drop them before collecting
+    df = df.filter(_vc(value_col).isNotNull())
     return df.groupBy(*key_cols).agg(
         F.sort_array(F.collect_list(F.struct(*fields))).alias("_arr")
     )

@@ -499,3 +499,15 @@ def test_cusum_matches_python_mirror(spark):
         sp = up if up > 0 else 0.0
         sn = dn if dn > 0 else 0.0
         assert (r["s_pos"], r["s_neg"]) == (sp, sn)
+
+
+def test_null_points_are_skipped_like_influxdb(spark):
+    rows = [("a", T0 + dt.timedelta(hours=i), v) for i, v in
+            enumerate([10.0, None, 12.5, None, 11.0, 11.0, 14.75])]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    dense = [10.0, 12.5, 11.0, 11.0, 14.75]
+    got = _got(
+        Q.tr_exponential_moving_average(df, ["k"], "ts", "v", 3),
+        "exponential_moving_average",
+    )
+    assert got == py_ema(dense, 3)
