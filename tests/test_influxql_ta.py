@@ -511,3 +511,21 @@ def test_null_points_are_skipped_like_influxdb(spark):
         "exponential_moving_average",
     )
     assert got == py_ema(dense, 3)
+
+
+def test_frontend_ema_composes_with_fill_linear(spark):
+    """fill(linear) interpolates the aggregate buckets BEFORE the fold —
+    InfluxDB's evaluation order (values hand-checked)."""
+    from influxer_spark.influxql_frontend import influxql
+
+    rows = [("a", dt.datetime(2024, 1, 1, h), float(v)) for h, v in
+            [(0, 2.0), (1, 4.0), (2, 6.0), (5, 12.0), (6, 14.0)]]
+    df = spark.createDataFrame(rows, ["k", "ts", "v"])
+    out = influxql(
+        "SELECT exponential_moving_average(mean(v), 3) AS ema FROM m"
+        " GROUP BY time(1h), k fill(linear)",
+        {"m": df}, ts_col="ts",
+    ).orderBy("time").collect()
+    assert [r["time"].hour for r in out] == list(range(7))
+    assert out[3]["ema"] == pytest.approx(6.333333333333333)
+    assert out[6]["ema"] == pytest.approx(12.041666666666666)
