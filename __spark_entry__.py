@@ -177,12 +177,18 @@ def _q_stream_rollup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     run_incremental_rollup(
         spark, d["input"], ev.schema, d["tier"], d["ckpt"]
     )
-    merged = read_tier(spark, d["tier"])
-    return merged.select(
+    merged = read_tier(spark, d["tier"]).select(
         "bucket", "event_type", "cnt",
         (_q2(F.col("sum_v")) / 100.0).alias("sum_v"),
         "min_v", "max_v",
     )
+    # materialize before removing the scratch dirs (the merged frame reads
+    # them lazily); the tier is small at gate scale, and without the
+    # cleanup every gate run leaks two parquet copies of events to /tmp
+    rows = merged.collect()
+    out = spark.createDataFrame(rows, merged.schema)
+    shutil.rmtree(root, ignore_errors=True)
+    return out
 
 
 def _q_sketch_distinct_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -165,10 +165,14 @@ def main(argv: list[str] | None = None) -> int:
             ts_col=args.timecol,
         )
         out = eng.execute(args.query)
-        if args.output:
-            out.write.mode("overwrite").parquet(args.output)
-        rows = out.limit(21).collect()
         cols = out.columns
+        if args.output:
+            # execute ONCE: preview and count read the written parquet
+            out.write.mode("overwrite").parquet(args.output)
+            out = spark.read.parquet(args.output)
+        else:
+            out = out.cache()
+        rows = out.limit(21).collect()
         print("\t".join(cols))
         for r in rows[:20]:
             print("\t".join(str(r[c]) for c in cols))

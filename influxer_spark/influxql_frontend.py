@@ -1538,6 +1538,10 @@ class InfluxQLEngine:
                 f"{c.fname}(field[, tag_key…], N): middle arguments must be "
                 "tag identifiers"
             )
+        if tag_args and c.fname == "sample":
+            # sample() takes no tag arguments — silently dropping them
+            # would run a different query than the user wrote
+            raise InfluxQLError("sample(field, N) takes no tag arguments")
         if c.fname in ("top", "bottom") and tag_args:
             # top(v, host, 3): the extreme point of each of the N
             # most-extreme tag values (InfluxDB per-tag form)

@@ -177,7 +177,9 @@ def holt_winters(
     )
 
     def fit_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(ts_col)
+        # skip null/NaN buckets (fill(null) produces them): one NaN fed to
+        # the SSE would turn every forecast into NaN
+        pdf = pdf[pdf[value_col].notna()].sort_values(ts_col)
         ts_us = pdf[ts_col].astype("int64").to_numpy()  # ns since epoch
         y = pdf[value_col].astype("float64").to_numpy()
         t_out, v_out = hw_forecast_series(

@@ -66,7 +66,10 @@ def agg_percentile(
     """Nearest-rank percentile, InfluxDB's exact rounding: the value at
     1-based rank ``floor(n*p/100 + 0.5)`` of the sorted values — an actual
     data point, not an interpolation.  When the rank rounds below 1 the
-    group emits NO row (InfluxDB returns nothing), unlike a clamped ceil."""
+    group emits NO row (InfluxDB returns nothing), unlike a clamped ceil.
+    NULL values are ignored (InfluxDB semantics) — without the filter they
+    would sort first and shift the rank onto the wrong point."""
+    df = df.filter(F.col(value_col).isNotNull())
     w = Window.partitionBy(*group_cols).orderBy(value_col)
     ranked = df.withColumn("_rn", F.row_number().over(w)).withColumn(
         "_n", F.count("*").over(Window.partitionBy(*group_cols))
@@ -298,6 +301,27 @@ def tr_cumulative_sum(
     return F.sum(_vc(value_col)).over(w)
 
 
+def _median_mad(
+    df: DataFrame, key_cols: Sequence[str], value_col: str
+) -> DataFrame:
+    """df joined with its per-series nearest-rank median and MAD
+    (columns ``_mu``, ``_ad``, ``_mad``); NULL values dropped (InfluxDB
+    ignores null field values).  Shared by anomaly_mad and
+    cusum_changepoints so the median semantics live in one place."""
+    df = df.filter(F.col(value_col).isNotNull())
+    med = agg_median(df, list(key_cols), value_col).withColumnRenamed(
+        "median", "_mu"
+    )
+    with_med = df.join(F.broadcast(med), on=list(key_cols), how="inner")
+    absdev = with_med.withColumn(
+        "_ad", F.abs(F.col(value_col) - F.col("_mu"))
+    )
+    mad = agg_median(absdev, list(key_cols), "_ad").withColumnRenamed(
+        "median", "_mad"
+    )
+    return absdev.join(F.broadcast(mad), on=list(key_cols), how="inner")
+
+
 def cusum_changepoints(
     df: DataFrame,
     key_cols: Sequence[str],
@@ -319,17 +343,7 @@ def cusum_changepoints(
 
     Output: (keys…, ts, v, s_pos, s_neg, alarm).
     """
-    med = agg_median(df, list(key_cols), value_col).withColumnRenamed(
-        "median", "_mu"
-    )
-    with_med = df.join(F.broadcast(med), on=list(key_cols), how="inner")
-    absdev = with_med.withColumn(
-        "_ad", F.abs(F.col(value_col) - F.col("_mu"))
-    )
-    mad = agg_median(absdev, list(key_cols), "_ad").withColumnRenamed(
-        "median", "_mad"
-    )
-    src = absdev.join(F.broadcast(mad), on=list(key_cols), how="inner")
+    src = _median_mad(df, key_cols, value_col)
     slack = F.lit(slack_mads) * F.col("_mad")
     h = F.lit(h_mads) * F.col("_mad")
     g = _collected(
@@ -401,20 +415,11 @@ def anomaly_mad(
     Shape: two single-shuffle grouped medians on the SAME key + one
     broadcast-size join back (series cardinality, not points).
     """
-    med = agg_median(df, list(key_cols), value_col).withColumnRenamed(
-        "median", "med"
-    )
-    with_med = df.join(F.broadcast(med), on=list(key_cols), how="inner")
-    absdev = with_med.withColumn(
-        "_ad", F.abs(F.col(value_col) - F.col("med"))
-    )
-    mad = agg_median(absdev, list(key_cols), "_ad").withColumnRenamed(
-        "median", "mad"
-    )
-    out = absdev.join(F.broadcast(mad), on=list(key_cols), how="inner")
+    out = _median_mad(df, key_cols, value_col)
     return out.select(
-        *key_cols, ts_col, value_col, "med", "mad",
-        (F.col("_ad") > F.lit(k) * F.col("mad")).alias("anomaly"),
+        *key_cols, ts_col, value_col,
+        F.col("_mu").alias("med"), F.col("_mad").alias("mad"),
+        (F.col("_ad") > F.lit(k) * F.col("_mad")).alias("anomaly"),
     )
 
 
@@ -827,7 +832,13 @@ def tr_kaufmans_adaptive_moving_average(
 ) -> DataFrame:
     """KAMA: the smoothing constant is computed PER ROW from the trailing
     efficiency ratio (a window chain, shares the series sort), then one
-    fold runs the recurrence over (v, sc)."""
+    fold runs the recurrence over (v, sc).
+
+    NULL points are dropped BEFORE the er/sc windows — sc is an extra
+    column computed on the pre-collect frame, so a null left in place
+    would make the n lag chains after it NULL and poison the fold's state
+    permanently (unlike EMA/RSI, which only see the null-skipped array)."""
+    df = df.filter(_vc(value_col).isNotNull())
     c1 = 2.0 / (_KAMA_FAST + 1) - 2.0 / (_KAMA_SLOW + 1)
     c2 = 2.0 / (_KAMA_SLOW + 1)
     er = tr_kaufmans_efficiency_ratio(df, key_cols, ts_col, value_col, n)

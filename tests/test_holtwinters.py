@@ -129,3 +129,16 @@ def test_frontend_holt_winters_with_fit_string(spark):
     assert len(out) == 11 + 3  # fitted history from pt 2 + forecasts
     for i, r in enumerate(out):
         assert r["hw"] == pytest.approx(3.0 + 2.0 * (i + 1), abs=1e-9)
+
+
+def test_null_buckets_are_skipped(spark):
+    """fill(null) leaves NULL buckets; one NaN in the SSE would poison
+    every forecast, so the fit must drop them."""
+    vals = [3.0 + 2.0 * i for i in range(12)]
+    rows = [("a", T0 + dt.timedelta(hours=i), v if i != 5 else None)
+            for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    out = holt_winters(df, ["k"], "ts", "v", 3, 0, 3600).orderBy("ts").collect()
+    assert len(out) == 3
+    for h, r in enumerate(out, start=1):
+        assert r["holt_winters"] == pytest.approx(3.0 + 2.0 * (11 + h), abs=1e-9)

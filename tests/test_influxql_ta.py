@@ -346,10 +346,10 @@ def test_frontend_fold_field_with_group_by_time_rejected(spark):
 
 
 def test_fold_chunk_boundaries_bit_exact(spark):
-    """_fold_emit processes 1024-element chunks; a series spanning several
-    chunks must thread state across boundaries with no element dropped,
-    duplicated, or reordered — asserted bit-exactly vs the Python mirror
-    at L=2500 for all three recurrence families."""
+    """_fold_emit processes _FOLD_CHUNK(=64)-element chunks; a series
+    spanning many chunks must thread state across boundaries with no
+    element dropped, duplicated, or reordered — asserted bit-exactly vs
+    the Python mirror at L=2500 for all three recurrence families."""
     vals = [float((i * 37) % 97) + 0.25 * (i % 7) for i in range(2500)]
     df = _series(spark, vals)
     assert _got(
@@ -529,3 +529,22 @@ def test_frontend_ema_composes_with_fill_linear(spark):
     assert [r["time"].hour for r in out] == list(range(7))
     assert out[3]["ema"] == pytest.approx(6.333333333333333)
     assert out[6]["ema"] == pytest.approx(12.041666666666666)
+
+
+def test_kama_and_anomaly_skip_null_points(spark):
+    """KAMA's smoothing constant is window-derived, so null handling must
+    happen BEFORE the er/sc windows; medians must rank over non-null
+    values only."""
+    vals = [10.0, 12.5, None, 11.0, 14.75, 13.0, 16.5, 15.25, 15.25, 18.0]
+    rows = [("a", T0 + dt.timedelta(hours=i), v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    dense = [v for v in vals if v is not None]
+    got = _got(
+        Q.tr_kaufmans_adaptive_moving_average(df, ["k"], "ts", "v", 3),
+        "kaufmans_adaptive_moving_average",
+    )
+    assert got == py_kama(dense, 3)
+    med_rows = Q.anomaly_mad(df, ["k"], "ts", "v").collect()
+    assert len(med_rows) == len(dense)
+    sv = sorted(dense)
+    assert med_rows[0]["med"] == sv[int(0.5 * len(dense) + 0.5) - 1]
