@@ -464,6 +464,11 @@ def anomaly_mad(
 # - KER = |vᵢ − vᵢ₋ₙ| / Σ|Δ| over the same trailing n deltas (0 when the
 #   volatility is 0).  KAMA: sc = (er·(2/3 − 2/31) + 2/31)², seeded with
 #   the point-n value, kamaᵢ = kamaᵢ₋₁ + sc·(vᵢ − kamaᵢ₋₁) from point n+1.
+# - NULL points: the fold-based ops (EMA family, RSI, KAMA) drop them
+#   before folding (InfluxDB skips null points).  CMO/KER are POSITIONAL
+#   window chains and cannot compact the series — a null delta contributes
+#   0 to the up/down sums instead; feed them dense series (aggregate
+#   buckets) when null compaction matters.
 # ---------------------------------------------------------------------------
 
 _TV = "array<struct<t:timestamp,v:double>>"
