@@ -253,6 +253,32 @@ def _q_asof_6h_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a 2h lookback tolerance (pandas merge_asof /
+    QuestDB TOLERANCE semantics): a 6h bucket older than 2h must NOT
+    annotate the event — the match is nulled, not carried."""
+    from influxer_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    r6h = R.rollup_width(ev, "ts", ["event_type"], "value", 21600).select(
+        "event_type",
+        F.col("bucket").alias("ts"),
+        "cnt",
+    )
+    left = ev.filter(F.col("event_id") % 7 == 0).select(
+        "event_id", "event_type", "ts"
+    )
+    joined = asof_join(
+        left, r6h, by=["event_type"], value_cols=["cnt"],
+        tolerance_seconds=7200,
+    )
+    return joined.select(
+        "event_id", "event_type",
+        F.col("asof_ts").alias("asof_bucket"),
+        F.col("asof_cnt").alias("asof_cnt"),
+    )
+
+
 def _q_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-fill with last-observation-carried-forward (InfluxDB
     fill(previous))."""
@@ -424,6 +450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_rollup_replay_1m": _q_stream_rollup_replay,
         "rollup_5m_width": _q_rollup_5m_width,
         "asof_join_6h_stats": _q_asof_6h_stats,
+        "asof_join_tolerance_2h": _q_asof_tolerance,
         "gapfill_1h_interpolate": _q_gapfill_1h,
         "gapfill_1h_locf": _q_gapfill_locf,
         "topk_hot_users": _q_topk_hot_users,
@@ -531,6 +558,27 @@ def oracle_sql() -> dict[str, str]:
             "       r.cnt AS asof_cnt, r.sum6h AS asof_sum6h "
             "FROM l ASOF LEFT JOIN r6h r"
             "  ON l.event_type = r.event_type AND l.ts >= r.bucket"
+        ),
+        "asof_join_tolerance_2h": (
+            "WITH r6h AS ("
+            "  SELECT event_type,"
+            "    make_timestamp((CAST(floor(epoch(ts)) AS BIGINT)"
+            "      - CAST(floor(epoch(ts)) AS BIGINT) % 21600) * 1000000) AS bucket,"
+            "    count(value) AS cnt"
+            "  FROM events GROUP BY 1, 2),"
+            "l AS (SELECT event_id, event_type, ts FROM events WHERE event_id % 7 = 0),"
+            "j AS ("
+            "  SELECT l.event_id, l.event_type, l.ts, r.bucket, r.cnt"
+            "  FROM l ASOF LEFT JOIN r6h r"
+            "    ON l.event_type = r.event_type AND l.ts >= r.bucket)"
+            "SELECT event_id, event_type,"
+            "  CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)"
+            "            - CAST(floor(epoch(bucket)) AS BIGINT) <= 7200"
+            "       THEN bucket END AS asof_bucket,"
+            "  CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)"
+            "            - CAST(floor(epoch(bucket)) AS BIGINT) <= 7200"
+            "       THEN cnt END AS asof_cnt "
+            "FROM j"
         ),
         "gapfill_1h_interpolate": _GAPFILL_SQL,
         "gapfill_1h_locf": """

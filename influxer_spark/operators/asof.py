@@ -35,9 +35,16 @@ def asof_join(
     right_ts: str = "ts",
     value_cols: Sequence[str] | None = None,
     prefix: str = "asof_",
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
     """Left rows + ``{prefix}<col>`` columns from the latest right row at or
-    before the left timestamp (NULL when no earlier right row exists)."""
+    before the left timestamp (NULL when no earlier right row exists).
+
+    ``tolerance_seconds`` bounds the lookback (pandas merge_asof /
+    QuestDB ``ASOF JOIN TOLERANCE`` semantics): a match older than the
+    tolerance is nulled out — a stale state row should not annotate events
+    from hours later.  Applied as a post-window predicate on the matched
+    timestamp, so the plan shape (one exchange + one sort) is unchanged."""
     by = list(by)
     if value_cols is None:
         value_cols = [
@@ -72,6 +79,17 @@ def asof_join(
     u = r.unionByName(l).withColumn(
         "_match", F.last("_rp", ignorenulls=True).over(w)
     )
+    if tolerance_seconds is not None:
+        age = (
+            F.unix_timestamp(F.col("_ts").cast("timestamp"))
+            - F.unix_timestamp(
+                F.col(f"_match.{prefix}{right_ts}").cast("timestamp")
+            )
+        ).cast("double")
+        u = u.withColumn(
+            "_match",
+            F.when(age <= tolerance_seconds, F.col("_match")),
+        )
     out_cols = (
         [F.col(c) for c in left.columns]
         + [F.col(f"_match.{prefix}{right_ts}").alias(f"{prefix}{right_ts}")]

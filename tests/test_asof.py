@@ -64,3 +64,26 @@ def test_rollup_width_epoch_aligned(spark):
     r = rollup_width(df, "ts", ["k"], "v", 300).collect()
     assert {row["bucket"] for row in r} == {_ts("2024-01-01 10:05:00")}
     assert r[0]["cnt"] == 2 and r[0]["sum_v"] == 4.0
+
+
+def test_asof_tolerance_nulls_stale_matches(spark):
+    import datetime as dt
+
+    from influxer_spark.operators.asof import asof_join
+
+    t0 = dt.datetime(2024, 1, 1)
+    right = spark.createDataFrame(
+        [("a", t0, 100.0)], ["k", "ts", "state"]
+    )
+    left = spark.createDataFrame(
+        [
+            ("a", t0 + dt.timedelta(minutes=30), 1),   # within 1h tolerance
+            ("a", t0 + dt.timedelta(hours=3), 2),      # stale -> NULL
+        ],
+        ["k", "ts", "event"],
+    )
+    out = {r["event"]: (r["asof_ts"], r["asof_state"]) for r in asof_join(
+        left, right, by=["k"], value_cols=["state"], tolerance_seconds=3600
+    ).collect()}
+    assert out[1] == (t0, 100.0)
+    assert out[2] == (None, None)
