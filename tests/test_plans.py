@@ -121,3 +121,49 @@ def test_pii_scrub_stays_in_codegen(plans2):
     p = plans2["pii_scrub_counts"]
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "Exchange" not in p
+
+
+@pytest.fixture(scope="module")
+def plans3(spark, sf_dir):
+    qs = E.queries()
+    return {
+        name: _fmt(spark, qs[name](spark, sf_dir))
+        for name in [
+            "influxql_ema_series", "lttb_downsample_50",
+            "sketch_distinct_tiers", "asof_join_tolerance_2h",
+        ]
+    }
+
+
+def test_recurrence_fold_adds_one_exchange_no_python(plans3):
+    """Hourly agg (1 exchange) + the fold's groupBy(series) (1 exchange):
+    the recurrence itself costs exactly one extra shuffle and stays
+    JVM-side — higher-order functions, no Python workers."""
+    p = plans3["influxql_ema_series"]
+    assert len(re.findall(r"^\s*\(\d+\) Exchange", p, re.M)) == 2
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert len(re.findall(r"^\s*\(\d+\) Scan parquet", p, re.M)) == 1
+
+
+def test_lttb_adds_one_exchange_no_python(plans3):
+    p = plans3["lttb_downsample_50"]
+    assert len(re.findall(r"^\s*\(\d+\) Exchange", p, re.M)) == 2
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_sketch_tiers_never_rescan_raw(plans3):
+    """1m -> 1h -> 1d is three exchanges, each over ROLLED data; exactly
+    one scan of events feeds the whole chain, and the HLL agg is a JVM
+    aggregate (no Python)."""
+    p = plans3["sketch_distinct_tiers"]
+    assert len(re.findall(r"^\s*\(\d+\) Scan parquet", p, re.M)) == 1
+    assert len(re.findall(r"^\s*\(\d+\) Exchange", p, re.M)) == 3
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_asof_tolerance_stays_union_window(plans3):
+    """Tolerance must not change the as-of plan shape: still the
+    union+window formulation — no range join fan-out, no nested loop."""
+    p = plans3["asof_join_tolerance_2h"]
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+    assert "Window" in p
