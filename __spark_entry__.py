@@ -209,6 +209,81 @@ def _q_sketch_distinct_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# explicit half-octave bounds covering the events.value range (0, 512];
+# every bound is an exact binary double so the identical literal list
+# reproduces bit-for-bit in the DuckDB oracle
+_HIST_BOUNDS = R.log2_bounds(0.5, 512.0)
+
+
+def _q_hist_quantile_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantiles served from tiers: 1m bucket-count histograms cascade
+    (element-wise integer sum — exact) to 1h, then p50/p95/p99 by rank
+    interpolation (rollup.py rollup_with_histogram/histogram_quantile).
+    The oracle rebuilds the same histogram directly at 1h and replays the
+    identical interpolation chain — a hash match proves BOTH the cascade
+    exactness and the quantile arithmetic."""
+    ev = _t(spark, sf_dir, "events")
+    t1m = R.rollup_with_histogram(
+        ev, "ts", ["event_type"], "value", _HIST_BOUNDS, "1m"
+    )
+    t1h = R.cascade_with_histogram(
+        t1m, ["event_type"], "1h", len(_HIST_BOUNDS) + 1
+    )
+    out = t1h
+    for q, name in ((0.5, "p50"), (0.95, "p95"), (0.99, "p99")):
+        out = R.histogram_quantile(out, q, _HIST_BOUNDS, name)
+    return out.select("bucket", "event_type", "cnt", "p50", "p95", "p99")
+
+
+def _hist_quantile_oracle() -> str:
+    """DuckDB replica of _q_hist_quantile_1h: same bounds as literals, same
+    CASE-chain bucket index, same lowest-first cumulative interpolation with
+    the identical IEEE operand order."""
+    bounds = _HIST_BOUNDS
+    n = len(bounds)
+    d = lambda x: f"CAST('{x!r}' AS DOUBLE)"  # noqa: E731
+    idx = " + ".join(
+        f"(CASE WHEN value > {d(b)} THEN 1 ELSE 0 END)" for b in bounds
+    )
+    cells = ", ".join(
+        f"sum(CASE WHEN hidx = {i} THEN 1 ELSE 0 END) AS h{i}"
+        for i in range(n + 1)
+    )
+
+    def qcase(q: float) -> str:
+        rank = f"({d(q)} * CAST(cnt AS DOUBLE))"
+        lowers = [0.0] + list(bounds[:-1])
+        whens, cum_terms = [], []
+        for i in range(n + 1):
+            cumb = " + ".join(cum_terms) if cum_terms else "0"
+            cum_terms.append(f"h{i}")
+            cum = " + ".join(cum_terms)
+            if i < n:
+                lo, hi = lowers[i], bounds[i]
+                est = (
+                    f"({d(lo)} + ({d(hi)} - {d(lo)}) * "
+                    f"(({rank} - CAST({cumb} AS DOUBLE)) "
+                    f"/ CAST(h{i} AS DOUBLE)))"
+                )
+            else:
+                est = d(bounds[-1])
+            whens.append(f"WHEN {rank} <= CAST({cum} AS DOUBLE) THEN {est}")
+        return "CASE " + " ".join(whens) + " END"
+
+    return (
+        "WITH h AS ("
+        "  SELECT date_trunc('hour', ts) AS bucket, event_type, value,"
+        f"    CASE WHEN value IS NOT NULL THEN {idx} END AS hidx"
+        "  FROM events), "
+        "g AS ("
+        "  SELECT bucket, event_type, count(value) AS cnt, "
+        f"   {cells}"
+        "  FROM h GROUP BY 1, 2) "
+        f"SELECT bucket, event_type, cnt, {qcase(0.5)} AS p50,"
+        f" {qcase(0.95)} AS p95, {qcase(0.99)} AS p99 FROM g"
+    )
+
+
 def _q_gapfill_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     t1h = R.rollup(ev, "ts", ["event_type"], "value", "1h").withColumn(
@@ -446,6 +521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_1d_cascade": _q_rollup_1d_cascade,
         "rollup_1m_salted": _q_rollup_1m_salted,
         "sketch_distinct_tiers": _q_sketch_distinct_tiers,
+        "hist_quantile_1h": _q_hist_quantile_1h,
         "gorilla_roundtrip_1m": _q_gorilla_roundtrip,
         "stream_rollup_replay_1m": _q_stream_rollup_replay,
         "rollup_5m_width": _q_rollup_5m_width,
@@ -532,6 +608,7 @@ def oracle_sql() -> dict[str, str]:
             "/ (count(value) * 100.0) AS avg_v "
             "FROM events GROUP BY 1, 2"
         ),
+        "hist_quantile_1h": _hist_quantile_oracle(),
         "rollup_1h_cascade": _ROLLUP_SELECT.format(unit="hour"),
         "rollup_1d_cascade": _ROLLUP_SELECT.format(unit="day"),
         "rollup_1m_salted": _ROLLUP_SELECT.format(unit="minute"),

@@ -262,3 +262,161 @@ def salted_rollup(
             F.max("max_v").alias("max_v"),
         )
     )
+
+# ---------------------------------------------------------------------------
+# Quantile histograms in the tiers.  Percentiles, like COUNT(DISTINCT), do
+# not cascade: p95-of-p95s is meaningless, and carrying the raw values is
+# O(points).  The classic continuous-aggregate answer (Prometheus classic
+# histograms, DDSketch) is a MERGEABLE bucket-count vector per tier row
+# against one FIXED, explicit bound list: element-wise integer sums make the
+# 1m→1h→1d cascade EXACT (bit-identical to a direct coarse rollup — asserted
+# in tests/test_rollup_hist.py), and any quantile is served from any tier by
+# rank interpolation inside one bucket, with relative error bounded by the
+# bound spacing.  Everything is pure Column arithmetic (codegen, no UDF):
+# the bucket index is a chain of value>bound conditions, the histogram is
+# one conditional-sum array per group — a single shuffle, same as rollup().
+#
+# At the north rule's scale this is the only way a p99-latency-style panel
+# is answerable from tiers: the histogram column is O(len(bounds)) per
+# (bucket, series) regardless of point count, and serving p99 over a month
+# reads the 1d tier instead of 10^12 raw points.
+# ---------------------------------------------------------------------------
+
+
+def log2_bounds(lo: float, hi: float) -> list[float]:
+    """Half-octave log-spaced bucket bounds: 1.0·2^k and 1.5·2^k, clamped to
+    [lo, hi].  Every bound is an exactly-representable binary double, so the
+    same literal list reproduces bit-identically in any ANSI engine (the
+    property the DuckDB oracle relies on).  Relative quantile error is
+    bounded by the half-octave spacing (≤ ~25% worst case, ~12% typical);
+    callers needing tighter error pass denser explicit bounds."""
+    if not (0 < lo < hi):
+        raise ValueError("need 0 < lo < hi")
+    out: list[float] = []
+    x = 1.0
+    while x > lo:
+        x /= 2.0
+    while x <= hi:
+        for m in (x, x * 1.5):
+            if lo <= m <= hi:
+                out.append(m)
+        x *= 2.0
+    if not out or out[-1] < hi:
+        out.append(hi)
+    return out
+
+
+def _bucket_index(v: Column, bounds: Sequence[float]) -> Column:
+    """0-based histogram cell of ``v``: the number of bounds strictly below
+    it — cell i covers (bounds[i-1], bounds[i]]; cell len(bounds) is the
+    +inf overflow cell.  A chain of codegen comparisons, exact in IEEE."""
+    idx: Column = F.lit(0)
+    for b in bounds:
+        idx = idx + F.when(v > F.lit(float(b)), 1).otherwise(0)
+    return idx
+
+
+def rollup_with_histogram(
+    df: DataFrame,
+    ts_col: str,
+    key_cols: Sequence[str],
+    value_col: str,
+    bounds: Sequence[float],
+    tier: str = "1m",
+) -> DataFrame:
+    """``rollup`` plus a mergeable bucket-count histogram of ``value_col``
+    per tier row (column ``hist: array<bigint>`` of len(bounds)+1 cells,
+    last = overflow above bounds[-1]).  NULL values contribute to nothing
+    (same contract as ``rollup``)."""
+    if list(bounds) != sorted(set(float(b) for b in bounds)):
+        raise ValueError("bounds must be strictly increasing")
+    unit = _trunc_unit(tier)
+    v = F.col(value_col)
+    with_idx = df.withColumn(
+        "_hidx", F.when(v.isNotNull(), _bucket_index(v, bounds))
+    )
+    ncells = len(bounds) + 1
+    hist = F.array(
+        *[
+            F.sum(F.when(F.col("_hidx") == i, 1).otherwise(0)).cast("long")
+            for i in range(ncells)
+        ]
+    ).alias("hist")
+    return (
+        with_idx.groupBy(
+            F.date_trunc(unit, F.col(ts_col)).alias("bucket"),
+            *[F.col(k) for k in key_cols],
+        )
+        .agg(
+            F.count(v).alias("cnt"),
+            F.sum(v).alias("sum_v"),
+            F.min(v).alias("min_v"),
+            F.max(v).alias("max_v"),
+            hist,
+        )
+    )
+
+
+def cascade_with_histogram(
+    rolled: DataFrame, key_cols: Sequence[str], tier: str, ncells: int
+) -> DataFrame:
+    """``cascade`` plus element-wise integer sum of the histogram vectors —
+    the quantile analogue of sum-of-sums, and EXACT (cascaded counts are
+    bit-identical to a direct coarse histogram)."""
+    unit = _trunc_unit(tier)
+    hist = F.array(
+        *[
+            F.sum(F.element_at(F.col("hist"), i + 1)).alias(f"_h{i}")
+            for i in range(ncells)
+        ]
+    ).alias("hist")
+    return (
+        rolled.groupBy(
+            F.date_trunc(unit, F.col("bucket")).alias("bucket"),
+            *[F.col(k) for k in key_cols],
+        )
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            F.sum("sum_v").alias("sum_v"),
+            F.min("min_v").alias("min_v"),
+            F.max("max_v").alias("max_v"),
+            hist,
+        )
+    )
+
+
+def histogram_quantile(
+    rolled: DataFrame, q: float, bounds: Sequence[float], out_col: str
+) -> DataFrame:
+    """Serve quantile ``q`` from a histogram tier (Prometheus
+    ``histogram_quantile`` semantics): rank = q·total over the cumulative
+    cell counts, linear interpolation inside the containing cell.  The first
+    cell interpolates from 0; the overflow cell clamps to bounds[-1] (no
+    upper bound to interpolate toward).  Pure Column arithmetic with a fixed
+    operand order, so an ANSI oracle replaying the same chain bit-matches."""
+    if not 0.0 < q <= 1.0:
+        raise ValueError("q must be in (0, 1]")
+    ncells = len(bounds) + 1
+    cells = [F.element_at(F.col("hist"), i + 1) for i in range(ncells)]
+    total = F.col("cnt")
+    rank = F.lit(float(q)) * total.cast("double")
+    # cumulative counts are exact integers; build the CASE chain lowest-first
+    cum: Column = F.lit(0).cast("long")
+    expr: Column | None = None
+    lowers = [0.0] + [float(b) for b in bounds[:-1]]
+    for i in range(ncells):
+        cum_before = cum
+        cum = cum + cells[i]
+        if i < len(bounds):
+            lo, hi = lowers[i], float(bounds[i])
+            est = F.lit(lo) + (F.lit(hi) - F.lit(lo)) * (
+                (rank - cum_before.cast("double")) / cells[i].cast("double")
+            )
+        else:
+            est = F.lit(float(bounds[-1]))
+        cond = rank <= cum.cast("double")
+        expr = F.when(cond, est) if expr is None else expr.when(cond, est)
+    assert expr is not None
+    return rolled.withColumn(
+        out_col, F.when(total > 0, expr.otherwise(F.lit(float(bounds[-1]))))
+    )
