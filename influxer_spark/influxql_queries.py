@@ -962,6 +962,40 @@ SELECT bucket, event_type, v AS top, CAST(rank AS INT) AS rank FROM (
 """
 
 
+def _q_m4(spark, sf_dir):
+    """M4 downsample (VLDB 2014): the ≤4 real points (first/last/min/max)
+    per (event_type, 1h pixel column).  One groupBy shuffle, struct
+    min/max selectors, no window sort.  Oracle replays the identical
+    total orders with ranked windows — raw values, no float arithmetic."""
+    from influxer_spark.operators.m4 import m4_downsample
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return m4_downsample(ev, "ts", ["event_type"], "value", 3600)
+
+
+_M4_SQL = """
+WITH b AS (
+  SELECT event_type,
+    make_timestamp((CAST(floor(epoch(ts)) AS BIGINT)
+      - CAST(floor(epoch(ts)) AS BIGINT) % 3600) * 1000000) AS bucket,
+    ts, value
+  FROM events WHERE value IS NOT NULL),
+r AS (
+  SELECT *,
+    row_number() OVER (PARTITION BY event_type, bucket
+                       ORDER BY ts, value) AS rf,
+    row_number() OVER (PARTITION BY event_type, bucket
+                       ORDER BY ts DESC, value DESC) AS rl,
+    row_number() OVER (PARTITION BY event_type, bucket
+                       ORDER BY value, ts) AS rmin,
+    row_number() OVER (PARTITION BY event_type, bucket
+                       ORDER BY value DESC, ts DESC) AS rmax
+  FROM b)
+SELECT DISTINCT event_type, bucket, ts, value FROM r
+WHERE 1 IN (rf, rl, rmin, rmax)
+"""
+
+
 def _q_holt_winters(spark, sf_dir):
     """Rows-only contract query (iterative Nelder-Mead fit — no SQL
     oracle; method semantics pinned by tests/test_holtwinters.py):
@@ -1000,6 +1034,7 @@ def influxql_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "influxql_top_per_tag": _q_top_per_tag,
         "influxql_counter_rate": _q_counter_rate,
         "lttb_downsample_50": _q_lttb,
+        "m4_downsample_1h": _q_m4,
         "anomaly_mad_hourly": _q_anomaly_mad,
         "cusum_changepoints_hourly": _q_cusum,
         "holt_winters_forecast_24h": _q_holt_winters,
@@ -1030,6 +1065,7 @@ def influxql_oracle_sql() -> dict[str, str]:
         "influxql_top_per_tag": _TOP_PER_TAG_SQL,
         "influxql_counter_rate": _COUNTER_RATE_SQL,
         "lttb_downsample_50": _lttb_sql(50),
+        "m4_downsample_1h": _M4_SQL,
         "anomaly_mad_hourly": _ANOMALY_MAD_SQL,
         "cusum_changepoints_hourly": _cusum_sql(0.5, 5.0),
     }
