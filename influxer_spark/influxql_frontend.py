@@ -1358,6 +1358,7 @@ class InfluxQLEngine:
         catalog: Any,
         key_cols: tuple[str, ...] = ("url", "metric"),
         value_field: str = "value",
+        hist_bounds: Any = None,
     ) -> None:
         """Serve this measurement's ``GROUP BY time(w)`` aggregate queries
         from the catalog's materialized rollup tiers (``rollup_1m/1h/1d``)
@@ -1372,11 +1373,20 @@ class InfluxQLEngine:
         under the same name (or errors if there is none).  At 10^12-point
         scale the rewrite reads O(buckets) instead of O(points) with
         manifest-level partition pruning.
+
+        ``hist_bounds`` (the bound list the pipeline's ``hist_bounds=``
+        materialized into the tiers) additionally opts percentile()/median()
+        into tier serving via rank interpolation on the histogram cells —
+        an EXPLICITLY APPROXIMATE rewrite (error bounded by the bound
+        spacing), so it is opt-in here rather than silently substituted for
+        InfluxQL's exact nearest-rank percentile.  Without it, percentile
+        queries fall back to raw points as before.
         """
         self.tiered[name] = {
             "catalog": catalog,
             "key_cols": tuple(key_cols),
             "value_field": value_field,
+            "hist_bounds": list(hist_bounds) if hist_bounds else None,
         }
 
     def _tiered_answerable(self, stmt: Select) -> bool:
@@ -1400,11 +1410,18 @@ class InfluxQLEngine:
         ]
         if not aggish:
             return False
+        allowed = self._TIER_AGGS | (
+            {"percentile", "median"} if cfg["hist_bounds"] else set()
+        )
         for c in aggish:
-            if c.fname not in self._TIER_AGGS:
+            if c.fname not in allowed:
                 return False
             if not (c.args and isinstance(c.args[0], Ref)
                     and c.args[0].name == cfg["value_field"]):
+                return False
+            if c.fname == "percentile" and not (
+                len(c.args) == 2 and isinstance(c.args[1], Num)
+            ):
                 return False
         if stmt.where is None:
             return True
@@ -1497,10 +1514,39 @@ class InfluxQLEngine:
             "max": F.max("max_v"),
             "spread": F.max("max_v") - F.min("min_v"),
         }
-        aggs = [combine[c.fname].alias(aliases[k]) for k, c in agg_calls.items()]
+        hist_calls = {
+            k: c for k, c in agg_calls.items()
+            if c.fname in ("percentile", "median")
+        }
+        aggs = [
+            combine[c.fname].alias(aliases[k])
+            for k, c in agg_calls.items()
+            if k not in hist_calls
+        ]
+        if hist_calls:
+            from influxer_spark.operators import rollup as _R
+
+            bounds = cfg["hist_bounds"]
+            aggs.append(F.sum("cnt").alias("_hq_cnt"))
+            aggs.append(
+                _R.hist_sum_expr(len(bounds) + 1).alias("_hq_hist")
+            )
         secs = F.unix_timestamp(F.col("bucket").cast("timestamp")).cast("long")
         bucket = F.timestamp_seconds(secs - (secs % w)).alias("time")
         grouped = df.groupBy(bucket, *keys).agg(*aggs)
+        if hist_calls:
+            for k, c in hist_calls.items():
+                q = (
+                    0.5 if c.fname == "median"
+                    else float(c.args[1].value) / 100.0
+                )
+                grouped = grouped.withColumn(
+                    aliases[k],
+                    _R.histogram_quantile_expr(
+                        F.col("_hq_hist"), F.col("_hq_cnt"), q, bounds
+                    ),
+                )
+            grouped = grouped.drop("_hq_hist", "_hq_cnt")
         if stmt.fill_mode != "none":
             bounds = None
             if lo is not None and hi is not None:

@@ -364,12 +364,7 @@ def cascade_with_histogram(
     the quantile analogue of sum-of-sums, and EXACT (cascaded counts are
     bit-identical to a direct coarse histogram)."""
     unit = _trunc_unit(tier)
-    hist = F.array(
-        *[
-            F.sum(F.element_at(F.col("hist"), i + 1)).alias(f"_h{i}")
-            for i in range(ncells)
-        ]
-    ).alias("hist")
+    hist = hist_sum_expr(ncells).alias("hist")
     return (
         rolled.groupBy(
             F.date_trunc(unit, F.col("bucket")).alias("bucket"),
@@ -385,20 +380,18 @@ def cascade_with_histogram(
     )
 
 
-def histogram_quantile(
-    rolled: DataFrame, q: float, bounds: Sequence[float], out_col: str
-) -> DataFrame:
-    """Serve quantile ``q`` from a histogram tier (Prometheus
-    ``histogram_quantile`` semantics): rank = q·total over the cumulative
-    cell counts, linear interpolation inside the containing cell.  The first
-    cell interpolates from 0; the overflow cell clamps to bounds[-1] (no
-    upper bound to interpolate toward).  Pure Column arithmetic with a fixed
-    operand order, so an ANSI oracle replaying the same chain bit-matches."""
+def histogram_quantile_expr(
+    hist_col, cnt_col, q: float, bounds: Sequence[float]
+):
+    """The quantile-from-histogram Column expression (see
+    :func:`histogram_quantile`); exposed so callers holding the hist/cnt
+    columns under other names (query API, InfluxQL tier routing) reuse the
+    identical operand order."""
     if not 0.0 < q <= 1.0:
         raise ValueError("q must be in (0, 1]")
     ncells = len(bounds) + 1
-    cells = [F.element_at(F.col("hist"), i + 1) for i in range(ncells)]
-    total = F.col("cnt")
+    cells = [F.element_at(hist_col, i + 1) for i in range(ncells)]
+    total = cnt_col
     rank = F.lit(float(q)) * total.cast("double")
     # cumulative counts are exact integers; build the CASE chain lowest-first
     cum: Column = F.lit(0).cast("long")
@@ -417,6 +410,30 @@ def histogram_quantile(
         cond = rank <= cum.cast("double")
         expr = F.when(cond, est) if expr is None else expr.when(cond, est)
     assert expr is not None
+    return F.when(total > 0, expr.otherwise(F.lit(float(bounds[-1]))))
+
+
+def histogram_quantile(
+    rolled: DataFrame, q: float, bounds: Sequence[float], out_col: str
+) -> DataFrame:
+    """Serve quantile ``q`` from a histogram tier (Prometheus
+    ``histogram_quantile`` semantics): rank = q·total over the cumulative
+    cell counts, linear interpolation inside the containing cell.  The first
+    cell interpolates from 0; the overflow cell clamps to bounds[-1] (no
+    upper bound to interpolate toward).  Pure Column arithmetic with a fixed
+    operand order, so an ANSI oracle replaying the same chain bit-matches."""
     return rolled.withColumn(
-        out_col, F.when(total > 0, expr.otherwise(F.lit(float(bounds[-1]))))
+        out_col,
+        histogram_quantile_expr(F.col("hist"), F.col("cnt"), q, bounds),
+    )
+
+
+def hist_sum_expr(ncells: int, hist_col: str = "hist"):
+    """Element-wise integer sum of histogram vectors as a groupBy aggregate
+    list — the cascade/re-bucket combiner (exact)."""
+    return F.array(
+        *[
+            F.sum(F.element_at(F.col(hist_col), i + 1))
+            for i in range(ncells)
+        ]
     )

@@ -67,6 +67,7 @@ def run_pipeline(
     resume: bool = True,
     encode_gorilla: bool = True,
     validate_extraction: bool = False,
+    hist_bounds: list[float] | None = None,
 ) -> PipelineResult:
     """Run (or resume) the full pipeline over a pages parquet table."""
     t0 = time.time()
@@ -84,6 +85,7 @@ def run_pipeline(
             encode_gorilla=encode_gorilla,
             validate_extraction=validate_extraction,
             source=pages_path,
+            hist_bounds=hist_bounds,
         )
         res.days_processed = pending
     res.elapsed_s = time.time() - t0
@@ -117,6 +119,7 @@ def process_days(
     encode_gorilla: bool = True,
     validate_extraction: bool = False,
     source: str = "",
+    hist_bounds: list[float] | None = None,
 ) -> dict[str, dict[str, Any]]:
     """One distributed wave over every pending day; commits each tier's
     partitions with counters + lineage.  Idempotent: a crashed/partial run
@@ -148,11 +151,24 @@ def process_days(
     )
     points = pages_to_points(wide)
     lineage = {d: {"source": source, "day": d} for d in days}
-    t1m = (
-        R.rollup(points, "warc_ts", POINT_KEYS, "value", "1m")
-        .withColumn("day", _day_of("bucket"))
-        .cache()
-    )
+    # hist_bounds opts the tiers into mergeable quantile histograms
+    # (rollup.rollup_with_histogram): same single shuffle per tier, an extra
+    # array<long> column, exact integer-sum cascade — p50/p95/p99 then serve
+    # from any tier (query.read_quantile) instead of re-scanning raw points
+    if hist_bounds:
+        t1m_raw = R.rollup_with_histogram(
+            points, "warc_ts", POINT_KEYS, "value", hist_bounds, "1m"
+        )
+    else:
+        t1m_raw = R.rollup(points, "warc_ts", POINT_KEYS, "value", "1m")
+    t1m = t1m_raw.withColumn("day", _day_of("bucket")).cache()
+    ncells = len(hist_bounds) + 1 if hist_bounds else 0
+
+    def _cascade(frame: DataFrame, tier: str) -> DataFrame:
+        if hist_bounds:
+            return R.cascade_with_histogram(frame, POINT_KEYS, tier, ncells)
+        return R.cascade(frame, POINT_KEYS, tier)
+
     try:
         # one job for both per-day counters, straight off the wide cache
         stats = {
@@ -191,7 +207,7 @@ def process_days(
             for r in t1m.groupBy("day").agg(F.count("*").alias("n")).collect()
         }
 
-        t1h = R.cascade(t1m.drop("day"), POINT_KEYS, "1h").withColumn(
+        t1h = _cascade(t1m.drop("day"), "1h").withColumn(
             "day", _day_of("bucket")
         )
         catalog.write_partitions(
@@ -202,7 +218,7 @@ def process_days(
         t1h_committed = catalog.read_partitions_with_key(
             spark, "rollup_1h", days
         ).withColumnRenamed("p", "day")
-        t1d = R.cascade(t1h_committed.drop("day"), POINT_KEYS, "1d").withColumn(
+        t1d = _cascade(t1h_committed.drop("day"), "1d").withColumn(
             "day", _day_of("bucket")
         )
         catalog.write_partitions(

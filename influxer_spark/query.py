@@ -152,3 +152,53 @@ def read_series(
     if end is not None:
         out = out.filter(F.col("bucket") < F.lit(end))
     return out
+
+
+def read_quantile(
+    spark: SparkSession,
+    catalog: TableCatalog,
+    width_seconds: int,
+    q: float,
+    bounds: Sequence[float],
+    start: dt.datetime | None = None,
+    end: dt.datetime | None = None,
+    key_cols: Sequence[str] = ("url", "metric"),
+    tier: str | None = None,
+    out_col: str = "q_v",
+) -> DataFrame:
+    """Quantile ``q`` at any bucket width over [start, end), served from a
+    histogram-bearing tier (pipeline ``hist_bounds=``) — manifest-pruned,
+    element-wise re-bucket of the cell counts (exact), then rank
+    interpolation (relative error bounded by the bound spacing).  The
+    continuous-aggregate answer to "p99 latency panel over a month":
+    O(buckets · len(bounds)) read instead of a raw percentile over
+    O(points).  ``bounds`` must be the list the tier was built with."""
+    from influxer_spark.operators import rollup as R
+
+    tier = tier or select_tier(width_seconds)
+    table = f"rollup_{tier}"
+    parts = _partitions_in_range(catalog, table, start, end)
+    if not parts:
+        raise ValueError(f"no committed {table} partitions in range")
+    df = spark.read.parquet(*catalog.partition_paths(table, parts))
+    if "hist" not in df.columns:
+        raise ValueError(
+            f"{table} has no 'hist' column — run the pipeline with "
+            "hist_bounds= to materialize quantile histograms"
+        )
+    if start is not None:
+        df = df.filter(F.col("bucket") >= F.lit(start))
+    if end is not None:
+        df = df.filter(F.col("bucket") < F.lit(end))
+    secs = F.unix_timestamp(F.col("bucket").cast("timestamp"))
+    out_bucket = F.timestamp_seconds(
+        (secs - (secs % width_seconds)).cast("long")
+    ).alias("bucket")
+    grouped = (
+        df.groupBy(out_bucket, *[F.col(k) for k in key_cols])
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            R.hist_sum_expr(len(bounds) + 1).alias("hist"),
+        )
+    )
+    return R.histogram_quantile(grouped, q, bounds, out_col).drop("hist")

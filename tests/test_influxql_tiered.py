@@ -125,3 +125,93 @@ def test_ta_over_aggregate_served_from_tier(built):
     assert got.keys() == want.keys() and len(got) > 10
     for k, v in got.items():
         assert v == pytest.approx(want[k], rel=1e-12)
+
+
+@pytest.fixture(scope="module")
+def built_hist(spark, tmp_path_factory):
+    """Pipeline run with hist_bounds: tiers carry the quantile histogram."""
+    from influxer_spark.operators.rollup import log2_bounds
+
+    d = tmp_path_factory.mktemp("tiered_hist")
+    pages = generate_pages(str(d / "pg"), n_rows=2000, seed=7, days=2)
+    root = str(d / "cat")
+    bounds = log2_bounds(1.0, 2.0**21)  # crawl metrics span bytes→tokens
+    run_pipeline(spark, pages, root, encode_gorilla=False, hist_bounds=bounds)
+    points = pages_to_points(
+        with_crawl_metrics(with_extracted(spark.read.parquet(pages)))
+    )
+    return points, TableCatalog(root), bounds
+
+
+def test_percentile_served_from_hist_tier(built_hist):
+    points, cat, bounds = built_hist
+    raw = InfluxQLEngine({"pages": points}, ts_col="warc_ts")
+    tiered = InfluxQLEngine({}, ts_col="warc_ts")  # tier-only: no raw table
+    tiered.register_tiered(
+        "pages", cat, key_cols=("url", "metric"), hist_bounds=bounds
+    )
+    q = (
+        "SELECT percentile(value, 95) AS p95, median(value) AS med, "
+        "count(value) AS cnt FROM pages GROUP BY time(4h), metric"
+    )
+    df = tiered.execute(q)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "rollup_1h" in plan  # served from the tier, not raw
+    got = {tuple(r[:2]): r for r in df.collect()}
+    want = {tuple(r[:2]): r for r in raw.execute(q).collect()}
+    assert got.keys() == want.keys() and len(got) > 10
+    for k, g in got.items():
+        w = want[k]
+        assert g["cnt"] == w["cnt"]  # count stays exact alongside
+        # histogram quantile is approximate within one half-octave cell
+        for c in ("p95", "med"):
+            if w[c] and w[c] > 0:
+                assert w[c] / 1.5 <= g[c] <= w[c] * 1.5, (k, c, g[c], w[c])
+
+
+def test_percentile_without_hist_bounds_still_falls_back(built_hist):
+    points, cat, _ = built_hist
+    tiered = InfluxQLEngine({"pages": points}, ts_col="warc_ts")
+    tiered.register_tiered("pages", cat, key_cols=("url", "metric"))
+    df = tiered.execute(
+        "SELECT percentile(value, 90) FROM pages GROUP BY time(1h), metric"
+    )
+    # not opted in -> exact nearest-rank percentile over raw, as before
+    assert "rollup_" not in df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_read_quantile_api_matches_tier_contents(built_hist, spark):
+    import datetime as dt
+
+    from influxer_spark.operators.rollup import (
+        hist_sum_expr,
+        histogram_quantile,
+    )
+    from influxer_spark.query import read_quantile
+
+    points, cat, bounds = built_hist
+    out = read_quantile(
+        spark, cat, 4 * 3600, 0.99, bounds, key_cols=("metric",)
+    )
+    rows = out.collect()
+    assert len(rows) > 10 and all(r["q_v"] is not None for r in rows)
+    # spot-check one bucket against a direct histogram over the 1h tier
+    t1h = spark.read.parquet(
+        *cat.partition_paths("rollup_1h", sorted(cat.committed_partitions("rollup_1h")))
+    )
+    secs = F.unix_timestamp(F.col("bucket").cast("timestamp"))
+    direct = histogram_quantile(
+        t1h.groupBy(
+            F.timestamp_seconds(((secs - secs % (4 * 3600))).cast("long")).alias("bucket"),
+            "metric",
+        ).agg(
+            F.sum("cnt").alias("cnt"),
+            hist_sum_expr(len(bounds) + 1).alias("hist"),
+        ),
+        0.99,
+        bounds,
+        "q_v",
+    )
+    want = {(r["bucket"], r["metric"]): r["q_v"] for r in direct.collect()}
+    got = {(r["bucket"], r["metric"]): r["q_v"] for r in rows}
+    assert got == want
