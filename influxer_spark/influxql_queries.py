@@ -761,6 +761,34 @@ SELECT bucket, event_type, cr FROM (
 """
 
 
+def _q_deadman(spark, sf_dir):
+    """Deadman (no-data) buckets: 1h windows in which an event_type wrote
+    zero points (215 real gaps at sf0.01), spine = each series' own observed
+    range.  Raw timestamps and counts only — no float arithmetic to drift."""
+    from influxer_spark.operators.influxql import deadman
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return deadman(ev, ["event_type"], "ts", 3600)
+
+
+_DEADMAN_SQL = """
+WITH c AS (
+  SELECT event_type,
+    make_timestamp((CAST(floor(epoch(ts)) AS BIGINT)
+      - CAST(floor(epoch(ts)) AS BIGINT) % 3600) * 1000000) AS bucket,
+    count(*) AS n
+  FROM events GROUP BY 1, 2),
+s AS (
+  SELECT event_type,
+    unnest(generate_series(min(bucket), max(bucket),
+                           INTERVAL 3600 SECONDS)) AS bucket
+  FROM c GROUP BY event_type)
+SELECT s.event_type, s.bucket, 'deadman' AS alert
+FROM s LEFT JOIN c ON s.event_type = c.event_type AND s.bucket = c.bucket
+WHERE c.n IS NULL
+"""
+
+
 def _q_anomaly_mad(spark, sf_dir):
     """Robust outlier flags over the hourly series; medians are
     nearest-rank data points so the whole pipeline is float-sum-free."""
@@ -1035,6 +1063,7 @@ def influxql_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "influxql_counter_rate": _q_counter_rate,
         "lttb_downsample_50": _q_lttb,
         "m4_downsample_1h": _q_m4,
+        "deadman_1h": _q_deadman,
         "anomaly_mad_hourly": _q_anomaly_mad,
         "cusum_changepoints_hourly": _q_cusum,
         "holt_winters_forecast_24h": _q_holt_winters,
@@ -1066,6 +1095,7 @@ def influxql_oracle_sql() -> dict[str, str]:
         "influxql_counter_rate": _COUNTER_RATE_SQL,
         "lttb_downsample_50": _lttb_sql(50),
         "m4_downsample_1h": _M4_SQL,
+        "deadman_1h": _DEADMAN_SQL,
         "anomaly_mad_hourly": _ANOMALY_MAD_SQL,
         "cusum_changepoints_hourly": _cusum_sql(0.5, 5.0),
     }

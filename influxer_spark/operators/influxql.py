@@ -395,6 +395,46 @@ def cusum_changepoints(
     )
 
 
+def deadman(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    width_seconds: int,
+    spine_bounds: tuple | None = None,
+) -> DataFrame:
+    """Deadman (no-data) alert — Kapacitor's signature monitor: per series,
+    the epoch-aligned ``width_seconds`` buckets in which the series reported
+    ZERO points (any point counts, even a NULL value — deadman watches
+    liveness, not values).  Spine is each series' own observed [min, max]
+    bucket range, or ``spine_bounds=(lo, hi)`` to pin the watched window
+    (a monitor wants "now - 24h", not the series' own range, so a dead-since-
+    yesterday series still alerts).
+
+    Execution shape: one rollup-width count + the gap-fill spine machinery
+    (per-series sequence, no calendar cross-join) + the filled-flag filter —
+    O(buckets) per series, same single shuffle as gapfill.
+
+    Returns (*key_cols, bucket, alert='deadman').
+    """
+    from influxer_spark.operators.gapfill import fill_buckets
+
+    secs = F.unix_timestamp(F.col(ts_col).cast("timestamp"))
+    bucket = F.timestamp_seconds(
+        (secs - (secs % int(width_seconds))).cast("long")
+    ).alias("bucket")
+    counted = df.groupBy(bucket, *[F.col(k) for k in key_cols]).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    filled = fill_buckets(
+        counted, key_cols, ["n"], int(width_seconds),
+        mode="null", spine_bounds=spine_bounds,
+    )
+    return (
+        filled.where(F.col("filled"))
+        .select(*key_cols, "bucket", F.lit("deadman").alias("alert"))
+    )
+
+
 def anomaly_mad(
     df: DataFrame,
     key_cols: Sequence[str],

@@ -548,3 +548,28 @@ def test_kama_and_anomaly_skip_null_points(spark):
     assert len(med_rows) == len(dense)
     sv = sorted(dense)
     assert med_rows[0]["med"] == sv[int(0.5 * len(dense) + 0.5) - 1]
+
+
+def test_deadman_pinned_window_alerts_dead_series(spark):
+    """A series that stopped reporting before the watched window must alert
+    in EVERY bucket of a pinned spine (the monitoring use), and a live
+    series only in its actual gaps."""
+    import datetime as dt
+
+    from influxer_spark.operators.influxql import deadman
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(t0 + dt.timedelta(minutes=10 * i), "live", 1.0) for i in range(18)]
+    # live series misses minutes [60, 90): one empty 30m bucket
+    rows = [r for r in rows if not (60 <= (r[0] - t0).total_seconds() / 60 < 90)]
+    rows += [(t0 - dt.timedelta(hours=3), "dead", 1.0)]  # last report long ago
+    df = spark.createDataFrame(rows, ["ts", "host", "value"])
+    lo, hi = t0, t0 + dt.timedelta(hours=2, minutes=30)
+    out = deadman(df, ["host"], "ts", 1800, spine_bounds=(lo, hi))
+    got = {(r["host"], r["bucket"]) for r in out.collect()}
+    dead_buckets = {(
+        "dead", t0 + dt.timedelta(minutes=30 * i)) for i in range(6)}
+    assert dead_buckets <= got
+    assert ("live", t0 + dt.timedelta(hours=1)) in got
+    assert not any(h == "live" and b != t0 + dt.timedelta(hours=1)
+                   for h, b in got)
