@@ -316,6 +316,18 @@ def _bucket_index(v: Column, bounds: Sequence[float]) -> Column:
     return idx
 
 
+def hist_cells_agg(idx_col: Column, ncells: int) -> Column:
+    """Bucket-count vector as ONE groupBy aggregate (array of conditional
+    sums — codegen, map-side partial); shared by the batch rollup and the
+    streaming 1m tier so their tier schemas stay identical."""
+    return F.array(
+        *[
+            F.sum(F.when(idx_col == i, 1).otherwise(0)).cast("long")
+            for i in range(ncells)
+        ]
+    )
+
+
 def rollup_with_histogram(
     df: DataFrame,
     ts_col: str,
@@ -336,12 +348,7 @@ def rollup_with_histogram(
         "_hidx", F.when(v.isNotNull(), _bucket_index(v, bounds))
     )
     ncells = len(bounds) + 1
-    hist = F.array(
-        *[
-            F.sum(F.when(F.col("_hidx") == i, 1).otherwise(0)).cast("long")
-            for i in range(ncells)
-        ]
-    ).alias("hist")
+    hist = hist_cells_agg(F.col("_hidx"), ncells).alias("hist")
     return (
         with_idx.groupBy(
             F.date_trunc(unit, F.col(ts_col)).alias("bucket"),

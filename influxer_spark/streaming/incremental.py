@@ -42,12 +42,14 @@ def stream_rollup_1m(
     watermark: str = "1 hour",
     distinct_col: str | None = None,
     lg_k: int = 12,
+    hist_bounds: Sequence[float] | None = None,
 ) -> DataFrame:
     """Watermarked tumbling-window 1m partial aggregate over a stream.
 
-    Returns (bucket, *key_cols, cnt, sum_v, min_v, max_v[, uu_sketch]) —
-    same schema as the batch ``rollup()``/``rollup_with_distinct()`` so
-    downstream cascade/gap-fill/sketch-union are shared.
+    Returns (bucket, *key_cols, cnt, sum_v, min_v, max_v[, uu_sketch]
+    [, hist]) — same schema as the batch ``rollup()`` /
+    ``rollup_with_distinct()`` / ``rollup_with_histogram()`` so downstream
+    cascade/gap-fill/sketch-union/quantile serving are shared.
     """
     v = F.col(value_col)
     win = F.window(F.col(ts_col), "1 minute")
@@ -68,6 +70,23 @@ def stream_rollup_1m(
             )
         )
         out_cols.append("uu_sketch")
+    if hist_bounds is not None:
+        # quantile-histogram cells (rollup.py rollup_with_histogram's
+        # streaming twin): plain conditional sums, so update-mode
+        # re-emission replaces the cell vector wholesale and read_tier's
+        # last-emission merge stays correct
+        from influxer_spark.operators.rollup import (
+            _bucket_index,
+            hist_cells_agg,
+        )
+
+        stream_df = stream_df.withColumn(
+            "_hidx", F.when(v.isNotNull(), _bucket_index(v, hist_bounds))
+        )
+        aggs.append(
+            hist_cells_agg(F.col("_hidx"), len(hist_bounds) + 1).alias("hist")
+        )
+        out_cols.append("hist")
     return (
         stream_df.withWatermark(ts_col, watermark)
         .groupBy(win, *[F.col(k) for k in key_cols])
@@ -87,6 +106,7 @@ def run_incremental_rollup(
     value_col: str = "value",
     watermark: str = "1 hour",
     distinct_col: str | None = None,
+    hist_bounds: Sequence[float] | None = None,
 ) -> None:
     """File-source stream → 1m partials, one idempotent dir per micro-batch.
 
@@ -102,7 +122,7 @@ def run_incremental_rollup(
     stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     rolled = stream_rollup_1m(
         stream, ts_col, key_cols, value_col, watermark,
-        distinct_col=distinct_col,
+        distinct_col=distinct_col, hist_bounds=hist_bounds,
     )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:

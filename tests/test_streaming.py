@@ -164,3 +164,49 @@ def test_streamed_sketch_matches_batch_estimate(spark, sf_dir, tmp_path):
     }
     assert got == want
     _assert_tier_matches_batch(merged.drop("uu_sketch"), ev)
+
+
+def test_streamed_hist_matches_batch_histogram(spark, sf_dir, tmp_path):
+    """hist_bounds: the streamed tier's quantile-histogram cells — merged
+    across two micro-batch runs with update-mode re-emission — cascade to
+    the same 1h cell counts (and thus identical quantiles) as a batch
+    rollup_with_histogram over the full input.  Integer cells, so equality
+    is exact, not approximate."""
+    bounds = R.log2_bounds(0.5, 512.0)
+    ev = _events(spark, sf_dir).orderBy("ts")
+    d = _dirs(tmp_path)
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    cut = lo + (hi - lo) / 2
+    _add_file(ev.filter(F.col("ts") <= cut), d["input"], d["stage"], "a")
+    run_incremental_rollup(
+        spark, d["input"], ev.schema, d["tier"], d["ckpt"],
+        hist_bounds=bounds,
+    )
+    _add_file(ev.filter(F.col("ts") > cut), d["input"], d["stage"], "b")
+    run_incremental_rollup(
+        spark, d["input"], ev.schema, d["tier"], d["ckpt"],
+        hist_bounds=bounds,
+    )
+    merged = read_tier(spark, d["tier"])
+    ncells = len(bounds) + 1
+    got = {
+        (r["bucket"], r["event_type"]): (tuple(r["hist"]), r["p95"])
+        for r in R.histogram_quantile(
+            R.cascade_with_histogram(merged, ["event_type"], "1h", ncells),
+            0.95, bounds, "p95",
+        ).collect()
+    }
+    want = {
+        (r["bucket"], r["event_type"]): (tuple(r["hist"]), r["p95"])
+        for r in R.histogram_quantile(
+            R.cascade_with_histogram(
+                R.rollup_with_histogram(
+                    ev, "ts", ["event_type"], "value", bounds
+                ),
+                ["event_type"], "1h", ncells,
+            ),
+            0.95, bounds, "p95",
+        ).collect()
+    }
+    assert got == want
+    _assert_tier_matches_batch(merged.drop("hist"), ev)
