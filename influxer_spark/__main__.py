@@ -27,7 +27,7 @@ def _build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="influxer_spark", add_help=True, prefix_chars="-"
     )
-    p.add_argument("-input", required=True, help="input file")
+    p.add_argument("-input", default=None, help="input file")
     p.add_argument("-format", default="Generic", choices=["Generic", "Perfmon"])
     p.add_argument("-table", default="points", help="measurement name")
     p.add_argument("-timeformat", default=None, help=".NET custom time format")
@@ -80,6 +80,23 @@ def _build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "-timecol", default="ts",
         help="time column of the -input table in -query mode (default ts)",
+    )
+    p.add_argument(
+        "-catalog", default=None, metavar="DIR",
+        help="-query mode: a pipeline TableCatalog root — registers the "
+        "-table measurement as tier-served (GROUP BY time() answered from "
+        "the materialized rollup_1m/1h/1d tiers with manifest pruning; "
+        "works with or without -input as the raw fallback)",
+    )
+    p.add_argument(
+        "-keys", default="url,metric",
+        help="tier series key columns for -catalog (default url,metric)",
+    )
+    p.add_argument(
+        "-histbounds", default=None, metavar="LO:HI",
+        help="with -catalog: half-octave histogram bound range the tiers "
+        "were built with (pipeline hist_bounds=log2_bounds(LO, HI)) — opts "
+        "percentile()/median() into approximate tier serving",
     )
     p.add_argument("-cores", type=int, default=None)
     return p
@@ -140,7 +157,12 @@ def _generic_config(args):
 
 
 def main(argv: list[str] | None = None) -> int:
-    args = _build_parser().parse_args(argv)
+    parser = _build_parser()
+    args = parser.parse_args(argv)
+    if not getattr(args, "input") and not (args.query and args.catalog):
+        # -input stays mandatory everywhere the reference required it; only
+        # a tier-only query (-query + -catalog) can run without raw data
+        parser.error("-input is required (optional only with -query -catalog)")
 
     if args.export:  # S9: layout discovery, no processing run
         from influxer_spark.ingest.config import export_config
@@ -160,10 +182,23 @@ def main(argv: list[str] | None = None) -> int:
     if args.query:
         from influxer_spark.influxql_frontend import InfluxQLEngine
 
-        eng = InfluxQLEngine(
-            {args.table: spark.read.parquet(getattr(args, "input"))},
-            ts_col=args.timecol,
-        )
+        tables = {}
+        if getattr(args, "input"):
+            tables[args.table] = spark.read.parquet(getattr(args, "input"))
+        eng = InfluxQLEngine(tables, ts_col=args.timecol)
+        if args.catalog:
+            from influxer_spark.catalog import TableCatalog
+            from influxer_spark.operators.rollup import log2_bounds
+
+            hb = None
+            if args.histbounds:
+                lo, hi = args.histbounds.split(":")
+                hb = log2_bounds(float(lo), float(hi))
+            eng.register_tiered(
+                args.table, TableCatalog(args.catalog),
+                key_cols=tuple(k for k in args.keys.split(",") if k),
+                hist_bounds=hb,
+            )
         out = eng.execute(args.query)
         cols = out.columns
         if args.output:

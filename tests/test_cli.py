@@ -131,3 +131,35 @@ def test_cli_query_mode(spark, sf_dir, tmp_path, capsys):
     assert printed.splitlines()[0] == "time\tevent_type\tn"
     got = spark.read.parquet(out)
     assert got.count() > 0 and set(got.columns) == {"time", "event_type", "n"}
+
+
+def test_cli_query_tier_only_with_catalog(spark, tmp_path, capsys):
+    """-query -catalog without -input: the InfluxQL statement is answered
+    entirely from the materialized tiers (incl. percentile via
+    -histbounds), no raw table needed."""
+    from influxer_spark.datagen import generate_pages
+    from influxer_spark.pipeline import run_pipeline
+
+    pages = generate_pages(str(tmp_path / "pg"), n_rows=1500, seed=3, days=2)
+    root = str(tmp_path / "cat")
+    from influxer_spark.operators.rollup import log2_bounds
+
+    run_pipeline(spark, pages, root, encode_gorilla=False,
+                 hist_bounds=log2_bounds(1.0, 2.0**21))
+    rc = main([
+        "-table", "pages", "-catalog", root, "-cores", "8",
+        "-histbounds", "1:2097152",
+        "-query", "SELECT mean(value) AS m, percentile(value, 95) AS p95 "
+        "FROM pages GROUP BY time(4h), metric",
+    ])
+    assert rc == 0
+    printed = capsys.readouterr().out
+    assert printed.splitlines()[0] == "time\tmetric\tm\tp95"
+    assert int(printed.splitlines()[-1].split()[0]) > 0  # "N rows in …"
+
+
+def test_cli_query_without_input_or_catalog_errors():
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        main(["-query", "SELECT 1 FROM x", "-table", "x"])
