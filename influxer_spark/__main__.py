@@ -190,12 +190,15 @@ def main(argv: list[str] | None = None) -> int:
             from influxer_spark.catalog import TableCatalog
             from influxer_spark.operators.rollup import log2_bounds
 
-            hb = None
+            cat = TableCatalog(args.catalog)
             if args.histbounds:
                 lo, hi = args.histbounds.split(":")
                 hb = log2_bounds(float(lo), float(hi))
+            else:
+                # default to the bound list the pipeline pinned on the tiers
+                hb = cat.table_property("rollup_1h", "hist_bounds")
             eng.register_tiered(
-                args.table, TableCatalog(args.catalog),
+                args.table, cat,
                 key_cols=tuple(k for k in args.keys.split(",") if k),
                 hist_bounds=hb,
             )

@@ -138,6 +138,24 @@ class TableCatalog:
         os.replace(tmp, self._current_path(name))  # atomic on POSIX
         return version
 
+    def set_table_property(self, name: str, key: str, value: Any) -> None:
+        """Set a table-level property in a new snapshot (Iceberg's table
+        properties analogue).  Used by the pipeline to pin schema-coupled
+        config — e.g. the histogram bound list the tiers were built with,
+        so quantile readers can't silently interpolate against the wrong
+        bounds.  Idempotent: committing an unchanged value is a no-op."""
+        manifest = self.read_manifest(name)
+        props = manifest.setdefault("properties", {})
+        if props.get(key) == value:
+            return
+        props[key] = value
+        self._commit_manifest(name, manifest)
+
+    def table_property(self, name: str, key: str, default: Any = None) -> Any:
+        if not self.exists(name):
+            return default
+        return self.read_manifest(name).get("properties", {}).get(key, default)
+
     def exists(self, name: str) -> bool:
         return self.current_snapshot(name) is not None or os.path.exists(
             os.path.join(self.table_path(name), "_manifest.json")

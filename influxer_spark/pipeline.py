@@ -227,6 +227,16 @@ def process_days(
             lineage_by_partition=lineage,
         )
 
+        if hist_bounds:
+            # pin the bound list on every histogram-bearing tier (table
+            # property, snapshot-committed): readers resolve it instead of
+            # re-supplying bounds, so a drifted list can't silently
+            # interpolate wrong quantiles
+            for t in ("rollup_1m", "rollup_1h", "rollup_1d"):
+                catalog.set_table_property(
+                    t, "hist_bounds", [float(b) for b in hist_bounds]
+                )
+
         counters: dict[str, dict[str, Any]] = {
             d: {
                 "rows_in": stats[d]["rows_in"],

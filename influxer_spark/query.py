@@ -159,7 +159,7 @@ def read_quantile(
     catalog: TableCatalog,
     width_seconds: int,
     q: float,
-    bounds: Sequence[float],
+    bounds: Sequence[float] | None = None,
     start: dt.datetime | None = None,
     end: dt.datetime | None = None,
     key_cols: Sequence[str] = ("url", "metric"),
@@ -172,11 +172,25 @@ def read_quantile(
     interpolation (relative error bounded by the bound spacing).  The
     continuous-aggregate answer to "p99 latency panel over a month":
     O(buckets · len(bounds)) read instead of a raw percentile over
-    O(points).  ``bounds`` must be the list the tier was built with."""
+    O(points).  ``bounds`` defaults to the list the tier was built with
+    (pinned as the table property ``hist_bounds`` by the pipeline); passing
+    a different list than the pinned one is an error — interpolating
+    against wrong bounds silently produces wrong quantiles."""
     from influxer_spark.operators import rollup as R
 
     tier = tier or select_tier(width_seconds)
     table = f"rollup_{tier}"
+    pinned = catalog.table_property(table, "hist_bounds")
+    if bounds is None:
+        bounds = pinned
+        if bounds is None:
+            raise ValueError(
+                f"{table} pins no hist_bounds property and none were given"
+            )
+    elif pinned is not None and [float(b) for b in bounds] != pinned:
+        raise ValueError(
+            f"given bounds differ from {table}'s pinned hist_bounds"
+        )
     parts = _partitions_in_range(catalog, table, start, end)
     if not parts:
         raise ValueError(f"no committed {table} partitions in range")

@@ -146,9 +146,10 @@ def test_cli_query_tier_only_with_catalog(spark, tmp_path, capsys):
 
     run_pipeline(spark, pages, root, encode_gorilla=False,
                  hist_bounds=log2_bounds(1.0, 2.0**21))
+    # no -histbounds: the CLI resolves the bound list the pipeline pinned
+    # as the tiers' hist_bounds table property
     rc = main([
         "-table", "pages", "-catalog", root, "-cores", "8",
-        "-histbounds", "1:2097152",
         "-query", "SELECT mean(value) AS m, percentile(value, 95) AS p95 "
         "FROM pages GROUP BY time(4h), metric",
     ])

@@ -190,9 +190,10 @@ def test_read_quantile_api_matches_tier_contents(built_hist, spark):
     from influxer_spark.query import read_quantile
 
     points, cat, bounds = built_hist
-    out = read_quantile(
-        spark, cat, 4 * 3600, 0.99, bounds, key_cols=("metric",)
-    )
+    # bounds omitted: resolved from the pinned hist_bounds table property
+    out = read_quantile(spark, cat, 4 * 3600, 0.99, key_cols=("metric",))
+    with pytest.raises(ValueError, match="differ from"):
+        read_quantile(spark, cat, 4 * 3600, 0.99, bounds[:-1])
     rows = out.collect()
     assert len(rows) > 10 and all(r["q_v"] is not None for r in rows)
     # spot-check one bucket against a direct histogram over the 1h tier
