@@ -155,6 +155,21 @@ def process_days(
     # (rollup.rollup_with_histogram): same single shuffle per tier, an extra
     # array<long> column, exact integer-sum cascade — p50/p95/p99 then serve
     # from any tier (query.read_quantile) instead of re-scanning raw points
+    #
+    # guard against mixed-schema tiers: flipping hist on/off (or changing
+    # the bound list) mid-catalog would leave partitions whose hist columns
+    # disagree — a quantile read over the union would silently interpolate
+    # garbage.  The histogram config is fixed at catalog creation.
+    pinned = catalog.table_property("rollup_1m", "hist_bounds")
+    committed = bool(catalog.committed_partitions("rollup_1m"))
+    given = [float(b) for b in hist_bounds] if hist_bounds else None
+    if committed and given != pinned:
+        raise ValueError(
+            "hist_bounds mismatch with this catalog's committed tiers "
+            f"(pinned={'unset' if pinned is None else f'{len(pinned)} bounds'}, "
+            f"given={'unset' if given is None else f'{len(given)} bounds'}); "
+            "histogram config is fixed at catalog creation"
+        )
     if hist_bounds:
         t1m_raw = R.rollup_with_histogram(
             points, "warc_ts", POINT_KEYS, "value", hist_bounds, "1m"

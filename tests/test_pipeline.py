@@ -338,3 +338,28 @@ def test_compaction_binpacks_files_preserving_data(tmp_path, spark):
     cat.expire_snapshots("t", keep_last=1)
     assert sorted(os.listdir(pdir)) == [entry["dir"]]
     assert cat.read_committed(spark, "t").count() == 1000
+
+
+def test_hist_bounds_fixed_at_catalog_creation(spark, tmp_path):
+    """Flipping the histogram config mid-catalog would mix tier schemas and
+    silently corrupt quantile reads — the pipeline must refuse."""
+    import pytest as _pytest
+
+    from influxer_spark.datagen import generate_pages
+    from influxer_spark.operators.rollup import log2_bounds
+    from influxer_spark.pipeline import run_pipeline
+
+    bounds = log2_bounds(1.0, 2.0**21)
+    pages = generate_pages(str(tmp_path / "pg"), n_rows=600, seed=5, days=2)
+    root = str(tmp_path / "cat")
+    run_pipeline(spark, pages, root, encode_gorilla=False, hist_bounds=bounds)
+    # same bounds resume: fine (no pending days -> also fine)
+    run_pipeline(spark, pages, root, encode_gorilla=False, hist_bounds=bounds)
+    more = generate_pages(str(tmp_path / "pg2"), n_rows=600, seed=6, days=4)
+    with _pytest.raises(ValueError, match="hist_bounds mismatch"):
+        run_pipeline(spark, more, root, encode_gorilla=False)  # hist dropped
+    with _pytest.raises(ValueError, match="hist_bounds mismatch"):
+        run_pipeline(
+            spark, more, root, encode_gorilla=False,
+            hist_bounds=bounds[:-1],  # different list
+        )
