@@ -125,6 +125,13 @@ def run_incremental_rollup(
         distinct_col=distinct_col, hist_bounds=hist_bounds,
     )
 
+    _drain_to_tier(rolled, tier_dir, checkpoint_dir)
+
+
+def _drain_to_tier(rolled: DataFrame, tier_dir: str, checkpoint_dir: str) -> None:
+    """availableNow update-mode drain into idempotent per-batch dirs — the
+    commit protocol shared by every streaming tier source."""
+
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         out = os.path.join(tier_dir, f"_batch={batch_id}")
         marker = os.path.join(out, "_COMMITTED")
@@ -145,6 +152,45 @@ def run_incremental_rollup(
         .start()
         .awaitTermination()
     )
+
+
+def run_incremental_lineprotocol_rollup(
+    spark: SparkSession,
+    input_dir: str,
+    tier_dir: str,
+    checkpoint_dir: str,
+    measurement: str,
+    field: str,
+    key_tags: Sequence[str] = ("event_type",),
+    watermark: str = "1 hour",
+    precision: str = "ns",
+    hist_bounds: Sequence[float] | None = None,
+) -> None:
+    """Live line-protocol ingestion → the 1m tier: tail a directory of
+    InfluxDB line-protocol text files (what telegraf & friends write — the
+    reference's own wire format, Influxer/GenericFile.cs:303) and maintain
+    the same watermarked 1m partials as the parquet source, with the same
+    checkpoint/resume and idempotent-batch commit protocol.
+
+    The parse (sinks.parse_line_protocol) is pure Column work, so the whole
+    stream stays JVM-side codegen — no Python in the per-line hot path.
+    Tag keys become series key columns; ``fields[field]`` is cast to double
+    (non-numeric or absent field values roll up as NULL, i.e. not at all).
+    """
+    from influxer_spark.sinks import parse_line_protocol
+
+    key_tags = list(key_tags)
+    lines = spark.readStream.text(input_dir)
+    pts = parse_line_protocol(lines, precision=precision)
+    pts = pts.where(F.col("measurement") == measurement).select(
+        F.col("ts").cast("timestamp").alias("ts"),
+        *[F.col("tags").getItem(t).alias(t) for t in key_tags],
+        F.col("fields").getItem(field).cast("double").alias("value"),
+    )
+    rolled = stream_rollup_1m(
+        pts, "ts", key_tags, "value", watermark, hist_bounds=hist_bounds
+    )
+    _drain_to_tier(rolled, tier_dir, checkpoint_dir)
 
 
 def _committed_batches(tier_dir: str) -> list[tuple[str, int]]:

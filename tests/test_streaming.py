@@ -210,3 +210,40 @@ def test_streamed_hist_matches_batch_histogram(spark, sf_dir, tmp_path):
     }
     assert got == want
     _assert_tier_matches_batch(merged.drop("hist"), ev)
+
+
+def test_lineprotocol_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Live line-protocol ingestion (the reference's own wire format,
+    GenericFile.cs:303): two file-drops drained with checkpoint/resume
+    produce a 1m tier identical to the batch rollup of the same events."""
+    from influxer_spark.sinks import write_line_protocol
+    from influxer_spark.streaming import run_incremental_lineprotocol_rollup
+
+    ev = _events(spark, sf_dir).orderBy("ts")
+    d = _dirs(tmp_path)
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    cut = lo + (hi - lo) / 2
+
+    def land(df, name):
+        staging = os.path.join(d["stage"], name)
+        write_line_protocol(
+            df, staging, measurement="events",
+            tags=["event_type"], fields=["value"], ts_col="ts",
+        )
+        for i, src in enumerate(glob.glob(os.path.join(staging, "part-*"))):
+            shutil.copy(src, os.path.join(d["input"], f"{name}_{i}.txt"))
+
+    land(ev.filter(F.col("ts") <= cut), "a")
+    run_incremental_lineprotocol_rollup(
+        spark, d["input"], d["tier"], d["ckpt"], "events", "value",
+        key_tags=("event_type",),
+    )
+    land(ev.filter(F.col("ts") > cut), "b")
+    run_incremental_lineprotocol_rollup(
+        spark, d["input"], d["tier"], d["ckpt"], "events", "value",
+        key_tags=("event_type",),
+    )
+    merged = read_tier(spark, d["tier"])
+    # value rows whose event_type tag is NULL don't exist in line protocol;
+    # the events table has none, so the tiers must match the batch exactly
+    _assert_tier_matches_batch(merged, ev)
