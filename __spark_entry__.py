@@ -354,6 +354,33 @@ def _q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join, direction='nearest' (pandas merge_asof parity): each
+    event annotates with whichever 6h bucket start is CLOSER in time —
+    behind or ahead — ties to backward.  Oracle = backward ASOF + forward
+    ASOF + the same distance CASE in DuckDB."""
+    from influxer_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    r6h = R.rollup_width(ev, "ts", ["event_type"], "value", 21600).select(
+        "event_type",
+        F.col("bucket").alias("ts"),
+        "cnt",
+    )
+    left = ev.filter(F.col("event_id") % 7 == 0).select(
+        "event_id", "event_type", "ts"
+    )
+    joined = asof_join(
+        left, r6h, by=["event_type"], value_cols=["cnt"],
+        direction="nearest",
+    )
+    return joined.select(
+        "event_id", "event_type",
+        F.col("asof_ts").alias("near_bucket"),
+        F.col("asof_cnt").alias("near_cnt"),
+    )
+
+
 def _q_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-fill with last-observation-carried-forward (InfluxDB
     fill(previous))."""
@@ -527,6 +554,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_5m_width": _q_rollup_5m_width,
         "asof_join_6h_stats": _q_asof_6h_stats,
         "asof_join_tolerance_2h": _q_asof_tolerance,
+        "asof_join_nearest_6h": _q_asof_nearest,
         "gapfill_1h_interpolate": _q_gapfill_1h,
         "gapfill_1h_locf": _q_gapfill_locf,
         "topk_hot_users": _q_topk_hot_users,
@@ -656,6 +684,40 @@ def oracle_sql() -> dict[str, str]:
             "            - CAST(floor(epoch(bucket)) AS BIGINT) <= 7200"
             "       THEN cnt END AS asof_cnt "
             "FROM j"
+        ),
+        "asof_join_nearest_6h": (
+            "WITH r6h AS ("
+            "  SELECT event_type,"
+            "    make_timestamp((CAST(floor(epoch(ts)) AS BIGINT)"
+            "      - CAST(floor(epoch(ts)) AS BIGINT) % 21600) * 1000000) AS bucket,"
+            "    count(value) AS cnt"
+            "  FROM events GROUP BY 1, 2),"
+            "l AS (SELECT event_id, event_type, ts FROM events WHERE event_id % 7 = 0),"
+            "b AS ("
+            "  SELECT l.event_id, l.ts, r.bucket, r.cnt"
+            "  FROM l ASOF LEFT JOIN r6h r"
+            "    ON l.event_type = r.event_type AND l.ts >= r.bucket),"
+            "f AS ("
+            "  SELECT l.event_id, r.bucket, r.cnt"
+            "  FROM l ASOF LEFT JOIN r6h r"
+            "    ON l.event_type = r.event_type AND l.ts <= r.bucket)"
+            "SELECT l.event_id, l.event_type,"
+            "  CASE WHEN b.bucket IS NULL THEN f.bucket"
+            "       WHEN f.bucket IS NULL THEN b.bucket"
+            "       WHEN CAST(floor(epoch(f.bucket)) AS BIGINT)"
+            "              - CAST(floor(epoch(l.ts)) AS BIGINT)"
+            "            < CAST(floor(epoch(l.ts)) AS BIGINT)"
+            "              - CAST(floor(epoch(b.bucket)) AS BIGINT)"
+            "       THEN f.bucket ELSE b.bucket END AS near_bucket,"
+            "  CASE WHEN b.bucket IS NULL THEN f.cnt"
+            "       WHEN f.bucket IS NULL THEN b.cnt"
+            "       WHEN CAST(floor(epoch(f.bucket)) AS BIGINT)"
+            "              - CAST(floor(epoch(l.ts)) AS BIGINT)"
+            "            < CAST(floor(epoch(l.ts)) AS BIGINT)"
+            "              - CAST(floor(epoch(b.bucket)) AS BIGINT)"
+            "       THEN f.cnt ELSE b.cnt END AS near_cnt "
+            "FROM l JOIN b ON l.event_id = b.event_id"
+            "       JOIN f ON l.event_id = f.event_id"
         ),
         "gapfill_1h_interpolate": _GAPFILL_SQL,
         "gapfill_1h_locf": """

@@ -87,3 +87,47 @@ def test_asof_tolerance_nulls_stale_matches(spark):
     ).collect()}
     assert out[1] == (t0, 100.0)
     assert out[2] == (None, None)
+
+
+def test_asof_directions_match_pandas_merge_asof(spark):
+    """backward/forward/nearest (± tolerance) must agree with pandas
+    merge_asof row-for-row on random keyed series — the semantics the
+    operator claims parity with."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(11)
+    t0 = pd.Timestamp("2024-01-01")
+    right = pd.DataFrame({
+        "k": rng.choice(["a", "b"], 60),
+        "ts": t0 + pd.to_timedelta(rng.choice(86400, 60, replace=False), "s"),
+        "v": rng.integers(0, 1000, 60).astype("int64"),
+    })
+    left = pd.DataFrame({
+        "k": rng.choice(["a", "b"], 80),
+        "ts": t0 + pd.to_timedelta(rng.choice(86400, 80, replace=False), "s"),
+        "eid": np.arange(80, dtype="int64"),
+    })
+    ldf = spark.createDataFrame(left)
+    rdf = spark.createDataFrame(right)
+    for direction in ("backward", "forward", "nearest"):
+        for tol in (None, 3600.0):
+            got = (
+                asof_join(
+                    ldf, rdf, by=["k"], value_cols=["v"],
+                    direction=direction, tolerance_seconds=tol,
+                )
+                .orderBy("eid")
+                .toPandas()
+            )
+            want = pd.merge_asof(
+                left.sort_values("ts"),
+                right.sort_values("ts"),
+                on="ts", by="k", direction=direction,
+                tolerance=None if tol is None else pd.Timedelta(seconds=tol),
+            ).sort_values("eid")
+            g = got["asof_v"].astype("float64").to_numpy()
+            w = want["v"].astype("float64").to_numpy()
+            assert ((g == w) | (np.isnan(g) & np.isnan(w))).all(), (
+                direction, tol,
+            )
