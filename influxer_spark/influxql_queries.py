@@ -990,6 +990,62 @@ SELECT bucket, event_type, v AS top, CAST(rank AS INT) AS rank FROM (
 """
 
 
+def _q_decompose(spark, sf_dir):
+    """Classical additive decomposition of the hourly series, daily
+    seasonality (period 24).  The oracle replays the positional 2x24 MA
+    chain, per-phase ordered folds, and re-centering with the identical
+    IEEE operand order — trend/seasonal/resid are bit-exact."""
+    from influxer_spark.operators.decompose import classical_decompose
+
+    h = _hourly(spark, sf_dir).select("event_type", "bucket", "v")
+    return classical_decompose(h, ["event_type"], "bucket", "v", 24, 3600)
+
+
+def _decompose_sql() -> str:
+    lag_terms = ["(lag(v, 12) OVER w) * 0.5"]
+    lag_terms += [f"lag(v, {i}) OVER w" for i in range(11, 0, -1)]
+    lag_terms += ["v"]
+    lag_terms += [f"lead(v, {i}) OVER w" for i in range(1, 12)]
+    lag_terms += ["(lead(v, 12) OVER w) * 0.5"]
+    chain = "0.0"
+    for t in lag_terms:
+        chain = f"({chain} + {t})"
+    fold = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), {lst}), "
+        "(a, b) -> a + b)"
+    )
+    return f"""
+WITH {_HOURLY_SQL},
+t AS (
+  SELECT event_type, bucket, v,
+         {chain} / 24.0 AS trend,
+         CAST(floor(epoch(bucket) / 3600) AS BIGINT) % 24 AS phase
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY bucket)
+),
+d AS (SELECT *, v - trend AS det FROM t),
+ph AS (
+  SELECT event_type, phase,
+         {fold.format(lst="list(det ORDER BY bucket) FILTER (det IS NOT NULL)")}
+           / CAST(count(det) AS DOUBLE) AS s_raw
+  FROM d GROUP BY 1, 2
+),
+g AS (
+  SELECT event_type,
+         {fold.format(lst="list(s_raw ORDER BY phase) FILTER (s_raw IS NOT NULL)")}
+           / CAST(count(s_raw) AS DOUBLE) AS grand
+  FROM ph GROUP BY 1
+),
+se AS (
+  SELECT ph.event_type, ph.phase, ph.s_raw - g.grand AS seasonal
+  FROM ph JOIN g ON ph.event_type = g.event_type
+)
+SELECT d.event_type, d.bucket, d.v, d.trend, se.seasonal,
+       d.det - se.seasonal AS resid
+FROM d JOIN se ON d.event_type = se.event_type AND d.phase = se.phase
+"""
+
+
 def _q_m4(spark, sf_dir):
     """M4 downsample (VLDB 2014): the ≤4 real points (first/last/min/max)
     per (event_type, 1h pixel column).  One groupBy shuffle, struct
@@ -1063,6 +1119,7 @@ def influxql_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "influxql_counter_rate": _q_counter_rate,
         "lttb_downsample_50": _q_lttb,
         "m4_downsample_1h": _q_m4,
+        "seasonal_decompose_24h": _q_decompose,
         "deadman_1h": _q_deadman,
         "anomaly_mad_hourly": _q_anomaly_mad,
         "cusum_changepoints_hourly": _q_cusum,
@@ -1095,6 +1152,7 @@ def influxql_oracle_sql() -> dict[str, str]:
         "influxql_counter_rate": _COUNTER_RATE_SQL,
         "lttb_downsample_50": _lttb_sql(50),
         "m4_downsample_1h": _M4_SQL,
+        "seasonal_decompose_24h": _decompose_sql(),
         "deadman_1h": _DEADMAN_SQL,
         "anomaly_mad_hourly": _ANOMALY_MAD_SQL,
         "cusum_changepoints_hourly": _cusum_sql(0.5, 5.0),

@@ -1,0 +1,163 @@
+"""Classical seasonal decomposition (engine extension; the additive
+moving-average decomposition of Kendall/Stuart as shipped by
+``statsmodels.tsa.seasonal_decompose`` — public method, no code shared).
+
+Per series: ``v = trend + seasonal + resid`` with
+
+- ``trend``   = centered moving average over ``period`` POSITIONAL
+  neighbors (the standard 2×p MA for even periods: half-weight end
+  terms); NULL where the window is incomplete (series edges) — exactly
+  statsmodels' boundary behavior;
+- ``seasonal`` = per-phase mean of the detrended values, re-centered to
+  sum to zero over the period (phase = calendar bucket index modulo
+  ``period``, so gaps don't shift the phase);
+- ``resid``   = detrended − seasonal.
+
+Positional trend + calendar phase makes the semantics well-defined on
+series WITH gaps; for textbook behavior gap-fill first
+(``operators/gapfill.py``) — the two compose.
+
+Execution shape: one window (single shuffle+sort per series key) for the
+trend chain, one groupBy for the phase means, one for the re-centering,
+two small broadcast-able joins back.  O(period) expression terms, all
+whole-stage codegen except the two sequential folds (Catalyst HOFs).
+
+Bit-exactness discipline (the DuckDB oracle replays this exactly):
+- the trend MA is an explicit ordered add chain ``((0.0 + t₁) + t₂) + …``
+  over lag/lead terms (frame SUMs are pairwise in DuckDB, folds are not);
+- phase means and the re-centering grand mean are sequential folds over
+  lists ordered by (ts) / (phase), seeded 0.0, divided once.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _fsum(arr: Column, get) -> Column:
+    """Left fold ``((0.0 + x₁) + x₂) + …`` — replayable via
+    list_prepend(0.0, …) + list_reduce in the oracle."""
+    return F.aggregate(arr, F.lit(0.0), lambda a, x: a + get(x))
+
+
+def classical_decompose(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    period: int,
+    bucket_seconds: int,
+) -> DataFrame:
+    """Returns (*key_cols, ts_col, value_col, trend, seasonal, resid).
+
+    ``period`` in buckets (24 for daily seasonality on an hourly series);
+    ``bucket_seconds`` anchors the calendar phase
+    (``(epoch // bucket_seconds) % period``).
+    """
+    if period < 2:
+        raise ValueError("period must be >= 2")
+    keys = list(key_cols)
+    v = F.col(value_col)
+    w = Window.partitionBy(*keys).orderBy(ts_col)
+
+    # --- trend: centered MA, explicit ordered add chain ---
+    half = period // 2
+    terms: list[Column] = []
+    if period % 2 == 0:
+        terms.append(F.lag(v, half).over(w) * F.lit(0.5))
+        for i in range(half - 1, 0, -1):
+            terms.append(F.lag(v, i).over(w))
+        terms.append(v)
+        for i in range(1, half):
+            terms.append(F.lead(v, i).over(w))
+        terms.append(F.lead(v, half).over(w) * F.lit(0.5))
+    else:
+        for i in range(half, 0, -1):
+            terms.append(F.lag(v, i).over(w))
+        terms.append(v)
+        for i in range(1, half + 1):
+            terms.append(F.lead(v, i).over(w))
+    acc: Column = F.lit(0.0)
+    for t in terms:
+        acc = acc + t  # any NULL term nulls the sum -> NULL trend at edges
+    trend = acc / F.lit(float(period))
+
+    phase = F.pmod(
+        F.floor(
+            F.unix_timestamp(F.col(ts_col).cast("timestamp"))
+            / F.lit(bucket_seconds)
+        ).cast("long"),
+        F.lit(period),
+    )
+    base = (
+        df.withColumn("_trend", trend)
+        .withColumn("_det", v - F.col("_trend"))
+        .withColumn("_phase", phase)
+    )
+
+    # --- per-phase mean of detrended (ordered fold, exact operand order) ---
+    det_pairs = F.sort_array(
+        F.collect_list(
+            F.when(
+                F.col("_det").isNotNull(),
+                F.struct(F.col(ts_col).alias("t"), F.col("_det").alias("d")),
+            )
+        )
+    )
+    ph = (
+        base.groupBy(*keys, "_phase")
+        .agg(
+            det_pairs.alias("_lst"),
+            F.count("_det").alias("_n"),
+        )
+        .withColumn(
+            "_s_raw",
+            F.when(
+                F.col("_n") > 0,
+                _fsum(F.col("_lst"), lambda x: x.getField("d"))
+                / F.col("_n").cast("double"),
+            ),
+        )
+        .drop("_lst")
+    )
+
+    # --- re-center: subtract the grand mean of the phase means ---
+    grand_pairs = F.sort_array(
+        F.collect_list(
+            F.when(
+                F.col("_s_raw").isNotNull(),
+                F.struct(F.col("_phase").alias("p"), F.col("_s_raw").alias("s")),
+            )
+        )
+    )
+    g = (
+        ph.groupBy(*keys)
+        .agg(grand_pairs.alias("_glst"), F.count("_s_raw").alias("_gn"))
+        .withColumn(
+            "_grand",
+            F.when(
+                F.col("_gn") > 0,
+                _fsum(F.col("_glst"), lambda x: x.getField("s"))
+                / F.col("_gn").cast("double"),
+            ),
+        )
+        .select(*keys, "_grand")
+    )
+    seasonal_by_phase = ph.join(g, on=keys).select(
+        *keys,
+        "_phase",
+        (F.col("_s_raw") - F.col("_grand")).alias("_seasonal"),
+    )
+
+    out = base.join(F.broadcast(seasonal_by_phase), on=[*keys, "_phase"])
+    return out.select(
+        *keys,
+        ts_col,
+        value_col,
+        F.col("_trend").alias("trend"),
+        F.col("_seasonal").alias("seasonal"),
+        (F.col("_det") - F.col("_seasonal")).alias("resid"),
+    )

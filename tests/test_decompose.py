@@ -1,0 +1,121 @@
+"""Classical seasonal decomposition (operators/decompose.py) vs a
+plain-Python mirror of the same method (statsmodels-style additive
+moving-average decomposition)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import pytest
+
+from influxer_spark.operators.decompose import classical_decompose
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+def _series(gaps=True):
+    rows = []
+    for k in ("a", "b"):
+        for i in range(24 * 14):  # 14 days hourly
+            if gaps and k == "a" and i % 97 == 5:
+                continue  # real gaps
+            season = 10.0 * math.sin(2 * math.pi * (i % 24) / 24)
+            trend = 0.05 * i + (5.0 if k == "b" else 0.0)
+            noise = ((i * 2654435761) % 1000) / 1000.0 - 0.5
+            rows.append((k, T0 + dt.timedelta(hours=i), trend + season + noise))
+    return rows
+
+
+def _mirror(rows, period=24):
+    """Python replay: positional centered 2xP MA, calendar phase means,
+    re-center."""
+    out = {}
+    by_key: dict[str, list] = {}
+    for k, t, v in rows:
+        by_key.setdefault(k, []).append((t, v))
+    for k, pts in by_key.items():
+        pts.sort()
+        n = len(pts)
+        half = period // 2
+        trend = [None] * n
+        for i in range(n):
+            if i - half < 0 or i + half >= n:
+                continue
+            s = 0.5 * pts[i - half][1] + 0.5 * pts[i + half][1]
+            for j in range(i - half + 1, i + half):
+                s += pts[j][1]
+            trend[i] = s / period
+        det = [
+            None if trend[i] is None else pts[i][1] - trend[i]
+            for i in range(n)
+        ]
+        phases = [
+            int(pts[i][0].timestamp() // 3600) % period for i in range(n)
+        ]
+        s_raw = {}
+        for p in set(phases):
+            vals = [det[i] for i in range(n) if phases[i] == p and det[i] is not None]
+            if vals:
+                s_raw[p] = sum(vals) / len(vals)
+        grand = sum(s_raw.values()) / len(s_raw)
+        seas = {p: s - grand for p, s in s_raw.items()}
+        for i in range(n):
+            out[(k, pts[i][0])] = (
+                trend[i],
+                seas.get(phases[i]),
+                None if det[i] is None else det[i] - seas[phases[i]],
+            )
+    return out
+
+
+def test_decompose_matches_python_mirror(spark):
+    rows = _series()
+    df = spark.createDataFrame(rows, ["k", "ts", "v"])
+    got = {
+        (r["k"], r["ts"]): (r["trend"], r["seasonal"], r["resid"])
+        for r in classical_decompose(df, ["k"], "ts", "v", 24, 3600).collect()
+    }
+    want = _mirror(rows)
+    assert got.keys() == want.keys()
+    for key, (tr, se, re_) in want.items():
+        gtr, gse, gre = got[key]
+        if tr is None:
+            assert gtr is None and gre is None
+        else:
+            assert gtr == pytest.approx(tr, rel=1e-9, abs=1e-12)
+            assert gre == pytest.approx(re_, rel=1e-9, abs=1e-12)
+        assert gse == pytest.approx(se, rel=1e-9, abs=1e-12)
+
+
+def test_decompose_identity_and_seasonality_recovery(spark):
+    rows = _series(gaps=False)
+    df = spark.createDataFrame(rows, ["k", "ts", "v"])
+    out = classical_decompose(df, ["k"], "ts", "v", 24, 3600).collect()
+    by_phase = {}
+    for r in out:
+        if r["trend"] is not None:
+            # exact identity by construction
+            assert r["v"] == pytest.approx(
+                r["trend"] + r["seasonal"] + r["resid"], abs=1e-9
+            )
+        by_phase.setdefault(
+            int(r["ts"].timestamp() // 3600) % 24, []
+        ).append(r["seasonal"])
+    # the injected 10·sin(2π·phase/24) seasonality is recovered within the
+    # noise floor (±0.5 uniform noise, slope leakage ~0)
+    for p, vals in by_phase.items():
+        truth = 10.0 * math.sin(2 * math.pi * p / 24)
+        assert vals[0] == pytest.approx(truth, abs=0.6)
+    # seasonal components sum to ~zero over one period (re-centered)
+    assert sum(v[0] for v in by_phase.values()) == pytest.approx(0.0, abs=1e-6)
+
+
+def test_decompose_plan_no_python(spark):
+    rows = _series()
+    df = spark.createDataFrame(rows, ["k", "ts", "v"])
+    plan = (
+        classical_decompose(df, ["k"], "ts", "v", 24, 3600)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
