@@ -1046,6 +1046,43 @@ FROM d JOIN se ON d.event_type = se.event_type AND d.phase = se.phase
 """
 
 
+def _q_acf(spark, sf_dir):
+    """Per-series autocorrelation to lag 48 over the hourly series (the
+    period-detection primitive).  Oracle replays the same ordered folds:
+    mean, shared denominator, per-lag numerator — bit-exact."""
+    from influxer_spark.operators.decompose import acf
+
+    h = _hourly(spark, sf_dir).select("event_type", "bucket", "v")
+    return acf(h, ["event_type"], "bucket", "v", 48)
+
+
+def _acf_sql(max_lag: int) -> str:
+    fold = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), {lst}), "
+        "(a, b) -> a + b)"
+    )
+    numk = fold.format(
+        lst="list_transform(generate_series({k} + 1, CAST(n AS INT)), "
+        "i -> (arr[i] - mean) * (arr[i - {k}] - mean))"
+    )
+    return f"""
+WITH {_HOURLY_SQL},
+g AS (
+  SELECT event_type, list(v ORDER BY bucket) AS arr, count(v) AS n
+  FROM hourly GROUP BY 1
+),
+m AS (
+  SELECT *, {fold.format(lst="arr")} / CAST(n AS DOUBLE) AS mean FROM g
+),
+d AS (SELECT *, {numk.format(k="0")} AS den FROM m),
+l AS (SELECT *, unnest(generate_series(0, {max_lag})) AS lag FROM d)
+SELECT event_type, CAST(lag AS BIGINT) AS lag,
+       CASE WHEN den > 0 AND lag < n THEN {numk.format(k="lag")} / den END
+         AS acf
+FROM l
+"""
+
+
 def _q_m4(spark, sf_dir):
     """M4 downsample (VLDB 2014): the ≤4 real points (first/last/min/max)
     per (event_type, 1h pixel column).  One groupBy shuffle, struct
@@ -1120,6 +1157,7 @@ def influxql_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lttb_downsample_50": _q_lttb,
         "m4_downsample_1h": _q_m4,
         "seasonal_decompose_24h": _q_decompose,
+        "acf_48_hourly": _q_acf,
         "deadman_1h": _q_deadman,
         "anomaly_mad_hourly": _q_anomaly_mad,
         "cusum_changepoints_hourly": _q_cusum,
@@ -1153,6 +1191,7 @@ def influxql_oracle_sql() -> dict[str, str]:
         "lttb_downsample_50": _lttb_sql(50),
         "m4_downsample_1h": _M4_SQL,
         "seasonal_decompose_24h": _decompose_sql(),
+        "acf_48_hourly": _acf_sql(48),
         "deadman_1h": _DEADMAN_SQL,
         "anomaly_mad_hourly": _ANOMALY_MAD_SQL,
         "cusum_changepoints_hourly": _cusum_sql(0.5, 5.0),

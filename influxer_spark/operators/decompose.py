@@ -161,3 +161,70 @@ def classical_decompose(
         F.col("_seasonal").alias("seasonal"),
         (F.col("_det") - F.col("_seasonal")).alias("resid"),
     )
+
+
+def acf(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    max_lag: int,
+) -> DataFrame:
+    """Per-series autocorrelation function (statsmodels ``acf`` definition):
+
+        acf(k) = Σₜ (xₜ − x̄)(xₜ₋ₖ − x̄) / Σₜ (xₜ − x̄)²
+
+    with the mean over the FULL series and the denominator shared across
+    lags (so acf(0) = 1).  The period-detection primitive: a daily season
+    on an hourly series shows as a peak at lag 24.
+
+    Execution shape: one groupBy(series) collect (tier series — 60–3600×
+    smaller than raw), then O(n·max_lag) fold arithmetic per series, all
+    sequential (bit-reproducible, same fold discipline as the TA family).
+    Returns (*key_cols, lag, acf) for lag ∈ [0, max_lag]; NULL acf for a
+    constant series (zero variance) or lags ≥ series length.
+    """
+    if max_lag < 0:
+        raise ValueError("max_lag must be >= 0")
+    keys = list(key_cols)
+    pairs = F.sort_array(
+        F.collect_list(
+            F.struct(F.col(ts_col).alias("t"), F.col(value_col).alias("v"))
+        )
+    )
+    g = df.where(F.col(value_col).isNotNull()).groupBy(*keys).agg(
+        pairs.alias("_lst"), F.count(value_col).alias("_n")
+    )
+    arr = F.transform(F.col("_lst"), lambda x: x.getField("v"))
+    n = F.col("_n")
+    mean = _fsum(F.col("_lst"), lambda x: x.getField("v")) / n.cast("double")
+    g = g.withColumn("_arr", arr).withColumn("_mean", mean).drop("_lst")
+
+    # numerator per lag k: fold over positions k..n-1 of (x[i]-m)(x[i-k]-m)
+    def num_k(k: Column) -> Column:
+        idx = F.sequence(k + 1, n)  # 1-based element_at positions of x_t
+        return F.aggregate(
+            idx,
+            F.lit(0.0),
+            lambda a, i: a
+            + (F.element_at(F.col("_arr"), i.cast("int")) - F.col("_mean"))
+            * (
+                F.element_at(F.col("_arr"), (i - k).cast("int"))
+                - F.col("_mean")
+            ),
+        )
+
+    den = num_k(F.lit(0))
+    g = g.withColumn("_den", den)
+    lags = g.select(
+        *keys, "_arr", "_mean", "_n", "_den",
+        F.explode(F.sequence(F.lit(0), F.lit(int(max_lag)))).alias("lag"),
+    )
+    out = lags.withColumn(
+        "acf",
+        F.when(
+            (F.col("_den") > 0) & (F.col("lag") < F.col("_n")),
+            num_k(F.col("lag")) / F.col("_den"),
+        ),
+    )
+    return out.select(*keys, "lag", "acf")

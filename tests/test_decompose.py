@@ -119,3 +119,56 @@ def test_decompose_plan_no_python(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_acf_matches_numpy_mirror_and_finds_period(spark):
+    import numpy as np
+
+    from influxer_spark.operators.decompose import acf
+
+    rows = _series(gaps=False)
+    df = spark.createDataFrame(rows, ["k", "ts", "v"])
+    got = {
+        (r["k"], r["lag"]): r["acf"]
+        for r in acf(df, ["k"], "ts", "v", 30).collect()
+    }
+    by_key = {}
+    for k, t, v in rows:
+        by_key.setdefault(k, []).append((t, v))
+    for k, pts in by_key.items():
+        x = np.array([v for _, v in sorted(pts)])
+        m = x.mean()
+        d = x - m
+        den = float((d * d).sum())
+        for lag in range(31):
+            want = float((d[lag:] * d[: len(d) - lag]).sum()) / den
+            assert got[(k, lag)] == pytest.approx(want, rel=1e-9, abs=1e-12)
+        assert got[(k, 0)] == pytest.approx(1.0, abs=1e-12)
+    # period detection composes with decomposition: on the DETRENDED series
+    # (trend ACF decays slowly from lag 1 and would mask the season — the
+    # standard reason ACF is run on detrended/differenced data), the daily
+    # season shows as the dominant interior peak at lag 24
+    det_rows = [
+        (k, t, v - 0.05 * ((t - T0).total_seconds() / 3600))
+        for k, t, v in rows
+    ]
+    det_df = spark.createDataFrame(det_rows, ["k", "ts", "v"])
+    det_got = {
+        (r["k"], r["lag"]): r["acf"]
+        for r in acf(det_df, ["k"], "ts", "v", 30).collect()
+    }
+    interior = {lag: det_got[("a", lag)] for lag in range(2, 31)}
+    assert max(interior, key=interior.get) == 24
+
+
+def test_acf_edge_cases(spark):
+    from influxer_spark.operators.decompose import acf
+
+    df = spark.createDataFrame(
+        [("c", T0 + dt.timedelta(hours=i), 5.0) for i in range(4)]
+        + [("s", T0, 1.0), ("s", T0 + dt.timedelta(hours=1), 2.0)],
+        ["k", "ts", "v"],
+    )
+    got = {(r["k"], r["lag"]): r["acf"] for r in acf(df, ["k"], "ts", "v", 5).collect()}
+    assert all(got[("c", lag)] is None for lag in range(6))  # zero variance
+    assert got[("s", 3)] is None  # lag >= n
