@@ -1083,6 +1083,50 @@ FROM l
 """
 
 
+def _q_series_corr(spark, sf_dir):
+    """Pearson correlation of hourly level (mean v) vs volume (count) per
+    event_type — cross-metric analysis over aligned series.  Oracle
+    replays the five ordered folds + the identical r formula."""
+    from influxer_spark.operators.decompose import series_corr
+
+    h = _hourly(spark, sf_dir).select(
+        "event_type", "bucket", "v", F.col("cnt").cast("double").alias("c")
+    )
+    return series_corr(h, ["event_type"], "bucket", "v", "c")
+
+
+def _series_corr_sql() -> str:
+    fold = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), {lst}), "
+        "(a, b) -> a + b)"
+    )
+    def fs(expr):
+        return fold.format(
+            lst=f"list_transform(lst, p -> {expr})"
+        )
+    return f"""
+WITH {_HOURLY_SQL},
+g AS (
+  SELECT event_type,
+         list(struct_pack(x := v, y := CAST(cnt AS DOUBLE))
+              ORDER BY bucket) AS lst,
+         count(*) AS n
+  FROM hourly GROUP BY 1
+),
+sums AS (
+  SELECT event_type, n,
+    CAST(n AS DOUBLE) * {fs("p.x * p.x")} - {fs("p.x")} * {fs("p.x")} AS vx,
+    CAST(n AS DOUBLE) * {fs("p.y * p.y")} - {fs("p.y")} * {fs("p.y")} AS vy,
+    CAST(n AS DOUBLE) * {fs("p.x * p.y")} - {fs("p.x")} * {fs("p.y")} AS cov
+  FROM g
+)
+SELECT event_type, n,
+       CASE WHEN n >= 2 AND vx > 0 AND vy > 0
+            THEN cov / sqrt(vx * vy) END AS corr
+FROM sums
+"""
+
+
 def _q_m4(spark, sf_dir):
     """M4 downsample (VLDB 2014): the ≤4 real points (first/last/min/max)
     per (event_type, 1h pixel column).  One groupBy shuffle, struct
@@ -1158,6 +1202,7 @@ def influxql_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m4_downsample_1h": _q_m4,
         "seasonal_decompose_24h": _q_decompose,
         "acf_48_hourly": _q_acf,
+        "series_corr_hourly": _q_series_corr,
         "deadman_1h": _q_deadman,
         "anomaly_mad_hourly": _q_anomaly_mad,
         "cusum_changepoints_hourly": _q_cusum,
@@ -1192,6 +1237,7 @@ def influxql_oracle_sql() -> dict[str, str]:
         "m4_downsample_1h": _M4_SQL,
         "seasonal_decompose_24h": _decompose_sql(),
         "acf_48_hourly": _acf_sql(48),
+        "series_corr_hourly": _series_corr_sql(),
         "deadman_1h": _DEADMAN_SQL,
         "anomaly_mad_hourly": _ANOMALY_MAD_SQL,
         "cusum_changepoints_hourly": _cusum_sql(0.5, 5.0),

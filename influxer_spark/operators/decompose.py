@@ -228,3 +228,58 @@ def acf(
         ),
     )
     return out.select(*keys, "lag", "acf")
+
+
+def series_corr(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-series Pearson correlation between two aligned value columns
+    (e.g. level vs volume of the same bucketed series, or two metrics
+    joined on bucket):
+
+        r = (n·Σxy − Σx·Σy) / √((n·Σx² − (Σx)²) · (n·Σy² − (Σy)²))
+
+    Rows where either side is NULL are excluded (pandas/SQL corr
+    semantics).  All five sums are sequential folds over the ts-ordered
+    pairs — bit-reproducible, same discipline as acf() — and √ is a
+    correctly-rounded IEEE op, so an oracle replaying the folds matches
+    exactly.  Returns (*key_cols, n, corr); corr NULL when either side is
+    constant (zero variance) or n < 2.
+    """
+    keys = list(key_cols)
+    both = F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    pairs = F.sort_array(
+        F.collect_list(
+            F.when(
+                both,
+                F.struct(
+                    F.col(ts_col).alias("t"),
+                    F.col(x_col).alias("x"),
+                    F.col(y_col).alias("y"),
+                ),
+            )
+        )
+    )
+    g = df.groupBy(*keys).agg(
+        pairs.alias("_lst"), F.sum(both.cast("long")).alias("n")
+    )
+    nd = F.col("n").cast("double")
+    sx = _fsum(F.col("_lst"), lambda p: p.getField("x"))
+    sy = _fsum(F.col("_lst"), lambda p: p.getField("y"))
+    sxy = _fsum(F.col("_lst"), lambda p: p.getField("x") * p.getField("y"))
+    sxx = _fsum(F.col("_lst"), lambda p: p.getField("x") * p.getField("x"))
+    syy = _fsum(F.col("_lst"), lambda p: p.getField("y") * p.getField("y"))
+    g = (
+        g.withColumn("_vx", nd * sxx - sx * sx)
+        .withColumn("_vy", nd * syy - sy * sy)
+        .withColumn("_cov", nd * sxy - sx * sy)
+    )
+    corr = F.when(
+        (F.col("n") >= 2) & (F.col("_vx") > 0) & (F.col("_vy") > 0),
+        F.col("_cov") / F.sqrt(F.col("_vx") * F.col("_vy")),
+    )
+    return g.select(*keys, "n", corr.alias("corr"))

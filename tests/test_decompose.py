@@ -172,3 +172,31 @@ def test_acf_edge_cases(spark):
     got = {(r["k"], r["lag"]): r["acf"] for r in acf(df, ["k"], "ts", "v", 5).collect()}
     assert all(got[("c", lag)] is None for lag in range(6))  # zero variance
     assert got[("s", 3)] is None  # lag >= n
+
+
+def test_series_corr_matches_numpy(spark):
+    import numpy as np
+
+    from influxer_spark.operators.decompose import series_corr
+
+    rows = []
+    for i in range(300):
+        x = ((i * 2654435761) % 1000) / 100.0
+        rows.append(("p", T0 + dt.timedelta(hours=i), x, 3.0 * x + 1.0))   # r=1
+        rows.append(("m", T0 + dt.timedelta(hours=i), x, -2.0 * x))        # r=-1
+        rows.append(
+            ("n", T0 + dt.timedelta(hours=i), x, ((i * 40503) % 997) / 99.7)
+        )
+        rows.append(("c", T0 + dt.timedelta(hours=i), x, 7.0))  # constant y
+    rows.append(("n", T0 + dt.timedelta(hours=301), None, 1.0))  # null skipped
+    df = spark.createDataFrame(rows, ["k", "ts", "x", "y"])
+    got = {r["k"]: (r["n"], r["corr"]) for r in
+           series_corr(df, ["k"], "ts", "x", "y").collect()}
+    assert got["p"][1] == pytest.approx(1.0, abs=1e-12)
+    assert got["m"][1] == pytest.approx(-1.0, abs=1e-12)
+    assert got["c"][1] is None
+    assert got["n"][0] == 300  # the null row is excluded
+    xs = np.array([((i * 2654435761) % 1000) / 100.0 for i in range(300)])
+    ys = np.array([((i * 40503) % 997) / 99.7 for i in range(300)])
+    assert got["n"][1] == pytest.approx(float(np.corrcoef(xs, ys)[0, 1]),
+                                        rel=1e-9)
