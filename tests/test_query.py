@@ -116,3 +116,34 @@ def test_read_series_prunes_and_filters_time_range(spark, built_gorilla):
     # manifest pruning: only the one day dir is in the scan
     files = out.inputFiles()
     assert files and all(f"p={days[1]}" in f for f in files)
+
+
+def test_read_quantile_prunes_partitions_at_manifest(spark, tmp_path_factory):
+    """A bounded read_quantile must only scan the in-range day partitions
+    (manifest-level pruning — the property that keeps a p99 panel reading
+    O(days-in-range), not the whole table, at 10^12-point scale)."""
+    import datetime as dt
+
+    from influxer_spark.operators.rollup import log2_bounds
+    from influxer_spark.query import read_quantile
+
+    d = tmp_path_factory.mktemp("qhist")
+    pages = generate_pages(str(d / "pg"), n_rows=3000, seed=9, days=4)
+    root = str(d / "cat")
+    bounds = log2_bounds(1.0, 2.0**21)
+    run_pipeline(spark, pages, root, encode_gorilla=False, hist_bounds=bounds)
+    cat = TableCatalog(root)
+    days = sorted(cat.committed_partitions("rollup_1h"))
+    assert len(days) >= 3
+    start = dt.datetime.fromisoformat(days[1])
+    end = start + dt.timedelta(days=1)
+    out = read_quantile(
+        spark, cat, 4 * 3600, 0.95, start=start, end=end,
+        key_cols=("metric",),
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert f"p={days[1]}" in plan          # the in-range day is read
+    assert f"p={days[0]}" not in plan      # out-of-range days never listed
+    assert f"p={days[-1]}" not in plan
+    rows = out.collect()
+    assert rows and all(r["q_v"] is not None for r in rows)
