@@ -216,3 +216,22 @@ def test_read_quantile_api_matches_tier_contents(built_hist, spark):
     want = {(r["bucket"], r["metric"]): r["q_v"] for r in direct.collect()}
     got = {(r["bucket"], r["metric"]): r["q_v"] for r in rows}
     assert got == want
+
+
+def test_ta_over_percentile_served_from_hist_tier(built_hist):
+    """ema(percentile(value, 95)) ... GROUP BY time(4h): the desugared inner
+    percentile aggregate must be tier-served from the histogram column, and
+    the fold must run over those tier-served p95 values."""
+    points, cat, bounds = built_hist
+    tiered = InfluxQLEngine({}, ts_col="warc_ts")  # tier-only
+    tiered.register_tiered(
+        "pages", cat, key_cols=("url", "metric"), hist_bounds=bounds
+    )
+    df = tiered.execute(
+        "SELECT exponential_moving_average(percentile(value, 95), 6) AS e "
+        "FROM pages GROUP BY time(4h), metric"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "rollup_1h" in plan
+    rows = df.collect()
+    assert len(rows) > 10 and any(r["e"] is not None for r in rows)
