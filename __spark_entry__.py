@@ -541,7 +541,82 @@ def _q_unpivot_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 # registry
 # ---------------------------------------------------------------------------
 
+# The driver's correctness gate records the FIRST 50 entries of queries() in
+# declaration order.  Rounds 1-2 proved 59 distinct queries (50 in r02 + 9
+# r01-only ingest-parity); the 34 oracled queries below had never appeared in
+# any CORRECTNESS window, so round 3 front-loads them, then re-proves the 9
+# r01-only entries, then any round-3 additions.  Already-proven queries follow,
+# and the rows-only entries (no SQL oracle by nature) sit at the very tail so
+# they never burn a hard-signal slot.
+_WINDOW_PRIORITY = [
+    # -- never driver-checked before round 3 (34, all value-oracled) --
+    "stratified_sample_lang",
+    "upsample_epochs_mixture",
+    "global_shuffle_documents",
+    "embedding_quantize_int8",
+    "dedup_cluster_keep",
+    "line_protocol_events",
+    "line_protocol_roundtrip",
+    "influxql_math_6h",
+    "influxql_nnd_6h",
+    "influxql_count_distinct_1d",
+    "influxql_fill_linear_6h",
+    "influxql_deriv_sum_6h",
+    "influxql_subquery_6h_max",
+    "influxql_slimit_series",
+    "influxql_show_tag_values",
+    "influxql_multi_measurement",
+    "influxql_ema_series",
+    "influxql_rsi_series",
+    "influxql_cmo_ker_series",
+    "influxql_kama_series",
+    "influxql_trix_series",
+    "influxql_top_per_tag",
+    "influxql_counter_rate",
+    "lttb_downsample_50",
+    "m4_downsample_1h",
+    "seasonal_decompose_24h",
+    "acf_48_hourly",
+    "series_corr_hourly",
+    "deadman_1h",
+    "anomaly_mad_hourly",
+    "cusum_changepoints_hourly",
+    "line_dedup_corpus",
+    "url_canonicalize",
+    "pii_scrub_counts",
+    # -- r01-green but outside the r02 window (9): re-prove --
+    "epoch_us_truncation",
+    "dotnet_round2_parity",
+    "reserved_scrub_texts",
+    "dotnet_timeformat_roundtrip",
+    "influxql_transforms_1h",
+    "influxql_selectors_1h",
+    "influxql_top3_hours",
+    "influxql_integral_stats",
+    "influxql_sample5",
+    # -- round-3 additions (value-oracled) fill the rest of the window --
+]
+
+# Rows-only queries (genuinely non-SQL-expressible internals) — always last.
+_WINDOW_TAIL = ["sketch_distinct_tiers", "holt_winters_forecast_24h"]
+
+
+def _reorder_for_gate(
+    q: dict[str, Callable[[SparkSession, str], DataFrame]],
+) -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    ordered = {k: q[k] for k in _WINDOW_PRIORITY if k in q}
+    ordered.update(
+        {k: v for k, v in q.items() if k not in ordered and k not in _WINDOW_TAIL}
+    )
+    ordered.update({k: q[k] for k in _WINDOW_TAIL if k in q})
+    return ordered
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return _reorder_for_gate(_queries_unordered())
+
+
+def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rollup_1m": _q_rollup_1m,
         "rollup_1h_cascade": _q_rollup_1h_cascade,

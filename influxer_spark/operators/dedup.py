@@ -64,6 +64,14 @@ MINHASH_PERMS: list[tuple[int, int]] = [
 ]
 LSH_BANDS = 4  # 16 perms = 4 bands × 4 rows
 
+# Hot-bucket guard ON by default: a band bucket of m docs costs m(m-1)/2
+# comparisons in the LSH self-join, so one template-boilerplate mega-bucket
+# (every page of a site sharing chrome) turns the join quadratic at crawl
+# scale.  10k is far above any genuine near-dup cluster's band bucket but
+# bounds the worst bucket to ~5e7 pairs; drops are counted and logged
+# (lsh_dropped_buckets), never silent.  Pass None to disable.
+DEFAULT_MAX_BUCKET = 10_000
+
 
 def h32(col: Column) -> Column:
     """Deterministic 32-bit hash: first 8 hex chars of md5, as a long.
@@ -157,7 +165,9 @@ def _banded(sigs: DataFrame) -> DataFrame:
     )
 
 
-def lsh_candidate_pairs(sigs: DataFrame, max_bucket_size: int | None = None) -> DataFrame:
+def lsh_candidate_pairs(
+    sigs: DataFrame, max_bucket_size: int | None = DEFAULT_MAX_BUCKET
+) -> DataFrame:
     """Band the signatures and emit candidate pairs ``(id_a < id_b)``.
 
     Bands explode to (band_idx, band_key) rows; the self-join shuffles on the
@@ -245,7 +255,7 @@ def minhash_lsh_dedup(
     text_col: str,
     k: int = 5,
     min_jaccard: float = 0.7,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
     log_dropped: bool = True,
 ) -> DataFrame:
     """MinHash→LSH candidates, then exact-Jaccard verify.

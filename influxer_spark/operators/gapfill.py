@@ -104,16 +104,18 @@ def gapfill_locf(
     tier: str = "1h",
     bucket_col: str = "bucket",
 ) -> DataFrame:
-    """Gap-fill with last-observation-carried-forward (InfluxDB fill(previous))."""
-    filled = gapfill_interpolate(rolled, key_cols, value_col, tier, bucket_col)
-    # recompute: LOCF is just the backward window; reuse interpolate's spine
-    w_back = (
-        Window.partitionBy(*[F.col(k) for k in key_cols])
-        .orderBy(bucket_col)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    """Gap-fill with last-observation-carried-forward (InfluxDB fill(previous)).
+
+    LOCF needs only the spine join plus ONE backward window — routing through
+    ``gapfill_interpolate`` (as earlier revisions did) paid for both window
+    directions and then a third window pass on top, three sorts instead of one.
+    """
+    if tier not in _INTERVAL:
+        raise ValueError(f"unknown tier {tier!r}")
+    width = {"1m": 60, "1h": 3600, "1d": 86400}[tier]
+    return fill_buckets(
+        rolled, key_cols, [value_col], width, mode="previous", bucket_col=bucket_col
     )
-    obs = F.when(~F.col("filled"), F.col(value_col))
-    return filled.withColumn(value_col, F.last(obs, ignorenulls=True).over(w_back))
 
 
 def fill_buckets(
