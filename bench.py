@@ -61,7 +61,43 @@ def _bench_pages_path(n_rows: int = BENCH_PAGES_ROWS) -> str:
     return p
 
 
-def run_pipeline_bench(cores: int, pages_path: str) -> dict:
+def _warm_pipeline(spark, pages_path: str) -> None:
+    """Full-path JIT warm: run the ENTIRE pipeline (extract → cascades →
+    gorilla → manifest commit) plus both 4h query paths on a small slice.
+    Cold-start (codegen JIT, Python worker fork, parquet footer caches) showed
+    up as a 19.4s-vs-11.9s first-run cliff in BENCH_r02; it is parallelism-
+    independent wall time and not what the benchmark is measuring."""
+    import tempfile as _tf
+
+    from influxer_spark.catalog import TableCatalog
+    from influxer_spark.extract import (
+        pages_to_points, with_crawl_metrics, with_extracted,
+    )
+    from influxer_spark.operators.rollup import rollup_width
+    from influxer_spark.pipeline import run_pipeline
+    from influxer_spark.query import read_rollup
+
+    d = os.path.join(tempfile.gettempdir(), "influxer_bench_warm_slice")
+    p = os.path.join(d, "pages.parquet")
+    if not os.path.exists(p):
+        spark.read.parquet(pages_path).limit(30000).coalesce(4)\
+            .write.mode("overwrite").parquet(p)
+    root = _tf.mkdtemp(prefix="influxer_bench_warm_cat_")
+    try:
+        run_pipeline(spark, p, root, resume=False)
+        cat = TableCatalog(root)
+        read_rollup(spark, cat, 4 * 3600).write.mode("overwrite")\
+            .format("noop").save()
+        raw = pages_to_points(
+            with_crawl_metrics(with_extracted(spark.read.parquet(p)))
+        )
+        rollup_width(raw, "warc_ts", ["url", "metric"], "value", 4 * 3600)\
+            .write.mode("overwrite").format("noop").save()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def run_pipeline_bench(cores: int, pages_path: str, warm: bool = True) -> dict:
     """One pipeline run at the given parallelism; returns throughput stats."""
     from influxer_spark.pipeline import run_pipeline
     from influxer_spark.session import get_spark
@@ -82,15 +118,12 @@ def run_pipeline_bench(cores: int, pages_path: str) -> dict:
     )
     root = tempfile.mkdtemp(prefix=f"influxer_bench_cat_{cores}_")
     try:
-        # warm-up: fork+import the Python UDF workers and JIT the codegen
-        # paths on a small slice, so the measurement is steady-state
-        # throughput, not cold-start (cold-start is parallelism-independent
-        # wall time and would read as false serial fraction in the scaling
-        # efficiency)
-        from influxer_spark.extract import with_extracted
-
-        warm = spark.read.parquet(pages_path).limit(20000)
-        with_extracted(warm).selectExpr("sum(length(extracted_text))").collect()
+        # warm-up: JIT every codegen path the timed run will execute (full
+        # mini-pipeline on a 30k slice) — cold-start is parallelism-
+        # independent wall time and would read as false serial fraction in
+        # the scaling efficiency
+        if warm:
+            _warm_pipeline(spark, pages_path)
 
         t0 = time.time()
         res = run_pipeline(spark, pages_path, root, resume=False)
@@ -198,6 +231,10 @@ def main() -> None:
     qs = E.queries()
     timings: dict[str, float] = {}
     total = 0.0
+    # untimed warm pass: JIT each query's codegen and fault the sf parquet
+    # into page cache, so the timed best-of-2 measures steady-state plans
+    for name in HEADLINE:
+        qs[name](spark, SF_DIR).write.mode("overwrite").format("noop").save()
     for name in HEADLINE:
         best = None
         for _ in range(2):  # best-of-2: host-neighbor noise swings runs ±50%
@@ -211,9 +248,10 @@ def main() -> None:
 
     # pages pipeline (datagen cached; timing excludes generation).  Host-level
     # (hypervisor-neighbor) noise swings identical runs ±25-50% on this VM,
-    # so run twice and report the best — both walls are recorded.
+    # so warm once, then run twice and report the best — both walls recorded.
     pages = _bench_pages_path()
-    runs = [run_pipeline_bench(CPUS, pages) for _ in range(2)]
+    _warm_pipeline(spark, pages)
+    runs = [run_pipeline_bench(CPUS, pages, warm=False) for _ in range(2)]
     pipe = max(runs, key=lambda r: r["points_per_sec"])
     timings["pages_pipeline"] = pipe["elapsed_s"]
     timings["pages_pipeline_runs"] = [r["elapsed_s"] for r in runs]

@@ -36,6 +36,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from influxer_spark.operators.influxql import guard_series_points
+
 
 def _fsum(arr: Column, get) -> Column:
     """Left fold ``((0.0 + x₁) + x₂) + …`` — replayable via
@@ -195,6 +197,7 @@ def acf(
     g = df.where(F.col(value_col).isNotNull()).groupBy(*keys).agg(
         pairs.alias("_lst"), F.count(value_col).alias("_n")
     )
+    g = guard_series_points(g, "_lst", keys)
     arr = F.transform(F.col("_lst"), lambda x: x.getField("v"))
     n = F.col("_n")
     mean = _fsum(F.col("_lst"), lambda x: x.getField("v")) / n.cast("double")
@@ -267,6 +270,7 @@ def series_corr(
     g = df.groupBy(*keys).agg(
         pairs.alias("_lst"), F.sum(both.cast("long")).alias("n")
     )
+    g = guard_series_points(g, "_lst", keys)
     nd = F.col("n").cast("double")
     sx = _fsum(F.col("_lst"), lambda p: p.getField("x"))
     sy = _fsum(F.col("_lst"), lambda p: p.getField("y"))

@@ -635,13 +635,29 @@ def tr_kaufmans_efficiency_ratio(
     return F.when(vol == 0, F.lit(0.0)).otherwise(change / vol)
 
 
+# Per-series point cap for the fold family (TA recurrences, LTTB, ACF,
+# seasonal decompose).  The fold design is O(points) compute but holds one
+# series as a single struct array on one executor — ~24 B/point, so the
+# default bounds a series to ~100 MB transient heap.  Beyond the cap the
+# query FAILS with a counted message instead of silently OOMing an executor
+# at 100× scale (one unbounded hot series is the classic failure).  InfluxQL
+# queries are time-bounded per series, so real queries sit far below this;
+# raise the cap (or pass None) deliberately, with executor memory to match.
+DEFAULT_MAX_SERIES_POINTS = 4_000_000
+
+
 def _collected(
     df: DataFrame, key_cols: Sequence[str], ts_col: str,
     value_col: str | Column, extra: dict[str, Column] | None = None,
+    max_points: int | None = DEFAULT_MAX_SERIES_POINTS,
 ) -> DataFrame:
     """One row per series: (keys…, _arr) with _arr time-sorted.  ``extra``
     columns (e.g. window-derived smoothing constants) are materialized as
-    projections FIRST — window expressions can't nest inside collect_list."""
+    projections FIRST — window expressions can't nest inside collect_list.
+
+    ``max_points`` enforces the documented memory precondition: a series
+    longer than the cap raises a counted error (see
+    ``DEFAULT_MAX_SERIES_POINTS``) rather than OOMing downstream folds."""
     fields = [
         F.col(ts_col).cast("timestamp").alias("t"),
         _vc(value_col).cast("double").alias("v"),
@@ -652,8 +668,34 @@ def _collected(
     # a NULL point would poison every later state in a recurrence; InfluxDB
     # series transforms skip null points, so drop them before collecting
     df = df.filter(_vc(value_col).isNotNull())
-    return df.groupBy(*key_cols).agg(
+    grouped = df.groupBy(*key_cols).agg(
         F.sort_array(F.collect_list(F.struct(*fields))).alias("_arr")
+    )
+    return guard_series_points(grouped, "_arr", key_cols, max_points)
+
+
+def guard_series_points(
+    grouped: DataFrame, arr_col: str, key_cols: Sequence[str],
+    max_points: int | None = DEFAULT_MAX_SERIES_POINTS,
+) -> DataFrame:
+    """Enforce the fold family's per-series memory precondition: if the
+    collected array in ``arr_col`` exceeds ``max_points``, the job fails with
+    a counted, keyed message instead of OOMing an executor downstream.  The
+    check is a row-local projection on the already-grouped frame — no extra
+    job or shuffle."""
+    if max_points is None:
+        return grouped
+    over = F.size(arr_col) > max_points
+    msg = F.concat(
+        F.lit("series fold over "),
+        F.concat_ws("/", *[F.col(k).cast("string") for k in key_cols]),
+        F.lit(" has "),
+        F.size(arr_col).cast("string"),
+        F.lit(f" points > max_points={max_points}; narrow the time range "
+              "or raise max_points with executor memory to match"),
+    )
+    return grouped.withColumn(
+        arr_col, F.when(over, F.raise_error(msg)).otherwise(F.col(arr_col))
     )
 
 

@@ -573,3 +573,25 @@ def test_deadman_pinned_window_alerts_dead_series(spark):
     assert ("live", t0 + dt.timedelta(hours=1)) in got
     assert not any(h == "live" and b != t0 + dt.timedelta(hours=1)
                    for h, b in got)
+
+
+def test_series_fold_cap_fails_loudly(spark):
+    """The fold family's memory precondition is ENFORCED: a series longer
+    than max_points raises a counted, keyed error instead of OOMing an
+    executor downstream (round-2 verdict ask #4)."""
+    rows = [(1, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=i), float(i))
+            for i in range(20)]
+    df = spark.createDataFrame(rows, ["key", "ts", "v"])
+
+    g = Q._collected(df, ["key"], "ts", "v", max_points=10)
+    with pytest.raises(Exception, match=r"20 points > max_points=10"):
+        g.collect()
+    # at or under the cap the fold proceeds untouched
+    assert Q._collected(df, ["key"], "ts", "v", max_points=20).count() == 1
+    # the default cap is high enough for any tier-sized series and is shared
+    # by the LTTB/ACF/decompose consumers via guard_series_points
+    assert Q.DEFAULT_MAX_SERIES_POINTS == 4_000_000
+
+    from influxer_spark.operators.decompose import acf
+    out = acf(df, ["key"], "ts", "v", max_lag=3)
+    assert out.count() == 4  # guard wired in, harmless under the cap
