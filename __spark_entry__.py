@@ -595,6 +595,10 @@ _WINDOW_PRIORITY = [
     "influxql_integral_stats",
     "influxql_sample5",
     # -- round-3 additions (value-oracled) fill the rest of the window --
+    "influxql_mode_median_6h",
+    "influxql_fill_previous_6h",
+    "gopher_quality_flags",
+    "containment_dedup",
 ]
 
 # Rows-only queries (genuinely non-SQL-expressible internals) — always last.

@@ -287,6 +287,110 @@ SELECT event_type, bucket, fs / (fc * 100.0) AS avg_v FROM filled
 """
 
 
+def _q_mode_median_6h(spark, sf_dir):
+    """Bucketed mode/median/percentile through the string front-end —
+    InfluxDB's rank-based selectors (nearest-rank with +0.5 rounding; mode
+    ties keep the smallest value).  Every output is an EXISTING series value
+    (no averaging), so both engines return identical bits."""
+    h = _hourly(spark, sf_dir)
+    out = influxql(
+        "SELECT mode(v) AS md, median(v) AS med, percentile(v, 75) AS p75"
+        " FROM hourly GROUP BY time(6h), event_type",
+        {"hourly": h},
+        ts_col="bucket",
+    )
+    return out.withColumnRenamed("time", "bucket")
+
+
+_MODE_MEDIAN_SQL = f"""
+WITH {_HOURLY_SQL},
+g AS (
+  SELECT event_type,
+         make_timestamp((CAST(floor(epoch(bucket)) AS BIGINT) // 21600 * 21600)
+                        * 1000000) AS bucket,
+         v
+  FROM hourly
+),
+counts AS (
+  SELECT event_type, bucket, v, count(*) AS c FROM g GROUP BY 1, 2, 3
+),
+md AS (
+  SELECT event_type, bucket, v AS md FROM (
+    SELECT event_type, bucket, v,
+           row_number() OVER (PARTITION BY event_type, bucket
+                              ORDER BY c DESC, v ASC) AS rn
+    FROM counts) WHERE rn = 1
+),
+ranked AS (
+  SELECT event_type, bucket, v,
+         row_number() OVER (PARTITION BY event_type, bucket ORDER BY v) AS rn,
+         count(*) OVER (PARTITION BY event_type, bucket) AS n
+  FROM g
+)
+SELECT m.bucket, m.event_type, m.md,
+  (SELECT r.v FROM ranked r WHERE r.event_type = m.event_type
+     AND r.bucket = m.bucket
+     AND r.rn = CAST(floor(0.5 * r.n + 0.5) AS INT)) AS med,
+  (SELECT r.v FROM ranked r WHERE r.event_type = m.event_type
+     AND r.bucket = m.bucket
+     AND r.rn = CAST(floor(0.75 * r.n + 0.5) AS INT)) AS p75
+FROM md m
+"""
+
+
+def _q_fill_previous_6h(spark, sf_dir):
+    """GROUP BY time(6h) fill(previous) through the string front-end: the
+    spine is pinned to the WHERE time range and gaps carry the last OBSERVED
+    aggregate forward (integer cents, so the LOCF is exact)."""
+    h = _hourly(spark, sf_dir)
+    # thin the series so fill() has real gaps to carry values across
+    sparse = h.filter((F.dayofmonth("bucket") % 3 == 0) & (F.hour("bucket") < 12))
+    out = influxql(
+        "SELECT sum(s_c) / 100.0 AS s6"
+        " FROM hourly"
+        " WHERE time >= '2024-01-03 00:00:00' AND time < '2024-01-10 00:00:00'"
+        " GROUP BY time(6h), event_type fill(previous)",
+        {"hourly": sparse},
+        ts_col="bucket",
+    )
+    return out.withColumnRenamed("time", "bucket")
+
+
+_FILL_PREVIOUS_SQL = f"""
+WITH {_HOURLY_SQL},
+sparse AS (
+  SELECT * FROM hourly
+  WHERE day(bucket) % 3 = 0 AND hour(bucket) < 12
+    AND bucket >= TIMESTAMP '2024-01-03 00:00:00'
+    AND bucket < TIMESTAMP '2024-01-10 00:00:00'
+),
+g AS (
+  SELECT event_type,
+         make_timestamp((CAST(floor(epoch(bucket)) AS BIGINT) // 21600 * 21600)
+                        * 1000000) AS bucket,
+         CAST(sum(s_c) AS BIGINT) AS s
+  FROM sparse GROUP BY 1, 2
+),
+spine AS (
+  SELECT event_type,
+         unnest(generate_series(TIMESTAMP '2024-01-03 00:00:00',
+                                TIMESTAMP '2024-01-09 18:00:00',
+                                INTERVAL 6 HOUR)) AS bucket
+  FROM g GROUP BY event_type
+),
+j AS (
+  SELECT sp.event_type, sp.bucket, g.s
+  FROM spine sp LEFT JOIN g
+    ON g.event_type = sp.event_type AND g.bucket = sp.bucket
+)
+SELECT event_type, bucket,
+  COALESCE(s, last_value(s IGNORE NULLS) OVER (
+    PARTITION BY event_type ORDER BY bucket
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) / 100.0 AS s6
+FROM j
+"""
+
+
 def _q_deriv_sum_6h(spark, sf_dir):
     """Transform-of-aggregate through the string front-end:
     derivative(sum(…)) over 6h buckets, first bucket per series dropped
@@ -1186,6 +1290,8 @@ def influxql_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "influxql_integral_stats": _q_integral_stats,
         "influxql_sample5": _q_sample,
         "influxql_fill_linear_6h": _q_fill_linear_6h,
+        "influxql_fill_previous_6h": _q_fill_previous_6h,
+        "influxql_mode_median_6h": _q_mode_median_6h,
         "influxql_deriv_sum_6h": _q_deriv_sum_6h,
         "influxql_subquery_6h_max": _q_subquery,
         "influxql_slimit_series": _q_slimit,
@@ -1221,6 +1327,8 @@ def influxql_oracle_sql() -> dict[str, str]:
         "influxql_integral_stats": _INTEGRAL_SQL,
         "influxql_sample5": _SAMPLE_SQL,
         "influxql_fill_linear_6h": _FILL_LINEAR_SQL,
+        "influxql_fill_previous_6h": _FILL_PREVIOUS_SQL,
+        "influxql_mode_median_6h": _MODE_MEDIAN_SQL,
         "influxql_deriv_sum_6h": _DERIV_SUM_SQL,
         "influxql_subquery_6h_max": _SUBQUERY_SQL,
         "influxql_slimit_series": _SLIMIT_SQL,

@@ -658,3 +658,53 @@ def cluster_keep(
         rn.cast("long").alias("rnk"),
         (rn == 1).alias("keep"),
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    min_containment: float = 0.5,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Directed shingle-CONTAINMENT pairs: C(a→b) = |Sₐ∩S_b| / |Sₐ|.
+
+    Asymmetric set containment catches what Jaccard misses: quotes, partial
+    copies, and a short document embedded in a long one (|Sₐ∩S_b| can be all
+    of Sₐ while Jaccard stays tiny).  Same inverted-index self-join shape as
+    :func:`jaccard_pairs` — one shuffle on the shingle, candidates bounded by
+    shared shingles — with the identical ``max_shingle_freq`` stop-shingle
+    skew guard.  Emits BOTH directions (a→b and b→a score differently).
+
+    Output: ``(id_a, id_b, containment)`` for ordered pairs with
+    C(id_a→id_b) ≥ threshold.
+    """
+    ds = distinct_shingles(df, id_col, text_col, k)
+    if max_shingle_freq is not None:
+        rare = (
+            ds.groupBy("shingle")
+            .agg(F.count("*").alias("df_"))
+            .filter(F.col("df_") <= max_shingle_freq)
+            .select("shingle")
+        )
+        ds = ds.join(rare, "shingle")
+    sizes = ds.groupBy("id").agg(F.count("*").alias("n"))
+    a = ds.select(F.col("id").alias("id_a"), "shingle")
+    b = ds.select(F.col("id").alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    na = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("n_a"))
+    return (
+        inter.join(na, "id_a")
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("inter") / F.col("n_a")).alias("containment"),
+        )
+        .filter(F.col("containment") >= min_containment)
+    )

@@ -180,3 +180,82 @@ def fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.array_min(shingle_hashes(t, k=3)).alias("fp_minshingle"),
         h32(F.substring(norm, 1, 64)).alias("fp_prefix"),
     )
+
+
+# Gopher quality-rule stopwords (Rae et al. 2021 §A1.1, public): a document
+# must contain at least two of these to pass the "stop word" rule.
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-rule quality filter (Rae et al. 2021, Appendix A1.1) — the
+    standard web-corpus document filter, as pure Column expressions:
+
+    - 50 ≤ word count ≤ 100,000
+    - 3 ≤ mean word length ≤ 10
+    - symbol-to-word ratio ≤ 0.1  (symbols: ``#`` and ``...``)
+    - ≤ 90% of lines start with a bullet; ≤ 30% of lines end with "..."
+    - ≥ 80% of words contain at least one alphabetic character
+    - ≥ 2 distinct Gopher stopwords present
+
+    Returns per-doc features + per-rule flags + the combined ``keep``.
+    Every ratio is BIGINT/BIGINT IEEE division (oracle-exact); no shuffle —
+    the filter composes with any downstream dedup/sampling stage at scale.
+    """
+    t = F.col(text_col)
+    words = F.split(F.trim(t), r"\s+")
+    lines = F.split(t, "\n")
+    nw = F.size(words).cast("long")
+    nl = F.size(lines).cast("long")
+    sum_wl = F.aggregate(
+        F.transform(words, lambda w: F.length(w).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    mean_wl = sum_wl / nw
+    n_sym = (
+        F.regexp_count(t, F.lit("#")) + F.regexp_count(t, F.lit(r"\.\.\."))
+    ).cast("long")
+    sym_ratio = n_sym / nw
+    n_bullet = F.size(
+        F.filter(lines, lambda l: F.trim(l).rlike(r"^[-*•]"))
+    ).cast("long")
+    n_ell = F.size(
+        F.filter(lines, lambda l: F.trim(l).rlike(r"\.\.\.$"))
+    ).cast("long")
+    bullet_ratio = n_bullet / nl
+    ellipsis_ratio = n_ell / nl
+    n_alpha = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]"))).cast("long")
+    alpha_ratio = n_alpha / nw
+    stop_hits = None
+    for w in GOPHER_STOPWORDS:
+        hit = (F.regexp_count(t, F.lit(rf"\b{w}\b")) > 0).cast("long")
+        stop_hits = hit if stop_hits is None else stop_hits + hit
+
+    f_words = (nw >= 50) & (nw <= 100_000)
+    f_mwl = (mean_wl >= 3.0) & (mean_wl <= 10.0)
+    f_sym = sym_ratio <= 0.1
+    f_bullet = bullet_ratio <= 0.9
+    f_ell = ellipsis_ratio <= 0.3
+    f_alpha = alpha_ratio >= 0.8
+    f_stop = stop_hits >= 2
+    return df.select(
+        F.col(id_col).alias("id"),
+        nw.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        sym_ratio.alias("symbol_ratio"),
+        bullet_ratio.alias("bullet_ratio"),
+        ellipsis_ratio.alias("ellipsis_ratio"),
+        alpha_ratio.alias("alpha_ratio"),
+        stop_hits.alias("stop_hits"),
+        f_words.alias("ok_words"),
+        f_mwl.alias("ok_mean_word_len"),
+        f_sym.alias("ok_symbols"),
+        f_bullet.alias("ok_bullets"),
+        f_ell.alias("ok_ellipsis"),
+        f_alpha.alias("ok_alpha"),
+        f_stop.alias("ok_stopwords"),
+        (
+            f_words & f_mwl & f_sym & f_bullet & f_ell & f_alpha & f_stop
+        ).alias("keep"),
+    )

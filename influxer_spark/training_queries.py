@@ -807,8 +807,95 @@ FROM qq
 """
 
 
+def _q_gopher_quality(spark, sf_dir):
+    return T.gopher_quality(_docs(spark, sf_dir), "doc_id", "text")
+
+
+_GOPHER_SQL = r"""
+WITH base AS (
+  SELECT doc_id AS id, text,
+         string_split_regex(trim(text), '\s+') AS w,
+         string_split(text, chr(10)) AS lines
+  FROM documents
+),
+feat AS (
+  SELECT id, text,
+    CAST(len(w) AS BIGINT) AS n_words,
+    CAST(len(lines) AS BIGINT) AS n_lines,
+    CAST(list_sum(list_transform(w, x -> CAST(length(x) AS BIGINT)))
+         AS BIGINT) AS sum_wl,
+    CAST(len(regexp_extract_all(text, '#'))
+         + len(regexp_extract_all(text, '\.\.\.')) AS BIGINT) AS n_sym,
+    CAST(len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*•]')))
+         AS BIGINT) AS n_bullet,
+    CAST(len(list_filter(lines, l -> regexp_matches(trim(l), '\.\.\.$')))
+         AS BIGINT) AS n_ell,
+    CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+         AS BIGINT) AS n_alpha,
+    CAST({stop_terms} AS BIGINT) AS stop_hits
+  FROM base
+),
+r AS (
+  SELECT id, n_words, sum_wl / n_words AS mean_word_len,
+         n_sym / n_words AS symbol_ratio,
+         n_bullet / n_lines AS bullet_ratio,
+         n_ell / n_lines AS ellipsis_ratio,
+         n_alpha / n_words AS alpha_ratio,
+         stop_hits
+  FROM feat
+)
+SELECT id, n_words, mean_word_len, symbol_ratio, bullet_ratio, ellipsis_ratio,
+  alpha_ratio, stop_hits,
+  (n_words >= 50 AND n_words <= 100000) AS ok_words,
+  (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS ok_mean_word_len,
+  (symbol_ratio <= 0.1) AS ok_symbols,
+  (bullet_ratio <= 0.9) AS ok_bullets,
+  (ellipsis_ratio <= 0.3) AS ok_ellipsis,
+  (alpha_ratio >= 0.8) AS ok_alpha,
+  (stop_hits >= 2) AS ok_stopwords,
+  ((n_words >= 50 AND n_words <= 100000)
+   AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+   AND (symbol_ratio <= 0.1) AND (bullet_ratio <= 0.9)
+   AND (ellipsis_ratio <= 0.3) AND (alpha_ratio >= 0.8)
+   AND (stop_hits >= 2)) AS keep
+FROM r
+""".format(
+    stop_terms=" + ".join(
+        f"(CASE WHEN len(regexp_extract_all(text, '\\b{w}\\b')) > 0 "
+        "THEN 1 ELSE 0 END)"
+        for w in T.GOPHER_STOPWORDS
+    )
+)
+
+
+def _q_containment(spark, sf_dir):
+    return D.containment_pairs(
+        _docs(spark, sf_dir), "doc_id", "text", k=5, min_containment=0.5
+    )
+
+
+def _containment_sql(k: int, thr: float) -> str:
+    return f"""
+WITH ds0 AS (
+  SELECT DISTINCT doc_id AS id, unnest({_shingles_sql('text', k)}) AS shingle
+  FROM documents
+), sizes AS (
+  SELECT id, count(*) AS n FROM ds0 GROUP BY id
+), inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+  FROM ds0 a JOIN ds0 b ON a.shingle = b.shingle AND a.id <> b.id
+  GROUP BY 1, 2
+)
+SELECT i.id_a, i.id_b, i.i / s.n AS containment
+FROM inter i JOIN sizes s ON s.id = i.id_a
+WHERE i.i / s.n >= {thr}
+"""
+
+
 def training_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "gopher_quality_flags": _q_gopher_quality,
+        "containment_dedup": _q_containment,
         "exact_dedup_documents": _q_exact_dedup,
         "minhash_lsh_dedup": _q_minhash_lsh,
         "ngram_jaccard_dedup": _q_ngram_jaccard,
@@ -848,9 +935,14 @@ def training_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def training_oracle_sql() -> dict[str, str]:
     bpe = T.BPE_TOKEN_PATTERN
     punct = T.PUNCT_PATTERN
+    extra = {
+        "gopher_quality_flags": _GOPHER_SQL,
+        "containment_dedup": _containment_sql(5, 0.5),
+    }
     stop = T.STOPWORD_PATTERN
     norm = _NORM.format(x="text")
     return {
+        **extra,
         "exact_dedup_documents": (
             f"SELECT md5({norm}) AS fingerprint, count(*) AS n_docs, "
             "min(doc_id) AS canonical_id FROM documents GROUP BY 1"

@@ -290,3 +290,23 @@ def test_semantic_dedup_is_within_cluster_subset_of_exact(spark):
     for r in sem:
         assert exact[(r["id_a"], r["id_b"])] == r["cos"]
         assert assign[r["id_a"]] == assign[r["id_b"]] == r["cluster_id"]
+
+
+def test_containment_pairs_directed(spark):
+    """Containment is ASYMMETRIC: a short quote embedded in a long document
+    scores ~1.0 in the quote→document direction but low the other way
+    (the case Jaccard misses)."""
+    from influxer_spark.operators.dedup import containment_pairs
+
+    quote = "alpha beta gamma delta epsilon zeta"
+    long_doc = ("intro words here " + quote +
+                " and then a very long tail " + "filler words repeated " * 10)
+    rows = [(1, quote), (2, long_doc), (3, "completely unrelated text body")]
+    out = {(r["id_a"], r["id_b"]): r["containment"]
+           for r in containment_pairs(
+               spark.createDataFrame(rows, ["doc_id", "text"]),
+               "doc_id", "text", k=3, min_containment=0.5).collect()}
+
+    assert (1, 2) in out and out[(1, 2)] >= 0.9   # quote ⊂ long doc
+    assert (2, 1) not in out                      # reverse direction is low
+    assert all(3 not in pair for pair in out)

@@ -103,3 +103,24 @@ def test_top_multiplicity_matches_python(spark):
            T.repetition_stats(df, "doc_id", "text").collect()}
     for i, text in rows:
         assert got[i] == max(collections.Counter(text.split()).values()), i
+
+
+def test_gopher_quality_rules(spark):
+    from influxer_spark.operators.textstats import gopher_quality
+
+    good = ("the quick brown fox jumps over the lazy dog and runs off to be "
+            "seen with many other words that have quite reasonable shape "
+            * 5)
+    short = "too few words to pass"
+    symbols = "the be to of and that have with " + "# " * 40 + "word " * 50
+    rows = [(1, good), (2, short), (3, symbols)]
+    out = {r["id"]: r for r in gopher_quality(
+        spark.createDataFrame(rows, ["doc_id", "text"]), "doc_id", "text"
+    ).collect()}
+
+    assert out[1]["keep"] is True
+    assert out[2]["keep"] is False and out[2]["ok_words"] is False
+    assert out[3]["keep"] is False and out[3]["ok_symbols"] is False
+    # ratios are plain IEEE divisions of integer counts
+    assert out[1]["alpha_ratio"] == 1.0
+    assert out[1]["stop_hits"] >= 2
