@@ -262,17 +262,20 @@ def process_days(
         t1d = _cascade(t1h_committed.drop("day"), "1d").withColumn(
             "day", _day_of("bucket")
         )
-        f_1d = pool.submit(
-            catalog.write_partitions,
+
+        # barrier BEFORE the 1d commit: rollup_1d is the wave's resume marker
+        # (committed_partitions("rollup_1d") decides the pending set), so it
+        # must be the LAST table to commit — a crash mid-wave then re-runs
+        # the whole wave instead of skipping a day whose other tables never
+        # landed (partition-level exactly-once)
+        for f in (f_raw, f_1m, f_gor):
+            if f is not None:
+                f.result()
+        catalog.write_partitions(
             t1d, "rollup_1d", days,
             counters_by_partition={d: {"rows_in": b1m[d]} for d in days},
             lineage_by_partition=lineage,
         )
-
-        # barrier: every sink committed (exceptions propagate here)
-        for f in (f_raw, f_1m, f_1d, f_gor):
-            if f is not None:
-                f.result()
 
         if hist_bounds:
             # pin the bound list on every histogram-bearing tier (table

@@ -363,3 +363,26 @@ def test_hist_bounds_fixed_at_catalog_creation(spark, tmp_path):
             spark, more, root, encode_gorilla=False,
             hist_bounds=bounds[:-1],  # different list
         )
+
+
+def test_rollup_1d_commits_last(spark, pages_path, tmp_path, monkeypatch):
+    """rollup_1d is the wave's resume marker: with concurrent sink jobs, its
+    snapshot commit must still be the LAST — otherwise a crash between
+    commits could mark a day done while sibling tables never landed."""
+    from influxer_spark.catalog import TableCatalog
+    from influxer_spark.pipeline import run_pipeline
+
+    order: list[str] = []
+    orig = TableCatalog.write_partitions
+
+    def spy(self, df, name, days, **kw):
+        r = orig(self, df, name, days, **kw)
+        order.append(name)  # list.append is GIL-atomic across sink threads
+        return r
+
+    monkeypatch.setattr(TableCatalog, "write_partitions", spy)
+    run_pipeline(spark, pages_path, str(tmp_path / "cat"), resume=False)
+    assert order[-1] == "rollup_1d", order
+    assert set(order) == {
+        "raw_points", "rollup_1m", "rollup_1h", "rollup_1d", "rollup_1m_gorilla"
+    }

@@ -167,3 +167,17 @@ def test_asof_tolerance_stays_union_window(plans3):
     p = plans3["asof_join_tolerance_2h"]
     assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
     assert "Window" in p
+
+
+def test_locf_single_window_single_sort(spark, sf_dir):
+    """gapfill_locf must be ONE backward window on one sort — the round-2
+    regression came from routing LOCF through the interpolation path (two
+    window directions + a third pass = three sorts)."""
+    qs = E.queries()
+    p = _fmt(spark, qs["gapfill_1h_locf"](spark, sf_dir))
+    ops = [
+        m.group(1)
+        for m in re.finditer(r"^\s*\(\d+\) (Sort|Window)", p, re.M)
+    ]
+    assert ops.count("Window") == 1, ops
+    assert ops.count("Sort") <= 2, ops  # join sort(s) + the window sort
