@@ -599,6 +599,7 @@ _WINDOW_PRIORITY = [
     "influxql_fill_previous_6h",
     "gopher_quality_flags",
     "containment_dedup",
+    "bigram_logprob_scores",
 ]
 
 # Rows-only queries (genuinely non-SQL-expressible internals) — always last.

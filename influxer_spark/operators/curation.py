@@ -259,3 +259,80 @@ def unigram_logprob(
             ),
         )
     )
+
+
+def bigram_logprob(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    lam: float = 0.75,
+    scale: int = LOGPROB_SCALE,
+) -> DataFrame:
+    """Interpolated bigram LM score (the next rung of the CCNet ladder after
+    :func:`unigram_logprob`): train on the corpus itself, score each document
+    by its mean bigram log-probability under
+
+        P(w₂|w₁) = λ·cnt(w₁w₂)/cnt(w₁·) + (1−λ)·cnt(·w₂)/total
+
+    (Jelinek-Mercer interpolation with the "next-token" unigram as the
+    backoff — every scored bigram exists in the model since it is trained on
+    the same corpus, and interpolation keeps rare-bigram probabilities off
+    the floor).
+
+    Bit-exactness: same discipline as the unigram scorer — ``ln`` is
+    evaluated once per bigram TYPE and immediately quantized to a scaled
+    BIGINT, so per-document aggregation is integer arithmetic (immune to
+    float summation order); the interpolation expression composes the same
+    IEEE ops in the same order as the oracle SQL.
+
+    Scale: bigram types ≫ unigram vocab but the model join is on the bigram
+    key (shuffle join; AQE broadcasts if it fits); prefix and next-token
+    marginals are two groupBys over the bigram-type frame, not the token
+    stream.  Documents with <2 words contribute their whole token list as
+    one degenerate "bigram" (word_shingles guard) so nothing drops out.
+    """
+    from influxer_spark.operators.dedup import word_shingles
+
+    dbg = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(word_shingles(F.col(text_col), 2)).alias("bg"),
+        )
+        .groupBy("id", "bg")
+        .agg(F.count("*").alias("m"))
+    )
+    bgv = dbg.groupBy("bg").agg(F.sum("m").alias("cbg"))
+    parts = bgv.withColumn("w", F.split("bg", " ")).select(
+        "bg",
+        "cbg",
+        F.element_at("w", 1).alias("w1"),
+        F.element_at("w", -1).alias("w2"),
+    )
+    pre = parts.groupBy("w1").agg(F.sum("cbg").alias("cpre"))
+    nxt = parts.groupBy("w2").agg(F.sum("cbg").alias("cnxt"))
+    total = parts.agg(F.sum("cbg").alias("total"))
+    p = F.lit(lam) * (F.col("cbg") / F.col("cpre")) + F.lit(1.0 - lam) * (
+        F.col("cnxt") / F.col("total")
+    )
+    model = (
+        parts.join(pre, "w1")
+        .join(nxt, "w2")
+        .crossJoin(F.broadcast(total))
+        .select("bg", F.round(F.log(p) * scale, 0).cast("long").alias("q"))
+    )
+    return (
+        dbg.join(model, "bg")
+        .groupBy("id")
+        .agg(
+            F.sum("m").alias("n_bigrams"),
+            F.sum(F.col("m") * F.col("q")).alias("sum_logp_q"),
+        )
+        .select(
+            "id",
+            "n_bigrams",
+            "sum_logp_q",
+            (F.col("sum_logp_q") / (F.lit(scale) * F.col("n_bigrams"))).alias(
+                "avg_logprob"
+            ),
+        )
+    )

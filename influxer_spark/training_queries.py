@@ -892,10 +892,47 @@ WHERE i.i / s.n >= {thr}
 """
 
 
+def _q_bigram_logprob(spark, sf_dir):
+    from influxer_spark.operators.curation import bigram_logprob
+
+    return bigram_logprob(_docs(spark, sf_dir), "doc_id", "text")
+
+
+_BIGRAM_LM_SQL = f"""
+WITH dbg AS (
+  SELECT doc_id AS id, bg, count(*) AS m
+  FROM (SELECT doc_id, unnest({_shingles_sql('text', 2)}) AS bg FROM documents)
+  GROUP BY 1, 2
+), bgv AS (
+  SELECT bg, CAST(sum(m) AS BIGINT) AS cbg FROM dbg GROUP BY 1
+), parts AS (
+  SELECT bg, cbg,
+         string_split(bg, ' ')[1] AS w1,
+         string_split(bg, ' ')[-1] AS w2
+  FROM bgv
+), pre AS (SELECT w1, CAST(sum(cbg) AS BIGINT) AS cpre FROM parts GROUP BY 1),
+nxt AS (SELECT w2, CAST(sum(cbg) AS BIGINT) AS cnxt FROM parts GROUP BY 1),
+tot AS (SELECT CAST(sum(cbg) AS BIGINT) AS total FROM parts),
+model AS (
+  SELECT bg,
+         CAST(round(ln(0.75 * (cbg / cpre) + 0.25 * (cnxt / total))
+                    * 1000000, 0) AS BIGINT) AS q
+  FROM parts JOIN pre USING (w1) JOIN nxt USING (w2) CROSS JOIN tot
+)
+SELECT id, CAST(sum(m) AS BIGINT) AS n_bigrams,
+       CAST(sum(m * q) AS BIGINT) AS sum_logp_q,
+       CAST(sum(m * q) AS BIGINT) / (1000000 * CAST(sum(m) AS BIGINT))
+         AS avg_logprob
+FROM dbg JOIN model USING (bg)
+GROUP BY 1
+"""
+
+
 def training_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "gopher_quality_flags": _q_gopher_quality,
         "containment_dedup": _q_containment,
+        "bigram_logprob_scores": _q_bigram_logprob,
         "exact_dedup_documents": _q_exact_dedup,
         "minhash_lsh_dedup": _q_minhash_lsh,
         "ngram_jaccard_dedup": _q_ngram_jaccard,
@@ -938,6 +975,7 @@ def training_oracle_sql() -> dict[str, str]:
     extra = {
         "gopher_quality_flags": _GOPHER_SQL,
         "containment_dedup": _containment_sql(5, 0.5),
+        "bigram_logprob_scores": _BIGRAM_LM_SQL,
     }
     stop = T.STOPWORD_PATTERN
     norm = _NORM.format(x="text")

@@ -117,3 +117,22 @@ def test_pack_sequences_sharded_independent_offsets(spark):
     }
     assert out[1]["start_offset"] == 0 and out[2]["start_offset"] == 0
     assert out[3]["start_offset"] == 2  # second doc within s1 only
+
+
+def test_bigram_logprob_ranks_typical_above_rare(spark):
+    from influxer_spark.operators.curation import bigram_logprob
+
+    # doc 1: deterministic transitions (P(b|a)≈1) → high mean logprob;
+    # doc 4: every "a …" bigram branches 4 ways (P(ci|a)≈1/4) → low
+    predictable = "a b a b a b a b"
+    branching = "a c1 a c2 a c3 a c4"
+    docs = spark.createDataFrame(
+        [(1, predictable), (2, predictable), (3, predictable),
+         (4, branching)],
+        ["doc_id", "text"],
+    )
+    out = {r["id"]: r for r in bigram_logprob(docs, "doc_id", "text").collect()}
+    assert out[1]["avg_logprob"] > out[4]["avg_logprob"]
+    # integer plumbing: n_bigrams = words-1 per doc occurrence
+    assert out[1]["n_bigrams"] == len(predictable.split()) - 1
+    assert out[1]["avg_logprob"] == out[2]["avg_logprob"] == out[3]["avg_logprob"]
