@@ -191,6 +191,52 @@ def _q_stream_rollup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming sessionization VALUE-oracled via replay (the
+    applyInPandasWithState analogue of stream_rollup_replay_1m): land events
+    as two time-ordered files, drain with TWO availableNow runs against one
+    checkpoint — open-session state is restored from the checkpoint, so
+    sessions spanning the stop/resume boundary must merge, not split — and
+    take the last emission per user.  The oracle is the plain batch
+    sessionizer SQL: a hash match proves the streaming session state machine
+    reproduces the batch window exactly across a restart."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from influxer_spark.streaming import read_sessions, run_incremental_sessions
+
+    ev = _t(spark, sf_dir, "events").orderBy("ts")
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    cut = lo + (hi - lo) / 2
+    root = tempfile.mkdtemp(prefix="stream_sess_gate_")
+    d = {n: os.path.join(root, n) for n in ("input", "out", "ckpt", "stage")}
+    os.makedirs(d["input"])
+    for name, part in (
+        ("a", ev.filter(F.col("ts") <= cut)),
+        ("b", ev.filter(F.col("ts") > cut)),
+    ):
+        staging = os.path.join(d["stage"], name)
+        part.coalesce(1).write.mode("overwrite").parquet(staging)
+        src = glob.glob(os.path.join(staging, "part-*.parquet"))[0]
+        if name == "a":  # second file lands between the two runs
+            shutil.copy(src, os.path.join(d["input"], "a.parquet"))
+    run_incremental_sessions(spark, d["input"], ev.schema, d["out"], d["ckpt"])
+    shutil.copy(
+        glob.glob(os.path.join(d["stage"], "b", "part-*.parquet"))[0],
+        os.path.join(d["input"], "b.parquet"),
+    )
+    run_incremental_sessions(spark, d["input"], ev.schema, d["out"], d["ckpt"])
+    merged = read_sessions(spark, d["out"]).select(
+        F.col("key").alias("user_id"), "n_sessions", "n_events"
+    )
+    rows = merged.collect()  # materialize before removing the scratch dirs
+    out = spark.createDataFrame(rows, merged.schema)
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 def _q_sketch_distinct_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct-user counts served from tiers: 1m sketches HLL-union up the
     cascade to 1d (rollup.py rollup_with_distinct/cascade_with_distinct).
@@ -600,6 +646,7 @@ _WINDOW_PRIORITY = [
     "gopher_quality_flags",
     "containment_dedup",
     "bigram_logprob_scores",
+    "stream_sessionize_replay",
 ]
 
 # Rows-only queries (genuinely non-SQL-expressible internals) — always last.
@@ -639,6 +686,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gapfill_1h_locf": _q_gapfill_locf,
         "topk_hot_users": _q_topk_hot_users,
         "sessionize_30m": _q_sessionize,
+        "stream_sessionize_replay": _q_stream_sessionize,
         "json_props_extract": _q_json_props,
         "pivot_event_counts_hourly": _q_pivot_hourly,
         "retention_candidates": _q_retention_candidates,
@@ -827,6 +875,17 @@ FROM j
             "         CAST(round(sum(value) * 100, 0) AS BIGINT) / 100.0 AS sum_v"
             "  FROM events GROUP BY user_id"
             ") WHERE rank <= 10"
+        ),
+        # streaming replay must reproduce the batch sessionizer exactly
+        "stream_sessionize_replay": (
+            "WITH g AS ("
+            "  SELECT user_id,"
+            "    CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800"
+            "         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL"
+            "         THEN 1 ELSE 0 END AS new_sess"
+            "  FROM events)"
+            "SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions,"
+            "       count(*) AS n_events FROM g GROUP BY user_id"
         ),
         "sessionize_30m": (
             "WITH g AS ("

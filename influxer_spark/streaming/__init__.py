@@ -1,6 +1,8 @@
 from influxer_spark.streaming.incremental import (  # noqa: F401
+    read_sessions,
+    read_tier,
     run_incremental_lineprotocol_rollup,
     run_incremental_rollup,
+    run_incremental_sessions,
     stream_rollup_1m,
-    read_tier,
 )

@@ -286,3 +286,50 @@ def read_tier(
         )
         .select(*keys, *[F.col(f"_s.{c}").alias(c) for c in data_cols])
     )
+
+
+def run_incremental_sessions(
+    spark: SparkSession,
+    input_dir: str,
+    schema,
+    out_dir: str,
+    checkpoint_dir: str,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+) -> None:
+    """File-source stream → stateful sessionizer → idempotent per-batch
+    dirs.  Same availableNow/checkpoint contract as the 1m tier: rerunning
+    after new files land processes only the new files, with open-session
+    state restored from the checkpoint (a session can SPAN the restart)."""
+    from influxer_spark.streaming.stateful import sessionize_stream
+
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+    stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    _drain_to_tier(
+        sessionize_stream(stream, key_col, ts_col, gap_seconds),
+        out_dir,
+        checkpoint_dir,
+    )
+
+
+def read_sessions(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Merge committed session partials: update mode re-emits the full
+    running (n_sessions, n_events) per key, so the LAST emission per key
+    (max batch id) is the current value — same merge rule as read_tier."""
+    batches = _committed_batches(out_dir)
+    if not batches:
+        raise FileNotFoundError(f"no committed batches under {out_dir}")
+    dfs = [
+        spark.read.parquet(os.path.join(out_dir, d)).withColumn("_bid", F.lit(bid))
+        for d, bid in batches
+    ]
+    allb = dfs[0]
+    for d in dfs[1:]:
+        allb = allb.unionByName(d)
+    data_cols = [c for c in allb.columns if c not in ("key", "_bid")]
+    return (
+        allb.groupBy("key")
+        .agg(F.max_by(F.struct(*data_cols), "_bid").alias("_s"))
+        .select("key", *[F.col(f"_s.{c}").alias(c) for c in data_cols])
+    )

@@ -110,3 +110,60 @@ def dedup_stream(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def sessionize_stream(
+    stream_df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Streaming sessionization with per-key open-session state: a gap
+    > ``gap_seconds`` between consecutive events starts a new session.
+
+    Emits, per key and per micro-batch the key appears in, the RUNNING
+    ``(n_sessions, n_events)`` — counting sessions when they START, so the
+    last emission per key equals the batch sessionizer exactly (no
+    close-out flush needed; an open session is already counted).  State is
+    ``(last_ts_epoch, n_sessions, n_events)`` and lives in the checkpoint:
+    a resumed ``availableNow`` run continues sessions across the restart,
+    including a session that SPANS the stop/resume boundary.
+
+    Same state shape at scale as a streaming agg (hash-partitioned by key;
+    O(1) state per key); rows within a micro-batch are sorted by event time
+    inside the Arrow batch, and cross-batch order comes from the source's
+    file order — the standard at-least-once tail-ingest contract shared
+    with the 1m-tier stream.
+    """
+
+    def fold(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        last_ts, n_sess, n_ev = (
+            state.get if state.exists else (None, 0, 0)
+        )
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(ts_col)
+        # whole-second epoch, matching the batch sessionizer's
+        # unix_timestamp() truncation
+        ts = (rows[ts_col].astype("int64") // 1_000_000_000).to_numpy()
+        for t in ts:
+            if last_ts is None or t - last_ts > gap_seconds:
+                n_sess += 1
+            last_ts = int(t)
+            n_ev += 1
+        state.update((last_ts, n_sess, n_ev))
+        yield pd.DataFrame(
+            {"key": [key[0]], "n_sessions": [n_sess], "n_events": [n_ev]}
+        )
+
+    return (
+        stream_df.groupBy(key_col)
+        .applyInPandasWithState(
+            fold,
+            outputStructType="key long, n_sessions long, n_events long",
+            stateStructType="last_ts long, n_sessions long, n_events long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -132,3 +132,40 @@ def test_dedup_stream_first_seen_across_restarts(spark, tmp_path):
     alpha_fp = [r["fingerprint"] for r in rows1 if r["n_dups"] == 1][0]
     dups2 = {r["fingerprint"]: r["n_dups"] for r in rows2}
     assert dups2[alpha_fp] == 2  # cumulative across the restart
+
+
+def test_sessionize_stream_session_spans_restart(spark, tmp_path):
+    """A session whose events straddle the stop/resume boundary must MERGE
+    (state restored from the checkpoint), and a post-restart gap must still
+    open a new session."""
+    import datetime as dt
+
+    from influxer_spark.streaming import read_sessions, run_incremental_sessions
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    mk = lambda s: t0 + dt.timedelta(seconds=s)
+    # user 1: events at 0s, 600s | restart | 1200s (same session: gaps 10min)
+    #         then 60min later → second session
+    # user 2: single event before the restart only
+    file_a = [(1, mk(0)), (1, mk(600)), (2, mk(0))]
+    file_b = [(1, mk(1200)), (1, mk(1200 + 4800))]
+    d = {n: str(tmp_path / n) for n in ("input", "out", "ckpt", "stage")}
+    os.makedirs(d["input"])
+
+    def land(rows, name):
+        df = spark.createDataFrame(rows, ["user_id", "ts"]).coalesce(1)
+        df.write.mode("overwrite").parquet(os.path.join(d["stage"], name))
+        src = glob.glob(os.path.join(d["stage"], name, "part-*.parquet"))[0]
+        shutil.copy(src, os.path.join(d["input"], f"{name}.parquet"))
+        return df
+
+    schema = land(file_a, "a").schema
+    run_incremental_sessions(spark, d["input"], schema, d["out"], d["ckpt"],
+                             key_col="user_id", ts_col="ts")
+    land(file_b, "b")
+    run_incremental_sessions(spark, d["input"], schema, d["out"], d["ckpt"],
+                             key_col="user_id", ts_col="ts")
+
+    got = {r["key"]: (r["n_sessions"], r["n_events"])
+           for r in read_sessions(spark, d["out"]).collect()}
+    assert got == {1: (2, 4), 2: (1, 1)}
