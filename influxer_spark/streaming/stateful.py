@@ -145,8 +145,12 @@ def sessionize_stream(
         rows = pd.concat(list(pdfs), ignore_index=True)
         rows = rows.sort_values(ts_col)
         # whole-second epoch, matching the batch sessionizer's
-        # unix_timestamp() truncation
-        ts = (rows[ts_col].astype("int64") // 1_000_000_000).to_numpy()
+        # unix_timestamp() truncation (normalize to ns first — the Arrow
+        # bridge's pandas unit is version-dependent)
+        ts = (
+            rows[ts_col].astype("datetime64[ns]").astype("int64")
+            // 1_000_000_000
+        ).to_numpy()
         for t in ts:
             if last_ts is None or t - last_ts > gap_seconds:
                 n_sess += 1
