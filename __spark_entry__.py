@@ -647,6 +647,7 @@ _WINDOW_PRIORITY = [
     "containment_dedup",
     "bigram_logprob_scores",
     "stream_sessionize_replay",
+    "snaive_mase_24h",
 ]
 
 # Rows-only queries (genuinely non-SQL-expressible internals) — always last.

@@ -287,6 +287,34 @@ SELECT event_type, bucket, fs / (fc * 100.0) AS avg_v FROM filled
 """
 
 
+def _q_snaive_mase(spark, sf_dir):
+    """Seasonal-naive baseline + MASE on the hourly tier (period=24): the
+    oracled forecasting-evaluation primitive beside the rows-only
+    holt_winters (iterative fits can't be SQL-oracled; this yardstick can)."""
+    from influxer_spark.operators.holtwinters import seasonal_naive_eval
+
+    h = _hourly(spark, sf_dir).select("event_type", "bucket", "v")
+    return seasonal_naive_eval(h, ["event_type"], "bucket", "v", period=24)
+
+
+_SNAIVE_MASE_SQL = f"""
+WITH {_HOURLY_SQL},
+e AS (
+  SELECT event_type,
+    CAST(round(abs(v - lag(v, 24) OVER w) * 1000000, 0) AS BIGINT) AS qs,
+    CAST(round(abs(v - lag(v, 1) OVER w) * 1000000, 0) AS BIGINT) AS q1
+  FROM hourly WINDOW w AS (PARTITION BY event_type ORDER BY bucket)
+)
+SELECT event_type,
+  count(qs) AS n_eval_snaive, count(q1) AS n_eval_naive1,
+  CAST(sum(qs) AS BIGINT) AS sum_abs_err_snaive_q,
+  CAST(sum(q1) AS BIGINT) AS sum_abs_err_naive1_q,
+  (CAST(sum(qs) AS BIGINT) / count(qs))
+    / (CAST(sum(q1) AS BIGINT) / count(q1)) AS mase
+FROM e GROUP BY 1
+"""
+
+
 def _q_mode_median_6h(spark, sf_dir):
     """Bucketed mode/median/percentile through the string front-end —
     InfluxDB's rank-based selectors (nearest-rank with +0.5 rounding; mode
@@ -1292,6 +1320,7 @@ def influxql_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "influxql_fill_linear_6h": _q_fill_linear_6h,
         "influxql_fill_previous_6h": _q_fill_previous_6h,
         "influxql_mode_median_6h": _q_mode_median_6h,
+        "snaive_mase_24h": _q_snaive_mase,
         "influxql_deriv_sum_6h": _q_deriv_sum_6h,
         "influxql_subquery_6h_max": _q_subquery,
         "influxql_slimit_series": _q_slimit,
@@ -1329,6 +1358,7 @@ def influxql_oracle_sql() -> dict[str, str]:
         "influxql_fill_linear_6h": _FILL_LINEAR_SQL,
         "influxql_fill_previous_6h": _FILL_PREVIOUS_SQL,
         "influxql_mode_median_6h": _MODE_MEDIAN_SQL,
+        "snaive_mase_24h": _SNAIVE_MASE_SQL,
         "influxql_deriv_sum_6h": _DERIV_SUM_SQL,
         "influxql_subquery_6h_max": _SUBQUERY_SQL,
         "influxql_slimit_series": _SLIMIT_SQL,

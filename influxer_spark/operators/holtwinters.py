@@ -195,3 +195,51 @@ def holt_winters(
 
     src = df.select(*keys, F.col(ts_col).cast("timestamp"), F.col(value_col))
     return src.groupBy(*keys).applyInPandas(fit_group, schema)
+
+
+def seasonal_naive_eval(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    period: int,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Seasonal-naive forecast baseline + MASE-style evaluation per series.
+
+    The standard forecasting yardstick (Hyndman & Koehler 2006, public):
+    the seasonal-naive model predicts ŷ_t = y_{t−period} over bucketed
+    series; its mean absolute error is compared to the one-step naive
+    ŷ_t = y_{t−1}.  ``mase < 1`` ⇒ the seasonal pattern carries signal —
+    the cheap pre-check before paying for a fitted model (holt_winters),
+    and the denominator any fitted model must beat.
+
+    Emits per series: evaluation counts, scaled-integer absolute-error sums
+    (each |error| is quantized to ``1/scale`` ONCE, so the per-series sums
+    are order-free integer math — bit-exact against any SQL oracle), and
+    ``mase = sum_err_snaive/n_s ÷ sum_err_naive1/n_1`` as IEEE ops over
+    exact integers.  Two lag windows over one series sort; no shuffle
+    beyond the rollup's own keying.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_cols).orderBy(ts_col)
+    v = F.col(value_col)
+    err_s = F.abs(v - F.lag(v, period).over(w))
+    err_1 = F.abs(v - F.lag(v, 1).over(w))
+    q = lambda c: F.round(c * scale, 0).cast("long")  # noqa: E731
+    per = df.select(
+        *key_cols,
+        q(err_s).alias("_qs"),
+        q(err_1).alias("_q1"),
+    )
+    agg = per.groupBy(*key_cols).agg(
+        F.count("_qs").alias("n_eval_snaive"),
+        F.count("_q1").alias("n_eval_naive1"),
+        F.sum("_qs").alias("sum_abs_err_snaive_q"),
+        F.sum("_q1").alias("sum_abs_err_naive1_q"),
+    )
+    mase = (
+        F.col("sum_abs_err_snaive_q") / F.col("n_eval_snaive")
+    ) / (F.col("sum_abs_err_naive1_q") / F.col("n_eval_naive1"))
+    return agg.withColumn("mase", mase)

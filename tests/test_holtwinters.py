@@ -142,3 +142,27 @@ def test_null_buckets_are_skipped(spark):
     assert len(out) == 3
     for h, r in enumerate(out, start=1):
         assert r["holt_winters"] == pytest.approx(3.0 + 2.0 * (11 + h), abs=1e-9)
+
+
+def test_seasonal_naive_mase_detects_seasonality(spark):
+    """A perfectly period-24 series has zero seasonal-naive error (mase=0);
+    a trending series is better explained by naive-1 (mase > 1)."""
+    import datetime as dt
+    import math
+
+    from influxer_spark.operators.holtwinters import seasonal_naive_eval
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(96):
+        ts = t0 + dt.timedelta(hours=i)
+        rows.append(("seasonal", ts, math.sin(2 * math.pi * (i % 24) / 24)))
+        rows.append(("trend", ts, float(i)))
+    df = spark.createDataFrame(rows, ["event_type", "bucket", "v"])
+    out = {r["event_type"]: r for r in seasonal_naive_eval(
+        df, ["event_type"], "bucket", "v", period=24).collect()}
+
+    assert out["seasonal"]["mase"] == 0.0
+    assert out["seasonal"]["n_eval_snaive"] == 96 - 24
+    # trend: snaive error = 24 per point, naive-1 error = 1 → mase = 24
+    assert out["trend"]["mase"] == 24.0
