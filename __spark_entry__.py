@@ -349,6 +349,41 @@ def _q_rollup_5m_width(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rollup_out(r)
 
 
+def _q_twa_1h_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average 1h tier built by CASCADING 1m TWA summaries
+    (mergeable monoid with LOCF bridge segments) — the oracle computes the
+    hour directly from raw points, so a green row proves cascade-exactness,
+    not just the bucket math (operators/timeweight.py)."""
+    from influxer_spark.operators import timeweight as TW
+
+    ev = _t(spark, sf_dir, "events")
+    t1m = TW.twa_rollup(ev, "ts", ["event_type"], "value", "1m")
+    t1h = TW.twa_cascade(t1m, ["event_type"], "1h")
+    return TW.twa_value(t1h).select("event_type", "bucket", "area", "dur", "twa")
+
+
+_TWA_1H_ORACLE = """
+WITH p AS (
+  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+         max(CAST(round(value * 100, 0) AS BIGINT)) AS v
+  FROM events GROUP BY 1, 2
+), s AS (
+  SELECT event_type, t, v,
+         make_timestamp((t - t % 3600) * 1000000) AS bucket,
+         lead(t) OVER (PARTITION BY event_type, t - t % 3600 ORDER BY t) AS nt
+  FROM p
+)
+SELECT event_type, bucket,
+       coalesce(sum(v * (nt - t)), 0) AS area,
+       max(t) - min(t) AS dur,
+       CASE WHEN max(t) > min(t)
+            THEN CAST(coalesce(sum(v * (nt - t)), 0) AS DOUBLE)
+                 / (max(t) - min(t)) / 100.0
+       END AS twa
+FROM s GROUP BY 1, 2
+"""
+
+
 def _q_asof_6h_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each event picks up the latest 6h bucket at or before its
     timestamp for its event_type (union+window formulation; oracle is
@@ -637,10 +672,8 @@ _WINDOW_PRIORITY = [
     "dotnet_timeformat_roundtrip",
     "influxql_transforms_1h",
     "influxql_selectors_1h",
-    "influxql_top3_hours",
-    "influxql_integral_stats",
-    "influxql_sample5",
     # -- round-3 additions (value-oracled) fill the rest of the window --
+    "twa_1h_cascade",
     "influxql_mode_median_6h",
     "influxql_fill_previous_6h",
     "gopher_quality_flags",
@@ -680,6 +713,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gorilla_roundtrip_1m": _q_gorilla_roundtrip,
         "stream_rollup_replay_1m": _q_stream_rollup_replay,
         "rollup_5m_width": _q_rollup_5m_width,
+        "twa_1h_cascade": _q_twa_1h_cascade,
         "asof_join_6h_stats": _q_asof_6h_stats,
         "asof_join_tolerance_2h": _q_asof_tolerance,
         "asof_join_nearest_6h": _q_asof_nearest,
@@ -766,6 +800,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM events GROUP BY 1, 2"
         ),
         "hist_quantile_1h": _hist_quantile_oracle(),
+        "twa_1h_cascade": _TWA_1H_ORACLE,
         "rollup_1h_cascade": _ROLLUP_SELECT.format(unit="hour"),
         "rollup_1d_cascade": _ROLLUP_SELECT.format(unit="day"),
         "rollup_1m_salted": _ROLLUP_SELECT.format(unit="minute"),
