@@ -349,6 +349,35 @@ def _q_rollup_5m_width(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rollup_out(r)
 
 
+def _q_heavy_hitters_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 users per (day, event_type) read from CASCADED Misra-Gries
+    summaries (1h capacity-256 sketches merged to 1d).  Capacity exceeds the
+    per-bucket item cardinality at gate scale, so counts are exact and the
+    oracle is the exact SQL top-k; the error-bound path is pinned by the
+    pathological-capacity pytest (operators/heavyhitters.py)."""
+    from influxer_spark.operators import heavyhitters as HH
+
+    ev = _t(spark, sf_dir, "events")
+    h1 = HH.topk_rollup(ev, "ts", ["event_type"], "user_id", "1h", capacity=256)
+    d1 = HH.topk_cascade(h1, ["event_type"], "1d", capacity=256)
+    return HH.topk_query(d1, ["event_type"], 5)
+
+
+_HEAVY_HITTERS_ORACLE = """
+WITH c AS (
+  SELECT date_trunc('day', ts) AS bucket, event_type,
+         user_id AS item, count(*) AS cnt
+  FROM events GROUP BY 1, 2, 3
+), r AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY bucket, event_type ORDER BY cnt DESC, item ASC) AS rank
+  FROM c
+)
+SELECT bucket, event_type, item, cnt, CAST(0 AS BIGINT) AS err, rank
+FROM r WHERE rank <= 5
+"""
+
+
 def _q_twa_1h_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-weighted average 1h tier built by CASCADING 1m TWA summaries
     (mergeable monoid with LOCF bridge segments) — the oracle computes the
@@ -670,10 +699,12 @@ _WINDOW_PRIORITY = [
     "dotnet_round2_parity",
     "reserved_scrub_texts",
     "dotnet_timeformat_roundtrip",
-    "influxql_transforms_1h",
-    "influxql_selectors_1h",
     # -- round-3 additions (value-oracled) fill the rest of the window --
     "twa_1h_cascade",
+    "influxql_moving_median",
+    "incremental_dedup_shard",
+    "bloom_decontam",
+    "heavy_hitters_1d",
     "influxql_mode_median_6h",
     "influxql_fill_previous_6h",
     "gopher_quality_flags",
@@ -714,6 +745,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_rollup_replay_1m": _q_stream_rollup_replay,
         "rollup_5m_width": _q_rollup_5m_width,
         "twa_1h_cascade": _q_twa_1h_cascade,
+        "heavy_hitters_1d": _q_heavy_hitters_1d,
         "asof_join_6h_stats": _q_asof_6h_stats,
         "asof_join_tolerance_2h": _q_asof_tolerance,
         "asof_join_nearest_6h": _q_asof_nearest,
@@ -801,6 +833,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "hist_quantile_1h": _hist_quantile_oracle(),
         "twa_1h_cascade": _TWA_1H_ORACLE,
+        "heavy_hitters_1d": _HEAVY_HITTERS_ORACLE,
         "rollup_1h_cascade": _ROLLUP_SELECT.format(unit="hour"),
         "rollup_1d_cascade": _ROLLUP_SELECT.format(unit="day"),
         "rollup_1m_salted": _ROLLUP_SELECT.format(unit="minute"),

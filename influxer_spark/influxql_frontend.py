@@ -484,9 +484,10 @@ AGGS = {"count", "sum", "mean", "min", "max", "spread", "stddev", "median",
 TRANSFORMS = {"difference", "non_negative_difference", "derivative",
               "non_negative_derivative", "elapsed", "moving_average",
               "cumulative_sum",
-              # engine extension: counter-reset-aware rate (Prometheus
-              # rate() semantics InfluxQL lacks)
-              "counter_rate",
+              # engine extensions: counter-reset-aware rate (Prometheus
+              # rate() semantics InfluxQL lacks) and trailing-window
+              # percentile (Kapacitor movingPercentile)
+              "counter_rate", "moving_percentile",
               # trailing-window technical analysis (Column-shaped, so they
               # compose like any other transform)
               "chande_momentum_oscillator", "kaufmans_efficiency_ratio"}
@@ -1043,6 +1044,11 @@ class InfluxQLEngine:
                     return Q.tr_elapsed(df, keys, ts, unit)
                 if e.fname == "moving_average":
                     return Q.tr_moving_average(df, keys, ts, arg, int(e.args[1].value))
+                if e.fname == "moving_percentile":
+                    return Q.tr_moving_percentile(
+                        df, keys, ts, arg,
+                        float(e.args[1].value), int(e.args[2].value),
+                    )
                 if e.fname == "cumulative_sum":
                     return Q.tr_cumulative_sum(df, keys, ts, arg)
                 if e.fname == "chande_momentum_oscillator":

@@ -893,6 +893,34 @@ SELECT bucket, event_type, cr FROM (
 """
 
 
+def _q_moving_median(spark, sf_dir):
+    """Engine-extension transform (Kapacitor movingPercentile): nearest-rank
+    p50 of the trailing 6 hourly sums.  Values are integer cents, so the
+    selected element is exact; the oracle replays the identical rank rule
+    over a DuckDB window list."""
+    h = _hourly(spark, sf_dir)
+    out = influxql(
+        "SELECT moving_percentile(s_c, 50, 6) AS mm_c FROM hourly "
+        "GROUP BY event_type",
+        {"hourly": h},
+        ts_col="bucket",
+    )
+    return out.withColumnRenamed("time", "bucket").filter("mm_c IS NOT NULL")
+
+
+_MOVING_MEDIAN_SQL = f"""
+WITH {_HOURLY_SQL},
+w AS (
+  SELECT event_type, bucket,
+         list_sort(list(s_c) OVER (PARTITION BY event_type ORDER BY bucket
+                                   ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)) AS arr
+  FROM hourly
+)
+SELECT bucket, event_type, arr[CAST(floor(6 * 50.0 / 100.0 + 0.5) AS BIGINT)] AS mm_c
+FROM w WHERE len(arr) = 6
+"""
+
+
 def _q_deadman(spark, sf_dir):
     """Deadman (no-data) buckets: 1h windows in which an event_type wrote
     zero points (215 real gaps at sf0.01), spine = each series' own observed
@@ -1333,6 +1361,7 @@ def influxql_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "influxql_trix_series": _q_trix,
         "influxql_top_per_tag": _q_top_per_tag,
         "influxql_counter_rate": _q_counter_rate,
+        "influxql_moving_median": _q_moving_median,
         "lttb_downsample_50": _q_lttb,
         "m4_downsample_1h": _q_m4,
         "seasonal_decompose_24h": _q_decompose,
@@ -1371,6 +1400,7 @@ def influxql_oracle_sql() -> dict[str, str]:
         "influxql_trix_series": _trix_sql(9),
         "influxql_top_per_tag": _TOP_PER_TAG_SQL,
         "influxql_counter_rate": _COUNTER_RATE_SQL,
+        "influxql_moving_median": _MOVING_MEDIAN_SQL,
         "lttb_downsample_50": _lttb_sql(50),
         "m4_downsample_1h": _M4_SQL,
         "seasonal_decompose_24h": _decompose_sql(),

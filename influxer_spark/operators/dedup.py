@@ -38,6 +38,8 @@ Scale notes (100 TB posture):
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -125,6 +127,37 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             F.min(id_col).alias("canonical_id"),
         )
     )
+
+
+def incremental_dedup(
+    corpus_fps: DataFrame, shard: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Deduplicate a NEW shard against an already-kept corpus — the shape
+    production dedup actually runs at crawl scale: each snapshot is checked
+    against the accumulated corpus's fingerprint manifest (never its text),
+    then within itself, and only surviving docs (plus their fingerprints)
+    join the corpus.
+
+    ``corpus_fps`` needs a single ``fingerprint`` column (e.g.
+    ``exact_dedup(corpus, ...).select("fingerprint")`` or a prior call's
+    output).  Returns one row per kept shard doc:
+    ``(id, fingerprint, n_shard_dups)`` — keep-first (min id) within the
+    shard, drop anything already in the corpus.
+
+    Scale (100 TB posture): the manifest is 16 bytes/doc — at 10¹² docs a
+    fingerprint-bucketed table, so the anti-join co-locates without a
+    corpus-side shuffle; the shard side is one shuffle on fingerprint
+    (groupBy + join share the key, AQE reuses the exchange).  Text never
+    moves for the corpus side, which is the entire point at scale.
+    """
+    fp = F.md5(normalize_text(F.col(text_col)))
+    shard_fp = shard.select(F.col(id_col).alias("id"), fp.alias("fingerprint"))
+    firsts = shard_fp.groupBy("fingerprint").agg(
+        F.min("id").alias("id"), F.count("*").alias("n_shard_dups")
+    )
+    return firsts.join(
+        corpus_fps.select("fingerprint"), "fingerprint", "left_anti"
+    ).select("id", "fingerprint", "n_shard_dups")
 
 
 # ---------------------------------------------------------------------------
@@ -327,6 +360,97 @@ def jaccard_pairs(
 # ---------------------------------------------------------------------------
 # benchmark decontamination (n-gram overlap screen)
 # ---------------------------------------------------------------------------
+
+def bloom_decontam(
+    corpus: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    bits_per_key: int = 16,
+    num_hashes: int = 2,
+) -> DataFrame:
+    """``ngram_decontam`` with a Bloom-bitmap prefilter — identical output,
+    different 100 TB cost model.
+
+    ``ngram_decontam`` broadcasts the bench grams as a hash-join table;
+    fine to ~10⁷ grams.  A full eval-suite + held-out-document screen can
+    reach 10⁹ grams, where the join table (string keys + hash map overhead)
+    stops fitting but a Bloom bitmap at 16 bits/key is ~2 GB and still
+    broadcasts.  Corpus grams hash JVM-side (``xxhash64``), an Arrow-batched
+    pandas UDF tests the bitmap, and only the ~(true hits + FP·10⁻⁴)
+    fraction of grams reaches the exact-confirm join + doc-id shuffle — the
+    expensive explode→shuffle stage shrinks by the non-overlap factor.
+
+    False positives cannot leak into the output: every Bloom hit is
+    confirmed against the real gram set, so the result is bit-identical to
+    ``ngram_decontam`` (the driver oracle for both is the same SQL).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    grams_of = lambda c: F.array_distinct(word_shingles(c, k))  # noqa: E731
+    bench_g = (
+        bench.select(F.explode(grams_of(F.col(text_col))).alias("gram"))
+        .distinct()
+    )
+    hv = np.array(
+        [r["h"] for r in bench_g.select(F.xxhash64("gram").alias("h")).collect()],
+        dtype=np.int64,
+    ).astype(np.uint64)
+    mbits = ((bits_per_key * max(len(hv), 1) + 63) // 64) * 64
+    words = np.zeros(mbits // 64, dtype=np.uint64)
+    h1, h2 = hv & np.uint64(0xFFFFFFFF), (hv >> np.uint64(32)) | np.uint64(1)
+    for i in range(num_hashes):
+        idx = (h1 + np.uint64(i) * h2) % np.uint64(mbits)
+        np.bitwise_or.at(
+            words,
+            (idx >> np.uint64(6)).astype(np.int64),
+            np.uint64(1) << (idx & np.uint64(63)),
+        )
+    bitmap = corpus.sparkSession.sparkContext.broadcast(words)
+    nh, mb = num_hashes, mbits
+
+    @pandas_udf("boolean")
+    def bloom_maybe(h: pd.Series) -> pd.Series:
+        x = h.values.astype(np.uint64)
+        a, b = x & np.uint64(0xFFFFFFFF), (x >> np.uint64(32)) | np.uint64(1)
+        bm = bitmap.value
+        ok = np.ones(len(x), dtype=bool)
+        for i in range(nh):
+            idx = (a + np.uint64(i) * b) % np.uint64(mb)
+            ok &= (
+                (bm[(idx >> np.uint64(6)).astype(np.int64)]
+                 >> (idx & np.uint64(63))) & np.uint64(1)
+            ).astype(bool)
+        return pd.Series(ok)
+
+    per_doc = corpus.select(
+        F.col(id_col).alias("id"), grams_of(F.col(text_col)).alias("_grams")
+    )
+    cand = (
+        per_doc.select("id", F.explode("_grams").alias("gram"))
+        .filter(bloom_maybe(F.xxhash64("gram")))
+    )
+    confirmed = (
+        cand.join(
+            F.broadcast(bench_g.withColumn("hit", F.lit(1))), "gram", "left"
+        )
+        .groupBy("id")
+        .agg(F.count("hit").alias("n_contaminated"))
+        .filter(F.col("n_contaminated") > 0)
+    )
+    return (
+        confirmed.join(
+            per_doc.select("id", F.size("_grams").alias("n_grams")), "id"
+        )
+        .select(
+            "id",
+            "n_grams",
+            "n_contaminated",
+            (F.col("n_contaminated") / F.col("n_grams")).alias("contam_frac"),
+        )
+    )
+
 
 def ngram_decontam(
     corpus: DataFrame,

@@ -270,6 +270,31 @@ def tr_moving_average(
     return F.when(F.count(v).over(w) == n, F.avg(v).over(w))
 
 
+def tr_moving_percentile(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    value_col: str | Column,
+    p: float,
+    n: int,
+) -> Column:
+    """Nearest-rank percentile of the trailing n points (engine extension;
+    Kapacitor's movingPercentile — InfluxQL has moving_average only).
+    Same rank rule as ``agg_percentile`` (the value at 1-based rank
+    floor(n·p/100 + 0.5) of the sorted window — an actual point, never an
+    interpolation) and the same emission rule as ``tr_moving_average``:
+    NULL until n points accumulated.  The window is n rows (bounded, sorts
+    n-element arrays per row) — memory is O(n) per row regardless of
+    series length, unlike the fold family."""
+    w = _series_window(key_cols, ts_col).rowsBetween(-(n - 1), 0)
+    v = _vc(value_col)
+    arr = F.sort_array(F.collect_list(v).over(w))
+    rank = F.floor(F.lit(n) * F.lit(p) / 100.0 + 0.5).cast("int")
+    return F.when(
+        (F.size(arr) == n) & (F.lit(rank) >= 1), F.element_at(arr, rank)
+    )
+
+
 def tr_counter_rate(
     df: DataFrame,
     key_cols: Sequence[str],

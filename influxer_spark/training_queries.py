@@ -288,6 +288,23 @@ def _q_exact_dedup(spark, sf_dir):
     return D.exact_dedup(_docs(spark, sf_dir), "doc_id", "text")
 
 
+def _q_incremental_dedup(spark, sf_dir):
+    """Snapshot-shaped dedup: docs ≥300 plus a simulated recrawl of docs
+    <100 (re-labeled ids) arrive as a new shard; the kept corpus (<300)
+    contributes only its fingerprint manifest.  All recrawls must drop,
+    originals keep-first within the shard."""
+    docs = _docs(spark, sf_dir)
+    corpus = docs.filter("doc_id < 300")
+    recrawl = docs.filter("doc_id < 100").select(
+        (F.col("doc_id") + 10000).alias("doc_id"), "text"
+    )
+    shard = docs.filter("doc_id >= 300").select("doc_id", "text").unionByName(
+        recrawl
+    )
+    manifest = D.exact_dedup(corpus, "doc_id", "text").select("fingerprint")
+    return D.incremental_dedup(manifest, shard, "doc_id", "text")
+
+
 def _q_minhash_lsh(spark, sf_dir):
     return D.minhash_lsh_dedup(_docs(spark, sf_dir), "doc_id", "text", k=5, min_jaccard=0.7)
 
@@ -577,6 +594,36 @@ def _q_decontam(spark, sf_dir):
     # k=4 on the synthetic corpus ≈ the overlap rate a 8/13-gram screen sees
     # on real crawl text (19 flagged docs at sf0.01 vs 1 at k=8)
     return D.ngram_decontam(corpus, bench, "doc_id", "text", k=4)
+
+
+def _decontam_sql() -> str:
+    return f"""
+WITH g AS (
+  SELECT DISTINCT doc_id, unnest({_shingles_sql('text', 4)}) AS gram
+  FROM documents
+), bench AS (
+  SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0
+), agg AS (
+  SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(count(b.gram) AS BIGINT) AS n_contaminated
+  FROM (SELECT doc_id, gram FROM g WHERE doc_id % 50 <> 0) c
+  LEFT JOIN bench b ON c.gram = b.gram
+  GROUP BY 1
+)
+SELECT doc_id AS id, n_grams, n_contaminated,
+       n_contaminated / n_grams AS contam_frac
+FROM agg WHERE n_contaminated > 0
+"""
+
+
+def _q_bloom_decontam(spark, sf_dir):
+    """Bloom-prefiltered decontamination MUST equal the exact screen —
+    the oracle is ngram_decontam's own SQL, so a green row proves the
+    prefilter drops no true hit and the confirm join kills every FP."""
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    return D.bloom_decontam(corpus, bench, "doc_id", "text", k=4)
 
 
 _BM25_TERMS = ["customer", "spark", "vector", "window"]
@@ -934,6 +981,7 @@ def training_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_dedup": _q_containment,
         "bigram_logprob_scores": _q_bigram_logprob,
         "exact_dedup_documents": _q_exact_dedup,
+        "incremental_dedup_shard": _q_incremental_dedup,
         "minhash_lsh_dedup": _q_minhash_lsh,
         "ngram_jaccard_dedup": _q_ngram_jaccard,
         "simhash_dedup": _q_simhash,
@@ -949,6 +997,7 @@ def training_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": _q_token_stats,
         "repetition_stats": _q_repetition,
         "ngram_decontam": _q_decontam,
+        "bloom_decontam": _q_bloom_decontam,
         "bm25_topk_terms": _q_bm25,
         "token_doc_freq": _q_token_doc_freq,
         "pack_sequences_global": _q_pack_global,
@@ -985,6 +1034,23 @@ def training_oracle_sql() -> dict[str, str]:
             f"SELECT md5({norm}) AS fingerprint, count(*) AS n_docs, "
             "min(doc_id) AS canonical_id FROM documents GROUP BY 1"
         ),
+        "incremental_dedup_shard": f"""
+            WITH corpus AS (
+              SELECT DISTINCT md5({norm}) AS fingerprint
+              FROM documents WHERE doc_id < 300
+            ), shard AS (
+              SELECT doc_id AS id, md5({norm}) AS fingerprint
+              FROM documents WHERE doc_id >= 300
+              UNION ALL
+              SELECT doc_id + 10000, md5({norm})
+              FROM documents WHERE doc_id < 100
+            ), firsts AS (
+              SELECT fingerprint, min(id) AS id, count(*) AS n_shard_dups
+              FROM shard GROUP BY 1
+            )
+            SELECT id, fingerprint, n_shard_dups FROM firsts
+            WHERE fingerprint NOT IN (SELECT fingerprint FROM corpus)
+        """,
         "bm25_topk_terms": _bm25_sql(15),
         "minhash_lsh_dedup": _minhash_lsh_sql(5, 0.7),
         "ngram_jaccard_dedup": _ngram_jaccard_sql(5, 0.7),
@@ -1035,23 +1101,9 @@ SELECT au.doc_id, n_words, n_distinct_words, top_word_cnt,
        top_bigram_cnt / n_bigrams AS top_bigram_frac
 FROM au JOIN ab USING (doc_id)
 """,
-        "ngram_decontam": f"""
-WITH g AS (
-  SELECT DISTINCT doc_id, unnest({_shingles_sql('text', 4)}) AS gram
-  FROM documents
-), bench AS (
-  SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0
-), agg AS (
-  SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
-         CAST(count(b.gram) AS BIGINT) AS n_contaminated
-  FROM (SELECT doc_id, gram FROM g WHERE doc_id % 50 <> 0) c
-  LEFT JOIN bench b ON c.gram = b.gram
-  GROUP BY 1
-)
-SELECT doc_id AS id, n_grams, n_contaminated,
-       n_contaminated / n_grams AS contam_frac
-FROM agg WHERE n_contaminated > 0
-""",
+        "ngram_decontam": _decontam_sql(),
+        # the Bloom prefilter is exact-by-construction: same oracle
+        "bloom_decontam": _decontam_sql(),
         # (id, token) pre-aggregate mirror of curation._doc_tokens; every
         # count is BIGINT and the only float (avg_logprob) is one IEEE
         # division of identical integer operands.

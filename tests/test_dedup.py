@@ -32,6 +32,36 @@ def test_exact_dedup_groups(docs):
     assert out == {1: 3, 4: 1, 5: 1}
 
 
+def test_incremental_dedup_shard(spark, docs):
+    """New shard vs corpus manifest: corpus-known texts drop (even with a
+    new id), within-shard dups keep-first, fresh texts survive."""
+    manifest = D.exact_dedup(docs, "doc_id", "text").select("fingerprint")
+    shard = spark.createDataFrame(
+        [
+            (10, BASE),           # known to corpus (exact fp) → drop
+            (11, BASE.upper()),   # normalizes to corpus fp → drop
+            (12, "brand new text"),
+            (13, "brand new text"),   # within-shard dup → keep-first 12
+            (14, "another new one"),
+        ],
+        ["doc_id", "text"],
+    )
+    kept = {r["id"]: r["n_shard_dups"]
+            for r in D.incremental_dedup(manifest, shard, "doc_id", "text").collect()}
+    assert kept == {12: 2, 14: 1}
+
+
+def test_incremental_dedup_empty_corpus(spark, docs):
+    """With an empty manifest the result is plain within-shard exact dedup."""
+    empty = D.exact_dedup(docs, "doc_id", "text").select("fingerprint").limit(0)
+    kept = D.incremental_dedup(empty, docs, "doc_id", "text")
+    exact = D.exact_dedup(docs, "doc_id", "text")
+    assert (
+        sorted((r["id"], r["n_shard_dups"]) for r in kept.collect())
+        == sorted((r["canonical_id"], r["n_docs"]) for r in exact.collect())
+    )
+
+
 def test_jaccard_pairs_exact(docs):
     rows = D.jaccard_pairs(docs, "doc_id", "text", k=5, min_jaccard=0.2).collect()
     pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in rows}
@@ -217,6 +247,42 @@ def test_ngram_decontam_flags_planted_overlap(spark):
     assert r["n_grams"] == 3            # 6 words → 3 distinct 4-grams
     assert r["n_contaminated"] == 1     # only "beta gamma delta epsilon"
     assert r["contam_frac"] == 1 / 3
+
+
+def _decontam_frames(spark):
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        ["doc_id", "text"],
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "he said the quick brown fox jumps over everything"),
+            (2, "totally unrelated text about spark shuffles and joins"),
+            (3, "the lazy dog sleeps all day long in the sun"),
+        ],
+        ["doc_id", "text"],
+    )
+    return corpus, bench
+
+
+def test_bloom_decontam_equals_exact(spark):
+    corpus, bench = _decontam_frames(spark)
+    exact = D.ngram_decontam(corpus, bench, "doc_id", "text", k=4)
+    bloom = D.bloom_decontam(corpus, bench, "doc_id", "text", k=4)
+    key = lambda df: sorted(map(tuple, df.collect()))  # noqa: E731
+    assert key(bloom) == key(exact) and len(key(exact)) > 0
+
+
+def test_bloom_decontam_fp_flood_still_exact(spark):
+    """1 bit/key + 1 hash ≈ every probe is a maybe — the confirm join must
+    still kill all false positives, leaving the exact answer."""
+    corpus, bench = _decontam_frames(spark)
+    exact = D.ngram_decontam(corpus, bench, "doc_id", "text", k=4)
+    flooded = D.bloom_decontam(
+        corpus, bench, "doc_id", "text", k=4, bits_per_key=1, num_hashes=1
+    )
+    key = lambda df: sorted(map(tuple, df.collect()))  # noqa: E731
+    assert key(flooded) == key(exact)
 
 
 def test_cluster_keep_transitive_best_per_cluster(spark):

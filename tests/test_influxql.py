@@ -81,6 +81,19 @@ def test_transforms_emission_rules(spark):
     assert [r["el"] for r in out] == [None, 1.0, 1.0, 1.0, 1.0]
 
 
+def test_moving_percentile(spark):
+    df = _frame(spark)
+    out = df.select(
+        "ts",
+        Q.tr_moving_percentile(df, ["k"], "ts", "v", 50, 3).alias("mp"),
+        Q.tr_moving_percentile(df, ["k"], "ts", "v", 100, 3).alias("mx"),
+    ).orderBy("ts").collect()
+    # v = [10, 20, 20, 40, 30]; rank(p50, n=3) = floor(1.5+0.5) = 2 of sorted 3
+    assert [r["mp"] for r in out] == [None, None, 20.0, 20.0, 30.0]
+    # p100 → rank 3 = trailing max, an actual data point
+    assert [r["mx"] for r in out] == [None, None, 20.0, 40.0, 40.0]
+
+
 def test_integral_trapezoid(spark):
     df = _frame(spark)
     # trapezoids over 60s gaps: (15+20+30+35)*60 = 6000; per-minute → 100
