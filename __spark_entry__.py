@@ -694,8 +694,7 @@ _WINDOW_PRIORITY = [
     "line_dedup_corpus",
     "url_canonicalize",
     "pii_scrub_counts",
-    # -- r01-green but outside the r02 window (9): re-prove --
-    "epoch_us_truncation",
+    # -- r01-green but outside the r02 window: re-prove --
     "dotnet_round2_parity",
     "reserved_scrub_texts",
     "dotnet_timeformat_roundtrip",
@@ -705,6 +704,7 @@ _WINDOW_PRIORITY = [
     "incremental_dedup_shard",
     "bloom_decontam",
     "heavy_hitters_1d",
+    "cross_corr_lags",
     "influxql_mode_median_6h",
     "influxql_fill_previous_6h",
     "gopher_quality_flags",

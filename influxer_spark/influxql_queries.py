@@ -1287,6 +1287,58 @@ FROM sums
 """
 
 
+def _q_cross_corr(spark, sf_dir):
+    """CCF: hourly 'click' level vs every event_type's level at lags −2..+2
+    hours — lead/lag discovery across series (positive lag ⇒ the other
+    series follows click).  Timestamp-shift join, so gaps drop pairs
+    instead of mis-aligning the lag; sanity anchor: (click, lag 0) ≡ 1."""
+    from influxer_spark.operators.decompose import cross_corr
+
+    h = _hourly(spark, sf_dir)
+    ref = h.filter("event_type = 'click'").select("bucket", "v")
+    return cross_corr(
+        ref, h, ["event_type"], "bucket", "v", "v", [-2, -1, 0, 1, 2], 3600
+    )
+
+
+def _ccf_sql(lags) -> str:
+    fold = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "list_transform(lst, p -> {e})), (a, b) -> a + b)"
+    )
+
+    def fs(e):
+        return fold.format(e=e)
+
+    arms = "\nUNION ALL\n".join(
+        f"""
+  SELECT y.event_type, CAST({lag} AS INT) AS lag,
+         list(struct_pack(x := r.v, y := y.v) ORDER BY y.bucket) AS lst,
+         count(*) AS n
+  FROM hourly y
+  JOIN (SELECT bucket + {lag} * INTERVAL 1 HOUR AS bucket, v
+        FROM hourly WHERE event_type = 'click') r
+    ON y.bucket = r.bucket
+  GROUP BY 1, 2"""
+        for lag in lags
+    )
+    return f"""
+WITH {_HOURLY_SQL},
+g AS ({arms}),
+sums AS (
+  SELECT event_type, lag, n,
+    CAST(n AS DOUBLE) * {fs("p.x * p.x")} - {fs("p.x")} * {fs("p.x")} AS vx,
+    CAST(n AS DOUBLE) * {fs("p.y * p.y")} - {fs("p.y")} * {fs("p.y")} AS vy,
+    CAST(n AS DOUBLE) * {fs("p.x * p.y")} - {fs("p.x")} * {fs("p.y")} AS cov
+  FROM g
+)
+SELECT event_type, lag, n,
+       CASE WHEN n >= 2 AND vx > 0 AND vy > 0
+            THEN cov / sqrt(vx * vy) END AS corr
+FROM sums
+"""
+
+
 def _q_m4(spark, sf_dir):
     """M4 downsample (VLDB 2014): the ≤4 real points (first/last/min/max)
     per (event_type, 1h pixel column).  One groupBy shuffle, struct
@@ -1367,6 +1419,7 @@ def influxql_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_decompose_24h": _q_decompose,
         "acf_48_hourly": _q_acf,
         "series_corr_hourly": _q_series_corr,
+        "cross_corr_lags": _q_cross_corr,
         "deadman_1h": _q_deadman,
         "anomaly_mad_hourly": _q_anomaly_mad,
         "cusum_changepoints_hourly": _q_cusum,
@@ -1406,6 +1459,7 @@ def influxql_oracle_sql() -> dict[str, str]:
         "seasonal_decompose_24h": _decompose_sql(),
         "acf_48_hourly": _acf_sql(48),
         "series_corr_hourly": _series_corr_sql(),
+        "cross_corr_lags": _ccf_sql([-2, -1, 0, 1, 2]),
         "deadman_1h": _DEADMAN_SQL,
         "anomaly_mad_hourly": _ANOMALY_MAD_SQL,
         "cusum_changepoints_hourly": _cusum_sql(0.5, 5.0),

@@ -287,3 +287,52 @@ def series_corr(
         F.col("_cov") / F.sqrt(F.col("_vx") * F.col("_vy")),
     )
     return g.select(*keys, "n", corr.alias("corr"))
+
+
+def cross_corr(
+    ref: DataFrame,
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    x_col: str,
+    y_col: str,
+    lags: Sequence[int],
+    step_seconds: int,
+) -> DataFrame:
+    """Cross-correlation function: Pearson r between a REFERENCE series x
+    and each series in ``df`` at every lag —
+
+        ccf(series, l) = corr(x_t, y_{t+l·step})
+
+    positive lag ⇒ y follows x (x leads).  The lead/lag-discovery
+    primitive that completes the correlation family (``acf`` = this with
+    y ≡ x per series; ``series_corr`` = lag 0 on pre-aligned columns).
+
+    Time-shifted by TIMESTAMP, not row offset: missing buckets drop the
+    pair (inner join) instead of silently mis-aligning the lag, so it is
+    correct on gappy series.  Scale: ``ref`` is one bucketed series
+    (tier-sized, broadcast); per lag the join is a narrow broadcast pass
+    over ``df``, then one groupBy (series, lag) running the same
+    bit-reproducible folds as ``series_corr``.
+    """
+    keys = list(key_cols)
+    shifted = []
+    for lag in lags:
+        r = ref.select(
+            # x at t must be visible at key t + l·step so a y row at bucket
+            # b picks up x_{b−l} — i.e. corr(x_t, y_{t+l}) for positive l
+            F.timestamp_seconds(
+                F.unix_timestamp(F.col(ts_col)) + F.lit(lag * step_seconds)
+            ).alias(ts_col),
+            F.col(x_col).alias("_x"),
+            F.lit(lag).alias("lag"),
+        )
+        shifted.append(
+            df.select(*keys, ts_col, F.col(y_col).alias("_y")).join(
+                F.broadcast(r), ts_col
+            )
+        )
+    paired = shifted[0]
+    for s in shifted[1:]:
+        paired = paired.unionByName(s)
+    return series_corr(paired, [*keys, "lag"], ts_col, "_x", "_y")

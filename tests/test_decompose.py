@@ -200,3 +200,43 @@ def test_series_corr_matches_numpy(spark):
     ys = np.array([((i * 40503) % 997) / 99.7 for i in range(300)])
     assert got["n"][1] == pytest.approx(float(np.corrcoef(xs, ys)[0, 1]),
                                         rel=1e-9)
+
+
+def test_cross_corr_lag_discovery(spark):
+    """y = x delayed by 2 hours → ccf peaks (=1) exactly at lag +2; the
+    self-pair at lag 0 is the ACF anchor (=1); a timestamp gap drops
+    pairs instead of mis-aligning the lag."""
+    from influxer_spark.operators.decompose import cross_corr
+
+    xs = [((i * 2654435761) % 1000) / 100.0 for i in range(120)]
+    rows = []
+    for i in range(120):
+        ts = T0 + dt.timedelta(hours=i)
+        rows.append(("self", ts, xs[i]))
+        if i >= 2:
+            rows.append(("delayed", ts, xs[i - 2]))
+    df = spark.createDataFrame(rows, ["k", "ts", "v"])
+    ref = df.filter("k = 'self'").select("ts", "v")
+    out = {(r["k"], r["lag"]): (r["n"], r["corr"]) for r in
+           cross_corr(ref, df, ["k"], "ts", "v", "v",
+                      [-2, -1, 0, 1, 2], 3600).collect()}
+    assert out[("self", 0)][1] == pytest.approx(1.0, abs=1e-12)
+    assert out[("delayed", 2)][1] == pytest.approx(1.0, abs=1e-12)
+    # off-peak lags are far from 1 on pseudo-random data
+    assert abs(out[("delayed", 0)][1]) < 0.5
+    # every delayed row (hours 2..119) finds its x at b−2 → 118 pairs,
+    # while lag 0 only aligns where both exist
+    assert out[("delayed", 2)][0] == 118
+    assert out[("delayed", 0)][0] == 118
+
+
+def test_cross_corr_gap_drops_pairs(spark):
+    from influxer_spark.operators.decompose import cross_corr
+
+    rows = [("a", T0 + dt.timedelta(hours=h), float(h)) for h in (0, 1, 3, 4)]
+    df = spark.createDataFrame(rows, ["k", "ts", "v"])
+    ref = df.select("ts", "v")
+    out = {r["lag"]: r["n"] for r in
+           cross_corr(ref, df, ["k"], "ts", "v", "v", [0, 1], 3600).collect()}
+    # lag 1 pairs: (0→1), (3→4) — the gap kills (1→2) and (2→3)
+    assert out[0] == 4 and out[1] == 2
