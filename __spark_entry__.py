@@ -696,7 +696,6 @@ _WINDOW_PRIORITY = [
     "pii_scrub_counts",
     # -- r01-green but outside the r02 window: re-prove --
     "dotnet_round2_parity",
-    "reserved_scrub_texts",
     "dotnet_timeformat_roundtrip",
     # -- round-3 additions (value-oracled) fill the rest of the window --
     "twa_1h_cascade",
@@ -705,6 +704,7 @@ _WINDOW_PRIORITY = [
     "bloom_decontam",
     "heavy_hitters_1d",
     "cross_corr_lags",
+    "curation_funnel",
     "influxql_mode_median_6h",
     "influxql_fill_previous_6h",
     "gopher_quality_flags",

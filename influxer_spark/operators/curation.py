@@ -336,3 +336,57 @@ def bigram_logprob(
             ),
         )
     )
+
+
+def curation_funnel(
+    corpus: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_words: int = 50,
+    min_stop_hits: int = 2,
+    decontam_k: int = 8,
+) -> DataFrame:
+    """End-to-end curation funnel (the FineWeb/RefinedWeb composition):
+    Gopher quality filter → exact dedup (keep-first) → benchmark
+    decontamination, reporting surviving-doc counts per stage as
+    ``(stage_idx, stage, n_docs)``.
+
+    Each stage is an existing operator; the funnel's value is proving they
+    COMPOSE — ids thread through semi-joins, later stages see only
+    survivors, and no stage rescans text it already dropped.  At 100 TB
+    each stage boundary is where a pipeline materializes a snapshot
+    (catalog.py), so per-stage counts are also the lineage record the
+    north rule asks for.
+    """
+    from influxer_spark.operators.dedup import exact_dedup, ngram_decontam
+    from influxer_spark.operators.textstats import gopher_quality
+
+    gq = (
+        gopher_quality(corpus, id_col, text_col, min_words, min_stop_hits)
+        .filter("keep")
+        .select(F.col("id").alias(id_col))
+    )
+    kept1 = corpus.join(gq, id_col)
+    firsts = exact_dedup(kept1, id_col, text_col).select(
+        F.col("canonical_id").alias(id_col)
+    )
+    kept2 = kept1.join(firsts, id_col)
+    contam = ngram_decontam(bench=bench, corpus=kept2, id_col=id_col,
+                            text_col=text_col, k=decontam_k).select(
+        F.col("id").alias(id_col)
+    )
+    kept3 = kept2.join(contam, id_col, "left_anti")
+
+    def stage(i: int, name: str, d: DataFrame) -> DataFrame:
+        return d.agg(F.count("*").alias("n_docs")).select(
+            F.lit(i).alias("stage_idx"), F.lit(name).alias("stage"), "n_docs"
+        )
+
+    out = stage(0, "raw", corpus)
+    for i, (name, d) in enumerate(
+        [("gopher_quality", kept1), ("exact_dedup", kept2), ("decontam", kept3)],
+        start=1,
+    ):
+        out = out.unionByName(stage(i, name, d))
+    return out

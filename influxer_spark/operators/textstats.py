@@ -187,16 +187,26 @@ def fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
 
 
-def gopher_quality(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def gopher_quality(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_words: int = 50,
+    min_stop_hits: int = 2,
+) -> DataFrame:
     """Gopher-rule quality filter (Rae et al. 2021, Appendix A1.1) — the
     standard web-corpus document filter, as pure Column expressions:
 
-    - 50 ≤ word count ≤ 100,000
+    - ``min_words`` ≤ word count ≤ 100,000  (paper default 50)
     - 3 ≤ mean word length ≤ 10
     - symbol-to-word ratio ≤ 0.1  (symbols: ``#`` and ``...``)
     - ≤ 90% of lines start with a bullet; ≤ 30% of lines end with "..."
     - ≥ 80% of words contain at least one alphabetic character
-    - ≥ 2 distinct Gopher stopwords present
+    - ≥ ``min_stop_hits`` distinct Gopher stopwords present (default 2)
+
+    The two floor thresholds are parameters because corpora with short
+    documents (or non-English heavy) tune them; the paper defaults stay
+    the defaults.
 
     Returns per-doc features + per-rule flags + the combined ``keep``.
     Every ratio is BIGINT/BIGINT IEEE division (oracle-exact); no shuffle —
@@ -232,13 +242,13 @@ def gopher_quality(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         hit = (F.regexp_count(t, F.lit(rf"\b{w}\b")) > 0).cast("long")
         stop_hits = hit if stop_hits is None else stop_hits + hit
 
-    f_words = (nw >= 50) & (nw <= 100_000)
+    f_words = (nw >= min_words) & (nw <= 100_000)
     f_mwl = (mean_wl >= 3.0) & (mean_wl <= 10.0)
     f_sym = sym_ratio <= 0.1
     f_bullet = bullet_ratio <= 0.9
     f_ell = ellipsis_ratio <= 0.3
     f_alpha = alpha_ratio >= 0.8
-    f_stop = stop_hits >= 2
+    f_stop = stop_hits >= min_stop_hits
     return df.select(
         F.col(id_col).alias("id"),
         nw.alias("n_words"),

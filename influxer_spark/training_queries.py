@@ -596,6 +596,50 @@ def _q_decontam(spark, sf_dir):
     return D.ngram_decontam(corpus, bench, "doc_id", "text", k=4)
 
 
+def _q_curation_funnel(spark, sf_dir):
+    """End-to-end curation funnel — the composition a corpus pipeline
+    actually runs (FineWeb/RefinedWeb shape): Gopher quality filter →
+    exact dedup (keep-first) → benchmark decontamination, reporting
+    surviving-document counts per stage.  Every stage is an existing
+    oracled operator; this query proves they COMPOSE (ids thread through
+    joins, no stage re-reads raw text it shouldn't)."""
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    return C.curation_funnel(
+        corpus, bench, "doc_id", "text",
+        min_words=30, min_stop_hits=1, decontam_k=4,
+    )
+
+
+def _funnel_sql() -> str:
+    norm = _NORM.format(x="text")
+    return f"""
+WITH gq AS ({_gopher_sql(min_words=30, min_stop=1)}),
+corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0),
+kept1 AS (
+  SELECT c.doc_id, c.text FROM corpus c JOIN gq ON gq.id = c.doc_id AND gq.keep
+),
+firsts AS (SELECT min(doc_id) AS doc_id FROM kept1 GROUP BY md5({norm})),
+kept2 AS (SELECT k.doc_id, k.text FROM kept1 k JOIN firsts USING (doc_id)),
+bgrams AS (
+  SELECT DISTINCT unnest({_shingles_sql('text', 4)}) AS gram
+  FROM documents WHERE doc_id % 50 = 0
+),
+cgrams AS (
+  SELECT DISTINCT doc_id, unnest({_shingles_sql('text', 4)}) AS gram FROM kept2
+),
+contam AS (SELECT DISTINCT c.doc_id FROM cgrams c JOIN bgrams b USING (gram)),
+kept3 AS (
+  SELECT doc_id FROM kept2 WHERE doc_id NOT IN (SELECT doc_id FROM contam)
+)
+SELECT 0 AS stage_idx, 'raw' AS stage, (SELECT count(*) FROM corpus) AS n_docs
+UNION ALL SELECT 1, 'gopher_quality', (SELECT count(*) FROM kept1)
+UNION ALL SELECT 2, 'exact_dedup', (SELECT count(*) FROM kept2)
+UNION ALL SELECT 3, 'decontam', (SELECT count(*) FROM kept3)
+"""
+
+
 def _decontam_sql() -> str:
     return f"""
 WITH g AS (
@@ -858,7 +902,7 @@ def _q_gopher_quality(spark, sf_dir):
     return T.gopher_quality(_docs(spark, sf_dir), "doc_id", "text")
 
 
-_GOPHER_SQL = r"""
+_GOPHER_SQL_TPL = r"""
 WITH base AS (
   SELECT doc_id AS id, text,
          string_split_regex(trim(text), '\s+') AS w,
@@ -893,26 +937,35 @@ r AS (
 )
 SELECT id, n_words, mean_word_len, symbol_ratio, bullet_ratio, ellipsis_ratio,
   alpha_ratio, stop_hits,
-  (n_words >= 50 AND n_words <= 100000) AS ok_words,
+  (n_words >= {min_words} AND n_words <= 100000) AS ok_words,
   (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS ok_mean_word_len,
   (symbol_ratio <= 0.1) AS ok_symbols,
   (bullet_ratio <= 0.9) AS ok_bullets,
   (ellipsis_ratio <= 0.3) AS ok_ellipsis,
   (alpha_ratio >= 0.8) AS ok_alpha,
-  (stop_hits >= 2) AS ok_stopwords,
-  ((n_words >= 50 AND n_words <= 100000)
+  (stop_hits >= {min_stop}) AS ok_stopwords,
+  ((n_words >= {min_words} AND n_words <= 100000)
    AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
    AND (symbol_ratio <= 0.1) AND (bullet_ratio <= 0.9)
    AND (ellipsis_ratio <= 0.3) AND (alpha_ratio >= 0.8)
-   AND (stop_hits >= 2)) AS keep
+   AND (stop_hits >= {min_stop})) AS keep
 FROM r
-""".format(
-    stop_terms=" + ".join(
-        f"(CASE WHEN len(regexp_extract_all(text, '\\b{w}\\b')) > 0 "
-        "THEN 1 ELSE 0 END)"
-        for w in T.GOPHER_STOPWORDS
+"""
+
+
+def _gopher_sql(min_words: int = 50, min_stop: int = 2) -> str:
+    return _GOPHER_SQL_TPL.format(
+        min_words=min_words,
+        min_stop=min_stop,
+        stop_terms=" + ".join(
+            f"(CASE WHEN len(regexp_extract_all(text, '\\b{w}\\b')) > 0 "
+            "THEN 1 ELSE 0 END)"
+            for w in T.GOPHER_STOPWORDS
+        ),
     )
-)
+
+
+_GOPHER_SQL = _gopher_sql()
 
 
 def _q_containment(spark, sf_dir):
@@ -998,6 +1051,7 @@ def training_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": _q_repetition,
         "ngram_decontam": _q_decontam,
         "bloom_decontam": _q_bloom_decontam,
+        "curation_funnel": _q_curation_funnel,
         "bm25_topk_terms": _q_bm25,
         "token_doc_freq": _q_token_doc_freq,
         "pack_sequences_global": _q_pack_global,
@@ -1104,6 +1158,7 @@ FROM au JOIN ab USING (doc_id)
         "ngram_decontam": _decontam_sql(),
         # the Bloom prefilter is exact-by-construction: same oracle
         "bloom_decontam": _decontam_sql(),
+        "curation_funnel": _funnel_sql(),
         # (id, token) pre-aggregate mirror of curation._doc_tokens; every
         # count is BIGINT and the only float (avg_logprob) is one IEEE
         # division of identical integer operands.

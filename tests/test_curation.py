@@ -136,3 +136,31 @@ def test_bigram_logprob_ranks_typical_above_rare(spark):
     # integer plumbing: n_bigrams = words-1 per doc occurrence
     assert out[1]["n_bigrams"] == len(predictable.split()) - 1
     assert out[1]["avg_logprob"] == out[2]["avg_logprob"] == out[3]["avg_logprob"]
+
+
+def test_curation_funnel_stage_attrition(spark):
+    """Each stage drops exactly the docs it should: low-quality at stage 1,
+    the exact dup at stage 2, the contaminated doc at stage 3."""
+    from influxer_spark.operators.curation import curation_funnel
+
+    good = ("the quick brown fox jumps over the lazy dog and runs far away "
+            "with a friend that would have been glad to be of help today")
+    contaminated = ("benchmark secret answer sequence alpha beta gamma delta "
+                    "and that is the story of how it all began to be with us")
+    rows = [
+        (1, good),
+        (2, good),                      # exact dup of 1 → dropped at dedup
+        (3, "too short"),               # fails min_words → dropped at quality
+        (4, contaminated),              # shares 4-grams with bench → dropped
+    ]
+    corpus = spark.createDataFrame(rows, ["doc_id", "text"])
+    bench = spark.createDataFrame(
+        [(100, "secret answer sequence alpha beta gamma delta and")],
+        ["doc_id", "text"],
+    )
+    out = {r["stage"]: r["n_docs"]
+           for r in curation_funnel(corpus, bench, "doc_id", "text",
+                                    min_words=10, min_stop_hits=1,
+                                    decontam_k=4).collect()}
+    assert out == {"raw": 4, "gopher_quality": 3, "exact_dedup": 2,
+                   "decontam": 1}
