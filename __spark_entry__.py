@@ -237,6 +237,83 @@ def _q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _q_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Misra-Gries summaries VALUE-oracled via stop/resume
+    replay: land events as two time-ordered files, drain with TWO
+    availableNow runs against one checkpoint (MG state restored between
+    them), take the LAST emission per event_type and read its top-5.  At
+    capacity 256 ≥ the 150-user cardinality the summary is exact, so the
+    oracle is the plain batch top-5 SQL — a hash match proves the resumed
+    stream reproduces exact batch counts across the restart."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from influxer_spark.streaming import (
+        read_sessions,
+        run_incremental_heavy_hitters,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    cut = lo + (hi - lo) / 2
+    root = tempfile.mkdtemp(prefix="stream_hh_gate_")
+    d = {n: os.path.join(root, n) for n in ("input", "out", "ckpt", "stage")}
+    os.makedirs(d["input"])
+    for name, part in (
+        ("a", ev.filter(F.col("ts") <= cut)),
+        ("b", ev.filter(F.col("ts") > cut)),
+    ):
+        staging = os.path.join(d["stage"], name)
+        part.coalesce(1).write.mode("overwrite").parquet(staging)
+        if name == "a":
+            shutil.copy(
+                glob.glob(os.path.join(staging, "part-*.parquet"))[0],
+                os.path.join(d["input"], "a.parquet"),
+            )
+    run_incremental_heavy_hitters(spark, d["input"], ev.schema, d["out"], d["ckpt"])
+    shutil.copy(
+        glob.glob(os.path.join(d["stage"], "b", "part-*.parquet"))[0],
+        os.path.join(d["input"], "b.parquet"),
+    )
+    run_incremental_heavy_hitters(spark, d["input"], ev.schema, d["out"], d["ckpt"])
+    merged = read_sessions(spark, d["out"])
+    from pyspark.sql import Window
+
+    exploded = merged.select(
+        F.col("key").alias("event_type"),
+        F.explode(F.arrays_zip("items", "cnts")).alias("z"),
+    ).select(
+        "event_type",
+        F.col("z.items").alias("item"),
+        F.col("z.cnts").alias("cnt"),
+    )
+    w = Window.partitionBy("event_type").orderBy(F.desc("cnt"), F.asc("item"))
+    top = (
+        exploded.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("event_type", "item", "cnt", "rank")
+    )
+    rows = top.collect()  # materialize before removing the scratch dirs
+    out = spark.createDataFrame(rows, top.schema)
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+_STREAM_HH_ORACLE = """
+WITH c AS (
+  SELECT event_type, user_id AS item, count(*) AS cnt
+  FROM events GROUP BY 1, 2
+), r AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY event_type ORDER BY cnt DESC, item ASC) AS rank
+  FROM c
+)
+SELECT event_type, item, cnt, rank FROM r WHERE rank <= 5
+"""
+
+
 def _q_sketch_distinct_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct-user counts served from tiers: 1m sketches HLL-union up the
     cascade to 1d (rollup.py rollup_with_distinct/cascade_with_distinct).
@@ -696,7 +773,6 @@ _WINDOW_PRIORITY = [
     "pii_scrub_counts",
     # -- r01-green but outside the r02 window: re-prove --
     "dotnet_round2_parity",
-    "dotnet_timeformat_roundtrip",
     # -- round-3 additions (value-oracled) fill the rest of the window --
     "twa_1h_cascade",
     "influxql_moving_median",
@@ -705,6 +781,7 @@ _WINDOW_PRIORITY = [
     "heavy_hitters_1d",
     "cross_corr_lags",
     "curation_funnel",
+    "stream_heavy_hitters_replay",
     "influxql_mode_median_6h",
     "influxql_fill_previous_6h",
     "gopher_quality_flags",
@@ -754,6 +831,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_hot_users": _q_topk_hot_users,
         "sessionize_30m": _q_sessionize,
         "stream_sessionize_replay": _q_stream_sessionize,
+        "stream_heavy_hitters_replay": _q_stream_heavy_hitters,
         "json_props_extract": _q_json_props,
         "pivot_event_counts_hourly": _q_pivot_hourly,
         "retention_candidates": _q_retention_candidates,
@@ -833,6 +911,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "hist_quantile_1h": _hist_quantile_oracle(),
         "twa_1h_cascade": _TWA_1H_ORACLE,
+        "stream_heavy_hitters_replay": _STREAM_HH_ORACLE,
         "heavy_hitters_1d": _HEAVY_HITTERS_ORACLE,
         "rollup_1h_cascade": _ROLLUP_SELECT.format(unit="hour"),
         "rollup_1d_cascade": _ROLLUP_SELECT.format(unit="day"),

@@ -1,6 +1,7 @@
 from influxer_spark.streaming.incremental import (  # noqa: F401
     read_sessions,
     read_tier,
+    run_incremental_heavy_hitters,
     run_incremental_lineprotocol_rollup,
     run_incremental_rollup,
     run_incremental_sessions,

@@ -333,3 +333,26 @@ def read_sessions(spark: SparkSession, out_dir: str) -> DataFrame:
         .agg(F.max_by(F.struct(*data_cols), "_bid").alias("_s"))
         .select("key", *[F.col(f"_s.{c}").alias(c) for c in data_cols])
     )
+
+
+def run_incremental_heavy_hitters(
+    spark: SparkSession,
+    input_dir: str,
+    schema,
+    out_dir: str,
+    checkpoint_dir: str,
+    key_col: str = "event_type",
+    item_col: str = "user_id",
+    capacity: int = 256,
+) -> None:
+    """File-source stream → stateful Misra-Gries summaries → idempotent
+    per-batch dirs (same availableNow/checkpoint contract as sessions;
+    read back with ``read_sessions`` — last emission per key wins)."""
+    from influxer_spark.streaming.stateful import heavy_hitters_stream
+
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+    _drain_to_tier(
+        heavy_hitters_stream(stream, key_col, item_col, capacity),
+        out_dir,
+        checkpoint_dir,
+    )

@@ -171,3 +171,49 @@ def sessionize_stream(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def heavy_hitters_stream(
+    stream_df: DataFrame, key_col: str, item_col: str, capacity: int = 256
+) -> DataFrame:
+    """Streaming Misra-Gries heavy hitters per key — the live form of
+    ``operators/heavyhitters.py``: state is the bounded (items, cnts, err)
+    summary, each micro-batch folds its item counts in and re-trims to
+    ``capacity`` (subtract the (c+1)-th largest, drop non-positives, add
+    the subtraction to ``err``).  State survives restarts via the
+    checkpoint, so a resumed availableNow run CONTINUES the summary; with
+    capacity ≥ the key's item cardinality nothing is ever trimmed and the
+    resumed stream must reproduce the exact batch counts — which is how
+    the driver oracle value-checks it."""
+
+    def mg(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        items, cnts, err = state.get if state.exists else ([], [], 0)
+        d = dict(zip(items, cnts))
+        for pdf in pdfs:
+            for it, c in pdf[item_col].value_counts().items():
+                it = int(it)
+                d[it] = d.get(it, 0) + int(c)
+        if len(d) > capacity:
+            sub = sorted(d.values(), reverse=True)[capacity]
+            d = {i: c - sub for i, c in d.items() if c - sub > 0}
+            err += sub
+        ks = sorted(d)
+        state.update((ks, [d[i] for i in ks], err))
+        yield pd.DataFrame(
+            {
+                "key": [key[0]],
+                "items": [ks],
+                "cnts": [[d[i] for i in ks]],
+                "err": [err],
+            }
+        )
+
+    return stream_df.groupBy(key_col).applyInPandasWithState(
+        mg,
+        outputStructType="key string, items array<long>, cnts array<long>, err long",
+        stateStructType="items array<long>, cnts array<long>, err long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -169,3 +169,41 @@ def test_sessionize_stream_session_spans_restart(spark, tmp_path):
     got = {r["key"]: (r["n_sessions"], r["n_events"])
            for r in read_sessions(spark, d["out"]).collect()}
     assert got == {1: (2, 4), 2: (1, 1)}
+
+
+def test_heavy_hitters_stream_trim_across_restart(spark, tmp_path):
+    """MG state with a trimming capacity survives a restart: counts stay
+    lower bounds, true ≤ cnt + err, and the dominant item is retained.
+    (The exact-capacity regime is value-oracled in the driver gate via
+    stream_heavy_hitters_replay.)"""
+    from influxer_spark.streaming import (
+        read_sessions,
+        run_incremental_heavy_hitters,
+    )
+
+    d = {n: str(tmp_path / n) for n in ("input", "stage", "out", "ckpt")}
+    os.makedirs(d["input"])
+    # 10 items, zipf-ish; item 1 dominates
+    rows1 = [("k", 1)] * 50 + [("k", i) for i in range(2, 7) for _ in range(6)]
+    rows2 = [("k", 1)] * 40 + [("k", i) for i in range(5, 11) for _ in range(5)]
+    df1 = spark.createDataFrame(rows1, ["event_type", "user_id"])
+    df2 = spark.createDataFrame(rows2, ["event_type", "user_id"])
+    _add_file(df1, d["input"], d["stage"], "a")
+    run_incremental_heavy_hitters(
+        spark, d["input"], df1.schema, d["out"], d["ckpt"], capacity=4
+    )
+    _add_file(df2, d["input"], d["stage"], "b")
+    run_incremental_heavy_hitters(
+        spark, d["input"], df1.schema, d["out"], d["ckpt"], capacity=4
+    )
+    final = read_sessions(spark, d["out"]).collect()[0]
+    got = dict(zip(final["items"], final["cnts"]))
+    err = final["err"]
+    truth = {}
+    for _, i in rows1 + rows2:
+        truth[i] = truth.get(i, 0) + 1
+    assert len(got) <= 4 and err > 0
+    for item, cnt in got.items():
+        assert cnt <= truth[item] <= cnt + err, (item, cnt, truth[item], err)
+    top = max(got, key=got.get)
+    assert top == 1 and got[1] + err >= truth[1]
