@@ -74,7 +74,7 @@ def topk_rollup(
                    F.col(item_col).cast("long").alias("item"))
         .agg(F.count("*").alias("cnt"))
     )
-    return _compress(counted, key_cols, capacity, err_col=None)
+    return _compress(counted, key_cols, capacity)
 
 
 def topk_cascade(
@@ -84,38 +84,56 @@ def topk_cascade(
     capacity: int = 256,
 ) -> DataFrame:
     """Merge finer MG summaries into coarser ``tier`` buckets.  Union-sum
-    per item, one MG trim per coarse bucket; child ``err`` accumulates."""
+    per item, one MG trim per coarse bucket; child ``err`` accumulates.
+
+    Single-pass design: the child frame is consumed ONCE (explode_outer so
+    an all-trimmed child still contributes its err), with the union-sum,
+    trim, and inherited-error accounting all inside one
+    (coarse bucket, series) group — group size ≤ capacity × children, so
+    the pandas step is bounded.  Referencing ``summary`` twice (items +
+    errors) would re-run the whole upstream subtree including the raw
+    scan — the plan-regression test pins the single-scan shape.
+    """
+    keys = list(key_cols)
     exploded = summary.select(
         F.date_trunc(_trunc(tier), F.col("bucket")).alias("bucket"),
-        *[F.col(k) for k in key_cols],
-        F.explode("items").alias("ic"),
-        F.col("err").alias("child_err"),
+        *[F.col(k) for k in keys],
+        F.col("bucket").alias("_cb"),
+        F.explode_outer("items").alias("ic"),
+        F.col("err").alias("_child_err"),
     ).select(
-        "bucket", *key_cols,
+        "bucket", *keys, "_cb",
         F.col("ic.item").alias("item"), F.col("ic.cnt").alias("cnt"),
-        "child_err",
+        "_child_err",
     )
-    summed = exploded.groupBy("bucket", *key_cols, "item").agg(
-        F.sum("cnt").alias("cnt"),
+    out_schema = ", ".join(
+        [f"`{f.name}` {f.dataType.simpleString()}"
+         for f in exploded.select("bucket", *keys).schema.fields]
+        + ["items array<struct<item: bigint, cnt: bigint>>", "err bigint"]
     )
-    # worst-case inherited undercount per coarse bucket = Σ max child err
-    child = (
-        summary.select(
-            F.date_trunc(_trunc(tier), F.col("bucket")).alias("bucket"),
-            *[F.col(k) for k in key_cols],
-            "err",
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        inherited = int(
+            pdf.drop_duplicates(subset=["_cb"])["_child_err"].sum()
         )
-        .groupBy("bucket", *key_cols)
-        .agg(F.sum("err").alias("inherited_err"))
-    )
-    return _compress(summed, key_cols, capacity, err_col=child)
+        with_items = pdf[pdf["item"].notna()]
+        counts = with_items.groupby("item")["cnt"].sum()
+        kept, sub = _mg_trim(counts, capacity)
+        kept = kept.sort_index().sort_values(ascending=False, kind="stable")
+        head = pdf.iloc[:1][["bucket", *keys]].reset_index(drop=True)
+        head["items"] = [
+            [{"item": int(i), "cnt": int(c)} for i, c in kept.items()]
+        ]
+        head["err"] = inherited + sub
+        return head
+
+    return exploded.groupBy("bucket", *keys).applyInPandas(merge, out_schema)
 
 
 def _compress(
     counted: DataFrame,
     key_cols: Sequence[str],
     capacity: int,
-    err_col: DataFrame | None,
 ) -> DataFrame:
     keys = list(key_cols)
     out_schema = ", ".join(
@@ -135,16 +153,7 @@ def _compress(
         head["err"] = sub
         return head
 
-    mg = counted.groupBy("bucket", *keys).applyInPandas(fn, out_schema)
-    if err_col is not None:
-        mg = (
-            mg.join(err_col, ["bucket", *keys], "left")
-            .withColumn(
-                "err", F.col("err") + F.coalesce("inherited_err", F.lit(0))
-            )
-            .drop("inherited_err")
-        )
-    return mg
+    return counted.groupBy("bucket", *keys).applyInPandas(fn, out_schema)
 
 
 def topk_query(summary: DataFrame, key_cols: Sequence[str], k: int) -> DataFrame:

@@ -77,14 +77,25 @@ def twa_rollup(
         raise ValueError(f"unknown tier {tier!r}; expected one of {sorted(TIER_SECONDS)}")
     t = F.unix_timestamp(F.col(ts_col).cast("timestamp")).cast("long")
     cents = F.round(F.col(value_col) * 100, 0).cast("long")
-    pts = (
-        df.select(*key_cols, t.alias("t"), cents.alias("v"))
-        .groupBy(*key_cols, "t")
-        .agg(F.max("v").alias("v"))
-        .select(*key_cols, _bucket(F.col("t"), tier), "t", "v")
+    pts = df.select(
+        *key_cols, _bucket(t, tier), t.alias("t"), cents.alias("v")
     )
+    # Per-second dedup (max v) INSIDE the (series, bucket) partitioning:
+    # hashpartitioning(keys, bucket) satisfies the (keys, bucket, t)
+    # clustering, so the dedup window, the lead window, and the final
+    # groupBy all ride ONE raw-data exchange — a (series, second) pre-agg
+    # would add a second raw-sized shuffle for nothing.  The repartition
+    # is explicit because EnsureRequirements would otherwise insert a
+    # full-key (keys, bucket, t) exchange for the dedup window and then a
+    # second (keys, bucket) one for the lead window.
+    w_tie = Window.partitionBy(*key_cols, "bucket", "t").orderBy(F.desc("v"))
     w = Window.partitionBy(*key_cols, "bucket").orderBy("t")
-    seg = pts.withColumn("nt", F.lead("t").over(w))
+    seg = (
+        pts.repartition(*key_cols, "bucket")
+        .withColumn("_rn", F.row_number().over(w_tie))
+        .filter(F.col("_rn") == 1)
+        .withColumn("nt", F.lead("t").over(w))
+    )
     return seg.groupBy(*key_cols, "bucket").agg(
         F.min("t").alias("first_t"),
         F.min_by("v", "t").alias("first_v"),

@@ -181,3 +181,40 @@ def test_locf_single_window_single_sort(spark, sf_dir):
     ]
     assert ops.count("Window") == 1, ops
     assert ops.count("Sort") <= 2, ops  # join sort(s) + the window sort
+
+
+def test_twa_rollup_cascade_two_exchanges(spark, sf_dir):
+    """TWA 1m→1h: the dedup window, lead window, and summary groupBy ride
+    ONE raw-data exchange on (series, bucket); the cascade adds one
+    tier-sized exchange.  A third exchange means EnsureRequirements
+    re-partitioned for the dedup window's full key again (the regression
+    the explicit repartition prevents)."""
+    from influxer_spark.operators import timeweight as TW
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    t1h = TW.twa_cascade(
+        TW.twa_rollup(ev, "ts", ["event_type"], "value", "1m"),
+        ["event_type"], "1h",
+    )
+    plan = _fmt(spark, t1h)
+    n_ex = len(re.findall(r"^\s*\(\d+\) Exchange", plan, re.M))
+    assert n_ex == 2, plan
+
+
+def test_heavy_hitters_query_exchange_budget(spark, sf_dir):
+    """MG tiers: raw shuffles once on (bucket, series, item); the MG
+    compression, cascade merge, and top-k read add only summary-sized
+    exchanges (4 total), never a second raw-sized one."""
+    from influxer_spark.operators import heavyhitters as HH
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    top = HH.topk_query(
+        HH.topk_cascade(
+            HH.topk_rollup(ev, "ts", ["event_type"], "user_id", "1h", 256),
+            ["event_type"], "1d", 256,
+        ),
+        ["event_type"], 5,
+    )
+    plan = _fmt(spark, top)
+    n_ex = len(re.findall(r"^\s*\(\d+\) Exchange", plan, re.M))
+    assert n_ex <= 5, plan
