@@ -455,6 +455,45 @@ FROM r WHERE rank <= 5
 """
 
 
+def _q_kmv_distinct_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per (day, event_type) from CASCADED KMV sketches
+    (1h k=64 sketches merged to 1d).  KMV merge is lossless (k smallest of
+    the union == union of children's k-mins), so the cascaded estimate is
+    value-identical to a sketch built directly from raw — which is what the
+    oracle computes in SQL (same 60-bit md5 hash, same (k-1)/U(k)
+    estimator).  The HLL twin (`sketch_distinct_tiers`) stays rows-only;
+    this is the value-checkable mergeable-distinct path."""
+    from influxer_spark.operators import kmv as KMV
+
+    ev = _t(spark, sf_dir, "events")
+    h1 = KMV.kmv_sketch(ev, "ts", ["event_type"], "user_id", "1h", k=64)
+    d1 = KMV.kmv_cascade(h1, ["event_type"], "1d", k=64)
+    return KMV.kmv_estimate(d1, ["event_type"], k=64)
+
+
+_KMV_DISTINCT_ORACLE = """
+WITH h AS (
+  SELECT DISTINCT date_trunc('day', ts) AS bucket, event_type,
+         CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS hv
+  FROM events
+), r AS (
+  SELECT bucket, event_type, hv,
+         row_number() OVER (PARTITION BY bucket, event_type ORDER BY hv) AS rn,
+         count(*) OVER (PARTITION BY bucket, event_type) AS n
+  FROM h
+)
+SELECT bucket, event_type,
+  CAST(LEAST(max(n), 64) AS BIGINT) AS sketch_size,
+  CAST(round(
+    (CASE WHEN max(n) < 64 THEN CAST(max(n) AS DOUBLE)
+          ELSE 63.0 * 1152921504606846976.0
+               / CAST(max(CASE WHEN rn = 64 THEN hv END) AS DOUBLE) END)
+    * 10000, 0) AS BIGINT) / 10000.0 AS est_distinct
+FROM r GROUP BY 1, 2
+"""
+
+
 def _q_twa_1h_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-weighted average 1h tier built by CASCADING 1m TWA summaries
     (mergeable monoid with LOCF bridge segments) — the oracle computes the
@@ -823,6 +862,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_5m_width": _q_rollup_5m_width,
         "twa_1h_cascade": _q_twa_1h_cascade,
         "heavy_hitters_1d": _q_heavy_hitters_1d,
+        "kmv_distinct_1d": _q_kmv_distinct_1d,
         "asof_join_6h_stats": _q_asof_6h_stats,
         "asof_join_tolerance_2h": _q_asof_tolerance,
         "asof_join_nearest_6h": _q_asof_nearest,
@@ -913,6 +953,7 @@ def oracle_sql() -> dict[str, str]:
         "twa_1h_cascade": _TWA_1H_ORACLE,
         "stream_heavy_hitters_replay": _STREAM_HH_ORACLE,
         "heavy_hitters_1d": _HEAVY_HITTERS_ORACLE,
+        "kmv_distinct_1d": _KMV_DISTINCT_ORACLE,
         "rollup_1h_cascade": _ROLLUP_SELECT.format(unit="hour"),
         "rollup_1d_cascade": _ROLLUP_SELECT.format(unit="day"),
         "rollup_1m_salted": _ROLLUP_SELECT.format(unit="minute"),

@@ -1,0 +1,128 @@
+"""KMV (k-minimum-values) distinct sketch in continuous-aggregate tiers.
+
+The reference counts distinct series driver-side while batching points
+(Influxer/InfluxerConsole/Program.cs:90-101 run totals); at 100 TB a
+distinct count per (bucket, series) must be a MERGEABLE sketch stored in
+the tier tables, like the HLL tiers in ``rollup.py:165``.  HLL internals
+have no DuckDB equivalent, so that family is rows-only in the driver
+gate.  KMV (Bar-Yossef et al. 2002, "Counting distinct elements in a
+data stream") is the alternative with a *value-exact* oracle: the sketch
+is simply the k smallest hash values per group, the merge is the k
+smallest of the union — both fully expressible in ANSI SQL — and the
+estimator ``(k-1) / U(k)`` is deterministic IEEE arithmetic on them.
+
+Hash parity across engines: ``conv(substring(md5(cast(x as string)),1,15),
+16,10)`` in Spark equals ``CAST(concat('0x', substr(md5(CAST(x AS
+VARCHAR)),1,15)) AS BIGINT)`` in DuckDB — a 60-bit uniform value
+(verified bit-exact).  Dedup happens on the truncated hash in BOTH
+engines, so even the ~2^-60 collision behavior is identical.
+
+Merge exactness (why the cascade is lossless): for any hash h among the
+day's k smallest distinct values, fewer than k distinct hashes in the
+whole day are smaller than h, hence fewer than k within h's own hour —
+so h is in its hour's k-min set.  Union-then-trim over child sketches
+therefore yields EXACTLY the k-min set of the raw day, and a cascaded
+tier equals a sketch built directly from raw (pinned by pytest).
+
+Scale notes (100 TB posture):
+- ``kmv_sketch``: one distinct() on (bucket, series, hash) — map-side
+  partial dedup collapses hot items before the exchange — then a
+  row_number window on (bucket, series) that trims to k; the final
+  collect_list is over ≤ k rows per group.  No unbounded collect_set.
+- ``kmv_cascade`` touches only summary rows (≤ k hashes per child
+  bucket), never raw data.
+- Sketch payload: array<bigint> of ≤ k — bounded state per tier row,
+  exactly what a 1000-executor rollup table needs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from influxer_spark.operators.rollup import _trunc_unit
+
+DEFAULT_K = 64
+
+# 2^60: the truncated-md5 hash space; U(k) = kth_hash / 2^60.
+_HASH_SPACE = float(1 << 60)
+
+
+def _hash60(col) -> F.Column:
+    """60-bit uniform hash with a bit-exact DuckDB twin (see module doc)."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+
+
+def _kmin(pts: DataFrame, key_cols: Sequence[str], k: int) -> DataFrame:
+    """(bucket, *keys, h) distinct rows → (bucket, *keys, hashes ≤ k asc)."""
+    w = Window.partitionBy("bucket", *key_cols).orderBy("h")
+    return (
+        pts.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .groupBy("bucket", *key_cols)
+        .agg(F.sort_array(F.collect_list("h")).alias("hashes"))
+    )
+
+
+def kmv_sketch(
+    df: DataFrame,
+    ts_col: str,
+    key_cols: Sequence[str],
+    item_col: str,
+    tier: str,
+    k: int = DEFAULT_K,
+) -> DataFrame:
+    """Raw points → one KMV sketch row per (bucket, *key_cols).
+
+    Output: ``bucket timestamp, *key_cols, hashes array<bigint>`` with
+    ``hashes`` the ≤ k smallest distinct 60-bit hashes, ascending.
+    """
+    keys = list(key_cols)
+    pts = df.select(
+        F.date_trunc(_trunc_unit(tier), F.col(ts_col)).alias("bucket"),
+        *keys,
+        _hash60(F.col(item_col)).alias("h"),
+    ).distinct()
+    return _kmin(pts, keys, k)
+
+
+def kmv_cascade(
+    summary: DataFrame,
+    key_cols: Sequence[str],
+    tier: str,
+    k: int = DEFAULT_K,
+) -> DataFrame:
+    """Merge finer KMV sketches into coarser ``tier`` buckets (lossless)."""
+    keys = list(key_cols)
+    pts = summary.select(
+        F.date_trunc(_trunc_unit(tier), F.col("bucket")).alias("bucket"),
+        *keys,
+        F.explode("hashes").alias("h"),
+    ).distinct()
+    return _kmin(pts, keys, k)
+
+
+def kmv_estimate(
+    summary: DataFrame, key_cols: Sequence[str], k: int = DEFAULT_K
+) -> DataFrame:
+    """Sketch rows → ``(bucket, *keys, sketch_size, est_distinct)``.
+
+    Exact when the group held < k distinct values (the sketch IS the
+    value set); otherwise the unbiased KMV estimator (k-1)/U(k).
+    ``est_distinct`` is quantized to 1e-4 for cross-engine determinism.
+    """
+    n = F.size("hashes")
+    kth = F.element_at("hashes", k).cast("double")
+    est = F.when(n < k, n.cast("double")).otherwise(
+        F.lit(float(k - 1) * _HASH_SPACE) / kth
+    )
+    return summary.select(
+        "bucket",
+        *key_cols,
+        n.cast("long").alias("sketch_size"),
+        (F.round(est * 10000, 0).cast("long") / 10000.0).alias("est_distinct"),
+    )
