@@ -455,6 +455,45 @@ FROM r WHERE rank <= 5
 """
 
 
+def _q_interval_join_2h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunked range join: per-event_type 2h incident windows (opened by
+    every ~1%-of-users event) × the raw point stream; count + sum of the
+    points inside each window.  The naive BETWEEN join is a
+    BroadcastNestedLoopJoin — the chunked equi-join plan is pinned in
+    tests/test_intervaljoin.py."""
+    from influxer_spark.operators.intervaljoin import interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    iv = (
+        ev.filter(F.col("user_id") % 97 == 0)
+        .select(
+            "event_type",
+            F.col("ts").alias("w_start"),
+            (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("w_end"),
+        )
+        .distinct()
+    )
+    j = interval_join(ev, iv, "ts", ["event_type"], chunk_seconds=3600)
+    return j.groupBy("event_type", "w_start", "w_end").agg(
+        F.count("*").alias("n_events"),
+        (_q2(F.sum("value")) / 100.0).alias("sum_v"),
+    )
+
+
+_INTERVAL_JOIN_ORACLE = """
+WITH iv AS (
+  SELECT DISTINCT event_type, ts AS w_start, ts + INTERVAL 2 HOUR AS w_end
+  FROM events WHERE user_id % 97 = 0
+)
+SELECT e.event_type, i.w_start, i.w_end, count(*) AS n_events,
+       CAST(round(sum(e.value) * 100, 0) AS BIGINT) / 100.0 AS sum_v
+FROM events e JOIN iv i
+  ON e.event_type = i.event_type
+ AND e.ts >= i.w_start AND e.ts < i.w_end
+GROUP BY 1, 2, 3
+"""
+
+
 def _q_kmv_distinct_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct users per (day, event_type) from CASCADED KMV sketches
     (1h k=64 sketches merged to 1d).  KMV merge is lossless (k smallest of
@@ -863,6 +902,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "twa_1h_cascade": _q_twa_1h_cascade,
         "heavy_hitters_1d": _q_heavy_hitters_1d,
         "kmv_distinct_1d": _q_kmv_distinct_1d,
+        "interval_join_2h": _q_interval_join_2h,
         "asof_join_6h_stats": _q_asof_6h_stats,
         "asof_join_tolerance_2h": _q_asof_tolerance,
         "asof_join_nearest_6h": _q_asof_nearest,
@@ -954,6 +994,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_heavy_hitters_replay": _STREAM_HH_ORACLE,
         "heavy_hitters_1d": _HEAVY_HITTERS_ORACLE,
         "kmv_distinct_1d": _KMV_DISTINCT_ORACLE,
+        "interval_join_2h": _INTERVAL_JOIN_ORACLE,
         "rollup_1h_cascade": _ROLLUP_SELECT.format(unit="hour"),
         "rollup_1d_cascade": _ROLLUP_SELECT.format(unit="day"),
         "rollup_1m_salted": _ROLLUP_SELECT.format(unit="minute"),
