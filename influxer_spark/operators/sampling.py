@@ -226,3 +226,51 @@ def quantize_embeddings_int8(
         F.array_join(q, ",").alias("q_csv"),
         F.floor(err * F.lit(1000000.0)).cast("long").alias("err_e6"),
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    strata_cols: list[str],
+    n: int,
+    seed: str = "wsamp",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, n per stratum, deterministic.
+
+    Efraimidis–Spirakis A-Res (Inf. Proc. Letters 97(5), 2006): give each
+    row the key ``u^(1/w)`` for u ~ Uniform(0,1] and keep the n largest
+    per stratum — inclusion probability is then proportional to weight
+    *without* replacement (the "take the n largest exponentials" trick).
+    We rank by the monotone-equivalent ``ln(u)/w`` to stay in well-behaved
+    double range, with u derived from the 60-bit md5 hash of
+    (seed, id) — the same cross-engine-exact hash as operators/kmv.py —
+    so the sample is a pure function of (data, seed) in both Spark and
+    the DuckDB oracle.
+
+    Scale notes: the ``rank <= n`` filter over the window is recognized by
+    Spark's InferWindowGroupLimit, which inserts a partial WindowGroupLimit
+    BEFORE the stratum exchange — executors pre-trim to n per stratum
+    map-side, so the shuffle carries O(strata · n), not the corpus
+    (plan-asserted in tests/test_weighted_sample.py).  Quality-weighted
+    corpus subsetting at 10^12 docs is exactly this shape.
+    """
+    from pyspark.sql import Window
+
+    hv = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (hv + F.lit(1)).cast("double") / F.lit(float(1 << 60))
+    es_key = F.log(u) / F.col(weight_col).cast("double")
+    w = Window.partitionBy(*strata_cols).orderBy(
+        es_key.desc(), F.col(id_col).asc()
+    )
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= n)
+    )

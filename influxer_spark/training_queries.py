@@ -818,6 +818,32 @@ def _q_global_shuffle(spark, sf_dir):
     return SA.global_shuffle(_docs(spark, sf_dir), "doc_id")
 
 
+def _q_weighted_sample(spark, sf_dir):
+    """25 docs per lang, inclusion odds ∝ n_chars (Efraimidis–Spirakis
+    A-Res, hash-deterministic) — quality-weighted corpus subsetting."""
+    return SA.weighted_sample(
+        _docs(spark, sf_dir).select("doc_id", "lang", "n_chars"),
+        "doc_id", "n_chars", ["lang"], 25,
+    ).select("lang", F.col("doc_id").alias("id"), "n_chars", "rank")
+
+
+_WEIGHTED_SAMPLE_SQL = """
+WITH c AS (
+  SELECT lang, doc_id, n_chars,
+    ln((CAST(concat('0x', substr(md5('wsamp' || CAST(doc_id AS VARCHAR)),
+                    1, 15)) AS BIGINT) + 1) / 1152921504606846976.0)
+      / CAST(n_chars AS DOUBLE) AS es_key
+  FROM documents WHERE n_chars > 0
+), r AS (
+  SELECT lang, doc_id, n_chars, row_number() OVER (
+      PARTITION BY lang ORDER BY es_key DESC, doc_id ASC) AS rank
+  FROM c
+)
+SELECT lang, doc_id AS id, n_chars, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= 25
+"""
+
+
 def _q_quantize_int8(spark, sf_dir):
     return SA.quantize_embeddings_int8(_vecs(spark, sf_dir), "vec_id", "embedding")
 
@@ -1067,6 +1093,7 @@ def training_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample_lang": _q_stratified_sample,
         "upsample_epochs_mixture": _q_upsample_epochs,
         "global_shuffle_documents": _q_global_shuffle,
+        "weighted_sample_quality": _q_weighted_sample,
         "embedding_quantize_int8": _q_quantize_int8,
         "dedup_cluster_keep": _q_cluster_keep,
     }
@@ -1303,6 +1330,7 @@ GROUP BY t.id, t.n, t.fb
             "WHEN 'es' THEN 500000 ELSE 100000 END"
         ),
         "upsample_epochs_mixture": _UPSAMPLE_SQL,
+        "weighted_sample_quality": _WEIGHTED_SAMPLE_SQL,
         "global_shuffle_documents": (
             f"SELECT doc_id AS id, {_SHUFFLE_KEY} AS shuffle_key, "
             f"CAST(row_number() OVER (ORDER BY {_SHUFFLE_KEY}) AS BIGINT) "
