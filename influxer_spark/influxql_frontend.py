@@ -487,7 +487,8 @@ TRANSFORMS = {"difference", "non_negative_difference", "derivative",
               # engine extensions: counter-reset-aware rate (Prometheus
               # rate() semantics InfluxQL lacks) and trailing-window
               # percentile (Kapacitor movingPercentile)
-              "counter_rate", "moving_percentile",
+              "counter_rate", "counter_increase", "counter_resets",
+              "moving_percentile",
               # trailing-window technical analysis (Column-shaped, so they
               # compose like any other transform)
               "chande_momentum_oscillator", "kaufmans_efficiency_ratio"}
@@ -1039,6 +1040,10 @@ class InfluxQLEngine:
                 if e.fname == "counter_rate":
                     unit = e.args[1].seconds if len(e.args) > 1 else 1
                     return Q.tr_counter_rate(df, keys, ts, arg, unit)
+                if e.fname == "counter_increase":
+                    return Q.tr_counter_increase(df, keys, ts, arg)
+                if e.fname == "counter_resets":
+                    return Q.tr_counter_resets(df, keys, ts, arg)
                 if e.fname == "elapsed":
                     unit = e.args[1].seconds if len(e.args) > 1 else 1
                     return Q.tr_elapsed(df, keys, ts, unit)

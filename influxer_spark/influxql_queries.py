@@ -893,6 +893,46 @@ SELECT bucket, event_type, cr FROM (
 """
 
 
+def _q_counter_family(spark, sf_dir):
+    """Prometheus counter-family completion (increase + resets alongside
+    rate): per-point reset-adjusted increase and the reset indicator, then
+    daily totals via the front-end's subquery planning (outer aggregate
+    over the inner transform — two window/agg stages, one series
+    exchange).  Values are integer cents (s_c), so every delta is exact."""
+    h = _hourly(spark, sf_dir)
+    out = influxql(
+        "SELECT sum(inc) AS total_inc, sum(res) AS n_resets FROM "
+        "(SELECT counter_increase(s_c) AS inc, counter_resets(s_c) AS res "
+        "FROM hourly GROUP BY event_type) "
+        "GROUP BY time(1d), event_type",
+        {"hourly": h},
+        ts_col="bucket",
+    )
+    return (
+        out.withColumnRenamed("time", "bucket")
+        .withColumn("total_inc", F.col("total_inc").cast("long"))
+        .withColumn("n_resets", F.col("n_resets").cast("long"))
+    )
+
+
+_COUNTER_FAMILY_SQL = f"""
+WITH {_HOURLY_SQL},
+p AS (
+  SELECT event_type, bucket,
+    CASE WHEN s_c - lag(s_c) OVER w < 0 THEN s_c
+         ELSE s_c - lag(s_c) OVER w END AS inc,
+    CASE WHEN s_c - lag(s_c) OVER w < 0 THEN 1
+         WHEN s_c - lag(s_c) OVER w >= 0 THEN 0 END AS res
+  FROM hourly WINDOW w AS (PARTITION BY event_type ORDER BY bucket)
+)
+SELECT date_trunc('day', bucket) AS bucket, event_type,
+       CAST(sum(inc) AS BIGINT) AS total_inc,
+       CAST(sum(res) AS BIGINT) AS n_resets
+FROM p GROUP BY 1, 2
+HAVING sum(inc) IS NOT NULL OR sum(res) IS NOT NULL
+"""
+
+
 def _q_moving_median(spark, sf_dir):
     """Engine-extension transform (Kapacitor movingPercentile): nearest-rank
     p50 of the trailing 6 hourly sums.  Values are integer cents, so the
@@ -1413,6 +1453,7 @@ def influxql_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "influxql_trix_series": _q_trix,
         "influxql_top_per_tag": _q_top_per_tag,
         "influxql_counter_rate": _q_counter_rate,
+        "influxql_counter_family": _q_counter_family,
         "influxql_moving_median": _q_moving_median,
         "lttb_downsample_50": _q_lttb,
         "m4_downsample_1h": _q_m4,
@@ -1453,6 +1494,7 @@ def influxql_oracle_sql() -> dict[str, str]:
         "influxql_trix_series": _trix_sql(9),
         "influxql_top_per_tag": _TOP_PER_TAG_SQL,
         "influxql_counter_rate": _COUNTER_RATE_SQL,
+        "influxql_counter_family": _COUNTER_FAMILY_SQL,
         "influxql_moving_median": _MOVING_MEDIAN_SQL,
         "lttb_downsample_50": _lttb_sql(50),
         "m4_downsample_1h": _M4_SQL,

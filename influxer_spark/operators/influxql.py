@@ -317,6 +317,46 @@ def tr_counter_rate(
     return F.when(dt > 0, adj / dt * unit_seconds)
 
 
+def tr_counter_increase(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    value_col: str | Column,
+) -> Column:
+    """Reset-adjusted per-point increase (the Prometheus ``increase()``
+    numerator; completes the counter family around ``tr_counter_rate``):
+    the positive delta, except a counter DROP is a restart so the
+    post-reset value IS the increase.  Summing it over ``GROUP BY
+    time(w)`` (front-end subquery) yields the range-window increase.
+    NULL for the first point of a series (no baseline)."""
+    w = _series_window(key_cols, ts_col)
+    v = _vc(value_col)
+    d = v - F.lag(v).over(w)
+    return F.when(d < 0, v).otherwise(d)
+
+
+def tr_counter_resets(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    value_col: str | Column,
+) -> Column:
+    """Counter-reset indicator (Prometheus ``resets()`` numerator): 1 when
+    the value dropped vs the previous point, 0 when it didn't, NULL for
+    the first point.  Emitted as an indicator rather than a running count
+    because stacking a cumulative window on the lag window would nest
+    window functions in one expression — sum it in an outer aggregation
+    (``SELECT sum(r) FROM (SELECT counter_resets(v) AS r ...) GROUP BY
+    time(1d)``), which the front-end's subquery support plans as two
+    window/agg stages over one series exchange."""
+    w = _series_window(key_cols, ts_col)
+    v = _vc(value_col)
+    d = v - F.lag(v).over(w)
+    return (
+        F.when(d < 0, 1).when(d >= 0, 0).cast("long")
+    )
+
+
 def tr_cumulative_sum(
     df: DataFrame, key_cols: Sequence[str], ts_col: str, value_col: str | Column
 ) -> Column:

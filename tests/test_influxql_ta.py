@@ -415,6 +415,33 @@ def test_counter_rate_reset_semantics(spark):
     assert [r["cr"] for r in out[1:]] == [4.0, 2.0, 6.0]
 
 
+def test_counter_increase_and_resets(spark):
+    """increase: reset-adjusted delta; resets: 0/1 indicator, NULL first."""
+    df = _series(spark, [10.0, 14.0, 2.0, 8.0, 8.0])
+    out = df.select(
+        "ts",
+        Q.tr_counter_increase(df, ["k"], "ts", "v").alias("inc"),
+        Q.tr_counter_resets(df, ["k"], "ts", "v").alias("res"),
+    ).orderBy("ts").collect()
+    assert [r["inc"] for r in out] == [None, 4.0, 2.0, 6.0, 0.0]
+    assert [r["res"] for r in out] == [None, 0, 1, 0, 0]
+
+
+def test_counter_family_via_frontend_subquery(spark):
+    """sum(counter_resets(v)) over a subquery: the composed plan counts
+    the same resets as the Column transform does point-wise."""
+    from influxer_spark.influxql_frontend import influxql
+
+    df = _series(spark, [10.0, 14.0, 2.0, 8.0, 3.0, 9.0])
+    out = influxql(
+        "SELECT sum(res) AS n FROM "
+        "(SELECT counter_resets(v) AS res FROM m GROUP BY k) "
+        "GROUP BY time(1d), k",
+        {"m": df}, ts_col="ts",
+    ).collect()
+    assert sum(r["n"] for r in out) == 2
+
+
 def test_anomaly_mad_flags_outliers(spark):
     vals = [10.0, 10.5, 9.8, 10.2, 10.1, 50.0, 10.3, 9.9, 10.0, 10.4]
     df = _series(spark, vals)
