@@ -390,3 +390,127 @@ def curation_funnel(
     ):
         out = out.unionByName(stage(i, name, d))
     return out
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance resampling (Xie et al. 2023, "Data Selection for
+# Language Models via Importance Resampling" — public method, reimplemented)
+# ---------------------------------------------------------------------------
+
+
+def dsir_importance(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target_col,
+    buckets: int = 4096,
+) -> DataFrame:
+    """Per-document importance weight log(p_target/p_raw) under hashed
+    n-gram bag-of-features models — the DSIR recipe: word unigrams+bigrams
+    hashed into ``buckets``, two add-one-smoothed unigram models (target =
+    rows where ``target_col`` is true; raw = all rows), and the document
+    weight as the sum of per-feature log ratios.
+
+    Determinism discipline (cross-engine hash-exact): per-bucket log
+    ratios are quantized to integer micro-nats BEFORE the per-document
+    sum, so the aggregation is integer arithmetic — order-independent and
+    identical in the DuckDB oracle.
+
+    Scale notes: the feature explode is the only corpus-sized stage (one
+    shuffle on (doc, bucket)); the bucket model is ``buckets`` rows —
+    broadcast — and totals are a 1-row broadcast, so scoring 10^12 docs
+    is a map-side join over the exploded features.
+
+    Returns (id, n_feats, w_micro) with w_micro = Σ m_f · q_f in
+    micro-nats.
+    """
+    from influxer_spark.operators.dedup import h32, word_shingles
+
+    txt = F.col(text_col)
+    feats = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(target_col).alias("_tgt") if isinstance(target_col, str)
+            else target_col.alias("_tgt"),
+            F.explode(
+                F.concat(word_shingles(txt, 1), word_shingles(txt, 2))
+            ).alias("s"),
+        )
+        .select("id", "_tgt", (h32(F.col("s")) % buckets).alias("b"))
+        .groupBy("id", "_tgt", "b")
+        .agg(F.count("*").alias("m"))
+    )
+    bc = feats.groupBy("b").agg(
+        F.sum("m").cast("long").alias("cr"),
+        F.sum(F.when(F.col("_tgt"), F.col("m")).otherwise(0))
+        .cast("long")
+        .alias("ct"),
+    )
+    tot = bc.agg(
+        F.sum("cr").cast("long").alias("R"), F.sum("ct").cast("long").alias("T")
+    )
+    model = bc.crossJoin(F.broadcast(tot)).select(
+        "b",
+        F.round(
+            F.log(
+                ((F.col("ct") + F.lit(1.0)) / (F.col("T") + F.lit(buckets)))
+                / ((F.col("cr") + F.lit(1.0)) / (F.col("R") + F.lit(buckets)))
+            )
+            * 1000000,
+            0,
+        )
+        .cast("long")
+        .alias("q"),
+    )
+    return (
+        feats.join(F.broadcast(model), "b")
+        .groupBy("id")
+        .agg(
+            F.sum("m").cast("long").alias("n_feats"),
+            F.sum(F.col("m") * F.col("q")).cast("long").alias("w_micro"),
+        )
+    )
+
+
+def dsir_resample(
+    scored: DataFrame, id_col: str, n: int, seed: str = "dsir"
+) -> DataFrame:
+    """Gumbel-top-n over the importance weights: keep the n docs with the
+    largest ``w_micro + Gumbel`` key — sampling without replacement with
+    inclusion odds ∝ the importance ratio (the Gumbel-max trick), hash-
+    deterministic like :func:`influxer_spark.operators.sampling.weighted_sample`.
+    Gumbel noise is quantized to micro-nats so the key stays integer.
+
+    A global top-n needs a total order, but Spark only applies
+    InferWindowGroupLimit (map-side pre-trim) to windows WITH a partition
+    spec — a bare ORDER BY window funnels the whole corpus into one
+    partition.  So this is two-phase: per-salt top-n over 64 hash salts
+    (WindowGroupLimit fires, plan-asserted), then the true top-n over the
+    ≤ 64·n survivors — identical output (any global top-n row is in its
+    salt's top-n), bounded final sort."""
+    hv = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (hv + F.lit(1)).cast("double") / F.lit(float(1 << 60))
+    g_micro = F.round(-F.log(-F.log(u)) * 1000000, 0).cast("long")
+    keyed = scored.withColumn("_key", F.col("w_micro") + g_micro).withColumn(
+        "_salt", hv % 64
+    )
+    w_local = Window.partitionBy("_salt").orderBy(
+        F.col("_key").desc(), F.col(id_col).asc()
+    )
+    survivors = (
+        keyed.withColumn("_lr", F.row_number().over(w_local))
+        .filter(F.col("_lr") <= n)
+        .drop("_lr")
+    )
+    w_final = Window.orderBy(F.col("_key").desc(), F.col(id_col).asc())
+    return (
+        survivors.withColumn("rank", F.row_number().over(w_final))
+        .filter(F.col("rank") <= n)
+        .drop("_key", "_salt")
+    )

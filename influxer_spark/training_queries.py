@@ -1054,6 +1054,64 @@ GROUP BY 1
 """
 
 
+def _q_dsir_resample(spark, sf_dir):
+    """DSIR importance resampling (Xie et al. 2023): hashed unigram+bigram
+    models for target (lang='en') vs raw, per-doc log importance ratio in
+    integer micro-nats, Gumbel-top-100 resample.  Every float crosses the
+    engine boundary as a quantized integer BEFORE any aggregation, so the
+    oracle hash-matches despite two ln() models and Gumbel noise."""
+    from influxer_spark.operators.curation import dsir_importance, dsir_resample
+
+    docs = _docs(spark, sf_dir)
+    scored = dsir_importance(
+        docs, "doc_id", "text", F.col("lang") == "en", buckets=2048
+    )
+    return dsir_resample(scored, "id", 100).select(
+        "id", "n_feats", "w_micro", "rank"
+    )
+
+
+_DSIR_SQL = f"""
+WITH f0 AS (
+  SELECT doc_id, (lang = 'en') AS tgt,
+         unnest(list_concat({_shingles_sql('text', 1)},
+                            {_shingles_sql('text', 2)})) AS s
+  FROM documents
+), feats AS (
+  SELECT doc_id, tgt, {_H32.format(x='s')} % 2048 AS b, count(*) AS m
+  FROM f0 GROUP BY 1, 2, 3
+), bc AS (
+  SELECT b, CAST(sum(m) AS BIGINT) AS cr,
+         CAST(sum(CASE WHEN tgt THEN m ELSE 0 END) AS BIGINT) AS ct
+  FROM feats GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(cr) AS BIGINT) AS R, CAST(sum(ct) AS BIGINT) AS T FROM bc
+), model AS (
+  SELECT b, CAST(round(ln(((ct + 1.0) / (T + 2048))
+                        / ((cr + 1.0) / (R + 2048))) * 1000000, 0)
+                 AS BIGINT) AS q
+  FROM bc CROSS JOIN tot
+), dw AS (
+  SELECT doc_id AS id, CAST(sum(m) AS BIGINT) AS n_feats,
+         CAST(sum(m * q) AS BIGINT) AS w_micro
+  FROM feats JOIN model USING (b) GROUP BY 1
+), keyed AS (
+  SELECT id, n_feats, w_micro,
+    w_micro + CAST(round(-ln(-ln(
+      (CAST(concat('0x', substr(md5('dsir' || CAST(id AS VARCHAR)), 1, 15))
+            AS BIGINT) + 1) / 1152921504606846976.0)) * 1000000, 0)
+      AS BIGINT) AS key
+  FROM dw
+), r AS (
+  SELECT id, n_feats, w_micro,
+         row_number() OVER (ORDER BY key DESC, id ASC) AS rank
+  FROM keyed
+)
+SELECT id, n_feats, w_micro, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= 100
+"""
+
+
 def training_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "gopher_quality_flags": _q_gopher_quality,
@@ -1094,6 +1152,7 @@ def training_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "upsample_epochs_mixture": _q_upsample_epochs,
         "global_shuffle_documents": _q_global_shuffle,
         "weighted_sample_quality": _q_weighted_sample,
+        "dsir_resample_en": _q_dsir_resample,
         "embedding_quantize_int8": _q_quantize_int8,
         "dedup_cluster_keep": _q_cluster_keep,
     }
@@ -1331,6 +1390,7 @@ GROUP BY t.id, t.n, t.fb
         ),
         "upsample_epochs_mixture": _UPSAMPLE_SQL,
         "weighted_sample_quality": _WEIGHTED_SAMPLE_SQL,
+        "dsir_resample_en": _DSIR_SQL,
         "global_shuffle_documents": (
             f"SELECT doc_id AS id, {_SHUFFLE_KEY} AS shuffle_key, "
             f"CAST(row_number() OVER (ORDER BY {_SHUFFLE_KEY}) AS BIGINT) "
