@@ -1201,7 +1201,10 @@ def _q_decompose(spark, sf_dir):
     return classical_decompose(h, ["event_type"], "bucket", "v", 24, 3600)
 
 
-def _decompose_sql() -> str:
+def _decompose_ctes() -> str:
+    """CTE chain ending in dec(event_type, bucket, v, trend, seasonal,
+    resid) — shared by the decompose oracle and the residual-anomaly
+    composition."""
     lag_terms = ["(lag(v, 12) OVER w) * 0.5"]
     lag_terms += [f"lag(v, {i}) OVER w" for i in range(11, 0, -1)]
     lag_terms += ["v"]
@@ -1214,8 +1217,7 @@ def _decompose_sql() -> str:
         "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), {lst}), "
         "(a, b) -> a + b)"
     )
-    return f"""
-WITH {_HOURLY_SQL},
+    return f"""{_HOURLY_SQL},
 t AS (
   SELECT event_type, bucket, v,
          {chain} / 24.0 AS trend,
@@ -1239,10 +1241,70 @@ g AS (
 se AS (
   SELECT ph.event_type, ph.phase, ph.s_raw - g.grand AS seasonal
   FROM ph JOIN g ON ph.event_type = g.event_type
+),
+dec AS (
+  SELECT d.event_type, d.bucket, d.v, d.trend, se.seasonal,
+         d.det - se.seasonal AS resid
+  FROM d JOIN se ON d.event_type = se.event_type AND d.phase = se.phase
+)"""
+
+
+def _decompose_sql() -> str:
+    return (
+        f"WITH {_decompose_ctes()}\n"
+        "SELECT event_type, bucket, v, trend, seasonal, resid FROM dec"
+    )
+
+
+def _q_resid_anomaly(spark, sf_dir):
+    """Seasonal-residual anomalies (the Twitter S-H-ESD shape, with MAD in
+    place of ESD): classical decomposition removes trend + daily
+    seasonality, then the robust |resid − med| > k·MAD test flags what's
+    left — catching in-season outliers the raw-value MAD test misses
+    because the seasonal swing inflates its baseline.  Pure composition
+    of two already-oracled operators; nearest-rank medians keep it
+    float-sum-free past the decomposition."""
+    from influxer_spark.operators.decompose import classical_decompose
+    from influxer_spark.operators.influxql import anomaly_mad
+
+    h = _hourly(spark, sf_dir).select("event_type", "bucket", "v")
+    dec = classical_decompose(h, ["event_type"], "bucket", "v", 24, 3600)
+    r = dec.filter(F.col("resid").isNotNull()).select(
+        "event_type", "bucket", "resid"
+    )
+    return anomaly_mad(r, ["event_type"], "bucket", "resid", k=3.5)
+
+
+def _resid_anomaly_sql() -> str:
+    return f"""
+WITH {_decompose_ctes()},
+rr AS (
+  SELECT event_type, bucket, resid FROM dec WHERE resid IS NOT NULL
+),
+med AS (
+  SELECT event_type, resid AS med FROM (
+    SELECT event_type, resid,
+           row_number() OVER (PARTITION BY event_type ORDER BY resid) AS rn,
+           count(*) OVER (PARTITION BY event_type) AS n
+    FROM rr
+  ) WHERE rn = CAST(floor(0.5 * n + 0.5) AS BIGINT)
+),
+ad AS (
+  SELECT r.event_type, r.bucket, r.resid, m.med,
+         abs(r.resid - m.med) AS adv
+  FROM rr r JOIN med m USING (event_type)
+),
+mad AS (
+  SELECT event_type, adv AS mad FROM (
+    SELECT event_type, adv,
+           row_number() OVER (PARTITION BY event_type ORDER BY adv) AS rn,
+           count(*) OVER (PARTITION BY event_type) AS n
+    FROM ad
+  ) WHERE rn = CAST(floor(0.5 * n + 0.5) AS BIGINT)
 )
-SELECT d.event_type, d.bucket, d.v, d.trend, se.seasonal,
-       d.det - se.seasonal AS resid
-FROM d JOIN se ON d.event_type = se.event_type AND d.phase = se.phase
+SELECT a.event_type, a.bucket, a.resid, a.med, d.mad,
+       (a.adv > 3.5 * d.mad) AS anomaly
+FROM ad a JOIN mad d USING (event_type)
 """
 
 
@@ -1463,6 +1525,7 @@ def influxql_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_corr_lags": _q_cross_corr,
         "deadman_1h": _q_deadman,
         "anomaly_mad_hourly": _q_anomaly_mad,
+        "resid_anomaly_24h": _q_resid_anomaly,
         "cusum_changepoints_hourly": _q_cusum,
         "holt_winters_forecast_24h": _q_holt_winters,
     }
@@ -1504,5 +1567,6 @@ def influxql_oracle_sql() -> dict[str, str]:
         "cross_corr_lags": _ccf_sql([-2, -1, 0, 1, 2]),
         "deadman_1h": _DEADMAN_SQL,
         "anomaly_mad_hourly": _ANOMALY_MAD_SQL,
+        "resid_anomaly_24h": _resid_anomaly_sql(),
         "cusum_changepoints_hourly": _cusum_sql(0.5, 5.0),
     }

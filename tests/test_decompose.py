@@ -240,3 +240,38 @@ def test_cross_corr_gap_drops_pairs(spark):
            cross_corr(ref, df, ["k"], "ts", "v", "v", [0, 1], 3600).collect()}
     # lag 1 pairs: (0→1), (3→4) — the gap kills (1→2) and (2→3)
     assert out[0] == 4 and out[1] == 2
+
+
+def test_resid_anomaly_catches_in_season_outlier(spark):
+    """A trough-hour value at normal-peak LEVEL is invisible to raw
+    MAD (it's inside the series' overall spread) but jumps out of the
+    seasonal residual — the point of composing decompose → anomaly_mad."""
+    from pyspark.sql import functions as F
+
+    from influxer_spark.operators.influxql import anomaly_mad
+
+    rows = []
+    for i in range(24 * 14):
+        season = 10.0 * math.sin(2 * math.pi * (i % 24) / 24)
+        noise = ((i * 2654435761) % 1000) / 1000.0 - 0.5
+        v = season + noise
+        if i == 24 * 7 + 18:  # hour 18: seasonal trough ≈ -10
+            v = 9.5  # peak-level value — in-range overall, wrong phase
+        rows.append(("k", T0 + dt.timedelta(hours=i), v))
+    df = spark.createDataFrame(rows, ["k", "ts", "v"])
+
+    raw_flags = {
+        r["ts"]
+        for r in anomaly_mad(df, ["k"], "ts", "v", k=3.5).collect()
+        if r["anomaly"]
+    }
+    dec = classical_decompose(df, ["k"], "ts", "v", 24, 3600)
+    rr = dec.filter(F.col("resid").isNotNull()).select("k", "ts", "resid")
+    resid_flags = {
+        r["ts"]
+        for r in anomaly_mad(rr, ["k"], "ts", "resid", k=3.5).collect()
+        if r["anomaly"]
+    }
+    target = T0 + dt.timedelta(hours=24 * 7 + 18)
+    assert target not in raw_flags
+    assert target in resid_flags
