@@ -510,6 +510,50 @@ def _q_kmv_distinct_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
     return KMV.kmv_estimate(d1, ["event_type"], k=64)
 
 
+def _q_stream_kmv_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming KMV sketches VALUE-oracled via stop/resume replay: land
+    events as two time-ordered files, drain with TWO availableNow runs
+    against one checkpoint, merge the per-batch sketches (k-min union is
+    associative + idempotent, so no streaming state store exists to
+    restore), cascade 1h→1d and estimate.  The oracle is the DIRECT batch
+    KMV SQL — a hash match proves the restarted stream's merged sketches
+    are bit-identical to a single batch sketch of all the data."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from influxer_spark.operators import kmv as KMV
+    from influxer_spark.streaming import read_kmv, run_incremental_kmv
+
+    ev = _t(spark, sf_dir, "events")
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    cut = lo + (hi - lo) / 2
+    root = tempfile.mkdtemp(prefix="stream_kmv_gate_")
+    d = {n: os.path.join(root, n) for n in ("input", "out", "ckpt", "stage")}
+    os.makedirs(d["input"])
+    for name, part in (
+        ("a", ev.filter(F.col("ts") <= cut)),
+        ("b", ev.filter(F.col("ts") > cut)),
+    ):
+        staging = os.path.join(d["stage"], name)
+        part.coalesce(1).write.mode("overwrite").parquet(staging)
+        if name == "a":
+            shutil.copy(
+                glob.glob(os.path.join(staging, "part-*.parquet"))[0],
+                os.path.join(d["input"], "a.parquet"),
+            )
+    run_incremental_kmv(spark, d["input"], ev.schema, d["out"], d["ckpt"])
+    shutil.copy(
+        glob.glob(os.path.join(d["stage"], "b", "part-*.parquet"))[0],
+        os.path.join(d["input"], "b.parquet"),
+    )
+    run_incremental_kmv(spark, d["input"], ev.schema, d["out"], d["ckpt"])
+    h1 = read_kmv(spark, d["out"], ["event_type"], "1h", 64)
+    d1 = KMV.kmv_cascade(h1, ["event_type"], "1d", k=64)
+    return KMV.kmv_estimate(d1, ["event_type"], k=64)
+
+
 _KMV_DISTINCT_ORACLE = """
 WITH h AS (
   SELECT DISTINCT date_trunc('day', ts) AS bucket, event_type,
@@ -902,6 +946,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "twa_1h_cascade": _q_twa_1h_cascade,
         "heavy_hitters_1d": _q_heavy_hitters_1d,
         "kmv_distinct_1d": _q_kmv_distinct_1d,
+        "stream_kmv_replay_1d": _q_stream_kmv_replay,
         "interval_join_2h": _q_interval_join_2h,
         "asof_join_6h_stats": _q_asof_6h_stats,
         "asof_join_tolerance_2h": _q_asof_tolerance,
@@ -994,6 +1039,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_heavy_hitters_replay": _STREAM_HH_ORACLE,
         "heavy_hitters_1d": _HEAVY_HITTERS_ORACLE,
         "kmv_distinct_1d": _KMV_DISTINCT_ORACLE,
+        "stream_kmv_replay_1d": _KMV_DISTINCT_ORACLE,
         "interval_join_2h": _INTERVAL_JOIN_ORACLE,
         "rollup_1h_cascade": _ROLLUP_SELECT.format(unit="hour"),
         "rollup_1d_cascade": _ROLLUP_SELECT.format(unit="day"),

@@ -1,7 +1,9 @@
 from influxer_spark.streaming.incremental import (  # noqa: F401
+    read_kmv,
     read_sessions,
     read_tier,
     run_incremental_heavy_hitters,
+    run_incremental_kmv,
     run_incremental_lineprotocol_rollup,
     run_incremental_rollup,
     run_incremental_sessions,

@@ -356,3 +356,72 @@ def run_incremental_heavy_hitters(
         out_dir,
         checkpoint_dir,
     )
+
+
+def run_incremental_kmv(
+    spark: SparkSession,
+    input_dir: str,
+    schema,
+    out_dir: str,
+    checkpoint_dir: str,
+    ts_col: str = "ts",
+    key_cols: Sequence[str] = ("event_type",),
+    item_col: str = "user_id",
+    tier: str = "1h",
+    k: int = 64,
+) -> None:
+    """File-source stream → per-batch KMV distinct sketches → idempotent
+    per-batch dirs (same availableNow/checkpoint contract as the tiers).
+
+    No streaming state store at all: a KMV union is associative,
+    commutative, AND idempotent (duplicate hashes collapse in the
+    distinct), so each micro-batch sketches only its own rows and the
+    merge happens at read time (:func:`read_kmv`) — the merged result is
+    bit-identical to a batch sketch of all the data, however the rows were
+    split across batches or restarts."""
+    from influxer_spark.operators.kmv import kmv_sketch
+
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+    stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    keys = list(key_cols)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        out = os.path.join(out_dir, f"_batch={batch_id}")
+        marker = os.path.join(out, "_COMMITTED")
+        if os.path.exists(marker):  # stateless replay: nothing to re-run
+            return
+        kmv_sketch(batch_df, ts_col, keys, item_col, tier, k).write.mode(
+            "overwrite"
+        ).parquet(out)
+        open(marker, "w").close()
+
+    (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def read_kmv(
+    spark: SparkSession,
+    out_dir: str,
+    key_cols: Sequence[str] = ("event_type",),
+    tier: str = "1h",
+    k: int = 64,
+) -> DataFrame:
+    """Merge committed per-batch KMV sketches into the exact sketch of the
+    union (k-min of the k-mins; date_trunc at the SAME tier is the
+    identity, so this reuses the cascade merge)."""
+    from influxer_spark.operators.kmv import kmv_cascade
+
+    batches = _committed_batches(out_dir)
+    if not batches:
+        raise FileNotFoundError(f"no committed batches under {out_dir}")
+    dfs = [spark.read.parquet(os.path.join(out_dir, d)) for d, _ in batches]
+    allb = dfs[0]
+    for d in dfs[1:]:
+        allb = allb.unionByName(d)
+    return kmv_cascade(allb, list(key_cols), tier, k)

@@ -247,3 +247,32 @@ def test_lineprotocol_stream_matches_batch(spark, sf_dir, tmp_path):
     # value rows whose event_type tag is NULL don't exist in line protocol;
     # the events table has none, so the tiers must match the batch exactly
     _assert_tier_matches_batch(merged, ev)
+
+
+def test_streamed_kmv_matches_batch_sketch(spark, sf_dir, tmp_path):
+    """Per-batch KMV sketches merged at read time are BIT-identical to a
+    batch sketch of all the data, across a stop/resume restart (k-min
+    union is associative + idempotent; no streaming state store)."""
+    from influxer_spark.operators import kmv as KMV
+    from influxer_spark.streaming import read_kmv, run_incremental_kmv
+
+    ev = _events(spark, sf_dir)
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    cut = lo + (hi - lo) / 2
+    d = _dirs(tmp_path)
+    _add_file(ev.filter(F.col("ts") <= cut), d["input"], d["stage"], "a")
+    run_incremental_kmv(spark, d["input"], ev.schema, d["tier"], d["ckpt"])
+    _add_file(ev.filter(F.col("ts") > cut), d["input"], d["stage"], "b")
+    run_incremental_kmv(spark, d["input"], ev.schema, d["tier"], d["ckpt"])
+
+    got = {
+        (r["bucket"], r["event_type"]): tuple(r["hashes"])
+        for r in read_kmv(spark, d["tier"], ["event_type"], "1h").collect()
+    }
+    want = {
+        (r["bucket"], r["event_type"]): tuple(r["hashes"])
+        for r in KMV.kmv_sketch(
+            ev, "ts", ["event_type"], "user_id", "1h"
+        ).collect()
+    }
+    assert got == want
