@@ -510,6 +510,51 @@ def _q_kmv_distinct_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
     return KMV.kmv_estimate(d1, ["event_type"], k=64)
 
 
+def _q_kmv_tier_read_4h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end tier-served distinct: materialize kmv_1h/kmv_1d tables
+    in a scratch catalog (per-day wave commits, k pinned as a table
+    property), then answer a 4h unique-users panel from the 1h sketch tier
+    via query.read_distinct — manifest-pruned, lossless k-min re-bucket.
+    The oracle computes the same 4h KMV directly from raw in SQL, so a
+    hash match proves the whole materialize→commit→read path is exact."""
+    import tempfile
+
+    from influxer_spark.catalog import TableCatalog
+    from influxer_spark.operators import kmv as KMV
+    from influxer_spark.query import read_distinct
+
+    ev = _t(spark, sf_dir, "events")
+    cat = TableCatalog(tempfile.mkdtemp(prefix="kmv_tier_gate_"))
+    KMV.build_kmv_tiers(spark, cat, ev, "ts", ["event_type"], "user_id", k=64)
+    return read_distinct(spark, cat, 4 * 3600, key_cols=("event_type",))
+
+
+_KMV_TIER_4H_ORACLE = """
+WITH h AS (
+  SELECT DISTINCT
+         make_timestamp((CAST(floor(epoch(ts)) AS BIGINT)
+            - CAST(floor(epoch(ts)) AS BIGINT) % 14400) * 1000000) AS bucket,
+         event_type,
+         CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS hv
+  FROM events
+), r AS (
+  SELECT bucket, event_type, hv,
+         row_number() OVER (PARTITION BY bucket, event_type ORDER BY hv) AS rn,
+         count(*) OVER (PARTITION BY bucket, event_type) AS n
+  FROM h
+)
+SELECT bucket, event_type,
+  CAST(LEAST(max(n), 64) AS BIGINT) AS sketch_size,
+  CAST(round(
+    (CASE WHEN max(n) < 64 THEN CAST(max(n) AS DOUBLE)
+          ELSE 63.0 * 1152921504606846976.0
+               / CAST(max(CASE WHEN rn = 64 THEN hv END) AS DOUBLE) END)
+    * 10000, 0) AS BIGINT) / 10000.0 AS est_distinct
+FROM r GROUP BY 1, 2
+"""
+
+
 def _q_stream_kmv_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming KMV sketches VALUE-oracled via stop/resume replay: land
     events as two time-ordered files, drain with TWO availableNow runs
@@ -947,6 +992,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters_1d": _q_heavy_hitters_1d,
         "kmv_distinct_1d": _q_kmv_distinct_1d,
         "stream_kmv_replay_1d": _q_stream_kmv_replay,
+        "kmv_tier_read_4h": _q_kmv_tier_read_4h,
         "interval_join_2h": _q_interval_join_2h,
         "asof_join_6h_stats": _q_asof_6h_stats,
         "asof_join_tolerance_2h": _q_asof_tolerance,
@@ -1040,6 +1086,7 @@ def oracle_sql() -> dict[str, str]:
         "heavy_hitters_1d": _HEAVY_HITTERS_ORACLE,
         "kmv_distinct_1d": _KMV_DISTINCT_ORACLE,
         "stream_kmv_replay_1d": _KMV_DISTINCT_ORACLE,
+        "kmv_tier_read_4h": _KMV_TIER_4H_ORACLE,
         "interval_join_2h": _INTERVAL_JOIN_ORACLE,
         "rollup_1h_cascade": _ROLLUP_SELECT.format(unit="hour"),
         "rollup_1d_cascade": _ROLLUP_SELECT.format(unit="day"),

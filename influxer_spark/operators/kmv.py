@@ -126,3 +126,57 @@ def kmv_estimate(
         n.cast("long").alias("sketch_size"),
         (F.round(est * 10000, 0).cast("long") / 10000.0).alias("est_distinct"),
     )
+
+
+def kmv_rebucket(
+    summary: DataFrame,
+    key_cols: Sequence[str],
+    width_seconds: int,
+    k: int = DEFAULT_K,
+) -> DataFrame:
+    """Merge sketches into epoch-aligned buckets of ANY width that is a
+    multiple of the sketch tier — the continuous-aggregate re-bucket
+    (``GROUP BY time(4h)`` served from the 1h KMV tier).  Same lossless
+    k-min union as :func:`kmv_cascade`, calendar-free bucket math."""
+    keys = list(key_cols)
+    secs = F.unix_timestamp(F.col("bucket").cast("timestamp")).cast("long")
+    pts = summary.select(
+        F.timestamp_seconds(secs - (secs % width_seconds)).alias("bucket"),
+        *keys,
+        F.explode("hashes").alias("h"),
+    ).distinct()
+    return _kmin(pts, keys, k)
+
+
+def build_kmv_tiers(
+    spark,
+    catalog,
+    df: DataFrame,
+    ts_col: str,
+    key_cols: Sequence[str],
+    item_col: str,
+    k: int = DEFAULT_K,
+) -> list[str]:
+    """Materialize ``kmv_1h`` and ``kmv_1d`` distinct-sketch tiers in the
+    catalog (per-day partitions, wave commit — same layout as the rollup
+    tiers), 1d CASCADED from 1h so the coarse tier costs a summary-sized
+    job, not a second raw scan.  ``k`` is pinned as a table property: a
+    reader merging sketches built with different k would silently
+    under-estimate.  Returns the committed day list."""
+    keys = list(key_cols)
+    h1 = kmv_sketch(df, ts_col, keys, item_col, "1h", k).withColumn(
+        "day", F.date_format("bucket", "yyyy-MM-dd")
+    )
+    h1.persist()
+    try:
+        days = [r["day"] for r in h1.select("day").distinct().collect()]
+        catalog.write_partitions(h1, "kmv_1h", days)
+        d1 = kmv_cascade(h1.drop("day"), keys, "1d", k).withColumn(
+            "day", F.date_format("bucket", "yyyy-MM-dd")
+        )
+        catalog.write_partitions(d1, "kmv_1d", days)
+    finally:
+        h1.unpersist()
+    for t in ("kmv_1h", "kmv_1d"):
+        catalog.set_table_property(t, "kmv_k", k)
+    return sorted(days)

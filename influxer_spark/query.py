@@ -216,3 +216,55 @@ def read_quantile(
         )
     )
     return R.histogram_quantile(grouped, q, bounds, out_col).drop("hist")
+
+
+def read_distinct(
+    spark: SparkSession,
+    catalog: TableCatalog,
+    width_seconds: int,
+    start: dt.datetime | None = None,
+    end: dt.datetime | None = None,
+    key_cols: Sequence[str] = ("url", "metric"),
+    k: int | None = None,
+) -> DataFrame:
+    """Approximate distinct count at any bucket width over [start, end),
+    served from the KMV sketch tiers (``operators/kmv.py:build_kmv_tiers``)
+    — manifest-pruned, lossless k-min re-bucket, then the (k-1)/U(k)
+    estimate (EXACT whenever a bucket held < k distinct items).
+
+    The continuous-aggregate answer to "daily unique visitors panel over a
+    month": O(buckets · k) read instead of a COUNT(DISTINCT) shuffle over
+    O(points).  Tier choice mirrors :func:`select_tier` — the coarsest
+    sketch tier whose buckets divide the width — and ``k`` defaults to the
+    table property pinned at build time (passing a different k is an
+    error: merging mixed-k sketches silently under-estimates).
+    """
+    from influxer_spark.operators import kmv as KMV
+
+    if width_seconds % 86400 == 0:
+        table = "kmv_1d"
+    elif width_seconds % 3600 == 0:
+        table = "kmv_1h"
+    else:
+        raise ValueError(
+            "read_distinct serves hour-multiple widths; "
+            f"{width_seconds}s is not one (no 1m KMV tier is materialized)"
+        )
+    pinned = catalog.table_property(table, "kmv_k")
+    if k is None:
+        k = pinned
+        if k is None:
+            raise ValueError(f"{table} pins no kmv_k property and none given")
+    elif pinned is not None and int(k) != int(pinned):
+        raise ValueError(f"given k={k} differs from {table}'s pinned kmv_k={pinned}")
+    parts = _partitions_in_range(catalog, table, start, end)
+    if not parts:
+        raise ValueError(f"no committed {table} partitions in range")
+    df = spark.read.parquet(*catalog.partition_paths(table, parts))
+    if start is not None:
+        df = df.filter(F.col("bucket") >= F.lit(start))
+    if end is not None:
+        df = df.filter(F.col("bucket") < F.lit(end))
+    keys = list(key_cols)
+    merged = KMV.kmv_rebucket(df, keys, width_seconds, int(k))
+    return KMV.kmv_estimate(merged, keys, int(k))

@@ -106,3 +106,65 @@ def test_kmv_exchange_budget(spark, sf_dir):
     # distinct (3) + window (4).  A 5th exchange means a raw re-shuffle.
     assert n_ex <= 4, plan
     assert "CartesianProduct" not in plan
+
+
+def test_kmv_tiers_serve_any_width_exactly(spark, tmp_path):
+    """build_kmv_tiers → read_distinct(4h) equals a direct 4h sketch
+    estimate from raw (re-bucket is a lossless k-min union), and the
+    bounded read prunes out-of-range day partitions at the manifest."""
+    import datetime as ddt
+
+    from influxer_spark.catalog import TableCatalog
+    from influxer_spark.query import read_distinct
+
+    rows = [
+        (
+            T0 + ddt.timedelta(seconds=(i * 211) % (4 * 86400)),
+            "click" if i % 3 else "view",
+            (i * 7919) % 500,
+        )
+        for i in range(12000)
+    ]
+    ev = spark.createDataFrame(rows, ["ts", "event_type", "user_id"])
+    cat = TableCatalog(str(tmp_path / "cat"))
+    days = KMV.build_kmv_tiers(
+        spark, cat, ev, "ts", ["event_type"], "user_id", k=32
+    )
+    assert len(days) == 4
+    assert cat.table_property("kmv_1h", "kmv_k") == 32
+
+    got = {
+        (r["bucket"], r["event_type"]): (r["sketch_size"], r["est_distinct"])
+        for r in read_distinct(
+            spark, cat, 4 * 3600, key_cols=("event_type",)
+        ).collect()
+    }
+    direct = KMV.kmv_estimate(
+        KMV.kmv_rebucket(
+            KMV.kmv_sketch(ev, "ts", ["event_type"], "user_id", "1h", 32),
+            ["event_type"], 4 * 3600, 32,
+        ),
+        ["event_type"], 32,
+    )
+    want = {
+        (r["bucket"], r["event_type"]): (r["sketch_size"], r["est_distinct"])
+        for r in direct.collect()
+    }
+    assert got == want
+
+    # bounded read prunes at the manifest: out-of-range days never listed
+    start = ddt.datetime.fromisoformat(days[1])
+    out = read_distinct(
+        spark, cat, 4 * 3600,
+        start=start, end=start + ddt.timedelta(days=1),
+        key_cols=("event_type",),
+    )
+    files = out.inputFiles()
+    assert files and all(f"p={days[1]}" in f for f in files)
+    assert not any(f"p={days[0]}" in f or f"p={days[-1]}" in f for f in files)
+
+    # mixed-k reads are refused, not silently wrong
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="kmv_k"):
+        read_distinct(spark, cat, 4 * 3600, key_cols=("event_type",), k=64)
