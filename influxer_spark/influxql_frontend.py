@@ -930,6 +930,8 @@ class InfluxQLEngine:
             if ta_root.fname in HW_FNS:
                 return self._exec_hw(stmt, None)
             return self._exec_fold(stmt, None)
+        if stmt.measurement in self.tiered and self._kmv_tier_answerable(stmt):
+            return self._exec_kmv_tiered(stmt)
         if stmt.measurement in self.tiered and self._tiered_answerable(stmt):
             return self._exec_tiered(stmt)
         if stmt.measurement not in self.tables:
@@ -970,6 +972,8 @@ class InfluxQLEngine:
         multi = [c for c in calls if c.fname in SELECTORS_MULTI]
         has_agg = any(c.fname in AGGS for c in calls)
 
+        if any(c.fname == "approx_count_distinct" for c in calls):
+            return self._exec_kmv_agg(stmt, df)
         if any(c.fname == "distinct" for c in calls) and not has_agg:
             return self._exec_distinct(stmt, df)
         if multi:
@@ -1370,6 +1374,7 @@ class InfluxQLEngine:
         key_cols: tuple[str, ...] = ("url", "metric"),
         value_field: str = "value",
         hist_bounds: Any = None,
+        kmv_item_col: str | None = None,
     ) -> None:
         """Serve this measurement's ``GROUP BY time(w)`` aggregate queries
         from the catalog's materialized rollup tiers (``rollup_1m/1h/1d``)
@@ -1392,12 +1397,21 @@ class InfluxQLEngine:
         spacing), so it is opt-in here rather than silently substituted for
         InfluxQL's exact nearest-rank percentile.  Without it, percentile
         queries fall back to raw points as before.
+
+        ``kmv_item_col`` (the item column the catalog's ``kmv_1h``/``kmv_1d``
+        sketch tables were built over, see ``operators/kmv.py:
+        build_kmv_tiers``) opts ``approx_count_distinct(item)`` into tier
+        serving: the k-min re-bucket is lossless, so the tier answer is
+        IDENTICAL to the raw-path KMV estimate — deterministic, unlike a
+        silent HLL substitution.  ``k`` comes from the table property
+        pinned at build time.
         """
         self.tiered[name] = {
             "catalog": catalog,
             "key_cols": tuple(key_cols),
             "value_field": value_field,
             "hist_bounds": list(hist_bounds) if hist_bounds else None,
+            "kmv_item_col": kmv_item_col,
         }
 
     def _tiered_answerable(self, stmt: Select) -> bool:
@@ -1434,10 +1448,19 @@ class InfluxQLEngine:
                 len(c.args) == 2 and isinstance(c.args[1], Num)
             ):
                 return False
+        return self._tier_where_ok(stmt, cfg["key_cols"], w)
+
+    def _tier_where_ok(
+        self, stmt: Select, key_cols: tuple[str, ...], w: int
+    ) -> bool:
+        """WHERE is servable from a tier frame: every ref exists on it, and
+        time bounds are bucket-aligned [>=, <) — a mid-bucket bound needs
+        raw points."""
+        import datetime as _dt
+
         if stmt.where is None:
             return True
-        # every WHERE ref must exist on the tier frame, and time bounds must
-        # be bucket-aligned [>=, <) — a mid-bucket bound needs raw points
+
         def refs(e: Any) -> set[str]:
             if isinstance(e, Bool):
                 out: set[str] = set()
@@ -1450,7 +1473,7 @@ class InfluxQLEngine:
                 return {e.name}
             return set()
 
-        if not refs(stmt.where) <= {"time", *cfg["key_cols"]}:
+        if not refs(stmt.where) <= {"time", *key_cols}:
             return False
         parts = (
             stmt.where.parts
@@ -1570,6 +1593,125 @@ class InfluxQLEngine:
                 bucket_col="time", spine_bounds=bounds,
             ).drop("filled")
         return self._agg_tail(stmt, grouped, keys, aliases, "time", "time")
+
+    # --- approx_count_distinct: deterministic KMV estimate ---
+    # (engine extension; InfluxQL's count(distinct()) stays exact.  Unlike
+    # Spark's HLL-based approx_count_distinct, the KMV estimate is a pure
+    # function of the data, so raw-path and tier-served answers are
+    # identical and DuckDB-oracle-checkable.)
+
+    def _kmv_sole_call(self, stmt: Select) -> Call | None:
+        """The statement is exactly `approx_count_distinct(field[, k])`
+        [GROUP BY time(w), tags] — or None."""
+        if len(stmt.projections) != 1:
+            return None
+        e, _ = stmt.projections[0]
+        if not (
+            isinstance(e, Call)
+            and e.fname == "approx_count_distinct"
+            and e.args
+            and isinstance(e.args[0], Ref)
+        ):
+            return None
+        return e
+
+    def _kmv_validate(self, stmt: Select, c: Call) -> int:
+        from influxer_spark.operators.kmv import DEFAULT_K
+
+        if stmt.time_width is None:
+            raise InfluxQLError("approx_count_distinct() needs GROUP BY time()")
+        if stmt.fill_mode != "none":
+            raise InfluxQLError(
+                "approx_count_distinct() does not support fill() (a sketch "
+                "of an empty bucket is empty, not zero)"
+            )
+        if stmt.tz:
+            raise InfluxQLError("approx_count_distinct() does not support tz()")
+        k = int(c.args[1].value) if len(c.args) > 1 else DEFAULT_K
+        if k < 2:
+            raise InfluxQLError("approx_count_distinct() needs k >= 2")
+        return k
+
+    def _exec_kmv_agg(self, stmt: Select, df: DataFrame) -> DataFrame:
+        from influxer_spark.operators import kmv as KMV
+
+        c = self._kmv_sole_call(stmt)
+        if c is None:
+            raise InfluxQLError(
+                "approx_count_distinct() must be the sole projection"
+            )
+        k = self._kmv_validate(stmt, c)
+        keys = stmt.group_tags
+        alias = stmt.projections[0][1] or "approx_count_distinct"
+        bucket = self._bucket(stmt.time_width, stmt.time_offset)
+        pts = df.select(
+            bucket.alias("bucket"),
+            *keys,
+            KMV._hash60(F.col(c.args[0].name)).alias("h"),
+        ).distinct()
+        est = KMV.kmv_estimate(KMV._kmin(pts, keys, k), keys, k)
+        out = est.select(
+            F.col("bucket").alias("time"), *keys,
+            F.col("est_distinct").alias(alias),
+        )
+        return self._finish(stmt, out, keys)
+
+    def _kmv_tier_answerable(self, stmt: Select) -> bool:
+        cfg = self.tiered[stmt.measurement]
+        if not cfg.get("kmv_item_col"):
+            return False
+        c = self._kmv_sole_call(stmt)
+        if c is None or c.args[0].name != cfg["kmv_item_col"]:
+            return False
+        if len(c.args) > 1:
+            return False  # explicit k: only the pinned build k is stored
+        if stmt.time_width is None or stmt.time_offset or stmt.tz:
+            return False
+        if stmt.fill_mode != "none":
+            return False
+        w = int(stmt.time_width)
+        if stmt.time_width != w or w % 3600 != 0:
+            return False
+        if not set(stmt.group_tags) <= set(cfg["key_cols"]):
+            return False
+        return self._tier_where_ok(stmt, cfg["key_cols"], w)
+
+    def _exec_kmv_tiered(self, stmt: Select) -> DataFrame:
+        import datetime as _dt
+
+        from influxer_spark import query as _qapi
+        from influxer_spark.operators import kmv as KMV
+
+        cfg = self.tiered[stmt.measurement]
+        cat = cfg["catalog"]
+        w = int(stmt.time_width)
+        table = "kmv_1d" if w % 86400 == 0 else "kmv_1h"
+        k = cat.table_property(table, "kmv_k")
+        if k is None:
+            raise InfluxQLError(f"{table} pins no kmv_k table property")
+        lo, hi = (
+            self._time_bounds(stmt.where) if stmt.where is not None
+            else (None, None)
+        )
+        start = _dt.datetime.fromisoformat(lo[0]) if lo else None
+        end = _dt.datetime.fromisoformat(hi[0]) if hi else None
+        parts = _qapi._partitions_in_range(cat, table, start, end)
+        if not parts:
+            raise InfluxQLError(f"no committed {table} partitions in range")
+        df = self._spark().read.parquet(*cat.partition_paths(table, parts))
+        if stmt.where is not None:
+            df = df.filter(
+                InfluxQLEngine({}, ts_col="bucket")._cond(stmt.where)
+            )
+        keys = stmt.group_tags
+        alias = stmt.projections[0][1] or "approx_count_distinct"
+        merged = KMV.kmv_rebucket(df, keys, w, int(k))
+        est = KMV.kmv_estimate(merged, keys, int(k))
+        out = est.select(
+            F.col("bucket").alias("time"), *keys,
+            F.col("est_distinct").alias(alias),
+        )
+        return self._finish(stmt, out, keys)
 
     # --- multi-row selectors: top / bottom / sample ---
 

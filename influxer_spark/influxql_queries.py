@@ -893,6 +893,47 @@ SELECT bucket, event_type, cr FROM (
 """
 
 
+def _q_approx_distinct(spark, sf_dir):
+    """Engine-extension aggregate: approx_count_distinct(item[, k]) — the
+    deterministic KMV estimate (InfluxQL's count(distinct()) stays exact;
+    Spark's own HLL approx is run-dependent and un-oracle-able).  Raw
+    path; the tier-served twin is pinned identical by
+    tests/test_influxql_tiered.py."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = influxql(
+        "SELECT approx_count_distinct(user_id) AS uu FROM events "
+        "GROUP BY time(4h), event_type",
+        {"events": ev},
+        ts_col="ts",
+    )
+    return out.withColumnRenamed("time", "bucket")
+
+
+_APPROX_DISTINCT_SQL = """
+WITH h AS (
+  SELECT DISTINCT
+         make_timestamp((CAST(floor(epoch(ts)) AS BIGINT)
+            - CAST(floor(epoch(ts)) AS BIGINT) % 14400) * 1000000) AS bucket,
+         event_type,
+         CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS hv
+  FROM events
+), r AS (
+  SELECT bucket, event_type, hv,
+         row_number() OVER (PARTITION BY bucket, event_type ORDER BY hv) AS rn,
+         count(*) OVER (PARTITION BY bucket, event_type) AS n
+  FROM h
+)
+SELECT bucket, event_type,
+  CAST(round(
+    (CASE WHEN max(n) < 64 THEN CAST(max(n) AS DOUBLE)
+          ELSE 63.0 * 1152921504606846976.0
+               / CAST(max(CASE WHEN rn = 64 THEN hv END) AS DOUBLE) END)
+    * 10000, 0) AS BIGINT) / 10000.0 AS uu
+FROM r GROUP BY 1, 2
+"""
+
+
 def _q_counter_family(spark, sf_dir):
     """Prometheus counter-family completion (increase + resets alongside
     rate): per-point reset-adjusted increase and the reset indicator, then
@@ -1516,6 +1557,7 @@ def influxql_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "influxql_top_per_tag": _q_top_per_tag,
         "influxql_counter_rate": _q_counter_rate,
         "influxql_counter_family": _q_counter_family,
+        "influxql_approx_distinct": _q_approx_distinct,
         "influxql_moving_median": _q_moving_median,
         "lttb_downsample_50": _q_lttb,
         "m4_downsample_1h": _q_m4,
@@ -1558,6 +1600,7 @@ def influxql_oracle_sql() -> dict[str, str]:
         "influxql_top_per_tag": _TOP_PER_TAG_SQL,
         "influxql_counter_rate": _COUNTER_RATE_SQL,
         "influxql_counter_family": _COUNTER_FAMILY_SQL,
+        "influxql_approx_distinct": _APPROX_DISTINCT_SQL,
         "influxql_moving_median": _MOVING_MEDIAN_SQL,
         "lttb_downsample_50": _lttb_sql(50),
         "m4_downsample_1h": _M4_SQL,

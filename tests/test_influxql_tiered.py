@@ -235,3 +235,40 @@ def test_ta_over_percentile_served_from_hist_tier(built_hist):
     assert "rollup_1h" in plan
     rows = df.collect()
     assert len(rows) > 10 and any(r["e"] is not None for r in rows)
+
+
+def test_approx_distinct_tier_matches_raw_path(built, spark):
+    """approx_count_distinct(item) is served from the kmv tables when
+    registered with kmv_item_col — and because the KMV estimate is a pure
+    function of the data (unlike HLL), the tier answer is IDENTICAL to the
+    raw-path answer, not merely close."""
+    from influxer_spark.operators.kmv import build_kmv_tiers
+
+    points, cat = built
+    build_kmv_tiers(
+        spark, cat, points, "warc_ts", ["metric"], "url", k=32
+    )
+    raw = InfluxQLEngine({"pages": points}, ts_col="warc_ts")
+    tiered = InfluxQLEngine({"pages": points}, ts_col="warc_ts")
+    tiered.register_tiered(
+        "pages", cat, key_cols=("metric",), kmv_item_col="url"
+    )
+    # tier path can only serve the pinned k, so query with k=32 on raw
+    q_raw = (
+        "SELECT approx_count_distinct(url, 32) AS uu FROM pages "
+        "GROUP BY time(4h), metric"
+    )
+    q_tier = (
+        "SELECT approx_count_distinct(url) AS uu FROM pages "
+        "GROUP BY time(4h), metric"
+    )
+    want = {(r["time"], r["metric"]): r["uu"] for r in raw.execute(q_raw).collect()}
+    got_df = tiered.execute(q_tier)
+    got = {(r["time"], r["metric"]): r["uu"] for r in got_df.collect()}
+    assert got == want and len(got) > 10
+    files = got_df.inputFiles()
+    assert files and all("kmv_1h" in f for f in files)  # tier, not raw
+
+    # explicit k ≠ pinned build k falls back to raw (never a silent mix)
+    fb = tiered.execute(q_raw)
+    assert not any("kmv_1h" in f for f in fb.inputFiles())
