@@ -1349,6 +1349,63 @@ FROM ad a JOIN mad d USING (event_type)
 """
 
 
+def _q_sax_motifs(spark, sf_dir):
+    """Daily-shape motifs via SAX (Lin et al. 2003): each complete
+    24-bucket day of the hourly series becomes a 6-letter word (z-norm →
+    PAA → N(0,1)-breakpoint alphabet), then the top-3 recurring words per
+    series.  Ordered folds + IEEE sqrt keep the words bit-identical to the
+    DuckDB replay."""
+    from influxer_spark.operators.sax import sax_motifs, sax_words
+
+    h = _hourly(spark, sf_dir).select("event_type", "bucket", "v")
+    w = sax_words(h, ["event_type"], "bucket", "v")
+    return sax_motifs(w, ["event_type"], top=3)
+
+
+def _sax_sql() -> str:
+    fold = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), {lst}), "
+        "(a, b) -> a + b)"
+    )
+    seg_letters = []
+    for j in range(6):
+        paa = fold.format(lst=f"arr[{4 * j + 1}:{4 * j + 4}]") + " / 4.0"
+        z = f"(CASE WHEN std > 0.0 THEN ({paa} - mean) / std ELSE 0.0 END)"
+        seg_letters.append(
+            f"(CASE WHEN {z} < -0.6745 THEN 'a' WHEN {z} < 0.0 THEN 'b' "
+            f"WHEN {z} < 0.6745 THEN 'c' ELSE 'd' END)"
+        )
+    word = " || ".join(seg_letters)
+    sq = fold.format(lst="list_transform(arr, x -> (x - mean) * (x - mean))")
+    return f"""
+WITH {_HOURLY_SQL},
+byday AS (
+  SELECT event_type,
+         make_timestamp((CAST(floor(epoch(bucket)) AS BIGINT)
+            - CAST(floor(epoch(bucket)) AS BIGINT) % 86400) * 1000000) AS day,
+         list(v ORDER BY bucket) AS arr
+  FROM hourly GROUP BY 1, 2
+), full_days AS (
+  SELECT * FROM byday WHERE len(arr) = 24
+), m AS (
+  SELECT *, {fold.format(lst="arr")} / 24.0 AS mean FROM full_days
+), s AS (
+  SELECT *, sqrt({sq} / 24.0) AS std FROM m
+), words AS (
+  SELECT event_type, day, {word} AS word FROM s
+), counted AS (
+  SELECT event_type, word, CAST(count(*) AS BIGINT) AS n_days
+  FROM words GROUP BY 1, 2
+), r AS (
+  SELECT event_type, word, n_days, row_number() OVER (
+      PARTITION BY event_type ORDER BY n_days DESC, word ASC) AS rank
+  FROM counted
+)
+SELECT event_type, word, n_days, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= 3
+"""
+
+
 def _q_acf(spark, sf_dir):
     """Per-series autocorrelation to lag 48 over the hourly series (the
     period-detection primitive).  Oracle replays the same ordered folds:
@@ -1568,6 +1625,7 @@ def influxql_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "deadman_1h": _q_deadman,
         "anomaly_mad_hourly": _q_anomaly_mad,
         "resid_anomaly_24h": _q_resid_anomaly,
+        "sax_daily_motifs": _q_sax_motifs,
         "cusum_changepoints_hourly": _q_cusum,
         "holt_winters_forecast_24h": _q_holt_winters,
     }
@@ -1611,5 +1669,6 @@ def influxql_oracle_sql() -> dict[str, str]:
         "deadman_1h": _DEADMAN_SQL,
         "anomaly_mad_hourly": _ANOMALY_MAD_SQL,
         "resid_anomaly_24h": _resid_anomaly_sql(),
+        "sax_daily_motifs": _sax_sql(),
         "cusum_changepoints_hourly": _cusum_sql(0.5, 5.0),
     }
