@@ -98,6 +98,12 @@ def _build_parser() -> argparse.ArgumentParser:
         "were built with (pipeline hist_bounds=log2_bounds(LO, HI)) — opts "
         "percentile()/median() into approximate tier serving",
     )
+    p.add_argument(
+        "-kmvitem", default=None, metavar="COL",
+        help="with -catalog: the item column the catalog's kmv_1h/kmv_1d "
+        "sketch tables were built over (operators/kmv.py:build_kmv_tiers) "
+        "— opts approx_count_distinct(COL) into tier serving",
+    )
     p.add_argument("-cores", type=int, default=None)
     return p
 
@@ -201,6 +207,7 @@ def main(argv: list[str] | None = None) -> int:
                 args.table, cat,
                 key_cols=tuple(k for k in args.keys.split(",") if k),
                 hist_bounds=hb,
+                kmv_item_col=args.kmvitem,
             )
         out = eng.execute(args.query)
         cols = out.columns

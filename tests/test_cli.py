@@ -159,6 +159,41 @@ def test_cli_query_tier_only_with_catalog(spark, tmp_path, capsys):
     assert int(printed.splitlines()[-1].split()[0]) > 0  # "N rows in …"
 
 
+def test_cli_query_kmv_tier_served(spark, tmp_path, capsys):
+    """-query -catalog -kmvitem without -input: approx_count_distinct is
+    answered entirely from the materialized kmv sketch tables."""
+    from influxer_spark.datagen import generate_pages
+    from influxer_spark.extract import (
+        pages_to_points,
+        with_crawl_metrics,
+        with_extracted,
+    )
+    from influxer_spark.operators.kmv import build_kmv_tiers
+    from influxer_spark.pipeline import run_pipeline
+
+    pages = generate_pages(str(tmp_path / "pg"), n_rows=1500, seed=3, days=2)
+    root = str(tmp_path / "cat")
+    run_pipeline(spark, pages, root, encode_gorilla=False)
+    points = pages_to_points(
+        with_crawl_metrics(with_extracted(spark.read.parquet(pages)))
+    )
+    from influxer_spark.catalog import TableCatalog
+
+    build_kmv_tiers(
+        spark, TableCatalog(root), points, "warc_ts", ["metric"], "url", k=32
+    )
+    rc = main([
+        "-table", "pages", "-catalog", root, "-cores", "8",
+        "-keys", "metric", "-kmvitem", "url",
+        "-query", "SELECT approx_count_distinct(url) AS uu "
+        "FROM pages GROUP BY time(4h), metric",
+    ])
+    assert rc == 0
+    printed = capsys.readouterr().out
+    assert printed.splitlines()[0] == "time\tmetric\tuu"
+    assert int(printed.splitlines()[-1].split()[0]) > 0
+
+
 def test_cli_query_without_input_or_catalog_errors():
     import pytest as _pytest
 
