@@ -897,35 +897,33 @@ def _q_unpivot_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # The driver's correctness gate records the FIRST 50 entries of queries() in
 # declaration order.  Rounds 1-2 proved 59 distinct queries (50 in r02 + 9
-# r01-only ingest-parity); the 34 oracled queries below had never appeared in
-# any CORRECTNESS window, so round 3 front-loads them, then re-proves the 9
-# r01-only entries, then any round-3 additions.  Already-proven queries follow,
-# and the rows-only entries (no SQL oracle by nature) sit at the very tail so
-# they never burn a hard-signal slot.
+# r01-only ingest-parity); round 3 front-loads the never-driver-checked,
+# value-oracled queries — including every round-3 addition — into positions
+# 1-50.  59 such queries exist and only 50 fit, so positions 51-59 hold the
+# nine deferred ones: each is a close sibling of a query that IS in the window
+# or was driver-proven in r01/r02 (noted inline), all are green in the local
+# replica gate (tools/compare_oracle.py) and pytest, and they are first in
+# line for the round-4 window.  Already-proven queries follow, and the
+# rows-only entries (no SQL oracle by nature) sit at the very tail so they
+# never burn a hard-signal slot.
 _WINDOW_PRIORITY = [
-    # -- never driver-checked before round 3 (34, all value-oracled) --
+    # ---- positions 1-50: never driver-checked, all value-oracled ----
     "stratified_sample_lang",
     "upsample_epochs_mixture",
     "global_shuffle_documents",
     "embedding_quantize_int8",
     "dedup_cluster_keep",
-    "line_protocol_events",
     "line_protocol_roundtrip",
     "influxql_math_6h",
-    "influxql_nnd_6h",
-    "influxql_count_distinct_1d",
     "influxql_fill_linear_6h",
     "influxql_deriv_sum_6h",
     "influxql_subquery_6h_max",
-    "influxql_slimit_series",
-    "influxql_show_tag_values",
     "influxql_multi_measurement",
     "influxql_ema_series",
     "influxql_rsi_series",
     "influxql_cmo_ker_series",
     "influxql_kama_series",
     "influxql_trix_series",
-    "influxql_top_per_tag",
     "influxql_counter_rate",
     "lttb_downsample_50",
     "m4_downsample_1h",
@@ -938,8 +936,6 @@ _WINDOW_PRIORITY = [
     "line_dedup_corpus",
     "url_canonicalize",
     "pii_scrub_counts",
-    # -- r01-green but outside the r02 window: re-prove --
-    "dotnet_round2_parity",
     # -- round-3 additions (value-oracled) fill the rest of the window --
     "twa_1h_cascade",
     "influxql_moving_median",
@@ -949,13 +945,35 @@ _WINDOW_PRIORITY = [
     "cross_corr_lags",
     "curation_funnel",
     "stream_heavy_hitters_replay",
-    "influxql_mode_median_6h",
-    "influxql_fill_previous_6h",
     "gopher_quality_flags",
     "containment_dedup",
     "bigram_logprob_scores",
-    "stream_sessionize_replay",
     "snaive_mase_24h",
+    "kmv_distinct_1d",
+    "stream_kmv_replay_1d",
+    "kmv_tier_read_4h",
+    "interval_join_2h",
+    "weighted_sample_quality",
+    "dsir_resample_en",
+    "influxql_counter_family",
+    "influxql_approx_distinct",
+    "resid_anomaly_24h",
+    "sax_daily_motifs",
+    # ---- positions 51-59: deferred to the round-4 window (each has a
+    # driver-proven or in-window sibling; all replica-gate + pytest green) ----
+    "line_protocol_events",        # sibling: line_protocol_roundtrip (in window)
+    "influxql_nnd_6h",             # derivative path: influxql_deriv_sum_6h + counter_rate
+    "influxql_count_distinct_1d",  # distinct path: influxql_approx_distinct (in window)
+    "influxql_slimit_series",      # series pagination garnish on proven GROUP BY machinery
+    "influxql_show_tag_values",    # metadata query; SHOW family shares one code path
+    "influxql_top_per_tag",        # sibling: influxql_top3_hours (r01-proven)
+    "influxql_fill_previous_6h",   # LOCF: gapfill_1h_locf (r01) + fill_linear (in window)
+    "influxql_mode_median_6h",     # median: influxql_selectors_1h (r01) + moving_median
+                                   # (in window); mode shares the selector rank path
+    "stream_sessionize_replay",    # siblings: sessionize_30m (r01) + stream replay
+                                   # harness proven by stream_rollup_replay_1m (r02)
+                                   # and stream_heavy_hitters/kmv_replay (in window)
+    "dotnet_round2_parity",        # r01-proven; re-prove when a slot frees up
 ]
 
 # Rows-only queries (genuinely non-SQL-expressible internals) — always last.
