@@ -426,6 +426,47 @@ def _q_rollup_5m_width(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rollup_out(r)
 
 
+def _q_tier_refresh_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Invalidation-driven tier refresh VALUE-oracled (operators/refresh.py):
+    build a tier catalog over a biased SUBSET of events (the last day missing
+    entirely, a deterministic third of a mid day missing), then 'the
+    re-crawl lands' — refresh against the full table.  Count-based
+    invalidation must flag exactly the changed days, region-recompute them,
+    and the refreshed 1h tier must hash-match the plain rollup SQL over ALL
+    events — proving late appends + new days converge to the from-scratch
+    answer through the catalog's atomic snapshot commits."""
+    import shutil
+    import tempfile
+
+    from influxer_spark.catalog import TableCatalog
+    from influxer_spark.operators.refresh import (
+        build_point_tiers,
+        refresh_point_tiers,
+        source_day_counts,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    days = sorted(source_day_counts(ev, "ts"))
+    last, mid = days[-1], days[len(days) // 2]
+    day = F.date_format("ts", "yyyy-MM-dd")
+    initial = ev.filter(
+        (day != last)
+        & ~((day == mid) & (F.pmod(F.crc32(F.col("ts").cast("string")), F.lit(3)) == 0))
+    )
+    root = tempfile.mkdtemp(prefix="refresh_gate_")
+    try:
+        cat = TableCatalog(root)
+        build_point_tiers(spark, cat, initial, "ts", ["event_type"], "value")
+        res = refresh_point_tiers(spark, cat, ev, "ts", ["event_type"], "value")
+        assert res["recomputed"] == sorted([mid, last]), res
+        out = _rollup_out(cat.read(spark, "rollup_1h"))
+        # materialize before the scratch catalog disappears
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _q_heavy_hitters_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 users per (day, event_type) read from CASCADED Misra-Gries
     summaries (1h capacity-256 sketches merged to 1d).  Capacity exceeds the
@@ -1006,6 +1047,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gorilla_roundtrip_1m": _q_gorilla_roundtrip,
         "stream_rollup_replay_1m": _q_stream_rollup_replay,
         "rollup_5m_width": _q_rollup_5m_width,
+        "tier_refresh_1h": _q_tier_refresh_1h,
         "twa_1h_cascade": _q_twa_1h_cascade,
         "heavy_hitters_1d": _q_heavy_hitters_1d,
         "kmv_distinct_1d": _q_kmv_distinct_1d,
@@ -1107,6 +1149,9 @@ def oracle_sql() -> dict[str, str]:
         "kmv_tier_read_4h": _KMV_TIER_4H_ORACLE,
         "interval_join_2h": _INTERVAL_JOIN_ORACLE,
         "rollup_1h_cascade": _ROLLUP_SELECT.format(unit="hour"),
+        # a refreshed catalog (subset build + late-data refresh) must equal
+        # the from-scratch rollup over the full table
+        "tier_refresh_1h": _ROLLUP_SELECT.format(unit="hour"),
         "rollup_1d_cascade": _ROLLUP_SELECT.format(unit="day"),
         "rollup_1m_salted": _ROLLUP_SELECT.format(unit="minute"),
         "rollup_5m_width": (

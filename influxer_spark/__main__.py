@@ -104,6 +104,15 @@ def _build_parser() -> argparse.ArgumentParser:
         "sketch tables were built over (operators/kmv.py:build_kmv_tiers) "
         "— opts approx_count_distinct(COL) into tier serving",
     )
+    p.add_argument(
+        "-refresh", action="store_true",
+        help="with -input (pages parquet dir) + -catalog: invalidation-"
+        "driven tier refresh after the source changed under a committed "
+        "catalog (late re-crawl appends / takedown deletes) — detects stale "
+        "days by count against the per-partition rows_in counters, region-"
+        "recomputes only those, drops orphaned days; previous tier versions "
+        "stay time-travelable (pipeline.refresh_pipeline)",
+    )
     p.add_argument("-cores", type=int, default=None)
     return p
 
@@ -184,6 +193,23 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark("influxer_spark_cli", cores=args.cores)
     t0 = time.time()
+
+    if args.refresh:
+        if not args.catalog:
+            parser.error("-refresh requires -catalog (and -input pages dir)")
+        from influxer_spark.pipeline import refresh_pipeline
+
+        res = refresh_pipeline(spark, getattr(args, "input"), args.catalog)
+        for d in res.days_processed:
+            print(f"refreshed {d}: {res.counters.get(d, {})}")
+        for d, c in res.counters.items():
+            if c.get("dropped"):
+                print(f"dropped {d}: source rows all deleted")
+        print(
+            f"{len(res.days_processed)} day(s) refreshed, "
+            f"{len(res.days_skipped)} fresh, in {res.elapsed_s:.1f}s"
+        )
+        return 0
 
     if args.query:
         from influxer_spark.influxql_frontend import InfluxQLEngine

@@ -332,6 +332,25 @@ class TableCatalog:
         self._commit_manifest(name, manifest)
         return True
 
+    def dropped_partitions(self, name: str) -> dict[str, str]:
+        """Partitions whose LATEST lineage event is a drop: {value: reason}.
+        A partition re-committed after a drop is live again and excluded.
+        Lets maintenance jobs distinguish 'never committed' from
+        'deliberately expired' (refresh must not resurrect the latter)."""
+        mf = self.read_manifest(name)
+        out: dict[str, str] = {}
+        for e in mf["lineage"]:
+            pv = e.get("partition")
+            if pv is None:
+                continue
+            if "dropped_at" in e:
+                out[pv] = e.get("reason", "")
+            else:
+                out.pop(pv, None)  # re-committed after the drop
+        for pv in mf["partitions"]:
+            out.pop(pv, None)
+        return out
+
     def expire_snapshots(self, name: str, keep_last: int = 1) -> dict[str, int]:
         """Iceberg ``expire_snapshots``: retain the last ``keep_last``
         snapshots, delete older manifest files, and delete exactly the data

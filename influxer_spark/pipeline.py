@@ -340,3 +340,81 @@ def process_day(
         validate_extraction=validate_extraction,
         source=source,
     )[day]
+
+
+def refresh_pipeline(
+    spark: SparkSession,
+    pages_path: str,
+    catalog_root: str,
+    force_days: list[str] | None = None,
+) -> PipelineResult:
+    """Invalidation-driven refresh of a committed catalog after the pages
+    source changed under it (late re-crawl appends, takedown deletes).
+
+    Detection and semantics are operators/refresh.py's (count-based
+    invalidation against the per-day ``rows_in`` counters the pipeline
+    records on raw_points; region RECOMPUTE because min/max are not
+    invertible under deletes).  Stale and new days re-run the normal
+    process_days wave — same jobs, same atomic snapshot commits, previous
+    tier versions stay time-travelable; days whose source rows all
+    disappeared get their partitions dropped from every pipeline table.
+    Catalog-pinned histogram bounds and the Gorilla sink are re-applied
+    automatically so a refreshed day is schema-identical to its siblings.
+    """
+    from influxer_spark.operators.refresh import partition_deltas
+
+    t0 = time.time()
+    catalog = TableCatalog(catalog_root)
+    pages = spark.read.parquet(pages_path)
+    res = PipelineResult()
+
+    src_counts = {
+        r["day"]: r["n"]
+        for r in pages.groupBy(_day_of("warc_ts"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    deltas = partition_deltas(
+        catalog.committed_partitions("raw_points"), src_counts
+    )
+    for day in force_days or ():
+        deltas.setdefault(day, "stale")
+    # retention guard: a ttl-expired raw day still has source rows and no
+    # commit, so it classifies "new" — refreshing it would resurrect data
+    # the retention DAG deliberately dropped.  Explicit force_days override.
+    for day, reason in catalog.dropped_partitions("raw_points").items():
+        if (
+            deltas.get(day) == "new"
+            and reason.startswith("ttl")
+            and day not in (force_days or ())
+        ):
+            deltas[day] = "expired"
+    recompute = sorted(
+        d for d, k in deltas.items() if k not in ("orphaned", "expired")
+    )
+    orphaned = sorted(d for d, k in deltas.items() if k == "orphaned")
+    res.days_skipped = sorted(d for d in src_counts if d not in deltas)
+
+    if recompute:
+        res.counters = process_days(
+            spark, pages, catalog, recompute,
+            # match the catalog's committed shape: gorilla if the table has
+            # commits, histograms per the pinned bound list
+            encode_gorilla=bool(
+                catalog.committed_partitions("rollup_1m_gorilla")
+            ),
+            source=pages_path,
+            hist_bounds=catalog.table_property("rollup_1m", "hist_bounds"),
+        )
+        res.days_processed = recompute
+    for day in orphaned:
+        for table in (
+            "raw_points", "rollup_1m", "rollup_1m_gorilla",
+            "rollup_1h", "rollup_1d",
+        ):
+            catalog.drop_partition(
+                table, day, reason="refresh: source rows all deleted"
+            )
+        res.counters[day] = {"dropped": True}
+    res.elapsed_s = time.time() - t0
+    return res

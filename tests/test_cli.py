@@ -199,3 +199,30 @@ def test_cli_query_without_input_or_catalog_errors():
 
     with _pytest.raises(SystemExit):
         main(["-query", "SELECT 1 FROM x", "-table", "x"])
+
+
+def test_cli_refresh_catalog(spark, tmp_path, capsys):
+    """-refresh -input -catalog: late pages land in the source dir; the CLI
+    refresh recomputes only the stale days and reports them."""
+    import shutil as _sh
+
+    from influxer_spark.datagen import generate_pages
+    from influxer_spark.pipeline import run_pipeline
+
+    src = str(tmp_path / "pg")
+    generate_pages(src, n_rows=600, seed=21, days=2)
+    late = generate_pages(str(tmp_path / "late"), n_rows=200, seed=22, days=2)
+    root = str(tmp_path / "cat")
+    run_pipeline(spark, src, root, encode_gorilla=False)
+    _sh.copy(late, f"{src}/late.parquet")
+
+    rc = main(["-refresh", "-input", src, "-catalog", root, "-cores", "8"])
+    assert rc == 0
+    printed = capsys.readouterr().out
+    assert "refreshed 2024-03-" in printed
+    assert "day(s) refreshed" in printed
+
+    # idempotent: a second refresh finds everything fresh
+    rc = main(["-refresh", "-input", src, "-catalog", root, "-cores", "8"])
+    printed = capsys.readouterr().out
+    assert rc == 0 and printed.startswith("0 day(s) refreshed")
