@@ -41,7 +41,10 @@ Supported surface
   clock in that zone.  For subqueries the conversion happens once at the
   innermost level; the outer query then operates in wall space directly.
 - Metadata surface: ``SHOW MEASUREMENTS | SERIES | FIELD KEYS | TAG KEYS |
-  TAG VALUES … WITH KEY = k | DATABASES | CONTINUOUS QUERIES``, plus
+  TAG VALUES … WITH KEY = k | DATABASES | CONTINUOUS QUERIES`` and the
+  1.8 cardinality family ``SHOW SERIES | MEASUREMENT | FIELD KEY |
+  TAG KEY | TAG VALUES [EXACT] CARDINALITY`` (EXACT = distributed
+  countDistinct; estimated = HLL++ approx_count_distinct), plus
   data lifecycle: ``DELETE FROM m [WHERE …]``, ``DROP MEASUREMENT |
   SERIES FROM m WHERE <tags> | DATABASE``, ``CREATE DATABASE``, and
   ``CREATE/DROP CONTINUOUS QUERY`` with ``run_continuous_queries()`` as the
@@ -1836,11 +1839,31 @@ class InfluxQLEngine:
                     [(d,) for d in sorted(self.databases)], "name string"
                 )
             if p.kw("SERIES"):
+                # SHOW SERIES [EXACT] CARDINALITY — InfluxQL 1.8's index-size
+                # introspection.  EXACT = distributed countDistinct over the
+                # series key; estimated = approx_count_distinct (HLL++, rsd
+                # 0.05 — deterministic for a fixed dataset, like InfluxDB's
+                # own sketch-backed estimate).
+                exact = p.kw("EXACT", "CARDINALITY")
+                approx = (not exact) and p.kw("CARDINALITY")
+                m = self._from_measurement(p)
+                tags = self._tags_of(m)
+                if exact or approx:
+                    if not tags:
+                        return spark.createDataFrame([(1,)], "count bigint")
+                    key = F.concat_ws(
+                        ",",
+                        F.lit(m),
+                        *[F.concat_ws("=", F.lit(t), F.col(t)) for t in tags],
+                    )
+                    agg = (
+                        F.count_distinct(key) if exact
+                        else F.approx_count_distinct(key)
+                    )
+                    return self.tables[m].select(agg.alias("count"))
                 # series key = measurement + sorted tag k=v pairs; a
                 # distributed distinct over the tag columns (cardinality of
                 # series ≪ points, same shape as SHOW TAG VALUES)
-                m = self._from_measurement(p)
-                tags = self._tags_of(m)
                 if not tags:
                     return spark.createDataFrame([(m,)], "key string")
                 key = F.concat_ws(
@@ -1849,9 +1872,33 @@ class InfluxQLEngine:
                     *[F.concat_ws("=", F.lit(t), F.col(t)) for t in tags],
                 )
                 return self.tables[m].select(key.alias("key")).distinct()
+            if p.kw("MEASUREMENT") and (
+                p.kw("EXACT", "CARDINALITY") or p.kw("CARDINALITY")
+            ):
+                return spark.createDataFrame(
+                    [(len(self.tables),)], "count bigint"
+                )
             if p.kw("MEASUREMENTS"):
                 return spark.createDataFrame(
                     [(m,) for m in sorted(self.tables)], "name string"
+                )
+            if p.kw("FIELD", "KEY") and (
+                p.kw("EXACT", "CARDINALITY") or p.kw("CARDINALITY")
+            ):
+                m = self._from_measurement(p)
+                tags = set(self._tags_of(m))
+                n = sum(
+                    1 for c, t in self.tables[m].dtypes
+                    if c != self.ts_col and c not in tags
+                    and t.split("(")[0] in self._FIELD_TYPES
+                )
+                return spark.createDataFrame([(n,)], "count bigint")
+            if p.kw("TAG", "KEY") and (
+                p.kw("EXACT", "CARDINALITY") or p.kw("CARDINALITY")
+            ):
+                m = self._from_measurement(p)
+                return spark.createDataFrame(
+                    [(len(self._tags_of(m)),)], "count bigint"
                 )
             if p.kw("FIELD", "KEYS"):
                 m = self._from_measurement(p)
@@ -1869,6 +1916,8 @@ class InfluxQLEngine:
                     [(t,) for t in self._tags_of(m)], "tagKey string"
                 )
             if p.kw("TAG", "VALUES"):
+                exact = p.kw("EXACT", "CARDINALITY")
+                approx = (not exact) and p.kw("CARDINALITY")
                 m = self._from_measurement(p)
                 if not (p.kw("WITH") and p.kw("KEY")):
                     raise InfluxQLError("SHOW TAG VALUES needs WITH KEY = <tag>")
@@ -1876,6 +1925,12 @@ class InfluxQLEngine:
                 key = p.ident()
                 if key not in self._tags_of(m):
                     raise InfluxQLError(f"{key!r} is not a tag of {m!r}")
+                if exact or approx:
+                    agg = (
+                        F.count_distinct(F.col(key)) if exact
+                        else F.approx_count_distinct(F.col(key))
+                    )
+                    return self.tables[m].select(agg.alias("count"))
                 # distributed distinct — tag cardinality ≪ points
                 return (
                     self.tables[m]

@@ -545,6 +545,53 @@ _SHOW_TAG_VALUES_SQL = (
 )
 
 
+def _q_show_cardinality(spark, sf_dir):
+    """SHOW … EXACT CARDINALITY family (InfluxQL 1.8 index introspection):
+    series / tag-values / field-key counts over a two-tag measurement,
+    unioned into one labeled frame.  EXACT variants only — they are
+    countDistinct, so the DuckDB oracle is a plain UNION of counts (the
+    estimated HLL++ variants are pinned to exact at toy cardinality in
+    tests/test_influxql_frontend.py::test_show_cardinality_family)."""
+    from influxer_spark.influxql_frontend import InfluxQLEngine
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "ts", "event_type",
+        F.concat(F.lit("u"), (F.col("user_id") % 10).cast("string")).alias("ubucket"),
+        "value",
+    )
+    eng = InfluxQLEngine({"events": ev}, ts_col="ts")
+
+    def one(stat, sql):
+        return eng.execute(sql).select(
+            F.lit(stat).alias("stat"), F.col("count").cast("long").alias("count")
+        )
+
+    return (
+        one("series", "SHOW SERIES EXACT CARDINALITY FROM events")
+        .unionAll(one(
+            "tag_values_event_type",
+            "SHOW TAG VALUES EXACT CARDINALITY FROM events WITH KEY = event_type",
+        ))
+        .unionAll(one(
+            "tag_values_ubucket",
+            "SHOW TAG VALUES EXACT CARDINALITY FROM events WITH KEY = ubucket",
+        ))
+        .unionAll(one("field_keys", "SHOW FIELD KEY CARDINALITY FROM events"))
+        .unionAll(one("tag_keys", "SHOW TAG KEY CARDINALITY FROM events"))
+    )
+
+
+_SHOW_CARDINALITY_SQL = (
+    "SELECT 'series' AS stat, count(DISTINCT event_type || ',' "
+    "|| 'u' || CAST(user_id % 10 AS VARCHAR)) AS count FROM events "
+    "UNION ALL SELECT 'tag_values_event_type', count(DISTINCT event_type) FROM events "
+    "UNION ALL SELECT 'tag_values_ubucket', "
+    "count(DISTINCT 'u' || CAST(user_id % 10 AS VARCHAR)) FROM events "
+    "UNION ALL SELECT 'field_keys', 1 "
+    "UNION ALL SELECT 'tag_keys', 2"
+)
+
+
 # ---------------------------------------------------------------------------
 # Round-2 surface: math functions, non_negative_difference, count(distinct)
 # — every float that crosses the oracle boundary is either an exact integer,
@@ -1605,6 +1652,7 @@ def influxql_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "influxql_subquery_6h_max": _q_subquery,
         "influxql_slimit_series": _q_slimit,
         "influxql_show_tag_values": _q_show_tag_values,
+        "influxql_show_cardinality": _q_show_cardinality,
         "influxql_multi_measurement": _q_multi_measurement,
         "influxql_ema_series": _q_ema,
         "influxql_rsi_series": _q_rsi,
@@ -1649,6 +1697,7 @@ def influxql_oracle_sql() -> dict[str, str]:
         "influxql_subquery_6h_max": _SUBQUERY_SQL,
         "influxql_slimit_series": _SLIMIT_SQL,
         "influxql_show_tag_values": _SHOW_TAG_VALUES_SQL,
+        "influxql_show_cardinality": _SHOW_CARDINALITY_SQL,
         "influxql_multi_measurement": _MULTI_SQL,
         "influxql_ema_series": _EMA_SQL,
         "influxql_rsi_series": _rsi_sql(14),

@@ -415,3 +415,43 @@ def test_distinct_requires_sole_projection(m):
         _eng(m).execute("SELECT distinct(value), value FROM cpu")
     with pytest.raises(InfluxQLError):
         _eng(m).execute("SELECT mean(distinct(value)) FROM cpu")
+
+
+def test_show_cardinality_family(spark):
+    """InfluxQL 1.8 SHOW … [EXACT] CARDINALITY: series / measurement /
+    field key / tag key / tag values.  EXACT = countDistinct; the estimated
+    variant is HLL++ and must land on the exact value at toy cardinality."""
+    df = spark.createDataFrame(
+        [("a", "us", T0, 1.0), ("b", "eu", T0, 2.0), ("a", "us", T0, 3.0)],
+        ["host", "region", "ts", "value"],
+    )
+    eng = InfluxQLEngine({"cpu": df, "mem": df}, ts_col="ts")
+
+    def one(sql):
+        rows = eng.execute(sql).collect()
+        assert len(rows) == 1 and rows[0].__fields__ == ["count"]
+        return rows[0]["count"]
+
+    assert one("SHOW SERIES EXACT CARDINALITY FROM cpu") == 2
+    assert one("SHOW SERIES CARDINALITY FROM cpu") == 2  # HLL exact here
+    assert one("SHOW MEASUREMENT CARDINALITY") == 2
+    assert one("SHOW MEASUREMENT EXACT CARDINALITY") == 2
+    assert one("SHOW FIELD KEY CARDINALITY FROM cpu") == 1  # value
+    assert one("SHOW TAG KEY EXACT CARDINALITY FROM cpu") == 2  # host, region
+    assert one(
+        "SHOW TAG VALUES EXACT CARDINALITY FROM cpu WITH KEY = host"
+    ) == 2
+    assert one(
+        "SHOW TAG VALUES CARDINALITY FROM cpu WITH KEY = region"
+    ) == 2
+
+    # the non-cardinality statements still parse after the new branches
+    assert sorted(
+        r["key"] for r in eng.execute("SHOW SERIES FROM cpu").collect()
+    ) == ["cpu,host=a,region=us", "cpu,host=b,region=eu"]
+    assert [r["tagKey"] for r in eng.execute("SHOW TAG KEYS FROM cpu").collect()] == [
+        "host", "region"
+    ]
+    assert [
+        r["fieldKey"] for r in eng.execute("SHOW FIELD KEYS FROM cpu").collect()
+    ] == ["value"]
