@@ -1015,6 +1015,10 @@ _WINDOW_PRIORITY = [
                                    # harness proven by stream_rollup_replay_1m (r02)
                                    # and stream_heavy_hitters/kmv_replay (in window)
     "dotnet_round2_parity",        # r01-proven; re-prove when a slot frees up
+    # ---- added after the round-3 window froze (value-oracled in the local
+    # replica gate; next in line with the deferrals above) ----
+    "tier_refresh_1h",
+    "influxql_show_cardinality",
 ]
 
 # Rows-only queries (genuinely non-SQL-expressible internals) — always last.
