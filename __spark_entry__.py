@@ -1019,6 +1019,7 @@ _WINDOW_PRIORITY = [
     # replica gate; next in line with the deferrals above) ----
     "tier_refresh_1h",
     "influxql_show_cardinality",
+    "influxql_wildcard_agg",
 ]
 
 # Rows-only queries (genuinely non-SQL-expressible internals) — always last.

@@ -179,6 +179,12 @@ class Ref:
 
 
 @dataclass
+class Star:
+    """``*`` in a projection (``SELECT *``) or aggregate (``mean(*)``) —
+    expanded against the measurement schema before execution."""
+
+
+@dataclass
 class Call:
     fname: str
     args: list[Any]
@@ -309,11 +315,18 @@ class _Parser:
             if self.peek().kind == "op" and self.peek().text == "(":
                 self.next()
                 args: list[Any] = []
+
+                def _arg():
+                    if self.peek().kind == "op" and self.peek().text == "*":
+                        self.next()
+                        return Star()
+                    return self.expr()
+
                 if not (self.peek().kind == "op" and self.peek().text == ")"):
-                    args.append(self.expr())
+                    args.append(_arg())
                     while self.peek().kind == "op" and self.peek().text == ",":
                         self.next()
-                        args.append(self.expr())
+                        args.append(_arg())
                 self.expect_op(")")
                 return Call(name.lower(), args)
             return Ref(name)
@@ -360,7 +373,11 @@ class _Parser:
             raise InfluxQLError("expected SELECT")
         projections: list[tuple[Any, str | None]] = []
         while True:
-            e = self.expr()
+            if self.peek().kind == "op" and self.peek().text == "*":
+                self.next()
+                e: Any = Star()
+            else:
+                e = self.expr()
             alias = self.ident() if self.kw("AS") else None
             projections.append((e, alias))
             if self.peek().kind == "op" and self.peek().text == ",":
@@ -916,6 +933,7 @@ class InfluxQLEngine:
                 for m in names
             ]
             return reduce(lambda a, b: a.unionByName(b), outs)
+        stmt = self._expand_star(stmt)
         # TA-over-aggregate routes BEFORE the tiered check: the fold/fit
         # desugars its inner aggregate through _run, so the inner GROUP BY
         # time() query gets continuous-aggregate serving on its own
@@ -1821,6 +1839,52 @@ class InfluxQLEngine:
         "smallint": "integer", "tinyint": "integer",
         "boolean": "boolean", "decimal": "float",
     }
+
+    def _expand_star(self, stmt: Select) -> Select:
+        """Expand ``SELECT *`` and ``agg(*)`` against the measurement schema
+        (InfluxDB 1.8 wildcard semantics).  A bare ``*`` becomes every tag
+        and field column, sorted; ``agg(*)`` becomes one call per FIELD with
+        InfluxDB's ``agg_<field>`` output naming (extra args — e.g.
+        ``percentile(*, 95)`` — pass through).  Purely syntactic, so the
+        expanded statement still routes through tier serving normally."""
+        def _has_star(e: Any) -> bool:
+            return isinstance(e, Star) or (
+                isinstance(e, Call) and any(isinstance(a, Star) for a in e.args)
+            )
+
+        if not any(_has_star(e) for e, _ in stmt.projections):
+            return stmt
+        if stmt.measurement not in self.tables:
+            raise InfluxQLError(
+                "wildcard projections need the measurement's raw schema "
+                f"({stmt.measurement!r} is not registered as a table)"
+            )
+        df = self.tables[stmt.measurement]
+        tags = self._tags_of(stmt.measurement)
+        fields = [
+            c for c, t in df.dtypes
+            if c != self.ts_col and c not in tags
+            and t.split("(")[0] in self._FIELD_TYPES
+        ]
+        out: list[tuple[Any, str | None]] = []
+        for e, alias in stmt.projections:
+            if isinstance(e, Star):
+                out.extend((Ref(c), None) for c in sorted(tags + fields))
+            elif isinstance(e, Call) and any(isinstance(a, Star) for a in e.args):
+                if not isinstance(e.args[0], Star):
+                    raise InfluxQLError(
+                        f"* must be {e.fname}'s first argument"
+                    )
+                for c in sorted(fields):
+                    out.append((
+                        Call(e.fname, [Ref(c), *e.args[1:]]),
+                        f"{alias or e.fname}_{c}",
+                    ))
+            else:
+                out.append((e, alias))
+        from dataclasses import replace as _replace
+
+        return _replace(stmt, projections=out)
 
     def _tags_of(self, name: str) -> list[str]:
         # the engine's tag model: string-typed columns that aren't time

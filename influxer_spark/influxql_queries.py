@@ -581,6 +581,29 @@ def _q_show_cardinality(spark, sf_dir):
     )
 
 
+def _q_wildcard_agg(spark, sf_dir):
+    """InfluxQL 1.8 wildcard aggregation: ``max(*)`` expands to one
+    ``max_<field>`` per field of the measurement (v, s_c, cnt on the hourly
+    frame), routed through the ordinary GROUP BY time() executor.  max of
+    exact cents-derived values is order-independent, so the oracle is a
+    plain per-field max."""
+    h = _hourly(spark, sf_dir)
+    return influxql(
+        "SELECT max(*), count(v) AS n FROM hourly"
+        " GROUP BY time(6h), event_type",
+        {"hourly": h},
+        ts_col="bucket",
+    )
+
+
+_WILDCARD_AGG_SQL = (
+    "WITH " + _HOURLY_SQL + " "
+    "SELECT " + _BUCKET.format(src="bucket", w=21600) + " AS time, event_type, "
+    "max(cnt) AS max_cnt, max(s_c) AS max_s_c, max(v) AS max_v, "
+    "count(v) AS n FROM hourly GROUP BY 1, 2"
+)
+
+
 _SHOW_CARDINALITY_SQL = (
     "SELECT 'series' AS stat, count(DISTINCT event_type || ',' "
     "|| 'u' || CAST(user_id % 10 AS VARCHAR)) AS count FROM events "
@@ -1653,6 +1676,7 @@ def influxql_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "influxql_slimit_series": _q_slimit,
         "influxql_show_tag_values": _q_show_tag_values,
         "influxql_show_cardinality": _q_show_cardinality,
+        "influxql_wildcard_agg": _q_wildcard_agg,
         "influxql_multi_measurement": _q_multi_measurement,
         "influxql_ema_series": _q_ema,
         "influxql_rsi_series": _q_rsi,
@@ -1698,6 +1722,7 @@ def influxql_oracle_sql() -> dict[str, str]:
         "influxql_slimit_series": _SLIMIT_SQL,
         "influxql_show_tag_values": _SHOW_TAG_VALUES_SQL,
         "influxql_show_cardinality": _SHOW_CARDINALITY_SQL,
+        "influxql_wildcard_agg": _WILDCARD_AGG_SQL,
         "influxql_multi_measurement": _MULTI_SQL,
         "influxql_ema_series": _EMA_SQL,
         "influxql_rsi_series": _rsi_sql(14),

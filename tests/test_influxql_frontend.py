@@ -455,3 +455,35 @@ def test_show_cardinality_family(spark):
     assert [
         r["fieldKey"] for r in eng.execute("SHOW FIELD KEYS FROM cpu").collect()
     ] == ["value"]
+
+
+def test_select_star_and_agg_star_wildcards(spark):
+    """InfluxQL 1.8 wildcards: SELECT * (all tags+fields), mean(*) →
+    mean_<field> per field, percentile(*, N) passes extra args through,
+    and the expansion routes through the normal executor (GROUP BY time)."""
+    df = spark.createDataFrame(
+        [
+            ("a", T0, 1.0, 10.0),
+            ("a", T0, 3.0, 30.0),
+            ("b", T0, 5.0, 50.0),
+        ],
+        ["host", "ts", "value", "load"],
+    )
+    eng = InfluxQLEngine({"cpu": df}, ts_col="ts")
+
+    star = eng.execute("SELECT * FROM cpu")
+    assert set(star.columns) >= {"host", "load", "value"}
+    assert star.count() == 3
+
+    m = eng.execute("SELECT mean(*) FROM cpu GROUP BY time(1h), host")
+    assert {"mean_value", "mean_load"} <= set(m.columns)
+    rows = {r["host"]: r for r in m.collect()}
+    assert rows["a"]["mean_value"] == 2.0 and rows["a"]["mean_load"] == 20.0
+    assert rows["b"]["mean_value"] == 5.0 and rows["b"]["mean_load"] == 50.0
+
+    p = eng.execute("SELECT percentile(*, 50) FROM cpu GROUP BY time(1h)")
+    assert {"percentile_value", "percentile_load"} <= set(p.columns)
+
+    # a bare * mixed with an explicit field is additive, like InfluxDB
+    both = eng.execute("SELECT max(*), count(value) AS n FROM cpu GROUP BY time(1h)")
+    assert {"max_value", "max_load", "n"} <= set(both.columns)
