@@ -125,11 +125,13 @@ def tokenize(s: str) -> list[Tok]:
     while i < len(s):
         if s[i:].isspace():
             break
-        # regex literal only ever follows =~ / !~ or FROM (avoids clash
-        # with the '/' operator)
+        # regex literal only ever follows =~ / !~, FROM, SELECT, or a comma
+        # (avoids clash with the '/' operator: an expression can't START
+        # with '/', so those positions are unambiguous — SELECT /re/ is the
+        # 1.8 regex field selector)
         if toks and (
-            (toks[-1].kind == "op" and toks[-1].text in ("=~", "!~"))
-            or (toks[-1].kind == "ident" and toks[-1].text.upper() == "FROM")
+            (toks[-1].kind == "op" and toks[-1].text in ("=~", "!~", ",", "("))
+            or (toks[-1].kind == "ident" and toks[-1].text.upper() in ("FROM", "SELECT"))
         ):
             m = _REGEX_RE.match(s, i)
             if m:
@@ -320,6 +322,8 @@ class _Parser:
                     if self.peek().kind == "op" and self.peek().text == "*":
                         self.next()
                         return Star()
+                    if self.peek().kind == "regex":
+                        return Rex(self.next().text)
                     return self.expr()
 
                 if not (self.peek().kind == "op" and self.peek().text == ")"):
@@ -376,6 +380,8 @@ class _Parser:
             if self.peek().kind == "op" and self.peek().text == "*":
                 self.next()
                 e: Any = Star()
+            elif self.peek().kind == "regex":
+                e = Rex(self.next().text)
             else:
                 e = self.expr()
             alias = self.ident() if self.kw("AS") else None
@@ -1848,8 +1854,9 @@ class InfluxQLEngine:
         ``percentile(*, 95)`` — pass through).  Purely syntactic, so the
         expanded statement still routes through tier serving normally."""
         def _has_star(e: Any) -> bool:
-            return isinstance(e, Star) or (
-                isinstance(e, Call) and any(isinstance(a, Star) for a in e.args)
+            return isinstance(e, (Star, Rex)) or (
+                isinstance(e, Call)
+                and any(isinstance(a, (Star, Rex)) for a in e.args)
             )
 
         if not any(_has_star(e) for e, _ in stmt.projections):
@@ -1870,12 +1877,28 @@ class InfluxQLEngine:
         for e, alias in stmt.projections:
             if isinstance(e, Star):
                 out.extend((Ref(c), None) for c in sorted(tags + fields))
-            elif isinstance(e, Call) and any(isinstance(a, Star) for a in e.args):
-                if not isinstance(e.args[0], Star):
+            elif isinstance(e, Rex):
+                # SELECT /re/ matches field keys AND tag keys (1.8 docs)
+                hits = [c for c in sorted(tags + fields) if re.search(e.pattern, c)]
+                if not hits:
+                    raise InfluxQLError(f"no column matches /{e.pattern}/")
+                out.extend((Ref(c), None) for c in hits)
+            elif isinstance(e, Call) and any(
+                isinstance(a, (Star, Rex)) for a in e.args
+            ):
+                if not isinstance(e.args[0], (Star, Rex)):
                     raise InfluxQLError(
-                        f"* must be {e.fname}'s first argument"
+                        f"*/regex must be {e.fname}'s first argument"
                     )
-                for c in sorted(fields):
+                sel = sorted(fields) if isinstance(e.args[0], Star) else [
+                    c for c in sorted(fields)
+                    if re.search(e.args[0].pattern, c)
+                ]
+                if not sel:
+                    raise InfluxQLError(
+                        f"no field matches {e.fname}'s wildcard/regex"
+                    )
+                for c in sel:
                     out.append((
                         Call(e.fname, [Ref(c), *e.args[1:]]),
                         f"{alias or e.fname}_{c}",

@@ -487,3 +487,33 @@ def test_select_star_and_agg_star_wildcards(spark):
     # a bare * mixed with an explicit field is additive, like InfluxDB
     both = eng.execute("SELECT max(*), count(value) AS n FROM cpu GROUP BY time(1h)")
     assert {"max_value", "max_load", "n"} <= set(both.columns)
+
+
+def test_select_regex_field_selection(spark):
+    """InfluxQL 1.8 regex field selection: SELECT /re/ matches field AND tag
+    keys; agg(/re/) matches fields only; comma-position regex also lexes."""
+    df = spark.createDataFrame(
+        [("a", T0, 1.0, 10.0, 5.0)],
+        ["host", "ts", "usage_user", "usage_system", "load"],
+    )
+    eng = InfluxQLEngine({"cpu": df}, ts_col="ts")
+
+    r = eng.execute("SELECT /^usage_/ FROM cpu")
+    assert {"usage_user", "usage_system"} <= set(r.columns)
+    assert "load" not in r.columns and "host" not in r.columns
+
+    m = eng.execute("SELECT mean(/^usage_/) FROM cpu GROUP BY time(1h)")
+    assert {"mean_usage_user", "mean_usage_system"} <= set(m.columns)
+    assert "mean_load" not in m.columns
+
+    # tag keys match a bare regex projection
+    t = eng.execute("SELECT /host|load/ FROM cpu")
+    assert {"host", "load"} <= set(t.columns)
+
+    # regex after a comma in the projection list lexes correctly
+    c = eng.execute("SELECT load, /^usage_u/ FROM cpu")
+    assert {"load", "usage_user"} <= set(c.columns)
+
+    # arithmetic '/' is unharmed
+    d = eng.execute("SELECT load / 2 AS half FROM cpu").collect()
+    assert d[0]["half"] == 2.5
