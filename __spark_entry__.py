@@ -1020,6 +1020,7 @@ _WINDOW_PRIORITY = [
     "tier_refresh_1h",
     "influxql_show_cardinality",
     "influxql_wildcard_agg",
+    "alert_transitions_1h",
 ]
 
 # Rows-only queries (genuinely non-SQL-expressible internals) — always last.

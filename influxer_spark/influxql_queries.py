@@ -1082,6 +1082,32 @@ def _q_deadman(spark, sf_dir):
     return deadman(ev, ["event_type"], "ts", 3600)
 
 
+def _q_alert_transitions(spark, sf_dir):
+    """Kapacitor threshold-alert edges over the hourly tier: OK/WARN/CRIT
+    by exact comparison on exact tier means, stateChangesOnly semantics
+    (only level CHANGES emit, first point per series included).  One lag
+    window — the oracle replays the identical CASE + LAG."""
+    from influxer_spark.operators.influxql import alert_states
+
+    h = _hourly(spark, sf_dir)
+    return alert_states(
+        h, ["event_type"], "bucket", "v", warn=100.0, crit=150.0
+    ).withColumnRenamed("bucket", "time")
+
+
+_ALERT_TRANSITIONS_SQL = (
+    "WITH " + _HOURLY_SQL + ", lv AS ("
+    "  SELECT event_type, bucket AS time, v,"
+    "    CASE WHEN v >= 150.0 THEN 'CRIT'"
+    "         WHEN v >= 100.0 THEN 'WARN' ELSE 'OK' END AS level"
+    "  FROM hourly), lg AS ("
+    "  SELECT *, lag(level) OVER (PARTITION BY event_type ORDER BY time)"
+    "    AS prev_level FROM lv) "
+    "SELECT event_type, time, v, level, prev_level FROM lg "
+    "WHERE prev_level IS NULL OR prev_level <> level"
+)
+
+
 _DEADMAN_SQL = """
 WITH c AS (
   SELECT event_type,
@@ -1695,6 +1721,7 @@ def influxql_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "series_corr_hourly": _q_series_corr,
         "cross_corr_lags": _q_cross_corr,
         "deadman_1h": _q_deadman,
+        "alert_transitions_1h": _q_alert_transitions,
         "anomaly_mad_hourly": _q_anomaly_mad,
         "resid_anomaly_24h": _q_resid_anomaly,
         "sax_daily_motifs": _q_sax_motifs,
@@ -1741,6 +1768,7 @@ def influxql_oracle_sql() -> dict[str, str]:
         "series_corr_hourly": _series_corr_sql(),
         "cross_corr_lags": _ccf_sql([-2, -1, 0, 1, 2]),
         "deadman_1h": _DEADMAN_SQL,
+        "alert_transitions_1h": _ALERT_TRANSITIONS_SQL,
         "anomaly_mad_hourly": _ANOMALY_MAD_SQL,
         "resid_anomaly_24h": _resid_anomaly_sql(),
         "sax_daily_motifs": _sax_sql(),

@@ -528,6 +528,51 @@ def anomaly_mad(
     )
 
 
+def alert_states(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    warn: float,
+    crit: float,
+    transitions_only: bool = True,
+) -> DataFrame:
+    """Kapacitor-style threshold alert levels (the alert node's lambda
+    levels): per point, ``CRIT`` when value ≥ crit, else ``WARN`` when
+    ≥ warn, else ``OK``.  With ``transitions_only`` (Kapacitor's
+    ``stateChangesOnly``), emit only the rows where the level CHANGED from
+    the series' previous point — each series' first point always emits
+    (prev level unknown), so downstream sees every alert edge exactly once.
+
+    Completes the monitoring family beside :func:`deadman` (liveness),
+    :func:`anomaly_mad` (robust outliers) and CUSUM (level shifts): this is
+    the plain-threshold alerting a reference user runs in Kapacitor today.
+
+    Shape: one window ``lag`` over the per-series sort — a single shuffle
+    on the series key; the level CASE and the edge filter are pure Column
+    expressions (whole-stage codegen).  Determinism: exact comparisons on
+    exact values (tier means are integer-cents/100), so the oracle replays
+    the CASE and the lag bit-for-bit.
+    """
+    lvl = (
+        F.when(F.col(value_col) >= F.lit(crit), F.lit("CRIT"))
+        .when(F.col(value_col) >= F.lit(warn), F.lit("WARN"))
+        .otherwise(F.lit("OK"))
+    )
+    w = Window.partitionBy(*[F.col(k) for k in key_cols]).orderBy(ts_col)
+    out = (
+        df.select(*key_cols, ts_col, value_col)
+        .withColumn("level", lvl)
+        .withColumn("prev_level", F.lag("level").over(w))
+    )
+    if transitions_only:
+        out = out.filter(
+            F.col("prev_level").isNull()
+            | (F.col("prev_level") != F.col("level"))
+        )
+    return out
+
+
 # ---------------------------------------------------------------------------
 # technical-analysis transforms (InfluxQL 1.8 "predictors & technical
 # analysis" family).  Two execution shapes, both JVM-side (no Python):

@@ -173,3 +173,33 @@ def test_cq_requires_into(eng):
             "CREATE CONTINUOUS QUERY bad ON db0 BEGIN "
             "SELECT mean(value) FROM cpu GROUP BY time(1h) END"
         )
+
+
+def test_alert_states_transitions_only(spark):
+    """Kapacitor stateChangesOnly: first point emits, repeats don't,
+    every edge emits exactly once; transitions_only=False emits all."""
+    import datetime as dt
+
+    from influxer_spark.operators.influxql import alert_states
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        ("s", t0 + dt.timedelta(hours=i), v)
+        for i, v in enumerate([10.0, 20.0, 120.0, 130.0, 160.0, 90.0, 95.0])
+    ]
+    df = spark.createDataFrame(rows, ["k", "ts", "v"])
+    out = alert_states(df, ["k"], "ts", "v", warn=100.0, crit=150.0)
+    got = [
+        (r["level"], r["prev_level"])
+        for r in out.orderBy("ts").collect()
+    ]
+    assert got == [
+        ("OK", None),        # first point always emits
+        ("WARN", "OK"),      # 120 crosses warn
+        ("CRIT", "WARN"),    # 160 crosses crit
+        ("OK", "CRIT"),      # 90 recovers
+    ]
+    every = alert_states(
+        df, ["k"], "ts", "v", warn=100.0, crit=150.0, transitions_only=False
+    )
+    assert every.count() == 7
