@@ -1021,6 +1021,7 @@ _WINDOW_PRIORITY = [
     "influxql_show_cardinality",
     "influxql_wildcard_agg",
     "alert_transitions_1h",
+    "stream_alert_replay",
 ]
 
 # Rows-only queries (genuinely non-SQL-expressible internals) — always last.

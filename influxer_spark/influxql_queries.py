@@ -1095,6 +1095,55 @@ def _q_alert_transitions(spark, sf_dir):
     ).withColumnRenamed("bucket", "time")
 
 
+def _q_stream_alert_replay(spark, sf_dir):
+    """Streaming alert edges VALUE-oracled via replay: land the hourly tier
+    as two time-ordered files, drain with TWO availableNow runs against one
+    checkpoint (a real stop/resume), and union the committed edge batches.
+    The per-key last_level state crosses the restart, so a level persisting
+    over the boundary is NOT re-emitted — the union must hash-match the
+    batch stateChangesOnly SQL exactly."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from influxer_spark.streaming import read_alerts, run_alert_stream
+
+    h = _hourly(spark, sf_dir).orderBy("bucket")
+    lo, hi = h.agg(F.min("bucket"), F.max("bucket")).first()
+    cut = lo + (hi - lo) / 2
+    root = tempfile.mkdtemp(prefix="stream_alert_gate_")
+    d = {n: os.path.join(root, n) for n in ("input", "out", "ckpt", "stage")}
+    os.makedirs(d["input"])
+    for name, part in (
+        ("a", h.filter(F.col("bucket") <= cut)),
+        ("b", h.filter(F.col("bucket") > cut)),
+    ):
+        staging = os.path.join(d["stage"], name)
+        part.coalesce(1).write.mode("overwrite").parquet(staging)
+        if name == "a":  # second file lands between the two runs
+            shutil.copy(
+                glob.glob(os.path.join(staging, "part-*.parquet"))[0],
+                os.path.join(d["input"], "a.parquet"),
+            )
+    schema = spark.read.parquet(os.path.join(d["stage"], "a")).schema
+    args = (d["input"], schema, d["out"], d["ckpt"],
+            "event_type", "bucket", "v", 100.0, 150.0)
+    run_alert_stream(spark, *args)
+    shutil.copy(
+        glob.glob(os.path.join(d["stage"], "b", "part-*.parquet"))[0],
+        os.path.join(d["input"], "b.parquet"),
+    )
+    run_alert_stream(spark, *args)
+    merged = read_alerts(spark, d["out"]).select(
+        F.col("key").alias("event_type"), "time", "v", "level", "prev_level"
+    )
+    rows = merged.collect()  # materialize before removing the scratch dirs
+    out = spark.createDataFrame(rows, merged.schema)
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 _ALERT_TRANSITIONS_SQL = (
     "WITH " + _HOURLY_SQL + ", lv AS ("
     "  SELECT event_type, bucket AS time, v,"
@@ -1722,6 +1771,7 @@ def influxql_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_corr_lags": _q_cross_corr,
         "deadman_1h": _q_deadman,
         "alert_transitions_1h": _q_alert_transitions,
+        "stream_alert_replay": _q_stream_alert_replay,
         "anomaly_mad_hourly": _q_anomaly_mad,
         "resid_anomaly_24h": _q_resid_anomaly,
         "sax_daily_motifs": _q_sax_motifs,
@@ -1769,6 +1819,7 @@ def influxql_oracle_sql() -> dict[str, str]:
         "cross_corr_lags": _ccf_sql([-2, -1, 0, 1, 2]),
         "deadman_1h": _DEADMAN_SQL,
         "alert_transitions_1h": _ALERT_TRANSITIONS_SQL,
+        "stream_alert_replay": _ALERT_TRANSITIONS_SQL,
         "anomaly_mad_hourly": _ANOMALY_MAD_SQL,
         "resid_anomaly_24h": _resid_anomaly_sql(),
         "sax_daily_motifs": _sax_sql(),

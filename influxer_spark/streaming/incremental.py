@@ -425,3 +425,44 @@ def read_kmv(
     for d in dfs[1:]:
         allb = allb.unionByName(d)
     return kmv_cascade(allb, list(key_cols), tier, k)
+
+
+def run_alert_stream(
+    spark: SparkSession,
+    input_dir: str,
+    schema,
+    out_dir: str,
+    checkpoint_dir: str,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    warn: float,
+    crit: float,
+) -> None:
+    """File-source stream → stateful threshold-alert edges → idempotent
+    per-batch dirs.  Same availableNow/checkpoint contract as the 1m tier;
+    the per-key ``last_level`` state is restored on resume, so an alert
+    level persisting across the restart is NOT re-paged."""
+    from influxer_spark.streaming.stateful import alert_stream
+
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+    stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    _drain_to_tier(
+        alert_stream(stream, key_col, ts_col, value_col, warn, crit),
+        out_dir,
+        checkpoint_dir,
+    )
+
+
+def read_alerts(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Union committed alert-edge batches: every transition is emitted in
+    exactly one micro-batch (state dedups repeats), so no last-emission
+    merge is needed — the union IS the edge log."""
+    batches = _committed_batches(out_dir)
+    if not batches:
+        raise FileNotFoundError(f"no committed batches under {out_dir}")
+    dfs = [spark.read.parquet(os.path.join(out_dir, d)) for d, _ in batches]
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out

@@ -217,3 +217,71 @@ def heavy_hitters_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def alert_stream(
+    stream_df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    warn: float,
+    crit: float,
+) -> DataFrame:
+    """Streaming Kapacitor-style threshold alert edges: per key, classify
+    each point OK/WARN/CRIT and emit ONLY level changes — the streaming
+    twin of ``operators.influxql.alert_states`` (stateChangesOnly).
+
+    State is the key's last level (one string), so an edge is emitted
+    exactly once even when the identical level continues across a
+    micro-batch or a stop/resume boundary: a resumed ``availableNow`` run
+    restores ``last_level`` from the checkpoint and correctly stays silent
+    until the level actually changes — the alert-dedup contract a paging
+    system needs.  Rows within a batch are sorted by event time inside the
+    Arrow batch; cross-batch order is the source's file order (the standard
+    tail-ingest contract shared with the 1m-tier stream).
+
+    Emitted rows: (key, time, v, level, prev_level) — each transition
+    appears in exactly one micro-batch output, so the read side is a plain
+    union of committed batches (no last-emission merge).
+    """
+
+    def edges(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        last = state.get[0] if state.exists else None
+        rows = pd.concat(list(pdfs), ignore_index=True).sort_values(ts_col)
+        vals = rows[value_col].to_numpy()
+        idx, levels, prevs = [], [], []
+        for i, v in enumerate(vals):
+            lv = "CRIT" if v >= crit else ("WARN" if v >= warn else "OK")
+            if last is None or lv != last:
+                idx.append(i)
+                levels.append(lv)
+                prevs.append(last)
+            last = lv
+        state.update((last,))
+        if idx:
+            sel = rows.iloc[idx]
+            yield pd.DataFrame(
+                {
+                    "key": sel[key_col].astype(str).to_numpy(),
+                    "time": sel[ts_col].astype("datetime64[ns]").to_numpy(),
+                    "v": sel[value_col].astype("float64").to_numpy(),
+                    "level": levels,
+                    "prev_level": pd.array(prevs, dtype=object),
+                }
+            )
+
+    return (
+        stream_df.groupBy(key_col)
+        .applyInPandasWithState(
+            edges,
+            outputStructType=(
+                "key string, time timestamp, v double, "
+                "level string, prev_level string"
+            ),
+            stateStructType="last_level string",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -207,3 +207,51 @@ def test_heavy_hitters_stream_trim_across_restart(spark, tmp_path):
         assert cnt <= truth[item] <= cnt + err, (item, cnt, truth[item], err)
     top = max(got, key=got.get)
     assert top == 1 and got[1] + err >= truth[1]
+
+
+def test_alert_stream_stop_resume_dedups_levels(spark, tmp_path):
+    """A level persisting across the restart is NOT re-emitted (the pager
+    contract); a genuine edge after resume is.  Matches the batch
+    alert_states output exactly."""
+    import datetime as dt
+
+    from influxer_spark.operators.influxql import alert_states
+    from influxer_spark.streaming import read_alerts, run_alert_stream
+
+    t0 = dt.datetime(2024, 1, 1)
+    vals = [10.0, 120.0, 130.0, 125.0, 160.0, 90.0]  # WARN spans the restart
+    rows = [("s", t0 + dt.timedelta(hours=i), v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, ["k", "ts", "v"])
+
+    d = {n: str(tmp_path / n) for n in ("input", "out", "ckpt", "stage")}
+    import glob
+    import os
+    import shutil as _sh
+
+    os.makedirs(d["input"])
+    first = df.filter(F.col("v") != 160.0).filter(F.col("ts") < t0 + dt.timedelta(hours=4))
+    second = df.filter(F.col("ts") >= t0 + dt.timedelta(hours=4))
+    for name, part in (("a", first), ("b", second)):
+        staging = os.path.join(d["stage"], name)
+        part.coalesce(1).write.mode("overwrite").parquet(staging)
+    _sh.copy(glob.glob(os.path.join(d["stage"], "a", "part-*.parquet"))[0],
+             os.path.join(d["input"], "a.parquet"))
+    args = (d["input"], df.schema, d["out"], d["ckpt"], "k", "ts", "v", 100.0, 150.0)
+    run_alert_stream(spark, *args)
+    _sh.copy(glob.glob(os.path.join(d["stage"], "b", "part-*.parquet"))[0],
+             os.path.join(d["input"], "b.parquet"))
+    run_alert_stream(spark, *args)
+
+    got = sorted(
+        (r["time"], r["level"], r["prev_level"])
+        for r in read_alerts(spark, d["out"]).collect()
+    )
+    want = sorted(
+        (r["ts"], r["level"], r["prev_level"])
+        for r in alert_states(df, ["k"], "ts", "v", 100.0, 150.0).collect()
+    )
+    assert got == want
+    # the WARN at hour 3 (125.0, same level, post-restart batch boundary
+    # inside file a) and the WARN continuing into file b were deduped:
+    levels = [lv for _, lv, _ in got]
+    assert levels == ["OK", "WARN", "CRIT", "OK"]
