@@ -218,3 +218,31 @@ def test_heavy_hitters_query_exchange_budget(spark, sf_dir):
     plan = _fmt(spark, top)
     n_ex = len(re.findall(r"^\s*\(\d+\) Exchange", plan, re.M))
     assert n_ex <= 5, plan
+
+
+def test_alert_states_single_exchange_codegen(spark, sf_dir):
+    """alert_states is one lag window on the series sort: exactly one
+    exchange, and the level CASE + edge filter stay in whole-stage codegen
+    (no Python workers in a monitoring primitive)."""
+    from influxer_spark.operators.influxql import alert_states
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = alert_states(ev, ["event_type"], "ts", "value", 100.0, 150.0)
+    plan = _fmt(spark, out)
+    assert len(re.findall(r"^\s*\(\d+\) Exchange", plan, re.M)) == 1, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_refresh_detection_is_one_partial_agg(spark, sf_dir):
+    """Staleness detection must stay a partial-aggregated per-day count
+    (one exchange) over a pruned scan — detection cost is what makes
+    refresh viable as a scheduled job at catalog scale."""
+    from influxer_spark.operators.refresh import _day
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from pyspark.sql import functions as F
+
+    counts = ev.groupBy(_day("ts")).agg(F.count("*").alias("n"))
+    plan = _fmt(spark, counts)
+    assert len(re.findall(r"^\s*\(\d+\) Exchange", plan, re.M)) == 1, plan
+    assert "partial_count" in plan or "partial" in plan.lower(), plan
