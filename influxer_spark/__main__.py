@@ -113,6 +113,19 @@ def _build_parser() -> argparse.ArgumentParser:
         "recomputes only those, drops orphaned days; previous tier versions "
         "stay time-travelable (pipeline.refresh_pipeline)",
     )
+    p.add_argument(
+        "-retention", default=None, metavar="SPEC",
+        help="with -catalog: apply the dependency-ordered retention DAG "
+        "(operators/retention.py) and exit — SPEC is "
+        "raw=7,1m=30,1h=365,1d=3650 (ttl days per tier; 'default' uses "
+        "exactly that). A partition past TTL is dropped only after the "
+        "coarser tier committed it; bytes stay until expire_snapshots",
+    )
+    p.add_argument(
+        "-asof", default=None, metavar="YYYY-MM-DD",
+        help="with -retention: evaluate TTLs as of this date instead of "
+        "today (deterministic dry runs / backfill replays)",
+    )
     p.add_argument("-cores", type=int, default=None)
     return p
 
@@ -174,10 +187,49 @@ def _generic_config(args):
 def main(argv: list[str] | None = None) -> int:
     parser = _build_parser()
     args = parser.parse_args(argv)
-    if not getattr(args, "input") and not (args.query and args.catalog):
+    if not getattr(args, "input") and not (
+        (args.query or args.retention) and args.catalog
+    ):
         # -input stays mandatory everywhere the reference required it; only
-        # a tier-only query (-query + -catalog) can run without raw data
-        parser.error("-input is required (optional only with -query -catalog)")
+        # tier-only operations (-query/-retention + -catalog) run without raw
+        parser.error(
+            "-input is required (optional only with -query/-retention -catalog)"
+        )
+
+    if args.retention:
+        # metadata-only: partition drops via the manifest, no Spark session
+        if not args.catalog:
+            parser.error("-retention requires -catalog")
+        import datetime as _dt
+
+        from influxer_spark.catalog import TableCatalog
+        from influxer_spark.operators.retention import (
+            DEFAULT_DAG,
+            RetentionPolicy,
+            apply_retention,
+        )
+
+        if args.retention.strip().lower() == "default":
+            policies = DEFAULT_DAG
+        else:
+            ttls = dict(
+                kv.split("=") for kv in args.retention.split(",") if kv
+            )
+            name = {"raw": "raw_points", "1m": "rollup_1m",
+                    "1h": "rollup_1h", "1d": "rollup_1d"}
+            deps = {"raw_points": "rollup_1m", "rollup_1m": "rollup_1h",
+                    "rollup_1h": "rollup_1d", "rollup_1d": None}
+            policies = [
+                RetentionPolicy(name[k], int(v), depends_on=deps[name[k]])
+                for k, v in ttls.items()
+            ]
+        now = _dt.date.fromisoformat(args.asof) if args.asof else None
+        report = apply_retention(TableCatalog(args.catalog), policies, now=now)
+        for table, parts in sorted(report.items()):
+            print(f"{table}: {len(parts)} dropped ({', '.join(parts)})")
+        if not report:
+            print("nothing past TTL (or dependents not yet committed)")
+        return 0
 
     if args.export:  # S9: layout discovery, no processing run
         from influxer_spark.ingest.config import export_config

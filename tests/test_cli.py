@@ -226,3 +226,29 @@ def test_cli_refresh_catalog(spark, tmp_path, capsys):
     rc = main(["-refresh", "-input", src, "-catalog", root, "-cores", "8"])
     printed = capsys.readouterr().out
     assert rc == 0 and printed.startswith("0 day(s) refreshed")
+
+
+def test_cli_retention_drops_eligible_days(spark, tmp_path, capsys):
+    """-retention -catalog: DAG-ordered TTL drops through the CLI, -asof
+    pinning the evaluation date; blocked drops are reported, not forced."""
+    from influxer_spark.datagen import generate_pages
+    from influxer_spark.pipeline import run_pipeline
+
+    src = str(tmp_path / "pg")
+    generate_pages(src, n_rows=400, seed=31, days=2)
+    root = str(tmp_path / "cat")
+    run_pipeline(spark, src, root, encode_gorilla=False)
+
+    # far-future asof: every tier past TTL, raw drops (1m committed)
+    rc = main([
+        "-retention", "raw=7,1m=30", "-catalog", root, "-asof", "2031-01-01",
+    ])
+    assert rc == 0
+    printed = capsys.readouterr().out
+    assert "raw_points: 2 dropped" in printed or "raw_points: 3 dropped" in printed
+    assert "rollup_1m:" in printed
+
+    # asof before the data: nothing eligible
+    rc = main(["-retention", "default", "-catalog", root, "-asof", "2024-03-01"])
+    printed = capsys.readouterr().out
+    assert rc == 0 and printed.startswith("nothing past TTL")
