@@ -126,6 +126,13 @@ def _build_parser() -> argparse.ArgumentParser:
         help="with -retention: evaluate TTLs as of this date instead of "
         "today (deterministic dry runs / backfill replays)",
     )
+    p.add_argument(
+        "-compact", default=None, metavar="TABLES",
+        help="with -catalog: binpack-rewrite small files in each named "
+        "table's partitions (comma list, or 'all' for the five pipeline "
+        "tables), then vacuum unreferenced snapshots — Iceberg "
+        "rewrite_data_files + expire_snapshots as one maintenance command",
+    )
     p.add_argument("-cores", type=int, default=None)
     return p
 
@@ -188,12 +195,13 @@ def main(argv: list[str] | None = None) -> int:
     parser = _build_parser()
     args = parser.parse_args(argv)
     if not getattr(args, "input") and not (
-        (args.query or args.retention) and args.catalog
+        (args.query or args.retention or args.compact) and args.catalog
     ):
         # -input stays mandatory everywhere the reference required it; only
-        # tier-only operations (-query/-retention + -catalog) run without raw
+        # catalog maintenance/query modes run without raw data
         parser.error(
-            "-input is required (optional only with -query/-retention -catalog)"
+            "-input is required (optional only with "
+            "-query/-retention/-compact -catalog)"
         )
 
     if args.retention:
@@ -245,6 +253,31 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark("influxer_spark_cli", cores=args.cores)
     t0 = time.time()
+
+    if args.compact:
+        if not args.catalog:
+            parser.error("-compact requires -catalog")
+        from influxer_spark.catalog import TableCatalog
+
+        cat = TableCatalog(args.catalog)
+        tables = (
+            ["raw_points", "rollup_1m", "rollup_1m_gorilla",
+             "rollup_1h", "rollup_1d"]
+            if args.compact.strip().lower() == "all"
+            else [t for t in args.compact.split(",") if t]
+        )
+        for t in tables:
+            if not cat.exists(t):
+                print(f"{t}: absent, skipped")
+                continue
+            res = cat.compact(spark, t)
+            freed = cat.vacuum(t)
+            print(
+                f"{t}: {res['rewritten']}/{res['partitions']} partitions "
+                f"rewritten, {freed} stale objects vacuumed"
+            )
+        print(f"done in {time.time() - t0:.1f}s")
+        return 0
 
     if args.refresh:
         if not args.catalog:

@@ -252,3 +252,20 @@ def test_cli_retention_drops_eligible_days(spark, tmp_path, capsys):
     rc = main(["-retention", "default", "-catalog", root, "-asof", "2024-03-01"])
     printed = capsys.readouterr().out
     assert rc == 0 and printed.startswith("nothing past TTL")
+
+
+def test_cli_compact_binpacks_and_vacuums(spark, tmp_path, capsys):
+    """-compact -catalog: binpack rewrite + vacuum through the CLI."""
+    from influxer_spark.datagen import generate_pages
+    from influxer_spark.pipeline import run_pipeline
+
+    src = str(tmp_path / "pg")
+    generate_pages(src, n_rows=400, seed=41, days=2)
+    root = str(tmp_path / "cat")
+    run_pipeline(spark, src, root, encode_gorilla=False)
+
+    rc = main(["-compact", "rollup_1h,nope", "-catalog", root, "-cores", "8"])
+    assert rc == 0
+    printed = capsys.readouterr().out
+    assert "rollup_1h:" in printed and "partitions" in printed
+    assert "nope: absent, skipped" in printed

@@ -32,3 +32,15 @@ def test_oracle_keys_subset_of_queries():
         ), (
             f"{name} has no oracle_sql entry but is not a known rows-only op"
         )
+
+
+def test_gate_window_is_fully_value_oracled():
+    """The driver records the FIRST 50 queries() entries: every one must
+    carry a SQL oracle (rows-only entries belong at the tail, where they
+    never burn a hard-signal slot)."""
+    import __spark_entry__ as E
+
+    window = list(E.queries())[:50]
+    oracled = set(E.oracle_sql())
+    missing = [n for n in window if n not in oracled]
+    assert missing == [], missing
