@@ -248,27 +248,31 @@ def alert_stream(
     def edges(
         key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         last = state.get[0] if state.exists else None
         rows = pd.concat(list(pdfs), ignore_index=True).sort_values(ts_col)
         vals = rows[value_col].to_numpy()
-        idx, levels, prevs = [], [], []
-        for i, v in enumerate(vals):
-            lv = "CRIT" if v >= crit else ("WARN" if v >= warn else "OK")
-            if last is None or lv != last:
-                idx.append(i)
-                levels.append(lv)
-                prevs.append(last)
-            last = lv
-        state.update((last,))
-        if idx:
-            sel = rows.iloc[idx]
+        # vectorized level classification + shift-compare edge detection:
+        # prev[i] = level[i-1], with the checkpointed last_level carried in
+        # at position 0 (None on a key's very first batch → always an edge)
+        levels = np.where(vals >= crit, "CRIT", np.where(vals >= warn, "WARN", "OK"))
+        prev = np.concatenate(([last], levels[:-1])) if len(levels) else levels
+        mask = prev != levels  # None != level is True → first point emits
+        if len(levels):
+            state.update((str(levels[-1]),))
+        if mask.any():
+            sel = rows[mask]
             yield pd.DataFrame(
                 {
                     "key": sel[key_col].astype(str).to_numpy(),
                     "time": sel[ts_col].astype("datetime64[ns]").to_numpy(),
                     "v": sel[value_col].astype("float64").to_numpy(),
-                    "level": levels,
-                    "prev_level": pd.array(prevs, dtype=object),
+                    "level": levels[mask],
+                    "prev_level": pd.array(
+                        [None if p is None else str(p) for p in prev[mask]],
+                        dtype=object,
+                    ),
                 }
             )
 
