@@ -467,6 +467,43 @@ def _q_tier_refresh_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def _q_realtime_rollup_4h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TimescaleDB-style REAL-TIME continuous aggregate VALUE-oracled:
+    materialize tiers for all but the last 3 days (simulating pipeline
+    lag), then read 4h buckets via query.read_realtime — committed 1h tier
+    up to the watermark, on-the-fly raw rollup for the tail, partials
+    merged.  The oracle is the plain 4h rollup over ALL events, so a hash
+    match proves the tier+tail union is exactly the full answer (including
+    any bucket straddling the watermark)."""
+    import shutil
+    import tempfile
+
+    from influxer_spark.catalog import TableCatalog
+    from influxer_spark.operators.refresh import (
+        build_point_tiers,
+        source_day_counts,
+    )
+    from influxer_spark.query import read_realtime
+
+    ev = _t(spark, sf_dir, "events")
+    days = sorted(source_day_counts(ev, "ts"))
+    committed = days[:-3]
+    root = tempfile.mkdtemp(prefix="realtime_gate_")
+    try:
+        cat = TableCatalog(root)
+        build_point_tiers(
+            spark, cat, ev, "ts", ["event_type"], "value", days=committed
+        )
+        out = read_realtime(
+            spark, cat, ev, 14400, "ts", "value", ["event_type"]
+        )
+        out = _rollup_out(out)
+        rows = out.collect()  # materialize before the scratch catalog goes
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _q_heavy_hitters_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 users per (day, event_type) read from CASCADED Misra-Gries
     summaries (1h capacity-256 sketches merged to 1d).  Capacity exceeds the
@@ -1022,6 +1059,7 @@ _WINDOW_PRIORITY = [
     "influxql_wildcard_agg",
     "alert_transitions_1h",
     "stream_alert_replay",
+    "realtime_rollup_4h",
 ]
 
 # Rows-only queries (genuinely non-SQL-expressible internals) — always last.
@@ -1055,6 +1093,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_rollup_replay_1m": _q_stream_rollup_replay,
         "rollup_5m_width": _q_rollup_5m_width,
         "tier_refresh_1h": _q_tier_refresh_1h,
+        "realtime_rollup_4h": _q_realtime_rollup_4h,
         "twa_1h_cascade": _q_twa_1h_cascade,
         "heavy_hitters_1d": _q_heavy_hitters_1d,
         "kmv_distinct_1d": _q_kmv_distinct_1d,
@@ -1159,6 +1198,18 @@ def oracle_sql() -> dict[str, str]:
         # a refreshed catalog (subset build + late-data refresh) must equal
         # the from-scratch rollup over the full table
         "tier_refresh_1h": _ROLLUP_SELECT.format(unit="hour"),
+        # real-time continuous aggregate: tier-to-watermark + raw tail must
+        # equal the full 4h rollup over all events
+        "realtime_rollup_4h": (
+            "SELECT make_timestamp((CAST(floor(epoch(ts)) AS BIGINT) "
+            " - CAST(floor(epoch(ts)) AS BIGINT) % 14400) * 1000000) AS bucket,"
+            " event_type, count(value) AS cnt,"
+            " CAST(round(sum(value) * 100, 0) AS BIGINT) / 100.0 AS sum_v,"
+            " min(value) AS min_v, max(value) AS max_v,"
+            " CAST(round(sum(value) * 100, 0) AS BIGINT) / (count(value) * 100.0)"
+            "   AS avg_v "
+            "FROM events GROUP BY 1, 2"
+        ),
         "rollup_1d_cascade": _ROLLUP_SELECT.format(unit="day"),
         "rollup_1m_salted": _ROLLUP_SELECT.format(unit="minute"),
         "rollup_5m_width": (

@@ -268,3 +268,83 @@ def read_distinct(
     keys = list(key_cols)
     merged = KMV.kmv_rebucket(df, keys, width_seconds, int(k))
     return KMV.kmv_estimate(merged, keys, int(k))
+
+
+def tier_watermark(
+    catalog: TableCatalog, tier: str = "1m"
+) -> dt.datetime | None:
+    """First instant NOT covered by the tier's committed day partitions:
+    midnight after the newest committed day (None when nothing committed).
+    Day holes BEFORE the watermark are refresh's job (operators/refresh.py),
+    not the read path's."""
+    parts = catalog.committed_partitions(f"rollup_{tier}")
+    if not parts:
+        return None
+    return dt.datetime.fromisoformat(max(parts)) + dt.timedelta(days=1)
+
+
+def read_realtime(
+    spark: SparkSession,
+    catalog: TableCatalog,
+    raw_points: DataFrame,
+    width_seconds: int,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    key_cols: Sequence[str] = ("url", "metric"),
+    start: dt.datetime | None = None,
+    end: dt.datetime | None = None,
+    tier: str | None = None,
+) -> DataFrame:
+    """TimescaleDB-style REAL-TIME continuous aggregate: the committed tier
+    answers everything before the tier watermark; raw points at/after the
+    watermark are rolled up on the fly; the two partial sets merge
+    losslessly (cnt/sum/min/max are algebraic).  A dashboard therefore sees
+    data the pipeline wave hasn't materialized yet, at tier cost for the
+    whole history plus raw cost for ONLY the tail — never a full raw scan.
+
+    Buckets that straddle the watermark (widths coarser than a day) merge
+    correctly because both sides contribute partials into the same final
+    re-aggregation.
+    """
+    from influxer_spark.operators.rollup import rollup_width
+
+    tier = tier or select_tier(width_seconds)
+    wm = tier_watermark(catalog, tier)
+    parts = []
+
+    def _partials(df):
+        return df.select(
+            "bucket", *key_cols, "cnt", "sum_v", "min_v", "max_v"
+        )
+
+    if wm is not None and (start is None or start < wm):
+        tier_end = wm if end is None else min(end, wm)
+        if _partitions_in_range(catalog, f"rollup_{tier}", start, tier_end):
+            tiered = read_rollup(
+                spark, catalog, width_seconds,
+                start=start, end=tier_end, key_cols=key_cols, tier=tier,
+            )
+            parts.append(_partials(tiered))
+    tail = raw_points
+    if wm is not None:
+        tail = tail.filter(F.col(ts_col) >= F.lit(wm))
+    if start is not None:
+        tail = tail.filter(F.col(ts_col) >= F.lit(start))
+    if end is not None:
+        tail = tail.filter(F.col(ts_col) < F.lit(end))
+    parts.append(
+        _partials(rollup_width(tail, ts_col, key_cols, value_col, width_seconds))
+    )
+    allp = parts[0]
+    for p in parts[1:]:
+        allp = allp.unionByName(p)
+    return (
+        allp.groupBy("bucket", *[F.col(k) for k in key_cols])
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            F.sum("sum_v").alias("sum_v"),
+            F.min("min_v").alias("min_v"),
+            F.max("max_v").alias("max_v"),
+        )
+        .withColumn("avg_v", F.col("sum_v") / F.col("cnt"))
+    )

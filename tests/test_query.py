@@ -147,3 +147,53 @@ def test_read_quantile_prunes_partitions_at_manifest(spark, tmp_path_factory):
     assert f"p={days[-1]}" not in plan
     rows = out.collect()
     assert rows and all(r["q_v"] is not None for r in rows)
+
+
+def test_read_realtime_merges_tier_and_raw_tail(spark, sf_dir):
+    """Real-time continuous aggregate: commit tiers for all but the last 2
+    days, query 3-DAY buckets (coarser than the watermark granularity, so
+    one bucket STRADDLES it) — tier partials + raw-tail partials must merge
+    to exactly the full-rollup answer."""
+    import tempfile
+
+    from influxer_spark.catalog import TableCatalog
+    from influxer_spark.operators.refresh import (
+        build_point_tiers,
+        source_day_counts,
+    )
+    from influxer_spark.operators.rollup import rollup_width
+    from influxer_spark.query import read_realtime, tier_watermark
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    days = sorted(source_day_counts(ev, "ts"))
+    root = tempfile.mkdtemp(prefix="rt_test_")
+    cat = TableCatalog(root)
+    build_point_tiers(
+        spark, cat, ev, "ts", ["event_type"], "value", days=days[:-2]
+    )
+    # last committed day is days[-3]; the watermark is the midnight after it
+    assert tier_watermark(cat, "1d").date().isoformat() == days[-2]
+
+    width = 3 * 86400
+    got = sorted(
+        (r["bucket"], r["event_type"], r["cnt"],
+         int(round(r["sum_v"] * 100)), r["min_v"], r["max_v"])
+        for r in read_realtime(
+            spark, cat, ev, width, "ts", "value", ["event_type"]
+        ).collect()
+    )
+    want = sorted(
+        (r["bucket"], r["event_type"], r["cnt"],
+         int(round(r["sum_v"] * 100)), r["min_v"], r["max_v"])
+        for r in rollup_width(ev, "ts", ["event_type"], "value", width).collect()
+    )
+    assert got == want
+
+    # empty catalog → everything served from raw
+    empty = TableCatalog(tempfile.mkdtemp(prefix="rt_empty_"))
+    raw_only = read_realtime(
+        spark, empty, ev, width, "ts", "value", ["event_type"]
+    )
+    assert sorted(
+        (r["bucket"], r["event_type"], r["cnt"]) for r in raw_only.collect()
+    ) == [(b, e, c) for b, e, c, *_ in want]
