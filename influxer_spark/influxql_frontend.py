@@ -1547,17 +1547,6 @@ class InfluxQLEngine:
         tier = _qapi.select_tier(w)
         cat = cfg["catalog"]
         table = f"rollup_{tier}"
-        parts = _qapi._partitions_in_range(cat, table, start, end)
-        if not parts:
-            raise InfluxQLError(f"no committed {table} partitions in range")
-        df = self._spark().read.parquet(*cat.partition_paths(table, parts))
-        if stmt.where is not None:
-            # compile the WHERE against the tier frame: its time column is
-            # `bucket` (bounds are bucket-aligned, so filtering buckets is
-            # exactly filtering the points they summarize)
-            df = df.filter(
-                InfluxQLEngine({}, ts_col="bucket")._cond(stmt.where)
-            )
         keys = stmt.group_tags
         agg_calls: dict[tuple, Call] = {}
         for e, _ in stmt.projections:
@@ -1566,6 +1555,59 @@ class InfluxQLEngine:
             for c in found:
                 if c.fname in AGGS:
                     agg_calls[_agg_key(c)] = c
+        has_hist = any(
+            c.fname in ("percentile", "median") for c in agg_calls.values()
+        )
+
+        parts = _qapi._partitions_in_range(cat, table, start, end)
+        df = None
+        if parts:
+            df = self._spark().read.parquet(*cat.partition_paths(table, parts))
+            if stmt.where is not None:
+                # compile the WHERE against the tier frame: its time column
+                # is `bucket` (bounds are bucket-aligned, so filtering
+                # buckets is exactly filtering the points they summarize)
+                df = df.filter(
+                    InfluxQLEngine({}, ts_col="bucket")._cond(stmt.where)
+                )
+
+        # REAL-TIME tail (TimescaleDB real-time continuous aggregates,
+        # query.read_realtime's routing surfaced through the front-end):
+        # when the measurement also has its RAW table registered and the
+        # query range extends past the tier watermark, roll the raw tail up
+        # to tier-width partials on the fly and union — the dashboard sees
+        # points the pipeline wave hasn't materialized yet, at tier cost
+        # for history + raw cost for only the tail.  Algebraic aggregates
+        # only: histogram quantiles keep tier-only serving (their cells
+        # exist only in materialized tiers).
+        raw = self.tables.get(stmt.measurement)
+        wm = _qapi.tier_watermark(cat, tier)
+        if raw is not None and not has_hist and (
+            wm is None or end is None or end > wm
+        ):
+            tail = raw
+            if wm is not None:
+                tail = tail.filter(F.col(self.ts_col) >= F.lit(wm))
+            if start is not None:
+                tail = tail.filter(F.col(self.ts_col) >= F.lit(start))
+            if end is not None:
+                tail = tail.filter(F.col(self.ts_col) < F.lit(end))
+            if stmt.where is not None:
+                tail = tail.filter(self._cond(stmt.where))
+            from influxer_spark.operators.rollup import rollup_width as _rw
+
+            tail_p = _rw(
+                tail, self.ts_col, list(cfg["key_cols"]),
+                cfg["value_field"], _qapi.TIER_SECONDS[tier],
+            )
+            narrow = ["bucket", *cfg["key_cols"],
+                      "cnt", "sum_v", "min_v", "max_v"]
+            df = (
+                tail_p.select(narrow) if df is None
+                else df.select(narrow).unionByName(tail_p.select(narrow))
+            )
+        if df is None:
+            raise InfluxQLError(f"no committed {table} partitions in range")
         aliases = {k: f"_a{i}" for i, k in enumerate(agg_calls)}
         combine = {
             "count": F.sum("cnt").cast("long"),
