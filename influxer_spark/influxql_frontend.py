@@ -44,7 +44,8 @@ Supported surface
   TAG VALUES … WITH KEY = k | DATABASES | CONTINUOUS QUERIES`` and the
   1.8 cardinality family ``SHOW SERIES | MEASUREMENT | FIELD KEY |
   TAG KEY | TAG VALUES [EXACT] CARDINALITY`` (EXACT = distributed
-  countDistinct; estimated = HLL++ approx_count_distinct), plus
+  countDistinct; estimated = the engine's deterministic KMV sketch,
+  bit-reproducible and DuckDB-replayable), plus
   data lifecycle: ``DELETE FROM m [WHERE …]``, ``DROP MEASUREMENT |
   SERIES FROM m WHERE <tags> | DATABASE``, ``CREATE DATABASE``, and
   ``CREATE/DROP CONTINUOUS QUERY`` with ``run_continuous_queries()`` as the
@@ -1956,6 +1957,27 @@ class InfluxQLEngine:
         df = self.tables[name]
         return sorted(n for n, t in df.dtypes if t == "string" and n != self.ts_col)
 
+    _KMV_CARD_K = 1024
+
+    def _kmv_cardinality(self, df: DataFrame, col) -> DataFrame:
+        """Estimated cardinality via the engine's deterministic KMV sketch —
+        the SAME estimator ``approx_count_distinct()`` and the kmv tiers
+        use, rather than HLL++: bit-reproducible across runs, exact below
+        k (the sketch IS the value set), and the 60-bit md5 hash has a
+        bit-exact DuckDB twin so even the estimate is value-oracle-able.
+        Distributed shape: distinct on the hash + global top-k
+        (TakeOrdered — per-partition k-min then a driver merge of k·P
+        longs)."""
+        from influxer_spark.operators.kmv import _HASH_SPACE, _hash60
+
+        k = self._KMV_CARD_K
+        top = df.select(_hash60(col).alias("h")).distinct().orderBy("h").limit(k)
+        n, kth = top.agg(F.count("*"), F.max("h")).first()
+        est = float(n) if n < k else (k - 1) * _HASH_SPACE / float(kth)
+        return self._spark().createDataFrame(
+            [(int(round(est)),)], "count bigint"
+        )
+
     def execute_statement(self, sql: str) -> DataFrame:
         """SHOW MEASUREMENTS / FIELD KEYS / TAG KEYS / TAG VALUES / DATABASES /
         CONTINUOUS QUERIES, CREATE|DROP CONTINUOUS QUERY — the InfluxQL
@@ -1970,9 +1992,9 @@ class InfluxQLEngine:
             if p.kw("SERIES"):
                 # SHOW SERIES [EXACT] CARDINALITY — InfluxQL 1.8's index-size
                 # introspection.  EXACT = distributed countDistinct over the
-                # series key; estimated = approx_count_distinct (HLL++, rsd
-                # 0.05 — deterministic for a fixed dataset, like InfluxDB's
-                # own sketch-backed estimate).
+                # series key; estimated = the engine's deterministic KMV
+                # sketch (_kmv_cardinality — same estimator as
+                # approx_count_distinct() and the kmv tiers).
                 exact = p.kw("EXACT", "CARDINALITY")
                 approx = (not exact) and p.kw("CARDINALITY")
                 m = self._from_measurement(p)
@@ -1985,11 +2007,11 @@ class InfluxQLEngine:
                         F.lit(m),
                         *[F.concat_ws("=", F.lit(t), F.col(t)) for t in tags],
                     )
-                    agg = (
-                        F.count_distinct(key) if exact
-                        else F.approx_count_distinct(key)
-                    )
-                    return self.tables[m].select(agg.alias("count"))
+                    if exact:
+                        return self.tables[m].select(
+                            F.count_distinct(key).alias("count")
+                        )
+                    return self._kmv_cardinality(self.tables[m], key)
                 # series key = measurement + sorted tag k=v pairs; a
                 # distributed distinct over the tag columns (cardinality of
                 # series ≪ points, same shape as SHOW TAG VALUES)
@@ -2054,12 +2076,12 @@ class InfluxQLEngine:
                 key = p.ident()
                 if key not in self._tags_of(m):
                     raise InfluxQLError(f"{key!r} is not a tag of {m!r}")
-                if exact or approx:
-                    agg = (
-                        F.count_distinct(F.col(key)) if exact
-                        else F.approx_count_distinct(F.col(key))
+                if exact:
+                    return self.tables[m].select(
+                        F.count_distinct(F.col(key)).alias("count")
                     )
-                    return self.tables[m].select(agg.alias("count"))
+                if approx:
+                    return self._kmv_cardinality(self.tables[m], F.col(key))
                 # distributed distinct — tag cardinality ≪ points
                 return (
                     self.tables[m]

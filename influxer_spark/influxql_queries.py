@@ -578,6 +578,16 @@ def _q_show_cardinality(spark, sf_dir):
         ))
         .unionAll(one("field_keys", "SHOW FIELD KEY CARDINALITY FROM events"))
         .unionAll(one("tag_keys", "SHOW TAG KEY CARDINALITY FROM events"))
+        # estimated variants: the deterministic KMV sketch is EXACT below
+        # k=1024, so at gate cardinality the oracle is the same count —
+        # the ≥k estimator branch is pinned separately in pytest
+        .unionAll(one(
+            "series_estimated", "SHOW SERIES CARDINALITY FROM events"
+        ))
+        .unionAll(one(
+            "tag_values_ubucket_estimated",
+            "SHOW TAG VALUES CARDINALITY FROM events WITH KEY = ubucket",
+        ))
     )
 
 
@@ -611,7 +621,11 @@ _SHOW_CARDINALITY_SQL = (
     "UNION ALL SELECT 'tag_values_ubucket', "
     "count(DISTINCT 'u' || CAST(user_id % 10 AS VARCHAR)) FROM events "
     "UNION ALL SELECT 'field_keys', 1 "
-    "UNION ALL SELECT 'tag_keys', 2"
+    "UNION ALL SELECT 'tag_keys', 2 "
+    "UNION ALL SELECT 'series_estimated', count(DISTINCT event_type || ',' "
+    "|| 'u' || CAST(user_id % 10 AS VARCHAR)) FROM events "
+    "UNION ALL SELECT 'tag_values_ubucket_estimated', "
+    "count(DISTINCT 'u' || CAST(user_id % 10 AS VARCHAR)) FROM events"
 )
 
 

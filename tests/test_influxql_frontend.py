@@ -420,7 +420,8 @@ def test_distinct_requires_sole_projection(m):
 def test_show_cardinality_family(spark):
     """InfluxQL 1.8 SHOW … [EXACT] CARDINALITY: series / measurement /
     field key / tag key / tag values.  EXACT = countDistinct; the estimated
-    variant is HLL++ and must land on the exact value at toy cardinality."""
+    variant is the deterministic KMV sketch — exact below k, so it must
+    land on the exact value at toy cardinality."""
     df = spark.createDataFrame(
         [("a", "us", T0, 1.0), ("b", "eu", T0, 2.0), ("a", "us", T0, 3.0)],
         ["host", "region", "ts", "value"],
@@ -517,3 +518,21 @@ def test_select_regex_field_selection(spark):
     # arithmetic '/' is unharmed
     d = eng.execute("SELECT load / 2 AS half FROM cpu").collect()
     assert d[0]["half"] == 2.5
+
+
+def test_estimated_cardinality_above_k_is_deterministic(spark):
+    """Past the sketch size the KMV estimate kicks in: within a few % of
+    the true cardinality and bit-identical across runs (no HLL++ rsd
+    wobble across plans)."""
+    df = spark.range(5000).select(
+        F.lit("a").alias("host"),
+        F.expr("timestamp'2024-01-01'").alias("ts"),
+        F.concat(F.lit("u"), F.col("id")).alias("uid"),
+        F.lit(1.0).alias("value"),
+    )
+    eng = InfluxQLEngine({"cpu": df}, ts_col="ts")
+    sql = "SHOW TAG VALUES CARDINALITY FROM cpu WITH KEY = uid"
+    a = eng.execute(sql).collect()[0]["count"]
+    b = eng.execute(sql).collect()[0]["count"]
+    assert a == b                      # deterministic
+    assert abs(a - 5000) / 5000 < 0.10  # KMV k=1024 ⇒ ~3% rse
