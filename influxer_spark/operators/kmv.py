@@ -179,4 +179,8 @@ def build_kmv_tiers(
         h1.unpersist()
     for t in ("kmv_1h", "kmv_1d"):
         catalog.set_table_property(t, "kmv_k", k)
+        # pin the build inputs too, so maintenance jobs (pipeline refresh)
+        # can rebuild stale day partitions without the original call site
+        catalog.set_table_property(t, "kmv_item_col", item_col)
+        catalog.set_table_property(t, "kmv_key_cols", keys)
     return sorted(days)

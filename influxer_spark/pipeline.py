@@ -407,10 +407,31 @@ def refresh_pipeline(
             hist_bounds=catalog.table_property("rollup_1m", "hist_bounds"),
         )
         res.days_processed = recompute
+        # KMV sketch tiers (operators/kmv.py:build_kmv_tiers) live beside
+        # the rollups but are built separately — a refresh that skipped
+        # them would leave STALE distinct counts for the recomputed days.
+        # The build inputs are pinned as table properties, so the rebuild
+        # is autonomous; the points come from the freshly committed
+        # raw_points (the wide per-day table), never a second extraction.
+        if catalog.exists("kmv_1h"):
+            item = catalog.table_property("kmv_1h", "kmv_item_col")
+            kmv_keys = catalog.table_property("kmv_1h", "kmv_key_cols")
+            if item and kmv_keys:
+                from influxer_spark.extract import pages_to_points
+                from influxer_spark.operators.kmv import build_kmv_tiers
+
+                wide = catalog.read_partitions_with_key(
+                    spark, "raw_points", recompute
+                ).drop("p")
+                build_kmv_tiers(
+                    spark, catalog, pages_to_points(wide), "warc_ts",
+                    list(kmv_keys), item,
+                    k=int(catalog.table_property("kmv_1h", "kmv_k")),
+                )
     for day in orphaned:
         for table in (
             "raw_points", "rollup_1m", "rollup_1m_gorilla",
-            "rollup_1h", "rollup_1d",
+            "rollup_1h", "rollup_1d", "kmv_1h", "kmv_1d",
         ):
             catalog.drop_partition(
                 table, day, reason="refresh: source rows all deleted"

@@ -198,3 +198,51 @@ def test_refresh_does_not_resurrect_ttl_expired_days(spark, events, tmp_path):
     )
     assert expired in forced["recomputed"]
     assert expired in cat.committed_partitions("rollup_1h")
+
+
+def test_refresh_rebuilds_kmv_sketch_tiers(spark, tmp_path):
+    """KMV tiers built beside the rollups must be rebuilt for refreshed
+    days — a refresh that skipped them would serve stale distinct counts.
+    Sketches are deterministic md5 k-mins, so refreshed == from-scratch
+    exactly."""
+    from influxer_spark.datagen import generate_pages
+    from influxer_spark.extract import (
+        pages_to_points,
+        with_crawl_metrics,
+        with_extracted,
+    )
+    from influxer_spark.operators.kmv import build_kmv_tiers
+    from influxer_spark.pipeline import refresh_pipeline, run_pipeline
+
+    src = str(tmp_path / "pg")
+    generate_pages(src, n_rows=700, seed=51, days=2)
+    late = generate_pages(str(tmp_path / "late"), n_rows=300, seed=52, days=2)
+
+    def _points(path):
+        return pages_to_points(
+            with_crawl_metrics(with_extracted(spark.read.parquet(path)))
+        )
+
+    root = str(tmp_path / "cat")
+    run_pipeline(spark, src, root, encode_gorilla=False)
+    cat = TableCatalog(root)
+    build_kmv_tiers(spark, cat, _points(src), "warc_ts", ["metric"], "url", k=32)
+
+    shutil.copy(late, f"{src}/late.parquet")
+    res = refresh_pipeline(spark, src, root)
+    assert res.days_processed
+
+    fresh_root = str(tmp_path / "fresh")
+    run_pipeline(spark, src, fresh_root, encode_gorilla=False)
+    fresh = TableCatalog(fresh_root)
+    build_kmv_tiers(spark, fresh, _points(src), "warc_ts", ["metric"], "url", k=32)
+
+    def _sketches(c):
+        return sorted(
+            (r["bucket"], r["metric"], tuple(r["hashes"]))
+            for r in c.read(spark, "kmv_1d").select(
+                "bucket", "metric", "hashes"
+            ).collect()
+        )
+
+    assert _sketches(cat) == _sketches(fresh)
