@@ -41,7 +41,8 @@ Supported surface
   clock in that zone.  For subqueries the conversion happens once at the
   innermost level; the outer query then operates in wall space directly.
 - Metadata surface: ``SHOW MEASUREMENTS | SERIES | FIELD KEYS | TAG KEYS |
-  TAG VALUES … WITH KEY = k | DATABASES | CONTINUOUS QUERIES`` and the
+  TAG VALUES … WITH KEY = k | DATABASES | CONTINUOUS QUERIES | SHARDS``
+  (SHARDS = the catalog's committed day partitions per tier) and the
   1.8 cardinality family ``SHOW SERIES | MEASUREMENT | FIELD KEY |
   TAG KEY | TAG VALUES [EXACT] CARDINALITY`` (EXACT = distributed
   countDistinct; estimated = the engine's deterministic KMV sketch,
@@ -2087,6 +2088,34 @@ class InfluxQLEngine:
                     self.tables[m]
                     .select(F.lit(key).alias("key"), F.col(key).alias("value"))
                     .distinct()
+                )
+            if p.kw("SHARDS"):
+                # InfluxDB's shard-group introspection mapped onto the
+                # engine's storage unit: one row per committed day partition
+                # per tier table of every TIERED measurement (day = shard
+                # group, immutable v= dir = shard, committed_at = creation).
+                import datetime as _dt
+
+                rows = []
+                for m, cfg in sorted(self.tiered.items()):
+                    cat = cfg["catalog"]
+                    for tbl in ("rollup_1m", "rollup_1h", "rollup_1d"):
+                        if not cat.exists(tbl):
+                            continue
+                        for day, e in sorted(
+                            cat.committed_partitions(tbl).items()
+                        ):
+                            d0 = _dt.datetime.fromisoformat(day)
+                            rows.append((
+                                m, tbl, day, d0, d0 + _dt.timedelta(days=1),
+                                e.get("dir", ""),
+                                float(e.get("committed_at", 0.0)),
+                            ))
+                return spark.createDataFrame(
+                    rows,
+                    "measurement string, table string, shard_group string, "
+                    "start_time timestamp, end_time timestamp, "
+                    "shard string, committed_at double",
                 )
             if p.kw("CONTINUOUS", "QUERIES"):
                 return spark.createDataFrame(

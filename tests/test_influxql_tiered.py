@@ -326,3 +326,30 @@ def test_realtime_tail_serves_fresh_data(spark, sf_dir):
     )
     # serves only up to the watermark: nothing from the 3 lagging days
     assert all(t.date().isoformat() <= days[-4] for t, *_ in full)
+
+
+def test_show_shards_lists_committed_partitions(spark, sf_dir):
+    """SHOW SHARDS introspects the engine's storage unit: one row per
+    committed day partition per tier table of each tiered measurement."""
+    import tempfile
+
+    from influxer_spark.operators.refresh import (
+        build_point_tiers,
+        source_day_counts,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    n_days = len(source_day_counts(ev, "ts"))
+    cat = TableCatalog(tempfile.mkdtemp(prefix="shards_"))
+    build_point_tiers(spark, cat, ev, "ts", ["event_type"], "value")
+
+    eng = InfluxQLEngine({}, ts_col="ts")
+    eng.register_tiered("m", cat, key_cols=("event_type",), value_field="value")
+    rows = eng.execute("SHOW SHARDS").collect()
+    assert len(rows) == 3 * n_days
+    one = next(r for r in rows if r["table"] == "rollup_1h")
+    assert one["measurement"] == "m" and one["shard"].startswith("v=")
+    assert (one["end_time"] - one["start_time"]).days == 1
+
+    # no tiered measurements → empty, not an error
+    assert InfluxQLEngine({}, ts_col="ts").execute("SHOW SHARDS").count() == 0
