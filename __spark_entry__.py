@@ -735,6 +735,53 @@ FROM s GROUP BY 1, 2
 """
 
 
+def _q_hdr_quantile_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-linear (HDR-style) quantile sketch: 1m sketches CASCADED to 1h,
+    then p50/p95/p99 nearest-rank reads.  The oracle builds the hour sketch
+    directly from raw points, so a green row proves both the integer bucket
+    math (bit-identical across engines — no float log anywhere) and the
+    lossless cascade (operators/hdrsketch.py)."""
+    from influxer_spark.operators import hdrsketch as H
+
+    ev = _t(spark, sf_dir, "events")
+    t1m = H.hdr_rollup(ev, "ts", ["event_type"], "value", "1m")
+    t1h = H.hdr_cascade(t1m, ["event_type"], "1h")
+    return H.hdr_quantiles(t1h, ["event_type"], (0.5, 0.95, 0.99)).select(
+        "event_type", "bucket", "n", "q50", "q95", "q99"
+    )
+
+
+# DuckDB replay of the identical integer bucket math: e = len(bin(v))-1,
+# m = (v*2^s) >> e, idx = e*2^s + m - 2^s, lb = (m << e) >> s — all exact
+# BIGINT ops, so the hash match is bit-for-bit, not approximate.
+_HDR_QUANTILE_ORACLE = """
+WITH p AS (
+  SELECT event_type,
+         make_timestamp((CAST(floor(epoch(ts)) AS BIGINT)
+           - CAST(floor(epoch(ts)) AS BIGINT) % 3600) * 1000000) AS bucket,
+         greatest(CAST(round(value*100,0) AS BIGINT), 1) AS v
+  FROM events
+), b AS (
+  SELECT event_type, bucket, v, CAST(length(bin(v))-1 AS BIGINT) AS e FROM p
+), i AS (
+  SELECT event_type, bucket, e*32 + ((v*32) >> e) - 32 AS idx FROM b
+), s AS (
+  SELECT event_type, bucket, idx, count(*) AS cnt FROM i GROUP BY 1,2,3
+), r AS (
+  SELECT event_type, bucket, idx, cnt,
+         sum(cnt) OVER (PARTITION BY event_type, bucket ORDER BY idx) AS cum,
+         sum(cnt) OVER (PARTITION BY event_type, bucket) AS n,
+         ((((idx % 32) + 32) << (idx // 32)) >> 5) AS lb
+  FROM s
+)
+SELECT event_type, bucket, max(n) AS n,
+  min(CASE WHEN cum >= ceil(0.5*n) THEN lb END)/100.0 AS q50,
+  min(CASE WHEN cum >= ceil(0.95*n) THEN lb END)/100.0 AS q95,
+  min(CASE WHEN cum >= ceil(0.99*n) THEN lb END)/100.0 AS q99
+FROM r GROUP BY 1, 2
+"""
+
+
 def _q_asof_6h_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each event picks up the latest 6h bucket at or before its
     timestamp for its event_type (union+window formulation; oracle is
@@ -1060,6 +1107,7 @@ _WINDOW_PRIORITY = [
     "alert_transitions_1h",
     "stream_alert_replay",
     "realtime_rollup_4h",
+    "hdr_quantile_1h",
 ]
 
 # Rows-only queries (genuinely non-SQL-expressible internals) — always last.
@@ -1095,6 +1143,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tier_refresh_1h": _q_tier_refresh_1h,
         "realtime_rollup_4h": _q_realtime_rollup_4h,
         "twa_1h_cascade": _q_twa_1h_cascade,
+        "hdr_quantile_1h": _q_hdr_quantile_1h,
         "heavy_hitters_1d": _q_heavy_hitters_1d,
         "kmv_distinct_1d": _q_kmv_distinct_1d,
         "stream_kmv_replay_1d": _q_stream_kmv_replay,
@@ -1188,6 +1237,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "hist_quantile_1h": _hist_quantile_oracle(),
         "twa_1h_cascade": _TWA_1H_ORACLE,
+        "hdr_quantile_1h": _HDR_QUANTILE_ORACLE,
         "stream_heavy_hitters_replay": _STREAM_HH_ORACLE,
         "heavy_hitters_1d": _HEAVY_HITTERS_ORACLE,
         "kmv_distinct_1d": _KMV_DISTINCT_ORACLE,

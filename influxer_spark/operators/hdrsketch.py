@@ -1,0 +1,154 @@
+"""Log-linear (HDR-style) quantile sketch tiers — mergeable percentiles
+with a guaranteed relative error and NO a-priori value bounds.
+
+The engine already has one mergeable quantile path: explicit-bound
+histograms (``rollup.py:rollup_with_histogram``), which need the operator
+to know the value range up front.  At 100 TB over heterogeneous web
+metrics that is a real limitation — a new metric (or a runaway one) falls
+outside the configured bounds.  The standard fix in production TSDBs is a
+log-scale bucket sketch: DDSketch (Masson, Rim, Lee — VLDB 2019) and
+HdrHistogram (Tene) both bucket values on a logarithmic grid, so bucket
+cardinality is O(log(max/min)) and every quantile estimate carries a
+bounded RELATIVE error.  The reference delegates percentile math to the
+InfluxDB server (``Influxer/GenericFile.cs:303`` PostPointsAsync →
+server-side ``PERCENTILE()``); this module supplies those delegated
+semantics natively — and, unlike float-log DDSketch, computes the bucket
+index with PURE INTEGER arithmetic, so the sketch is bit-reproducible
+across engines and the driver's DuckDB oracle replays it exactly:
+
+- values are quantized to integer cents ``v = round(value·100)`` (the
+  engine's storage precision); ``v < 1`` clamps to 1 (web metrics here
+  are positive; the clamp is pinned by a test);
+- ``e = floor(log2 v)`` computed EXACTLY as ``length(bin(v)) − 1`` — no
+  float log anywhere;
+- the octave ``[2^e, 2^{e+1})`` splits into ``2^s`` equal linear
+  sub-buckets: ``m = (v·2^s) >> e ∈ [2^s, 2^{s+1})``;
+- ``idx = e·2^s + m − 2^s`` — a dense integer key.  Bucket lower bound
+  ``lb(idx) = (m << e) >> s`` is exact integer math (for ``e ≤ s`` the
+  bucket is a singleton and ``lb = v``); bucket width is ``2^{e−s}``, so
+  every estimate has relative error ``≤ 2^{−s}`` (3.125 % at the
+  default s=5).
+
+A tier row is ``(keys…, bucket, idx, cnt)`` — long format, exactly like
+the histogram tiers, so merging is ``SUM(cnt)`` grouped on the coarser
+bucket: associative, commutative, one shuffle per cascade level, and the
+1m→1h→1d cascade is BIT-identical to building the coarse sketch from raw
+(the driver oracle proves this: Spark cascades, DuckDB computes the hour
+from raw points).
+
+Quantile read (nearest-rank, the engine's convention — matches
+``rollup.py``'s histogram read): within a (series, bucket) partition
+ordered by idx, the p-quantile is the lower bound of the first bucket
+whose cumulative count reaches ``ceil(p·n)``.  One window over the
+groupBy's own partitioning — no extra exchange.
+
+Scale notes (100 TB posture): bucket cardinality per series-bucket is
+≤ 64·2^s (log of the value range — a few hundred at s=5) regardless of
+data volume, so tier rows stay tiny; the cascade shuffles only tier
+rows; the quantile window partitions are bucket-sized, never
+whole-series.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+TIER_SECONDS: dict[str, int] = {"1m": 60, "5m": 300, "1h": 3600, "1d": 86400}
+
+DEFAULT_SUB_BITS = 5  # 2^5 linear sub-buckets per octave → rel err ≤ 1/32
+
+
+def _bucket(ts_col: str, width_sec: int):
+    t = F.unix_timestamp(F.col(ts_col).cast("timestamp")).cast("long")
+    return F.timestamp_seconds(t - (t % width_sec))
+
+
+def hdr_rollup(
+    df: DataFrame,
+    ts_col: str,
+    key_cols: Sequence[str],
+    value_col: str,
+    tier: str = "1m",
+    sub_bits: int = DEFAULT_SUB_BITS,
+) -> DataFrame:
+    """Raw points → (keys…, bucket, idx, cnt) log-linear sketch rows."""
+    if tier not in TIER_SECONDS:
+        raise ValueError(f"unknown tier {tier!r}; expected one of {sorted(TIER_SECONDS)}")
+    s = 1 << sub_bits
+    cents = F.round(F.col(value_col) * 100, 0).cast("long")
+    return (
+        df.select(
+            *key_cols,
+            _bucket(ts_col, TIER_SECONDS[tier]).alias("bucket"),
+            F.greatest(cents, F.lit(1).cast("long")).alias("_v"),
+        )
+        .withColumn("_e", (F.length(F.bin(F.col("_v"))) - 1).cast("long"))
+        # (v·2^s) >> e — shiftright takes a Column shift amount in SQL form
+        .withColumn("_m", F.expr(f"shiftright(_v * {s}, cast(_e as int))"))
+        .withColumn("idx", F.col("_e") * s + F.col("_m") - s)
+        .groupBy(*key_cols, "bucket", "idx")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def hdr_cascade(
+    sketch: DataFrame, key_cols: Sequence[str], tier: str
+) -> DataFrame:
+    """Merge finer sketch rows into a coarser tier: pure SUM(cnt) — the
+    sketch is a counter vector, so merge is exact (lossless cascade)."""
+    if tier not in TIER_SECONDS:
+        raise ValueError(f"unknown tier {tier!r}; expected one of {sorted(TIER_SECONDS)}")
+    return (
+        sketch.withColumn("bucket", _bucket("bucket", TIER_SECONDS[tier]))
+        .groupBy(*key_cols, "bucket", "idx")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def hdr_lower_bound_expr(idx_col: str, sub_bits: int = DEFAULT_SUB_BITS) -> F.Column:
+    """Exact integer lower bound (in cents) of bucket ``idx``:
+    e = idx div 2^s, m = idx % 2^s + 2^s, lb = (m << e) >> s."""
+    s = 1 << sub_bits
+    return F.expr(
+        f"shiftright(shiftleft(({idx_col} % {s}) + {s},"
+        f" cast({idx_col} div {s} as int)), {sub_bits})"
+    )
+
+
+def hdr_quantiles(
+    sketch: DataFrame,
+    key_cols: Sequence[str],
+    ps: Sequence[float] = (0.5, 0.95, 0.99),
+    sub_bits: int = DEFAULT_SUB_BITS,
+) -> DataFrame:
+    """Nearest-rank quantiles from sketch rows.
+
+    Output: (keys…, bucket, n, q<pp> …) with q values in original units
+    (cents/100 — exact decimal halves, so doubles are bit-deterministic).
+    The window shares the sketch's (keys, bucket) partitioning.
+    """
+    part = [*key_cols, "bucket"]
+    w = Window.partitionBy(*part).orderBy("idx").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wn = Window.partitionBy(*part)
+    ranked = (
+        sketch.withColumn("_cum", F.sum("cnt").over(w))
+        .withColumn("_n", F.sum("cnt").over(wn))
+        .withColumn("_lb", hdr_lower_bound_expr("idx", sub_bits))
+    )
+    aggs = [F.max("_n").alias("n")]
+    for p in ps:
+        name = f"q{int(round(p * 100))}"
+        # ceil(p·n): identical double literal × exact integer on both
+        # engines → identical product → identical ceil (no boundary flip)
+        rank = F.ceil(F.lit(p) * F.col("_n"))
+        aggs.append(
+            (
+                F.min(F.when(F.col("_cum") >= rank, F.col("_lb"))) / 100.0
+            ).alias(name)
+        )
+    return ranked.groupBy(*part).agg(*aggs)

@@ -1,0 +1,101 @@
+"""Log-linear (HDR-style) quantile sketch tiers — operators/hdrsketch.py.
+
+Pins: (a) the integer bucket math (exact singletons below 2^s, exact
+lower bounds, clamp of non-positive cents); (b) lossless cascade — the
+1m→1h merged sketch is IDENTICAL to the sketch built from raw at 1h;
+(c) the relative-error guarantee ≤ 2^-s of every quantile estimate vs
+the exact nearest-rank percentile of the clamped cents.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from influxer_spark.operators import hdrsketch as H
+
+
+def _events(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def test_bucket_index_and_lower_bound_exact(spark):
+    # singletons below 2^s (= 32): lb == v; above: lb <= v < lb + 2^(e-s)
+    vals = [1, 2, 3, 31, 32, 33, 100, 1023, 1024, 49002, 123456789]
+    df = spark.createDataFrame([(v,) for v in vals], "v long").select(
+        F.col("v"),
+        (F.length(F.bin(F.col("v"))) - 1).cast("long").alias("_e"),
+    )
+    s = 1 << H.DEFAULT_SUB_BITS
+    df = df.withColumn("_m", F.expr(f"shiftright(v * {s}, cast(_e as int))"))
+    df = df.withColumn("idx", F.col("_e") * s + F.col("_m") - s)
+    df = df.withColumn("lb", H.hdr_lower_bound_expr("idx"))
+    for r in df.collect():
+        width = 2 ** max(r["_e"] - H.DEFAULT_SUB_BITS, 0)
+        assert r["lb"] <= r["v"] < r["lb"] + max(width, 1)
+        if r["v"] < s:
+            assert r["lb"] == r["v"]
+        # relative error of the lower-bound estimate
+        assert (r["v"] - r["lb"]) / r["v"] <= 2.0 ** -H.DEFAULT_SUB_BITS
+
+
+def test_nonpositive_cents_clamp_to_one(spark):
+    df = spark.createDataFrame(
+        [("a", "2024-01-01 00:00:30", -5.0), ("a", "2024-01-01 00:00:31", 0.0)],
+        "k string, ts string, value double",
+    )
+    sk = H.hdr_rollup(df, "ts", ["k"], "value", "1m")
+    rows = sk.collect()
+    assert len(rows) == 1 and rows[0]["idx"] == 0 and rows[0]["cnt"] == 2
+
+
+def test_cascade_is_lossless(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    t1m = H.hdr_rollup(ev, "ts", ["event_type"], "value", "1m")
+    via = H.hdr_cascade(t1m, ["event_type"], "1h")
+    direct = H.hdr_rollup(ev, "ts", ["event_type"], "value", "1h")
+    assert via.exceptAll(direct).count() == 0
+    assert direct.exceptAll(via).count() == 0
+
+
+def test_quantile_relative_error_bound(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    sk = H.hdr_rollup(ev, "ts", ["event_type"], "value", "1d")
+    q = H.hdr_quantiles(sk, ["event_type"], (0.5, 0.95, 0.99)).collect()
+    # exact nearest-rank percentiles of the clamped cents, per (series, day)
+    cents = ev.select(
+        "event_type",
+        F.date_trunc("day", "ts").alias("bucket"),
+        F.greatest(
+            F.round(F.col("value") * 100, 0).cast("long"), F.lit(1).cast("long")
+        ).alias("v"),
+    )
+    exact = {}
+    for r in cents.groupBy("event_type", "bucket").agg(
+        F.sort_array(F.collect_list("v")).alias("vs")
+    ).collect():
+        exact[(r["event_type"], r["bucket"])] = r["vs"]
+    assert q, "no quantile rows"
+    for row in q:
+        vs = exact[(row["event_type"], row["bucket"])]
+        assert row["n"] == len(vs)
+        for p in (50, 95, 99):
+            est = row[f"q{p}"] * 100.0
+            true = vs[math.ceil(p / 100.0 * len(vs)) - 1]
+            # estimate is the bucket lower bound of the true rank value
+            assert est <= true
+            assert (true - est) / true <= 2.0 ** -H.DEFAULT_SUB_BITS + 1e-12
+
+
+def test_unknown_tier_raises(spark):
+    df = spark.range(1).select(
+        F.lit("a").alias("k"),
+        F.lit("2024-01-01").cast("timestamp").alias("ts"),
+        F.lit(1.0).alias("value"),
+    )
+    with pytest.raises(ValueError):
+        H.hdr_rollup(df, "ts", ["k"], "value", "7m")
+    with pytest.raises(ValueError):
+        H.hdr_cascade(df.select(F.col("ts").alias("bucket"), "k"), ["k"], "9h")
