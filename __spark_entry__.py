@@ -1108,6 +1108,7 @@ _WINDOW_PRIORITY = [
     "stream_alert_replay",
     "realtime_rollup_4h",
     "hdr_quantile_1h",
+    "influxql_sigma_1h",
 ]
 
 # Rows-only queries (genuinely non-SQL-expressible internals) — always last.

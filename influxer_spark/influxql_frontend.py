@@ -517,6 +517,8 @@ TRANSFORMS = {"difference", "non_negative_difference", "derivative",
               # percentile (Kapacitor movingPercentile)
               "counter_rate", "counter_increase", "counter_resets",
               "moving_percentile",
+              # Kapacitor's stateful sigma() (running-mean deviation count)
+              "sigma",
               # trailing-window technical analysis (Column-shaped, so they
               # compose like any other transform)
               "chande_momentum_oscillator", "kaufmans_efficiency_ratio"}
@@ -1089,6 +1091,8 @@ class InfluxQLEngine:
                     )
                 if e.fname == "cumulative_sum":
                     return Q.tr_cumulative_sum(df, keys, ts, arg)
+                if e.fname == "sigma":
+                    return Q.tr_sigma(df, keys, ts, arg)
                 if e.fname == "chande_momentum_oscillator":
                     return Q.tr_chande_momentum_oscillator(
                         df, keys, ts, arg, int(e.args[1].value)

@@ -785,6 +785,37 @@ _EMA_SQL = (
 )
 
 
+def _q_sigma(spark, sf_dir):
+    """Kapacitor's stateful sigma() through the InfluxQL front-end, over
+    the hourly point COUNT (integer-valued, so every expanding sum is an
+    exactly-represented integer and the composed doubles are bit-identical
+    to the oracle's mirrored expression tree — no output rounding)."""
+    h = _hourly(spark, sf_dir)
+    out = influxql(
+        "SELECT cnt, sigma(cnt) AS sig FROM hourly GROUP BY event_type",
+        {"hourly": h},
+        ts_col="bucket",
+    )
+    return out.withColumnRenamed("time", "bucket")
+
+
+_SIGMA_SQL = f"""
+WITH {_HOURLY_SQL}, w AS (
+  SELECT event_type, bucket, cnt,
+    CAST(count(*) OVER win AS DOUBLE) AS n,
+    sum(cnt) OVER win AS s1,
+    sum(cnt*cnt) OVER win AS s2
+  FROM hourly
+  WINDOW win AS (PARTITION BY event_type ORDER BY bucket
+                 ROWS UNBOUNDED PRECEDING)
+)
+SELECT bucket, event_type, cnt,
+  CASE WHEN n < 2 OR n*s2 - s1*s1 <= 0 THEN 0.0
+       ELSE abs(cnt - s1/n) / sqrt((n*s2 - s1*s1) / (n*(n-1.0))) END AS sig
+FROM w
+"""
+
+
 def _q_rsi(spark, sf_dir):
     h = _hourly(spark, sf_dir)
     out = influxql(
@@ -1777,6 +1808,7 @@ def influxql_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "influxql_counter_family": _q_counter_family,
         "influxql_approx_distinct": _q_approx_distinct,
         "influxql_moving_median": _q_moving_median,
+        "influxql_sigma_1h": _q_sigma,
         "lttb_downsample_50": _q_lttb,
         "m4_downsample_1h": _q_m4,
         "seasonal_decompose_24h": _q_decompose,
@@ -1825,6 +1857,7 @@ def influxql_oracle_sql() -> dict[str, str]:
         "influxql_counter_family": _COUNTER_FAMILY_SQL,
         "influxql_approx_distinct": _APPROX_DISTINCT_SQL,
         "influxql_moving_median": _MOVING_MEDIAN_SQL,
+        "influxql_sigma_1h": _SIGMA_SQL,
         "lttb_downsample_50": _lttb_sql(50),
         "m4_downsample_1h": _M4_SQL,
         "seasonal_decompose_24h": _decompose_sql(),

@@ -366,6 +366,36 @@ def tr_cumulative_sum(
     return F.sum(_vc(value_col)).over(w)
 
 
+def tr_sigma(
+    df: DataFrame, key_cols: Sequence[str], ts_col: str, value_col: str | Column
+) -> Column:
+    """Kapacitor's stateful ``sigma()``: how many standard deviations the
+    current point sits from the RUNNING mean (expanding window including
+    the point itself, sample variance n−1) — the classic streaming-alert
+    predicate (``|v.sigma > 3``).  Engine extension: InfluxQL itself has
+    no sigma; Kapacitor computes it per point with Welford updates.
+
+    Emission rule: the first point of a series and zero-variance prefixes
+    emit 0.0 (a point cannot deviate from a history that is all itself).
+
+    Determinism: expressed as exact expanding sums — n, S1=Σv, S2=Σv² —
+    composed as ``abs(v − S1/n) / sqrt((n·S2 − S1²)/(n·(n−1)))``.  For
+    integer-valued inputs every intermediate is an exactly-represented
+    integer, so the doubles are bit-identical to any oracle that mirrors
+    the same expression tree (no Welford order-dependence)."""
+    w = _series_window(key_cols, ts_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    v = _vc(value_col)
+    n = F.count(v).over(w).cast("double")
+    s1 = F.sum(v).over(w)
+    s2 = F.sum(v * v).over(w)
+    m2 = n * s2 - s1 * s1  # n²·(population variance) — ≥ 0 up to fp error
+    return F.when((n < 2) | (m2 <= 0), F.lit(0.0)).otherwise(
+        F.abs(v - s1 / n) / F.sqrt(m2 / (n * (n - F.lit(1.0))))
+    )
+
+
 def _median_mad(
     df: DataFrame, key_cols: Sequence[str], value_col: str
 ) -> DataFrame:

@@ -203,3 +203,32 @@ def test_alert_states_transitions_only(spark):
         df, ["k"], "ts", "v", warn=100.0, crit=150.0, transitions_only=False
     )
     assert every.count() == 7
+
+
+def test_sigma_running_deviations(spark):
+    """Kapacitor sigma(): expanding mean/stddev (sample, n-1) INCLUDING the
+    current point; first point and zero-variance prefixes emit 0.0."""
+    import datetime as dt
+    import math
+    import statistics
+
+    from influxer_spark.influxql_frontend import influxql
+
+    t0 = dt.datetime(2024, 1, 1)
+    vals = [10.0, 10.0, 10.0, 16.0, 4.0, 22.0]
+    df = spark.createDataFrame(
+        [("s", t0 + dt.timedelta(hours=i), v) for i, v in enumerate(vals)],
+        ["k", "ts", "v"],
+    )
+    out = influxql(
+        "SELECT sigma(v) AS sig FROM m GROUP BY k", {"m": df}, ts_col="ts"
+    )
+    got = [r["sig"] for r in out.orderBy("time").collect()]
+    for i, g in enumerate(got):
+        prefix = vals[: i + 1]
+        if i == 0 or len(set(prefix)) == 1:
+            assert g == 0.0
+        else:
+            mu = statistics.mean(prefix)
+            sd = statistics.stdev(prefix)
+            assert math.isclose(g, abs(vals[i] - mu) / sd, rel_tol=1e-12)
