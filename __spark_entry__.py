@@ -1109,6 +1109,7 @@ _WINDOW_PRIORITY = [
     "realtime_rollup_4h",
     "hdr_quantile_1h",
     "influxql_sigma_1h",
+    "c4_quality_flags",
 ]
 
 # Rows-only queries (genuinely non-SQL-expressible internals) — always last.

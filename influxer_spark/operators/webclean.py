@@ -180,3 +180,80 @@ def pii_scrub_df(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         cols["n_phones"].alias("n_phones"),
         cols["redacted"].alias("redacted"),
     )
+
+
+# C4 line- and page-level heuristics (Raffel et al. 2020 §2.2 and the
+# tensorflow_datasets c4_utils reference implementation).  The policy-line
+# substrings are C4's boilerplate list; the badword list is caller-supplied
+# (C4 uses an external blocklist the engine does not embed).
+C4_TERMINAL_LINE = r'[.!?"]$'
+C4_POLICY_SUBSTRINGS = (
+    "terms of use",
+    "privacy policy",
+    "cookie policy",
+    "uses cookies",
+    "use of cookies",
+    "use cookies",
+)
+
+
+def c4_rules(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_words_per_line: int = 3,
+    min_sentences: int = 5,
+    badwords: tuple[str, ...] = (),
+) -> DataFrame:
+    """C4 cleaning rules (Raffel et al. 2020 §2.2) as pure Column exprs.
+
+    Line level (a line survives iff ALL hold):
+    - ends in a terminal punctuation mark (``. ! ? "``);
+    - has ≥ ``min_words_per_line`` whitespace words (paper: 3);
+    - does not contain the word "javascript" (case-insensitive);
+    - does not contain a C4 policy-boilerplate substring.
+
+    Page level: ``keep`` requires ≥ ``min_sentences`` sentences in the
+    surviving text (terminal-mark count, paper: 5), no "lorem ipsum", no
+    curly brace, and no caller-supplied badword.  (C4's fourth page rule —
+    3-sentence-span dedup — is the corpus-level job of ``line_dedup`` /
+    ``dedup.containment_pairs``.)
+
+    Output: (id, n_lines, n_kept, n_sentences, has_lorem, has_brace,
+    has_badword, keep, clean_text).  No shuffle, no UDF — the whole filter
+    is one codegen stage and composes with downstream dedup at any scale;
+    all counts are BIGINT so oracle parity is structural.
+    """
+    t = F.col(text_col)
+    lines = F.split(t, "\n")
+    low = F.lower
+    kept = F.filter(
+        lines,
+        lambda l: F.trim(l).rlike(C4_TERMINAL_LINE)
+        & (F.size(F.split(F.trim(l), r"\s+")) >= min_words_per_line)
+        & ~low(l).contains("javascript")
+        & ~sum(
+            [low(l).contains(p).cast("int") for p in C4_POLICY_SUBSTRINGS],
+            F.lit(0),
+        ).cast("boolean"),
+    )
+    clean = F.array_join(kept, "\n")
+    n_sent = F.regexp_count(clean, F.lit(r"[.!?]")).cast("long")
+    has_lorem = low(t).contains("lorem ipsum")
+    has_brace = t.contains("{")
+    has_bad = F.lit(False)
+    for w in badwords:
+        has_bad = has_bad | low(t).rlike(rf"\b{w}\b")
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept"),
+        n_sent.alias("n_sentences"),
+        has_lorem.alias("has_lorem"),
+        has_brace.alias("has_brace"),
+        has_bad.alias("has_badword"),
+        (
+            (n_sent >= min_sentences) & ~has_lorem & ~has_brace & ~has_bad
+        ).alias("keep"),
+        clean.alias("clean_text"),
+    )

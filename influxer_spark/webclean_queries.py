@@ -196,11 +196,102 @@ FROM st2
 """
 
 
+# ---------------------------------------------------------------------------
+# C4 cleaning rules (webclean.c4_rules).  The word soup has no punctuation,
+# so the query decorates it deterministically — identical expressions both
+# sides: newline every 5 words, then a per-line suffix chosen by LINE LENGTH
+# (content-derived, so no index plumbing is needed in either engine), then
+# page-level injections keyed on doc_id that exercise every page rule.
+# ---------------------------------------------------------------------------
+
+_C4_BADWORDS = ("badword",)
+
+
+def _c4_page_spark(df: DataFrame) -> DataFrame:
+    lines = F.split(_LINES_SPARK(F.col("text")), "\n")
+    deco = F.transform(
+        lines,
+        lambda l: F.concat(
+            l,
+            F.when(F.length(l) % 7 == 0, F.lit(" javascript required."))
+            .when(F.length(l) % 5 == 0, F.lit(" see our privacy policy."))
+            .when(F.length(l) % 3 != 2, F.lit("."))
+            .otherwise(F.lit("")),
+        ),
+    )
+    d = F.col("doc_id")
+    page = F.concat(
+        F.array_join(deco, "\n"),
+        F.when(d % 11 == 0, F.lit("\nlorem ipsum dolor.")).otherwise(F.lit("")),
+        F.when(d % 13 == 0, F.lit("\nvar x = { a: 1 };")).otherwise(F.lit("")),
+        F.when(d % 17 == 0, F.lit("\nsome badword here.")).otherwise(F.lit("")),
+    )
+    return df.select("doc_id", page.alias("page"))
+
+
+def _q_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line+page heuristics (Raffel et al. 2020 §2.2) over synthetic
+    decorated pages; every line rule (terminal punctuation, min words,
+    javascript, policy boilerplate) and page rule (sentence floor, lorem
+    ipsum, curly brace, badword) fires on a deterministic subset."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pages = _c4_page_spark(docs)
+    return W.c4_rules(pages, "doc_id", "page", badwords=_C4_BADWORDS)
+
+
+_C4_POLICY_PRED = " OR ".join(
+    f"contains(lower(l), '{p}')" for p in W.C4_POLICY_SUBSTRINGS
+)
+
+_C4_SQL = f"""
+WITH pages AS (
+  SELECT doc_id,
+    array_to_string(list_transform(string_split({_LINES_SQL}, chr(10)),
+      l -> l || CASE WHEN length(l) % 7 = 0 THEN ' javascript required.'
+                     WHEN length(l) % 5 = 0 THEN ' see our privacy policy.'
+                     WHEN length(l) % 3 != 2 THEN '.'
+                     ELSE '' END), chr(10))
+    || CASE WHEN doc_id % 11 = 0 THEN chr(10) || 'lorem ipsum dolor.' ELSE '' END
+    || CASE WHEN doc_id % 13 = 0 THEN chr(10) || 'var x = {{ a: 1 }};' ELSE '' END
+    || CASE WHEN doc_id % 17 = 0 THEN chr(10) || 'some badword here.' ELSE '' END
+      AS page
+  FROM documents
+), r AS (
+  SELECT doc_id AS id, page,
+    string_split(page, chr(10)) AS ls,
+    list_filter(string_split(page, chr(10)), l ->
+      regexp_matches(trim(l), '[.!?"]$')
+      AND len(string_split_regex(trim(l), '\\s+')) >= 3
+      AND NOT contains(lower(l), 'javascript')
+      AND NOT ({_C4_POLICY_PRED})) AS kept
+  FROM pages
+), s AS (
+  SELECT id, page, ls, kept,
+    coalesce(array_to_string(kept, chr(10)), '') AS clean_text
+  FROM r
+)
+SELECT id,
+  CAST(len(ls) AS BIGINT) AS n_lines,
+  CAST(len(kept) AS BIGINT) AS n_kept,
+  CAST(len(regexp_extract_all(clean_text, '[.!?]')) AS BIGINT) AS n_sentences,
+  contains(lower(page), 'lorem ipsum') AS has_lorem,
+  contains(page, '{{') AS has_brace,
+  regexp_matches(lower(page), '\\bbadword\\b') AS has_badword,
+  (len(regexp_extract_all(clean_text, '[.!?]')) >= 5
+   AND NOT contains(lower(page), 'lorem ipsum')
+   AND NOT contains(page, '{{')
+   AND NOT regexp_matches(lower(page), '\\bbadword\\b')) AS keep,
+  clean_text
+FROM s
+"""
+
+
 def webclean_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "line_dedup_corpus": _q_line_dedup,
         "url_canonicalize": _q_url_canonicalize,
         "pii_scrub_counts": _q_pii_scrub,
+        "c4_quality_flags": _q_c4_rules,
     }
 
 
@@ -209,4 +300,5 @@ def webclean_oracle_sql() -> dict[str, str]:
         "line_dedup_corpus": _LINE_DEDUP_SQL,
         "url_canonicalize": _URL_CANON_SQL,
         "pii_scrub_counts": _PII_SQL,
+        "c4_quality_flags": _C4_SQL,
     }

@@ -89,3 +89,46 @@ def test_pii_scrub_no_pii_passthrough(spark):
     r = W.pii_scrub_df(df, "doc_id", "text").collect()[0]
     assert (r["n_emails"], r["n_ips"], r["n_phones"]) == (0, 0, 0)
     assert r["redacted"] == "nothing to see here"
+
+
+def test_c4_rules_line_and_page_level(spark):
+    """C4 §2.2: every line rule and page rule pinned on a hand-built page."""
+    from influxer_spark.operators.webclean import c4_rules
+
+    page = "\n".join(
+        [
+            "This is a good first sentence.",        # kept
+            "Short one.",                             # 2 words -> dropped
+            "no terminal punctuation here",           # dropped
+            "Please enable JavaScript to continue.",  # javascript -> dropped
+            "Read our privacy policy for details.",   # policy -> dropped
+            'A quoted line counts as terminal."',     # kept (quote terminal)
+            "Another real sentence right here!",      # kept
+            "Is this a question or what?",            # kept
+            "And one final closing sentence.",        # kept
+        ]
+    )
+    df = spark.createDataFrame([(1, page)], ["doc_id", "text"])
+    r = c4_rules(df, "doc_id", "text").collect()[0]
+    assert r["n_lines"] == 9
+    assert r["n_kept"] == 5
+    assert r["n_sentences"] == 5
+    assert not r["has_lorem"] and not r["has_brace"] and not r["has_badword"]
+    assert r["keep"]  # exactly at the 5-sentence floor
+    assert "JavaScript" not in r["clean_text"]
+    assert "privacy policy" not in r["clean_text"]
+
+    # page-level rules each kill an otherwise-clean page
+    rows = [
+        (2, page + "\nSome Lorem Ipsum filler text."),
+        (3, page + "\nif (x) { return; }."),
+        (4, page.replace("final closing", "merely fourth") + "\nnope"),
+    ]
+    df2 = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["id"]: r
+        for r in c4_rules(df2, "doc_id", "text", badwords=("nope",)).collect()
+    }
+    assert out[2]["has_lorem"] and not out[2]["keep"]
+    assert out[3]["has_brace"] and not out[3]["keep"]
+    assert out[4]["has_badword"] and not out[4]["keep"]
