@@ -1110,6 +1110,7 @@ _WINDOW_PRIORITY = [
     "hdr_quantile_1h",
     "influxql_sigma_1h",
     "c4_quality_flags",
+    "rrf_hybrid_topk",
 ]
 
 # Rows-only queries (genuinely non-SQL-expressible internals) — always last.

@@ -126,3 +126,58 @@ def bm25_topk(
         .orderBy(F.desc("score_q"), F.asc("id"))
         .limit(k)
     )
+
+
+def rrf_fuse(
+    lists: "list[tuple[str, DataFrame]]",
+    k_const: int = 60,
+    topk: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke, Buettcher — SIGIR 2009) of
+    N ranked candidate lists: ``rrf(d) = Σ_i 1/(k + rank_i(d))``, the
+    standard way to combine a lexical (BM25) and a semantic (ANN) retriever
+    into one hybrid search result without score calibration.
+
+    ``lists`` is an ORDERED ``[(name, df)]`` where each df has columns
+    ``(id, rank)`` (1-based).  Output: ``(id, rank_<name>…, n_lists, rrf)``
+    ordered by (rrf desc, id), limited to ``topk``.
+
+    Determinism: each contribution is ``1.0/(k + rank)`` — a double
+    division of exact integers — and the contributions are added in LIST
+    ORDER (a fixed expression tree, not an order-free aggregate), so any
+    oracle mirroring the same order is bit-exact.  Scale shape: the inputs
+    are top-k candidate lists (already tiny — the expensive part was the
+    retrievers); the fusion is N−1 joins of bounded lists and costs
+    nothing.  For many-query batches, add the query id to ``id`` and the
+    same plan fuses per query.
+    """
+    if not lists:
+        raise ValueError("rrf_fuse needs at least one ranked list")
+    joined: DataFrame | None = None
+    names: list[str] = []
+    for name, df_l in lists:
+        cur = df_l.select(
+            F.col("id"), F.col("rank").cast("long").alias(f"rank_{name}")
+        )
+        joined = cur if joined is None else joined.join(cur, "id", "full_outer")
+        names.append(name)
+    contribs = [
+        F.coalesce(1.0 / (F.lit(k_const) + F.col(f"rank_{n}")), F.lit(0.0))
+        for n in names
+    ]
+    rrf = contribs[0]
+    for c in contribs[1:]:
+        rrf = rrf + c
+    hits = F.lit(0)
+    for n in names:
+        hits = hits + F.col(f"rank_{n}").isNotNull().cast("int")
+    return (
+        joined.select(
+            "id",
+            *[f"rank_{n}" for n in names],
+            hits.cast("long").alias("n_lists"),
+            rrf.alias("rrf"),
+        )
+        .orderBy(F.desc("rrf"), F.asc("id"))
+        .limit(topk)
+    )

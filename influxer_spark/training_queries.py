@@ -725,6 +725,58 @@ ORDER BY score_q DESC, id ASC LIMIT {k}
 """
 
 
+def _q_rrf_hybrid(spark, sf_dir):
+    """Hybrid search: BM25 lexical top-20 + exact-cosine semantic top-20
+    for one query (terms + the doc-0 embedding; vec_id and doc_id share an
+    id space), fused with reciprocal-rank fusion (retrieval.rrf_fuse).
+    The single-partition row_number windows rank 20-row candidate lists —
+    per-query partitioned at scale."""
+    from pyspark.sql import Window
+
+    docs, vecs = _docs(spark, sf_dir), _vecs(spark, sf_dir)
+    lex = R.bm25_topk(docs, "doc_id", "text", _BM25_TERMS, k=20)
+    wlex = Window.orderBy(F.desc("score_q"), F.asc("id"))
+    lex_r = lex.select("id", F.row_number().over(wlex).alias("rank"))
+    sem = S.brute_topk(
+        vecs, vecs.filter(F.col("vec_id") == 0), "vec_id", "embedding", k=20
+    ).select(F.col("vec_id").alias("id"), F.col("rank"))
+    return R.rrf_fuse([("lex", lex_r), ("sem", sem)], k_const=60, topk=15)
+
+
+def _rrf_sql() -> str:
+    dot = _DOT.format(a="q.v", b="c.v")
+    return f"""
+WITH lexb AS (
+  SELECT * FROM ({_bm25_sql(20)})
+), lexr AS (
+  SELECT id, CAST(row_number() OVER (ORDER BY score_q DESC, id ASC) AS BIGINT)
+    AS rank_lex
+  FROM lexb
+), v AS (
+  SELECT vec_id, embedding AS v,
+         sqrt({_DOT.format(a='embedding', b='embedding')}) AS norm
+  FROM embeddings
+), q AS (SELECT vec_id AS query_id, v, norm FROM v WHERE vec_id = 0),
+scored AS (
+  SELECT c.vec_id, {dot} / (q.norm * c.norm) AS cos
+  FROM v c JOIN q ON c.vec_id <> q.query_id
+), semr AS (
+  SELECT vec_id AS id, CAST(rank AS BIGINT) AS rank_sem FROM (
+    SELECT vec_id,
+           row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS rank
+    FROM scored
+  ) WHERE rank <= 20
+)
+SELECT id, rank_lex, rank_sem,
+  CAST(CAST(rank_lex IS NOT NULL AS INT)
+       + CAST(rank_sem IS NOT NULL AS INT) AS BIGINT) AS n_lists,
+  coalesce(1.0/(60 + rank_lex), 0.0)
+    + coalesce(1.0/(60 + rank_sem), 0.0) AS rrf
+FROM lexr FULL OUTER JOIN semr USING (id)
+ORDER BY rrf DESC, id ASC LIMIT 15
+"""
+
+
 def _q_token_doc_freq(spark, sf_dir):
     return C.token_doc_freq(_docs(spark, sf_dir), "doc_id", "text", top_k=20)
 
@@ -1137,6 +1189,7 @@ def training_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_decontam": _q_bloom_decontam,
         "curation_funnel": _q_curation_funnel,
         "bm25_topk_terms": _q_bm25,
+        "rrf_hybrid_topk": _q_rrf_hybrid,
         "token_doc_freq": _q_token_doc_freq,
         "pack_sequences_global": _q_pack_global,
         "pack_sequences_sharded": _q_pack_sharded,
@@ -1192,6 +1245,7 @@ def training_oracle_sql() -> dict[str, str]:
             WHERE fingerprint NOT IN (SELECT fingerprint FROM corpus)
         """,
         "bm25_topk_terms": _bm25_sql(15),
+        "rrf_hybrid_topk": _rrf_sql(),
         "minhash_lsh_dedup": _minhash_lsh_sql(5, 0.7),
         "ngram_jaccard_dedup": _ngram_jaccard_sql(5, 0.7),
         "simhash_dedup": _simhash_sql(3),

@@ -54,3 +54,29 @@ def test_bm25_deterministic_tiebreak(spark):
     )
     out = R.bm25_topk(df, "doc_id", "text", ["same"], k=3).collect()
     assert [r["id"] for r in out] == [0, 1, 2]  # equal scores → id asc
+
+
+def test_rrf_fuse_hand_example(spark):
+    """RRF (k=60): doc in both lists beats a #1-in-one-list doc; ties break
+    by id; docs missing from a list contribute 0 for it."""
+    from influxer_spark.operators.retrieval import rrf_fuse
+
+    lex = spark.createDataFrame([(10, 1), (20, 2), (30, 3)], ["id", "rank"])
+    sem = spark.createDataFrame([(20, 1), (40, 2), (10, 3)], ["id", "rank"])
+    out = rrf_fuse([("lex", lex), ("sem", sem)], k_const=60, topk=10).collect()
+    rows = {r["id"]: r for r in out}
+    assert [r["id"] for r in out][:2] == [20, 10]  # both-list docs first
+    assert rows[20]["rrf"] == 1.0 / 62 + 1.0 / 61
+    assert rows[10]["rrf"] == 1.0 / 61 + 1.0 / 63
+    assert rows[30]["rrf"] == 1.0 / 63 and rows[30]["n_lists"] == 1
+    assert rows[40]["rank_lex"] is None and rows[40]["rank_sem"] == 2
+    assert rows[30]["id"] < rows[40]["id"] or rows[30]["rrf"] != rows[40]["rrf"]
+
+
+def test_rrf_fuse_requires_lists(spark):
+    import pytest as _pytest
+
+    from influxer_spark.operators.retrieval import rrf_fuse
+
+    with _pytest.raises(ValueError):
+        rrf_fuse([])
