@@ -1111,6 +1111,7 @@ _WINDOW_PRIORITY = [
     "influxql_sigma_1h",
     "c4_quality_flags",
     "rrf_hybrid_topk",
+    "exact_substr_dedup",
 ]
 
 # Rows-only queries (genuinely non-SQL-expressible internals) — always last.

@@ -305,6 +305,86 @@ def _q_incremental_dedup(spark, sf_dir):
     return D.incremental_dedup(manifest, shard, "doc_id", "text")
 
 
+def _q_exact_substr(spark, sf_dir):
+    """ExactSubstr span dedup (Lee et al. 2022) at k=3 words: a shared
+    boilerplate tail is appended to every 5th doc on BOTH engines, so the
+    operator must excise that span (plus natural word-soup 3-gram dups)
+    while keeping each doc's unique remainder."""
+    from influxer_spark.operators.exactsubstr import exact_substr_spans
+
+    docs = _docs(spark, sf_dir)
+    pages = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.lit(" subscribe to our newsletter for updates today"),
+            ).otherwise(F.lit("")),
+        ).alias("page"),
+    )
+    return exact_substr_spans(pages, "doc_id", "page", k=3, min_count=2)
+
+
+_EXACT_SUBSTR_SQL = """
+WITH pages AS (
+  SELECT doc_id AS id,
+    text || CASE WHEN doc_id % 5 = 0
+                 THEN ' subscribe to our newsletter for updates today'
+                 ELSE '' END AS page
+  FROM documents
+), base AS (
+  SELECT id, string_split_regex(trim(page), '\\s+') AS w FROM pages
+), pg AS (
+  SELECT id, w, unnest(generate_series(1, len(w) - 2)) AS pos
+  FROM base WHERE len(w) >= 3
+), g AS (
+  SELECT id, pos, array_to_string(w[pos:pos+2], ' ') AS gram FROM pg
+), cnt AS (
+  SELECT gram, count(*) AS n FROM g GROUP BY 1
+), dup AS (
+  SELECT g.id, g.pos, g.pos + 2 AS e
+  FROM g JOIN cnt ON cnt.gram = g.gram AND cnt.n >= 2
+), m AS (
+  SELECT id, pos, e,
+    CASE WHEN pos > coalesce(max(e) OVER (PARTITION BY id ORDER BY pos
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+    THEN 1 ELSE 0 END AS new_span
+  FROM dup
+), mi AS (
+  SELECT *, sum(new_span) OVER (PARTITION BY id ORDER BY pos
+    ROWS UNBOUNDED PRECEDING) AS span_id
+  FROM m
+), spans AS (
+  SELECT id, span_id, min(pos) AS s, max(e) AS e FROM mi GROUP BY 1, 2
+), covered AS (
+  SELECT id, unnest(generate_series(s, e)) AS pos FROM spans
+), stats AS (
+  SELECT id, CAST(count(*) AS BIGINT) AS n_spans,
+         CAST(sum(e - s + 1) AS BIGINT) AS dup_words
+  FROM spans GROUP BY 1
+), dg AS (
+  SELECT id, CAST(count(*) AS BIGINT) AS n_dup_grams FROM dup GROUP BY 1
+), words AS (
+  SELECT id, unnest(generate_series(1, len(w))) AS pos, unnest(w) AS word
+  FROM base
+), kept AS (
+  SELECT w.id, string_agg(w.word, ' ' ORDER BY w.pos) AS clean_text
+  FROM words w LEFT JOIN covered c ON c.id = w.id AND c.pos = w.pos
+  WHERE c.id IS NULL GROUP BY 1
+)
+SELECT b.id, CAST(len(b.w) AS BIGINT) AS n_words,
+  coalesce(dg.n_dup_grams, 0) AS n_dup_grams,
+  coalesce(st.n_spans, 0) AS n_spans,
+  coalesce(st.dup_words, 0) AS dup_words,
+  coalesce(k.clean_text, '') AS clean_text
+FROM base b
+LEFT JOIN dg ON dg.id = b.id
+LEFT JOIN stats st ON st.id = b.id
+LEFT JOIN kept k ON k.id = b.id
+"""
+
+
 def _q_minhash_lsh(spark, sf_dir):
     return D.minhash_lsh_dedup(_docs(spark, sf_dir), "doc_id", "text", k=5, min_jaccard=0.7)
 
@@ -1172,6 +1252,7 @@ def training_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup_documents": _q_exact_dedup,
         "incremental_dedup_shard": _q_incremental_dedup,
         "minhash_lsh_dedup": _q_minhash_lsh,
+        "exact_substr_dedup": _q_exact_substr,
         "ngram_jaccard_dedup": _q_ngram_jaccard,
         "simhash_dedup": _q_simhash,
         "embedding_neardup_cosine": _q_embedding_neardup,
@@ -1247,6 +1328,7 @@ def training_oracle_sql() -> dict[str, str]:
         "bm25_topk_terms": _bm25_sql(15),
         "rrf_hybrid_topk": _rrf_sql(),
         "minhash_lsh_dedup": _minhash_lsh_sql(5, 0.7),
+        "exact_substr_dedup": _EXACT_SUBSTR_SQL,
         "ngram_jaccard_dedup": _ngram_jaccard_sql(5, 0.7),
         "simhash_dedup": _simhash_sql(3),
         "embedding_neardup_cosine": _neardup_cos_sql(0.4),
