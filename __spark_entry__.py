@@ -677,6 +677,51 @@ def _q_stream_kmv_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return KMV.kmv_estimate(d1, ["event_type"], k=64)
 
 
+def _q_stream_hdr_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming log-linear quantile sketches VALUE-oracled via stop/resume
+    replay: land events as two time-ordered files, drain with TWO
+    availableNow runs against one checkpoint (the second run must skip the
+    committed batch), merge the per-batch counter vectors and read
+    p50/p95/p99.  The oracle is the DIRECT batch hour-sketch SQL — a hash
+    match proves the restarted stream's merged sketches are bit-identical
+    to sketching all the data at once."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from influxer_spark.operators import hdrsketch as H
+    from influxer_spark.streaming import read_hdr, run_incremental_hdr
+
+    ev = _t(spark, sf_dir, "events")
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    cut = lo + (hi - lo) / 2
+    root = tempfile.mkdtemp(prefix="stream_hdr_gate_")
+    d = {n: os.path.join(root, n) for n in ("input", "out", "ckpt", "stage")}
+    os.makedirs(d["input"])
+    for name, part in (
+        ("a", ev.filter(F.col("ts") <= cut)),
+        ("b", ev.filter(F.col("ts") > cut)),
+    ):
+        staging = os.path.join(d["stage"], name)
+        part.coalesce(1).write.mode("overwrite").parquet(staging)
+        if name == "a":
+            shutil.copy(
+                glob.glob(os.path.join(staging, "part-*.parquet"))[0],
+                os.path.join(d["input"], "a.parquet"),
+            )
+    run_incremental_hdr(spark, d["input"], ev.schema, d["out"], d["ckpt"])
+    shutil.copy(
+        glob.glob(os.path.join(d["stage"], "b", "part-*.parquet"))[0],
+        os.path.join(d["input"], "b.parquet"),
+    )
+    run_incremental_hdr(spark, d["input"], ev.schema, d["out"], d["ckpt"])
+    t1h = read_hdr(spark, d["out"], ["event_type"], "1h")
+    return H.hdr_quantiles(t1h, ["event_type"], (0.5, 0.95, 0.99)).select(
+        "event_type", "bucket", "n", "q50", "q95", "q99"
+    )
+
+
 _KMV_DISTINCT_ORACLE = """
 WITH h AS (
   SELECT DISTINCT date_trunc('day', ts) AS bucket, event_type,
@@ -1112,6 +1157,7 @@ _WINDOW_PRIORITY = [
     "c4_quality_flags",
     "rrf_hybrid_topk",
     "exact_substr_dedup",
+    "stream_hdr_replay_1h",
 ]
 
 # Rows-only queries (genuinely non-SQL-expressible internals) — always last.
@@ -1148,6 +1194,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "realtime_rollup_4h": _q_realtime_rollup_4h,
         "twa_1h_cascade": _q_twa_1h_cascade,
         "hdr_quantile_1h": _q_hdr_quantile_1h,
+        "stream_hdr_replay_1h": _q_stream_hdr_replay,
         "heavy_hitters_1d": _q_heavy_hitters_1d,
         "kmv_distinct_1d": _q_kmv_distinct_1d,
         "stream_kmv_replay_1d": _q_stream_kmv_replay,
@@ -1242,6 +1289,7 @@ def oracle_sql() -> dict[str, str]:
         "hist_quantile_1h": _hist_quantile_oracle(),
         "twa_1h_cascade": _TWA_1H_ORACLE,
         "hdr_quantile_1h": _HDR_QUANTILE_ORACLE,
+        "stream_hdr_replay_1h": _HDR_QUANTILE_ORACLE,
         "stream_heavy_hitters_replay": _STREAM_HH_ORACLE,
         "heavy_hitters_1d": _HEAVY_HITTERS_ORACLE,
         "kmv_distinct_1d": _KMV_DISTINCT_ORACLE,

@@ -427,6 +427,75 @@ def read_kmv(
     return kmv_cascade(allb, list(key_cols), tier, k)
 
 
+def run_incremental_hdr(
+    spark: SparkSession,
+    input_dir: str,
+    schema,
+    out_dir: str,
+    checkpoint_dir: str,
+    ts_col: str = "ts",
+    key_cols: Sequence[str] = ("event_type",),
+    value_col: str = "value",
+    tier: str = "1h",
+    sub_bits: int = 5,
+) -> None:
+    """File-source stream → per-batch log-linear quantile sketches →
+    idempotent per-batch dirs (same availableNow/checkpoint contract as
+    the KMV twin).
+
+    Like KMV, there is NO streaming state store: an HDR sketch is a
+    counter vector, so each micro-batch sketches only its own rows and
+    the merge (SUM per bucket index) happens at read time.  Unlike KMV
+    the merge is not idempotent under row replays — exactly-once comes
+    from the ``_COMMITTED`` per-batch protocol, which skips already-
+    committed batch dirs on restart."""
+    from influxer_spark.operators.hdrsketch import hdr_rollup
+
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+    stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    keys = list(key_cols)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        out = os.path.join(out_dir, f"_batch={batch_id}")
+        marker = os.path.join(out, "_COMMITTED")
+        if os.path.exists(marker):  # stateless replay: nothing to re-run
+            return
+        hdr_rollup(batch_df, ts_col, keys, value_col, tier, sub_bits).write.mode(
+            "overwrite"
+        ).parquet(out)
+        open(marker, "w").close()
+
+    (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def read_hdr(
+    spark: SparkSession,
+    out_dir: str,
+    key_cols: Sequence[str] = ("event_type",),
+    tier: str = "1h",
+) -> DataFrame:
+    """Merge committed per-batch HDR sketches into the exact sketch of the
+    union (counter-vector sum; re-bucketing at the SAME tier is the
+    identity, so this reuses the cascade merge)."""
+    from influxer_spark.operators.hdrsketch import hdr_cascade
+
+    batches = _committed_batches(out_dir)
+    if not batches:
+        raise FileNotFoundError(f"no committed batches under {out_dir}")
+    dfs = [spark.read.parquet(os.path.join(out_dir, d)) for d, _ in batches]
+    allb = dfs[0]
+    for d in dfs[1:]:
+        allb = allb.unionByName(d)
+    return hdr_cascade(allb, list(key_cols), tier)
+
+
 def run_alert_stream(
     spark: SparkSession,
     input_dir: str,

@@ -276,3 +276,30 @@ def test_streamed_kmv_matches_batch_sketch(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_streamed_hdr_matches_batch_sketch(spark, sf_dir, tmp_path):
+    """Per-batch log-linear quantile sketches merged at read time are
+    identical to a batch sketch of all the data, across a stop/resume
+    restart (counter-vector sum; exactly-once via _COMMITTED dirs)."""
+    from influxer_spark.operators import hdrsketch as H
+    from influxer_spark.streaming import read_hdr, run_incremental_hdr
+
+    ev = _events(spark, sf_dir)
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    cut = lo + (hi - lo) / 2
+    d = _dirs(tmp_path)
+    _add_file(ev.filter(F.col("ts") <= cut), d["input"], d["stage"], "a")
+    run_incremental_hdr(spark, d["input"], ev.schema, d["tier"], d["ckpt"])
+    _add_file(ev.filter(F.col("ts") > cut), d["input"], d["stage"], "b")
+    run_incremental_hdr(spark, d["input"], ev.schema, d["tier"], d["ckpt"])
+
+    got = {
+        (r["bucket"], r["event_type"], r["idx"]): r["cnt"]
+        for r in read_hdr(spark, d["tier"], ["event_type"], "1h").collect()
+    }
+    want = {
+        (r["bucket"], r["event_type"], r["idx"]): r["cnt"]
+        for r in H.hdr_rollup(ev, "ts", ["event_type"], "value", "1h").collect()
+    }
+    assert got == want
