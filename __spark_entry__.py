@@ -745,6 +745,28 @@ FROM r GROUP BY 1, 2
 """
 
 
+def _q_hdr_tier_read_4h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end tier-served percentiles: materialize hdr_1h/hdr_1d
+    tables in a scratch catalog (per-day wave commits, sub_bits pinned as
+    a table property), then answer a 4h p50/p95/p99 panel from the 1h
+    sketch tier via query.read_percentile — manifest-pruned, lossless
+    counter-vector re-bucket, NO hist_bounds config anywhere.  The oracle
+    computes the same 4h sketch directly from raw in SQL, so a hash match
+    proves the whole materialize→commit→read path is exact."""
+    import tempfile
+
+    from influxer_spark.catalog import TableCatalog
+    from influxer_spark.operators import hdrsketch as H
+    from influxer_spark.query import read_percentile
+
+    ev = _t(spark, sf_dir, "events")
+    cat = TableCatalog(tempfile.mkdtemp(prefix="hdr_tier_gate_"))
+    H.build_hdr_tiers(spark, cat, ev, "ts", ["event_type"], "value")
+    return read_percentile(
+        spark, cat, 4 * 3600, (0.5, 0.95, 0.99), key_cols=("event_type",)
+    ).select("event_type", "bucket", "n", "q50", "q95", "q99")
+
+
 def _q_twa_1h_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-weighted average 1h tier built by CASCADING 1m TWA summaries
     (mergeable monoid with LOCF bridge segments) — the oracle computes the
@@ -825,6 +847,10 @@ SELECT event_type, bucket, max(n) AS n,
   min(CASE WHEN cum >= ceil(0.99*n) THEN lb END)/100.0 AS q99
 FROM r GROUP BY 1, 2
 """
+
+# the 4h tier read shares the hour oracle's integer bucket math — only the
+# time-bucket modulus differs
+_HDR_TIER_4H_ORACLE = _HDR_QUANTILE_ORACLE.replace("% 3600", "% 14400")
 
 
 def _q_asof_6h_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1158,6 +1184,7 @@ _WINDOW_PRIORITY = [
     "rrf_hybrid_topk",
     "exact_substr_dedup",
     "stream_hdr_replay_1h",
+    "hdr_tier_read_4h",
 ]
 
 # Rows-only queries (genuinely non-SQL-expressible internals) — always last.
@@ -1195,6 +1222,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "twa_1h_cascade": _q_twa_1h_cascade,
         "hdr_quantile_1h": _q_hdr_quantile_1h,
         "stream_hdr_replay_1h": _q_stream_hdr_replay,
+        "hdr_tier_read_4h": _q_hdr_tier_read_4h,
         "heavy_hitters_1d": _q_heavy_hitters_1d,
         "kmv_distinct_1d": _q_kmv_distinct_1d,
         "stream_kmv_replay_1d": _q_stream_kmv_replay,
@@ -1290,6 +1318,7 @@ def oracle_sql() -> dict[str, str]:
         "twa_1h_cascade": _TWA_1H_ORACLE,
         "hdr_quantile_1h": _HDR_QUANTILE_ORACLE,
         "stream_hdr_replay_1h": _HDR_QUANTILE_ORACLE,
+        "hdr_tier_read_4h": _HDR_TIER_4H_ORACLE,
         "stream_heavy_hitters_replay": _STREAM_HH_ORACLE,
         "heavy_hitters_1d": _HEAVY_HITTERS_ORACLE,
         "kmv_distinct_1d": _KMV_DISTINCT_ORACLE,

@@ -152,3 +152,56 @@ def hdr_quantiles(
             ).alias(name)
         )
     return ranked.groupBy(*part).agg(*aggs)
+
+
+def hdr_rebucket(
+    sketch: DataFrame, key_cols: Sequence[str], width_seconds: int
+) -> DataFrame:
+    """Re-bucket sketch rows to ANY width that their tier divides —
+    counter-vector sum, lossless like the cascade."""
+    secs = F.unix_timestamp(F.col("bucket").cast("timestamp"))
+    out_bucket = F.timestamp_seconds(
+        (secs - (secs % width_seconds)).cast("long")
+    ).alias("bucket")
+    return (
+        sketch.groupBy(out_bucket, *[F.col(k) for k in key_cols], "idx")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def build_hdr_tiers(
+    spark,
+    catalog,
+    df: DataFrame,
+    ts_col: str,
+    key_cols: Sequence[str],
+    value_col: str,
+    sub_bits: int = DEFAULT_SUB_BITS,
+) -> list[str]:
+    """Materialize ``hdr_1h`` and ``hdr_1d`` quantile-sketch tiers in the
+    catalog (per-day partitions, wave commit — same layout as the rollup
+    and KMV tiers), 1d CASCADED from 1h so the coarse tier costs a
+    summary-sized job, not a second raw scan.  ``sub_bits`` is pinned as
+    a table property: bucket indices from different resolutions do not
+    mix.  Unlike the histogram tiers (pipeline ``hist_bounds=``) no value
+    bounds are configured — the log-linear grid adapts to any range.
+    Returns the committed day list."""
+    keys = list(key_cols)
+    h1 = hdr_rollup(df, ts_col, keys, value_col, "1h", sub_bits).withColumn(
+        "day", F.date_format("bucket", "yyyy-MM-dd")
+    )
+    h1.persist()
+    try:
+        days = [r["day"] for r in h1.select("day").distinct().collect()]
+        catalog.write_partitions(h1, "hdr_1h", days)
+        d1 = hdr_cascade(h1.drop("day"), keys, "1d").withColumn(
+            "day", F.date_format("bucket", "yyyy-MM-dd")
+        )
+        catalog.write_partitions(d1, "hdr_1d", days)
+    finally:
+        h1.unpersist()
+    for t in ("hdr_1h", "hdr_1d"):
+        catalog.set_table_property(t, "hdr_sub_bits", sub_bits)
+        catalog.set_table_property(t, "hdr_value_col", value_col)
+        catalog.set_table_property(t, "hdr_key_cols", keys)
+    return sorted(days)

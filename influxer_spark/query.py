@@ -270,6 +270,60 @@ def read_distinct(
     return KMV.kmv_estimate(merged, keys, int(k))
 
 
+def read_percentile(
+    spark: SparkSession,
+    catalog: TableCatalog,
+    width_seconds: int,
+    ps: Sequence[float] = (0.5, 0.95, 0.99),
+    start: dt.datetime | None = None,
+    end: dt.datetime | None = None,
+    key_cols: Sequence[str] = ("url", "metric"),
+    sub_bits: int | None = None,
+) -> DataFrame:
+    """Percentiles at any hour-multiple bucket width over [start, end),
+    served from the log-linear quantile-sketch tiers
+    (``operators/hdrsketch.py:build_hdr_tiers``) — manifest-pruned,
+    lossless counter-vector re-bucket, then nearest-rank reads with
+    relative error ≤ 2^-sub_bits.
+
+    The bounds-free sibling of :func:`read_quantile`: the histogram path
+    needs the pipeline to have configured ``hist_bounds`` per metric; the
+    HDR path adapts to any value range, so a NEW metric gets p99 panels
+    with no config.  ``sub_bits`` defaults to the table property pinned at
+    build time (passing a different value is an error — bucket indices
+    from different resolutions do not mix)."""
+    from influxer_spark.operators import hdrsketch as H
+
+    if width_seconds % 86400 == 0:
+        table = "hdr_1d"
+    elif width_seconds % 3600 == 0:
+        table = "hdr_1h"
+    else:
+        raise ValueError(
+            "read_percentile serves hour-multiple widths; "
+            f"{width_seconds}s is not one (no 1m HDR tier is materialized)"
+        )
+    pinned = catalog.table_property(table, "hdr_sub_bits")
+    if sub_bits is None:
+        sub_bits = pinned if pinned is not None else H.DEFAULT_SUB_BITS
+    elif pinned is not None and int(sub_bits) != int(pinned):
+        raise ValueError(
+            f"given sub_bits={sub_bits} differs from {table}'s pinned "
+            f"hdr_sub_bits={pinned}"
+        )
+    parts = _partitions_in_range(catalog, table, start, end)
+    if not parts:
+        raise ValueError(f"no committed {table} partitions in range")
+    df = spark.read.parquet(*catalog.partition_paths(table, parts))
+    if start is not None:
+        df = df.filter(F.col("bucket") >= F.lit(start))
+    if end is not None:
+        df = df.filter(F.col("bucket") < F.lit(end))
+    keys = list(key_cols)
+    merged = H.hdr_rebucket(df, keys, width_seconds)
+    return H.hdr_quantiles(merged, keys, ps, int(sub_bits))
+
+
 def tier_watermark(
     catalog: TableCatalog, tier: str = "1m"
 ) -> dt.datetime | None:

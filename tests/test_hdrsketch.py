@@ -99,3 +99,44 @@ def test_unknown_tier_raises(spark):
         H.hdr_rollup(df, "ts", ["k"], "value", "7m")
     with pytest.raises(ValueError):
         H.hdr_cascade(df.select(F.col("ts").alias("bucket"), "k"), ["k"], "9h")
+
+
+def test_tier_read_matches_direct_build(spark, sf_dir, tmp_path):
+    """build_hdr_tiers → read_percentile at 4h is EXACT vs sketching the
+    raw points at 4h directly (lossless re-bucket), sub_bits pin enforced,
+    non-hour widths refused."""
+    from influxer_spark.catalog import TableCatalog
+    from influxer_spark.query import read_percentile
+
+    ev = _events(spark, sf_dir)
+    cat = TableCatalog(str(tmp_path / "cat"))
+    days = H.build_hdr_tiers(spark, cat, ev, "ts", ["event_type"], "value")
+    assert days == sorted(cat.committed_partitions("hdr_1h"))
+    assert cat.table_property("hdr_1h", "hdr_sub_bits") == H.DEFAULT_SUB_BITS
+
+    got = {
+        (r["event_type"], r["bucket"]): (r["n"], r["q50"], r["q95"], r["q99"])
+        for r in read_percentile(
+            spark, cat, 4 * 3600, key_cols=("event_type",)
+        ).collect()
+    }
+    direct = H.hdr_quantiles(
+        H.hdr_rebucket(
+            H.hdr_rollup(ev, "ts", ["event_type"], "value", "1h"),
+            ["event_type"],
+            4 * 3600,
+        ),
+        ["event_type"],
+    )
+    want = {
+        (r["event_type"], r["bucket"]): (r["n"], r["q50"], r["q95"], r["q99"])
+        for r in direct.collect()
+    }
+    assert got == want
+
+    with pytest.raises(ValueError, match="sub_bits"):
+        read_percentile(
+            spark, cat, 4 * 3600, key_cols=("event_type",), sub_bits=4
+        )
+    with pytest.raises(ValueError, match="hour-multiple"):
+        read_percentile(spark, cat, 90, key_cols=("event_type",))
