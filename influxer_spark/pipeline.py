@@ -428,10 +428,31 @@ def refresh_pipeline(
                     list(kmv_keys), item,
                     k=int(catalog.table_property("kmv_1h", "kmv_k")),
                 )
+        # HDR quantile-sketch tiers (operators/hdrsketch.py) follow the
+        # same contract: build inputs pinned as table properties, rebuild
+        # from the freshly committed raw_points for the recomputed days.
+        if catalog.exists("hdr_1h"):
+            vcol = catalog.table_property("hdr_1h", "hdr_value_col")
+            hkeys = catalog.table_property("hdr_1h", "hdr_key_cols")
+            if vcol and hkeys:
+                from influxer_spark.extract import pages_to_points
+                from influxer_spark.operators.hdrsketch import build_hdr_tiers
+
+                wide = catalog.read_partitions_with_key(
+                    spark, "raw_points", recompute
+                ).drop("p")
+                build_hdr_tiers(
+                    spark, catalog, pages_to_points(wide), "warc_ts",
+                    list(hkeys), vcol,
+                    sub_bits=int(
+                        catalog.table_property("hdr_1h", "hdr_sub_bits")
+                    ),
+                )
     for day in orphaned:
         for table in (
             "raw_points", "rollup_1m", "rollup_1m_gorilla",
             "rollup_1h", "rollup_1d", "kmv_1h", "kmv_1d",
+            "hdr_1h", "hdr_1d",
         ):
             catalog.drop_partition(
                 table, day, reason="refresh: source rows all deleted"
