@@ -467,6 +467,35 @@ def _q_tier_refresh_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def _q_stitched_rollup_90m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-granularity stitched tier read VALUE-oracled
+    (query.read_rollup_stitched): 90m divides no coarse tier, so the
+    aligned fast path would fall back to scanning the whole 1m tier.  The
+    stitched read serves each 90m bucket from whole 1h blocks plus 1m
+    edge rows (whole 1d blocks at wider widths) and must hash-match the
+    plain epoch-floor rollup over raw events — proving the union of tier
+    partials covers every minute exactly once."""
+    import shutil
+    import tempfile
+
+    from influxer_spark.catalog import TableCatalog
+    from influxer_spark.operators.refresh import build_point_tiers
+    from influxer_spark.query import read_rollup_stitched
+
+    ev = _t(spark, sf_dir, "events")
+    root = tempfile.mkdtemp(prefix="stitched_gate_")
+    try:
+        cat = TableCatalog(root)
+        build_point_tiers(spark, cat, ev, "ts", ["event_type"], "value")
+        out = _rollup_out(
+            read_rollup_stitched(spark, cat, 5400, key_cols=["event_type"])
+        )
+        rows = out.collect()  # materialize before the scratch catalog goes
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _q_realtime_rollup_4h(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TimescaleDB-style REAL-TIME continuous aggregate VALUE-oracled:
     materialize tiers for all but the last 3 days (simulating pipeline
@@ -1219,6 +1248,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_5m_width": _q_rollup_5m_width,
         "tier_refresh_1h": _q_tier_refresh_1h,
         "realtime_rollup_4h": _q_realtime_rollup_4h,
+        "stitched_rollup_90m": _q_stitched_rollup_90m,
         "twa_1h_cascade": _q_twa_1h_cascade,
         "hdr_quantile_1h": _q_hdr_quantile_1h,
         "stream_hdr_replay_1h": _q_stream_hdr_replay,
@@ -1343,6 +1373,17 @@ def oracle_sql() -> dict[str, str]:
         ),
         "rollup_1d_cascade": _ROLLUP_SELECT.format(unit="day"),
         "rollup_1m_salted": _ROLLUP_SELECT.format(unit="minute"),
+        # the stitched mixed-tier union must equal the raw 90m rollup
+        "stitched_rollup_90m": (
+            "SELECT make_timestamp((CAST(floor(epoch(ts)) AS BIGINT) "
+            " - CAST(floor(epoch(ts)) AS BIGINT) % 5400) * 1000000) AS bucket,"
+            " event_type, count(value) AS cnt,"
+            " CAST(round(sum(value) * 100, 0) AS BIGINT) / 100.0 AS sum_v,"
+            " min(value) AS min_v, max(value) AS max_v,"
+            " CAST(round(sum(value) * 100, 0) AS BIGINT) / (count(value) * 100.0)"
+            "   AS avg_v "
+            "FROM events GROUP BY 1, 2"
+        ),
         "rollup_5m_width": (
             "SELECT make_timestamp((CAST(floor(epoch(ts)) AS BIGINT) "
             " - CAST(floor(epoch(ts)) AS BIGINT) % 300) * 1000000) AS bucket,"

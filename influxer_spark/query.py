@@ -105,6 +105,125 @@ def read_rollup(
     return rolled
 
 
+def _stitch_usable(e, block_w: int, width: int, start_e, end_e):
+    """Column predicate: the ``block_w``-second block starting at epoch
+    column ``e`` lies fully inside its own output bucket, clipped to the
+    query range — i.e. this block's partial can serve the stitched read
+    without double counting or leaking outside [start, end)."""
+    ob = e - e % width
+    lo = F.greatest(ob, F.lit(start_e)) if start_e is not None else ob
+    hi = (
+        F.least(ob + width, F.lit(end_e))
+        if end_e is not None
+        else ob + width
+    )
+    return (e >= lo) & ((e + block_w) <= hi)
+
+
+def stitch_tier_frames(
+    spark: SparkSession,
+    catalog: TableCatalog,
+    width_seconds: int,
+    start: dt.datetime | None = None,
+    end: dt.datetime | None = None,
+) -> dict[str, DataFrame]:
+    """Per-tier row sources for a stitched mixed-granularity read (see
+    :func:`read_rollup_stitched`); split out so tests and EXPLAIN tooling
+    can measure how many rows each tier actually contributes."""
+    if width_seconds <= 0 or width_seconds % 60 != 0:
+        raise ValueError("stitched reads require a positive multiple of 60s")
+    start_e = None if start is None else int(start.timestamp())
+    end_e = None if end is None else int(end.timestamp())
+    for te, name in ((start_e, "start"), (end_e, "end")):
+        if te is not None and te % 60 != 0:
+            raise ValueError(f"{name} must be minute-aligned for stitched reads")
+
+    parts = {
+        t: _partitions_in_range(catalog, f"rollup_{t}", start, end)
+        for t in TIER_SECONDS
+    }
+    if not parts["1m"]:
+        raise ValueError("no committed rollup_1m partitions in range")
+    if not (parts["1m"] == parts["1h"] == parts["1d"]):
+        raise ValueError(
+            "stitched read needs identical committed day partitions in all "
+            f"tiers; got 1m={len(parts['1m'])} 1h={len(parts['1h'])} "
+            f"1d={len(parts['1d'])}"
+        )
+
+    parent = {"1m": 3600, "1h": 86400, "1d": None}
+    out: dict[str, DataFrame] = {}
+    for tier, w in TIER_SECONDS.items():
+        df = spark.read.parquet(
+            *catalog.partition_paths(f"rollup_{tier}", parts[tier])
+        )
+        if start is not None:
+            df = df.filter(F.col("bucket") >= F.lit(start))
+        if end is not None:
+            df = df.filter(F.col("bucket") < F.lit(end))
+        e = F.unix_timestamp(F.col("bucket").cast("timestamp"))
+        keep = _stitch_usable(e, w, width_seconds, start_e, end_e)
+        pw = parent[tier]
+        if pw is not None:
+            pe = e - e % pw
+            keep = keep & ~_stitch_usable(pe, pw, width_seconds, start_e, end_e)
+        out[tier] = df.filter(keep)
+    return out
+
+
+def read_rollup_stitched(
+    spark: SparkSession,
+    catalog: TableCatalog,
+    width_seconds: int,
+    start: dt.datetime | None = None,
+    end: dt.datetime | None = None,
+    key_cols: Sequence[str] = ("url", "metric"),
+) -> DataFrame:
+    """Exact (cnt, sum, min, max, avg) at a width that divides NO coarse
+    tier, served from a UNION of tiers instead of the finest one alone.
+
+    :func:`read_rollup` must fall back to the 1m tier for widths like 90m
+    or 25h (nothing coarser divides them).  But every epoch-aligned output
+    bucket decomposes into whole 1d blocks, whole 1h blocks not inside a
+    usable day, and 1m rows for the remaining edges — the TimescaleDB /
+    Druid mixed-granularity rewrite.  Because the tiers store algebraic
+    partials (cnt/sum/min/max) and the tier blocks nest (1m ⊂ 1h ⊂ 1d),
+    the union re-aggregates losslessly: a block is read from tier *w*
+    exactly when it fits its clipped output bucket and its parent block
+    does not, so every minute of [start, end) is covered exactly once.
+
+    Scale: a 25h dashboard over a year reads ~365 day rows + ~365 edge
+    hour rows per series instead of ~525k minute rows — O(buckets), not
+    O(minutes), same as the aligned-width fast path.  Day partitions are
+    still manifest-pruned; the per-row epoch predicates are pure long
+    math inside whole-stage codegen.
+
+    Preconditions (raised, not assumed): width and start/end minute-
+    aligned; identical committed day partitions across the three tiers
+    (true for every pipeline/build_point_tiers wave).
+    """
+    frames = stitch_tier_frames(spark, catalog, width_seconds, start, end)
+    cols = [*key_cols, "cnt", "sum_v", "min_v", "max_v", "bucket"]
+    unioned = None
+    for df in frames.values():
+        part = df.select(*cols)
+        unioned = part if unioned is None else unioned.unionByName(part)
+    e = F.unix_timestamp(F.col("bucket").cast("timestamp"))
+    out_bucket = F.timestamp_seconds(
+        (e - (e % width_seconds)).cast("long")
+    ).alias("bucket")
+    return (
+        unioned.groupBy(out_bucket, *[F.col(k) for k in key_cols])
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            F.sum("sum_v").alias("sum_v"),
+            F.min("min_v").alias("min_v"),
+            F.max("max_v").alias("max_v"),
+        )
+        .withColumn("avg_v", F.col("sum_v") / F.col("cnt"))
+    )
+
+
 def read_series(
     spark: SparkSession,
     catalog: TableCatalog,
