@@ -1565,17 +1565,52 @@ class InfluxQLEngine:
             c.fname in ("percentile", "median") for c in agg_calls.values()
         )
 
-        parts = _qapi._partitions_in_range(cat, table, start, end)
+        # STITCHED mixed-granularity rewrite (query.read_rollup_stitched's
+        # routing surfaced through the front-end): when the width divides no
+        # coarser tier (90m → 1m fallback) or skips one (49h → 1h while
+        # whole days fit), serve the buckets from a UNION of 1d/1h/1m
+        # partials instead of the finest single tier.  Algebraic aggregates
+        # only — histogram quantile cells stay on their own tier.  Bounds
+        # are w-aligned (enforced by _tier_where_ok), hence minute-aligned,
+        # so the stitch preconditions hold; any catalog-shape surprise
+        # (tiers committed unevenly) raises inside stitch_tier_frames and
+        # falls back to the single-tier path.
         df = None
-        if parts:
-            df = self._spark().read.parquet(*cat.partition_paths(table, parts))
-            if stmt.where is not None:
-                # compile the WHERE against the tier frame: its time column
-                # is `bucket` (bounds are bucket-aligned, so filtering
-                # buckets is exactly filtering the points they summarize)
-                df = df.filter(
-                    InfluxQLEngine({}, ts_col="bucket")._cond(stmt.where)
+        if not has_hist and (
+            (tier == "1m" and w > 3600) or (tier == "1h" and w > 86400)
+        ):
+            try:
+                frames = _qapi.stitch_tier_frames(
+                    self._spark(), cat, w, start, end
                 )
+            except ValueError:
+                frames = None
+            if frames:
+                narrow = ["bucket", *cfg["key_cols"],
+                          "cnt", "sum_v", "min_v", "max_v"]
+                stitched = None
+                for f in frames.values():
+                    if stmt.where is not None:
+                        f = f.filter(
+                            InfluxQLEngine({}, ts_col="bucket")._cond(stmt.where)
+                        )
+                    f = f.select(narrow)
+                    stitched = f if stitched is None else stitched.unionByName(f)
+                df = stitched
+        if df is None:
+            parts = _qapi._partitions_in_range(cat, table, start, end)
+            if parts:
+                df = self._spark().read.parquet(
+                    *cat.partition_paths(table, parts)
+                )
+                if stmt.where is not None:
+                    # compile the WHERE against the tier frame: its time
+                    # column is `bucket` (bounds are bucket-aligned, so
+                    # filtering buckets is exactly filtering the points
+                    # they summarize)
+                    df = df.filter(
+                        InfluxQLEngine({}, ts_col="bucket")._cond(stmt.where)
+                    )
 
         # REAL-TIME tail (TimescaleDB real-time continuous aggregates,
         # query.read_realtime's routing surfaced through the front-end):

@@ -154,6 +154,11 @@ def stitch_tier_frames(
     parent = {"1m": 3600, "1h": 86400, "1d": None}
     out: dict[str, DataFrame] = {}
     for tier, w in TIER_SECONDS.items():
+        if w > width_seconds:
+            # a block wider than the output bucket can never fit inside it;
+            # skip the scan entirely (its children keep themselves: the
+            # parent-usable test is vacuously false)
+            continue
         df = spark.read.parquet(
             *catalog.partition_paths(f"rollup_{tier}", parts[tier])
         )

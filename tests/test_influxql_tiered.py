@@ -353,3 +353,41 @@ def test_show_shards_lists_committed_partitions(spark, sf_dir):
 
     # no tiered measurements → empty, not an error
     assert InfluxQLEngine({}, ts_col="ts").execute("SHOW SHARDS").count() == 0
+
+
+def test_stitched_width_served_from_mixed_tiers(built):
+    """GROUP BY time(90m): 90m divides no coarse tier, so the old routing
+    scanned the whole 1m tier.  The stitched rewrite must read the 1h AND
+    1m tiers (whole hours + minute edges), skip the useless 1d scan, and
+    still match the raw recompute exactly."""
+    points, cat = built
+    raw, tiered = _engines(points, cat)
+    q = (
+        "SELECT count(value) AS cnt, min(value) AS mn, max(value) AS mx "
+        "FROM pages GROUP BY time(90m), metric"
+    )
+    want = {tuple(r[:2]): tuple(r[2:]) for r in raw.execute(q).collect()}
+    df = tiered.execute(q)
+    got = {tuple(r[:2]): tuple(r[2:]) for r in df.collect()}
+    assert got == want and len(got) > 10
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "rollup_1h" in plan and "rollup_1m" in plan
+    assert "rollup_1d" not in plan
+
+
+def test_stitched_49h_uses_day_tier(built):
+    """GROUP BY time(49h): every 49h bucket is wider than two days, so the
+    stitched read must pull whole 1d blocks (plus 1h/1m edges) instead of
+    re-aggregating the 1h tier alone."""
+    points, cat = built
+    raw, tiered = _engines(points, cat)
+    q = (
+        "SELECT count(value) AS cnt, min(value) AS mn, max(value) AS mx "
+        "FROM pages GROUP BY time(49h), metric"
+    )
+    want = {tuple(r[:2]): tuple(r[2:]) for r in raw.execute(q).collect()}
+    df = tiered.execute(q)
+    got = {tuple(r[:2]): tuple(r[2:]) for r in df.collect()}
+    assert got == want
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "rollup_1d" in plan
