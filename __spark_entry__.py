@@ -809,6 +809,54 @@ def _q_twa_1h_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TW.twa_value(t1h).select("event_type", "bucket", "area", "dur", "twa")
 
 
+def _q_stream_twa_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming time-weighted-average summaries VALUE-oracled via
+    stop/resume replay: land events as two time-ordered files, drain with
+    TWO availableNow runs against one checkpoint (the second run must skip
+    the committed batch), merge the per-batch monoid summaries in time
+    order and derive the TWA.  The oracle is the DIRECT batch hour-TWA SQL
+    (same as ``twa_1h_cascade``) — a hash match proves the restarted
+    stream's merged summaries, INCLUDING the LOCF bridge across the batch
+    split, are bit-identical to computing the hour from all the raw data
+    at once.  The cut is second-aligned: TWA quantizes to (series,
+    second) with a max-value tie-break, and a second split across batches
+    would hide the loser from the per-batch dedup."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from influxer_spark.operators import timeweight as TW
+    from influxer_spark.streaming import read_twa, run_incremental_twa
+
+    ev = _t(spark, sf_dir, "events")
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    cut_s = int((lo + (hi - lo) / 2).timestamp())
+    root = tempfile.mkdtemp(prefix="stream_twa_gate_")
+    d = {n: os.path.join(root, n) for n in ("input", "out", "ckpt", "stage")}
+    os.makedirs(d["input"])
+    t = F.unix_timestamp(F.col("ts")).cast("long")
+    for name, part in (
+        ("a", ev.filter(t <= cut_s)),
+        ("b", ev.filter(t > cut_s)),
+    ):
+        staging = os.path.join(d["stage"], name)
+        part.coalesce(1).write.mode("overwrite").parquet(staging)
+        if name == "a":
+            shutil.copy(
+                glob.glob(os.path.join(staging, "part-*.parquet"))[0],
+                os.path.join(d["input"], "a.parquet"),
+            )
+    run_incremental_twa(spark, d["input"], ev.schema, d["out"], d["ckpt"])
+    shutil.copy(
+        glob.glob(os.path.join(d["stage"], "b", "part-*.parquet"))[0],
+        os.path.join(d["input"], "b.parquet"),
+    )
+    run_incremental_twa(spark, d["input"], ev.schema, d["out"], d["ckpt"])
+    t1h = read_twa(spark, d["out"], ["event_type"], "1h")
+    return TW.twa_value(t1h).select("event_type", "bucket", "area", "dur", "twa")
+
+
 _TWA_1H_ORACLE = """
 WITH p AS (
   SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS t,
@@ -1214,6 +1262,7 @@ _WINDOW_PRIORITY = [
     "exact_substr_dedup",
     "stream_hdr_replay_1h",
     "hdr_tier_read_4h",
+    "stream_twa_replay_1h",
 ]
 
 # Rows-only queries (genuinely non-SQL-expressible internals) — always last.
@@ -1250,6 +1299,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "realtime_rollup_4h": _q_realtime_rollup_4h,
         "stitched_rollup_90m": _q_stitched_rollup_90m,
         "twa_1h_cascade": _q_twa_1h_cascade,
+        "stream_twa_replay_1h": _q_stream_twa_replay,
         "hdr_quantile_1h": _q_hdr_quantile_1h,
         "stream_hdr_replay_1h": _q_stream_hdr_replay,
         "hdr_tier_read_4h": _q_hdr_tier_read_4h,
@@ -1346,6 +1396,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "hist_quantile_1h": _hist_quantile_oracle(),
         "twa_1h_cascade": _TWA_1H_ORACLE,
+        "stream_twa_replay_1h": _TWA_1H_ORACLE,
         "hdr_quantile_1h": _HDR_QUANTILE_ORACLE,
         "stream_hdr_replay_1h": _HDR_QUANTILE_ORACLE,
         "hdr_tier_read_4h": _HDR_TIER_4H_ORACLE,

@@ -496,6 +496,85 @@ def read_hdr(
     return hdr_cascade(allb, list(key_cols), tier)
 
 
+def run_incremental_twa(
+    spark: SparkSession,
+    input_dir: str,
+    schema,
+    out_dir: str,
+    checkpoint_dir: str,
+    ts_col: str = "ts",
+    key_cols: Sequence[str] = ("event_type",),
+    value_col: str = "value",
+    tier: str = "1h",
+) -> None:
+    """File-source stream → per-batch time-weighted-average summaries →
+    idempotent per-batch dirs (same availableNow/checkpoint contract as
+    the KMV/HDR twins).
+
+    No streaming state store: a TWA summary ``(first_t, first_v, last_t,
+    last_v, area)`` is a monoid under TIME-ORDERED merge
+    (operators/timeweight.py), so each micro-batch summarizes only its
+    own rows and the merge happens at read time (:func:`read_twa`).
+
+    Unlike KMV/HDR the merge is order-sensitive, which imposes the live
+    tailing contract explicitly: per series, each batch's rows must be a
+    time slice disjoint from every other batch's (append-only in event
+    time — exactly what a tailed line-protocol source delivers, and what
+    the _COMMITTED replay protocol preserves).  Batches may split a
+    bucket anywhere; the read-time merge bridges the LOCF segment across
+    the split, so the merged summary is bit-identical to a batch summary
+    of all the data.  Overlapping-time batches would interleave samples
+    that the per-batch per-second dedup can no longer see — callers with
+    out-of-order sources must slice upstream at second boundaries."""
+    from influxer_spark.operators.timeweight import twa_rollup
+
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+    stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    keys = list(key_cols)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        out = os.path.join(out_dir, f"_batch={batch_id}")
+        marker = os.path.join(out, "_COMMITTED")
+        if os.path.exists(marker):  # stateless replay: nothing to re-run
+            return
+        twa_rollup(batch_df, ts_col, keys, value_col, tier).write.mode(
+            "overwrite"
+        ).parquet(out)
+        open(marker, "w").close()
+
+    (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def read_twa(
+    spark: SparkSession,
+    out_dir: str,
+    key_cols: Sequence[str] = ("event_type",),
+    tier: str = "1h",
+) -> DataFrame:
+    """Merge committed per-batch TWA summaries into the exact summary of
+    the union.  Re-bucketing at the SAME tier is the identity, so this
+    reuses the cascade's time-ordered monoid merge: adjacent batch
+    summaries inside a bucket are bridged by the LOCF segment between
+    them, exactly as if the data had never been split."""
+    from influxer_spark.operators.timeweight import twa_cascade
+
+    batches = _committed_batches(out_dir)
+    if not batches:
+        raise FileNotFoundError(f"no committed batches under {out_dir}")
+    dfs = [spark.read.parquet(os.path.join(out_dir, d)) for d, _ in batches]
+    allb = dfs[0]
+    for d in dfs[1:]:
+        allb = allb.unionByName(d)
+    return twa_cascade(allb, list(key_cols), tier)
+
+
 def run_alert_stream(
     spark: SparkSession,
     input_dir: str,

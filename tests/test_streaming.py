@@ -278,6 +278,37 @@ def test_streamed_kmv_matches_batch_sketch(spark, sf_dir, tmp_path):
     assert got == want
 
 
+def test_streamed_twa_matches_batch_summary(spark, sf_dir, tmp_path):
+    """Per-batch TWA summaries merged in time order at read time are
+    BIT-identical to a batch summary of all the data, across a stop/resume
+    restart — including the LOCF bridge segment across the batch split.
+    The cut is second-aligned (TWA's per-second max-dedup must see every
+    sample of a second in ONE batch)."""
+    from influxer_spark.operators import timeweight as TW
+    from influxer_spark.streaming import read_twa, run_incremental_twa
+
+    ev = _events(spark, sf_dir)
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    cut_s = int((lo + (hi - lo) / 2).timestamp())
+    t = F.unix_timestamp(F.col("ts")).cast("long")
+    d = _dirs(tmp_path)
+    _add_file(ev.filter(t <= cut_s), d["input"], d["stage"], "a")
+    run_incremental_twa(spark, d["input"], ev.schema, d["tier"], d["ckpt"])
+    _add_file(ev.filter(t > cut_s), d["input"], d["stage"], "b")
+    run_incremental_twa(spark, d["input"], ev.schema, d["tier"], d["ckpt"])
+
+    cols = ["first_t", "first_v", "last_t", "last_v", "area"]
+    got = {
+        (r["bucket"], r["event_type"]): tuple(r[c] for c in cols)
+        for r in read_twa(spark, d["tier"], ["event_type"], "1h").collect()
+    }
+    want = {
+        (r["bucket"], r["event_type"]): tuple(r[c] for c in cols)
+        for r in TW.twa_rollup(ev, "ts", ["event_type"], "value", "1h").collect()
+    }
+    assert got == want
+
+
 def test_streamed_hdr_matches_batch_sketch(spark, sf_dir, tmp_path):
     """Per-batch log-linear quantile sketches merged at read time are
     identical to a batch sketch of all the data, across a stop/resume
