@@ -809,6 +809,48 @@ def _q_twa_1h_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TW.twa_value(t1h).select("event_type", "bucket", "area", "dur", "twa")
 
 
+def _q_tier_stddev_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable variance/stddev tiers: the 1m tier carries the two exact
+    power sums (Σ cents, Σ cents²) and the 1h tier is their integer
+    sum-of-sums; mean/var/stddev are derived at read time.  The oracle
+    computes the hour's power sums DIRECTLY from raw, so a hash match
+    proves the cascade lossless — the classic failure this design avoids
+    is a stored float stddev (not mergeable) or float Σv² (drifts with
+    partial-agg order).  Completes the tier-servable InfluxQL aggregate
+    set: stddev() joins count/sum/mean/min/max/spread/percentile/
+    approx_count_distinct."""
+    from influxer_spark.operators import rollup as R
+
+    ev = _t(spark, sf_dir, "events")
+    t1m = R.rollup_with_sumsq(ev, "ts", ["event_type"], "value", "1m")
+    t1h = R.cascade_with_sumsq(t1m, ["event_type"], "1h")
+    return R.with_stddev(t1h).select(
+        "event_type", "bucket", "cnt", "avg_v", "var_v", "stddev_v"
+    )
+
+
+_TIER_STDDEV_ORACLE = """
+WITH p AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket,
+         CAST(round(value * 100, 0) AS BIGINT) AS c
+  FROM events
+), a AS (
+  SELECT event_type, bucket, count(c) AS cnt,
+         sum(c) AS s1, sum(c * c) AS s2
+  FROM p GROUP BY 1, 2
+)
+SELECT event_type, bucket, cnt,
+  CAST(s1 AS DOUBLE) / cnt / 100.0 AS avg_v,
+  CASE WHEN cnt > 1
+       THEN (CAST(cnt * s2 - s1 * s1 AS DOUBLE) / (cnt * (cnt - 1))) / 10000.0
+  END AS var_v,
+  CASE WHEN cnt > 1
+       THEN sqrt(CAST(cnt * s2 - s1 * s1 AS DOUBLE) / (cnt * (cnt - 1))) / 100.0
+  END AS stddev_v
+FROM a
+"""
+
+
 def _q_stream_twa_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming time-weighted-average summaries VALUE-oracled via
     stop/resume replay: land events as two time-ordered files, drain with
@@ -1263,6 +1305,7 @@ _WINDOW_PRIORITY = [
     "stream_hdr_replay_1h",
     "hdr_tier_read_4h",
     "stream_twa_replay_1h",
+    "tier_stddev_1h",
 ]
 
 # Rows-only queries (genuinely non-SQL-expressible internals) — always last.
@@ -1300,6 +1343,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stitched_rollup_90m": _q_stitched_rollup_90m,
         "twa_1h_cascade": _q_twa_1h_cascade,
         "stream_twa_replay_1h": _q_stream_twa_replay,
+        "tier_stddev_1h": _q_tier_stddev_1h,
         "hdr_quantile_1h": _q_hdr_quantile_1h,
         "stream_hdr_replay_1h": _q_stream_hdr_replay,
         "hdr_tier_read_4h": _q_hdr_tier_read_4h,
@@ -1397,6 +1441,7 @@ def oracle_sql() -> dict[str, str]:
         "hist_quantile_1h": _hist_quantile_oracle(),
         "twa_1h_cascade": _TWA_1H_ORACLE,
         "stream_twa_replay_1h": _TWA_1H_ORACLE,
+        "tier_stddev_1h": _TIER_STDDEV_ORACLE,
         "hdr_quantile_1h": _HDR_QUANTILE_ORACLE,
         "stream_hdr_replay_1h": _HDR_QUANTILE_ORACLE,
         "hdr_tier_read_4h": _HDR_TIER_4H_ORACLE,

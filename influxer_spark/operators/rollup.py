@@ -220,6 +220,83 @@ def with_distinct_count(rolled: DataFrame) -> DataFrame:
     )
 
 
+def rollup_with_sumsq(
+    df: DataFrame,
+    ts_col: str,
+    key_cols: Sequence[str],
+    value_col: str,
+    tier: str = "1m",
+) -> DataFrame:
+    """``rollup`` carrying the two exact power sums that make variance and
+    stddev mergeable: ``s1`` = Σv and ``s2`` = Σv² over values quantized to
+    integer cents (the engine's storage precision, like timeweight.py and
+    the histogram tiers).  Integer sums are associative, so the cascade is
+    exact and the derived stddev is bit-stable against any engine that
+    replays the same integer math — a float Σv² would drift with partial-
+    aggregation order.
+
+    Overflow headroom: cents² ≤ 10¹⁰ for values up to 10³, so BIGINT
+    (9.2·10¹⁸) holds ~10⁸ points per (bucket, series) cell — far beyond
+    any real bucket; a 100 TB deployment with larger values should raise
+    the quantization or use DECIMAL(38,0).
+    """
+    unit = _trunc_unit(tier)
+    bucket = F.date_trunc(unit, F.col(ts_col)).alias("bucket")
+    v = F.col(value_col)
+    cents = F.round(v * 100, 0).cast("long")
+    return (
+        df.groupBy(bucket, *[F.col(k) for k in key_cols])
+        .agg(
+            F.count(v).alias("cnt"),
+            F.min(v).alias("min_v"),
+            F.max(v).alias("max_v"),
+            F.sum(cents).alias("s1"),
+            F.sum(cents * cents).alias("s2"),
+        )
+    )
+
+
+def cascade_with_sumsq(
+    rolled: DataFrame, key_cols: Sequence[str], tier: str
+) -> DataFrame:
+    """``cascade`` for the power-sum tiers — plain integer sum-of-sums."""
+    unit = _trunc_unit(tier)
+    return (
+        rolled.groupBy(
+            F.date_trunc(unit, F.col("bucket")).alias("bucket"),
+            *[F.col(k) for k in key_cols],
+        )
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            F.min("min_v").alias("min_v"),
+            F.max("max_v").alias("max_v"),
+            F.sum("s1").alias("s1"),
+            F.sum("s2").alias("s2"),
+        )
+    )
+
+
+def with_stddev(rolled: DataFrame) -> DataFrame:
+    """Attach mean / sample variance / sample stddev derived from the exact
+    power sums (InfluxQL ``stddev()`` is the sample stddev).  Derived at
+    read time, never stored: ``var = (n·S2 − S1²) / (n·(n−1))`` in cents²,
+    computed from exact BIGINTs so the only float ops are one division and
+    one sqrt — identical IEEE results on any engine.  NULL for n < 2."""
+    n = F.col("cnt")
+    s1 = F.col("s1")
+    s2 = F.col("s2")
+    var_cents2 = (n * s2 - s1 * s1).cast("double") / (n * (n - F.lit(1)))
+    return (
+        rolled.withColumn("avg_v", s1.cast("double") / n / 100.0)
+        .withColumn(
+            "var_v", F.when(n > 1, var_cents2 / F.lit(10000.0))
+        )
+        .withColumn(
+            "stddev_v", F.when(n > 1, F.sqrt(var_cents2) / F.lit(100.0))
+        )
+    )
+
+
 def salted_rollup(
     df: DataFrame,
     ts_col: str,

@@ -89,3 +89,50 @@ def test_rollup_plan_is_single_shuffle(events):
 def test_unknown_tier_raises(events):
     with pytest.raises(ValueError):
         R.rollup(events, "ts", ["event_type"], "value", "5m")
+
+
+def test_sumsq_cascade_equals_direct(events):
+    """Power-sum tiers (Σc, Σc²) are exact BIGINTs, so the 1m→1h cascade
+    must equal the direct 1h rollup BIT-FOR-BIT — no fp tolerance."""
+    t1m = R.rollup_with_sumsq(events, "ts", ["event_type"], "value", "1m")
+    cascaded = R.cascade_with_sumsq(t1m, ["event_type"], "1h")
+    direct = R.rollup_with_sumsq(events, "ts", ["event_type"], "value", "1h")
+    cols = ["bucket", "event_type", "cnt", "min_v", "max_v", "s1", "s2"]
+    assert _sorted_rows(cascaded.select(*cols)) == _sorted_rows(direct.select(*cols))
+
+
+def test_stddev_matches_builtin_on_quantized_values(spark):
+    """with_stddev derived from the power sums equals stddev_samp over the
+    cent-quantized values (same estimator, different computation path)."""
+    import math
+
+    rows = [
+        (dt.datetime(2024, 1, 1, 0, 0, s), "a", v)
+        for s, v in enumerate([1.25, 2.5, 2.5, 7.75, 0.01, 3.33])
+    ] + [(dt.datetime(2024, 1, 1, 0, 0, 30), "b", 9.99)]
+    df = spark.createDataFrame(rows, ["ts", "event_type", "value"])
+    got = {
+        r["event_type"]: (r["cnt"], r["avg_v"], r["var_v"], r["stddev_v"])
+        for r in R.with_stddev(
+            R.rollup_with_sumsq(df, "ts", ["event_type"], "value", "1h")
+        ).collect()
+    }
+    want = {
+        r["event_type"]: (r["cnt"], r["m"], r["v"], r["s"])
+        for r in df.groupBy("event_type")
+        .agg(
+            F.count("value").alias("cnt"),
+            F.mean(F.round(F.col("value") * 100, 0) / 100).alias("m"),
+            F.var_samp(F.round(F.col("value") * 100, 0) / 100).alias("v"),
+            F.stddev_samp(F.round(F.col("value") * 100, 0) / 100).alias("s"),
+        )
+        .collect()
+    }
+    assert got.keys() == want.keys()
+    for k in got:
+        assert got[k][0] == want[k][0]
+        for a, b in zip(got[k][1:], want[k][1:]):
+            if b is None:
+                assert a is None  # n < 2 → sample stddev undefined
+            else:
+                assert math.isclose(a, b, rel_tol=1e-12)
