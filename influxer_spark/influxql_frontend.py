@@ -1408,6 +1408,7 @@ class InfluxQLEngine:
         value_field: str = "value",
         hist_bounds: Any = None,
         kmv_item_col: str | None = None,
+        sumsq: bool = False,
     ) -> None:
         """Serve this measurement's ``GROUP BY time(w)`` aggregate queries
         from the catalog's materialized rollup tiers (``rollup_1m/1h/1d``)
@@ -1438,6 +1439,18 @@ class InfluxQLEngine:
         IDENTICAL to the raw-path KMV estimate — deterministic, unlike a
         silent HLL substitution.  ``k`` comes from the table property
         pinned at build time.
+
+        ``sumsq=True`` (requires ``sumsq_1m/1h/1d`` power-sum tiers in the
+        catalog, see ``operators/rollup.py:build_sumsq_tiers``) opts
+        ``stddev()`` into tier serving: a stddev-bearing statement is
+        answered entirely from the power sums — stddev from
+        ``(n·S2−S1²)/(n·(n−1))`` and any companion count/sum/mean/min/max/
+        spread from the same rows (integer-cent exact, so companions may
+        differ from the float rollup path in final ulps; both are
+        deterministic).  A statement whose range needs the real-time raw
+        tail falls back to the raw path instead — mixing a float tail into
+        integer power sums would forfeit the exactness that justifies the
+        rewrite (TimescaleDB's ``stats_agg`` rollup is the analogue).
         """
         self.tiered[name] = {
             "catalog": catalog,
@@ -1445,6 +1458,7 @@ class InfluxQLEngine:
             "value_field": value_field,
             "hist_bounds": list(hist_bounds) if hist_bounds else None,
             "kmv_item_col": kmv_item_col,
+            "sumsq": bool(sumsq),
         }
 
     def _tiered_answerable(self, stmt: Select) -> bool:
@@ -1470,7 +1484,33 @@ class InfluxQLEngine:
             return False
         allowed = self._TIER_AGGS | (
             {"percentile", "median"} if cfg["hist_bounds"] else set()
-        )
+        ) | ({"stddev"} if cfg.get("sumsq") else set())
+        has_sd = any(c.fname == "stddev" for c in aggish)
+        if has_sd:
+            # A stddev statement is served whole from the power-sum tier:
+            # histogram cells live on a different table, and a float raw
+            # tail can't merge into exact integer power sums — both cases
+            # fall back to the raw path (exact) rather than mix sources.
+            if any(c.fname in ("percentile", "median") for c in aggish):
+                return False
+            if self.tables.get(stmt.measurement) is not None:
+                import datetime as _dt2
+
+                from influxer_spark import query as _qapi
+
+                tier = _qapi.select_tier(w)
+                parts = cfg["catalog"].committed_partitions(f"sumsq_{tier}")
+                if not parts:
+                    return False
+                wm = _dt2.datetime.fromisoformat(max(parts)) + _dt2.timedelta(
+                    days=1
+                )
+                _, hi = self._time_bounds(stmt.where) if stmt.where else (None, None)
+                if hi is None:
+                    return False
+                end = _dt2.datetime.fromisoformat(hi[0])
+                if end > wm:
+                    return False
         for c in aggish:
             if c.fname not in allowed:
                 return False
@@ -1552,7 +1592,6 @@ class InfluxQLEngine:
         end = _dt.datetime.fromisoformat(hi[0]) if hi else None
         tier = _qapi.select_tier(w)
         cat = cfg["catalog"]
-        table = f"rollup_{tier}"
         keys = stmt.group_tags
         agg_calls: dict[tuple, Call] = {}
         for e, _ in stmt.projections:
@@ -1564,6 +1603,10 @@ class InfluxQLEngine:
         has_hist = any(
             c.fname in ("percentile", "median") for c in agg_calls.values()
         )
+        has_sd = any(c.fname == "stddev" for c in agg_calls.values())
+        # stddev routes to the power-sum tables (exact integer S1/S2);
+        # everything else keeps the float rollup tables untouched
+        table = f"sumsq_{tier}" if has_sd else f"rollup_{tier}"
 
         # STITCHED mixed-granularity rewrite (query.read_rollup_stitched's
         # routing surfaced through the front-end): when the width divides no
@@ -1576,7 +1619,7 @@ class InfluxQLEngine:
         # (tiers committed unevenly) raises inside stitch_tier_frames and
         # falls back to the single-tier path.
         df = None
-        if not has_hist and (
+        if not has_hist and not has_sd and (
             (tier == "1m" and w > 3600) or (tier == "1h" and w > 86400)
         ):
             try:
@@ -1623,7 +1666,7 @@ class InfluxQLEngine:
         # exist only in materialized tiers).
         raw = self.tables.get(stmt.measurement)
         wm = _qapi.tier_watermark(cat, tier)
-        if raw is not None and not has_hist and (
+        if raw is not None and not has_hist and not has_sd and (
             wm is None or end is None or end > wm
         ):
             tail = raw
@@ -1650,14 +1693,31 @@ class InfluxQLEngine:
         if df is None:
             raise InfluxQLError(f"no committed {table} partitions in range")
         aliases = {k: f"_a{i}" for i, k in enumerate(agg_calls)}
-        combine = {
-            "count": F.sum("cnt").cast("long"),
-            "sum": F.sum("sum_v"),
-            "mean": F.sum("sum_v") / F.sum("cnt"),
-            "min": F.min("min_v"),
-            "max": F.max("max_v"),
-            "spread": F.max("max_v") - F.min("min_v"),
-        }
+        if has_sd:
+            # power-sum frame: every answer derives from exact BIGINTs
+            # (rollup.with_stddev's math, inlined over the re-grouped sums)
+            _n, _s1, _s2 = F.sum("cnt"), F.sum("s1"), F.sum("s2")
+            _var_c2 = (_n * _s2 - _s1 * _s1).cast("double") / (
+                _n * (_n - F.lit(1))
+            )
+            combine = {
+                "count": _n.cast("long"),
+                "sum": _s1.cast("double") / 100.0,
+                "mean": _s1.cast("double") / _n / 100.0,
+                "min": F.min("min_v"),
+                "max": F.max("max_v"),
+                "spread": F.max("max_v") - F.min("min_v"),
+                "stddev": F.when(_n > 1, F.sqrt(_var_c2) / F.lit(100.0)),
+            }
+        else:
+            combine = {
+                "count": F.sum("cnt").cast("long"),
+                "sum": F.sum("sum_v"),
+                "mean": F.sum("sum_v") / F.sum("cnt"),
+                "min": F.min("min_v"),
+                "max": F.max("max_v"),
+                "spread": F.max("max_v") - F.min("min_v"),
+            }
         hist_calls = {
             k: c for k, c in agg_calls.items()
             if c.fname in ("percentile", "median")

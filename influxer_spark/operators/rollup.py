@@ -297,6 +297,49 @@ def with_stddev(rolled: DataFrame) -> DataFrame:
     )
 
 
+def build_sumsq_tiers(
+    spark,
+    catalog,
+    df: DataFrame,
+    ts_col: str,
+    key_cols: Sequence[str],
+    value_col: str,
+) -> list[str]:
+    """Materialize ``sumsq_1m/1h/1d`` power-sum tiers in the catalog
+    (per-day partitions, wave commit — same layout as the rollup tiers),
+    coarser tiers CASCADED so only the 1m build touches raw points.  Kept
+    as separate tables, like ``kmv_*``/``hdr_*``, so opting a catalog into
+    tier-served stddev never perturbs the committed rollup schema.  Build
+    inputs are pinned as table properties for maintenance rebuilds.
+    Returns the committed day list."""
+    keys = list(key_cols)
+    t1m = rollup_with_sumsq(df, ts_col, keys, value_col, "1m").withColumn(
+        "day", F.date_format("bucket", "yyyy-MM-dd")
+    )
+    t1m.persist()
+    try:
+        days = [r["day"] for r in t1m.select("day").distinct().collect()]
+        catalog.write_partitions(t1m, "sumsq_1m", days)
+        t1h = cascade_with_sumsq(t1m.drop("day"), keys, "1h").withColumn(
+            "day", F.date_format("bucket", "yyyy-MM-dd")
+        )
+        t1h.persist()
+        try:
+            catalog.write_partitions(t1h, "sumsq_1h", days)
+            t1d = cascade_with_sumsq(t1h.drop("day"), keys, "1d").withColumn(
+                "day", F.date_format("bucket", "yyyy-MM-dd")
+            )
+            catalog.write_partitions(t1d, "sumsq_1d", days)
+        finally:
+            t1h.unpersist()
+    finally:
+        t1m.unpersist()
+    for t in ("sumsq_1m", "sumsq_1h", "sumsq_1d"):
+        catalog.set_table_property(t, "sumsq_value_col", value_col)
+        catalog.set_table_property(t, "sumsq_key_cols", keys)
+    return sorted(days)
+
+
 def salted_rollup(
     df: DataFrame,
     ts_col: str,

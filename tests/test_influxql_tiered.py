@@ -391,3 +391,80 @@ def test_stitched_49h_uses_day_tier(built):
     assert got == want
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "rollup_1d" in plan
+
+
+# --- stddev served from power-sum tiers (rollup.build_sumsq_tiers) ---
+
+
+@pytest.fixture(scope="module")
+def built_sumsq(built, spark):
+    from influxer_spark.operators.rollup import build_sumsq_tiers
+
+    points, cat = built
+    if not cat.committed_partitions("sumsq_1h"):
+        build_sumsq_tiers(spark, cat, points, "warc_ts", ["url", "metric"], "value")
+    raw = InfluxQLEngine({"pages": points}, ts_col="warc_ts")
+    tiered = InfluxQLEngine({"pages": points}, ts_col="warc_ts")
+    tiered.register_tiered("pages", cat, key_cols=("url", "metric"), sumsq=True)
+    return points, cat, raw, tiered
+
+
+def _sd_query(cat):
+    days = sorted(cat.committed_partitions("sumsq_1h"))
+    return (
+        f"SELECT stddev(value) AS sd, mean(value) AS m, count(value) AS n "
+        f"FROM pages WHERE time >= '{days[0]}' AND time < '{days[-1]}' "
+        "AND metric = 'n_tokens' GROUP BY time(4h), metric"
+    )
+
+
+def test_stddev_served_from_sumsq_tier(built_sumsq):
+    """stddev() on a sumsq-registered measurement is answered from the
+    power-sum tables (plan-asserted) and matches the raw recompute to fp
+    tolerance on integer-valued metrics (cents quantization is lossless
+    there; only float-accumulation order differs)."""
+    import math
+
+    points, cat, raw, tiered = built_sumsq
+    q = _sd_query(cat)
+    df = tiered.execute(q)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "sumsq_1h" in plan and "rollup_1h" not in plan
+    got = {tuple(r[:2]): r[2:] for r in df.collect()}
+    want = {tuple(r[:2]): r[2:] for r in raw.execute(q).collect()}
+    assert got.keys() == want.keys() and len(got) > 5
+    for k in got:
+        assert got[k][2] == want[k][2]  # counts exact
+        for a, b in zip(got[k][:2], want[k][:2]):
+            if b is None:
+                assert a is None
+            else:
+                assert math.isclose(a, b, rel_tol=1e-9)
+
+
+def test_stddev_without_sumsq_flag_falls_back_to_raw(built_sumsq):
+    """Without the sumsq opt-in the same statement must keep its exact
+    raw-path answer (and never touch the power-sum tables)."""
+    points, cat, raw, _ = built_sumsq
+    plain = InfluxQLEngine({"pages": points}, ts_col="warc_ts")
+    plain.register_tiered("pages", cat, key_cols=("url", "metric"))
+    q = _sd_query(cat)
+    df = plain.execute(q)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "sumsq" not in plan
+    assert df.collect() == raw.execute(q).collect()
+
+
+def test_stddev_past_watermark_falls_back_to_raw(built_sumsq):
+    """A stddev range past the committed power sums can't be served by
+    bolting a float raw tail onto integer S1/S2 — the statement must fall
+    back to the raw path whole (same shape as the hist-tier fallbacks)."""
+    points, cat, raw, tiered = built_sumsq
+    q = (
+        "SELECT stddev(value) AS sd FROM pages "
+        "WHERE metric = 'n_tokens' GROUP BY time(4h), metric"
+    )
+    df = tiered.execute(q)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "sumsq" not in plan
+    assert df.collect() == raw.execute(q).collect()
