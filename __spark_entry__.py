@@ -809,6 +809,71 @@ def _q_twa_1h_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TW.twa_value(t1h).select("event_type", "bucket", "area", "dur", "twa")
 
 
+def _q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-set ALGEBRA from sketches alone (Beyer et al. 2007): for
+    every pair of event types per day, |A∪B|, |A∩B| and Jaccard of their
+    user sets, computed purely from the per-series k=64 KMV sketches —
+    CASCADED from hourly sketches, so the oracle (which builds the daily
+    k-min sets directly from raw and replays the same estimators in SQL)
+    proves lossless merge AND bit-exact set arithmetic in one row."""
+    from influxer_spark.operators import kmv as KMV
+
+    ev = _t(spark, sf_dir, "events")
+    h1 = KMV.kmv_sketch(ev, "ts", ["event_type"], "user_id", "1h", k=64)
+    d1 = KMV.kmv_cascade(h1, ["event_type"], "1d", k=64)
+    return KMV.kmv_set_estimates(d1, "event_type", k=64)
+
+
+_KMV_SET_OPS_ORACLE = """
+WITH h AS (
+  SELECT DISTINCT date_trunc('day', ts) AS bucket, event_type,
+         CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS hv
+  FROM events
+), s AS (
+  SELECT bucket, event_type, hv FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY bucket, event_type ORDER BY hv) AS rn
+    FROM h
+  ) WHERE rn <= 64
+), pairs AS (
+  SELECT s1.bucket, s1.event_type AS g1, s2.event_type AS g2
+  FROM (SELECT DISTINCT bucket, event_type FROM s) s1
+  JOIN (SELECT DISTINCT bucket, event_type FROM s) s2
+    ON s1.bucket = s2.bucket AND s1.event_type < s2.event_type
+), u AS (
+  SELECT p.bucket, p.g1, p.g2, s.hv,
+         max(CASE WHEN s.event_type = p.g1 THEN 1 ELSE 0 END) AS in_a,
+         max(CASE WHEN s.event_type = p.g2 THEN 1 ELSE 0 END) AS in_b
+  FROM pairs p JOIN s
+    ON s.bucket = p.bucket AND s.event_type IN (p.g1, p.g2)
+  GROUP BY 1, 2, 3, 4
+), r AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY bucket, g1, g2 ORDER BY hv) AS rn,
+         count(*) OVER (PARTITION BY bucket, g1, g2) AS n_cand
+  FROM u
+), agg AS (
+  SELECT bucket, g1, g2,
+    LEAST(max(n_cand), 64) AS union_size,
+    CASE WHEN max(n_cand) < 64 THEN CAST(max(n_cand) AS DOUBLE)
+         ELSE 63.0 * 1152921504606846976.0
+              / CAST(max(CASE WHEN rn = 64 THEN hv END) AS DOUBLE)
+    END AS est_u,
+    CAST(sum(CASE WHEN rn <= 64 AND in_a = 1 AND in_b = 1
+                  THEN 1 ELSE 0 END) AS DOUBLE)
+      / LEAST(max(n_cand), 64) AS rho
+  FROM r GROUP BY 1, 2, 3
+)
+SELECT bucket, g1, g2,
+  CAST(union_size AS BIGINT) AS union_sketch_size,
+  CAST(round(est_u * 10000, 0) AS BIGINT) / 10000.0 AS est_union,
+  CAST(round(rho * est_u * 10000, 0) AS BIGINT) / 10000.0 AS est_intersection,
+  CAST(round(rho * 10000, 0) AS BIGINT) / 10000.0 AS jaccard
+FROM agg
+"""
+
+
 def _q_tier_stddev_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable variance/stddev tiers: the 1m tier carries the two exact
     power sums (Σ cents, Σ cents²) and the 1h tier is their integer
@@ -1306,6 +1371,7 @@ _WINDOW_PRIORITY = [
     "hdr_tier_read_4h",
     "stream_twa_replay_1h",
     "tier_stddev_1h",
+    "kmv_set_ops_1d",
 ]
 
 # Rows-only queries (genuinely non-SQL-expressible internals) — always last.
@@ -1344,6 +1410,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "twa_1h_cascade": _q_twa_1h_cascade,
         "stream_twa_replay_1h": _q_stream_twa_replay,
         "tier_stddev_1h": _q_tier_stddev_1h,
+        "kmv_set_ops_1d": _q_kmv_set_ops,
         "hdr_quantile_1h": _q_hdr_quantile_1h,
         "stream_hdr_replay_1h": _q_stream_hdr_replay,
         "hdr_tier_read_4h": _q_hdr_tier_read_4h,
@@ -1442,6 +1509,7 @@ def oracle_sql() -> dict[str, str]:
         "twa_1h_cascade": _TWA_1H_ORACLE,
         "stream_twa_replay_1h": _TWA_1H_ORACLE,
         "tier_stddev_1h": _TIER_STDDEV_ORACLE,
+        "kmv_set_ops_1d": _KMV_SET_OPS_ORACLE,
         "hdr_quantile_1h": _HDR_QUANTILE_ORACLE,
         "stream_hdr_replay_1h": _HDR_QUANTILE_ORACLE,
         "hdr_tier_read_4h": _HDR_TIER_4H_ORACLE,

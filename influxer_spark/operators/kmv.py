@@ -128,6 +128,69 @@ def kmv_estimate(
     )
 
 
+def kmv_set_estimates(
+    summary: DataFrame,
+    group_col: str,
+    key_cols: Sequence[str] = (),
+    k: int = DEFAULT_K,
+) -> DataFrame:
+    """Distinct-set ALGEBRA from the sketches alone (Beyer et al. 2007,
+    "On synopses for distinct-value estimation under multiset
+    operations"): for every unordered pair of ``group_col`` values within
+    a (bucket, *key_cols) cell, estimate |A∪B|, |A∩B| and the Jaccard
+    similarity — e.g. "how many users do two event types share, per day"
+    — without ever re-touching raw data.
+
+    Method: the pair's union sketch L is the k smallest of the two k-min
+    sets (lossless, same argument as the cascade); ``est_union`` is the
+    standard KMV estimator on L (exact when the candidate union is
+    smaller than k, i.e. both sketches were complete value sets);
+    ``jaccard`` is the fraction ρ of L's hashes present in BOTH input
+    sketches (L is a uniform random sample of A∪B, ρ its intersection
+    share); ``est_intersection`` = ρ · est_union.  All arithmetic is
+    deterministic IEEE on exact integers, so a DuckDB replay of the same
+    k-min sets matches bit-for-bit (estimates quantized to 1e-4 like
+    :func:`kmv_estimate`).
+
+    Scale: a self-join of SKETCH rows (≤ k bigints each) on
+    (bucket, *key_cols) with ``g1 < g2`` — O(series²) pairs per bucket of
+    array math on ≤ 2k elements, never a raw-data join.  Callers bound
+    the series set per cell (it is a cross-SERIES analysis op, like
+    ``decompose.series_corr``); an unbounded tag would need a top-N
+    pre-filter first.
+    """
+    keys = list(key_cols)
+    a = summary.select(
+        "bucket", *keys,
+        F.col(group_col).alias("g1"), F.col("hashes").alias("_ha"),
+    )
+    b = summary.select(
+        "bucket", *keys,
+        F.col(group_col).alias("g2"), F.col("hashes").alias("_hb"),
+    )
+    paired = a.join(b, on=["bucket", *keys]).filter(F.col("g1") < F.col("g2"))
+    cand = F.sort_array(F.array_union("_ha", "_hb"))
+    n_cand = F.size(cand)
+    union_sk = F.slice(cand, 1, k)
+    union_size = F.least(n_cand, F.lit(k))
+    kth = F.element_at(union_sk, k).cast("double")
+    est_union = F.when(n_cand < k, n_cand.cast("double")).otherwise(
+        F.lit(float(k - 1) * _HASH_SPACE) / kth
+    )
+    shared_in_l = F.size(
+        F.array_intersect(union_sk, F.array_intersect("_ha", "_hb"))
+    )
+    rho = shared_in_l.cast("double") / union_size
+    q4 = lambda c: F.round(c * 10000, 0).cast("long") / 10000.0  # noqa: E731
+    return paired.select(
+        "bucket", *keys, "g1", "g2",
+        union_size.cast("long").alias("union_sketch_size"),
+        q4(est_union).alias("est_union"),
+        q4(rho * est_union).alias("est_intersection"),
+        q4(rho).alias("jaccard"),
+    )
+
+
 def kmv_rebucket(
     summary: DataFrame,
     key_cols: Sequence[str],

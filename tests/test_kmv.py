@@ -168,3 +168,48 @@ def test_kmv_tiers_serve_any_width_exactly(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="kmv_k"):
         read_distinct(spark, cat, 4 * 3600, key_cols=("event_type",), k=64)
+
+
+def test_set_estimates_exact_below_k(spark):
+    """When both sketches are complete value sets (< k distinct), the
+    union/intersection estimates ARE the true set sizes and jaccard the
+    true ratio — the 'exact below capacity' property the estimator
+    inherits from kmv_estimate."""
+    rows = (
+        [(T0, "a", u) for u in range(20)]            # A = {0..19}
+        + [(T0, "b", u) for u in range(10, 40)]      # B = {10..39}
+        + [(T0, "c", u) for u in range(100, 105)]    # C disjoint from A
+    )
+    df = spark.createDataFrame(rows, ["ts", "event_type", "user_id"])
+    sk = KMV.kmv_sketch(df, "ts", ["event_type"], "user_id", "1d", k=64)
+    got = {
+        (r["g1"], r["g2"]): (
+            r["union_sketch_size"], r["est_union"],
+            r["est_intersection"], r["jaccard"],
+        )
+        for r in KMV.kmv_set_estimates(sk, "event_type", k=64).collect()
+    }
+    assert got[("a", "b")] == (40, 40.0, 10.0, 0.25)
+    assert got[("a", "c")] == (25, 25.0, 0.0, 0.0)
+    assert got[("b", "c")] == (35, 35.0, 0.0, 0.0)
+
+
+def test_set_estimates_track_truth_above_k(spark):
+    """Above capacity the pair estimates stay within the KMV error regime
+    (k=256 → σ ≈ 1/√k ≈ 6%; assert a loose 25% to stay variance-proof)
+    against the true union/intersection of scattered id sets."""
+    import random
+
+    rng = random.Random(11)
+    a_ids = {rng.randrange(10**9) for _ in range(4000)}
+    b_ids = set(rng.sample(sorted(a_ids), 1500)) | {
+        rng.randrange(10**9) for _ in range(2500)
+    }
+    rows = [(T0, "a", u) for u in a_ids] + [(T0, "b", u) for u in b_ids]
+    df = spark.createDataFrame(rows, ["ts", "event_type", "user_id"])
+    sk = KMV.kmv_sketch(df, "ts", ["event_type"], "user_id", "1d", k=256)
+    r = KMV.kmv_set_estimates(sk, "event_type", k=256).collect()[0]
+    true_union = len(a_ids | b_ids)
+    true_inter = len(a_ids & b_ids)
+    assert abs(r["est_union"] - true_union) / true_union < 0.25
+    assert abs(r["est_intersection"] - true_inter) / true_inter < 0.25
