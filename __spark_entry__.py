@@ -874,6 +874,66 @@ FROM agg
 """
 
 
+def _q_tvd_drift_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day distribution drift per series from the HDR sketch
+    tiers alone: total-variation distance between consecutive days'
+    counter vectors (operators/hdrsketch.py:hdr_tvd_drift).  The 1d
+    sketches are CASCADED from hourly ones, and the numerator
+    Σ|oᵢ·m − qᵢ·n| is exact BIGINT math, so the oracle — which rebuilds
+    the daily vectors from raw and replays the same integer arithmetic —
+    is bit-exact, proving cascade and drift statistic together.  TVD is
+    chosen over PSI/KL precisely because it NEEDS no per-bucket ln."""
+    from influxer_spark.operators import hdrsketch as H
+
+    ev = _t(spark, sf_dir, "events")
+    h1 = H.hdr_rollup(ev, "ts", ["event_type"], "value", "1h")
+    d1 = H.hdr_cascade(h1, ["event_type"], "1d")
+    return H.hdr_tvd_drift(d1, ["event_type"], 86400)
+
+
+_TVD_DRIFT_ORACLE = """
+WITH p AS (
+  SELECT event_type,
+         make_timestamp((CAST(floor(epoch(ts)) AS BIGINT)
+           - CAST(floor(epoch(ts)) AS BIGINT) % 86400) * 1000000) AS bucket,
+         greatest(CAST(round(value*100,0) AS BIGINT), 1) AS v
+  FROM events
+), i AS (
+  SELECT event_type, bucket,
+         (CAST(length(bin(v))-1 AS BIGINT))*32
+           + ((v*32) >> CAST(length(bin(v))-1 AS BIGINT)) - 32 AS idx
+  FROM p
+), s AS (
+  SELECT event_type, bucket, idx, count(*) AS cnt FROM i GROUP BY 1,2,3
+), t AS (
+  SELECT event_type, bucket, CAST(sum(cnt) AS BIGINT) AS n
+  FROM s GROUP BY 1,2
+), pair AS (
+  SELECT c.event_type, c.bucket, c.n, pv.n AS m
+  FROM t c JOIN t pv
+    ON pv.event_type = c.event_type
+   AND pv.bucket + INTERVAL 1 DAY = c.bucket
+), f AS (
+  SELECT coalesce(c.event_type, q.event_type) AS event_type,
+         coalesce(c.bucket, q.bucket) AS bucket,
+         coalesce(c.cnt, 0) AS o, coalesce(q.cnt, 0) AS q
+  FROM s c FULL JOIN (
+    SELECT event_type, bucket + INTERVAL 1 DAY AS bucket, idx, cnt FROM s
+  ) q ON c.event_type = q.event_type AND c.bucket = q.bucket
+     AND c.idx = q.idx
+), g AS (
+  SELECT f.event_type, f.bucket, pair.n, pair.m,
+         CAST(sum(abs(o*m - q*n)) AS BIGINT) AS num
+  FROM f JOIN pair
+    ON pair.event_type = f.event_type AND pair.bucket = f.bucket
+  GROUP BY 1, 2, 3, 4
+)
+SELECT event_type, bucket, n AS n_cur, m AS n_prev,
+       CAST(num AS DOUBLE) / (2.0 * n * m) AS tvd
+FROM g
+"""
+
+
 def _q_tier_stddev_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable variance/stddev tiers: the 1m tier carries the two exact
     power sums (Σ cents, Σ cents²) and the 1h tier is their integer
@@ -1372,6 +1432,7 @@ _WINDOW_PRIORITY = [
     "stream_twa_replay_1h",
     "tier_stddev_1h",
     "kmv_set_ops_1d",
+    "tvd_drift_daily",
 ]
 
 # Rows-only queries (genuinely non-SQL-expressible internals) — always last.
@@ -1411,6 +1472,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_twa_replay_1h": _q_stream_twa_replay,
         "tier_stddev_1h": _q_tier_stddev_1h,
         "kmv_set_ops_1d": _q_kmv_set_ops,
+        "tvd_drift_daily": _q_tvd_drift_daily,
         "hdr_quantile_1h": _q_hdr_quantile_1h,
         "stream_hdr_replay_1h": _q_stream_hdr_replay,
         "hdr_tier_read_4h": _q_hdr_tier_read_4h,
@@ -1510,6 +1572,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_twa_replay_1h": _TWA_1H_ORACLE,
         "tier_stddev_1h": _TIER_STDDEV_ORACLE,
         "kmv_set_ops_1d": _KMV_SET_OPS_ORACLE,
+        "tvd_drift_daily": _TVD_DRIFT_ORACLE,
         "hdr_quantile_1h": _HDR_QUANTILE_ORACLE,
         "stream_hdr_replay_1h": _HDR_QUANTILE_ORACLE,
         "hdr_tier_read_4h": _HDR_TIER_4H_ORACLE,

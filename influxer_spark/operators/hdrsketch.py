@@ -205,3 +205,76 @@ def build_hdr_tiers(
         catalog.set_table_property(t, "hdr_value_col", value_col)
         catalog.set_table_property(t, "hdr_key_cols", keys)
     return sorted(days)
+
+
+def hdr_tvd_drift(
+    sketch: DataFrame,
+    key_cols: Sequence[str],
+    step_seconds: int = 86400,
+) -> DataFrame:
+    """Distribution DRIFT between consecutive buckets, from the sketch
+    tiers alone: the total-variation distance TVD(P,Q) = ½·Σᵢ|pᵢ−qᵢ|
+    between each bucket's value distribution and the previous bucket's
+    (``step_seconds`` earlier), per series.  This is the data-quality
+    monitor a training pipeline runs per crawl day — "did the corpus
+    composition shift?" — at sketch-row cost, never re-scanning raw.
+
+    Why TVD and not PSI/KL: with integer counters oᵢ (current, total n)
+    and qᵢ (previous, total m),
+
+        TVD = Σᵢ |oᵢ·m − qᵢ·n| / (2·n·m)
+
+    has an EXACT BIGINT numerator (sum order irrelevant) and one final
+    float division — bit-identical across engines, where PSI/KL's per-
+    bucket ``ln`` would drift in the last ulp.  Overflow: oᵢ·m ≤ n·m
+    needs n·m < 2⁶³, i.e. up to ~3·10⁹ points per (series, bucket) —
+    beyond that switch the numerator to DECIMAL(38,0).
+
+    Output: (keys…, bucket, n_cur, n_prev, tvd) — one row per bucket
+    that HAS a predecessor (inner join; drift is undefined against an
+    empty window).  TVD ∈ [0, 1]: 0 = identical distributions, 1 =
+    disjoint supports.
+    """
+    keys = list(key_cols)
+    totals = sketch.groupBy(*keys, "bucket").agg(F.sum("cnt").alias("n"))
+    pair = (
+        totals.alias("c")
+        .join(
+            totals.select(
+                *keys,
+                (F.col("bucket") + F.expr(f"INTERVAL {step_seconds} SECOND"))
+                .alias("bucket"),
+                F.col("n").alias("m"),
+            ).alias("p"),
+            on=[*keys, "bucket"],
+        )
+    )
+    cur = sketch.select(*keys, "bucket", "idx", F.col("cnt").alias("o"))
+    prev = sketch.select(
+        *keys,
+        (F.col("bucket") + F.expr(f"INTERVAL {step_seconds} SECOND")).alias(
+            "bucket"
+        ),
+        "idx",
+        F.col("cnt").alias("q"),
+    )
+    cells = (
+        cur.join(prev, on=[*keys, "bucket", "idx"], how="full")
+        .fillna(0, subset=["o", "q"])
+        .join(pair, on=[*keys, "bucket"])  # inner: both buckets exist
+    )
+    num = F.sum(F.abs(F.col("o") * F.col("m") - F.col("q") * F.col("n")))
+    return (
+        cells.groupBy(*keys, "bucket", "n", "m")
+        .agg(num.alias("_num"))
+        .select(
+            *keys,
+            "bucket",
+            F.col("n").alias("n_cur"),
+            F.col("m").alias("n_prev"),
+            (
+                F.col("_num").cast("double")
+                / (2.0 * F.col("n") * F.col("m"))
+            ).alias("tvd"),
+        )
+    )

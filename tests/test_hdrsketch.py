@@ -140,3 +140,48 @@ def test_tier_read_matches_direct_build(spark, sf_dir, tmp_path):
         )
     with pytest.raises(ValueError, match="hour-multiple"):
         read_percentile(spark, cat, 90, key_cols=("event_type",))
+
+
+def test_tvd_drift_identical_zero_disjoint_one(spark):
+    """TVD pins: a day repeating yesterday's distribution scores 0, a day
+    whose values share no sketch bucket with yesterday scores 1, and a
+    half-moved distribution scores 0.5 — with n_cur/n_prev carried."""
+    import datetime as dt
+
+    d0, d1, d2, d3 = (dt.datetime(2024, 1, 1 + i) for i in range(4))
+    rows = (
+        # day0 == day1 (same multiset, different sizes would still be 0
+        # only for the same PROPORTIONS; keep identical here)
+        [(d0, "a", 1.0)] * 4 + [(d0, "a", 100.0)] * 4
+        + [(d1, "a", 1.0)] * 4 + [(d1, "a", 100.0)] * 4
+        # day2: disjoint support vs day1
+        + [(d2, "a", 10000.0)] * 8
+        # day3: half stays at day2's bucket, half moves far away
+        + [(d3, "a", 10000.0)] * 4 + [(d3, "a", 1.0)] * 4
+    )
+    df = spark.createDataFrame(rows, ["ts", "event_type", "value"])
+    sk = H.hdr_rollup(df, "ts", ["event_type"], "value", "1d")
+    got = {
+        r["bucket"].day: (r["n_cur"], r["n_prev"], r["tvd"])
+        for r in H.hdr_tvd_drift(sk, ["event_type"], 86400).collect()
+    }
+    assert got[2] == (8, 8, 0.0)
+    assert got[3] == (8, 8, 1.0)
+    assert got[4] == (8, 8, 0.5)
+    assert 1 not in got  # first day has no predecessor
+
+
+def test_tvd_drift_uneven_totals_exact_value(spark):
+    """Hand-computed TVD with UNEQUAL day sizes: P = (3/4, 1/4) vs
+    Q = (1/2, 1/2) → ½(|3/4−1/2| + |1/4−1/2|) = 1/4, exactly."""
+    import datetime as dt
+
+    d0, d1 = dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 2)
+    rows = (
+        [(d0, "a", 1.0)] * 2 + [(d0, "a", 100.0)] * 2
+        + [(d1, "a", 1.0)] * 6 + [(d1, "a", 100.0)] * 2
+    )
+    df = spark.createDataFrame(rows, ["ts", "event_type", "value"])
+    sk = H.hdr_rollup(df, "ts", ["event_type"], "value", "1d")
+    (r,) = H.hdr_tvd_drift(sk, ["event_type"], 86400).collect()
+    assert (r["n_cur"], r["n_prev"], r["tvd"]) == (8, 4, 0.25)
