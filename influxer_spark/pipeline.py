@@ -448,11 +448,28 @@ def refresh_pipeline(
                         catalog.table_property("hdr_1h", "hdr_sub_bits")
                     ),
                 )
+        # Power-sum (variance/stddev) tiers: same pinned-input contract —
+        # stale S1/S2 for a recomputed day would silently skew tier-served
+        # stddev, so they rebuild with the wave.
+        if catalog.exists("sumsq_1m"):
+            vcol = catalog.table_property("sumsq_1m", "sumsq_value_col")
+            skeys = catalog.table_property("sumsq_1m", "sumsq_key_cols")
+            if vcol and skeys:
+                from influxer_spark.extract import pages_to_points
+                from influxer_spark.operators.rollup import build_sumsq_tiers
+
+                wide = catalog.read_partitions_with_key(
+                    spark, "raw_points", recompute
+                ).drop("p")
+                build_sumsq_tiers(
+                    spark, catalog, pages_to_points(wide), "warc_ts",
+                    list(skeys), vcol,
+                )
     for day in orphaned:
         for table in (
             "raw_points", "rollup_1m", "rollup_1m_gorilla",
             "rollup_1h", "rollup_1d", "kmv_1h", "kmv_1d",
-            "hdr_1h", "hdr_1d",
+            "hdr_1h", "hdr_1d", "sumsq_1m", "sumsq_1h", "sumsq_1d",
         ):
             catalog.drop_partition(
                 table, day, reason="refresh: source rows all deleted"

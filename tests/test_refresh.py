@@ -296,3 +296,52 @@ def test_refresh_rebuilds_hdr_sketch_tiers(spark, tmp_path):
         )
 
     assert _sketches(cat) == _sketches(fresh)
+
+
+def test_refresh_rebuilds_sumsq_tiers(spark, tmp_path):
+    """Power-sum (variance/stddev) tiers must be rebuilt for refreshed
+    days — stale S1/S2 would silently skew tier-served stddev.  The sums
+    are exact BIGINTs, so refreshed == from-scratch bit-for-bit."""
+    from influxer_spark.datagen import generate_pages
+    from influxer_spark.extract import (
+        pages_to_points,
+        with_crawl_metrics,
+        with_extracted,
+    )
+    from influxer_spark.operators.rollup import build_sumsq_tiers
+    from influxer_spark.pipeline import refresh_pipeline, run_pipeline
+
+    src = str(tmp_path / "pg")
+    generate_pages(src, n_rows=700, seed=63, days=2)
+    late = generate_pages(str(tmp_path / "late"), n_rows=300, seed=64, days=2)
+
+    def _points(path):
+        return pages_to_points(
+            with_crawl_metrics(with_extracted(spark.read.parquet(path)))
+        )
+
+    root = str(tmp_path / "cat")
+    run_pipeline(spark, src, root, encode_gorilla=False)
+    cat = TableCatalog(root)
+    build_sumsq_tiers(spark, cat, _points(src), "warc_ts", ["metric"], "value")
+
+    shutil.copy(late, f"{src}/late.parquet")
+    res = refresh_pipeline(spark, src, root)
+    assert res.days_processed
+
+    fresh_root = str(tmp_path / "fresh")
+    run_pipeline(spark, src, fresh_root, encode_gorilla=False)
+    fresh = TableCatalog(fresh_root)
+    build_sumsq_tiers(
+        spark, fresh, _points(src), "warc_ts", ["metric"], "value"
+    )
+
+    def _sums(c):
+        return sorted(
+            (r["bucket"], r["metric"], r["cnt"], r["s1"], r["s2"])
+            for r in c.read(spark, "sumsq_1d").select(
+                "bucket", "metric", "cnt", "s1", "s2"
+            ).collect()
+        )
+
+    assert _sums(cat) == _sums(fresh)
