@@ -874,6 +874,32 @@ FROM agg
 """
 
 
+def _q_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PROVABLY exact top-5 users per event type via the candidate-then-
+    verify pattern (operators/heavyhitters.py:topk_exact): per-partition
+    Misra-Gries summaries (no full-cardinality shuffle) nominate
+    candidates, one broadcast semi-join recounts only those exactly, and
+    the k-th-count-exceeds-undercount-bound proof is asserted at runtime
+    — the answer is either exact or a loud failure, never silently
+    approximate.  The oracle is the plain exact top-k SQL, so the gate
+    row proves the two-pass answer IS the exact answer."""
+    from influxer_spark.operators.heavyhitters import topk_exact
+
+    ev = _t(spark, sf_dir, "events")
+    return topk_exact(ev, ["event_type"], "user_id", 5, capacity=8192)
+
+
+_TOPK_EXACT_ORACLE = """
+SELECT event_type, rank, item, cnt FROM (
+  SELECT event_type, user_id AS item, count(*) AS cnt,
+         row_number() OVER (
+           PARTITION BY event_type
+           ORDER BY count(*) DESC, user_id ASC) AS rank
+  FROM events GROUP BY event_type, user_id
+) WHERE rank <= 5
+"""
+
+
 def _q_tvd_drift_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Day-over-day distribution drift per series from the HDR sketch
     tiers alone: total-variation distance between consecutive days'
@@ -1433,6 +1459,7 @@ _WINDOW_PRIORITY = [
     "tier_stddev_1h",
     "kmv_set_ops_1d",
     "tvd_drift_daily",
+    "topk_exact_users",
 ]
 
 # Rows-only queries (genuinely non-SQL-expressible internals) — always last.
@@ -1473,6 +1500,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tier_stddev_1h": _q_tier_stddev_1h,
         "kmv_set_ops_1d": _q_kmv_set_ops,
         "tvd_drift_daily": _q_tvd_drift_daily,
+        "topk_exact_users": _q_topk_exact,
         "hdr_quantile_1h": _q_hdr_quantile_1h,
         "stream_hdr_replay_1h": _q_stream_hdr_replay,
         "hdr_tier_read_4h": _q_hdr_tier_read_4h,
@@ -1573,6 +1601,7 @@ def oracle_sql() -> dict[str, str]:
         "tier_stddev_1h": _TIER_STDDEV_ORACLE,
         "kmv_set_ops_1d": _KMV_SET_OPS_ORACLE,
         "tvd_drift_daily": _TVD_DRIFT_ORACLE,
+        "topk_exact_users": _TOPK_EXACT_ORACLE,
         "hdr_quantile_1h": _HDR_QUANTILE_ORACLE,
         "stream_hdr_replay_1h": _HDR_QUANTILE_ORACLE,
         "hdr_tier_read_4h": _HDR_TIER_4H_ORACLE,

@@ -176,3 +176,142 @@ def topk_query(summary: DataFrame, key_cols: Sequence[str], k: int) -> DataFrame
         .filter(F.col("_rn") <= k)
         .select("bucket", *key_cols, "item", "cnt", "err", F.col("_rn").alias("rank"))
     )
+
+
+def topk_exact(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    item_col: str,
+    k: int,
+    capacity: int = 4096,
+) -> DataFrame:
+    """PROVABLY exact top-k per series without shuffling the full item
+    cardinality — the candidate-then-verify pattern (MG candidates +
+    exact recount, cf. the two-phase heavy-hitter readouts in Agarwal et
+    al. 2012).
+
+    ``topk_query`` reads lower-bound counts from the MG tiers; this is
+    the complementary EXACT answer for when "probably the top users" is
+    not enough:
+
+    1. Each input partition builds its own Misra-Gries summary of
+       ``capacity`` items per series (``mapInPandas`` — NO shuffle; the
+       trimmed amount is that partition's undercount bound errₚ).
+    2. Any item absent from every partition summary has true count
+       ≤ Σₚ errₚ, so the union of summaries is a candidate superset of
+       the true top-k whenever the k-th true count exceeds that bound.
+    3. Candidates (≤ capacity · partitions rows) are exact-counted with
+       one broadcast semi-join — only matching rows shuffle.
+    4. The proof obligation is CHECKED AT RUNTIME: if the k-th exact
+       candidate count is not strictly greater than Σₚ errₚ (strict,
+       because an uncounted item could tie and win the deterministic
+       item-ascending tie-break), the job fails with a counted message —
+       raise ``capacity``; never a silently wrong answer.
+
+    Output: (*keys, rank, item, cnt) with cnt EXACT — deterministic and
+    partitioning-independent whenever it returns at all.  Memory:
+    O(capacity) per (partition, series) in stage 1, candidate-set-sized
+    frames after.
+    """
+    from pyspark import TaskContext
+    from pyspark.sql import Window
+    from pyspark.sql.types import StructType
+
+    keys = list(key_cols)
+    src = df.select(*keys, F.col(item_col).alias("item"))
+    part_schema = StructType.fromJson(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "pid", "type": "integer", "nullable": False,
+                 "metadata": {}},
+                *[
+                    {"name": f.name, "type": f.dataType.jsonValue(),
+                     "nullable": True, "metadata": {}}
+                    for f in src.schema.fields
+                ],
+                {"name": "cnt", "type": "long", "nullable": False,
+                 "metadata": {}},
+                {"name": "err", "type": "long", "nullable": False,
+                 "metadata": {}},
+            ],
+        }
+    )
+
+    def partial(it):
+        counts: dict[tuple, dict] = {}
+        errs: dict[tuple, int] = {}
+
+        def trim(kv: dict, kk: tuple) -> None:
+            if len(kv) <= capacity:
+                return
+            cut = sorted(kv.values(), reverse=True)[capacity]
+            errs[kk] = errs.get(kk, 0) + cut
+            for item in [i for i, c in kv.items() if c - cut <= 0]:
+                del kv[item]
+            for item in kv:
+                kv[item] -= cut
+
+        for pdf in it:
+            grouped = pdf.groupby([*keys, "item"], dropna=False).size()
+            for idx, c in grouped.items():
+                kk = idx[:-1] if keys else ()
+                kv = counts.setdefault(kk, {})
+                kv[idx[-1] if keys else idx] = (
+                    kv.get(idx[-1] if keys else idx, 0) + int(c)
+                )
+            for kk in list(counts):
+                # amortized bound: trim only when 4x over capacity
+                if len(counts[kk]) > 4 * capacity:
+                    trim(counts[kk], kk)
+        for kk in list(counts):
+            trim(counts[kk], kk)
+        pid = TaskContext.get().partitionId()
+        rows = [
+            (pid, *kk, item, c, errs.get(kk, 0))
+            for kk, kv in counts.items()
+            for item, c in kv.items()
+        ]
+        if rows:  # empty partitions yield nothing (Arrow-safe)
+            yield pd.DataFrame(
+                rows, columns=["pid", *keys, "item", "cnt", "err"]
+            )
+
+    partials = src.mapInPandas(partial, part_schema)
+    total_err = (
+        partials.select("pid", *keys, "err")
+        .distinct()
+        .groupBy(*keys)
+        .agg(F.sum("err").alias("_terr"))
+    )
+    cands = partials.select(*keys, "item").distinct()
+    exact = (
+        src.join(F.broadcast(cands), on=[*keys, "item"])
+        .groupBy(*keys, "item")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy(*[F.col(c) for c in keys] or [F.lit(1)]).orderBy(
+        F.desc("cnt"), F.asc("item")
+    )
+    ranked = exact.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+    topk = (
+        ranked.join(F.broadcast(total_err), on=keys, how="left")
+        if keys
+        else ranked.crossJoin(F.broadcast(total_err))
+    )
+    guard = F.when(
+        (F.col("rank") == k) & (F.col("cnt") <= F.col("_terr")),
+        F.raise_error(
+            F.concat(
+                F.lit("topk_exact: k-th count "), F.col("cnt").cast("string"),
+                F.lit(" does not exceed the MG undercount bound "),
+                F.col("_terr").cast("string"),
+                F.lit(f"; raise capacity (={capacity}) for a provable answer"),
+            )
+        ),
+    ).otherwise(F.col("cnt"))
+    return topk.select(
+        *keys, "rank", "item", guard.alias("cnt")
+    )

@@ -89,3 +89,53 @@ def test_mg_bounds_under_pathological_capacity(spark):
             top_true[bucket] = item
     got_top = {r["bucket"]: r["item"] for r in rows if r["rank"] == 1}
     assert got_top == top_true
+
+
+def test_topk_exact_matches_full_groupby(spark, sf_dir):
+    """topk_exact (MG candidates + broadcast recount + runtime proof)
+    equals the brute-force exact top-k, and is partitioning-independent:
+    different input partitionings nominate different candidate sets but
+    must return the identical proven answer."""
+    import os
+
+    from influxer_spark.operators.heavyhitters import topk_exact
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("cnt"), F.asc("item")
+    )
+    want = sorted(
+        tuple(r)
+        for r in ev.groupBy("event_type", F.col("user_id").alias("item"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 7)
+        .select("event_type", "rank", "item", "cnt")
+        .collect()
+    )
+    for parts in (3, 13):
+        got = sorted(
+            tuple(r)
+            for r in topk_exact(
+                ev.repartition(parts), ["event_type"], "user_id", 7,
+                capacity=8192,
+            ).collect()
+        )
+        assert got == want
+
+
+def test_topk_exact_fails_loud_when_unprovable(spark):
+    """A capacity too small for the distribution must FAIL with the
+    undercount-bound message, never return a silently approximate
+    top-k: uniform counts over many items trim every partition summary,
+    so the k-th count cannot exceed the accumulated bound."""
+    import pytest as _pytest
+
+    from influxer_spark.operators.heavyhitters import topk_exact
+
+    rows = [("a", i % 500) for i in range(5000)]  # uniform: 10 each
+    df = spark.createDataFrame(rows, ["event_type", "user_id"]).repartition(8)
+    with _pytest.raises(Exception, match="undercount bound"):
+        topk_exact(df, ["event_type"], "user_id", 3, capacity=4).collect()
