@@ -874,6 +874,47 @@ FROM agg
 """
 
 
+def _q_centroid_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space segment map: cosine between every pair of label
+    centroids (operators/similarity.py:centroid_cosine).  Components are
+    quantized to integer ticks so the per-(label, position) sums are
+    exact BIGINTs, and the cosine is an ordered fold over positions —
+    the DuckDB oracle replays the identical integer sums and fold, so
+    the row is bit-exact.  With crawl-day groups this is the embedding
+    twin of tvd_drift_daily (corpus drift in representation space)."""
+    from influxer_spark.operators.similarity import centroid_cosine
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return centroid_cosine(emb, "label", "embedding")
+
+
+_CENTROID_COSINE_ORACLE = """
+WITH pos AS (SELECT unnest(range(1, 65)) AS p),
+e AS (
+  SELECT label, p,
+         CAST(round(CAST(embedding[p] AS DOUBLE) * 1000000, 0) AS BIGINT) AS q
+  FROM embeddings, pos
+), s AS (
+  SELECT label, p, CAST(sum(q) AS BIGINT) AS s FROM e GROUP BY 1, 2
+), a AS (
+  SELECT label, list(s ORDER BY p) AS v FROM s GROUP BY label
+), n AS (
+  SELECT label, count(*) AS n FROM embeddings GROUP BY label
+), sides AS (
+  SELECT a.label, a.v, n.n FROM a JOIN n ON a.label = n.label
+)
+SELECT x.label AS g1, y.label AS g2, x.n AS n1, y.n AS n2,
+  list_reduce(list_transform(list_zip(x.v, y.v),
+      t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE)), (acc, v) -> acc + v)
+  / (sqrt(list_reduce(list_transform(list_zip(x.v, x.v),
+      t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE)), (acc, v) -> acc + v))
+   * sqrt(list_reduce(list_transform(list_zip(y.v, y.v),
+      t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE)), (acc, v) -> acc + v)))
+  AS cos
+FROM sides x JOIN sides y ON x.label < y.label
+"""
+
+
 def _q_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PROVABLY exact top-5 users per event type via the candidate-then-
     verify pattern (operators/heavyhitters.py:topk_exact): per-partition
@@ -1460,6 +1501,7 @@ _WINDOW_PRIORITY = [
     "kmv_set_ops_1d",
     "tvd_drift_daily",
     "topk_exact_users",
+    "centroid_cosine_labels",
 ]
 
 # Rows-only queries (genuinely non-SQL-expressible internals) — always last.
@@ -1501,6 +1543,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_set_ops_1d": _q_kmv_set_ops,
         "tvd_drift_daily": _q_tvd_drift_daily,
         "topk_exact_users": _q_topk_exact,
+        "centroid_cosine_labels": _q_centroid_cosine,
         "hdr_quantile_1h": _q_hdr_quantile_1h,
         "stream_hdr_replay_1h": _q_stream_hdr_replay,
         "hdr_tier_read_4h": _q_hdr_tier_read_4h,
@@ -1602,6 +1645,7 @@ def oracle_sql() -> dict[str, str]:
         "kmv_set_ops_1d": _KMV_SET_OPS_ORACLE,
         "tvd_drift_daily": _TVD_DRIFT_ORACLE,
         "topk_exact_users": _TOPK_EXACT_ORACLE,
+        "centroid_cosine_labels": _CENTROID_COSINE_ORACLE,
         "hdr_quantile_1h": _HDR_QUANTILE_ORACLE,
         "stream_hdr_replay_1h": _HDR_QUANTILE_ORACLE,
         "hdr_tier_read_4h": _HDR_TIER_4H_ORACLE,

@@ -575,3 +575,68 @@ def ivf_pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", F.col("rank").cast("int"), "vec_id", "adist")
     )
+
+
+def centroid_cosine(
+    df: DataFrame,
+    group_col: str,
+    vec_col: str,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Embedding-space drift/segment map: cosine similarity between the
+    CENTROIDS of every pair of groups (crawl days, languages, sources,
+    cluster labels) — "did the new shard land where yesterday's corpus
+    lives, or somewhere new?".  Complements the value-distribution drift
+    monitor (``hdrsketch.hdr_tvd_drift``) with its embedding-space twin.
+
+    Determinism discipline: components are quantized to ``scale`` ticks
+    (exact BIGINT, so the per-(group, position) sums are order-free —
+    a float Σ would drift with partial-agg order), and the pair cosine
+    is an ordered left-to-right fold over positions (``dedup.dot_f64``),
+    so a DuckDB replay of the same integer sums matches bit-for-bit.
+    Both the doc count n and ``scale`` cancel in the cosine:
+    cos(Σa/n₁s, Σb/n₂s) = Σ(sa·sb) / (‖sa‖·‖sb‖) on the raw tick sums.
+
+    Scale: posexplode inflates rows ×dim but map-side combine collapses
+    to (groups · dim) partials before the one shuffle; the pair join is
+    over GROUP-level rows (dim-long arrays), broadcastable at any corpus
+    size.  Overflow: |Σ ticks| ≤ n_g · scale · max|component| must stay
+    under 2⁶³ — at scale 10⁶ and unit-normalized components that allows
+    ~9·10¹² docs per group.
+
+    Output: (g1, g2, n1, n2, cos) for every unordered pair, g1 < g2.
+    """
+    from influxer_spark.operators.dedup import dot_f64
+
+    q = F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") * scale, 0).cast("long"),
+    )
+    e = df.select(
+        F.col(group_col).alias("g"), F.posexplode(q).alias("pos", "q")
+    )
+    sums = e.groupBy("g", "pos").agg(F.sum("q").alias("s"))
+    arrs = sums.groupBy("g").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("pos", "s"))),
+            lambda x: x.getField("s"),
+        ).alias("v")
+    )
+    n = df.groupBy(F.col(group_col).alias("g")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    sides = arrs.join(n, "g")
+    x, y = sides.alias("x"), sides.alias("y")
+    dot = dot_f64(F.col("x.v"), F.col("y.v"))
+    nx = F.sqrt(dot_f64(F.col("x.v"), F.col("x.v")))
+    ny = F.sqrt(dot_f64(F.col("y.v"), F.col("y.v")))
+    return (
+        x.join(F.broadcast(y), F.col("x.g") < F.col("y.g"))
+        .select(
+            F.col("x.g").alias("g1"),
+            F.col("y.g").alias("g2"),
+            F.col("x.n").alias("n1"),
+            F.col("y.n").alias("n2"),
+            (dot / (nx * ny)).alias("cos"),
+        )
+    )

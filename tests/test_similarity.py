@@ -253,3 +253,32 @@ def test_ivf_pq_residual_matches_numpy_adc(pq_vecs):
             diff = qres[j * dsub : (j + 1) * dsub] - books[j, cv[j]]
             adist += float((diff * diff).sum())
         assert r["adist"] == pytest.approx(adist, rel=1e-12)
+
+
+def test_centroid_cosine_known_geometry(spark):
+    """Hand-checkable centroid pairs: aligned groups → 1, orthogonal → 0,
+    a 45° pair → √2/2; doc count and quantization scale cancel (a group
+    duplicated 3× keeps every pairwise cosine bit-identical)."""
+    rows = (
+        [("a", [2.0, 0.0]), ("a", [4.0, 0.0])]      # centroid → +x
+        + [("b", [0.0, 1.0]), ("b", [0.0, 3.0])]    # centroid → +y
+        + [("c", [5.0, 5.0])]                        # 45°
+    )
+    df = spark.createDataFrame(rows, ["g", "v"])
+    got = {
+        (r["g1"], r["g2"]): (r["n1"], r["n2"], r["cos"])
+        for r in S.centroid_cosine(df, "g", "v").collect()
+    }
+    assert got[("a", "b")][2] == 0.0
+    assert got[("a", "b")][:2] == (2, 2)
+    assert math.isclose(got[("a", "c")][2], math.sqrt(2) / 2, rel_tol=1e-9)
+    assert math.isclose(got[("b", "c")][2], math.sqrt(2) / 2, rel_tol=1e-9)
+
+    tripled = df.unionByName(df.filter("g = 'a'")).unionByName(
+        df.filter("g = 'a'")
+    )
+    got3 = {
+        (r["g1"], r["g2"]): r["cos"]
+        for r in S.centroid_cosine(tripled, "g", "v").collect()
+    }
+    assert got3 == {k: v[2] for k, v in got.items()}
