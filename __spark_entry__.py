@@ -25,6 +25,7 @@ if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
 from influxer_spark.influxql_queries import (  # noqa: E402
+    _DEADMAN_SQL,
     influxql_oracle_sql,
     influxql_queries,
 )
@@ -874,6 +875,55 @@ FROM agg
 """
 
 
+def _q_stream_deadman_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deadman VALUE-oracled via stop/resume replay: land events
+    as two time-ordered files, drain with TWO availableNow runs against
+    one checkpoint, union the committed gap batches.  The per-key
+    last-bucket state survives the restart, so a gap spanning the cut is
+    emitted exactly once by the reviving batch — and the union must equal
+    the BATCH deadman's interior-gap log (same oracle as ``deadman_1h``:
+    215 real hourly gaps at sf0.01, per-series observed-range spine)."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from influxer_spark.streaming import read_alerts, run_gap_stream
+
+    ev = _t(spark, sf_dir, "events")
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    cut = lo + (hi - lo) / 2
+    root = tempfile.mkdtemp(prefix="stream_deadman_gate_")
+    d = {n: os.path.join(root, n) for n in ("input", "out", "ckpt", "stage")}
+    os.makedirs(d["input"])
+    for name, part in (
+        ("a", ev.filter(F.col("ts") <= cut)),
+        ("b", ev.filter(F.col("ts") > cut)),
+    ):
+        staging = os.path.join(d["stage"], name)
+        part.coalesce(1).write.mode("overwrite").parquet(staging)
+        if name == "a":
+            shutil.copy(
+                glob.glob(os.path.join(staging, "part-*.parquet"))[0],
+                os.path.join(d["input"], "a.parquet"),
+            )
+    run_gap_stream(
+        spark, d["input"], ev.schema, d["out"], d["ckpt"],
+        "event_type", "ts", 3600,
+    )
+    shutil.copy(
+        glob.glob(os.path.join(d["stage"], "b", "part-*.parquet"))[0],
+        os.path.join(d["input"], "b.parquet"),
+    )
+    run_gap_stream(
+        spark, d["input"], ev.schema, d["out"], d["ckpt"],
+        "event_type", "ts", 3600,
+    )
+    return read_alerts(spark, d["out"]).select(
+        F.col("key").alias("event_type"), "bucket", "alert"
+    )
+
+
 def _q_centroid_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space segment map: cosine between every pair of label
     centroids (operators/similarity.py:centroid_cosine).  Components are
@@ -1502,6 +1552,7 @@ _WINDOW_PRIORITY = [
     "tvd_drift_daily",
     "topk_exact_users",
     "centroid_cosine_labels",
+    "stream_deadman_replay",
 ]
 
 # Rows-only queries (genuinely non-SQL-expressible internals) — always last.
@@ -1544,6 +1595,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tvd_drift_daily": _q_tvd_drift_daily,
         "topk_exact_users": _q_topk_exact,
         "centroid_cosine_labels": _q_centroid_cosine,
+        "stream_deadman_replay": _q_stream_deadman_replay,
         "hdr_quantile_1h": _q_hdr_quantile_1h,
         "stream_hdr_replay_1h": _q_stream_hdr_replay,
         "hdr_tier_read_4h": _q_hdr_tier_read_4h,
@@ -1646,6 +1698,8 @@ def oracle_sql() -> dict[str, str]:
         "tvd_drift_daily": _TVD_DRIFT_ORACLE,
         "topk_exact_users": _TOPK_EXACT_ORACLE,
         "centroid_cosine_labels": _CENTROID_COSINE_ORACLE,
+        # streaming replay must reproduce the batch deadman's gap log
+        "stream_deadman_replay": _DEADMAN_SQL,
         "hdr_quantile_1h": _HDR_QUANTILE_ORACLE,
         "stream_hdr_replay_1h": _HDR_QUANTILE_ORACLE,
         "hdr_tier_read_4h": _HDR_TIER_4H_ORACLE,

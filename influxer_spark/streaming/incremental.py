@@ -602,6 +602,33 @@ def run_alert_stream(
     )
 
 
+def run_gap_stream(
+    spark: SparkSession,
+    input_dir: str,
+    schema,
+    out_dir: str,
+    checkpoint_dir: str,
+    key_col: str,
+    ts_col: str,
+    width_seconds: int,
+) -> None:
+    """File-source stream → stateful deadman gap detection → idempotent
+    per-batch dirs.  Same availableNow/checkpoint contract as the alert
+    stream; the per-key ``last_bucket`` state is restored on resume, so a
+    gap spanning the restart is emitted exactly once, by the reviving
+    batch.  Read back with :func:`read_alerts` — every missing bucket
+    appears in exactly one committed batch, so the union is the gap log."""
+    from influxer_spark.streaming.stateful import gap_stream
+
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+    stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    _drain_to_tier(
+        gap_stream(stream, key_col, ts_col, width_seconds),
+        out_dir,
+        checkpoint_dir,
+    )
+
+
 def read_alerts(spark: SparkSession, out_dir: str) -> DataFrame:
     """Union committed alert-edge batches: every transition is emitted in
     exactly one micro-batch (state dedups repeats), so no last-emission

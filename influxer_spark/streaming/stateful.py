@@ -289,3 +289,73 @@ def alert_stream(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def gap_stream(
+    stream_df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    width_seconds: int,
+) -> DataFrame:
+    """Streaming deadman (no-data) detector: per key, emit every
+    ``width_seconds`` bucket in which the series wrote ZERO points — the
+    streaming twin of ``operators.influxql.deadman`` with the default
+    per-series observed-range spine.
+
+    State is the key's last observed bucket (one long), so a gap is
+    detected the moment the series REVIVES: a point at bucket b with
+    checkpointed last bucket b₀ < b−1 emits the missing buckets
+    b₀+1 … b−1 exactly once, including gaps that span a micro-batch or a
+    stop/resume boundary.  Within a batch the observed buckets are
+    deduped and the in-between holes emitted the same way.  The one case
+    state CANNOT see is "dead right now at the stream's end" — an open
+    tail has no reviving point; that is the read-side monitor's job
+    (``deadman`` with pinned ``spine_bounds`` over the tier), exactly as
+    the batch operator documents.  Cross-batch event-time order is the
+    tailing contract shared with the TWA/1m-tier streams.
+
+    Emitted rows: (key, bucket, alert='deadman') — each missing bucket
+    appears in exactly one micro-batch output, so the read side is a
+    plain union of committed batches.
+    """
+
+    def gaps(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        secs = rows[ts_col].astype("datetime64[s]").astype("int64")
+        buckets = np.unique(secs // width_seconds)  # sorted, deduped
+        if not len(buckets):
+            return
+        last = state.get[0] if state.exists else None
+        edges = (
+            np.concatenate(([last], buckets)) if last is not None else buckets
+        )
+        # holes between consecutive observed buckets (vectorized ranges)
+        starts, ends = edges[:-1] + 1, edges[1:]
+        missing = [
+            np.arange(s, e) for s, e in zip(starts, ends) if e > s
+        ]
+        state.update((int(buckets[-1]),))
+        if missing:
+            mb = np.concatenate(missing)
+            yield pd.DataFrame(
+                {
+                    "key": np.repeat(str(key[0]), len(mb)),
+                    "bucket": (mb * width_seconds).astype("datetime64[s]"),
+                    "alert": np.repeat("deadman", len(mb)),
+                }
+            )
+
+    return (
+        stream_df.groupBy(key_col)
+        .applyInPandasWithState(
+            gaps,
+            outputStructType="key string, bucket timestamp, alert string",
+            stateStructType="last_bucket long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -255,3 +255,42 @@ def test_alert_stream_stop_resume_dedups_levels(spark, tmp_path):
     # inside file a) and the WARN continuing into file b were deduped:
     levels = [lv for _, lv, _ in got]
     assert levels == ["OK", "WARN", "CRIT", "OK"]
+
+
+def test_gap_stream_gap_spanning_restart_emitted_once(spark, tmp_path):
+    """A series silent across the stop/resume boundary must page exactly
+    once, from the reviving batch: hours 0,1 arrive before the restart,
+    hour 5 after → gaps {2,3,4} emitted by run 2 only; a second key dead
+    only INSIDE run 1 pages from run 1; no duplicates anywhere."""
+    import datetime as dt
+
+    from influxer_spark.streaming import read_alerts, run_gap_stream
+
+    t = lambda h, m=0: dt.datetime(2024, 1, 1, h, m)  # noqa: E731
+    first = [("a", t(0)), ("a", t(1)), ("b", t(0)), ("b", t(3))]
+    second = [("a", t(5)), ("b", t(4))]
+    d = {n: str(tmp_path / n) for n in ("input", "out", "ckpt", "stage")}
+    os.makedirs(d["input"])
+    df1 = spark.createDataFrame(first, ["event_type", "ts"])
+    df2 = spark.createDataFrame(second, ["event_type", "ts"])
+    _add_file(df1, d["input"], d["stage"], "a")
+    run_gap_stream(
+        spark, d["input"], df1.schema, d["out"], d["ckpt"],
+        "event_type", "ts", 3600,
+    )
+    mid = sorted(
+        (r["key"], r["bucket"].hour)
+        for r in read_alerts(spark, d["out"]).collect()
+    )
+    assert mid == [("b", 1), ("b", 2)]  # b's interior gap pages in run 1
+    _add_file(df2, d["input"], d["stage"], "b")
+    run_gap_stream(
+        spark, d["input"], df2.schema, d["out"], d["ckpt"],
+        "event_type", "ts", 3600,
+    )
+    got = sorted(
+        (r["key"], r["bucket"].hour)
+        for r in read_alerts(spark, d["out"]).collect()
+    )
+    assert got == [("a", 2), ("a", 3), ("a", 4), ("b", 1), ("b", 2)]
+    assert all(r["alert"] == "deadman" for r in read_alerts(spark, d["out"]).collect())
