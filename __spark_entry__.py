@@ -1553,6 +1553,7 @@ _WINDOW_PRIORITY = [
     "topk_exact_users",
     "centroid_cosine_labels",
     "stream_deadman_replay",
+    "incremental_minhash_shard",
 ]
 
 # Rows-only queries (genuinely non-SQL-expressible internals) — always last.

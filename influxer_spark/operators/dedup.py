@@ -832,3 +832,110 @@ def containment_pairs(
         )
         .filter(F.col("containment") >= min_containment)
     )
+
+
+def incremental_minhash_dedup(
+    corpus_sigs: DataFrame,
+    shard: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    min_agree: int = 8,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """FUZZY incremental dedup — the near-dup twin of
+    :func:`incremental_dedup`: a new shard is checked against the kept
+    corpus's MinHash SIGNATURE manifest (16 longs/doc; corpus text never
+    moves), then within itself, keep-first by id.
+
+    Match rule: an LSH band collision nominates the pair (4 of 16
+    components already equal), then the pair drops iff ≥ ``min_agree``
+    of the 16 signature components agree — the unbiased MinHash Jaccard
+    estimate ≥ min_agree/16.  Verification is against the MANIFEST, not
+    text: at snapshot scale the corpus's shingle sets are gone, and
+    signature agreement is the standard web-scale stand-in (estimate, not
+    exact Jaccard — the reported pairs inherit MinHash variance, unlike
+    ``minhash_lsh_dedup``'s exact verify which still applies WITHIN a
+    shard whose text is present, if callers want it).
+
+    Drop rule is transitive-free and deterministic: a shard doc drops iff
+    it matches the corpus OR a SMALLER-id shard doc (whether or not that
+    doc itself dropped) — same keep-first discipline as the exact twin.
+
+    ``corpus_sigs``: (id, sig) rows from :func:`minhash_signatures` —
+    pass the stored manifest in production.  Returns kept shard ids:
+    ``(id,)``.
+
+    Scale: band buckets bound the join exactly as in
+    ``lsh_candidate_pairs`` (shared hot-bucket cap over the UNION of both
+    sides — a template bucket is hot regardless of which side fills it);
+    signature frames are 16 longs/doc wide.
+    """
+    sigs_s = minhash_signatures(shard, id_col, text_col, k)
+    banded = _banded(corpus_sigs).withColumn("side", F.lit("c")).unionByName(
+        _banded(sigs_s).withColumn("side", F.lit("s"))
+    )
+    if max_bucket_size is not None:
+        w = Window.partitionBy("band", "key")
+        banded = (
+            banded.withColumn("_bsz", F.count("*").over(w))
+            .filter(F.col("_bsz") <= max_bucket_size)
+            .drop("_bsz")
+        )
+    s_side = banded.filter(F.col("side") == "s").select(
+        "band", "key", F.col("id").alias("sid")
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+            lambda m: m,
+        )
+    )
+    # shard vs corpus: any qualifying corpus match drops the shard doc
+    c_side = banded.filter(F.col("side") == "c").select(
+        "band", "key", F.col("id").alias("cid")
+    )
+    cand_sc = s_side.join(c_side, ["band", "key"]).select("sid", "cid").distinct()
+    drop_corpus = (
+        cand_sc.join(
+            sigs_s.select(F.col("id").alias("sid"), F.col("sig").alias("sig_a")),
+            "sid",
+        )
+        .join(
+            corpus_sigs.select(
+                F.col("id").alias("cid"), F.col("sig").alias("sig_b")
+            ),
+            "cid",
+        )
+        .filter(agree >= min_agree)
+        .select("sid")
+        .distinct()
+    )
+    # within shard: keep-first — a doc drops to any smaller-id match
+    s2 = s_side.select("band", "key", F.col("sid").alias("sid_b"))
+    cand_ss = (
+        s_side.join(s2, ["band", "key"])
+        .filter(F.col("sid_b") < F.col("sid"))
+        .select("sid", "sid_b")
+        .distinct()
+    )
+    drop_shard = (
+        cand_ss.join(
+            sigs_s.select(F.col("id").alias("sid"), F.col("sig").alias("sig_a")),
+            "sid",
+        )
+        .join(
+            sigs_s.select(
+                F.col("id").alias("sid_b"), F.col("sig").alias("sig_b")
+            ),
+            "sid_b",
+        )
+        .filter(agree >= min_agree)
+        .select("sid")
+        .distinct()
+    )
+    dropped = drop_corpus.unionByName(drop_shard).distinct()
+    return (
+        sigs_s.select(F.col("id"))
+        .join(dropped.select(F.col("sid").alias("id")), "id", "left_anti")
+    )

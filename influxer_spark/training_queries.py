@@ -98,6 +98,50 @@ WITH hashed AS (
 """
 
 
+def _incr_minhash_sql(k: int, min_agree: int) -> str:
+    """Fuzzy incremental dedup replay: both signature sets, the band
+    collisions, and the ≥min_agree/16 component-agreement rule — mirrors
+    ``dedup.incremental_minhash_dedup`` and the shard construction in
+    ``_q_incremental_minhash``."""
+    agree = (
+        "list_sum(list_transform(list_zip(a.sig, b.sig), "
+        "x -> CASE WHEN x[1] = x[2] THEN 1 ELSE 0 END))"
+    )
+    return f"""
+WITH cdocs AS (
+  SELECT doc_id AS id, text FROM documents WHERE doc_id < 300
+), sdocs AS (
+  SELECT doc_id AS id, text FROM documents WHERE doc_id >= 300
+  UNION ALL
+  SELECT doc_id + 10000, text FROM documents WHERE doc_id < 100
+  UNION ALL
+  SELECT doc_id + 20000, text || ' zz tail marker words here'
+  FROM documents WHERE doc_id >= 100 AND doc_id < 150
+), chash AS (SELECT id, {_shingle_hashes_sql('text', k)} AS hs FROM cdocs),
+csig AS (SELECT id, {_sig_sql()} AS sig FROM chash),
+shash AS (SELECT id, {_shingle_hashes_sql('text', k)} AS hs FROM sdocs),
+ssig AS (SELECT id, {_sig_sql()} AS sig FROM shash),
+cb AS ({_bands_union_sql('csig')}),
+sb AS ({_bands_union_sql('ssig')}),
+drop_c AS (
+  SELECT DISTINCT a.id AS sid
+  FROM (SELECT DISTINCT s.id AS sid, c.id AS cid
+        FROM sb s JOIN cb c ON s.band = c.band AND s.key = c.key) p
+  JOIN ssig a ON a.id = p.sid JOIN csig b ON b.id = p.cid
+  WHERE {agree} >= {min_agree}
+), drop_s AS (
+  SELECT DISTINCT a.id AS sid
+  FROM (SELECT DISTINCT s.id AS sid, t.id AS sid_b
+        FROM sb s JOIN sb t
+          ON s.band = t.band AND s.key = t.key AND t.id < s.id) p
+  JOIN ssig a ON a.id = p.sid JOIN ssig b ON b.id = p.sid_b
+  WHERE {agree} >= {min_agree}
+)
+SELECT id FROM sdocs
+WHERE id NOT IN (SELECT sid FROM drop_c UNION SELECT sid FROM drop_s)
+"""
+
+
 def _ngram_jaccard_sql(k: int, thr: float) -> str:
     return f"""
 WITH ds0 AS (
@@ -303,6 +347,36 @@ def _q_incremental_dedup(spark, sf_dir):
     )
     manifest = D.exact_dedup(corpus, "doc_id", "text").select("fingerprint")
     return D.incremental_dedup(manifest, shard, "doc_id", "text")
+
+
+def _q_incremental_minhash(spark, sf_dir):
+    """FUZZY snapshot dedup: the kept corpus (<300) contributes only its
+    16-long MinHash signature manifest; the new shard carries fresh docs
+    (≥300), exact recrawls (<100, re-labeled +10000 — must drop at 16/16
+    agreement) and near-dup recrawls (100–149, re-labeled +20000 with an
+    appended tail — drop iff ≥8/16 components agree, the MinHash Jaccard
+    estimate ≥ 0.5).  The oracle recomputes both signature sets, the band
+    collisions and the agreement rule in SQL — deterministic end-to-end."""
+    docs = _docs(spark, sf_dir)
+    corpus_sigs = D.minhash_signatures(
+        docs.filter("doc_id < 300"), "doc_id", "text", 5
+    )
+    recrawl_exact = docs.filter("doc_id < 100").select(
+        (F.col("doc_id") + 10000).alias("doc_id"), "text"
+    )
+    recrawl_fuzzy = docs.filter("doc_id >= 100 AND doc_id < 150").select(
+        (F.col("doc_id") + 20000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz tail marker words here")).alias(
+            "text"
+        ),
+    )
+    shard = (
+        docs.filter("doc_id >= 300")
+        .select("doc_id", "text")
+        .unionByName(recrawl_exact)
+        .unionByName(recrawl_fuzzy)
+    )
+    return D.incremental_minhash_dedup(corpus_sigs, shard, "doc_id", "text")
 
 
 def _q_exact_substr(spark, sf_dir):
@@ -1251,6 +1325,7 @@ def training_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_logprob_scores": _q_bigram_logprob,
         "exact_dedup_documents": _q_exact_dedup,
         "incremental_dedup_shard": _q_incremental_dedup,
+        "incremental_minhash_shard": _q_incremental_minhash,
         "minhash_lsh_dedup": _q_minhash_lsh,
         "exact_substr_dedup": _q_exact_substr,
         "ngram_jaccard_dedup": _q_ngram_jaccard,
@@ -1325,6 +1400,7 @@ def training_oracle_sql() -> dict[str, str]:
             SELECT id, fingerprint, n_shard_dups FROM firsts
             WHERE fingerprint NOT IN (SELECT fingerprint FROM corpus)
         """,
+        "incremental_minhash_shard": _incr_minhash_sql(5, 8),
         "bm25_topk_terms": _bm25_sql(15),
         "rrf_hybrid_topk": _rrf_sql(),
         "minhash_lsh_dedup": _minhash_lsh_sql(5, 0.7),

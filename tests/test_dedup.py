@@ -376,3 +376,46 @@ def test_containment_pairs_directed(spark):
     assert (1, 2) in out and out[(1, 2)] >= 0.9   # quote ⊂ long doc
     assert (2, 1) not in out                      # reverse direction is low
     assert all(3 not in pair for pair in out)
+
+
+def test_incremental_minhash_fuzzy_shard(spark):
+    """Fuzzy snapshot dedup against a signature-only corpus manifest:
+    exact recrawls drop at 16/16 agreement, a lightly-edited near-dup
+    drops at >=8/16, an unrelated doc survives, and keep-first applies to
+    within-shard near-dup pairs."""
+    from influxer_spark.operators.dedup import (
+        incremental_minhash_dedup,
+        minhash_signatures,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while seventeen "
+        "green turtles watch from a mossy stone bridge near the river"
+    )
+    other = (
+        "completely different subject matter entirely about compiler "
+        "optimization passes and register allocation in modern backends"
+    )
+    corpus = spark.createDataFrame(
+        [(1, base), (2, other)], ["doc_id", "text"]
+    )
+    shard = spark.createDataFrame(
+        [
+            (10, base),                           # exact recrawl -> drop
+            (11, base + " tiny appended tail"),   # near-dup -> drop
+            (12, "entirely novel text about deep sea vents and the "
+                 "chemosynthetic ecosystems that bloom around them today"),
+            (13, "entirely novel text about deep sea vents and the "
+                 "chemosynthetic ecosystems that bloom around them today"),
+            # 13 == 12 within-shard: keep-first keeps 12, drops 13
+        ],
+        ["doc_id", "text"],
+    )
+    sigs = minhash_signatures(corpus, "doc_id", "text", 5)
+    kept = sorted(
+        r["id"]
+        for r in incremental_minhash_dedup(
+            sigs, shard, "doc_id", "text"
+        ).collect()
+    )
+    assert kept == [12]  # 10 exact, 11 fuzzy vs corpus; 13 vs 12 in-shard
