@@ -875,6 +875,49 @@ FROM agg
 """
 
 
+def _q_hdr_seasonal_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day p10/p90 bands from the HDR sketch tiers: hourly
+    sketches merge BY CALENDAR PHASE (counter-vector sum keyed on
+    hour-of-day — the cascade's merge pointed at a different key), then
+    nearest-rank quantiles per phase.  The oracle computes each phase's
+    sketch directly from raw, so a hash match proves the phase merge is
+    as lossless as the time cascade.  This is the 'typical band' used by
+    in-season anomaly monitors (resid_anomaly_24h's simpler cousin)."""
+    from influxer_spark.operators import hdrsketch as H
+
+    ev = _t(spark, sf_dir, "events")
+    h1 = H.hdr_rollup(ev, "ts", ["event_type"], "value", "1h")
+    return H.hdr_seasonal_quantiles(h1, ["event_type"], (0.1, 0.9)).select(
+        "event_type", "hod", "n", "q10", "q90"
+    )
+
+
+_HDR_SEASONAL_ORACLE = """
+WITH p AS (
+  SELECT event_type, CAST(hour(ts) AS BIGINT) AS hod,
+         greatest(CAST(round(value*100,0) AS BIGINT), 1) AS v
+  FROM events
+), i AS (
+  SELECT event_type, hod,
+         (CAST(length(bin(v))-1 AS BIGINT))*32
+           + ((v*32) >> CAST(length(bin(v))-1 AS BIGINT)) - 32 AS idx
+  FROM p
+), s AS (
+  SELECT event_type, hod, idx, count(*) AS cnt FROM i GROUP BY 1,2,3
+), r AS (
+  SELECT event_type, hod, idx, cnt,
+         sum(cnt) OVER (PARTITION BY event_type, hod ORDER BY idx) AS cum,
+         sum(cnt) OVER (PARTITION BY event_type, hod) AS n,
+         ((((idx % 32) + 32) << (idx // 32)) >> 5) AS lb
+  FROM s
+)
+SELECT event_type, hod, max(n) AS n,
+  min(CASE WHEN cum >= ceil(0.1*n) THEN lb END)/100.0 AS q10,
+  min(CASE WHEN cum >= ceil(0.9*n) THEN lb END)/100.0 AS q90
+FROM r GROUP BY 1, 2
+"""
+
+
 def _q_stream_deadman_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming deadman VALUE-oracled via stop/resume replay: land events
     as two time-ordered files, drain with TWO availableNow runs against
@@ -1554,6 +1597,7 @@ _WINDOW_PRIORITY = [
     "centroid_cosine_labels",
     "stream_deadman_replay",
     "incremental_minhash_shard",
+    "hdr_seasonal_band",
 ]
 
 # Rows-only queries (genuinely non-SQL-expressible internals) — always last.
@@ -1597,6 +1641,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_exact_users": _q_topk_exact,
         "centroid_cosine_labels": _q_centroid_cosine,
         "stream_deadman_replay": _q_stream_deadman_replay,
+        "hdr_seasonal_band": _q_hdr_seasonal_band,
         "hdr_quantile_1h": _q_hdr_quantile_1h,
         "stream_hdr_replay_1h": _q_stream_hdr_replay,
         "hdr_tier_read_4h": _q_hdr_tier_read_4h,
@@ -1701,6 +1746,7 @@ def oracle_sql() -> dict[str, str]:
         "centroid_cosine_labels": _CENTROID_COSINE_ORACLE,
         # streaming replay must reproduce the batch deadman's gap log
         "stream_deadman_replay": _DEADMAN_SQL,
+        "hdr_seasonal_band": _HDR_SEASONAL_ORACLE,
         "hdr_quantile_1h": _HDR_QUANTILE_ORACLE,
         "stream_hdr_replay_1h": _HDR_QUANTILE_ORACLE,
         "hdr_tier_read_4h": _HDR_TIER_4H_ORACLE,

@@ -278,3 +278,27 @@ def hdr_tvd_drift(
             ).alias("tvd"),
         )
     )
+
+
+def hdr_seasonal_quantiles(
+    sketch: DataFrame,
+    key_cols: Sequence[str],
+    ps: Sequence[float] = (0.1, 0.9),
+    sub_bits: int = DEFAULT_SUB_BITS,
+) -> DataFrame:
+    """Calendar-phase quantile bands from the sketch tiers: merge every
+    hourly sketch sharing an HOUR-OF-DAY (counter-vector sum — the same
+    lossless merge as the cascade, keyed by phase instead of range) and
+    read the per-phase quantiles.  This is the "typical band" a monitor
+    draws — p10/p90 of all values that ever occurred at 14:00 — and the
+    input to in-season anomaly checks, built without re-touching raw
+    data.  Output: (keys…, hod, n, q<pp>…), hod ∈ 0..23 as BIGINT.
+    """
+    by_phase = (
+        sketch.withColumn("bucket", F.hour("bucket").cast("long"))
+        .groupBy(*key_cols, "bucket", "idx")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    return hdr_quantiles(by_phase, key_cols, ps, sub_bits).withColumnRenamed(
+        "bucket", "hod"
+    )

@@ -185,3 +185,28 @@ def test_tvd_drift_uneven_totals_exact_value(spark):
     sk = H.hdr_rollup(df, "ts", ["event_type"], "value", "1d")
     (r,) = H.hdr_tvd_drift(sk, ["event_type"], 86400).collect()
     assert (r["n_cur"], r["n_prev"], r["tvd"]) == (8, 4, 0.25)
+
+
+def test_seasonal_phase_merge_hand_values(spark):
+    """Hour-of-day band: two days' 14:00 sketches merge by phase, and the
+    band is the nearest-rank quantile over the UNION of both days'
+    values (hand-computed on sub-2⁵ singleton buckets, where the sketch
+    is exact: cents < 32 map to one value per bucket)."""
+    import datetime as dt
+
+    rows = [
+        (dt.datetime(2024, 1, d, 14, 0, s), "a", v / 100.0)
+        for d in (1, 2)
+        for s, v in enumerate(range(1, 11))  # cents 1..10 each day
+    ] + [(dt.datetime(2024, 1, 1, 9, 0), "a", 0.25)]  # other phase
+    df = spark.createDataFrame(rows, ["ts", "event_type", "value"])
+    h1 = H.hdr_rollup(df, "ts", ["event_type"], "value", "1h")
+    got = {
+        r["hod"]: (r["n"], r["q10"], r["q90"])
+        for r in H.hdr_seasonal_quantiles(h1, ["event_type"], (0.1, 0.9))
+        .collect()
+    }
+    # 20 values at 14:00 → rank ceil(.1*20)=2 → 2nd of [1,1,2,2,…] = 1¢;
+    # rank ceil(.9*20)=18 → 18th = 9¢
+    assert got[14] == (20, 0.01, 0.09)
+    assert got[9] == (1, 0.25, 0.25)
