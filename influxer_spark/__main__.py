@@ -133,6 +133,12 @@ def _build_parser() -> argparse.ArgumentParser:
         "tables), then vacuum unreferenced snapshots — Iceberg "
         "rewrite_data_files + expire_snapshots as one maintenance command",
     )
+    p.add_argument(
+        "-diff", default=None, metavar="TABLE:FROM[:TO]",
+        help="with -catalog: metadata-only changelog between two retained "
+        "snapshots of TABLE (added/removed/changed partitions + rows "
+        "delta); TO defaults to the current snapshot",
+    )
     p.add_argument("-cores", type=int, default=None)
     return p
 
@@ -195,13 +201,14 @@ def main(argv: list[str] | None = None) -> int:
     parser = _build_parser()
     args = parser.parse_args(argv)
     if not getattr(args, "input") and not (
-        (args.query or args.retention or args.compact) and args.catalog
+        (args.query or args.retention or args.compact or args.diff)
+        and args.catalog
     ):
         # -input stays mandatory everywhere the reference required it; only
         # catalog maintenance/query modes run without raw data
         parser.error(
             "-input is required (optional only with "
-            "-query/-retention/-compact -catalog)"
+            "-query/-retention/-compact/-diff -catalog)"
         )
 
     if args.retention:
@@ -253,6 +260,31 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark("influxer_spark_cli", cores=args.cores)
     t0 = time.time()
+
+    if args.diff:
+        if not args.catalog:
+            parser.error("-diff requires -catalog")
+        from influxer_spark.catalog import TableCatalog
+
+        parts = args.diff.split(":")
+        if len(parts) not in (2, 3):
+            parser.error("-diff wants TABLE:FROM[:TO]")
+        table, s_from = parts[0], int(parts[1])
+        s_to = int(parts[2]) if len(parts) == 3 else None
+        d = TableCatalog(args.catalog).snapshot_diff(table, s_from, s_to)
+        print(
+            f"{d['table']} snapshot {d['from_snapshot']} -> "
+            f"{d['to_snapshot']}"
+        )
+        for kind in ("added", "removed", "changed"):
+            for pv in d[kind]:
+                print(f"  {kind}: {pv}")
+        delta = d["rows_delta"]
+        print(
+            "  rows delta: "
+            + ("unknown (no counters)" if delta is None else f"{delta:+d}")
+        )
+        return 0
 
     if args.compact:
         if not args.catalog:

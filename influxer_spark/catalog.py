@@ -317,6 +317,48 @@ class TableCatalog:
     # retention / expiry / gc
     # ------------------------------------------------------------------
 
+    def snapshot_diff(
+        self, name: str, from_snapshot: int, to_snapshot: int | None = None
+    ) -> dict[str, Any]:
+        """What changed between two snapshots — Iceberg's changelog view
+        over this catalog's manifests, metadata-only (no data files read).
+
+        Partitions are compared by their immutable ``v=`` data dir: a
+        partition is ``added`` (in to, not from), ``removed``, ``changed``
+        (different dir — a refresh/compaction re-commit), or unchanged
+        (not reported).  ``rows_delta`` sums the ``rows_in`` counters of
+        added/changed partitions minus removed/replaced ones, when the
+        writer recorded them (the pipeline does) — None when either side
+        lacks counters.  Both snapshots must still be retained
+        (``expire_snapshots`` erases history; that is its contract).
+        """
+        to_v = self.current_snapshot(name) if to_snapshot is None else to_snapshot
+        a = self.read_manifest(name, as_of=from_snapshot)["partitions"]
+        b = self.read_manifest(name, as_of=to_v)["partitions"]
+        added = sorted(set(b) - set(a))
+        removed = sorted(set(a) - set(b))
+        changed = sorted(
+            pv for pv in set(a) & set(b) if a[pv].get("dir") != b[pv].get("dir")
+        )
+
+        def _rows(side: dict, pvs: list[str]) -> int | None:
+            vals = [side[pv].get("counters", {}).get("rows_in") for pv in pvs]
+            return None if any(v is None for v in vals) else sum(vals)
+
+        gained = _rows(b, added + changed)
+        lost = _rows(a, removed + changed)
+        return {
+            "table": name,
+            "from_snapshot": from_snapshot,
+            "to_snapshot": to_v,
+            "added": added,
+            "removed": removed,
+            "changed": changed,
+            "rows_delta": (
+                None if gained is None or lost is None else gained - lost
+            ),
+        }
+
     def drop_partition(self, name: str, partition_value: str, reason: str = "") -> bool:
         """Metadata-only partition drop: a new snapshot without the partition
         (the analogue of Iceberg ``DROP PARTITION``).  Bytes remain until

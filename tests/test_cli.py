@@ -269,3 +269,29 @@ def test_cli_compact_binpacks_and_vacuums(spark, tmp_path, capsys):
     printed = capsys.readouterr().out
     assert "rollup_1h:" in printed and "partitions" in printed
     assert "nope: absent, skipped" in printed
+
+
+def test_cli_diff_prints_changelog(spark, tmp_path, capsys):
+    """-diff TABLE:FROM prints the metadata-only snapshot changelog."""
+    from pyspark.sql import functions as F
+
+    from influxer_spark.catalog import TableCatalog
+
+    root = str(tmp_path / "cat")
+    cat = TableCatalog(root)
+    df1 = spark.range(6).select(F.col("id"), F.lit("2024-01-01").alias("day"))
+    cat.write_partitions(
+        df1, "t", ["2024-01-01"],
+        counters_by_partition={"2024-01-01": {"rows_in": 6}},
+    )
+    s1 = cat.current_snapshot("t")
+    df2 = spark.range(9).select(F.col("id"), F.lit("2024-01-02").alias("day"))
+    cat.write_partitions(
+        df2, "t", ["2024-01-02"],
+        counters_by_partition={"2024-01-02": {"rows_in": 9}},
+    )
+    rc = main(["-catalog", root, "-diff", f"t:{s1}", "-cores", "8"])
+    assert rc == 0
+    printed = capsys.readouterr().out
+    assert "added: 2024-01-02" in printed
+    assert "rows delta: +9" in printed

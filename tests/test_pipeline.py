@@ -386,3 +386,41 @@ def test_rollup_1d_commits_last(spark, pages_path, tmp_path, monkeypatch):
     assert set(order) == {
         "raw_points", "rollup_1m", "rollup_1h", "rollup_1d", "rollup_1m_gorilla"
     }
+
+
+def test_snapshot_diff_reports_changelog(tmp_path, spark):
+    """snapshot_diff is the metadata-only changelog between two retained
+    snapshots: added / removed / changed (re-committed dir) partitions
+    and the rows_in delta when counters were recorded."""
+    cat = TableCatalog(str(tmp_path / "c"))
+
+    def _write(days_rows: dict[str, int]):
+        frames = None
+        for day, n in days_rows.items():
+            f = spark.range(n).select(F.col("id"), F.lit(day).alias("day"))
+            frames = f if frames is None else frames.unionByName(f)
+        cat.write_partitions(
+            frames, "t", list(days_rows),
+            counters_by_partition={
+                d: {"rows_in": n} for d, n in days_rows.items()
+            },
+        )
+
+    _write({"2024-01-01": 6, "2024-01-02": 4})
+    s1 = cat.current_snapshot("t")
+    _write({"2024-01-02": 9, "2024-01-03": 5})  # change 02, add 03
+    cat.drop_partition("t", "2024-01-01", reason="ttl")  # remove 01
+    s3 = cat.current_snapshot("t")
+
+    d = cat.snapshot_diff("t", s1)  # to = current
+    assert d["from_snapshot"] == s1 and d["to_snapshot"] == s3
+    assert d["added"] == ["2024-01-03"]
+    assert d["removed"] == ["2024-01-01"]
+    assert d["changed"] == ["2024-01-02"]
+    # gained: 03(5) + 02-new(9); lost: 01(6) + 02-old(4) → +4
+    assert d["rows_delta"] == 4
+
+    # identity diff: nothing changed
+    same = cat.snapshot_diff("t", s3, s3)
+    assert same["added"] == same["removed"] == same["changed"] == []
+    assert same["rows_delta"] == 0
