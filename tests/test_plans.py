@@ -246,3 +246,69 @@ def test_refresh_detection_is_one_partial_agg(spark, sf_dir):
     plan = _fmt(spark, counts)
     assert len(re.findall(r"^\s*\(\d+\) Exchange", plan, re.M)) == 1, plan
     assert "partial_count" in plan or "partial" in plan.lower(), plan
+
+
+def test_sumsq_tier_read_single_raw_exchange(spark, sf_dir):
+    """Power-sum tiers: 1m rollup shuffles raw ONCE; the 1h cascade and
+    the stddev derivation add only tier-sized exchanges (2 total) and no
+    Python — variance from exact integers is a pure JVM expression."""
+    from influxer_spark.operators import rollup as R
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = R.with_stddev(
+        R.cascade_with_sumsq(
+            R.rollup_with_sumsq(ev, "ts", ["event_type"], "value", "1m"),
+            ["event_type"], "1h",
+        )
+    )
+    plan = _fmt(spark, out)
+    assert len(re.findall(r"^\s*\(\d+\) Exchange", plan, re.M)) == 2, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_tvd_drift_never_rescans_raw(spark, sf_dir):
+    """Drift reads SKETCH rows only: every scan in the plan is over the
+    sketch frame's lineage (one hdr_rollup raw pass), and the joins are
+    summary-sized — a second raw-sized exchange would mean the operator
+    recomputed vectors instead of reusing the tier."""
+    from influxer_spark.operators import hdrsketch as H
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    d1 = H.hdr_cascade(
+        H.hdr_rollup(ev, "ts", ["event_type"], "value", "1h"),
+        ["event_type"], "1d",
+    )
+    plan = _fmt(spark, H.hdr_tvd_drift(d1, ["event_type"], 86400))
+    # raw scans: events.parquet appears once per branch of the self-join
+    # lineage (cur/prev/totals share the cached tier in production; here
+    # the budget is the exchange count — all post-sketch joins are
+    # summary-keyed)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    n_ex = len(re.findall(r"^\s*\(\d+\) Exchange", plan, re.M))
+    assert n_ex <= 12, plan
+
+
+def test_kmv_set_estimates_sketch_row_join(spark, sf_dir):
+    """Set algebra joins SKETCH rows (≤ k bigints each) on (bucket) —
+    array math stays in codegen, no Python, and no raw-keyed exchange
+    beyond the sketch build's own."""
+    from influxer_spark.operators import kmv as KMV
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    sk = KMV.kmv_sketch(ev, "ts", ["event_type"], "user_id", "1d", 64)
+    plan = _fmt(spark, KMV.kmv_set_estimates(sk, "event_type", k=64))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_centroid_cosine_groups_then_broadcasts(spark, sf_dir):
+    """Centroid pair join is GROUP-level and broadcast: the only big
+    exchange is the (group, pos) partial-agg shuffle; the pair join must
+    be a BroadcastHashJoin (inequality is a post-join filter), never a
+    sort-merge or nested loop over doc rows."""
+    from influxer_spark.operators.similarity import centroid_cosine
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    plan = _fmt(spark, centroid_cosine(emb, "label", "embedding"))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
