@@ -1409,6 +1409,7 @@ class InfluxQLEngine:
         hist_bounds: Any = None,
         kmv_item_col: str | None = None,
         sumsq: bool = False,
+        hdr: bool = False,
     ) -> None:
         """Serve this measurement's ``GROUP BY time(w)`` aggregate queries
         from the catalog's materialized rollup tiers (``rollup_1m/1h/1d``)
@@ -1451,6 +1452,16 @@ class InfluxQLEngine:
         tail falls back to the raw path instead — mixing a float tail into
         integer power sums would forfeit the exactness that justifies the
         rewrite (TimescaleDB's ``stats_agg`` rollup is the analogue).
+
+        ``hdr=True`` (requires ``hdr_1h/1d`` log-linear sketch tiers, see
+        ``operators/hdrsketch.py:build_hdr_tiers``) opts percentile()/
+        median() into BOUNDS-FREE tier serving — the front-end twin of
+        ``query.read_percentile``: no per-metric bound list to configure,
+        relative error ≤ 2^-sub_bits (pinned at build).  Explicitly
+        approximate, hence opt-in like ``hist_bounds``; when both are
+        configured the exact-cell histogram path wins (no behavior change
+        for existing catalogs).  Served only for hour-multiple widths and
+        percentile-only statements; anything else falls back.
         """
         self.tiered[name] = {
             "catalog": catalog,
@@ -1459,6 +1470,7 @@ class InfluxQLEngine:
             "hist_bounds": list(hist_bounds) if hist_bounds else None,
             "kmv_item_col": kmv_item_col,
             "sumsq": bool(sumsq),
+            "hdr": bool(hdr),
         }
 
     def _tiered_answerable(self, stmt: Select) -> bool:
@@ -1482,8 +1494,22 @@ class InfluxQLEngine:
         ]
         if not aggish:
             return False
+        use_hdr = (
+            cfg.get("hdr")
+            and not cfg["hist_bounds"]
+            and any(c.fname in ("percentile", "median") for c in aggish)
+        )
+        if use_hdr:
+            # HDR serving is percentile-only (the hdr tables carry counter
+            # vectors, not companion sums) at hour-multiple widths
+            if not all(c.fname in ("percentile", "median") for c in aggish):
+                return False
+            if w % 3600 != 0 or not cfg["catalog"].exists("hdr_1h"):
+                return False
         allowed = self._TIER_AGGS | (
-            {"percentile", "median"} if cfg["hist_bounds"] else set()
+            {"percentile", "median"}
+            if (cfg["hist_bounds"] or use_hdr)
+            else set()
         ) | ({"stddev"} if cfg.get("sumsq") else set())
         has_sd = any(c.fname == "stddev" for c in aggish)
         if has_sd:
@@ -1607,6 +1633,12 @@ class InfluxQLEngine:
         # stddev routes to the power-sum tables (exact integer S1/S2);
         # everything else keeps the float rollup tables untouched
         table = f"sumsq_{tier}" if has_sd else f"rollup_{tier}"
+        if has_hist and not cfg["hist_bounds"] and cfg.get("hdr"):
+            # bounds-free percentiles from the log-linear sketch tiers
+            # (percentile-only statements — enforced by _tiered_answerable)
+            return self._exec_hdr_percentiles(
+                stmt, cfg, w, start, end, agg_calls
+            )
 
         # STITCHED mixed-granularity rewrite (query.read_rollup_stitched's
         # routing surfaced through the front-end): when the width divides no
@@ -1752,6 +1784,63 @@ class InfluxQLEngine:
                 )
             grouped = grouped.drop("_hq_hist", "_hq_cnt")
         if stmt.fill_mode != "none":
+            bounds = None
+            if lo is not None and hi is not None:
+                bounds = self._aligned_bounds(
+                    lo, hi, stmt.time_width, stmt.time_offset
+                )
+            grouped = fill_buckets(
+                grouped, keys, list(aliases.values()), w,
+                mode=stmt.fill_mode, fill_value=stmt.fill_value,
+                bucket_col="time", spine_bounds=bounds,
+            ).drop("filled")
+        return self._agg_tail(stmt, grouped, keys, aliases, "time", "time")
+
+    def _exec_hdr_percentiles(
+        self, stmt: Select, cfg: dict, w: int, start, end, agg_calls: dict
+    ) -> DataFrame:
+        """Serve a percentile-only GROUP BY time() statement from the
+        ``hdr_1h/1d`` log-linear sketch tiers: manifest-pruned read,
+        lossless counter-vector re-bucket to the requested width AND down
+        to the statement's group tags (summing over dropped key columns),
+        then nearest-rank reads — ``query.read_percentile`` surfaced
+        through the text front-end, with no per-metric bound config."""
+        from influxer_spark import query as _qapi
+        from influxer_spark.operators import hdrsketch as H
+
+        cat = cfg["catalog"]
+        table = "hdr_1d" if w % 86400 == 0 else "hdr_1h"
+        if not cat.exists(table):
+            table = "hdr_1h"
+        parts = _qapi._partitions_in_range(cat, table, start, end)
+        if not parts:
+            raise InfluxQLError(f"no committed {table} partitions in range")
+        df = self._spark().read.parquet(*cat.partition_paths(table, parts))
+        if stmt.where is not None:
+            df = df.filter(InfluxQLEngine({}, ts_col="bucket")._cond(stmt.where))
+        keys = stmt.group_tags
+        sub_bits = int(
+            cat.table_property(table, "hdr_sub_bits", H.DEFAULT_SUB_BITS)
+        )
+        aliases = {k: f"_a{i}" for i, k in enumerate(agg_calls)}
+        ps: dict[tuple, float] = {
+            k: (0.5 if c.fname == "median" else float(c.args[1].value) / 100.0)
+            for k, c in agg_calls.items()
+        }
+        merged = H.hdr_rebucket(df, keys, w)
+        quants = H.hdr_quantiles(
+            merged, keys, tuple(dict.fromkeys(ps.values())), sub_bits
+        )
+        sel = [F.col("bucket").alias("time"), *keys]
+        for k, p in ps.items():
+            sel.append(F.col(f"q{int(round(p * 100))}").alias(aliases[k]))
+        grouped = quants.select(*sel)
+        if stmt.fill_mode != "none":
+            lo, hi = (
+                self._time_bounds(stmt.where)
+                if stmt.where is not None
+                else (None, None)
+            )
             bounds = None
             if lo is not None and hi is not None:
                 bounds = self._aligned_bounds(

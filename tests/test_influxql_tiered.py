@@ -468,3 +468,79 @@ def test_stddev_past_watermark_falls_back_to_raw(built_sumsq):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "sumsq" not in plan
     assert df.collect() == raw.execute(q).collect()
+
+
+# --- bounds-free percentiles served from HDR sketch tiers ---
+
+
+@pytest.fixture(scope="module")
+def built_hdr(built, spark):
+    from influxer_spark.operators.hdrsketch import build_hdr_tiers
+
+    points, cat = built
+    if not cat.committed_partitions("hdr_1h"):
+        build_hdr_tiers(spark, cat, points, "warc_ts", ["url", "metric"], "value")
+    return points, cat
+
+
+def test_percentile_served_from_hdr_tier_no_bounds(built_hdr):
+    """register_tiered(hdr=True): percentile-only statements are served
+    from the log-linear sketch tiers with NO per-metric bound config —
+    plan-asserted hdr_1h read, values within the 2^-5 relative-error
+    envelope of the exact raw nearest-rank answer."""
+    points, cat = built_hdr
+    raw = InfluxQLEngine({"pages": points}, ts_col="warc_ts")
+    tiered = InfluxQLEngine({}, ts_col="warc_ts")  # tier-only: no raw table
+    tiered.register_tiered("pages", cat, key_cols=("url", "metric"), hdr=True)
+    q = (
+        "SELECT percentile(value, 95) AS p95, median(value) AS med "
+        "FROM pages GROUP BY time(4h), metric"
+    )
+    df = tiered.execute(q)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "hdr_1h" in plan and "rollup_1h" not in plan
+    got = {tuple(r[:2]): r for r in df.collect()}
+    want = {tuple(r[:2]): r for r in raw.execute(q).collect()}
+    assert got.keys() == want.keys() and len(got) > 10
+    for k, g in got.items():
+        w = want[k]
+        for c in ("p95", "med"):
+            if w[c] and w[c] > 0:
+                # sketch lower bound ≤ exact ≤ bound·(1+2^-5); cents add
+                # one tick of slack on tiny values
+                assert w[c] * 0.9 <= g[c] <= w[c] * 1.1, (k, c, g[c], w[c])
+
+
+def test_hdr_percentile_mixed_aggregates_fall_back(built_hdr):
+    """hdr serving is percentile-only: mixing mean() forces the whole
+    statement back to the raw path (counter vectors carry no sums)."""
+    points, cat = built_hdr
+    tiered = InfluxQLEngine({"pages": points}, ts_col="warc_ts")
+    tiered.register_tiered("pages", cat, key_cols=("url", "metric"), hdr=True)
+    df = tiered.execute(
+        "SELECT percentile(value, 90) AS p90, mean(value) AS m "
+        "FROM pages GROUP BY time(4h), metric"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "hdr_1h" not in plan
+
+
+def test_hist_bounds_win_over_hdr_when_both_configured(built_hist, spark):
+    """Precedence: a catalog with BOTH hist_bounds and hdr configured
+    keeps the exact-cell histogram path (no behavior change for existing
+    catalogs)."""
+    from influxer_spark.operators.hdrsketch import build_hdr_tiers
+
+    points, cat, bounds = built_hist
+    if not cat.committed_partitions("hdr_1h"):
+        build_hdr_tiers(spark, cat, points, "warc_ts", ["url", "metric"], "value")
+    tiered = InfluxQLEngine({}, ts_col="warc_ts")
+    tiered.register_tiered(
+        "pages", cat, key_cols=("url", "metric"),
+        hist_bounds=bounds, hdr=True,
+    )
+    df = tiered.execute(
+        "SELECT median(value) AS med FROM pages GROUP BY time(4h), metric"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "rollup_1h" in plan and "hdr_1h" not in plan
