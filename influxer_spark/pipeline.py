@@ -69,6 +69,7 @@ def run_pipeline(
     encode_gorilla: bool = True,
     validate_extraction: bool = False,
     hist_bounds: list[float] | None = None,
+    max_series_per_day: int | None = None,
 ) -> PipelineResult:
     """Run (or resume) the full pipeline over a pages parquet table."""
     t0 = time.time()
@@ -87,6 +88,7 @@ def run_pipeline(
             validate_extraction=validate_extraction,
             source=pages_path,
             hist_bounds=hist_bounds,
+            max_series_per_day=max_series_per_day,
         )
         res.days_processed = pending
     res.elapsed_s = time.time() - t0
@@ -121,6 +123,7 @@ def process_days(
     validate_extraction: bool = False,
     source: str = "",
     hist_bounds: list[float] | None = None,
+    max_series_per_day: int | None = None,
 ) -> dict[str, dict[str, Any]]:
     """One distributed wave over every pending day; commits each tier's
     partitions with counters + lineage.  Idempotent: a crashed/partial run
@@ -151,6 +154,30 @@ def process_days(
         .cache()
     )
     points = pages_to_points(wide)
+    if max_series_per_day is not None:
+        # Series-cardinality guard — InfluxDB's max-series-per-database
+        # wall, enforced BEFORE any tier commits: a tag explosion (say a
+        # session id leaking into url) multiplies every tier's row count
+        # and the catalog's manifest forever, so it must fail the wave
+        # loudly, not get discovered in a slow dashboard a week later.
+        # One distinct-count over (day, series key) — series ≪ points.
+        over = (
+            points.select("warc_ts", *POINT_KEYS)
+            .withColumn("day", _day_of("warc_ts"))
+            .groupBy("day")
+            .agg(F.countDistinct(*POINT_KEYS).alias("n_series"))
+            .filter(F.col("n_series") > max_series_per_day)
+            .collect()
+        )
+        if over:
+            detail = ", ".join(
+                f"{r['day']}={r['n_series']}" for r in sorted(over)
+            )
+            raise ValueError(
+                f"series cardinality guard: {len(over)} day(s) exceed "
+                f"max_series_per_day={max_series_per_day} ({detail}); "
+                "drop or hash the offending tag, or raise the limit"
+            )
     lineage = {d: {"source": source, "day": d} for d in days}
     # hist_bounds opts the tiers into mergeable quantile histograms
     # (rollup.rollup_with_histogram): same single shuffle per tier, an extra

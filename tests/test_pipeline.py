@@ -424,3 +424,23 @@ def test_snapshot_diff_reports_changelog(tmp_path, spark):
     same = cat.snapshot_diff("t", s3, s3)
     assert same["added"] == same["removed"] == same["changed"] == []
     assert same["rows_delta"] == 0
+
+
+def test_series_cardinality_guard(spark, pages_path, tmp_path):
+    """max_series_per_day fails the wave LOUDLY before any tier commits —
+    the InfluxDB max-series wall: a tag explosion must not reach the
+    catalog.  A generous limit passes untouched."""
+    from influxer_spark.pipeline import run_pipeline
+
+    with pytest.raises(ValueError, match="series cardinality guard"):
+        run_pipeline(
+            spark, pages_path, str(tmp_path / "c1"),
+            encode_gorilla=False, max_series_per_day=3,
+        )
+    # nothing committed by the failed wave
+    assert TableCatalog(str(tmp_path / "c1")).committed_partitions("rollup_1m") == {}
+    res = run_pipeline(
+        spark, pages_path, str(tmp_path / "c2"),
+        encode_gorilla=False, max_series_per_day=10_000_000,
+    )
+    assert res.days_processed
