@@ -1136,6 +1136,50 @@ FROM a
 """
 
 
+def _q_stream_sumsq_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming power-sum twin VALUE-oracled via stop/resume replay:
+    per-batch (cnt, min, max, Σc, Σc²) partials merged at read time must
+    equal the batch hour tier BIT-FOR-BIT — integer sums commute, so
+    unlike the TWA twin there is no order sensitivity to document.  Same
+    oracle as ``tier_stddev_1h``: the stream-merged sums must reproduce
+    the from-raw hour stddev exactly."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from influxer_spark.operators import rollup as R
+    from influxer_spark.streaming import read_sumsq, run_incremental_sumsq
+
+    ev = _t(spark, sf_dir, "events")
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    cut = lo + (hi - lo) / 2
+    root = tempfile.mkdtemp(prefix="stream_sumsq_gate_")
+    d = {n: os.path.join(root, n) for n in ("input", "out", "ckpt", "stage")}
+    os.makedirs(d["input"])
+    for name, part in (
+        ("a", ev.filter(F.col("ts") <= cut)),
+        ("b", ev.filter(F.col("ts") > cut)),
+    ):
+        staging = os.path.join(d["stage"], name)
+        part.coalesce(1).write.mode("overwrite").parquet(staging)
+        if name == "a":
+            shutil.copy(
+                glob.glob(os.path.join(staging, "part-*.parquet"))[0],
+                os.path.join(d["input"], "a.parquet"),
+            )
+    run_incremental_sumsq(spark, d["input"], ev.schema, d["out"], d["ckpt"])
+    shutil.copy(
+        glob.glob(os.path.join(d["stage"], "b", "part-*.parquet"))[0],
+        os.path.join(d["input"], "b.parquet"),
+    )
+    run_incremental_sumsq(spark, d["input"], ev.schema, d["out"], d["ckpt"])
+    t1h = read_sumsq(spark, d["out"], ["event_type"], "1h")
+    return R.with_stddev(t1h).select(
+        "event_type", "bucket", "cnt", "avg_v", "var_v", "stddev_v"
+    )
+
+
 def _q_stream_twa_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming time-weighted-average summaries VALUE-oracled via
     stop/resume replay: land events as two time-ordered files, drain with
@@ -1598,6 +1642,7 @@ _WINDOW_PRIORITY = [
     "stream_deadman_replay",
     "incremental_minhash_shard",
     "hdr_seasonal_band",
+    "stream_stddev_replay_1h",
 ]
 
 # Rows-only queries (genuinely non-SQL-expressible internals) — always last.
@@ -1642,6 +1687,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "centroid_cosine_labels": _q_centroid_cosine,
         "stream_deadman_replay": _q_stream_deadman_replay,
         "hdr_seasonal_band": _q_hdr_seasonal_band,
+        "stream_stddev_replay_1h": _q_stream_sumsq_replay,
         "hdr_quantile_1h": _q_hdr_quantile_1h,
         "stream_hdr_replay_1h": _q_stream_hdr_replay,
         "hdr_tier_read_4h": _q_hdr_tier_read_4h,
@@ -1747,6 +1793,7 @@ def oracle_sql() -> dict[str, str]:
         # streaming replay must reproduce the batch deadman's gap log
         "stream_deadman_replay": _DEADMAN_SQL,
         "hdr_seasonal_band": _HDR_SEASONAL_ORACLE,
+        "stream_stddev_replay_1h": _TIER_STDDEV_ORACLE,
         "hdr_quantile_1h": _HDR_QUANTILE_ORACLE,
         "stream_hdr_replay_1h": _HDR_QUANTILE_ORACLE,
         "hdr_tier_read_4h": _HDR_TIER_4H_ORACLE,

@@ -496,6 +496,71 @@ def read_hdr(
     return hdr_cascade(allb, list(key_cols), tier)
 
 
+def run_incremental_sumsq(
+    spark: SparkSession,
+    input_dir: str,
+    schema,
+    out_dir: str,
+    checkpoint_dir: str,
+    ts_col: str = "ts",
+    key_cols: Sequence[str] = ("event_type",),
+    value_col: str = "value",
+    tier: str = "1h",
+) -> None:
+    """File-source stream → per-batch power-sum partials → idempotent
+    per-batch dirs (same availableNow/checkpoint contract as the KMV/HDR
+    twins).  No streaming state store: (cnt, min, max, Σc, Σc²) is a
+    commutative monoid over exact integers, so each micro-batch
+    summarizes only its own rows and the merge (plain SUM/MIN/MAX) happens
+    at read time — bit-identical to a batch build however the rows were
+    split, with none of the TWA twin's order sensitivity."""
+    from influxer_spark.operators.rollup import rollup_with_sumsq
+
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+    stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    keys = list(key_cols)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        out = os.path.join(out_dir, f"_batch={batch_id}")
+        marker = os.path.join(out, "_COMMITTED")
+        if os.path.exists(marker):  # stateless replay: nothing to re-run
+            return
+        rollup_with_sumsq(batch_df, ts_col, keys, value_col, tier).write.mode(
+            "overwrite"
+        ).parquet(out)
+        open(marker, "w").close()
+
+    (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def read_sumsq(
+    spark: SparkSession,
+    out_dir: str,
+    key_cols: Sequence[str] = ("event_type",),
+    tier: str = "1h",
+) -> DataFrame:
+    """Merge committed per-batch power sums into the exact summary of the
+    union (integer sum-of-sums; re-bucketing at the SAME tier is the
+    identity, so this reuses the cascade merge)."""
+    from influxer_spark.operators.rollup import cascade_with_sumsq
+
+    batches = _committed_batches(out_dir)
+    if not batches:
+        raise FileNotFoundError(f"no committed batches under {out_dir}")
+    dfs = [spark.read.parquet(os.path.join(out_dir, d)) for d, _ in batches]
+    allb = dfs[0]
+    for d in dfs[1:]:
+        allb = allb.unionByName(d)
+    return cascade_with_sumsq(allb, list(key_cols), tier)
+
+
 def run_incremental_twa(
     spark: SparkSession,
     input_dir: str,

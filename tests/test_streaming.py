@@ -334,3 +334,33 @@ def test_streamed_hdr_matches_batch_sketch(spark, sf_dir, tmp_path):
         for r in H.hdr_rollup(ev, "ts", ["event_type"], "value", "1h").collect()
     }
     assert got == want
+
+
+def test_streamed_sumsq_matches_batch_tier(spark, sf_dir, tmp_path):
+    """Per-batch power-sum partials merged at read time are BIT-identical
+    to a batch build of all the data, across a stop/resume restart
+    (integer sums commute — no order sensitivity)."""
+    from influxer_spark.operators import rollup as R
+    from influxer_spark.streaming import read_sumsq, run_incremental_sumsq
+
+    ev = _events(spark, sf_dir)
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    cut = lo + (hi - lo) / 2
+    d = _dirs(tmp_path)
+    _add_file(ev.filter(F.col("ts") <= cut), d["input"], d["stage"], "a")
+    run_incremental_sumsq(spark, d["input"], ev.schema, d["tier"], d["ckpt"])
+    _add_file(ev.filter(F.col("ts") > cut), d["input"], d["stage"], "b")
+    run_incremental_sumsq(spark, d["input"], ev.schema, d["tier"], d["ckpt"])
+
+    cols = ["cnt", "min_v", "max_v", "s1", "s2"]
+    got = {
+        (r["bucket"], r["event_type"]): tuple(r[c] for c in cols)
+        for r in read_sumsq(spark, d["tier"], ["event_type"], "1h").collect()
+    }
+    want = {
+        (r["bucket"], r["event_type"]): tuple(r[c] for c in cols)
+        for r in R.rollup_with_sumsq(
+            ev, "ts", ["event_type"], "value", "1h"
+        ).collect()
+    }
+    assert got == want
