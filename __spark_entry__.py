@@ -967,6 +967,40 @@ def _q_stream_deadman_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlong-document chunking (operators/curation.py:chunk_documents):
+    fixed-stride token windows with overlap and stable (doc, chunk_idx)
+    ids — the step between cleaning and packing.  Chunk counts are pure
+    integer ceil-division and chunk text a deterministic slice+join, so
+    the DuckDB replay is bit-exact; window params (32/8) make the
+    word-soup docs span 1–4 chunks each."""
+    from influxer_spark.operators.curation import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_documents(docs, "doc_id", "text", max_tokens=32, overlap=8)
+
+
+_CHUNK_DOCS_ORACLE = """
+WITH d AS (
+  SELECT doc_id AS id, string_split_regex(trim(text), '\\s+') AS w
+  FROM documents
+), b AS (
+  SELECT id, w, CAST(len(w) AS BIGINT) AS n,
+         CASE WHEN len(w) <= 32 THEN CAST(1 AS BIGINT)
+              ELSE 1 + (CAST(len(w) AS BIGINT) - 32 + 23) // 24 END AS n_chunks
+  FROM d
+), c AS (
+  SELECT id, n, n_chunks, unnest(range(0, n_chunks)) AS chunk_idx, w FROM b
+)
+SELECT id, chunk_idx, n_chunks,
+  LEAST(32, n - chunk_idx * 24) AS n_tokens,
+  array_to_string(
+    list_slice(w, chunk_idx * 24 + 1, chunk_idx * 24 + 32), ' '
+  ) AS chunk_text
+FROM c
+"""
+
+
 def _q_centroid_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space segment map: cosine between every pair of label
     centroids (operators/similarity.py:centroid_cosine).  Components are
@@ -1643,6 +1677,7 @@ _WINDOW_PRIORITY = [
     "incremental_minhash_shard",
     "hdr_seasonal_band",
     "stream_stddev_replay_1h",
+    "chunk_documents_32_8",
 ]
 
 # Rows-only queries (genuinely non-SQL-expressible internals) — always last.
@@ -1688,6 +1723,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_deadman_replay": _q_stream_deadman_replay,
         "hdr_seasonal_band": _q_hdr_seasonal_band,
         "stream_stddev_replay_1h": _q_stream_sumsq_replay,
+        "chunk_documents_32_8": _q_chunk_documents,
         "hdr_quantile_1h": _q_hdr_quantile_1h,
         "stream_hdr_replay_1h": _q_stream_hdr_replay,
         "hdr_tier_read_4h": _q_hdr_tier_read_4h,
@@ -1794,6 +1830,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_deadman_replay": _DEADMAN_SQL,
         "hdr_seasonal_band": _HDR_SEASONAL_ORACLE,
         "stream_stddev_replay_1h": _TIER_STDDEV_ORACLE,
+        "chunk_documents_32_8": _CHUNK_DOCS_ORACLE,
         "hdr_quantile_1h": _HDR_QUANTILE_ORACLE,
         "stream_hdr_replay_1h": _HDR_QUANTILE_ORACLE,
         "hdr_tier_read_4h": _HDR_TIER_4H_ORACLE,

@@ -514,3 +514,68 @@ def dsir_resample(
         .filter(F.col("rank") <= n)
         .drop("_key", "_salt")
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_tokens: int = 512,
+    overlap: int = 64,
+) -> DataFrame:
+    """Split overlong documents into fixed-stride token windows with
+    overlap — the standard step between cleaning and sequence packing: a
+    500k-token page must become many trainable chunks, each carrying a
+    STABLE id (doc, chunk_idx) so downstream dedup/packing/splits stay
+    deterministic across reruns.
+
+    Tokens are whitespace words (the engine's token_stats discipline);
+    chunk i covers words [i·stride, i·stride + max_tokens) with
+    stride = max_tokens − overlap, and the chunk count is pure integer
+    math — ``1 + (n − max_tokens + stride − 1) div stride`` for n >
+    max_tokens, else 1 — so a DuckDB replay is bit-exact (no float ceil
+    at a boundary).  Short/empty docs yield exactly one chunk.
+
+    All Column expressions (split / sequence / slice / array_join) —
+    whole-stage codegen, no shuffle at all: chunking is embarrassingly
+    row-parallel, which is the point at 100 TB.
+
+    Output: (id, chunk_idx, n_chunks, n_tokens, chunk_text).
+    """
+    if overlap >= max_tokens:
+        raise ValueError(
+            f"overlap ({overlap}) must be smaller than max_tokens "
+            f"({max_tokens}) or the stride is non-positive"
+        )
+    stride = max_tokens - overlap
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = df.select(
+        F.col(id_col).alias("id"),
+        words.alias("_w"),
+        F.size(words).cast("long").alias("_n"),
+    ).withColumn(
+        "n_chunks",
+        F.when(F.col("_n") <= max_tokens, F.lit(1).cast("long")).otherwise(
+            # pure integer ceil-div — no float at a chunk boundary
+            F.expr(
+                f"1 + (_n - {max_tokens} + {stride - 1}) DIV {stride}"
+            ).cast("long")
+        ),
+    )
+    idx = F.explode(F.sequence(F.lit(0).cast("long"), F.col("n_chunks") - 1))
+    start = F.col("chunk_idx") * stride
+    return (
+        base.withColumn("chunk_idx", idx)
+        .select(
+            "id",
+            "chunk_idx",
+            "n_chunks",
+            F.least(
+                F.lit(max_tokens).cast("long"), F.col("_n") - start
+            ).alias("n_tokens"),
+            F.array_join(
+                F.slice(F.col("_w"), (start + 1).cast("int"), max_tokens),
+                " ",
+            ).alias("chunk_text"),
+        )
+    )

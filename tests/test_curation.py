@@ -164,3 +164,32 @@ def test_curation_funnel_stage_attrition(spark):
                                     decontam_k=4).collect()}
     assert out == {"raw": 4, "gopher_quality": 3, "exact_dedup": 2,
                    "decontam": 1}
+
+
+def test_chunk_documents_windows_and_ids(spark):
+    """Chunk windows: a 10-word doc at max=6/overlap=2 (stride 4) yields
+    chunks [0..5], [4..9] — 2 chunks, the second full; an 11-word doc
+    yields 3 with a 3-word tail; short docs one chunk; overlap region
+    repeats verbatim."""
+    import pytest as _pytest
+
+    from influxer_spark.operators.curation import chunk_documents
+
+    w10 = " ".join(f"w{i}" for i in range(10))
+    w11 = " ".join(f"w{i}" for i in range(11))
+    df = spark.createDataFrame(
+        [(1, w10), (2, w11), (3, "a b"), (4, "")], ["doc_id", "text"]
+    )
+    out = {
+        (r["id"], r["chunk_idx"]): (r["n_chunks"], r["n_tokens"], r["chunk_text"])
+        for r in chunk_documents(df, "doc_id", "text", 6, 2).collect()
+    }
+    assert out[(1, 0)] == (2, 6, "w0 w1 w2 w3 w4 w5")
+    assert out[(1, 1)] == (2, 6, "w4 w5 w6 w7 w8 w9")
+    assert out[(2, 0)][0] == 3 and out[(2, 2)] == (3, 3, "w8 w9 w10")
+    assert out[(3, 0)] == (1, 2, "a b")
+    assert out[(4, 0)][0] == 1  # empty doc: exactly one (empty-ish) chunk
+    assert len(out) == 2 + 3 + 1 + 1
+
+    with _pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, "doc_id", "text", 6, 6)
