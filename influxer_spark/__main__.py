@@ -134,6 +134,12 @@ def _build_parser() -> argparse.ArgumentParser:
         "rewrite_data_files + expire_snapshots as one maintenance command",
     )
     p.add_argument(
+        "-compactsort", default=None, metavar="COLS",
+        help="with -compact: comma list of sort columns — use Iceberg's "
+        "SORT rewrite strategy (cluster rows for row-group pruning) "
+        "instead of binpack",
+    )
+    p.add_argument(
         "-diff", default=None, metavar="TABLE:FROM[:TO]",
         help="with -catalog: metadata-only changelog between two retained "
         "snapshots of TABLE (added/removed/changed partitions + rows "
@@ -298,11 +304,16 @@ def main(argv: list[str] | None = None) -> int:
             if args.compact.strip().lower() == "all"
             else [t for t in args.compact.split(",") if t]
         )
+        sort_cols = (
+            [c for c in args.compactsort.split(",") if c]
+            if args.compactsort
+            else None
+        )
         for t in tables:
             if not cat.exists(t):
                 print(f"{t}: absent, skipped")
                 continue
-            res = cat.compact(spark, t)
+            res = cat.compact(spark, t, sort_cols=sort_cols)
             freed = cat.vacuum(t)
             print(
                 f"{t}: {res['rewritten']}/{res['partitions']} partitions "

@@ -431,6 +431,7 @@ class TableCatalog:
         name: str,
         partition_value: str,
         target_file_mb: int = 128,
+        sort_cols: list[str] | None = None,
     ) -> dict[str, Any]:
         """Bin-pack one partition's small files into ~``target_file_mb``
         outputs (Iceberg's ``rewrite_data_files`` binpack strategy).
@@ -444,6 +445,16 @@ class TableCatalog:
         note added) — readers never see a half-compacted partition, and time
         travel to the pre-compaction snapshot still works until
         :meth:`expire_snapshots` reclaims it.
+
+        ``sort_cols`` switches to Iceberg's SORT strategy: rows range-
+        partition across the output files and sort within each, so parquet
+        row-group min/max stats become selective on those columns — a
+        per-series read (``WHERE metric = …``) then skips most row groups
+        instead of scanning the day.  Costs one shuffle (binpack's coalesce
+        is narrow), which is the standard trade: pay it once at maintenance
+        time, save it on every subsequent selective scan.  A sort rewrite
+        runs even when the file count is already at target — layout, not
+        file count, is what it fixes.
         """
         parts = self.committed_partitions(name)
         if partition_value not in parts:
@@ -458,14 +469,21 @@ class TableCatalog:
         ]
         n_bytes = sum(os.path.getsize(os.path.join(src, fn)) for fn in data_files)
         n_target = max(1, -(-n_bytes // (target_file_mb << 20)))  # ceil
-        if len(data_files) <= n_target:
+        if len(data_files) <= n_target and not sort_cols:
             return {"compacted": False, "files": len(data_files), "bytes": n_bytes}
         df = spark.read.parquet(src)
         vdir = f"v={uuid.uuid4().hex[:8]}"
         dest = os.path.join(self.table_path(name), f"p={partition_value}", vdir)
-        # coalesce, not repartition: a narrow merge of input splits — no
-        # shuffle; parquet re-encode is the only cost
-        df.coalesce(n_target).write.mode("overwrite").parquet(dest)
+        if sort_cols:
+            cols = list(sort_cols)
+            out = df.repartitionByRange(n_target, *cols).sortWithinPartitions(
+                *cols
+            )
+        else:
+            # coalesce, not repartition: a narrow merge of input splits — no
+            # shuffle; parquet re-encode is the only cost
+            out = df.coalesce(n_target)
+        out.write.mode("overwrite").parquet(dest)
         manifest = self.read_manifest(name)
         new_entry = dict(manifest["partitions"][partition_value])
         new_entry["dir"] = vdir
@@ -475,6 +493,8 @@ class TableCatalog:
             "files_before": len(data_files),
             "files_after": n_target,
             "bytes": n_bytes,
+            "strategy": "sort" if sort_cols else "binpack",
+            **({"sort_cols": list(sort_cols)} if sort_cols else {}),
         }
         manifest["partitions"][partition_value] = new_entry
         manifest["lineage"].append({"partition": partition_value, **new_entry})
@@ -487,14 +507,22 @@ class TableCatalog:
         }
 
     def compact(
-        self, spark: SparkSession, name: str, target_file_mb: int = 128
+        self,
+        spark: SparkSession,
+        name: str,
+        target_file_mb: int = 128,
+        sort_cols: list[str] | None = None,
     ) -> dict[str, Any]:
         """Compact every committed partition (driver loop over partition
         METADATA — bounded by partition count, never data; each rewrite is
-        its own Spark job, so a scheduler can run them as a wave)."""
+        its own Spark job, so a scheduler can run them as a wave).
+        ``sort_cols`` applies the SORT strategy per partition (see
+        :meth:`compact_partition`)."""
         out: dict[str, Any] = {"partitions": 0, "rewritten": 0}
         for pv in sorted(self.committed_partitions(name)):
-            res = self.compact_partition(spark, name, pv, target_file_mb)
+            res = self.compact_partition(
+                spark, name, pv, target_file_mb, sort_cols=sort_cols
+            )
             out["partitions"] += 1
             out["rewritten"] += int(res.get("compacted", False))
         return out

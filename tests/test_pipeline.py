@@ -444,3 +444,55 @@ def test_series_cardinality_guard(spark, pages_path, tmp_path):
         encode_gorilla=False, max_series_per_day=10_000_000,
     )
     assert res.days_processed
+
+
+def test_compaction_sort_strategy_clusters_rows(tmp_path, spark):
+    """sort_cols compaction (Iceberg rewrite_data_files SORT strategy):
+    rows cluster by the sort key within each output file so parquet
+    min/max row-group stats become selective; data survives as an exact
+    multiset, the manifest records the strategy, and a sort rewrite runs
+    even when the file count is already at target."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    cat = TableCatalog(str(tmp_path / "c"))
+    # two interleaved writes → a 2-file partition with mixed metrics
+    df = spark.range(2000).select(
+        F.col("id"),
+        F.concat(F.lit("m"), (F.col("id") % 7).cast("string")).alias("metric"),
+        F.lit("2024-01-01").alias("day"),
+    ).repartition(4)
+    cat.write_partitions(df, "t", ["2024-01-01"])
+    before = sorted(
+        tuple(r) for r in cat.read(spark, "t").select("id", "metric").collect()
+    )
+
+    res = cat.compact_partition(
+        spark, "t", "2024-01-01", target_file_mb=128, sort_cols=["metric", "id"]
+    )
+    assert res["compacted"]
+    after_df = cat.read(spark, "t")
+    assert sorted(
+        tuple(r) for r in after_df.select("id", "metric").collect()
+    ) == before
+
+    entry = cat.committed_partitions("t")["2024-01-01"]
+    assert entry["compaction"]["strategy"] == "sort"
+    assert entry["compaction"]["sort_cols"] == ["metric", "id"]
+
+    # every output file is internally sorted by the key → min/max stats
+    # are selective per row group
+    pdir = cat._partition_dir("t", "2024-01-01", entry)
+    for fn in glob.glob(os.path.join(pdir, "*.parquet")):
+        col = pq.read_table(fn, columns=["metric"]).column("metric").to_pylist()
+        assert col == sorted(col), fn
+
+    # already at target file count: binpack would skip, sort must rewrite
+    res2 = cat.compact_partition(
+        spark, "t", "2024-01-01", target_file_mb=128, sort_cols=["metric"]
+    )
+    assert res2["compacted"]
+    res3 = cat.compact_partition(spark, "t", "2024-01-01", target_file_mb=128)
+    assert not res3["compacted"]  # binpack path still skips when compact
