@@ -1068,6 +1068,50 @@ SELECT event_type, rank, item, cnt FROM (
 """
 
 
+def _q_kmv_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-24h distinct users at every observed hour, from the
+    hourly KMV sketch tier alone (operators/kmv.py:kmv_sliding) — the
+    DAU/WAU primitive a tumbling re-bucket cannot answer because
+    trailing windows overlap.  The k-min union stays lossless under
+    overlap, so the oracle — which computes each window's k-min set
+    directly from raw — matches bit-for-bit."""
+    from influxer_spark.operators import kmv as KMV
+
+    ev = _t(spark, sf_dir, "events")
+    h1 = KMV.kmv_sketch(ev, "ts", ["event_type"], "user_id", "1h", k=64)
+    slid = KMV.kmv_sliding(h1, ["event_type"], 24, 3600, k=64)
+    return KMV.kmv_estimate(slid, ["event_type"], k=64)
+
+
+_KMV_SLIDING_ORACLE = """
+WITH h AS (
+  SELECT DISTINCT date_trunc('hour', ts) AS b, event_type,
+         CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS hv
+  FROM events
+), obs AS (
+  SELECT DISTINCT b, event_type FROM h
+), win AS (
+  SELECT DISTINCT o.b AS bucket, o.event_type, x.hv
+  FROM obs o JOIN h x ON x.event_type = o.event_type
+   AND x.b <= o.b AND x.b > o.b - INTERVAL 24 HOUR
+), r AS (
+  SELECT bucket, event_type, hv,
+         row_number() OVER (PARTITION BY bucket, event_type ORDER BY hv) AS rn,
+         count(*) OVER (PARTITION BY bucket, event_type) AS n
+  FROM win
+)
+SELECT bucket, event_type,
+  CAST(LEAST(max(n), 64) AS BIGINT) AS sketch_size,
+  CAST(round(
+    (CASE WHEN max(n) < 64 THEN CAST(max(n) AS DOUBLE)
+          ELSE 63.0 * 1152921504606846976.0
+               / CAST(max(CASE WHEN rn = 64 THEN hv END) AS DOUBLE) END)
+    * 10000, 0) AS BIGINT) / 10000.0 AS est_distinct
+FROM r GROUP BY 1, 2
+"""
+
+
 def _q_tvd_drift_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Day-over-day distribution drift per series from the HDR sketch
     tiers alone: total-variation distance between consecutive days'
@@ -1678,6 +1722,7 @@ _WINDOW_PRIORITY = [
     "hdr_seasonal_band",
     "stream_stddev_replay_1h",
     "chunk_documents_32_8",
+    "kmv_sliding_24h",
 ]
 
 # Rows-only queries (genuinely non-SQL-expressible internals) — always last.
@@ -1724,6 +1769,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hdr_seasonal_band": _q_hdr_seasonal_band,
         "stream_stddev_replay_1h": _q_stream_sumsq_replay,
         "chunk_documents_32_8": _q_chunk_documents,
+        "kmv_sliding_24h": _q_kmv_sliding,
         "hdr_quantile_1h": _q_hdr_quantile_1h,
         "stream_hdr_replay_1h": _q_stream_hdr_replay,
         "hdr_tier_read_4h": _q_hdr_tier_read_4h,
@@ -1831,6 +1877,7 @@ def oracle_sql() -> dict[str, str]:
         "hdr_seasonal_band": _HDR_SEASONAL_ORACLE,
         "stream_stddev_replay_1h": _TIER_STDDEV_ORACLE,
         "chunk_documents_32_8": _CHUNK_DOCS_ORACLE,
+        "kmv_sliding_24h": _KMV_SLIDING_ORACLE,
         "hdr_quantile_1h": _HDR_QUANTILE_ORACLE,
         "stream_hdr_replay_1h": _HDR_QUANTILE_ORACLE,
         "hdr_tier_read_4h": _HDR_TIER_4H_ORACLE,

@@ -247,3 +247,49 @@ def build_kmv_tiers(
         catalog.set_table_property(t, "kmv_item_col", item_col)
         catalog.set_table_property(t, "kmv_key_cols", keys)
     return sorted(days)
+
+
+def kmv_sliding(
+    summary: DataFrame,
+    key_cols: Sequence[str],
+    window_buckets: int,
+    bucket_seconds: int = 3600,
+    k: int = DEFAULT_K,
+) -> DataFrame:
+    """TRAILING-window distinct counts from the sketch tiers — the
+    DAU/WAU primitive ("users active in the 24h ending at each hour"):
+    for every OBSERVED bucket o, the k-min union of the window_buckets
+    sketches covering (o − window, o], inclusive of o.
+
+    A tumbling re-bucket (:func:`kmv_rebucket`) cannot answer this —
+    trailing windows overlap, so each sketch contributes to
+    ``window_buckets`` outputs.  The k-min union stays lossless under
+    overlap (any hash among the window's k smallest is in its own
+    bucket's k-min set), so the sliding estimate is IDENTICAL to
+    sketching each window from raw.
+
+    Scale: the explode inflates SKETCH rows by k·window_buckets — tier-
+    sized (e.g. 24·64 longs per series-hour), never raw-sized; one
+    shuffle on (out_bucket, series) with the same trim as the cascade.
+    Outputs only at observed buckets (a dashboard asks at hours that
+    exist; empty hours have no row in the tier to anchor a window).
+    """
+    keys = list(key_cols)
+    obs = summary.select("bucket", *keys).distinct()
+    contrib = summary.select(
+        *keys,
+        F.explode(
+            F.sequence(F.lit(0), F.lit(int(window_buckets) - 1))
+        ).alias("_off"),
+        F.col("bucket").alias("_b"),
+        "hashes",
+    ).select(
+        *keys,
+        (
+            F.col("_b")
+            + F.expr(f"make_interval(0,0,0,0,0,0, _off * {bucket_seconds})")
+        ).alias("bucket"),
+        F.explode("hashes").alias("h"),
+    )
+    pts = contrib.join(obs, on=["bucket", *keys]).distinct()
+    return _kmin(pts, keys, k)

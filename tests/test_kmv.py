@@ -213,3 +213,37 @@ def test_set_estimates_track_truth_above_k(spark):
     true_inter = len(a_ids & b_ids)
     assert abs(r["est_union"] - true_union) / true_union < 0.25
     assert abs(r["est_intersection"] - true_inter) / true_inter < 0.25
+
+
+def test_sliding_union_equals_window_sketch_from_raw(spark):
+    """Trailing-window k-min union is lossless under overlap: the sliding
+    sketch at every observed bucket equals a sketch built directly from
+    that window's raw rows."""
+    ev = _events(spark)
+    h1 = KMV.kmv_sketch(ev, "ts", ["event_type"], "user_id", "1h", k=32)
+    got = {
+        (r["bucket"], r["event_type"]): tuple(r["hashes"])
+        for r in KMV.kmv_sliding(h1, ["event_type"], 6, 3600, k=32).collect()
+    }
+    # direct per-window sketches from raw, at the same observed buckets
+    import datetime as dtm
+
+    want = {}
+    rows = ev.select("ts", "event_type", "user_id").collect()
+    obs = sorted({(r["ts"].replace(minute=0, second=0, microsecond=0),
+                   r["event_type"]) for r in rows})
+    for b, et in obs:
+        lo = b - dtm.timedelta(hours=5)
+        vals = {
+            r["user_id"] for r in rows
+            if r["event_type"] == et
+            and lo <= r["ts"].replace(minute=0, second=0, microsecond=0) <= b
+        }
+        import hashlib
+
+        hs = sorted(
+            int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+            for v in vals
+        )[:32]
+        want[(b, et)] = tuple(hs)
+    assert got == want
