@@ -1068,6 +1068,55 @@ SELECT event_type, rank, item, cnt FROM (
 """
 
 
+def _q_rollup_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-24h algebraic aggregates at every observed hour from the
+    1h tier (operators/rollup.py:rollup_sliding) — one RANGE window per
+    series over TIER rows, epoch-keyed so tier gaps are handled by value
+    range.  The tier's sums are quantized to integer cents before the
+    window, so the trailing sums are exact BIGINTs (a float trailing sum
+    would depend on the window implementation's summation order) and the
+    oracle's RANGE window replays them bit-for-bit."""
+    from influxer_spark.operators import rollup as R
+
+    ev = _t(spark, sf_dir, "events")
+    t1h = R.rollup(ev, "ts", ["event_type"], "value", "1h").withColumn(
+        "sum_v", F.round(F.col("sum_v") * 100, 0).cast("long")
+    )
+    slid = R.rollup_sliding(t1h, ["event_type"], 24, 3600)
+    return slid.select(
+        "bucket",
+        "event_type",
+        "cnt",
+        (F.col("sum_v") / F.lit(100.0)).alias("sum_v"),
+        "min_v",
+        "max_v",
+        (F.col("sum_v") / (F.col("cnt") * F.lit(100.0))).alias("avg_v"),
+        "n_buckets",
+    )
+
+
+_ROLLUP_SLIDING_ORACLE = """
+WITH h AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket,
+         count(value) AS cnt,
+         CAST(round(sum(value) * 100, 0) AS BIGINT) AS s_c,
+         min(value) AS min_v, max(value) AS max_v
+  FROM events GROUP BY 1, 2
+)
+SELECT bucket, event_type,
+  CAST(sum(cnt) OVER w AS BIGINT) AS cnt,
+  CAST(sum(s_c) OVER w AS BIGINT) / 100.0 AS sum_v,
+  min(min_v) OVER w AS min_v,
+  max(max_v) OVER w AS max_v,
+  CAST(sum(s_c) OVER w AS BIGINT)
+    / (CAST(sum(cnt) OVER w AS BIGINT) * 100.0) AS avg_v,
+  CAST(count(*) OVER w AS BIGINT) AS n_buckets
+FROM h
+WINDOW w AS (PARTITION BY event_type ORDER BY epoch(bucket)
+             RANGE BETWEEN 82800 PRECEDING AND CURRENT ROW)
+"""
+
+
 def _q_kmv_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-24h distinct users at every observed hour, from the
     hourly KMV sketch tier alone (operators/kmv.py:kmv_sliding) — the
@@ -1723,6 +1772,7 @@ _WINDOW_PRIORITY = [
     "stream_stddev_replay_1h",
     "chunk_documents_32_8",
     "kmv_sliding_24h",
+    "rollup_sliding_24h",
 ]
 
 # Rows-only queries (genuinely non-SQL-expressible internals) — always last.
@@ -1770,6 +1820,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_stddev_replay_1h": _q_stream_sumsq_replay,
         "chunk_documents_32_8": _q_chunk_documents,
         "kmv_sliding_24h": _q_kmv_sliding,
+        "rollup_sliding_24h": _q_rollup_sliding,
         "hdr_quantile_1h": _q_hdr_quantile_1h,
         "stream_hdr_replay_1h": _q_stream_hdr_replay,
         "hdr_tier_read_4h": _q_hdr_tier_read_4h,
@@ -1878,6 +1929,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_stddev_replay_1h": _TIER_STDDEV_ORACLE,
         "chunk_documents_32_8": _CHUNK_DOCS_ORACLE,
         "kmv_sliding_24h": _KMV_SLIDING_ORACLE,
+        "rollup_sliding_24h": _ROLLUP_SLIDING_ORACLE,
         "hdr_quantile_1h": _HDR_QUANTILE_ORACLE,
         "stream_hdr_replay_1h": _HDR_QUANTILE_ORACLE,
         "hdr_tier_read_4h": _HDR_TIER_4H_ORACLE,

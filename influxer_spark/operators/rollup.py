@@ -27,7 +27,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # tier name → (date_trunc unit, parent tier)
@@ -563,4 +563,41 @@ def hist_sum_expr(ncells: int, hist_col: str = "hist"):
             F.sum(F.element_at(F.col(hist_col), i + 1))
             for i in range(ncells)
         ]
+    )
+
+
+def rollup_sliding(
+    rolled: DataFrame,
+    key_cols: Sequence[str],
+    window_buckets: int,
+    bucket_seconds: int,
+) -> DataFrame:
+    """TRAILING-window algebraic aggregates over tier rows — "requests in
+    the 24h ending at each hour" beside :func:`kmv.kmv_sliding`'s
+    distinct twin: one RANGE window per series over the tier (epoch-
+    keyed, so gaps in the tier are handled by value range, not row
+    offsets — 23 missing hours still give a correct 24h sum).
+
+    Output at every tier bucket: (bucket, *keys, cnt, sum_v, min_v,
+    max_v, avg_v, n_buckets) over (bucket − window, bucket].  Cost: one
+    exchange on the series key over TIER rows (the window sort rides
+    it), never raw data — this is the dashboard's moving aggregate at
+    continuous-aggregate cost.
+    """
+    span = int(window_buckets) * int(bucket_seconds)
+    secs = F.unix_timestamp(F.col("bucket").cast("timestamp")).cast("long")
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(secs)
+        .rangeBetween(-(span - int(bucket_seconds)), 0)
+    )
+    return rolled.select(
+        "bucket",
+        *key_cols,
+        F.sum("cnt").over(w).alias("cnt"),
+        F.sum("sum_v").over(w).alias("sum_v"),
+        F.min("min_v").over(w).alias("min_v"),
+        F.max("max_v").over(w).alias("max_v"),
+        (F.sum("sum_v").over(w) / F.sum("cnt").over(w)).alias("avg_v"),
+        F.count(F.lit(1)).over(w).alias("n_buckets"),
     )

@@ -136,3 +136,40 @@ def test_stddev_matches_builtin_on_quantized_values(spark):
                 assert a is None  # n < 2 → sample stddev undefined
             else:
                 assert math.isclose(a, b, rel_tol=1e-12)
+
+
+def test_rollup_sliding_gap_aware_range_window(spark):
+    """Trailing window is a RANGE (value) window, not a row window: a gap
+    in the tier must not stretch the window.  Hours 0,1,5 with window 3h:
+    hour 5's window covers hours 3-5 → only hour 5's own row."""
+    rows = [
+        (dt.datetime(2024, 1, 1, 0), "a", 1.0),
+        (dt.datetime(2024, 1, 1, 1), "a", 2.0),
+        (dt.datetime(2024, 1, 1, 5), "a", 10.0),
+    ]
+    df = spark.createDataFrame(rows, ["ts", "event_type", "value"])
+    t1h = R.rollup(df, "ts", ["event_type"], "value", "1h")
+    got = {
+        r["bucket"].hour: (r["cnt"], r["sum_v"], r["n_buckets"])
+        for r in R.rollup_sliding(t1h, ["event_type"], 3, 3600).collect()
+    }
+    assert got[0] == (1, 1.0, 1)
+    assert got[1] == (2, 3.0, 2)   # hours 0+1 in range
+    assert got[5] == (1, 10.0, 1)  # hours 3-5: only hour 5 exists
+
+
+def test_rollup_sliding_single_exchange(spark, events):
+    """One exchange on the series key over TIER rows — the window sort
+    rides it; no second raw-sized shuffle."""
+    import re as _re
+
+    t1h = R.rollup(events, "ts", ["event_type"], "value", "1h")
+    plan = (
+        R.rollup_sliding(t1h, ["event_type"], 24, 3600)
+        ._jdf.queryExecution()
+        .explainString(
+            events.sparkSession._jvm.org.apache.spark.sql.execution
+            .ExplainMode.fromString("formatted")
+        )
+    )
+    assert len(_re.findall(r"^\s*\(\d+\) Exchange", plan, _re.M)) == 2, plan
