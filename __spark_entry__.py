@@ -918,6 +918,62 @@ FROM r GROUP BY 1, 2
 """
 
 
+def _q_seasonal_band_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-season anomalies: hourly means outside their own hour-of-day's
+    [p10, p90] sketch band (hdrsketch.seasonal_band_anomalies) — catches
+    'unusual for 3 a.m.' events a global threshold misses.  Hourly means
+    are exact integer cents and band edges identical integer sketch math
+    on both engines, so the flag itself is bit-deterministic."""
+    from influxer_spark.operators import hdrsketch as H
+
+    ev = _t(spark, sf_dir, "events")
+    return H.seasonal_band_anomalies(
+        ev, "ts", ["event_type"], "value", 0.1, 0.9
+    )
+
+
+_SEASONAL_ANOMALY_ORACLE = """
+WITH p AS (
+  SELECT event_type, CAST(hour(ts) AS BIGINT) AS hod,
+         greatest(CAST(round(value*100,0) AS BIGINT), 1) AS vq
+  FROM events
+), i AS (
+  SELECT event_type, hod,
+         (CAST(length(bin(vq))-1 AS BIGINT))*32
+           + ((vq*32) >> CAST(length(bin(vq))-1 AS BIGINT)) - 32 AS idx
+  FROM p
+), s AS (
+  SELECT event_type, hod, idx, count(*) AS cnt FROM i GROUP BY 1,2,3
+), r AS (
+  SELECT event_type, hod, idx, cnt,
+         sum(cnt) OVER (PARTITION BY event_type, hod ORDER BY idx) AS cum,
+         sum(cnt) OVER (PARTITION BY event_type, hod) AS n,
+         ((((idx % 32) + 32) << (idx // 32)) >> 5) AS lb
+  FROM s
+), band AS (
+  SELECT event_type, hod,
+    min(CASE WHEN cum >= ceil(0.1*n) THEN lb END)/100.0 AS lo,
+    min(CASE WHEN cum >= ceil(0.9*n) THEN lb END)/100.0 AS hi
+  FROM r GROUP BY 1, 2
+), hourly AS (
+  SELECT event_type,
+    make_timestamp((CAST(floor(epoch(ts)) AS BIGINT)
+      - CAST(floor(epoch(ts)) AS BIGINT) % 3600) * 1000000) AS bucket,
+    CAST(sum(CAST(round(value*100,0) AS BIGINT)) AS BIGINT)
+      AS s_c,
+    count(value) AS cnt
+  FROM events GROUP BY 1, 2
+)
+SELECT h.event_type, h.bucket, CAST(hour(h.bucket) AS BIGINT) AS hod,
+  CAST(h.s_c AS DOUBLE) / h.cnt / 100.0 AS v,
+  b.lo, b.hi,
+  (CAST(h.s_c AS DOUBLE) / h.cnt / 100.0 < b.lo
+   OR CAST(h.s_c AS DOUBLE) / h.cnt / 100.0 > b.hi) AS anomaly
+FROM hourly h JOIN band b
+  ON b.event_type = h.event_type AND b.hod = hour(h.bucket)
+"""
+
+
 def _q_stream_deadman_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming deadman VALUE-oracled via stop/resume replay: land events
     as two time-ordered files, drain with TWO availableNow runs against
@@ -1773,6 +1829,7 @@ _WINDOW_PRIORITY = [
     "chunk_documents_32_8",
     "kmv_sliding_24h",
     "rollup_sliding_24h",
+    "seasonal_band_anomaly_1h",
 ]
 
 # Rows-only queries (genuinely non-SQL-expressible internals) — always last.
@@ -1821,6 +1878,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents_32_8": _q_chunk_documents,
         "kmv_sliding_24h": _q_kmv_sliding,
         "rollup_sliding_24h": _q_rollup_sliding,
+        "seasonal_band_anomaly_1h": _q_seasonal_band_anomaly,
         "hdr_quantile_1h": _q_hdr_quantile_1h,
         "stream_hdr_replay_1h": _q_stream_hdr_replay,
         "hdr_tier_read_4h": _q_hdr_tier_read_4h,
@@ -1930,6 +1988,7 @@ def oracle_sql() -> dict[str, str]:
         "chunk_documents_32_8": _CHUNK_DOCS_ORACLE,
         "kmv_sliding_24h": _KMV_SLIDING_ORACLE,
         "rollup_sliding_24h": _ROLLUP_SLIDING_ORACLE,
+        "seasonal_band_anomaly_1h": _SEASONAL_ANOMALY_ORACLE,
         "hdr_quantile_1h": _HDR_QUANTILE_ORACLE,
         "stream_hdr_replay_1h": _HDR_QUANTILE_ORACLE,
         "hdr_tier_read_4h": _HDR_TIER_4H_ORACLE,

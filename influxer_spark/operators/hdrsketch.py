@@ -302,3 +302,67 @@ def hdr_seasonal_quantiles(
     return hdr_quantiles(by_phase, key_cols, ps, sub_bits).withColumnRenamed(
         "bucket", "hod"
     )
+
+
+def seasonal_band_anomalies(
+    df: DataFrame,
+    ts_col: str,
+    key_cols: Sequence[str],
+    value_col: str,
+    lo_p: float = 0.1,
+    hi_p: float = 0.9,
+    sub_bits: int = DEFAULT_SUB_BITS,
+) -> DataFrame:
+    """In-season anomaly flags from the calendar-phase band: an hourly
+    observation is anomalous iff it falls OUTSIDE its own hour-of-day's
+    [lo_p, hi_p] band (:func:`hdr_seasonal_quantiles`) — "is 3 a.m.
+    traffic unusual FOR 3 a.m.?", the question a global threshold and a
+    raw MAD both get wrong on strongly seasonal series.
+
+    Composition, not a new primitive: hourly mean (exact integer cents,
+    like the rollup tiers) broadcast-joined to the 24-row-per-series
+    phase bands.  Sketch quantiles carry ≤ 2^-sub_bits relative error,
+    so the band edges are approximate by declared contract; the
+    COMPARISON is still deterministic (both engines compute identical
+    band edges from identical integer counters).
+
+    Output: (keys…, bucket, hod, v, lo, hi, anomaly) for every hourly
+    bucket — anomaly = v < lo OR v > hi.
+    """
+    keys = list(key_cols)
+    secs = F.unix_timestamp(F.col(ts_col).cast("timestamp")).cast("long")
+    cents = F.round(F.col(value_col) * 100, 0).cast("long")
+    hourly = (
+        df.select(
+            *keys,
+            F.timestamp_seconds((secs - secs % 3600)).alias("bucket"),
+            cents.alias("_c"),
+        )
+        .groupBy(*keys, "bucket")
+        .agg(
+            (
+                F.sum("_c").cast("double") / F.count("_c") / 100.0
+            ).alias("v")
+        )
+    )
+    sk = hdr_rollup(df, ts_col, keys, value_col, "1h", sub_bits)
+    band = hdr_seasonal_quantiles(sk, keys, (lo_p, hi_p), sub_bits)
+    lo_c = f"q{int(round(lo_p * 100))}"
+    hi_c = f"q{int(round(hi_p * 100))}"
+    joined = hourly.withColumn(
+        "hod", F.hour("bucket").cast("long")
+    ).join(
+        F.broadcast(
+            band.select(
+                *keys, "hod",
+                F.col(lo_c).alias("lo"), F.col(hi_c).alias("hi"),
+            )
+        ),
+        on=[*keys, "hod"],
+    )
+    return joined.select(
+        *keys, "bucket", "hod", "v", "lo", "hi",
+        ((F.col("v") < F.col("lo")) | (F.col("v") > F.col("hi"))).alias(
+            "anomaly"
+        ),
+    )

@@ -210,3 +210,27 @@ def test_seasonal_phase_merge_hand_values(spark):
     # rank ceil(.9*20)=18 → 18th = 9¢
     assert got[14] == (20, 0.01, 0.09)
     assert got[9] == (1, 0.25, 0.25)
+
+
+def test_seasonal_band_anomaly_flags(spark):
+    """An hour whose mean sits far outside its phase's historical band is
+    flagged; ordinary hours are not.  Three days of calm 14:00 values
+    plus one wild day — only the wild day's 14:00 bucket pages."""
+    import datetime as dt
+
+    rows = []
+    for d in (1, 2, 3, 4, 5, 6, 7, 8, 9):
+        for s, v in enumerate([1.00, 1.02, 1.04, 0.98, 0.96, 1.01]):
+            rows.append((dt.datetime(2024, 1, d, 14, 0, s), "a", v))
+    for s in range(6):  # day 10: 14:00 explodes
+        rows.append((dt.datetime(2024, 1, 10, 14, 0, s), "a", 99.0))
+    df = spark.createDataFrame(rows, ["ts", "event_type", "value"])
+    got = {
+        r["bucket"].day: r["anomaly"]
+        for r in H.seasonal_band_anomalies(
+            df, "ts", ["event_type"], "value", 0.1, 0.9
+        ).collect()
+    }
+    assert got[10] is True
+    assert sum(got.values()) <= 2  # at most the wild day + one band-edge hour
+    assert got[2] is False and got[5] is False
