@@ -363,6 +363,17 @@ def main(argv: list[str] | None = None) -> int:
                 hist_bounds=hb,
                 kmv_item_col=args.kmvitem,
             )
+            # CQ registry durability: CREATE/DROP CONTINUOUS QUERY from the
+            # CLI persists in the catalog, like InfluxDB's server meta store
+            eng.attach_cq_catalog(cat)
+        if args.query.strip().lower() == "cq run":
+            ran = eng.run_continuous_queries()
+            for name, df_out in sorted(ran.items()):
+                print(f"cq {name}: {df_out.count()} rows")
+            if not ran:
+                print("no continuous queries registered")
+            print(f"done in {time.time() - t0:.1f}s")
+            return 0
         out = eng.execute(args.query)
         cols = out.columns
         if args.output:

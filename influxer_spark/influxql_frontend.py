@@ -737,6 +737,25 @@ class InfluxQLEngine:
         self.cqs: dict[str, str] = {}  # continuous-query name → SELECT…INTO text
         # retention-policy name → (duration_s | None for INF, replicaN, default)
         self.retention: dict[str, tuple[float | None, int, bool]] = {}
+        # optional catalog backing the CQ registry: InfluxDB's CQs live in
+        # the server, not the client session, so a CLI user expects CREATE
+        # CONTINUOUS QUERY to survive the process (see attach_cq_catalog)
+        self._cq_catalog: Any = None
+
+    def attach_cq_catalog(self, catalog: Any) -> None:
+        """Make the CQ registry DURABLE: load persisted continuous queries
+        from ``catalog`` (table properties of the ``_cq`` meta table) and
+        persist subsequent CREATE/DROP CONTINUOUS QUERY there — the
+        engine-side analogue of InfluxDB storing CQs in the server's meta
+        store rather than a client session."""
+        self._cq_catalog = catalog
+        stored = catalog.table_property("_cq", "queries", {}) or {}
+        for name, text in stored.items():
+            self.cqs.setdefault(name, text)
+
+    def _persist_cqs(self) -> None:
+        if self._cq_catalog is not None:
+            self._cq_catalog.set_table_property("_cq", "queries", dict(self.cqs))
 
     # --- condition compilation ---
 
@@ -2373,6 +2392,7 @@ class InfluxQLEngine:
             if parse(inner).into is None:
                 raise InfluxQLError("a continuous query must SELECT … INTO …")
             self.cqs[name] = inner
+            self._persist_cqs()
             return spark.createDataFrame([(name, inner)], "name string, query string")
         if p.kw("DROP", "CONTINUOUS", "QUERY"):
             name = p.ident()
@@ -2381,6 +2401,7 @@ class InfluxQLEngine:
             if name not in self.cqs:
                 raise InfluxQLError(f"unknown continuous query {name!r}")
             del self.cqs[name]
+            self._persist_cqs()
             return spark.createDataFrame([(name,)], "dropped string")
         if p.kw("CREATE", "DATABASE"):
             name = p.ident()

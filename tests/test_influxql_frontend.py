@@ -536,3 +536,36 @@ def test_estimated_cardinality_above_k_is_deterministic(spark):
     b = eng.execute(sql).collect()[0]["count"]
     assert a == b                      # deterministic
     assert abs(a - 5000) / 5000 < 0.10  # KMV k=1024 ⇒ ~3% rse
+
+
+def test_cq_registry_survives_engine_restart(spark, m, tmp_path):
+    """attach_cq_catalog makes the CQ registry durable (InfluxDB stores
+    CQs in the server meta store, not a client session): a CQ created in
+    one engine is visible — and runnable — in a fresh engine on the same
+    catalog, and DROP persists too."""
+    from influxer_spark.catalog import TableCatalog
+
+    cat = TableCatalog(str(tmp_path / "c"))
+
+    def engine():
+        e = InfluxQLEngine({"cpu": m}, ts_col="ts")
+        e.attach_cq_catalog(cat)
+        return e
+
+    a = engine()
+    a.execute(
+        "CREATE CONTINUOUS QUERY mean1m ON db BEGIN "
+        "SELECT mean(value) AS m INTO cpu_1m FROM cpu GROUP BY time(1m), host "
+        "END"
+    )
+    b = engine()
+    assert "mean1m" in b.cqs
+    ran = b.run_continuous_queries()
+    direct = b.execute(
+        "SELECT mean(value) AS m FROM cpu GROUP BY time(1m), host"
+    )
+    assert sorted(map(tuple, ran["mean1m"].collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+    b.execute("DROP CONTINUOUS QUERY mean1m")
+    assert "mean1m" not in engine().cqs
