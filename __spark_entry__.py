@@ -1124,6 +1124,56 @@ SELECT event_type, rank, item, cnt FROM (
 """
 
 
+def _q_hdr_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving percentiles from sketch tiers: trailing-24h p50/p95 at
+    every observed hour (hdrsketch.hdr_sliding + hdr_quantiles) — the
+    latency-dashboard primitive a tumbling re-bucket cannot answer.
+    Counter vectors SUM losslessly under overlap, so the oracle — which
+    sketches each trailing window directly from raw — matches
+    bit-for-bit."""
+    from influxer_spark.operators import hdrsketch as H
+
+    ev = _t(spark, sf_dir, "events")
+    h1 = H.hdr_rollup(ev, "ts", ["event_type"], "value", "1h")
+    slid = H.hdr_sliding(h1, ["event_type"], 24, 3600)
+    return H.hdr_quantiles(slid, ["event_type"], (0.5, 0.95)).select(
+        "event_type", "bucket", "n", "q50", "q95"
+    )
+
+
+_HDR_SLIDING_ORACLE = """
+WITH p AS (
+  SELECT event_type,
+         make_timestamp((CAST(floor(epoch(ts)) AS BIGINT)
+           - CAST(floor(epoch(ts)) AS BIGINT) % 3600) * 1000000) AS b,
+         greatest(CAST(round(value*100,0) AS BIGINT), 1) AS v
+  FROM events
+), i AS (
+  SELECT event_type, b,
+         (CAST(length(bin(v))-1 AS BIGINT))*32
+           + ((v*32) >> CAST(length(bin(v))-1 AS BIGINT)) - 32 AS idx
+  FROM p
+), obs AS (
+  SELECT DISTINCT b, event_type FROM i
+), win AS (
+  SELECT o.b AS bucket, o.event_type, x.idx, count(*) AS cnt
+  FROM obs o JOIN i x ON x.event_type = o.event_type
+   AND x.b <= o.b AND x.b > o.b - INTERVAL 24 HOUR
+  GROUP BY 1, 2, 3
+), r AS (
+  SELECT bucket, event_type, idx, cnt,
+         sum(cnt) OVER (PARTITION BY bucket, event_type ORDER BY idx) AS cum,
+         sum(cnt) OVER (PARTITION BY bucket, event_type) AS n,
+         ((((idx % 32) + 32) << (idx // 32)) >> 5) AS lb
+  FROM win
+)
+SELECT event_type, bucket, max(n) AS n,
+  min(CASE WHEN cum >= ceil(0.5*n) THEN lb END)/100.0 AS q50,
+  min(CASE WHEN cum >= ceil(0.95*n) THEN lb END)/100.0 AS q95
+FROM r GROUP BY 1, 2
+"""
+
+
 def _q_rollup_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-24h algebraic aggregates at every observed hour from the
     1h tier (operators/rollup.py:rollup_sliding) — one RANGE window per
@@ -1830,6 +1880,7 @@ _WINDOW_PRIORITY = [
     "kmv_sliding_24h",
     "rollup_sliding_24h",
     "seasonal_band_anomaly_1h",
+    "hdr_sliding_p95_24h",
 ]
 
 # Rows-only queries (genuinely non-SQL-expressible internals) — always last.
@@ -1879,6 +1930,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_sliding_24h": _q_kmv_sliding,
         "rollup_sliding_24h": _q_rollup_sliding,
         "seasonal_band_anomaly_1h": _q_seasonal_band_anomaly,
+        "hdr_sliding_p95_24h": _q_hdr_sliding,
         "hdr_quantile_1h": _q_hdr_quantile_1h,
         "stream_hdr_replay_1h": _q_stream_hdr_replay,
         "hdr_tier_read_4h": _q_hdr_tier_read_4h,
@@ -1989,6 +2041,7 @@ def oracle_sql() -> dict[str, str]:
         "kmv_sliding_24h": _KMV_SLIDING_ORACLE,
         "rollup_sliding_24h": _ROLLUP_SLIDING_ORACLE,
         "seasonal_band_anomaly_1h": _SEASONAL_ANOMALY_ORACLE,
+        "hdr_sliding_p95_24h": _HDR_SLIDING_ORACLE,
         "hdr_quantile_1h": _HDR_QUANTILE_ORACLE,
         "stream_hdr_replay_1h": _HDR_QUANTILE_ORACLE,
         "hdr_tier_read_4h": _HDR_TIER_4H_ORACLE,

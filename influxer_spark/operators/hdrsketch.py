@@ -366,3 +366,45 @@ def seasonal_band_anomalies(
             "anomaly"
         ),
     )
+
+
+def hdr_sliding(
+    sketch: DataFrame,
+    key_cols: Sequence[str],
+    window_buckets: int,
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """TRAILING-window sketches — "p95 over the 24h ending at each hour",
+    the moving-latency-percentile primitive: each bucket's counter vector
+    contributes to the ``window_buckets`` outputs it covers and vectors
+    SUM per output (the cascade's lossless merge under overlap, exactly
+    like ``kmv.kmv_sliding`` for distincts).  Feed the result to
+    :func:`hdr_quantiles` for the moving percentiles.
+
+    Outputs anchor at OBSERVED buckets; the explode inflates sketch rows
+    by window_buckets — tier-sized, never raw-sized.
+    """
+    keys = list(key_cols)
+    obs = sketch.select("bucket", *keys).distinct()
+    contrib = sketch.select(
+        *keys,
+        F.explode(
+            F.sequence(F.lit(0), F.lit(int(window_buckets) - 1))
+        ).alias("_off"),
+        F.col("bucket").alias("_b"),
+        "idx",
+        "cnt",
+    ).select(
+        *keys,
+        (
+            F.col("_b")
+            + F.expr(f"make_interval(0,0,0,0,0,0, _off * {bucket_seconds})")
+        ).alias("bucket"),
+        "idx",
+        "cnt",
+    )
+    return (
+        contrib.join(obs, on=["bucket", *keys])
+        .groupBy(*keys, "bucket", "idx")
+        .agg(F.sum("cnt").alias("cnt"))
+    )

@@ -234,3 +234,37 @@ def test_seasonal_band_anomaly_flags(spark):
     assert got[10] is True
     assert sum(got.values()) <= 2  # at most the wild day + one band-edge hour
     assert got[2] is False and got[5] is False
+
+
+def test_hdr_sliding_equals_window_sketch_from_raw(spark):
+    """Trailing counter-vector sums are lossless under overlap: the
+    sliding sketch at every observed hour equals a sketch built directly
+    from that window's raw rows (3h window, hand-sized data)."""
+    import datetime as dt
+
+    rows = [
+        (dt.datetime(2024, 1, 1, h, 0, s), "a", float(v))
+        for h, vals in [(0, [1, 2]), (1, [3]), (4, [5, 6, 7])]
+        for s, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, ["ts", "event_type", "value"])
+    h1 = H.hdr_rollup(df, "ts", ["event_type"], "value", "1h")
+    got = {
+        (r["bucket"].hour, r["idx"]): r["cnt"]
+        for r in H.hdr_sliding(h1, ["event_type"], 3, 3600).collect()
+    }
+    # hour 1's window covers hours 0-1 (counts merge); hour 4's window
+    # covers hours 2-4 → only hour 4's own rows
+    per_hour = {
+        h: {r["idx"]: r["cnt"] for r in h1.collect() if r["bucket"].hour == h}
+        for h in (0, 1, 4)
+    }
+    want = {}
+    for idx, c in per_hour[0].items():
+        want[(0, idx)] = c
+        want[(1, idx)] = want.get((1, idx), 0) + c
+    for idx, c in per_hour[1].items():
+        want[(1, idx)] = want.get((1, idx), 0) + c
+    for idx, c in per_hour[4].items():
+        want[(4, idx)] = c
+    assert got == want
