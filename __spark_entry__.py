@@ -1124,6 +1124,50 @@ SELECT event_type, rank, item, cnt FROM (
 """
 
 
+def _q_sumsq_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-24h volatility at every observed hour from the power-sum
+    tier (rollup.sumsq_sliding + with_stddev) — the second-moment member
+    of the sliding family.  Integer S1/S2 window sums commute, so the
+    oracle's RANGE window replays them bit-for-bit."""
+    from influxer_spark.operators import rollup as R
+
+    ev = _t(spark, sf_dir, "events")
+    t1h = R.rollup_with_sumsq(ev, "ts", ["event_type"], "value", "1h")
+    slid = R.sumsq_sliding(t1h, ["event_type"], 24, 3600)
+    return R.with_stddev(slid).select(
+        "event_type", "bucket", "cnt", "avg_v", "var_v", "stddev_v"
+    )
+
+
+_SUMSQ_SLIDING_ORACLE = """
+WITH h AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket,
+         count(value) AS cnt,
+         sum(CAST(round(value * 100, 0) AS BIGINT)) AS s1,
+         sum(CAST(round(value * 100, 0) AS BIGINT)
+             * CAST(round(value * 100, 0) AS BIGINT)) AS s2
+  FROM events GROUP BY 1, 2
+), w AS (
+  SELECT bucket, event_type,
+    CAST(sum(cnt) OVER win AS BIGINT) AS cnt,
+    CAST(sum(s1) OVER win AS BIGINT) AS s1,
+    CAST(sum(s2) OVER win AS BIGINT) AS s2
+  FROM h
+  WINDOW win AS (PARTITION BY event_type ORDER BY epoch(bucket)
+                 RANGE BETWEEN 82800 PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, bucket, cnt,
+  CAST(s1 AS DOUBLE) / cnt / 100.0 AS avg_v,
+  CASE WHEN cnt > 1
+       THEN (CAST(cnt * s2 - s1 * s1 AS DOUBLE) / (cnt * (cnt - 1))) / 10000.0
+  END AS var_v,
+  CASE WHEN cnt > 1
+       THEN sqrt(CAST(cnt * s2 - s1 * s1 AS DOUBLE) / (cnt * (cnt - 1))) / 100.0
+  END AS stddev_v
+FROM w
+"""
+
+
 def _q_hdr_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Moving percentiles from sketch tiers: trailing-24h p50/p95 at
     every observed hour (hdrsketch.hdr_sliding + hdr_quantiles) — the
@@ -1881,6 +1925,7 @@ _WINDOW_PRIORITY = [
     "rollup_sliding_24h",
     "seasonal_band_anomaly_1h",
     "hdr_sliding_p95_24h",
+    "sumsq_sliding_24h",
 ]
 
 # Rows-only queries (genuinely non-SQL-expressible internals) — always last.
@@ -1931,6 +1976,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_sliding_24h": _q_rollup_sliding,
         "seasonal_band_anomaly_1h": _q_seasonal_band_anomaly,
         "hdr_sliding_p95_24h": _q_hdr_sliding,
+        "sumsq_sliding_24h": _q_sumsq_sliding,
         "hdr_quantile_1h": _q_hdr_quantile_1h,
         "stream_hdr_replay_1h": _q_stream_hdr_replay,
         "hdr_tier_read_4h": _q_hdr_tier_read_4h,
@@ -2042,6 +2088,7 @@ def oracle_sql() -> dict[str, str]:
         "rollup_sliding_24h": _ROLLUP_SLIDING_ORACLE,
         "seasonal_band_anomaly_1h": _SEASONAL_ANOMALY_ORACLE,
         "hdr_sliding_p95_24h": _HDR_SLIDING_ORACLE,
+        "sumsq_sliding_24h": _SUMSQ_SLIDING_ORACLE,
         "hdr_quantile_1h": _HDR_QUANTILE_ORACLE,
         "stream_hdr_replay_1h": _HDR_QUANTILE_ORACLE,
         "hdr_tier_read_4h": _HDR_TIER_4H_ORACLE,

@@ -601,3 +601,40 @@ def rollup_sliding(
         (F.sum("sum_v").over(w) / F.sum("cnt").over(w)).alias("avg_v"),
         F.count(F.lit(1)).over(w).alias("n_buckets"),
     )
+
+
+def sumsq_sliding(
+    rolled: DataFrame,
+    key_cols: Sequence[str],
+    window_buckets: int,
+    bucket_seconds: int,
+) -> DataFrame:
+    """Trailing-window VOLATILITY from the power-sum tiers: the same
+    epoch-keyed RANGE window as :func:`rollup_sliding`, over exact
+    integer S1/S2 — so "stddev of the 24h ending at each hour" comes
+    from tier rows with a bit-deterministic result (integer sums commute;
+    the only float ops are the final division and sqrt).  Completes the
+    sliding family: algebraic (:func:`rollup_sliding`), distinct
+    (``kmv.kmv_sliding``), percentile (``hdrsketch.hdr_sliding``), and
+    now second-moment.
+
+    Input: :func:`rollup_with_sumsq` rows.  Output: (bucket, *keys, cnt,
+    min_v, max_v, s1, s2) over (bucket − window, bucket]; derive
+    mean/var/stddev with :func:`with_stddev`.
+    """
+    span = int(window_buckets) * int(bucket_seconds)
+    secs = F.unix_timestamp(F.col("bucket").cast("timestamp")).cast("long")
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(secs)
+        .rangeBetween(-(span - int(bucket_seconds)), 0)
+    )
+    return rolled.select(
+        "bucket",
+        *key_cols,
+        F.sum("cnt").over(w).alias("cnt"),
+        F.min("min_v").over(w).alias("min_v"),
+        F.max("max_v").over(w).alias("max_v"),
+        F.sum("s1").over(w).alias("s1"),
+        F.sum("s2").over(w).alias("s2"),
+    )
