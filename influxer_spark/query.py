@@ -526,3 +526,52 @@ def read_realtime(
         )
         .withColumn("avg_v", F.col("sum_v") / F.col("cnt"))
     )
+
+
+def read_sliding(
+    spark: SparkSession,
+    catalog: TableCatalog,
+    window_seconds: int,
+    start: dt.datetime | None = None,
+    end: dt.datetime | None = None,
+    key_cols: Sequence[str] = ("url", "metric"),
+    tier: str = "1h",
+) -> DataFrame:
+    """Trailing-window (cnt, sum, min, max, avg) at every observed tier
+    bucket over [start, end), from the materialized tiers with
+    WARM-UP-AWARE pruning: a trailing window anchored at ``start`` needs
+    tier rows back to ``start − window``, so the manifest prune loads
+    [start − window, end) but the OUTPUT is filtered to [start, end) —
+    the subtlety a naive prune gets wrong (the first window of every
+    query would silently shrink).
+
+    ``window_seconds`` must be a multiple of the tier width.  Cost: the
+    pruned tier scan + one RANGE window per series
+    (operators/rollup.py:rollup_sliding).
+    """
+    from influxer_spark.operators.rollup import rollup_sliding
+
+    tier_s = TIER_SECONDS[tier]
+    if window_seconds % tier_s != 0 or window_seconds <= 0:
+        raise ValueError(
+            f"window_seconds ({window_seconds}) must be a positive "
+            f"multiple of the {tier} tier width ({tier_s}s)"
+        )
+    table = f"rollup_{tier}"
+    warm_start = (
+        start - dt.timedelta(seconds=window_seconds - tier_s)
+        if start is not None
+        else None
+    )
+    parts = _partitions_in_range(catalog, table, warm_start, end)
+    if not parts:
+        raise ValueError(f"no committed {table} partitions in range")
+    df = spark.read.parquet(*catalog.partition_paths(table, parts))
+    if warm_start is not None:
+        df = df.filter(F.col("bucket") >= F.lit(warm_start))
+    if end is not None:
+        df = df.filter(F.col("bucket") < F.lit(end))
+    out = rollup_sliding(df, list(key_cols), window_seconds // tier_s, tier_s)
+    if start is not None:
+        out = out.filter(F.col("bucket") >= F.lit(start))
+    return out

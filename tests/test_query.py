@@ -197,3 +197,47 @@ def test_read_realtime_merges_tier_and_raw_tail(spark, sf_dir):
     assert sorted(
         (r["bucket"], r["event_type"], r["cnt"]) for r in raw_only.collect()
     ) == [(b, e, c) for b, e, c, *_ in want]
+
+
+def test_read_sliding_warmup_aware_pruning(spark, built):
+    """read_sliding loads [start − window, end) but outputs [start, end):
+    the first buckets of the range carry FULL trailing windows (fed by
+    warm-up rows before start), bit-equal to sliding over the whole tier
+    then filtering — the answer a naive start-pruned read silently
+    shrinks."""
+    import datetime as dtm
+
+    from influxer_spark.operators.rollup import rollup_sliding
+    from influxer_spark.query import read_sliding
+
+    _pages, cat = built
+    days = sorted(cat.committed_partitions("rollup_1h"))
+    assert len(days) >= 2
+    start = dtm.datetime.fromisoformat(days[1])  # midnight of day 2
+    win = 6 * 3600
+
+    got = {
+        (r["bucket"], r["url"], r["metric"]): (r["cnt"], r["sum_v"], r["n_buckets"])
+        for r in read_sliding(
+            spark, cat, win, start=start, tier="1h"
+        ).collect()
+    }
+    full = spark.read.parquet(
+        *cat.partition_paths("rollup_1h", cat.committed_partitions("rollup_1h"))
+    )
+    want = {
+        (r["bucket"], r["url"], r["metric"]): (r["cnt"], r["sum_v"], r["n_buckets"])
+        for r in rollup_sliding(full, ["url", "metric"], 6, 3600)
+        .filter(F.col("bucket") >= F.lit(start))
+        .collect()
+    }
+    assert got == want and len(got) > 50
+    # early-morning buckets of day 2 must see day-1 warm-up rows
+    assert any(
+        k[0].hour < 5 and v[2] == 6 for k, v in got.items()
+    ), "first buckets lost their warm-up window"
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="multiple"):
+        read_sliding(spark, cat, 5400, tier="1h")
