@@ -1496,6 +1496,12 @@ class InfluxQLEngine:
         import datetime as _dt
 
         cfg = self.tiered[stmt.measurement]
+        if stmt.group_star:
+            # GROUP BY * expands from the RAW table's schema (it may name
+            # tags the tiers don't carry, e.g. lang) — expansion happens
+            # after routing, so serving the un-expanded statement from
+            # tiers would silently drop every tag.  Raw path only.
+            return False
         if stmt.time_width is None or stmt.time_offset or stmt.tz:
             return False
         w = int(stmt.time_width)
@@ -1936,6 +1942,8 @@ class InfluxQLEngine:
 
     def _kmv_tier_answerable(self, stmt: Select) -> bool:
         cfg = self.tiered[stmt.measurement]
+        if stmt.group_star:
+            return False  # same raw-schema expansion rule as _tiered_answerable
         if not cfg.get("kmv_item_col"):
             return False
         c = self._kmv_sole_call(stmt)

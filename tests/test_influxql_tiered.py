@@ -544,3 +544,22 @@ def test_hist_bounds_win_over_hdr_when_both_configured(built_hist, spark):
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "rollup_1h" in plan and "hdr_1h" not in plan
+
+
+def test_group_by_star_falls_back_to_raw(built):
+    """GROUP BY time(), * on a tiered measurement must NOT be served from
+    tiers: star expansion uses the RAW schema (it may name tags the
+    tiers don't carry) and happens after routing — serving the
+    un-expanded statement silently dropped every tag (regression: tiered
+    returned time-only groups)."""
+    points, cat = built
+    raw, tiered = _engines(points, cat)
+    q = "SELECT count(value) AS c FROM pages GROUP BY time(4h), *"
+    want = raw.execute(q)
+    got = tiered.execute(q)
+    assert got.columns == want.columns  # tags expanded identically
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "rollup_1h" not in plan  # raw path, by design
