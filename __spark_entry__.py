@@ -1023,6 +1023,42 @@ def _q_stream_deadman_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture planning (curation.mixture_plan): per-source epoch
+    weights from target shares + a char budget, with the max-epochs clamp
+    surfaced as a flag (no silent caps).  src0 gets a share big enough to
+    trip the clamp, src1/src2 normal shares, everything else share 0 —
+    all arithmetic deterministic and replayed by the oracle's CASE
+    chain."""
+    from influxer_spark.operators.curation import mixture_plan
+
+    docs = _t(spark, sf_dir, "documents")
+    return mixture_plan(
+        docs, "source", "n_chars",
+        {"src0": 0.6, "src1": 0.3, "src2": 0.1},
+        budget=200_000, max_epochs=10.0,
+    )
+
+
+_MIXTURE_PLAN_ORACLE = """
+WITH a AS (
+  SELECT source AS "group", CAST(sum(n_chars) AS BIGINT) AS available
+  FROM documents GROUP BY 1
+), s AS (
+  SELECT "group", available,
+    CASE WHEN "group" = 'src0' THEN 0.6
+         WHEN "group" = 'src1' THEN 0.3
+         WHEN "group" = 'src2' THEN 0.1 ELSE 0.0 END AS share
+  FROM a
+)
+SELECT "group", available, share,
+  share * 200000.0 AS target_size,
+  LEAST(share * 200000.0 / available, 10.0) AS weight,
+  (share * 200000.0 / available > 10.0) AS capped
+FROM s
+"""
+
+
 def _q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlong-document chunking (operators/curation.py:chunk_documents):
     fixed-stride token windows with overlap and stable (doc, chunk_idx)
@@ -1926,6 +1962,7 @@ _WINDOW_PRIORITY = [
     "seasonal_band_anomaly_1h",
     "hdr_sliding_p95_24h",
     "sumsq_sliding_24h",
+    "mixture_plan_sources",
 ]
 
 # Rows-only queries (genuinely non-SQL-expressible internals) — always last.
@@ -1977,6 +2014,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_band_anomaly_1h": _q_seasonal_band_anomaly,
         "hdr_sliding_p95_24h": _q_hdr_sliding,
         "sumsq_sliding_24h": _q_sumsq_sliding,
+        "mixture_plan_sources": _q_mixture_plan,
         "hdr_quantile_1h": _q_hdr_quantile_1h,
         "stream_hdr_replay_1h": _q_stream_hdr_replay,
         "hdr_tier_read_4h": _q_hdr_tier_read_4h,
@@ -2089,6 +2127,7 @@ def oracle_sql() -> dict[str, str]:
         "seasonal_band_anomaly_1h": _SEASONAL_ANOMALY_ORACLE,
         "hdr_sliding_p95_24h": _HDR_SLIDING_ORACLE,
         "sumsq_sliding_24h": _SUMSQ_SLIDING_ORACLE,
+        "mixture_plan_sources": _MIXTURE_PLAN_ORACLE,
         "hdr_quantile_1h": _HDR_QUANTILE_ORACLE,
         "stream_hdr_replay_1h": _HDR_QUANTILE_ORACLE,
         "hdr_tier_read_4h": _HDR_TIER_4H_ORACLE,

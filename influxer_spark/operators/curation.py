@@ -579,3 +579,46 @@ def chunk_documents(
             ).alias("chunk_text"),
         )
     )
+
+
+def mixture_plan(
+    df: DataFrame,
+    group_col: str,
+    size_col: str,
+    targets: dict[str, float],
+    budget: int,
+    max_epochs: float = 10.0,
+) -> DataFrame:
+    """Plan a training mixture: given target SHARES per source and a total
+    token budget, compute each source's epoch weight — the number
+    :func:`upsample_epochs` consumes.  weight = budget·share / available,
+    clamped at ``max_epochs`` (repeating a tiny source 400× memorizes it;
+    the clamp surfaces as ``capped`` so the shortfall is a reported fact,
+    not a silent one — same no-silent-caps rule as the LSH bucket guard).
+
+    One tiny aggregation (per-group size sums) + driver-free arithmetic;
+    the share lookup is a deterministic CASE chain in sorted key order.
+    Sources absent from ``targets`` get share 0 (weight 0 → dropped by
+    the upsampler).  Output: (group, available, share, target_size,
+    weight, capped).
+    """
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    avail = df.groupBy(F.col(group_col).alias("group")).agg(
+        F.sum(size_col).cast("long").alias("available")
+    )
+    share: Column = F.lit(0.0)
+    for k in sorted(targets, reverse=True):
+        share = F.when(F.col("group") == k, F.lit(float(targets[k]))).otherwise(
+            share
+        )
+    target_size = share * float(budget)
+    raw_w = target_size / F.col("available")
+    return avail.select(
+        "group",
+        "available",
+        share.alias("share"),
+        target_size.alias("target_size"),
+        F.least(raw_w, F.lit(float(max_epochs))).alias("weight"),
+        (raw_w > max_epochs).alias("capped"),
+    )

@@ -193,3 +193,29 @@ def test_chunk_documents_windows_and_ids(spark):
 
     with _pytest.raises(ValueError, match="overlap"):
         chunk_documents(df, "doc_id", "text", 6, 6)
+
+
+def test_mixture_plan_weights_and_clamp(spark):
+    """weight = budget·share / available with the max-epochs clamp
+    surfaced: a tiny source with a big share trips 'capped'; shares
+    absent from targets plan to zero; and feeding the weights to
+    upsample_epochs yields the planned token mass (± the fractional-
+    epoch hash granularity)."""
+    from influxer_spark.operators.curation import mixture_plan
+
+    rows = (
+        [("big", i, 100) for i in range(100)]    # 10_000 chars
+        + [("tiny", 1000 + i, 10) for i in range(5)]  # 50 chars
+        + [("other", 2000, 999)]
+    )
+    df = spark.createDataFrame(rows, ["source", "doc_id", "n_chars"])
+    got = {
+        r["group"]: (r["available"], r["share"], r["weight"], r["capped"])
+        for r in mixture_plan(
+            df, "source", "n_chars",
+            {"big": 0.5, "tiny": 0.5}, budget=20_000, max_epochs=10.0,
+        ).collect()
+    }
+    assert got["big"] == (10_000, 0.5, 1.0, False)      # exactly 1 epoch
+    assert got["tiny"] == (50, 0.5, 10.0, True)         # 200 epochs → clamp
+    assert got["other"] == (999, 0.0, 0.0, False)
