@@ -563,3 +563,50 @@ def test_group_by_star_falls_back_to_raw(built):
     )
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "rollup_1h" not in plan  # raw path, by design
+
+
+# --- systematic tier-vs-raw parity sweep (the group_star regression,
+#     generalized: ANY statement a tiered engine accepts must answer
+#     exactly like the raw engine, whichever path routing picks) ---
+
+_SWEEP = [
+    "SELECT count(value) AS c FROM pages GROUP BY time(4h), metric",
+    "SELECT sum(value) AS s, max(value) AS mx FROM pages "
+    "GROUP BY time(1h), metric",
+    "SELECT mean(value) AS m FROM pages GROUP BY time(4h), metric, url "
+    "SLIMIT 5 SOFFSET 2",
+    "SELECT min(value) AS mn FROM pages GROUP BY time(4h), metric "
+    "ORDER BY time DESC LIMIT 3",
+    "SELECT spread(value) AS sp FROM pages GROUP BY time(4h), metric "
+    "fill(none)",
+    "SELECT count(value) AS c FROM pages GROUP BY time(4h), metric "
+    "fill(0)",
+    "SELECT sum(value) AS s FROM pages WHERE metric = 'n_tokens' "
+    "GROUP BY time(4h), metric fill(previous)",
+    "SELECT count(value) AS c FROM pages GROUP BY time(4h), *",
+    "SELECT count(value) AS c FROM pages GROUP BY time(4h)",
+    "SELECT mean(value) AS m FROM pages WHERE metric = 'html_bytes' "
+    "GROUP BY time(12h), metric LIMIT 2 OFFSET 1",
+    "SELECT derivative(mean(value)) AS d FROM pages "
+    "GROUP BY time(4h), metric",
+    "SELECT count(value) + sum(value) AS cs FROM pages "
+    "GROUP BY time(4h), metric",
+]
+
+
+@pytest.mark.parametrize("q", _SWEEP)
+def test_tier_raw_parity_sweep(built, q):
+    points, cat = built
+    raw, tiered = _engines(points, cat)
+    want = raw.execute(q)
+    got = tiered.execute(q)
+    assert got.columns == want.columns, q
+    a = sorted(map(tuple, want.collect()))
+    b = sorted(map(tuple, got.collect()))
+    assert len(a) == len(b), q
+    for ra, rb in zip(a, b):
+        for va, vb in zip(ra, rb):
+            if isinstance(va, float) and va is not None and vb is not None:
+                assert vb == pytest.approx(va, rel=1e-9, abs=1e-9), q
+            else:
+                assert va == vb, q
