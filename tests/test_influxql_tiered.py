@@ -591,6 +591,10 @@ _SWEEP = [
     "GROUP BY time(4h), metric",
     "SELECT count(value) + sum(value) AS cs FROM pages "
     "GROUP BY time(4h), metric",
+    # stitched mixed-granularity widths (divide no coarse tier)
+    "SELECT count(value) AS c, max(value) AS mx FROM pages "
+    "GROUP BY time(90m), metric",
+    "SELECT sum(value) AS s FROM pages GROUP BY time(49h), metric",
 ]
 
 
