@@ -2332,6 +2332,38 @@ class InfluxQLEngine:
                     "start_time timestamp, end_time timestamp, "
                     "shard string, committed_at double",
                 )
+            if p.kw("STATS"):
+                # InfluxDB's SHOW STATS mapped onto the engine's storage:
+                # one row per catalog table of every tiered measurement —
+                # partition count, recorded input rows, retained snapshots,
+                # current snapshot id.  Metadata-only (manifest reads).
+                rows = []
+                for m, cfg in sorted(self.tiered.items()):
+                    cat = cfg["catalog"]
+                    for tbl in sorted(
+                        t for t in (
+                            "raw_points", "rollup_1m", "rollup_1m_gorilla",
+                            "rollup_1h", "rollup_1d", "kmv_1h", "kmv_1d",
+                            "hdr_1h", "hdr_1d",
+                            "sumsq_1m", "sumsq_1h", "sumsq_1d",
+                        )
+                        if cat.exists(t)
+                    ):
+                        parts = cat.committed_partitions(tbl)
+                        rows_in = sum(
+                            e.get("counters", {}).get("rows_in") or 0
+                            for e in parts.values()
+                        )
+                        rows.append((
+                            m, tbl, len(parts), rows_in,
+                            len(cat.snapshots(tbl)),
+                            cat.current_snapshot(tbl),
+                        ))
+                return spark.createDataFrame(
+                    rows,
+                    "measurement string, table string, partitions long, "
+                    "rows_in long, snapshots long, current_snapshot long",
+                )
             if p.kw("CONTINUOUS", "QUERIES"):
                 return spark.createDataFrame(
                     [(n, q) for n, q in self.cqs.items()] or [],

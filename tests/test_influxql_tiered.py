@@ -614,3 +614,19 @@ def test_tier_raw_parity_sweep(built, q):
                 assert vb == pytest.approx(va, rel=1e-9, abs=1e-9), q
             else:
                 assert va == vb, q
+
+
+def test_show_stats_reports_catalog_tables(built):
+    """SHOW STATS: one row per catalog table per tiered measurement with
+    partition counts, recorded input rows, and snapshot history —
+    metadata-only engine introspection (InfluxDB's SHOW STATS analogue)."""
+    points, cat = built
+    _, tiered = _engines(points, cat)
+    rows = {r["table"]: r for r in tiered.execute("SHOW STATS").collect()}
+    assert {"rollup_1m", "rollup_1h", "rollup_1d"} <= set(rows)
+    n_days = len(cat.committed_partitions("rollup_1h"))
+    for t in ("rollup_1m", "rollup_1h", "rollup_1d"):
+        assert rows[t]["partitions"] == n_days
+        assert rows[t]["snapshots"] >= 1
+        assert rows[t]["current_snapshot"] is not None
+    assert rows["raw_points"]["rows_in"] > 0  # pipeline counters surface
