@@ -906,6 +906,26 @@ class InfluxQLEngine:
             if "time" in reg.columns and self.ts_col != "time":
                 reg = reg.withColumnRenamed("time", self.ts_col)
             self.tables[stmt.into] = reg
+            if self._cq_catalog is not None:
+                # With a catalog attached, SELECT … INTO writes to STORAGE
+                # like InfluxDB's (a CQ's whole point is a materialized
+                # target that outlives the session): committed as day
+                # partitions of ``into_<target>`` via the same idempotent
+                # wave commit the tiers use — rerunning a CQ overwrites its
+                # days atomically instead of appending duplicates.
+                tcol = "time" if "time" in out.columns else self.ts_col
+                if tcol in out.columns:
+                    staged = out.withColumn(
+                        "day", F.date_format(F.col(tcol), "yyyy-MM-dd")
+                    )
+                else:  # no time column (e.g. plain tag aggregate): one part
+                    staged = out.withColumn("day", F.lit("all"))
+                days = [
+                    r["day"] for r in staged.select("day").distinct().collect()
+                ]
+                self._cq_catalog.write_partitions(
+                    staged, f"into_{stmt.into}", days
+                )
         return out
 
     def _run(self, stmt: Select) -> DataFrame:

@@ -569,3 +569,33 @@ def test_cq_registry_survives_engine_restart(spark, m, tmp_path):
     )
     b.execute("DROP CONTINUOUS QUERY mean1m")
     assert "mean1m" not in engine().cqs
+
+
+def test_select_into_writes_to_catalog_storage(spark, m, tmp_path):
+    """With a catalog attached, SELECT … INTO materializes its target as
+    committed day partitions (InfluxDB's INTO writes to storage, not a
+    session): the written table equals the query result, a CQ rerun
+    overwrites its days idempotently, and a fresh engine can read the
+    materialization back without re-running anything."""
+    from influxer_spark.catalog import TableCatalog
+
+    cat = TableCatalog(str(tmp_path / "c"))
+    eng = InfluxQLEngine({"cpu": m}, ts_col="ts")
+    eng.attach_cq_catalog(cat)
+    out = eng.execute(
+        "SELECT mean(value) AS mv INTO cpu_1m FROM cpu GROUP BY time(1m), host"
+    )
+    want = sorted(map(tuple, out.collect()))
+    stored = cat.read_committed(spark, "into_cpu_1m").drop("day")
+    got = sorted(map(tuple, stored.select(*out.columns).collect()))
+    assert got == want and len(got) > 5
+
+    # rerun (CQ semantics): same days overwritten, no duplicates
+    eng.execute(
+        "CREATE CONTINUOUS QUERY c1 ON db BEGIN "
+        "SELECT mean(value) AS mv INTO cpu_1m FROM cpu GROUP BY time(1m), host "
+        "END"
+    )
+    eng.run_continuous_queries()
+    again = cat.read_committed(spark, "into_cpu_1m").drop("day")
+    assert sorted(map(tuple, again.select(*out.columns).collect())) == want
