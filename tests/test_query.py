@@ -212,8 +212,11 @@ def test_read_sliding_warmup_aware_pruning(spark, built):
 
     _pages, cat = built
     days = sorted(cat.committed_partitions("rollup_1h"))
-    assert len(days) >= 2
-    start = dtm.datetime.fromisoformat(days[1])  # midnight of day 2
+    assert len(days) >= 3
+    # anchor on the LAST day with the previous day as warm-up: an earlier
+    # test in this module physically deletes days[0]'s files to prove
+    # manifest pruning, so neither side may touch that day
+    start = dtm.datetime.fromisoformat(days[2])
     win = 6 * 3600
 
     got = {
@@ -223,7 +226,7 @@ def test_read_sliding_warmup_aware_pruning(spark, built):
         ).collect()
     }
     full = spark.read.parquet(
-        *cat.partition_paths("rollup_1h", cat.committed_partitions("rollup_1h"))
+        *cat.partition_paths("rollup_1h", days[1:])
     )
     want = {
         (r["bucket"], r["url"], r["metric"]): (r["cnt"], r["sum_v"], r["n_buckets"])
