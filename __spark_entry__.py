@@ -875,6 +875,45 @@ FROM agg
 """
 
 
+def _q_hdr_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plottable value-distribution bars from the daily HDR sketch tier
+    (hdrsketch.hdr_histogram): exact integer [lo, hi) bounds per occupied
+    bucket, singletons floored to their one-cent bar.  The oracle replays
+    the integer bound math — every bar edge bit-exact."""
+    from influxer_spark.operators import hdrsketch as H
+
+    ev = _t(spark, sf_dir, "events")
+    d1 = H.hdr_cascade(
+        H.hdr_rollup(ev, "ts", ["event_type"], "value", "1h"),
+        ["event_type"], "1d",
+    )
+    return H.hdr_histogram(d1, ["event_type"])
+
+
+_HDR_HISTOGRAM_ORACLE = """
+WITH p AS (
+  SELECT event_type,
+         make_timestamp((CAST(floor(epoch(ts)) AS BIGINT)
+           - CAST(floor(epoch(ts)) AS BIGINT) % 86400) * 1000000) AS bucket,
+         greatest(CAST(round(value*100,0) AS BIGINT), 1) AS v
+  FROM events
+), i AS (
+  SELECT event_type, bucket,
+         (CAST(length(bin(v))-1 AS BIGINT))*32
+           + ((v*32) >> CAST(length(bin(v))-1 AS BIGINT)) - 32 AS idx
+  FROM p
+), s AS (
+  SELECT event_type, bucket, idx, count(*) AS cnt FROM i GROUP BY 1,2,3
+)
+SELECT event_type, bucket, idx,
+  ((((idx % 32) + 32) << (idx // 32)) >> 5) / 100.0 AS lo,
+  greatest(((((idx + 1) % 32) + 32) << ((idx + 1) // 32)) >> 5,
+           (((((idx % 32) + 32) << (idx // 32)) >> 5) + 1)) / 100.0 AS hi,
+  cnt
+FROM s
+"""
+
+
 def _q_hdr_seasonal_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hour-of-day p10/p90 bands from the HDR sketch tiers: hourly
     sketches merge BY CALENDAR PHASE (counter-vector sum keyed on
@@ -1963,6 +2002,7 @@ _WINDOW_PRIORITY = [
     "hdr_sliding_p95_24h",
     "sumsq_sliding_24h",
     "mixture_plan_sources",
+    "hdr_histogram_1d",
 ]
 
 # Rows-only queries (genuinely non-SQL-expressible internals) — always last.
@@ -2015,6 +2055,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hdr_sliding_p95_24h": _q_hdr_sliding,
         "sumsq_sliding_24h": _q_sumsq_sliding,
         "mixture_plan_sources": _q_mixture_plan,
+        "hdr_histogram_1d": _q_hdr_histogram,
         "hdr_quantile_1h": _q_hdr_quantile_1h,
         "stream_hdr_replay_1h": _q_stream_hdr_replay,
         "hdr_tier_read_4h": _q_hdr_tier_read_4h,
@@ -2128,6 +2169,7 @@ def oracle_sql() -> dict[str, str]:
         "hdr_sliding_p95_24h": _HDR_SLIDING_ORACLE,
         "sumsq_sliding_24h": _SUMSQ_SLIDING_ORACLE,
         "mixture_plan_sources": _MIXTURE_PLAN_ORACLE,
+        "hdr_histogram_1d": _HDR_HISTOGRAM_ORACLE,
         "hdr_quantile_1h": _HDR_QUANTILE_ORACLE,
         "stream_hdr_replay_1h": _HDR_QUANTILE_ORACLE,
         "hdr_tier_read_4h": _HDR_TIER_4H_ORACLE,

@@ -408,3 +408,29 @@ def hdr_sliding(
         .groupBy(*keys, "bucket", "idx")
         .agg(F.sum("cnt").alias("cnt"))
     )
+
+
+def hdr_histogram(
+    sketch: DataFrame,
+    key_cols: Sequence[str],
+    sub_bits: int = DEFAULT_SUB_BITS,
+) -> DataFrame:
+    """Decode sketch rows into PLOTTABLE histogram bars: per (bucket,
+    series, idx) the exact integer value range [lo, hi) the bucket covers
+    (in original units) and its count — the "value distribution" panel a
+    dashboard renders straight from the tier, no raw scan.  ``hi`` is the
+    next bucket's lower bound — floored at lo + 1 cent: in the
+    sub-resolution region (cents < 2^sub_bits) buckets are singletons and
+    consecutive lower bounds coincide, so the floor gives the one-cent
+    bar the singleton actually covers.  Pure integer bound math
+    (hdr_lower_bound_expr), bit-identical across engines."""
+    lo_c = hdr_lower_bound_expr("idx", sub_bits)
+    hi_c = F.greatest(hdr_lower_bound_expr("(idx + 1)", sub_bits), lo_c + 1)
+    return sketch.select(
+        *key_cols,
+        "bucket",
+        "idx",
+        (lo_c / 100.0).alias("lo"),
+        (hi_c / 100.0).alias("hi"),
+        "cnt",
+    )

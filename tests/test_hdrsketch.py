@@ -268,3 +268,29 @@ def test_hdr_sliding_equals_window_sketch_from_raw(spark):
     for idx, c in per_hour[4].items():
         want[(4, idx)] = c
     assert got == want
+
+
+def test_histogram_bars_tile_and_cover(spark):
+    """Decoded bars: a singleton (sub-resolution) bucket gets its exact
+    one-cent bar; a log-linear bucket spans [lb, next_lb); every stored
+    value falls inside its own bar."""
+    import datetime as dt
+
+    vals = [0.05, 0.05, 5.0, 123.45, 9999.99]
+    df = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 1), "a", v) for v in vals],
+        ["ts", "event_type", "value"],
+    )
+    sk = H.hdr_rollup(df, "ts", ["event_type"], "value", "1d")
+    bars = {
+        r["idx"]: (r["lo"], r["hi"], r["cnt"])
+        for r in H.hdr_histogram(sk, ["event_type"]).collect()
+    }
+    for b in bars.values():
+        assert b[1] > b[0]  # never zero-width
+    # 0.05 (5 cents, sub-resolution) → exact one-cent bar with count 2
+    assert any(
+        lo == 0.05 and hi == 0.06 and c == 2 for lo, hi, c in bars.values()
+    )
+    for v in vals:
+        assert any(lo <= v < hi for lo, hi, _ in bars.values()), v
