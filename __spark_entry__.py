@@ -1173,6 +1173,54 @@ FROM sides x JOIN sides y ON x.label < y.label
 """
 
 
+def _q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-order funnel view→click→purchase, each step within 6h of
+    the previous (operators/funnel.py): per-user first-occurrence times
+    chained by user-keyed joins — the ordered cross-event sequencing
+    InfluxQL cannot express.  The oracle replays the sequential CTE chain
+    with the same floor-to-second window arithmetic — counts and
+    conversion ratios bit-exact."""
+    from influxer_spark.operators.funnel import funnel_counts
+
+    ev = _t(spark, sf_dir, "events")
+    return funnel_counts(
+        ev, "user_id", "ts", "event_type",
+        ["view", "click", "purchase"], 21600,
+    )
+
+
+_FUNNEL_ORACLE = """
+WITH s1 AS (
+  SELECT user_id AS u, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY 1
+), s2 AS (
+  SELECT e.user_id AS u, min(e.ts) AS t2
+  FROM events e JOIN s1 ON s1.u = e.user_id
+  WHERE e.event_type = 'click' AND e.ts > s1.t1
+    AND CAST(floor(epoch(e.ts)) AS BIGINT)
+        <= CAST(floor(epoch(s1.t1)) AS BIGINT) + 21600
+  GROUP BY 1
+), s3 AS (
+  SELECT e.user_id AS u, min(e.ts) AS t3
+  FROM events e JOIN s2 ON s2.u = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+    AND CAST(floor(epoch(e.ts)) AS BIGINT)
+        <= CAST(floor(epoch(s2.t2)) AS BIGINT) + 21600
+  GROUP BY 1
+), n AS (
+  SELECT (SELECT count(*) FROM s1) AS n1,
+         (SELECT count(*) FROM s2) AS n2,
+         (SELECT count(*) FROM s3) AS n3
+)
+SELECT 1 AS step_idx, 'view' AS step, CAST(n1 AS BIGINT) AS users,
+       CAST(n1 AS DOUBLE) / n1 AS conversion FROM n
+UNION ALL SELECT 2, 'click', CAST(n2 AS BIGINT),
+       CAST(n2 AS DOUBLE) / n1 FROM n
+UNION ALL SELECT 3, 'purchase', CAST(n3 AS BIGINT),
+       CAST(n3 AS DOUBLE) / n1 FROM n
+"""
+
+
 def _q_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PROVABLY exact top-5 users per event type via the candidate-then-
     verify pattern (operators/heavyhitters.py:topk_exact): per-partition
@@ -2003,6 +2051,7 @@ _WINDOW_PRIORITY = [
     "sumsq_sliding_24h",
     "mixture_plan_sources",
     "hdr_histogram_1d",
+    "funnel_view_click_purchase",
 ]
 
 # Rows-only queries (genuinely non-SQL-expressible internals) — always last.
@@ -2056,6 +2105,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sumsq_sliding_24h": _q_sumsq_sliding,
         "mixture_plan_sources": _q_mixture_plan,
         "hdr_histogram_1d": _q_hdr_histogram,
+        "funnel_view_click_purchase": _q_funnel,
         "hdr_quantile_1h": _q_hdr_quantile_1h,
         "stream_hdr_replay_1h": _q_stream_hdr_replay,
         "hdr_tier_read_4h": _q_hdr_tier_read_4h,
@@ -2170,6 +2220,7 @@ def oracle_sql() -> dict[str, str]:
         "sumsq_sliding_24h": _SUMSQ_SLIDING_ORACLE,
         "mixture_plan_sources": _MIXTURE_PLAN_ORACLE,
         "hdr_histogram_1d": _HDR_HISTOGRAM_ORACLE,
+        "funnel_view_click_purchase": _FUNNEL_ORACLE,
         "hdr_quantile_1h": _HDR_QUANTILE_ORACLE,
         "stream_hdr_replay_1h": _HDR_QUANTILE_ORACLE,
         "hdr_tier_read_4h": _HDR_TIER_4H_ORACLE,

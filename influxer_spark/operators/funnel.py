@@ -1,0 +1,109 @@
+"""Funnel analysis: ordered step conversion within a time window.
+
+"Of the users who VIEWED, how many CLICKED within an hour, and of those
+how many PURCHASED within another hour?" — the product-analytics query
+that motivates keeping raw event streams next to the rollup tiers.  The
+reference's InfluxQL surface cannot express ordered cross-event
+sequencing (no joins); on Spark it is a short chain of user-keyed
+joins, one per funnel step.
+
+Semantics (the standard strict-order funnel):
+- a user ENTERS at their FIRST occurrence of step 1;
+- they reach step k+1 at their first occurrence of it STRICTLY AFTER
+  their step-k time and within ``within_seconds`` of it;
+- "first occurrence" makes the result a pure function of the data
+  (no per-row nondeterminism), and per-user times are monotone by
+  construction.
+
+Scale notes (100 TB posture):
+- one filter + groupBy(user) per step, then a user-keyed join per step —
+  len(steps) bounded shuffles, all on the same key (AQE reuses the
+  exchange); no window over unbounded event lists, no per-row Python.
+- the per-step frames shrink monotonically (funnels only lose users),
+  so later joins are broadcast-able in practice.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel_times(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    event_col: str,
+    steps: Sequence[str],
+    within_seconds: int,
+) -> DataFrame:
+    """Per-user funnel progress: (user, t1, t2, …, tN) with tk the time
+    the user reached step k (NULL once the funnel broke).  tk is the
+    first ``steps[k]`` event strictly after t(k-1) and within
+    ``within_seconds`` of it."""
+    if len(steps) < 2:
+        raise ValueError("a funnel needs at least two steps")
+    t = F.col(ts_col).cast("timestamp")
+    cur = (
+        df.filter(F.col(event_col) == steps[0])
+        .groupBy(F.col(user_col).alias("user"))
+        .agg(F.min(t).alias("t1"))
+    )
+    for k, step in enumerate(steps[1:], start=2):
+        nxt = df.filter(F.col(event_col) == step).select(
+            F.col(user_col).alias("user"), t.alias("_ts")
+        )
+        prev = f"t{k - 1}"
+        cond = (
+            (F.col("_ts") > F.col(prev))
+            & (
+                F.unix_timestamp("_ts")
+                <= F.unix_timestamp(prev) + within_seconds
+            )
+        )
+        reached = (
+            cur.join(nxt, "user")
+            .filter(cond)
+            .groupBy("user", *[f"t{i}" for i in range(1, k)])
+            .agg(F.min("_ts").alias(f"t{k}"))
+        )
+        cur = cur.join(
+            reached.select("user", f"t{k}"), "user", "left"
+        )
+    return cur
+
+
+def funnel_counts(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    event_col: str,
+    steps: Sequence[str],
+    within_seconds: int,
+) -> DataFrame:
+    """The funnel report: one row per step with the user count that
+    reached it and the conversion rate vs step 1 (exact integer ratio —
+    one float division, bit-stable).  Output: (step_idx, step, users,
+    conversion)."""
+    times = funnel_times(
+        df, user_col, ts_col, event_col, steps, within_seconds
+    )
+    aggs = [
+        F.count(F.col(f"t{k}")).alias(f"_n{k}")
+        for k in range(1, len(steps) + 1)
+    ]
+    row = times.agg(*aggs)
+    parts = None
+    for k, step in enumerate(steps, start=1):
+        p = row.select(
+            F.lit(k).alias("step_idx"),
+            F.lit(step).alias("step"),
+            F.col(f"_n{k}").alias("users"),
+            (
+                F.col(f"_n{k}").cast("double") / F.col("_n1")
+            ).alias("conversion"),
+        )
+        parts = p if parts is None else parts.unionByName(p)
+    return parts

@@ -1,0 +1,54 @@
+"""Funnel analysis: strict-order step matching with per-step windows."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from influxer_spark.operators.funnel import funnel_counts, funnel_times
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+
+
+def test_funnel_strict_order_and_window(spark):
+    """u1 converts fully; u2's click came BEFORE the view (order broken);
+    u3's click is outside the window; u4 views twice and converts from
+    the FIRST view (first-occurrence semantics)."""
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    rows = [
+        (1, t(0), "view"), (1, t(5), "click"), (1, t(9), "purchase"),
+        (2, t(10), "click"), (2, t(11), "view"),
+        (3, t(0), "view"), (3, t(45), "click"),
+        (4, t(0), "view"), (4, t(20), "view"), (4, t(25), "click"),
+    ]
+    got = {
+        r["step"]: (r["users"], r["conversion"])
+        for r in funnel_counts(
+            _ev(spark, rows), "user_id", "ts", "event_type",
+            ["view", "click", "purchase"], within_seconds=30 * 60,
+        ).collect()
+    }
+    assert got["view"] == (4, 1.0)
+    assert got["click"] == (2, 0.5)      # u1 and u4
+    assert got["purchase"] == (1, 0.25)  # u1 only
+    times = {
+        r["user"]: (r["t1"], r["t2"])
+        for r in funnel_times(
+            _ev(spark, rows), "user_id", "ts", "event_type",
+            ["view", "click"], 30 * 60,
+        ).collect()
+    }
+    assert times[4] == (t(0), t(25))  # anchored at the FIRST view
+    assert times[2][1] is None        # order broken → no step 2
+    assert times[3][1] is None        # window expired
+
+
+def test_funnel_needs_two_steps(spark):
+    with pytest.raises(ValueError, match="two steps"):
+        funnel_counts(
+            _ev(spark, [(1, dt.datetime(2024, 1, 1), "view")]),
+            "user_id", "ts", "event_type", ["view"], 60,
+        )
