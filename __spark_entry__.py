@@ -1189,6 +1189,37 @@ def _q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix (operators/funnel.py:cohort_retention):
+    users cohort by first-seen day; cell (cohort, k) = fraction active
+    exactly k days later.  Counts are exact integers and the ratio one
+    float division — the oracle's identical arithmetic is bit-exact."""
+    from influxer_spark.operators.funnel import cohort_retention
+
+    ev = _t(spark, sf_dir, "events")
+    return cohort_retention(ev, "user_id", "ts")
+
+
+_COHORT_ORACLE = """
+WITH a AS (
+  SELECT DISTINCT user_id AS u, date_trunc('day', ts) AS day FROM events
+), f AS (
+  SELECT u, min(day) AS cohort_day FROM a GROUP BY 1
+), s AS (
+  SELECT cohort_day, count(*) AS cohort_size FROM f GROUP BY 1
+), c AS (
+  SELECT f.cohort_day,
+         CAST(date_diff('day', f.cohort_day, a.day) AS BIGINT) AS k,
+         count(*) AS active
+  FROM a JOIN f ON a.u = f.u GROUP BY 1, 2
+)
+SELECT c.cohort_day, c.k, CAST(s.cohort_size AS BIGINT) AS cohort_size,
+       CAST(c.active AS BIGINT) AS active,
+       CAST(c.active AS DOUBLE) / s.cohort_size AS retention
+FROM c JOIN s ON s.cohort_day = c.cohort_day
+"""
+
+
 _FUNNEL_ORACLE = """
 WITH s1 AS (
   SELECT user_id AS u, min(ts) AS t1 FROM events
@@ -2052,6 +2083,7 @@ _WINDOW_PRIORITY = [
     "mixture_plan_sources",
     "hdr_histogram_1d",
     "funnel_view_click_purchase",
+    "cohort_retention_daily",
 ]
 
 # Rows-only queries (genuinely non-SQL-expressible internals) — always last.
@@ -2106,6 +2138,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_plan_sources": _q_mixture_plan,
         "hdr_histogram_1d": _q_hdr_histogram,
         "funnel_view_click_purchase": _q_funnel,
+        "cohort_retention_daily": _q_cohort_retention,
         "hdr_quantile_1h": _q_hdr_quantile_1h,
         "stream_hdr_replay_1h": _q_stream_hdr_replay,
         "hdr_tier_read_4h": _q_hdr_tier_read_4h,
@@ -2221,6 +2254,7 @@ def oracle_sql() -> dict[str, str]:
         "mixture_plan_sources": _MIXTURE_PLAN_ORACLE,
         "hdr_histogram_1d": _HDR_HISTOGRAM_ORACLE,
         "funnel_view_click_purchase": _FUNNEL_ORACLE,
+        "cohort_retention_daily": _COHORT_ORACLE,
         "hdr_quantile_1h": _HDR_QUANTILE_ORACLE,
         "stream_hdr_replay_1h": _HDR_QUANTILE_ORACLE,
         "hdr_tier_read_4h": _HDR_TIER_4H_ORACLE,

@@ -107,3 +107,49 @@ def funnel_counts(
         )
         parts = p if parts is None else parts.unionByName(p)
     return parts
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """Cohort retention matrix — the analytics staple next to the funnel:
+    users cohort by their FIRST-SEEN day, and cell (cohort_day, k) is the
+    fraction of that cohort active exactly k days later.  k = 0 is the
+    cohort itself (retention 1.0 by construction — kept as the sanity
+    row).
+
+    Execution: one (user → first day) aggregate, one distinct
+    (user, day) projection, one user-keyed join, one (cohort, k) count —
+    all shuffles on user or on the tiny (cohort_day, k) grid; no windows
+    over unbounded series.  Output: (cohort_day, k, cohort_size, active,
+    retention) with retention an exact integer ratio (one float
+    division)."""
+    day = F.date_trunc("day", F.col(ts_col).cast("timestamp"))
+    actives = df.select(
+        F.col(user_col).alias("user"), day.alias("day")
+    ).distinct()
+    firsts = actives.groupBy("user").agg(F.min("day").alias("cohort_day"))
+    sizes = firsts.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    cells = (
+        actives.join(firsts, "user")
+        .groupBy(
+            "cohort_day",
+            F.datediff(F.col("day"), F.col("cohort_day")).cast("long").alias(
+                "k"
+            ),
+        )
+        .agg(F.count(F.lit(1)).alias("active"))
+    )
+    return cells.join(sizes, "cohort_day").select(
+        "cohort_day",
+        "k",
+        "cohort_size",
+        "active",
+        (F.col("active").cast("double") / F.col("cohort_size")).alias(
+            "retention"
+        ),
+    )

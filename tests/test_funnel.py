@@ -52,3 +52,28 @@ def test_funnel_needs_two_steps(spark):
             _ev(spark, [(1, dt.datetime(2024, 1, 1), "view")]),
             "user_id", "ts", "event_type", ["view"], 60,
         )
+
+
+def test_cohort_retention_hand_matrix(spark):
+    """Hand-sized cohort matrix: day-1 cohort {u1,u2} with u1 back on
+    day 2 and both back on day 3; day-2 cohort {u3} never returns."""
+    from influxer_spark.operators.funnel import cohort_retention
+
+    d = lambda n, h=0: dt.datetime(2024, 1, n, h)  # noqa: E731
+    rows = [
+        (1, d(1), "view"), (2, d(1, 5), "view"),
+        (1, d(2), "view"),
+        (1, d(3), "view"), (2, d(3, 9), "view"),
+        (3, d(2, 1), "view"),
+    ]
+    got = {
+        (r["cohort_day"].day, r["k"]): (
+            r["cohort_size"], r["active"], r["retention"]
+        )
+        for r in cohort_retention(_ev(spark, rows), "user_id", "ts").collect()
+    }
+    assert got[(1, 0)] == (2, 2, 1.0)
+    assert got[(1, 1)] == (2, 1, 0.5)
+    assert got[(1, 2)] == (2, 2, 1.0)
+    assert got[(2, 0)] == (1, 1, 1.0)
+    assert (2, 1) not in got  # u3 never returned; absent, not zero
