@@ -1200,6 +1200,34 @@ def _q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cohort_retention(ev, "user_id", "ts")
 
 
+def _q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov next-event transition matrix per user
+    (operators/funnel.py:event_transitions), event_id as the
+    deterministic timestamp tie-break.  Exact integer counts + one float
+    division — oracle bit-exact."""
+    from influxer_spark.operators.funnel import event_transitions
+
+    ev = _t(spark, sf_dir, "events")
+    return event_transitions(ev, "user_id", "ts", "event_type", ["event_id"])
+
+
+_TRANSITIONS_ORACLE = """
+WITH s AS (
+  SELECT event_type AS cur,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+  FROM events
+), c AS (
+  SELECT cur, nxt, count(*) AS n FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2
+), t AS (
+  SELECT cur, sum(n) AS tt FROM c GROUP BY 1
+)
+SELECT c.cur, c.nxt, CAST(c.n AS BIGINT) AS n,
+       CAST(c.n AS DOUBLE) / t.tt AS p
+FROM c JOIN t ON t.cur = c.cur
+"""
+
+
 _COHORT_ORACLE = """
 WITH a AS (
   SELECT DISTINCT user_id AS u, date_trunc('day', ts) AS day FROM events
@@ -2084,6 +2112,7 @@ _WINDOW_PRIORITY = [
     "hdr_histogram_1d",
     "funnel_view_click_purchase",
     "cohort_retention_daily",
+    "event_transition_matrix",
 ]
 
 # Rows-only queries (genuinely non-SQL-expressible internals) — always last.
@@ -2139,6 +2168,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hdr_histogram_1d": _q_hdr_histogram,
         "funnel_view_click_purchase": _q_funnel,
         "cohort_retention_daily": _q_cohort_retention,
+        "event_transition_matrix": _q_event_transitions,
         "hdr_quantile_1h": _q_hdr_quantile_1h,
         "stream_hdr_replay_1h": _q_stream_hdr_replay,
         "hdr_tier_read_4h": _q_hdr_tier_read_4h,
@@ -2255,6 +2285,7 @@ def oracle_sql() -> dict[str, str]:
         "hdr_histogram_1d": _HDR_HISTOGRAM_ORACLE,
         "funnel_view_click_purchase": _FUNNEL_ORACLE,
         "cohort_retention_daily": _COHORT_ORACLE,
+        "event_transition_matrix": _TRANSITIONS_ORACLE,
         "hdr_quantile_1h": _HDR_QUANTILE_ORACLE,
         "stream_hdr_replay_1h": _HDR_QUANTILE_ORACLE,
         "hdr_tier_read_4h": _HDR_TIER_4H_ORACLE,

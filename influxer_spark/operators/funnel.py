@@ -153,3 +153,40 @@ def cohort_retention(
             "retention"
         ),
     )
+
+
+def event_transitions(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    event_col: str,
+    order_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Next-event transition matrix — P(next = b | current = a) over each
+    user's event sequence: the Markov view of user behavior that funnels
+    sample one path of.  ``order_cols`` breaks timestamp ties
+    deterministically (pass the event id; two same-second events would
+    otherwise make lead() nondeterministic).
+
+    One lag window per user + one (a, b) count — the window partitions by
+    user (bounded sequences), the matrix is |event types|² rows.  Counts
+    are exact integers; probability is one float division.  Output:
+    (cur, nxt, n, p)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).cast("timestamp"), *[F.col(c) for c in order_cols]
+    )
+    pairs = (
+        df.withColumn("_nxt", F.lead(event_col).over(w))
+        .filter(F.col("_nxt").isNotNull())
+        .groupBy(
+            F.col(event_col).alias("cur"), F.col("_nxt").alias("nxt")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = pairs.groupBy("cur").agg(F.sum("n").alias("_t"))
+    return pairs.join(totals, "cur").select(
+        "cur", "nxt", "n",
+        (F.col("n").cast("double") / F.col("_t")).alias("p"),
+    )

@@ -77,3 +77,25 @@ def test_cohort_retention_hand_matrix(spark):
     assert got[(1, 2)] == (2, 2, 1.0)
     assert got[(2, 0)] == (1, 1, 1.0)
     assert (2, 1) not in got  # u3 never returned; absent, not zero
+
+
+def test_event_transitions_counts_and_probs(spark):
+    """Hand matrix: u1 view→click→view, u2 view→view.  Transitions:
+    view→click 1, click→view 1, view→view 1 → P(click|view)=0.5."""
+    from influxer_spark.operators.funnel import event_transitions
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    rows = [
+        (1, t(0), "view"), (1, t(1), "click"), (1, t(2), "view"),
+        (2, t(0), "view"), (2, t(3), "view"),
+    ]
+    got = {
+        (r["cur"], r["nxt"]): (r["n"], r["p"])
+        for r in event_transitions(
+            _ev(spark, rows), "user_id", "ts", "event_type"
+        ).collect()
+    }
+    assert got[("view", "click")] == (1, 0.5)
+    assert got[("view", "view")] == (1, 0.5)
+    assert got[("click", "view")] == (1, 1.0)
+    assert len(got) == 3
