@@ -1228,6 +1228,71 @@ FROM c JOIN t ON t.cur = c.cur
 """
 
 
+def _q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert percentiles per funnel step (funnel.funnel_latency):
+    per-user step delays sketched through the HDR counter vectors — the
+    bounded-memory percentile (a collect-and-sort would hold every
+    converting user).  The oracle chains the funnel CTEs into the same
+    integer sketch math; the /100·×100 unit round-trip is mirrored
+    op-for-op so the row is bit-exact."""
+    from influxer_spark.operators.funnel import funnel_latency
+
+    ev = _t(spark, sf_dir, "events")
+    return funnel_latency(
+        ev, "user_id", "ts", "event_type",
+        ["view", "click", "purchase"], 21600, (0.5, 0.9),
+    )
+
+
+_FUNNEL_LATENCY_ORACLE = """
+WITH s1 AS (
+  SELECT user_id AS u, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY 1
+), s2 AS (
+  SELECT e.user_id AS u, min(e.ts) AS t2
+  FROM events e JOIN s1 ON s1.u = e.user_id
+  WHERE e.event_type = 'click' AND e.ts > s1.t1
+    AND CAST(floor(epoch(e.ts)) AS BIGINT)
+        <= CAST(floor(epoch(s1.t1)) AS BIGINT) + 21600
+  GROUP BY 1
+), s3 AS (
+  SELECT e.user_id AS u, min(e.ts) AS t3
+  FROM events e JOIN s2 ON s2.u = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+    AND CAST(floor(epoch(e.ts)) AS BIGINT)
+        <= CAST(floor(epoch(s2.t2)) AS BIGINT) + 21600
+  GROUP BY 1
+), d AS (
+  SELECT 2 AS step_idx, 'click' AS step,
+         greatest(CAST(floor(epoch(s2.t2)) AS BIGINT)
+                  - CAST(floor(epoch(s1.t1)) AS BIGINT), 1) AS v
+  FROM s2 JOIN s1 ON s1.u = s2.u
+  UNION ALL
+  SELECT 3, 'purchase',
+         greatest(CAST(floor(epoch(s3.t3)) AS BIGINT)
+                  - CAST(floor(epoch(s2.t2)) AS BIGINT), 1)
+  FROM s3 JOIN s2 ON s2.u = s3.u
+), i AS (
+  SELECT step_idx, step,
+         (CAST(length(bin(v))-1 AS BIGINT))*32
+           + ((v*32) >> CAST(length(bin(v))-1 AS BIGINT)) - 32 AS idx
+  FROM d
+), s AS (
+  SELECT step_idx, step, idx, count(*) AS cnt FROM i GROUP BY 1,2,3
+), r AS (
+  SELECT step_idx, step, idx, cnt,
+         sum(cnt) OVER (PARTITION BY step_idx ORDER BY idx) AS cum,
+         sum(cnt) OVER (PARTITION BY step_idx) AS n,
+         ((((idx % 32) + 32) << (idx // 32)) >> 5) AS lb
+  FROM s
+)
+SELECT step_idx, step, max(n) AS n,
+  (min(CASE WHEN cum >= ceil(0.5*n) THEN lb END) / 100.0) * 100.0 AS q50,
+  (min(CASE WHEN cum >= ceil(0.9*n) THEN lb END) / 100.0) * 100.0 AS q90
+FROM r GROUP BY 1, 2
+"""
+
+
 _COHORT_ORACLE = """
 WITH a AS (
   SELECT DISTINCT user_id AS u, date_trunc('day', ts) AS day FROM events
@@ -2113,6 +2178,7 @@ _WINDOW_PRIORITY = [
     "funnel_view_click_purchase",
     "cohort_retention_daily",
     "event_transition_matrix",
+    "funnel_latency_quantiles",
 ]
 
 # Rows-only queries (genuinely non-SQL-expressible internals) — always last.
@@ -2169,6 +2235,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_view_click_purchase": _q_funnel,
         "cohort_retention_daily": _q_cohort_retention,
         "event_transition_matrix": _q_event_transitions,
+        "funnel_latency_quantiles": _q_funnel_latency,
         "hdr_quantile_1h": _q_hdr_quantile_1h,
         "stream_hdr_replay_1h": _q_stream_hdr_replay,
         "hdr_tier_read_4h": _q_hdr_tier_read_4h,
@@ -2286,6 +2353,7 @@ def oracle_sql() -> dict[str, str]:
         "funnel_view_click_purchase": _FUNNEL_ORACLE,
         "cohort_retention_daily": _COHORT_ORACLE,
         "event_transition_matrix": _TRANSITIONS_ORACLE,
+        "funnel_latency_quantiles": _FUNNEL_LATENCY_ORACLE,
         "hdr_quantile_1h": _HDR_QUANTILE_ORACLE,
         "stream_hdr_replay_1h": _HDR_QUANTILE_ORACLE,
         "hdr_tier_read_4h": _HDR_TIER_4H_ORACLE,

@@ -190,3 +190,65 @@ def event_transitions(
         "cur", "nxt", "n",
         (F.col("n").cast("double") / F.col("_t")).alias("p"),
     )
+
+
+def funnel_latency(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    event_col: str,
+    steps: Sequence[str],
+    within_seconds: int,
+    ps: Sequence[float] = (0.5, 0.9),
+) -> DataFrame:
+    """Time-to-convert distribution per funnel step: for every step
+    transition k−1 → k, the nearest-rank percentiles of the per-user
+    delay (seconds), computed through an HDR SKETCH of the delays — the
+    scale-safe formulation: a collect-and-sort percentile would hold
+    every converting user in one list, while the sketch is a bounded
+    counter vector per step (rel error ≤ 2⁻⁵), mergeable across any
+    partitioning.  Delays are exact integer seconds.
+
+    Output: (step_idx, step, n, q<pp>…) for steps 2..N.
+    """
+    from influxer_spark.operators.hdrsketch import hdr_quantiles
+
+    times = funnel_times(
+        df, user_col, ts_col, event_col, steps, within_seconds
+    )
+    sub_bits = 5
+    s = 1 << sub_bits
+    parts = None
+    for k, step in enumerate(steps[1:], start=2):
+        # delay in integer SECONDS → HDR index via the sketch's integer
+        # math (clamped ≥ 1 like hdrsketch; instant conversions land in
+        # the 1-second bucket).  The "value" here is already integer, so
+        # no cents scaling: quantiles come out in whole seconds.
+        delta = (
+            F.unix_timestamp(F.col(f"t{k}"))
+            - F.unix_timestamp(F.col(f"t{k - 1}"))
+        )
+        p = (
+            times.filter(F.col(f"t{k}").isNotNull())
+            .select(F.greatest(delta, F.lit(1)).cast("long").alias("_v"))
+            .withColumn("_e", (F.length(F.bin(F.col("_v"))) - 1).cast("long"))
+            .withColumn("_m", F.expr(f"shiftright(_v * {s}, cast(_e as int))"))
+            .select(
+                F.lit(k).alias("step_idx"),
+                F.lit(step).alias("step"),
+                (F.col("_e") * s + F.col("_m") - s).alias("idx"),
+            )
+            .groupBy("step_idx", "step", "idx")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        parts = p if parts is None else parts.unionByName(p)
+    sk = parts.withColumnRenamed("step_idx", "bucket")
+    out = hdr_quantiles(sk, ["step"], ps, sub_bits)
+    # hdr_quantiles emits values as cents/100; these are plain seconds —
+    # undo the unit convention (×100 restores the integer lower bound)
+    qcols = [f"q{int(round(p * 100))}" for p in ps]
+    sel = [
+        F.col("bucket").alias("step_idx"), "step", "n",
+        *[(F.col(c) * 100.0).alias(c) for c in qcols],
+    ]
+    return out.select(*sel)

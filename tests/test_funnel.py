@@ -99,3 +99,29 @@ def test_event_transitions_counts_and_probs(spark):
     assert got[("view", "view")] == (1, 0.5)
     assert got[("click", "view")] == (1, 1.0)
     assert len(got) == 3
+
+
+def test_funnel_latency_quantiles_hand_values(spark):
+    """Delays 60s ×9 + 3600s ×1 for view→click: p50 lands in 60s's sketch
+    bucket (exact: 60 < 2^11 region is fine-grained), p95 in 3600's —
+    sketch lower bounds, rel error ≤ 2^-5."""
+    from influxer_spark.operators.funnel import funnel_latency
+
+    rows = []
+    for u in range(9):
+        rows += [(u, dt.datetime(2024, 1, 1, 0, 0), "view"),
+                 (u, dt.datetime(2024, 1, 1, 0, 1), "click")]
+    rows += [(99, dt.datetime(2024, 1, 1, 0, 0), "view"),
+             (99, dt.datetime(2024, 1, 1, 1, 0), "click")]
+    out = {
+        r["step"]: (r["n"], r["q50"], r["q95"])
+        for r in funnel_latency(
+            _ev(spark, rows), "user_id", "ts", "event_type",
+            ["view", "click"], 7200, (0.5, 0.95),
+        ).collect()
+    }
+    n, q50, q95 = out["click"]
+    assert n == 10
+    assert abs(q50 - 60) <= 60 / 32 + 1
+    # nearest-rank: ceil(.95·10) = 10 → the one slow conversion
+    assert abs(q95 - 3600) <= 3600 / 32 + 1
