@@ -2179,6 +2179,7 @@ _WINDOW_PRIORITY = [
     "cohort_retention_daily",
     "event_transition_matrix",
     "funnel_latency_quantiles",
+    "ann_ivf_index_topk",
 ]
 
 # Rows-only queries (genuinely non-SQL-expressible internals) — always last.

@@ -640,3 +640,108 @@ def centroid_cosine(
             (dot / (nx * ny)).alias("cos"),
         )
     )
+
+
+def build_ivf_index(
+    spark,
+    catalog,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+    dim: int = 64,
+    n_lists: int = 8,
+) -> list[str]:
+    """PERSIST an IVF index in the catalog — the faiss build/search split
+    made lakehouse-shaped: train/assign once, then every query session
+    reads the stored index instead of re-scanning the corpus.
+
+    Layout: ``ivf_centroids`` (one tiny partition) and ``ivf_postings``
+    partitioned BY INVERTED LIST — so probing n of N lists at query time
+    is MANIFEST-LEVEL PARTITION PRUNING, the property that makes IVF the
+    scalable ANN tier at 10¹² vectors (read n_probe/n_lists of the
+    bytes, not a filter over all of them).  n_lists and the vector
+    column are pinned as table properties; a reader probing against
+    different centroids would silently search the wrong geometry.
+    """
+    if centroids is None:
+        centroids = ivf_random_centroids(dim, n_lists)
+    assigned = with_ivf_list(
+        corpus.select(
+            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cvec")
+        ),
+        "cvec",
+        centroids,
+    ).withColumn("plist", F.col("ivf_list").cast("string"))
+    lists = [str(i) for i in range(len(centroids))]
+    catalog.write_partitions(assigned, "ivf_postings", lists, day_col="plist")
+    cent_df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(centroids)],
+        "ivf_list int, centroid array<double>",
+    ).withColumn("plist", F.lit("all"))
+    catalog.write_partitions(cent_df, "ivf_centroids", ["all"], day_col="plist")
+    for t in ("ivf_postings", "ivf_centroids"):
+        catalog.set_table_property(t, "ivf_n_lists", int(len(centroids)))
+        catalog.set_table_property(t, "ivf_vec_col", vec_col)
+    return lists
+
+
+def ivf_search_index(
+    spark,
+    catalog,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 2,
+    k: int = 10,
+) -> DataFrame:
+    """Search the catalog-persisted IVF index: load the (tiny) stored
+    centroids, rank each query's probe lists, then read ONLY the probed
+    lists' posting partitions (manifest pruning — the collect is over
+    ≤ n_lists ints, never vectors).  Result is identical to
+    :func:`ivf_ann` with the same centroids — the index just makes the
+    corpus side a stored, pruned read instead of a full assignment scan.
+    """
+    cent_rows = sorted(
+        (r["ivf_list"], r["centroid"])
+        for r in spark.read.parquet(
+            *catalog.partition_paths("ivf_centroids", ["all"])
+        ).collect()
+    )
+    centroids = np.asarray([c for _, c in cent_rows], dtype=np.float64)
+    ranked = _ivf_scores_udf(centroids)
+    qb = (
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+        )
+        .withColumn("_probes", F.slice(ranked(F.col("qvec")), 1, n_probe))
+        .withColumn("ivf_list", F.explode("_probes"))
+        .drop("_probes")
+    )
+    probed = sorted(
+        {r["ivf_list"] for r in qb.select("ivf_list").distinct().collect()}
+    )
+    cb = spark.read.parquet(
+        *catalog.partition_paths("ivf_postings", [str(p) for p in probed])
+    )
+    scored = (
+        cb.join(qb, on="ivf_list")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            (
+                dot_f64(F.col("qvec"), F.col("cvec"))
+                / (
+                    F.sqrt(dot_f64(F.col("qvec"), F.col("qvec")))
+                    * F.sqrt(dot_f64(F.col("cvec"), F.col("cvec")))
+                )
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cos")
+    )

@@ -495,6 +495,21 @@ def _q_ann_ivf_topk(spark, sf_dir):
     )
 
 
+def _q_ann_ivf_index_topk(spark, sf_dir):
+    """Catalog-persisted IVF: build the index once (postings partitioned BY
+    LIST), then search from storage.  Must be bit-identical to the in-memory
+    `ivf_ann` with the same centroids, so it shares that query's oracle."""
+    import tempfile
+
+    from influxer_spark.catalog import TableCatalog
+
+    cat = TableCatalog(tempfile.mkdtemp(prefix="ivf_index_gate_"))
+    vecs = _vecs(spark, sf_dir)
+    S.build_ivf_index(spark, cat, vecs, dim=64, n_lists=8)
+    queries = vecs.filter(F.col("vec_id") % 100 == 0)
+    return S.ivf_search_index(spark, cat, queries, n_probe=2, k=10)
+
+
 def _q_pq_encode(spark, sf_dir):
     books = S.pq_random_codebooks(64, m=8, ksub=16)
     return S.pq_encode(_vecs(spark, sf_dir), "vec_id", "embedding", books)
@@ -1334,6 +1349,7 @@ def training_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_brute_cosine_topk": _q_ann_brute_topk,
         "ann_lsh_cosine_topk": _q_ann_lsh_topk,
         "ann_ivf_cosine_topk": _q_ann_ivf_topk,
+        "ann_ivf_index_topk": _q_ann_ivf_index_topk,
         "pq_encode_codes": _q_pq_encode,
         "pq_adc_cosine_topk": _q_pq_adc_topk,
         "ivf_pq_adc_topk": _q_ivf_pq_topk,
@@ -1411,6 +1427,7 @@ def training_oracle_sql() -> dict[str, str]:
         "ann_brute_cosine_topk": _topk_sql(10, 100),
         "ann_lsh_cosine_topk": _lsh_sql(8, 10, 100),
         "ann_ivf_cosine_topk": _ivf_sql(8, 2, 10, 100),
+        "ann_ivf_index_topk": _ivf_sql(8, 2, 10, 100),
         "pq_encode_codes": _pq_encode_sql(),
         "pq_adc_cosine_topk": _pq_adc_sql(10, 100),
         "ivf_pq_adc_topk": _ivf_pq_sql(8, 2, 10, 100),

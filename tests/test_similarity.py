@@ -282,3 +282,61 @@ def test_centroid_cosine_known_geometry(spark):
         for r in S.centroid_cosine(tripled, "g", "v").collect()
     }
     assert got3 == {k: v[2] for k, v in got.items()}
+
+
+# ---------------------------------------------------------------------------
+# catalog-persisted IVF index (build once, search from storage)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def ivf_catalog(tmp_path):
+    from influxer_spark.catalog import TableCatalog
+
+    return TableCatalog(str(tmp_path / "ivfcat"))
+
+
+def test_ivf_index_search_matches_inmemory(spark, vecs, ivf_catalog):
+    """Searching the persisted index is bit-identical to ivf_ann with the
+    same centroids — the index only changes WHERE the corpus side comes
+    from (pruned stored partitions), never the scores."""
+    cent = S.ivf_random_centroids(3, 4)
+    S.build_ivf_index(spark, ivf_catalog, vecs, centroids=cent, dim=3, n_lists=4)
+    q = vecs.filter(F.col("vec_id") == 0)
+    stored = S.ivf_search_index(spark, ivf_catalog, q, n_probe=2, k=5).collect()
+    mem = S.ivf_ann(vecs, q, centroids=cent, n_probe=2, k=5).collect()
+    assert [tuple(r) for r in stored] == [tuple(r) for r in mem]
+
+
+def test_ivf_index_postings_partitioned_by_list(spark, vecs, ivf_catalog):
+    """Postings land one committed partition per inverted list, so probing
+    n of N lists at query time is manifest-level partition pruning."""
+    cent = S.ivf_random_centroids(3, 4)
+    lists = S.build_ivf_index(spark, ivf_catalog, vecs, centroids=cent, dim=3, n_lists=4)
+    committed = set(ivf_catalog.committed_partitions("ivf_postings"))
+    assert committed <= set(lists)
+    # every corpus vector is in exactly one committed list
+    total = sum(
+        spark.read.parquet(p).count()
+        for p in ivf_catalog.partition_paths("ivf_postings", sorted(committed))
+    )
+    assert total == vecs.count()
+    assert ivf_catalog.table_property("ivf_postings", "ivf_n_lists") == 4
+
+
+def test_ivf_index_search_reads_only_probed_lists(spark, vecs, ivf_catalog):
+    """n_probe=1 search must only surface candidates from the query's own
+    top list — evidence the read is pruned, not a full scan."""
+    cent = S.ivf_random_centroids(3, 4)
+    S.build_ivf_index(spark, ivf_catalog, vecs, centroids=cent, dim=3, n_lists=4)
+    assigned = {
+        r["vec_id"]: r["ivf_list"]
+        for r in S.with_ivf_list(vecs, "embedding", cent).collect()
+    }
+    # probe every query in turn so at least one top list has company
+    got = S.ivf_search_index(spark, ivf_catalog, vecs, n_probe=1, k=5).collect()
+    mem = S.ivf_ann(vecs, vecs, centroids=cent, n_probe=1, k=5).collect()
+    assert sorted(tuple(r) for r in got) == sorted(tuple(r) for r in mem)
+    assert got, "some top list must contain a non-self vector"
+    for r in got:
+        assert assigned[r["vec_id"]] == assigned[r["query_id"]]
