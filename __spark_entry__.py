@@ -2180,6 +2180,8 @@ _WINDOW_PRIORITY = [
     "event_transition_matrix",
     "funnel_latency_quantiles",
     "ann_ivf_index_topk",
+    "ivf_pq_index_topk",
+    "ivf_pq_index_extend_topk",
 ]
 
 # Rows-only queries (genuinely non-SQL-expressible internals) — always last.

@@ -529,25 +529,12 @@ def ivf_pq_topk(
     """
     m = books.shape[0]
     if residual:
-        corpus_sub = lambda j: _residual_subvector(  # noqa: E731
+        query_sub = lambda j: _residual_subvector(  # noqa: E731
             vec_col, "ivf_list", centroids, books, j
         )
-        query_sub = corpus_sub
     else:
-        corpus_sub = lambda j: _subvector(vec_col, books, j)  # noqa: E731
-        query_sub = corpus_sub
-    assigned = corpus.select(
-        F.col(id_col).alias("vec_id"),
-        F.col(vec_col),
-        nearest_centroid_expr(vec_col, centroids).alias("ivf_list"),
-    )
-    code_cols = []
-    for j in range(m):
-        d = _subspace_dists_from(corpus_sub(j), books, j)
-        code_cols.append(
-            (F.array_position(d, F.array_min(d)) - 1).cast("int").alias(f"c{j}")
-        )
-    cb = assigned.select("vec_id", "ivf_list", *code_cols)
+        query_sub = lambda j: _subvector(vec_col, books, j)  # noqa: E731
+    cb = _ivfpq_codes(corpus, id_col, vec_col, centroids, books, residual)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col),
@@ -744,4 +731,211 @@ def ivf_search_index(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "vec_id", "cos")
+    )
+
+
+# ---------------------------------------------------------------------------
+# catalog-persisted IVF-PQ index (codes-only postings + incremental extend)
+# ---------------------------------------------------------------------------
+
+def _ivfpq_codes(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: np.ndarray,
+    books: np.ndarray,
+    residual: bool,
+) -> DataFrame:
+    """(vec_id, ivf_list, c0..c{m-1}) — the stored shape of an IVF-PQ
+    posting: the coarse list id plus m small ints, NEVER the raw vector.
+    Identical expression tree to :func:`ivf_pq_topk`'s corpus side, so a
+    search over stored codes is bit-equal to the in-memory operator."""
+    m = books.shape[0]
+    if residual:
+        sub = lambda j: _residual_subvector(  # noqa: E731
+            vec_col, "ivf_list", centroids, books, j
+        )
+    else:
+        sub = lambda j: _subvector(vec_col, books, j)  # noqa: E731
+    assigned = df.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col),
+        nearest_centroid_expr(vec_col, centroids).alias("ivf_list"),
+    )
+    code_cols = []
+    for j in range(m):
+        d = _subspace_dists_from(sub(j), books, j)
+        code_cols.append(
+            (F.array_position(d, F.array_min(d)) - 1).cast("int").alias(f"c{j}")
+        )
+    return assigned.select("vec_id", "ivf_list", *code_cols)
+
+
+def build_ivfpq_index(
+    spark,
+    catalog,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+    books: np.ndarray | None = None,
+    dim: int = 64,
+    n_lists: int = 8,
+    m: int = 8,
+    ksub: int = 16,
+    residual: bool = False,
+) -> list[str]:
+    """Persist an IVF-PQ index: ``ivfpq_postings`` partitioned BY INVERTED
+    LIST holding only (vec_id, m int codes) — the faiss IndexIVFPQ layout
+    as catalog tables.  At 10^12 vectors this is the index that actually
+    fits: probing is manifest-level partition pruning (read n_probe/n_lists
+    of the bytes) and each posting is m small ints, not dim floats (~32x
+    smaller rows).  Centroids and codebooks are persisted beside the
+    postings so a later session searches with the exact geometry the codes
+    were built with; residual/m/ksub are pinned as table properties."""
+    if centroids is None:
+        centroids = ivf_random_centroids(dim, n_lists)
+    if books is None:
+        books = pq_random_codebooks(dim, m=m, ksub=ksub)
+    m, ksub, _ = books.shape
+    codes = _ivfpq_codes(corpus, id_col, vec_col, centroids, books, residual)
+    lists = [str(i) for i in range(len(centroids))]
+    catalog.write_partitions(
+        codes.withColumn("plist", F.col("ivf_list").cast("string")),
+        "ivfpq_postings", lists, day_col="plist",
+    )
+    cent_df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(centroids)],
+        "ivf_list int, centroid array<double>",
+    ).withColumn("plist", F.lit("all"))
+    catalog.write_partitions(cent_df, "ivfpq_centroids", ["all"], day_col="plist")
+    book_df = spark.createDataFrame(
+        [
+            (j, c, [float(x) for x in books[j, c]])
+            for j in range(m)
+            for c in range(ksub)
+        ],
+        "j int, c int, vals array<double>",
+    ).withColumn("plist", F.lit("all"))
+    catalog.write_partitions(book_df, "ivfpq_books", ["all"], day_col="plist")
+    for t in ("ivfpq_postings", "ivfpq_centroids", "ivfpq_books"):
+        catalog.set_table_property(t, "ivfpq_n_lists", int(len(centroids)))
+        catalog.set_table_property(t, "ivfpq_m", int(m))
+        catalog.set_table_property(t, "ivfpq_ksub", int(ksub))
+        catalog.set_table_property(t, "ivfpq_residual", bool(residual))
+        catalog.set_table_property(t, "ivfpq_vec_col", vec_col)
+    return lists
+
+
+def _load_ivfpq_geometry(spark, catalog) -> tuple[np.ndarray, np.ndarray, bool]:
+    cent_rows = sorted(
+        (r["ivf_list"], r["centroid"])
+        for r in spark.read.parquet(
+            *catalog.partition_paths("ivfpq_centroids", ["all"])
+        ).collect()
+    )
+    centroids = np.asarray([c for _, c in cent_rows], dtype=np.float64)
+    m = int(catalog.table_property("ivfpq_postings", "ivfpq_m"))
+    ksub = int(catalog.table_property("ivfpq_postings", "ivfpq_ksub"))
+    residual = bool(catalog.table_property("ivfpq_postings", "ivfpq_residual"))
+    book_rows = spark.read.parquet(
+        *catalog.partition_paths("ivfpq_books", ["all"])
+    ).collect()
+    dsub = len(book_rows[0]["vals"])
+    books = np.empty((m, ksub, dsub))
+    for r in book_rows:
+        books[r["j"], r["c"]] = r["vals"]
+    return centroids, books, residual
+
+
+def extend_ivfpq_index(
+    spark,
+    catalog,
+    shard: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[str]:
+    """Incrementally add a shard to the persisted index: encode the new
+    vectors with the STORED geometry, then rewrite only the affected list
+    partitions (existing postings ∪ new codes) in one wave commit.  The
+    untouched lists keep their bytes and manifest entries; the snapshot
+    history records the append (time travel shows the pre-extend index).
+    After extend, a search is bit-equal to a from-scratch build over the
+    union corpus — pinned by pytest."""
+    centroids, books, residual = _load_ivfpq_geometry(spark, catalog)
+    new_codes = _ivfpq_codes(
+        shard, id_col, vec_col, centroids, books, residual
+    )
+    affected = sorted(
+        r["ivf_list"] for r in new_codes.select("ivf_list").distinct().collect()
+    )
+    existing = catalog.partition_paths(
+        "ivfpq_postings", [str(a) for a in affected]
+    )
+    merged = new_codes
+    if existing:
+        old = spark.read.parquet(*existing).select(*new_codes.columns)
+        merged = old.unionByName(new_codes)
+    catalog.write_partitions(
+        merged.withColumn("plist", F.col("ivf_list").cast("string")),
+        "ivfpq_postings", [str(a) for a in affected], day_col="plist",
+    )
+    return [str(a) for a in affected]
+
+
+def ivfpq_search_index(
+    spark,
+    catalog,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 2,
+    k: int = 10,
+) -> DataFrame:
+    """ADC search over the persisted index: rank probe lists against the
+    stored centroids, read ONLY those posting partitions (manifest
+    pruning), build one LUT per (query, probed list) from the stored
+    codebooks, and score stored codes by m table lookups.  Bit-identical
+    to :func:`ivf_pq_topk` with the same geometry — the index changes
+    where the corpus side comes from, never the scores."""
+    centroids, books, residual = _load_ivfpq_geometry(spark, catalog)
+    m = books.shape[0]
+    if residual:
+        qsub = lambda j: _residual_subvector(  # noqa: E731
+            vec_col, "ivf_list", centroids, books, j
+        )
+    else:
+        qsub = lambda j: _subvector(vec_col, books, j)  # noqa: E731
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col),
+        F.explode(probe_lists_expr(vec_col, centroids, n_probe)).alias(
+            "ivf_list"
+        ),
+    ).select(
+        "query_id",
+        "ivf_list",
+        *[
+            _subspace_dists_from(qsub(j), books, j).alias(f"lut{j}")
+            for j in range(m)
+        ],
+    )
+    probed = sorted(
+        {r["ivf_list"] for r in q.select("ivf_list").distinct().collect()}
+    )
+    cb = spark.read.parquet(
+        *catalog.partition_paths("ivfpq_postings", [str(p) for p in probed])
+    )
+    joined = cb.join(F.broadcast(q), on="ivf_list").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    adist = F.element_at(F.col("lut0"), F.col("c0") + 1)
+    for j in range(1, m):
+        adist = adist + F.element_at(F.col(f"lut{j}"), F.col(f"c{j}") + 1)
+    scored = joined.select("query_id", "vec_id", adist.alias("adist"))
+    w = Window.partitionBy("query_id").orderBy(F.asc("adist"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("rank").cast("int"), "vec_id", "adist")
     )

@@ -510,6 +510,39 @@ def _q_ann_ivf_index_topk(spark, sf_dir):
     return S.ivf_search_index(spark, cat, queries, n_probe=2, k=10)
 
 
+def _q_ivf_pq_index_topk(spark, sf_dir):
+    """Catalog-persisted IVF-PQ (codes-only postings, partitioned by list):
+    searching the stored index must be bit-identical to the in-memory
+    ivf_pq_topk with the same geometry, so it shares that oracle."""
+    import tempfile
+
+    from influxer_spark.catalog import TableCatalog
+
+    cat = TableCatalog(tempfile.mkdtemp(prefix="ivfpq_index_gate_"))
+    vecs = _vecs(spark, sf_dir)
+    S.build_ivfpq_index(spark, cat, vecs, dim=64, n_lists=8)
+    queries = vecs.filter(F.col("vec_id") % 100 == 0)
+    return S.ivfpq_search_index(spark, cat, queries, n_probe=2, k=10)
+
+
+def _q_ivf_pq_index_extend_topk(spark, sf_dir):
+    """Incremental index maintenance: build on even ids, extend with odd
+    ids, search — must equal the from-scratch index over everything, so
+    the UNPARTITIONED in-memory oracle still holds."""
+    import tempfile
+
+    from influxer_spark.catalog import TableCatalog
+
+    cat = TableCatalog(tempfile.mkdtemp(prefix="ivfpq_extend_gate_"))
+    vecs = _vecs(spark, sf_dir)
+    S.build_ivfpq_index(
+        spark, cat, vecs.filter(F.col("vec_id") % 2 == 0), dim=64, n_lists=8
+    )
+    S.extend_ivfpq_index(spark, cat, vecs.filter(F.col("vec_id") % 2 == 1))
+    queries = vecs.filter(F.col("vec_id") % 100 == 0)
+    return S.ivfpq_search_index(spark, cat, queries, n_probe=2, k=10)
+
+
 def _q_pq_encode(spark, sf_dir):
     books = S.pq_random_codebooks(64, m=8, ksub=16)
     return S.pq_encode(_vecs(spark, sf_dir), "vec_id", "embedding", books)
@@ -1353,6 +1386,8 @@ def training_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_encode_codes": _q_pq_encode,
         "pq_adc_cosine_topk": _q_pq_adc_topk,
         "ivf_pq_adc_topk": _q_ivf_pq_topk,
+        "ivf_pq_index_topk": _q_ivf_pq_index_topk,
+        "ivf_pq_index_extend_topk": _q_ivf_pq_index_extend_topk,
         "ivf_pq_residual_topk": _q_ivf_pq_residual,
         "semantic_dedup_pairs": _q_semantic_dedup,
         "token_stats": _q_token_stats,
@@ -1431,6 +1466,8 @@ def training_oracle_sql() -> dict[str, str]:
         "pq_encode_codes": _pq_encode_sql(),
         "pq_adc_cosine_topk": _pq_adc_sql(10, 100),
         "ivf_pq_adc_topk": _ivf_pq_sql(8, 2, 10, 100),
+        "ivf_pq_index_topk": _ivf_pq_sql(8, 2, 10, 100),
+        "ivf_pq_index_extend_topk": _ivf_pq_sql(8, 2, 10, 100),
         "ivf_pq_residual_topk": _ivf_pq_sql(8, 2, 10, 100, residual=True),
         "semantic_dedup_pairs": _semantic_dedup_sql(8, 0.4),
         "token_stats": (

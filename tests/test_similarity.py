@@ -340,3 +340,74 @@ def test_ivf_index_search_reads_only_probed_lists(spark, vecs, ivf_catalog):
     assert got, "some top list must contain a non-self vector"
     for r in got:
         assert assigned[r["vec_id"]] == assigned[r["query_id"]]
+
+
+def test_ivfpq_index_search_matches_inmemory(spark, ivf_catalog):
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    mat = rng.standard_normal((40, 8))
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    vecs = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(mat)],
+        ["vec_id", "embedding"],
+    )
+    cent = S.ivf_random_centroids(8, 4)
+    books = S.pq_random_codebooks(8, m=2, ksub=4)
+    for residual in (False, True):
+        cat_dir = str(ivf_catalog.root) + f"_pq{residual}"
+        from influxer_spark.catalog import TableCatalog
+
+        cat = TableCatalog(cat_dir)
+        S.build_ivfpq_index(
+            spark, cat, vecs, centroids=cent, books=books,
+            dim=8, n_lists=4, residual=residual,
+        )
+        q = vecs.filter(F.col("vec_id") % 10 == 0)
+        stored = S.ivfpq_search_index(spark, cat, q, n_probe=2, k=5).collect()
+        mem = S.ivf_pq_topk(
+            vecs, q, cent, books, n_probe=2, k=5, residual=residual
+        ).collect()
+        assert [tuple(r) for r in stored] == [tuple(r) for r in mem], residual
+
+
+def test_ivfpq_postings_store_codes_not_vectors(spark, vecs, ivf_catalog):
+    cent = S.ivf_random_centroids(3, 4)
+    books = S.pq_random_codebooks(3, m=1, ksub=4)
+    S.build_ivfpq_index(
+        spark, ivf_catalog, vecs, centroids=cent, books=books, dim=3, n_lists=4
+    )
+    committed = sorted(ivf_catalog.committed_partitions("ivfpq_postings"))
+    post = spark.read.parquet(
+        *ivf_catalog.partition_paths("ivfpq_postings", committed)
+    )
+    assert set(post.columns) == {"vec_id", "ivf_list", "c0"}  # no embedding
+    assert post.count() == vecs.count()
+    assert ivf_catalog.table_property("ivfpq_postings", "ivfpq_ksub") == 4
+
+
+def test_ivfpq_extend_equals_rebuild(spark, ivf_catalog):
+    """Appending a shard to the stored index must give the same search
+    results as building from scratch over the union corpus."""
+    import numpy as np
+
+    rng = np.random.default_rng(23)
+    mat = rng.standard_normal((30, 8))
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    rows = [(i, [float(x) for x in row]) for i, row in enumerate(mat)]
+    base = spark.createDataFrame(rows[:20], ["vec_id", "embedding"])
+    shard = spark.createDataFrame(rows[20:], ["vec_id", "embedding"])
+    full = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cent = S.ivf_random_centroids(8, 4)
+    books = S.pq_random_codebooks(8, m=2, ksub=4)
+    S.build_ivfpq_index(
+        spark, ivf_catalog, base, centroids=cent, books=books, dim=8, n_lists=4
+    )
+    pre = ivf_catalog.current_snapshot("ivfpq_postings")
+    S.extend_ivfpq_index(spark, ivf_catalog, shard)
+    q = full.filter(F.col("vec_id") % 10 == 0)
+    got = S.ivfpq_search_index(spark, ivf_catalog, q, n_probe=4, k=5).collect()
+    mem = S.ivf_pq_topk(full, q, cent, books, n_probe=4, k=5).collect()
+    assert sorted(tuple(r) for r in got) == sorted(tuple(r) for r in mem)
+    # the pre-extend snapshot still serves the base-only index (time travel)
+    assert ivf_catalog.current_snapshot("ivfpq_postings") != pre
