@@ -1933,6 +1933,53 @@ def _q_topk_hot_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_matrix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """24h-window matrix profile over the hourly mean tick series: per
+    window, the nearest other window's index and exact integer distance
+    (motif/discord primitive).  Integer math end to end — the oracle
+    replays the same BIGINT sums in any order."""
+    from influxer_spark.operators import matrixprofile as MP
+
+    ev = _t(spark, sf_dir, "events")
+    series = MP.hourly_tick_series(ev)
+    return MP.matrix_profile(series, ["event_type"], "bucket", "v", m=24)
+
+
+_MATRIX_PROFILE_ORACLE = """
+WITH h AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket,
+         (100 * CAST(round(sum(value) * 100, 0) AS BIGINT)) // count(value) AS v
+  FROM events GROUP BY 1, 2
+), s AS (
+  SELECT event_type,
+         CAST(row_number() OVER (PARTITION BY event_type ORDER BY bucket) - 1 AS INT) AS i,
+         v
+  FROM h
+), a AS (
+  SELECT event_type, list(v ORDER BY i) AS arr, count(*) AS n FROM s GROUP BY 1
+), iw AS (
+  SELECT event_type, arr, CAST(n - 24 + 1 AS INT) AS nw FROM a WHERE n - 24 + 1 >= 13
+), ii AS (
+  SELECT event_type, arr, i
+  FROM iw, LATERAL (SELECT CAST(unnest(range(nw)) AS INT) AS i)
+), pairs AS (
+  SELECT x.event_type, x.i,
+         y.j,
+         list_reduce(
+           list_transform(range(24),
+             t -> (x.arr[x.i + t + 1] - x.arr[y.j + t + 1])
+                * (x.arr[x.i + t + 1] - x.arr[y.j + t + 1])),
+           (p, q) -> p + q) AS d2
+  FROM ii x
+  JOIN (SELECT event_type, i AS j FROM ii) y USING (event_type)
+  WHERE abs(x.i - y.j) >= 12
+)
+SELECT event_type, i AS idx, j AS nn_idx, d2 AS nn_dist2
+FROM pairs
+QUALIFY row_number() OVER (PARTITION BY event_type, i ORDER BY d2, j) = 1
+"""
+
+
 def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: gap > 30 min starts a new session; count per user."""
     from pyspark.sql import Window
@@ -2180,6 +2227,7 @@ _WINDOW_PRIORITY = [
     "event_transition_matrix",
     "funnel_latency_quantiles",
     "ann_ivf_index_topk",
+    "matrix_profile_24h",
     "ivf_pq_index_topk",
     "ivf_pq_index_extend_topk",
 ]
@@ -2254,6 +2302,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gapfill_1h_locf": _q_gapfill_locf,
         "topk_hot_users": _q_topk_hot_users,
         "sessionize_30m": _q_sessionize,
+        "matrix_profile_24h": _q_matrix_profile,
         "stream_sessionize_replay": _q_stream_sessionize,
         "stream_heavy_hitters_replay": _q_stream_heavy_hitters,
         "json_props_extract": _q_json_props,
@@ -2361,6 +2410,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_hdr_replay_1h": _HDR_QUANTILE_ORACLE,
         "hdr_tier_read_4h": _HDR_TIER_4H_ORACLE,
         "stream_heavy_hitters_replay": _STREAM_HH_ORACLE,
+        "matrix_profile_24h": _MATRIX_PROFILE_ORACLE,
         "heavy_hitters_1d": _HEAVY_HITTERS_ORACLE,
         "kmv_distinct_1d": _KMV_DISTINCT_ORACLE,
         "stream_kmv_replay_1d": _KMV_DISTINCT_ORACLE,

@@ -1,0 +1,181 @@
+"""Matrix profile over rolled-up series: per-window nearest-neighbor
+distance, the primitive behind motif discovery (recurring shapes) and
+discord/anomaly detection (the window least like any other) — Yeh et al.,
+"Matrix Profile I" (ICDM 2016, public).
+
+Engine variant: UNNORMALIZED squared Euclidean distance over
+INTEGER-TICK series.  Rolled-up engine series share one unit, so the
+z-normalization of the literature (needed there to compare shapes across
+amplitude) is optional here — and dropping it buys bit-exactness: every
+distance is a sum of squared BIGINT differences, associative integer
+math that a DuckDB oracle replays regardless of summation order.  No
+float discipline needed anywhere.
+
+Execution shape: the series (a rollup tier output — hundreds to tens of
+thousands of points per series, bounded by ``max_points``) groups to one
+Arrow batch per series key; inside, numpy computes the profile via the
+dot-product identity d²(i,j) = |Wᵢ|² + |Wⱼ|² − 2·WᵢWⱼ in CHUNKED int64
+matmuls (memory O(chunk·nw), never the nw×nw matrix), with an exclusion
+zone of m/2 suppressing trivial self-matches.  One shuffle on the series
+key; work is quadratic in the SERIES length (not the raw point count —
+run it on a tier, which is the point of having tiers).
+
+Scale posture: at 10^12 raw points the profile is still computed per
+SERIES over its TIER (1h tier over a year = 8,760 points → an 8,760²
+int64 matmul, milliseconds); ``max_points`` (default 50k) fails loudly
+— with a counted message, same discipline as
+``influxql.guard_series_points`` — before an unbounded series can turn
+the quadratic loose on an executor.
+
+Reference anchor: the reference engine ships no motif search; this is an
+engine extension in the same family as its gap-fill/downsample additions
+(Influxer/GenericFile.cs:262-271 stops at retention routing).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_I64_MAX = np.iinfo(np.int64).max
+
+
+def matrix_profile(
+    series: DataFrame,
+    key_cols: Sequence[str],
+    order_col: str,
+    tick_col: str,
+    m: int,
+    excl: int | None = None,
+    max_points: int = 50_000,
+    chunk: int = 1024,
+) -> DataFrame:
+    """Nearest-neighbor distance profile of each series in ``series``.
+
+    ``series`` rows are (keys…, order_col, tick_col BIGINT) — one point
+    per row, integer ticks (quantize upstream; integer math is what makes
+    the result oracle-exact).  For every window start ``idx`` (0-based in
+    order of ``order_col``), emits the closest other window at least
+    ``excl`` starts away (default m//2, min 1):
+
+        (keys…, idx, nn_idx, nn_dist2)
+
+    nn_dist2 = Σₜ (v[idx+t] − v[nn_idx+t])², exact BIGINT; ties break to
+    the smallest nn_idx (numpy argmin first-occurrence == the oracle's
+    ORDER BY d2, j).  Series shorter than m+excl emit nothing.
+    """
+    if m < 2:
+        raise ValueError("matrix_profile window m must be >= 2")
+    excl_z = max(1, m // 2) if excl is None else max(1, excl)
+    keys = list(key_cols)
+    key_fields = [series.schema[k] for k in keys]
+    out_schema = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}" for f in key_fields]
+        + ["idx int", "nn_idx int", "nn_dist2 long"]
+    )
+
+    def profile(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col, kind="mergesort")
+        v = pdf[tick_col].to_numpy(dtype=np.int64)
+        n = len(v)
+        if n > max_points:
+            raise ValueError(
+                f"matrix_profile: series {tuple(pdf.iloc[0][k] for k in keys)!r} "
+                f"has {n} points > max_points={max_points}; the profile is "
+                f"quadratic in series length — run it over a coarser rollup "
+                f"tier or raise max_points deliberately"
+            )
+        nw = n - m + 1
+        empty = pd.DataFrame(
+            {
+                **{k: pd.Series(dtype=pdf[k].dtype) for k in keys},
+                "idx": pd.Series(dtype="int32"),
+                "nn_idx": pd.Series(dtype="int32"),
+                "nn_dist2": pd.Series(dtype="int64"),
+            }
+        )
+        if nw < excl_z + 1:
+            return empty
+        W = np.lib.stride_tricks.sliding_window_view(v, m)  # (nw, m) view
+        sq = np.einsum("ij,ij->i", W, W)  # |W_i|² exact int64
+        best = np.full(nw, _I64_MAX, dtype=np.int64)
+        best_j = np.full(nw, -1, dtype=np.int64)
+        jj = np.arange(nw)
+        for s in range(0, nw, chunk):
+            e = min(s + chunk, nw)
+            # d²(i,j) = |W_i|² + |W_j|² − 2 W_i·W_j — chunked int64 matmul
+            g = W[s:e] @ W.T
+            d = sq[s:e, None] + sq[None, :] - 2 * g
+            d[np.abs(np.arange(s, e)[:, None] - jj[None, :]) < excl_z] = _I64_MAX
+            arg = d.argmin(axis=1)  # first occurrence → smallest j on ties
+            best[s:e] = d[np.arange(e - s), arg]
+            best_j[s:e] = arg
+        out = pd.DataFrame(
+            {
+                **{k: pdf.iloc[0][k] for k in keys},
+                "idx": np.arange(nw, dtype=np.int32),
+                "nn_idx": best_j.astype(np.int32),
+                "nn_dist2": best,
+            }
+        )
+        return out
+
+    return (
+        series.select(*keys, order_col, tick_col)
+        .groupBy(*keys)
+        .applyInPandas(profile, out_schema)
+    )
+
+
+def hourly_tick_series(
+    events: DataFrame,
+    key_cols: Sequence[str] = ("event_type",),
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Hourly mean series in exact 1e-4 ticks: (100 · cent_sum) DIV count —
+    BIGINT end to end (DIV truncates; values are non-negative, so
+    truncation == floor and the DuckDB ``//`` replays it).  Index ``i``
+    is the 0-based rank of the OBSERVED hour buckets, so gaps don't
+    produce phantom windows."""
+    keys = list(key_cols)
+    hourly = (
+        events.groupBy(*keys, F.date_trunc("hour", F.col(ts_col)).alias("bucket"))
+        .agg(
+            F.round(F.sum(value_col) * 100, 0).cast("long").alias("_cents"),
+            F.count(value_col).alias("_cnt"),
+        )
+        .withColumn("v", F.expr("(100 * _cents) DIV _cnt"))
+    )
+    return hourly.select(*keys, "bucket", "v")
+
+
+def discords_and_motifs(profile: DataFrame, key_cols: Sequence[str]) -> DataFrame:
+    """Per-series summary of a :func:`matrix_profile` result: the discord
+    (max nn_dist2 — the window least like any other; ties → smallest idx)
+    and the motif (min nn_dist2 — the most-repeated shape).  Pure window
+    ranks over the already-proven profile; no new distance math."""
+    keys = list(key_cols)
+    from pyspark.sql import Window
+
+    wd = Window.partitionBy(*keys).orderBy(F.desc("nn_dist2"), F.asc("idx"))
+    wm = Window.partitionBy(*keys).orderBy(F.asc("nn_dist2"), F.asc("idx"))
+    ranked = profile.withColumn("_rd", F.row_number().over(wd)).withColumn(
+        "_rm", F.row_number().over(wm)
+    )
+    discord = ranked.filter(F.col("_rd") == 1).select(
+        *keys,
+        F.col("idx").alias("discord_idx"),
+        F.col("nn_dist2").alias("discord_dist2"),
+    )
+    motif = ranked.filter(F.col("_rm") == 1).select(
+        *keys,
+        F.col("idx").alias("motif_idx"),
+        F.col("nn_idx").alias("motif_pair_idx"),
+        F.col("nn_dist2").alias("motif_dist2"),
+    )
+    return discord.join(motif, on=keys)

@@ -1,0 +1,111 @@
+"""Matrix profile: exact-integer nearest-neighbor distance profile."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from influxer_spark.operators import matrixprofile as MP
+
+
+def _brute(v: list[int], m: int, excl: int) -> dict[int, tuple[int, int]]:
+    """Reference O(n²m) python loop: idx -> (nn_idx, nn_dist2)."""
+    nw = len(v) - m + 1
+    out = {}
+    for i in range(nw):
+        best = None
+        for j in range(nw):
+            if abs(i - j) < excl:
+                continue
+            d = sum((v[i + t] - v[j + t]) ** 2 for t in range(m))
+            if best is None or d < best[1]:
+                best = (j, d)
+        if best is not None:
+            out[i] = best
+    return out
+
+
+def _series_df(spark, v, key="a"):
+    return spark.createDataFrame(
+        [(key, i, int(x)) for i, x in enumerate(v)], ["k", "i", "v"]
+    )
+
+
+def test_profile_matches_bruteforce(spark):
+    rng = np.random.default_rng(5)
+    v = rng.integers(0, 1000, size=60).tolist()
+    got = {
+        r["idx"]: (r["nn_idx"], r["nn_dist2"])
+        for r in MP.matrix_profile(
+            _series_df(spark, v), ["k"], "i", "v", m=8
+        ).collect()
+    }
+    assert got == _brute(v, 8, 4)
+
+
+def test_profile_chunking_invariant(spark):
+    rng = np.random.default_rng(9)
+    v = rng.integers(0, 100, size=40).tolist()
+    a = MP.matrix_profile(_series_df(spark, v), ["k"], "i", "v", m=4, chunk=7)
+    b = MP.matrix_profile(_series_df(spark, v), ["k"], "i", "v", m=4, chunk=1024)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_profile_tie_breaks_to_smallest_index(spark):
+    v = [5] * 10  # constant series: every distance is 0
+    rows = MP.matrix_profile(_series_df(spark, v), ["k"], "i", "v", m=2).collect()
+    for r in rows:
+        want = 0 if r["idx"] >= 1 else 1  # excl=1: nearest allowed j
+        assert (r["nn_idx"], r["nn_dist2"]) == (want, 0)
+
+
+def test_profile_discord_sticks_out(spark):
+    # periodic series with one spike: the spike's windows are the discords
+    v = ([1, 2, 3, 2] * 8)[:30]
+    v[13] = 500
+    prof = MP.matrix_profile(_series_df(spark, v), ["k"], "i", "v", m=4)
+    summary = MP.discords_and_motifs(prof, ["k"]).collect()[0]
+    assert 10 <= summary["discord_idx"] <= 13  # a window containing the spike
+    assert summary["motif_dist2"] == 0  # the clean period repeats exactly
+    assert summary["discord_dist2"] > 0
+
+
+def test_profile_short_series_emits_nothing(spark):
+    assert MP.matrix_profile(_series_df(spark, [1, 2, 3]), ["k"], "i", "v", m=3).count() == 0
+
+
+def test_profile_max_points_guard(spark):
+    df = _series_df(spark, list(range(50)))
+    with pytest.raises(Exception, match="max_points"):
+        MP.matrix_profile(df, ["k"], "i", "v", m=4, max_points=10).collect()
+
+
+def test_profile_multiple_series_independent(spark):
+    rng = np.random.default_rng(3)
+    va = rng.integers(0, 50, 20).tolist()
+    vb = rng.integers(0, 50, 25).tolist()
+    df = _series_df(spark, va, "a").union(_series_df(spark, vb, "b"))
+    rows = MP.matrix_profile(df, ["k"], "i", "v", m=5).collect()
+    for key, v in (("a", va), ("b", vb)):
+        got = {r["idx"]: (r["nn_idx"], r["nn_dist2"]) for r in rows if r["k"] == key}
+        assert got == _brute(v, 5, 2)
+
+
+def test_hourly_tick_series_div_semantics(spark):
+    rows = [
+        ("e", "2024-01-01 00:10:00", 1.005),  # sums to 3.005 with the next row
+        ("e", "2024-01-01 00:20:00", 2.0),
+        ("e", "2024-01-01 02:00:00", 7.0),
+    ]
+    df = spark.createDataFrame(rows, ["event_type", "ts", "value"]).withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    got = {
+        str(r["bucket"]): r["v"]
+        for r in MP.hourly_tick_series(df).collect()
+    }
+    # hour 0: cents = round(3.005*100) = 301 (Spark round = HALF_UP, the
+    # engine-wide cent discipline) → (100*301) DIV 2 = 15050
+    assert got["2024-01-01 00:00:00"] == 15050
+    assert got["2024-01-01 02:00:00"] == 70000
