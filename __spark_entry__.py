@@ -1980,6 +1980,64 @@ QUALIFY row_number() OVER (PARTITION BY event_type, i ORDER BY d2, j) = 1
 """
 
 
+def _q_matrix_profile_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AB-join profile: every 12h window of the FINAL 9 days vs the first
+    21 days of the same series — "did this shape occur in the reference
+    period?" (novelty detection between two time ranges)."""
+    from influxer_spark.operators import matrixprofile as MP
+
+    ev = _t(spark, sf_dir, "events")
+    series = MP.hourly_tick_series(ev)
+    cut = F.lit("2024-01-22 00:00:00").cast("timestamp")
+    recent = series.filter(F.col("bucket") >= cut)
+    reference = series.filter(F.col("bucket") < cut)
+    return MP.matrix_profile_ab(
+        recent, reference, ["event_type"], "bucket", "v", m=12
+    )
+
+
+_MATRIX_PROFILE_AB_ORACLE = """
+WITH h AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket,
+         (100 * CAST(round(sum(value) * 100, 0) AS BIGINT)) // count(value) AS v
+  FROM events GROUP BY 1, 2
+), sa AS (
+  SELECT event_type,
+         CAST(row_number() OVER (PARTITION BY event_type ORDER BY bucket) - 1 AS INT) AS i,
+         v
+  FROM h WHERE bucket >= TIMESTAMP '2024-01-22 00:00:00'
+), sb AS (
+  SELECT event_type,
+         CAST(row_number() OVER (PARTITION BY event_type ORDER BY bucket) - 1 AS INT) AS i,
+         v
+  FROM h WHERE bucket < TIMESTAMP '2024-01-22 00:00:00'
+), aa AS (
+  SELECT event_type, list(v ORDER BY i) AS arr, count(*) AS n FROM sa GROUP BY 1
+), ab AS (
+  SELECT event_type, list(v ORDER BY i) AS arr, count(*) AS n FROM sb GROUP BY 1
+), ia AS (
+  SELECT event_type, arr, i
+  FROM (SELECT event_type, arr, CAST(n - 12 + 1 AS INT) AS nw FROM aa WHERE n >= 12),
+       LATERAL (SELECT CAST(unnest(range(nw)) AS INT) AS i)
+), ib AS (
+  SELECT event_type, arr, i AS j
+  FROM (SELECT event_type, arr, CAST(n - 12 + 1 AS INT) AS nw FROM ab WHERE n >= 12),
+       LATERAL (SELECT CAST(unnest(range(nw)) AS INT) AS i)
+), pairs AS (
+  SELECT x.event_type, x.i, y.j,
+         list_reduce(
+           list_transform(range(12),
+             t -> (x.arr[x.i + t + 1] - y.arr[y.j + t + 1])
+                * (x.arr[x.i + t + 1] - y.arr[y.j + t + 1])),
+           (p, q) -> p + q) AS d2
+  FROM ia x JOIN ib y USING (event_type)
+)
+SELECT event_type, i AS idx, j AS nn_idx, d2 AS nn_dist2
+FROM pairs
+QUALIFY row_number() OVER (PARTITION BY event_type, i ORDER BY d2, j) = 1
+"""
+
+
 def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: gap > 30 min starts a new session; count per user."""
     from pyspark.sql import Window
@@ -2228,6 +2286,7 @@ _WINDOW_PRIORITY = [
     "funnel_latency_quantiles",
     "ann_ivf_index_topk",
     "matrix_profile_24h",
+    "matrix_profile_ab_recent",
     "ivf_pq_index_topk",
     "ivf_pq_index_extend_topk",
 ]
@@ -2303,6 +2362,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_hot_users": _q_topk_hot_users,
         "sessionize_30m": _q_sessionize,
         "matrix_profile_24h": _q_matrix_profile,
+        "matrix_profile_ab_recent": _q_matrix_profile_ab,
         "stream_sessionize_replay": _q_stream_sessionize,
         "stream_heavy_hitters_replay": _q_stream_heavy_hitters,
         "json_props_extract": _q_json_props,
@@ -2411,6 +2471,7 @@ def oracle_sql() -> dict[str, str]:
         "hdr_tier_read_4h": _HDR_TIER_4H_ORACLE,
         "stream_heavy_hitters_replay": _STREAM_HH_ORACLE,
         "matrix_profile_24h": _MATRIX_PROFILE_ORACLE,
+        "matrix_profile_ab_recent": _MATRIX_PROFILE_AB_ORACLE,
         "heavy_hitters_1d": _HEAVY_HITTERS_ORACLE,
         "kmv_distinct_1d": _KMV_DISTINCT_ORACLE,
         "stream_kmv_replay_1d": _KMV_DISTINCT_ORACLE,

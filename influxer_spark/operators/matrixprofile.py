@@ -179,3 +179,88 @@ def discords_and_motifs(profile: DataFrame, key_cols: Sequence[str]) -> DataFram
         F.col("nn_dist2").alias("motif_dist2"),
     )
     return discord.join(motif, on=keys)
+
+
+def matrix_profile_ab(
+    series_a: DataFrame,
+    series_b: DataFrame,
+    key_cols: Sequence[str],
+    order_col: str,
+    tick_col: str,
+    m: int,
+    max_points: int = 50_000,
+    chunk: int = 1024,
+) -> DataFrame:
+    """AB-join profile: for every window of series A, the nearest window
+    of series B WITH THE SAME KEY — "has this week's shape ever occurred
+    in the reference period?" (novelty/regression detection between two
+    time ranges of the same measurement).  No exclusion zone: A and B are
+    different series, so self-matches can't exist.  Output
+    (keys…, idx, nn_idx, nn_dist2) — idx indexes A's windows, nn_idx B's.
+    Keys present in only one side emit nothing (inner-join semantics).
+    Same exact-BIGINT discipline as :func:`matrix_profile`."""
+    if m < 2:
+        raise ValueError("matrix_profile_ab window m must be >= 2")
+    keys = list(key_cols)
+    key_fields = [series_a.schema[k] for k in keys]
+    out_schema = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}" for f in key_fields]
+        + ["idx int", "nn_idx int", "nn_dist2 long"]
+    )
+    tagged = series_a.select(
+        *keys, F.col(order_col).alias("_o"), F.col(tick_col).alias("_v"),
+        F.lit(0).alias("_side"),
+    ).unionByName(
+        series_b.select(
+            *keys, F.col(order_col).alias("_o"), F.col(tick_col).alias("_v"),
+            F.lit(1).alias("_side"),
+        )
+    )
+
+    def profile(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                **{k: pd.Series(dtype=pdf[k].dtype) for k in keys},
+                "idx": pd.Series(dtype="int32"),
+                "nn_idx": pd.Series(dtype="int32"),
+                "nn_dist2": pd.Series(dtype="int64"),
+            }
+        )
+        out_parts = []
+        a = pdf[pdf["_side"] == 0].sort_values("_o", kind="mergesort")
+        b = pdf[pdf["_side"] == 1].sort_values("_o", kind="mergesort")
+        va = a["_v"].to_numpy(dtype=np.int64)
+        vb = b["_v"].to_numpy(dtype=np.int64)
+        if max(len(va), len(vb)) > max_points:
+            raise ValueError(
+                f"matrix_profile_ab: series {tuple(pdf.iloc[0][k] for k in keys)!r} "
+                f"has {max(len(va), len(vb))} points > max_points={max_points}"
+            )
+        if len(va) < m or len(vb) < m:
+            return empty
+        wa = np.lib.stride_tricks.sliding_window_view(va, m)
+        wb = np.lib.stride_tricks.sliding_window_view(vb, m)
+        sqa = np.einsum("ij,ij->i", wa, wa)
+        sqb = np.einsum("ij,ij->i", wb, wb)
+        nwa = len(wa)
+        best = np.empty(nwa, dtype=np.int64)
+        best_j = np.empty(nwa, dtype=np.int64)
+        for s in range(0, nwa, chunk):
+            e = min(s + chunk, nwa)
+            d = sqa[s:e, None] + sqb[None, :] - 2 * (wa[s:e] @ wb.T)
+            arg = d.argmin(axis=1)
+            best[s:e] = d[np.arange(e - s), arg]
+            best_j[s:e] = arg
+        out_parts.append(
+            pd.DataFrame(
+                {
+                    **{k: pdf.iloc[0][k] for k in keys},
+                    "idx": np.arange(nwa, dtype=np.int32),
+                    "nn_idx": best_j.astype(np.int32),
+                    "nn_dist2": best,
+                }
+            )
+        )
+        return pd.concat(out_parts) if out_parts else empty
+
+    return tagged.groupBy(*keys).applyInPandas(profile, out_schema)

@@ -109,3 +109,46 @@ def test_hourly_tick_series_div_semantics(spark):
     # engine-wide cent discipline) → (100*301) DIV 2 = 15050
     assert got["2024-01-01 00:00:00"] == 15050
     assert got["2024-01-01 02:00:00"] == 70000
+
+
+def test_ab_profile_matches_bruteforce(spark):
+    rng = np.random.default_rng(17)
+    va = rng.integers(0, 200, size=25).tolist()
+    vb = rng.integers(0, 200, size=40).tolist()
+    m = 6
+    got = {
+        r["idx"]: (r["nn_idx"], r["nn_dist2"])
+        for r in MP.matrix_profile_ab(
+            _series_df(spark, va), _series_df(spark, vb), ["k"], "i", "v", m=m
+        ).collect()
+    }
+    want = {}
+    for i in range(len(va) - m + 1):
+        best = None
+        for j in range(len(vb) - m + 1):
+            d = sum((va[i + t] - vb[j + t]) ** 2 for t in range(m))
+            if best is None or d < best[1]:
+                best = (j, d)
+        want[i] = best
+    assert got == want
+
+
+def test_ab_profile_exact_match_found(spark):
+    # B contains A verbatim at offset 7 → every A window's nn_dist2 == 0
+    rng = np.random.default_rng(29)
+    va = rng.integers(0, 99, size=12).tolist()
+    vb = rng.integers(100, 199, size=7).tolist() + va + [5, 5]
+    rows = MP.matrix_profile_ab(
+        _series_df(spark, va), _series_df(spark, vb), ["k"], "i", "v", m=4
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r["nn_dist2"] == 0
+        assert r["nn_idx"] == r["idx"] + 7
+
+
+def test_ab_profile_key_only_on_one_side_emits_nothing(spark):
+    a = _series_df(spark, [1, 2, 3, 4, 5, 6], "only_a")
+    b = _series_df(spark, [1, 2, 3, 4, 5, 6], "both")
+    rows = MP.matrix_profile_ab(a, b, ["k"], "i", "v", m=2).collect()
+    assert rows == []
