@@ -2289,6 +2289,7 @@ _WINDOW_PRIORITY = [
     "matrix_profile_ab_recent",
     "ivf_pq_index_topk",
     "ivf_pq_index_extend_topk",
+    "stream_ivfpq_extend_replay",
 ]
 
 # Rows-only queries (genuinely non-SQL-expressible internals) — always last.

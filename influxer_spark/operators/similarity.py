@@ -708,9 +708,12 @@ def ivf_search_index(
     probed = sorted(
         {r["ivf_list"] for r in qb.select("ivf_list").distinct().collect()}
     )
-    cb = spark.read.parquet(
-        *catalog.partition_paths("ivf_postings", [str(p) for p in probed])
-    )
+    paths = catalog.partition_paths("ivf_postings", [str(p) for p in probed])
+    if not paths:
+        raise FileNotFoundError(
+            f"ivf index has no postings for probed lists {probed}"
+        )
+    cb = spark.read.parquet(*paths)
     scored = (
         cb.join(qb, on="ivf_list")
         .filter(F.col("vec_id") != F.col("query_id"))
@@ -923,9 +926,13 @@ def ivfpq_search_index(
     probed = sorted(
         {r["ivf_list"] for r in q.select("ivf_list").distinct().collect()}
     )
-    cb = spark.read.parquet(
-        *catalog.partition_paths("ivfpq_postings", [str(p) for p in probed])
-    )
+    paths = catalog.partition_paths("ivfpq_postings", [str(p) for p in probed])
+    if not paths:
+        raise FileNotFoundError(
+            f"ivfpq index has no postings for probed lists {probed} — "
+            "extend the index before searching"
+        )
+    cb = spark.read.parquet(*paths)
     joined = cb.join(F.broadcast(q), on="ivf_list").filter(
         F.col("vec_id") != F.col("query_id")
     )

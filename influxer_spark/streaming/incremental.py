@@ -706,3 +706,50 @@ def read_alerts(spark: SparkSession, out_dir: str) -> DataFrame:
     for d in dfs[1:]:
         out = out.unionByName(d)
     return out
+
+
+def run_incremental_ivfpq(
+    spark: SparkSession,
+    input_dir: str,
+    schema,
+    catalog,
+    checkpoint_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Streaming ANN index maintenance: each micro-batch of newly arrived
+    vectors is encoded with the STORED geometry (build the index first —
+    possibly over an empty corpus, which persists only centroids/books)
+    and appended via :func:`similarity.extend_ivfpq_index` — an
+    affected-list partition rewrite and one catalog snapshot per batch,
+    so the index history is a time-travelable snapshot chain.
+
+    Idempotency: extend is an append, so replay protection is the same
+    per-batch marker contract as the tier sinks (a marker lands after the
+    snapshot commit; a crash BETWEEN commit and marker re-appends that
+    one batch on restart — the documented at-least-once edge every
+    foreachBatch sink here shares, closed on a real cluster by an Iceberg
+    MERGE on vec_id).  After the final drain, a search over the index is
+    bit-equal to a from-scratch build — the gate query proves it against
+    the unpartitioned in-memory oracle."""
+    from influxer_spark.operators.similarity import extend_ivfpq_index
+
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+    markers = os.path.join(checkpoint_dir, "_ivfpq_batches")
+    os.makedirs(markers, exist_ok=True)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        marker = os.path.join(markers, f"_batch={batch_id}")
+        if os.path.exists(marker):
+            return
+        extend_ivfpq_index(spark, catalog, batch_df, id_col, vec_col)
+        open(marker, "w").close()
+
+    (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

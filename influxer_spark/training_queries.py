@@ -543,6 +543,44 @@ def _q_ivf_pq_index_extend_topk(spark, sf_dir):
     return S.ivfpq_search_index(spark, cat, queries, n_probe=2, k=10)
 
 
+def _q_stream_ivfpq_extend(spark, sf_dir):
+    """Streaming ANN index maintenance VALUE-oracled via stop/resume
+    replay: persist geometry over an empty corpus, land the vectors as
+    two files drained by TWO availableNow runs against one checkpoint
+    (each batch extends the index — one snapshot per batch), then search.
+    A hash match against the UNPARTITIONED in-memory IVF-PQ oracle proves
+    the streamed index equals a from-scratch batch build."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from influxer_spark.catalog import TableCatalog
+    from influxer_spark.streaming import run_incremental_ivfpq
+
+    vecs = _vecs(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="stream_ivfpq_gate_")
+    d = {n: os.path.join(root, n) for n in ("input", "ckpt", "stage", "cat")}
+    os.makedirs(d["input"])
+    cat = TableCatalog(d["cat"])
+    S.build_ivfpq_index(
+        spark, cat, vecs.filter(F.lit(False)), dim=64, n_lists=8
+    )
+    for name, part in (
+        ("a", vecs.filter(F.col("vec_id") % 2 == 0)),
+        ("b", vecs.filter(F.col("vec_id") % 2 == 1)),
+    ):
+        staging = os.path.join(d["stage"], name)
+        part.coalesce(1).write.mode("overwrite").parquet(staging)
+        shutil.copy(
+            glob.glob(os.path.join(staging, "part-*.parquet"))[0],
+            os.path.join(d["input"], f"{name}.parquet"),
+        )
+        run_incremental_ivfpq(spark, d["input"], vecs.schema, cat, d["ckpt"])
+    queries = vecs.filter(F.col("vec_id") % 100 == 0)
+    return S.ivfpq_search_index(spark, cat, queries, n_probe=2, k=10)
+
+
 def _q_pq_encode(spark, sf_dir):
     books = S.pq_random_codebooks(64, m=8, ksub=16)
     return S.pq_encode(_vecs(spark, sf_dir), "vec_id", "embedding", books)
@@ -1388,6 +1426,7 @@ def training_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_pq_adc_topk": _q_ivf_pq_topk,
         "ivf_pq_index_topk": _q_ivf_pq_index_topk,
         "ivf_pq_index_extend_topk": _q_ivf_pq_index_extend_topk,
+        "stream_ivfpq_extend_replay": _q_stream_ivfpq_extend,
         "ivf_pq_residual_topk": _q_ivf_pq_residual,
         "semantic_dedup_pairs": _q_semantic_dedup,
         "token_stats": _q_token_stats,
@@ -1468,6 +1507,7 @@ def training_oracle_sql() -> dict[str, str]:
         "ivf_pq_adc_topk": _ivf_pq_sql(8, 2, 10, 100),
         "ivf_pq_index_topk": _ivf_pq_sql(8, 2, 10, 100),
         "ivf_pq_index_extend_topk": _ivf_pq_sql(8, 2, 10, 100),
+        "stream_ivfpq_extend_replay": _ivf_pq_sql(8, 2, 10, 100),
         "ivf_pq_residual_topk": _ivf_pq_sql(8, 2, 10, 100, residual=True),
         "semantic_dedup_pairs": _semantic_dedup_sql(8, 0.4),
         "token_stats": (

@@ -411,3 +411,68 @@ def test_ivfpq_extend_equals_rebuild(spark, ivf_catalog):
     assert sorted(tuple(r) for r in got) == sorted(tuple(r) for r in mem)
     # the pre-extend snapshot still serves the base-only index (time travel)
     assert ivf_catalog.current_snapshot("ivfpq_postings") != pre
+
+
+def test_stream_ivfpq_resume_and_idempotent_replay(spark, tmp_path):
+    """Stop/resume + marker idempotency: draining the same input twice
+    must not double-append, and the resumed index equals a batch build."""
+    import glob
+    import os
+    import shutil
+
+    import numpy as np
+
+    from influxer_spark.catalog import TableCatalog
+    from influxer_spark.streaming import run_incremental_ivfpq
+
+    rng = np.random.default_rng(31)
+    mat = rng.standard_normal((24, 8))
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    rows = [(i, [float(x) for x in row]) for i, row in enumerate(mat)]
+    full = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cent = S.ivf_random_centroids(8, 4)
+    books = S.pq_random_codebooks(8, m=2, ksub=4)
+    cat = TableCatalog(str(tmp_path / "cat"))
+    S.build_ivfpq_index(
+        spark, cat, full.filter(F.lit(False)), centroids=cent, books=books,
+        dim=8, n_lists=4,
+    )
+    inp = tmp_path / "input"
+    inp.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    for name, part in (
+        ("a", full.filter(F.col("vec_id") < 12)),
+        ("b", full.filter(F.col("vec_id") >= 12)),
+    ):
+        staging = str(tmp_path / "stage" / name)
+        part.coalesce(1).write.mode("overwrite").parquet(staging)
+        shutil.copy(
+            glob.glob(os.path.join(staging, "part-*.parquet"))[0],
+            str(inp / f"{name}.parquet"),
+        )
+        run_incremental_ivfpq(spark, str(inp), full.schema, cat, ckpt)
+    # a third drain with no new files must be a no-op (markers + offsets)
+    run_incremental_ivfpq(spark, str(inp), full.schema, cat, ckpt)
+    committed = sorted(cat.committed_partitions("ivfpq_postings"))
+    n = sum(
+        spark.read.parquet(p).count()
+        for p in cat.partition_paths("ivfpq_postings", committed)
+    )
+    assert n == 24  # every vector exactly once — no double-append
+    q = full.filter(F.col("vec_id") % 6 == 0)
+    got = S.ivfpq_search_index(spark, cat, q, n_probe=4, k=5).collect()
+    mem = S.ivf_pq_topk(full, q, cent, books, n_probe=4, k=5).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, mem))
+
+
+def test_ivfpq_search_empty_index_fails_loudly(spark, tmp_path, vecs):
+    from influxer_spark.catalog import TableCatalog
+
+    cat = TableCatalog(str(tmp_path / "cat"))
+    S.build_ivfpq_index(
+        spark, cat, vecs.filter(F.lit(False)),
+        centroids=S.ivf_random_centroids(3, 4),
+        books=S.pq_random_codebooks(3, m=1, ksub=4), dim=3, n_lists=4,
+    )
+    with pytest.raises(FileNotFoundError, match="no postings"):
+        S.ivfpq_search_index(spark, cat, vecs, n_probe=2, k=3)
