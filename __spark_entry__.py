@@ -2287,6 +2287,7 @@ _WINDOW_PRIORITY = [
     "ann_ivf_index_topk",
     "matrix_profile_24h",
     "matrix_profile_ab_recent",
+    "influxql_matrix_profile",
     "ivf_pq_index_topk",
     "ivf_pq_index_extend_topk",
     "stream_ivfpq_extend_replay",

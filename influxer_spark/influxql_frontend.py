@@ -531,7 +531,10 @@ FOLD_TRANSFORMS = {"exponential_moving_average",
                    "triple_exponential_moving_average",
                    "triple_exponential_derivative",
                    "relative_strength_index",
-                   "kaufmans_adaptive_moving_average"}
+                   "kaufmans_adaptive_moving_average",
+                   # engine extension: per-window nearest-neighbor distance
+                   # (motif/discord score; operators/matrixprofile.py)
+                   "matrix_profile"}
 # prediction: holt_winters(agg(f), N, S) — fitted per series, so it also
 # takes over the whole SELECT (routed to _exec_hw)
 HW_FNS = {"holt_winters", "holt_winters_with_fit"}
@@ -547,6 +550,7 @@ _FOLD_DISPATCH = {
     "relative_strength_index": (Q.tr_relative_strength_index, False),
     "kaufmans_adaptive_moving_average": (
         Q.tr_kaufmans_adaptive_moving_average, False),
+    "matrix_profile": (Q.tr_matrix_profile, False),
 }
 SELECTORS_MULTI = {"top", "bottom", "sample"}
 # InfluxQL SELECT-clause math (InfluxDB 1.8 "mathematical functions"):

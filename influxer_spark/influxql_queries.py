@@ -785,6 +785,53 @@ _EMA_SQL = (
 )
 
 
+def _q_matrix_profile(spark, sf_dir):
+    """matrix_profile(field, 24) through the string front-end: per-bucket
+    discord score = NN distance of the 24h window starting there, exact
+    BIGINT ticks inside (operators/influxql.py:tr_matrix_profile)."""
+    h = _hourly(spark, sf_dir)
+    out = influxql(
+        "SELECT matrix_profile(v, 24) AS mp FROM hourly GROUP BY event_type",
+        {"hourly": h},
+        ts_col="bucket",
+    )
+    return out.withColumnRenamed("time", "bucket")
+
+
+_MP_SQL = f"""
+WITH {_HOURLY_MAT_SQL}, t AS (
+  SELECT event_type, bucket,
+         CAST(round(v * 10000, 0) AS BIGINT) AS vt,
+         CAST(row_number() OVER (PARTITION BY event_type ORDER BY bucket) - 1
+              AS INT) AS i
+  FROM hourly
+), a AS (
+  SELECT event_type, list(vt ORDER BY i) AS arr, count(*) AS n
+  FROM t GROUP BY 1
+), ii AS (
+  SELECT event_type, arr, i
+  FROM (SELECT event_type, arr, CAST(n - 24 + 1 AS INT) AS nw
+        FROM a WHERE n - 24 + 1 >= 13),
+       LATERAL (SELECT CAST(unnest(range(nw)) AS INT) AS i)
+), pairs AS (
+  SELECT x.event_type, x.i, y.j,
+         list_reduce(
+           list_transform(range(24),
+             s -> (x.arr[x.i + s + 1] - x.arr[y.j + s + 1])
+                * (x.arr[x.i + s + 1] - x.arr[y.j + s + 1])),
+           (p, q) -> p + q) AS d2
+  FROM ii x JOIN (SELECT event_type, i AS j FROM ii) y USING (event_type)
+  WHERE abs(x.i - y.j) >= 12
+), prof AS (
+  SELECT event_type, i, d2
+  FROM pairs
+  QUALIFY row_number() OVER (PARTITION BY event_type, i ORDER BY d2, j) = 1
+)
+SELECT t.bucket, t.event_type, CAST(prof.d2 AS DOUBLE) AS mp
+FROM prof JOIN t ON t.event_type = prof.event_type AND t.i = prof.i
+"""
+
+
 def _q_sigma(spark, sf_dir):
     """Kapacitor's stateful sigma() through the InfluxQL front-end, over
     the hourly point COUNT (integer-valued, so every expanding sum is an
@@ -1799,6 +1846,7 @@ def influxql_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "influxql_wildcard_agg": _q_wildcard_agg,
         "influxql_multi_measurement": _q_multi_measurement,
         "influxql_ema_series": _q_ema,
+        "influxql_matrix_profile": _q_matrix_profile,
         "influxql_rsi_series": _q_rsi,
         "influxql_cmo_ker_series": _q_cmo_ker,
         "influxql_kama_series": _q_kama,
@@ -1848,6 +1896,7 @@ def influxql_oracle_sql() -> dict[str, str]:
         "influxql_wildcard_agg": _WILDCARD_AGG_SQL,
         "influxql_multi_measurement": _MULTI_SQL,
         "influxql_ema_series": _EMA_SQL,
+        "influxql_matrix_profile": _MP_SQL,
         "influxql_rsi_series": _rsi_sql(14),
         "influxql_cmo_ker_series": _cmo_ker_sql(14),
         "influxql_kama_series": _kama_sql(10),

@@ -1092,3 +1092,36 @@ def tr_kaufmans_adaptive_moving_average(
     return _explode_series(
         g, key_cols, ts_col, out, "kaufmans_adaptive_moving_average"
     )
+
+
+def tr_matrix_profile(
+    df: DataFrame, key_cols: Sequence[str], ts_col: str,
+    value_col: str | Column, n: int,
+) -> DataFrame:
+    """``matrix_profile(field, m)`` as an InfluxQL fold-family transform:
+    the per-bucket anomaly score is the nearest-neighbor squared distance
+    of the m-bucket window STARTING at that bucket (exclusion zone m//2 —
+    see operators/matrixprofile.py).  The series is quantized to exact
+    1e-4 ticks first (round HALF_UP on doubles both engines computed
+    identically), so the distances are associative BIGINT sums and the
+    oracle replay is order-free.  Emits one row per window start — the
+    final m−1 buckets have no window and are absent, like the transforms
+    that consume n seeds.  Values fit doubles exactly (< 2^53)."""
+    from influxer_spark.operators.matrixprofile import matrix_profile
+
+    df = df.filter(_vc(value_col).isNotNull())
+    keys = list(key_cols)
+    ticks = df.select(
+        *keys, F.col(ts_col),
+        F.round(_vc(value_col) * 10000, 0).cast("long").alias("_mp_t"),
+    )
+    prof = matrix_profile(ticks, keys, ts_col, "_mp_t", m=n)
+    w = Window.partitionBy(*keys).orderBy(ts_col)
+    times = ticks.select(
+        *keys, F.col(ts_col),
+        (F.row_number().over(w) - 1).cast("int").alias("idx"),
+    )
+    return times.join(prof, [*keys, "idx"]).select(
+        ts_col, *keys,
+        F.col("nn_dist2").cast("double").alias("matrix_profile"),
+    )

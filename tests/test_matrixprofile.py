@@ -152,3 +152,30 @@ def test_ab_profile_key_only_on_one_side_emits_nothing(spark):
     b = _series_df(spark, [1, 2, 3, 4, 5, 6], "both")
     rows = MP.matrix_profile_ab(a, b, ["k"], "i", "v", m=2).collect()
     assert rows == []
+
+
+def test_influxql_matrix_profile_fold(spark):
+    """The front-end fold emits one row per window start, aligned to the
+    window's starting bucket, matching the operator on the same ticks."""
+    from influxer_spark.influxql_frontend import influxql
+
+    rows = [
+        ("e", f"2024-01-01 {h:02d}:00:00", float(v))
+        for h, v in enumerate([1, 2, 3, 1, 2, 3, 1, 2, 3, 50, 2, 3])
+    ]
+    h = spark.createDataFrame(rows, ["event_type", "bucket", "v"]).withColumn(
+        "bucket", F.to_timestamp("bucket")
+    )
+    out = influxql(
+        "SELECT matrix_profile(v, 4) AS mp FROM hourly GROUP BY event_type",
+        {"hourly": h},
+        ts_col="bucket",
+    ).collect()
+    assert len(out) == 9  # 12 buckets, m=4 → 9 window starts
+    got = {str(r["time"]): r["mp"] for r in out}
+    # window starting 00:00 ([1,2,3,1]) recurs verbatim at 03:00 → dist 0
+    assert got["2024-01-01 00:00:00"] == 0.0
+    # every window overlapping the 50-spike (starts 06..09) is a discord
+    clean = [v for k, v in got.items() if k < "2024-01-01 06"]
+    spiky = [v for k, v in got.items() if k >= "2024-01-01 06"]
+    assert max(clean) < min(spiky)
