@@ -595,6 +595,12 @@ _SWEEP = [
     "SELECT count(value) AS c, max(value) AS mx FROM pages "
     "GROUP BY time(90m), metric",
     "SELECT sum(value) AS s FROM pages GROUP BY time(49h), metric",
+    # fold family over the tiered inner aggregate (EMA seeds + the
+    # matrix-profile discord score must be identical from either path)
+    "SELECT exponential_moving_average(mean(value), 3) AS e FROM pages "
+    "GROUP BY time(4h), metric",
+    "SELECT matrix_profile(mean(value), 4) AS mp FROM pages "
+    "GROUP BY time(4h), metric",
 ]
 
 
