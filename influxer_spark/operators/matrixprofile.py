@@ -44,6 +44,29 @@ from pyspark.sql import functions as F
 _I64_MAX = np.iinfo(np.int64).max
 
 
+def _gram_rows(W: np.ndarray, Wf: np.ndarray | None, s: int, e: int,
+               other: np.ndarray, other_f: np.ndarray | None) -> np.ndarray:
+    """Rows s:e of the Gram matrix W·otherᵀ as exact int64.
+
+    When every tick is small enough that all partial sums stay below 2⁵³
+    (checked by the caller via :func:`_exact_float_ok`), the matmul runs
+    in float64 — BLAS, ~4× faster than numpy's loop-based int64 matmul —
+    and converts back losslessly; otherwise exact int64 directly."""
+    if Wf is not None:
+        return (Wf[s:e] @ other_f.T).astype(np.int64)
+    return W[s:e] @ other.T
+
+
+def _exact_float_ok(m: int, *arrays: np.ndarray) -> bool:
+    """True when float64 Gram/distance arithmetic over these ticks is
+    EXACT: every product and partial sum ≤ 4·m·maxtick² stays under 2⁵³
+    (integers below 2⁵³ are exactly representable; sums of exactly
+    representable integers that never exceed it are exact)."""
+    mx = max((int(np.abs(a).max()) if len(a) else 0) for a in arrays)
+    return 4 * m * mx * mx < 2**53
+
+
+
 def matrix_profile(
     series: DataFrame,
     key_cols: Sequence[str],
@@ -101,14 +124,15 @@ def matrix_profile(
         if nw < excl_z + 1:
             return empty
         W = np.lib.stride_tricks.sliding_window_view(v, m)  # (nw, m) view
+        Wf = np.ascontiguousarray(W, dtype=np.float64) if _exact_float_ok(m, v) else None
         sq = np.einsum("ij,ij->i", W, W)  # |W_i|² exact int64
         best = np.full(nw, _I64_MAX, dtype=np.int64)
         best_j = np.full(nw, -1, dtype=np.int64)
         jj = np.arange(nw)
         for s in range(0, nw, chunk):
             e = min(s + chunk, nw)
-            # d²(i,j) = |W_i|² + |W_j|² − 2 W_i·W_j — chunked int64 matmul
-            g = W[s:e] @ W.T
+            # d²(i,j) = |W_i|² + |W_j|² − 2 W_i·W_j — chunked exact matmul
+            g = _gram_rows(W, Wf, s, e, W, Wf)
             d = sq[s:e, None] + sq[None, :] - 2 * g
             d[np.abs(np.arange(s, e)[:, None] - jj[None, :]) < excl_z] = _I64_MAX
             arg = d.argmin(axis=1)  # first occurrence → smallest j on ties
@@ -240,6 +264,9 @@ def matrix_profile_ab(
             return empty
         wa = np.lib.stride_tricks.sliding_window_view(va, m)
         wb = np.lib.stride_tricks.sliding_window_view(vb, m)
+        fast = _exact_float_ok(m, va, vb)
+        waf = np.ascontiguousarray(wa, dtype=np.float64) if fast else None
+        wbf = np.ascontiguousarray(wb, dtype=np.float64) if fast else None
         sqa = np.einsum("ij,ij->i", wa, wa)
         sqb = np.einsum("ij,ij->i", wb, wb)
         nwa = len(wa)
@@ -247,7 +274,7 @@ def matrix_profile_ab(
         best_j = np.empty(nwa, dtype=np.int64)
         for s in range(0, nwa, chunk):
             e = min(s + chunk, nwa)
-            d = sqa[s:e, None] + sqb[None, :] - 2 * (wa[s:e] @ wb.T)
+            d = sqa[s:e, None] + sqb[None, :] - 2 * _gram_rows(wa, waf, s, e, wb, wbf)
             arg = d.argmin(axis=1)
             best[s:e] = d[np.arange(e - s), arg]
             best_j[s:e] = arg

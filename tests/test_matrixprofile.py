@@ -179,3 +179,25 @@ def test_influxql_matrix_profile_fold(spark):
     clean = [v for k, v in got.items() if k < "2024-01-01 06"]
     spiky = [v for k, v in got.items() if k >= "2024-01-01 06"]
     assert max(clean) < min(spiky)
+
+
+def test_float_fast_path_equals_int_path(spark):
+    """Ticks near the exactness threshold: the float64 BLAS path and the
+    int64 path must agree bit-for-bit (both exact); oversized ticks must
+    route to the int64 path and still match brute force."""
+    rng = np.random.default_rng(41)
+    small = rng.integers(0, 5_000_000, size=50).tolist()
+    big_base = int(np.sqrt(2**53 / 4)) + 10  # trips _exact_float_ok at m>=1
+    big = [big_base + int(x) for x in rng.integers(0, 1000, size=50)]
+    m = 8
+    for v in (small, big):
+        from influxer_spark.operators.matrixprofile import _exact_float_ok
+        got = {
+            r["idx"]: (r["nn_idx"], r["nn_dist2"])
+            for r in MP.matrix_profile(
+                _series_df(spark, v), ["k"], "i", "v", m=m
+            ).collect()
+        }
+        assert got == _brute(v, m, m // 2)
+    assert _exact_float_ok(m, np.asarray(small))
+    assert not _exact_float_ok(m, np.asarray(big))
