@@ -1945,6 +1945,34 @@ def _q_matrix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MP.matrix_profile(series, ["event_type"], "bucket", "v", m=24)
 
 
+def _q_matrix_profile_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale path stated in operators/matrixprofile.py, proven end to
+    end: commit rollup_1m/1h/1d day partitions to a scratch catalog, read
+    the 1h tier back through the manifest (read_rollup), derive the exact
+    tick series from the TIER's (sum, cnt) — never touching raw again —
+    and profile it.  Shares the raw-series oracle: a hash match proves the
+    materialize→commit→read→profile path loses nothing."""
+    import tempfile
+
+    from influxer_spark.catalog import TableCatalog
+    from influxer_spark.operators import matrixprofile as MP
+    from influxer_spark.operators.refresh import build_point_tiers
+    from influxer_spark.query import read_rollup
+
+    ev = _t(spark, sf_dir, "events")
+    cat = TableCatalog(tempfile.mkdtemp(prefix="mp_tier_gate_"))
+    build_point_tiers(spark, cat, ev, "ts", ["event_type"], "value")
+    t1h = read_rollup(spark, cat, 3600, key_cols=("event_type",))
+    series = t1h.select(
+        "event_type",
+        "bucket",
+        F.expr(
+            "(100 * CAST(round(sum_v * 100, 0) AS BIGINT)) DIV cnt"
+        ).alias("v"),
+    )
+    return MP.matrix_profile(series, ["event_type"], "bucket", "v", m=24)
+
+
 _MATRIX_PROFILE_ORACLE = """
 WITH h AS (
   SELECT event_type, date_trunc('hour', ts) AS bucket,
@@ -2288,6 +2316,7 @@ _WINDOW_PRIORITY = [
     "matrix_profile_24h",
     "matrix_profile_ab_recent",
     "influxql_matrix_profile",
+    "matrix_profile_tier_read",
     "ivf_pq_index_topk",
     "ivf_pq_index_extend_topk",
     "stream_ivfpq_extend_replay",
@@ -2365,6 +2394,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_30m": _q_sessionize,
         "matrix_profile_24h": _q_matrix_profile,
         "matrix_profile_ab_recent": _q_matrix_profile_ab,
+        "matrix_profile_tier_read": _q_matrix_profile_tier,
         "stream_sessionize_replay": _q_stream_sessionize,
         "stream_heavy_hitters_replay": _q_stream_heavy_hitters,
         "json_props_extract": _q_json_props,
@@ -2474,6 +2504,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_heavy_hitters_replay": _STREAM_HH_ORACLE,
         "matrix_profile_24h": _MATRIX_PROFILE_ORACLE,
         "matrix_profile_ab_recent": _MATRIX_PROFILE_AB_ORACLE,
+        "matrix_profile_tier_read": _MATRIX_PROFILE_ORACLE,
         "heavy_hitters_1d": _HEAVY_HITTERS_ORACLE,
         "kmv_distinct_1d": _KMV_DISTINCT_ORACLE,
         "stream_kmv_replay_1d": _KMV_DISTINCT_ORACLE,
