@@ -291,3 +291,97 @@ def matrix_profile_ab(
         return pd.concat(out_parts) if out_parts else empty
 
     return tagged.groupBy(*keys).applyInPandas(profile, out_schema)
+
+
+def matrix_profile_znorm(
+    series: DataFrame,
+    key_cols: Sequence[str],
+    order_col: str,
+    value_col: str,
+    m: int,
+    excl: int | None = None,
+    max_points: int = 50_000,
+    chunk: int = 1024,
+) -> DataFrame:
+    """Z-NORMALIZED matrix profile — the literature-standard variant
+    (amplitude- and offset-invariant shape matching): every window is
+    standardized to mean 0 / std 1 before the Euclidean distance, so a
+    small daily wiggle and a large one with the same SHAPE are neighbors.
+    Use this across series of different scales or when level shifts
+    shouldn't matter; use :func:`matrix_profile` (exact integers) for
+    same-unit tier series and oracle-exact verification.
+
+    Float64 throughout (normalization divides by an irrational std, so
+    there is no exact-integer formulation); deterministic for a given
+    input — numpy evaluates the same expression tree every run — but NOT
+    DuckDB-replayable, hence pytest-pinned against brute force instead of
+    a gate oracle.  Constant windows (std 0) are z-undefined; they emit
+    dist NaN→excluded as neighbors and skipped as query windows, the
+    convention of the reference implementations (stumpy/mass exclude
+    flat regions).  Output (keys…, idx, nn_idx, nn_dist) — dist is the
+    z-normalized EUCLIDEAN distance (not squared), in [0, 2√m].
+    """
+    if m < 3:
+        raise ValueError("matrix_profile_znorm window m must be >= 3")
+    excl_z = max(1, m // 2) if excl is None else max(1, excl)
+    keys = list(key_cols)
+    key_fields = [series.schema[k] for k in keys]
+    out_schema = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}" for f in key_fields]
+        + ["idx int", "nn_idx int", "nn_dist double"]
+    )
+
+    def profile(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col, kind="mergesort")
+        v = pdf[value_col].to_numpy(dtype=np.float64)
+        n = len(v)
+        if n > max_points:
+            raise ValueError(
+                f"matrix_profile_znorm: series has {n} points > "
+                f"max_points={max_points}"
+            )
+        nw = n - m + 1
+        empty = pd.DataFrame(
+            {
+                **{k: pd.Series(dtype=pdf[k].dtype) for k in keys},
+                "idx": pd.Series(dtype="int32"),
+                "nn_idx": pd.Series(dtype="int32"),
+                "nn_dist": pd.Series(dtype="float64"),
+            }
+        )
+        if nw < excl_z + 1:
+            return empty
+        W = np.lib.stride_tricks.sliding_window_view(v, m)
+        mu = W.mean(axis=1, keepdims=True)
+        sd = W.std(axis=1, keepdims=True)  # population std, stumpy's choice
+        flat = (sd.ravel() == 0.0)
+        Z = (W - mu) / np.where(sd == 0.0, 1.0, sd)
+        Z[flat] = np.nan  # flat windows are z-undefined: never neighbors
+        best = np.full(nw, np.inf)
+        best_j = np.full(nw, -1, dtype=np.int64)
+        jj = np.arange(nw)
+        for s in range(0, nw, chunk):
+            e = min(s + chunk, nw)
+            # z-normalized d² = 2m − 2·Zᵢ·Zⱼ (each z-window has |Z|² = m)
+            d = 2.0 * m - 2.0 * (Z[s:e] @ Z.T)
+            d[np.abs(np.arange(s, e)[:, None] - jj[None, :]) < excl_z] = np.inf
+            d[np.isnan(d)] = np.inf
+            arg = d.argmin(axis=1)
+            best[s:e] = d[np.arange(e - s), arg]
+            best_j[s:e] = arg
+        keep = ~flat & np.isfinite(best)
+        out = pd.DataFrame(
+            {
+                **{k: pdf.iloc[0][k] for k in keys},
+                "idx": np.arange(nw, dtype=np.int32)[keep],
+                "nn_idx": best_j.astype(np.int32)[keep],
+                "nn_dist": np.sqrt(np.maximum(best[keep], 0.0)),
+            }
+        )
+        return out if len(out) else empty
+
+    return (
+        series.select(*keys, order_col, value_col)
+        .groupBy(*keys)
+        .applyInPandas(profile, out_schema)
+    )

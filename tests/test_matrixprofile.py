@@ -201,3 +201,58 @@ def test_float_fast_path_equals_int_path(spark):
         assert got == _brute(v, m, m // 2)
     assert _exact_float_ok(m, np.asarray(small))
     assert not _exact_float_ok(m, np.asarray(big))
+
+
+def _fseries_df(spark, v, key="a"):
+    return spark.createDataFrame(
+        [(key, i, float(x)) for i, x in enumerate(v)], "k string, i int, v double"
+    )
+
+
+def test_znorm_profile_matches_bruteforce(spark):
+    rng = np.random.default_rng(53)
+    v = rng.normal(0, 10, size=45).tolist()
+    m = 7
+    got = {
+        r["idx"]: (r["nn_idx"], r["nn_dist"])
+        for r in MP.matrix_profile_znorm(
+            _fseries_df(spark, v), ["k"], "i", "v", m=m
+        ).collect()
+    }
+
+    def znorm(w):
+        w = np.asarray(w, dtype=float)
+        return (w - w.mean()) / w.std()
+
+    nw = len(v) - m + 1
+    for i in range(nw):
+        best = min(
+            ((float(np.sqrt(((znorm(v[i:i + m]) - znorm(v[j:j + m])) ** 2).sum())), j)
+             for j in range(nw) if abs(i - j) >= m // 2),
+        )
+        assert got[i][0] == best[1]
+        assert got[i][1] == pytest.approx(best[0], rel=1e-9, abs=1e-9)
+
+
+def test_znorm_profile_amplitude_invariant(spark):
+    """The same shape at 1x and 100x amplitude are nearest neighbors —
+    the case the unnormalized profile deliberately keeps apart."""
+    shape = [0, 3, 1, 4, 1, 5]
+    v = [float(x) for x in shape] + [50.0] * 6 + [100.0 * x for x in shape]
+    rows = MP.matrix_profile_znorm(
+        _fseries_df(spark, v), ["k"], "i", "v", m=6, excl=3
+    ).collect()
+    got = {r["idx"]: (r["nn_idx"], r["nn_dist"]) for r in rows}
+    assert got[0][0] == 12 and got[0][1] == pytest.approx(0.0, abs=1e-7)
+    assert got[12][0] == 0
+    # the flat plateau window is z-undefined and absent from the output
+    assert 6 not in got
+
+
+def test_znorm_profile_all_flat_emits_nothing(spark):
+    assert (
+        MP.matrix_profile_znorm(
+            _fseries_df(spark, [2.0] * 12), ["k"], "i", "v", m=4
+        ).count()
+        == 0
+    )
