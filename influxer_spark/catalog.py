@@ -63,6 +63,16 @@ def iceberg_available(spark: SparkSession) -> bool:
         return False
 
 
+class CommitConflictError(RuntimeError):
+    """Another writer committed a snapshot after this manifest was read.
+
+    Iceberg's optimistic-concurrency contract: a commit is only valid
+    against the snapshot it was derived from; on conflict the writer
+    re-reads current metadata, re-applies its change, and retries —
+    blind last-writer-wins would silently drop the other writer's
+    partitions.  Callers catch this and redo read→modify→commit."""
+
+
 @dataclass
 class TableCatalog:
     """Parquet-directory catalog with snapshot-manifest atomic commits."""
@@ -126,6 +136,15 @@ class TableCatalog:
         tdir = self.table_path(name)
         os.makedirs(tdir, exist_ok=True)
         parent = self.current_snapshot(name)
+        base = manifest.get("snapshot_id")
+        if base != parent:
+            # stale base: someone committed since this manifest was read
+            # (or the caller holds a time-travel manifest) — committing it
+            # would silently erase the other writer's snapshot
+            raise CommitConflictError(
+                f"table {name}: manifest was read at snapshot {base} but "
+                f"current is {parent}; re-read, re-apply, retry"
+            )
         version = (parent or 0) + 1
         manifest["snapshot_id"] = version
         manifest["parent_id"] = parent

@@ -58,3 +58,44 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
         assert joined.count() > 0
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_commit_conflict_detected(spark, tmp_path):
+    """Optimistic concurrency: committing a manifest read BEFORE another
+    writer's snapshot landed must fail loudly (blind last-writer-wins
+    would erase the other writer's partitions), and a re-read retry must
+    see both changes."""
+    import pytest as _pytest
+
+    from influxer_spark.catalog import CommitConflictError, TableCatalog
+
+    cat = TableCatalog(str(tmp_path / "cat"))
+    df = spark.createDataFrame([(1, "a")], ["x", "day"])
+    cat.write_partition(df, "t", "a")
+    stale = cat.read_manifest("t")
+    cat.set_table_property("t", "k", "v1")  # the other writer wins the race
+    stale["properties"] = {"k": "v2"}
+    with _pytest.raises(CommitConflictError, match="re-read"):
+        cat._commit_manifest("t", stale)
+    # retry protocol: re-read, re-apply, commit — both changes survive
+    fresh = cat.read_manifest("t")
+    fresh.setdefault("properties", {})["k2"] = "v2"
+    cat._commit_manifest("t", fresh)
+    assert cat.table_property("t", "k") == "v1"
+    assert cat.table_property("t", "k2") == "v2"
+    assert "a" in cat.committed_partitions("t")
+
+
+def test_time_travel_manifest_cannot_commit(spark, tmp_path):
+    from influxer_spark.catalog import CommitConflictError, TableCatalog
+
+    cat = TableCatalog(str(tmp_path / "cat"))
+    df = spark.createDataFrame([(1, "a")], ["x", "day"])
+    cat.write_partition(df, "t", "a")
+    v1 = cat.current_snapshot("t")
+    cat.write_partition(df, "t", "b")
+    old = cat.read_manifest("t", as_of=v1)
+    import pytest as _pytest
+
+    with _pytest.raises(CommitConflictError):
+        cat._commit_manifest("t", old)
