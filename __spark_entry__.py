@@ -2317,6 +2317,7 @@ _WINDOW_PRIORITY = [
     "matrix_profile_ab_recent",
     "influxql_matrix_profile",
     "matrix_profile_tier_read",
+    "export_train_shards",
     "ivf_pq_index_topk",
     "ivf_pq_index_extend_topk",
     "stream_ivfpq_extend_replay",

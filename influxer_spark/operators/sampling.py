@@ -28,6 +28,7 @@ Scale notes:
 
 from __future__ import annotations
 
+from collections.abc import Sequence
 from functools import reduce
 
 from pyspark.sql import Column, DataFrame
@@ -274,3 +275,68 @@ def weighted_sample(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= n)
     )
+
+
+def shard_assignments(
+    df: DataFrame,
+    id_col: str,
+    docs_per_shard: int,
+    seed: str = "shards",
+) -> DataFrame:
+    """(id, shuffle_rank, shard_idx) — deterministic training-shard
+    assignment: the corpus in :func:`global_shuffle` order, cut into
+    fixed-size shards of ``docs_per_shard`` consecutive ranks.  Fixed
+    ROW counts (not bytes) keep the cut points a pure function of the
+    data — greedy byte-packing would depend on scan order and be
+    unverifiable; readers wanting byte bounds choose docs_per_shard from
+    the corpus's mean document size.
+
+    Scale: the rank is the two-pass MPP prefix scan (no global window);
+    the shard index is a projection.  Every epoch/restart recomputes the
+    identical assignment from (seed, ids) alone — resumable export with
+    no state to persist."""
+    if docs_per_shard < 1:
+        raise ValueError("docs_per_shard must be >= 1")
+    return global_shuffle(df, id_col, seed=seed).withColumn(
+        "shard_idx",
+        ((F.col("shuffle_rank") - 1) / docs_per_shard).cast("long"),
+    )
+
+
+def export_shards(
+    spark,
+    catalog,
+    docs: DataFrame,
+    id_col: str,
+    docs_per_shard: int,
+    seed: str = "shards",
+    table: str = "train_shards",
+    payload_cols: Sequence[str] | None = None,
+) -> list[str]:
+    """Write the shuffled corpus as a catalog TABLE partitioned by shard —
+    the dataset-export last mile: one committed partition per training
+    shard, written in one wave job and flipped visible in one snapshot
+    (a crashed export leaves the previous dataset version intact; the
+    snapshot history records every re-export).  Readers stream shard k
+    via ``catalog.read_partition(table, str(k))`` with manifest pruning —
+    a trainer's data loader maps ranks to shards with no coordinator.
+
+    Returns the committed shard ids (as partition-value strings).
+    """
+    cols = list(payload_cols) if payload_cols else [
+        c for c in docs.columns if c != id_col
+    ]
+    assigned = shard_assignments(docs, id_col, docs_per_shard, seed)
+    data = docs.select(F.col(id_col).alias("id"), *cols).join(
+        assigned, on="id"
+    )
+    n = data.count()
+    n_shards = (n + docs_per_shard - 1) // docs_per_shard
+    shards = [str(i) for i in range(n_shards)]
+    catalog.write_partitions(
+        data.withColumn("pshard", F.col("shard_idx").cast("string")),
+        table, shards, day_col="pshard",
+    )
+    catalog.set_table_property(table, "docs_per_shard", int(docs_per_shard))
+    catalog.set_table_property(table, "shuffle_seed", seed)
+    return shards

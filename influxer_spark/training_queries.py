@@ -1110,6 +1110,48 @@ def _q_global_shuffle(spark, sf_dir):
     return SA.global_shuffle(_docs(spark, sf_dir), "doc_id")
 
 
+def _q_export_shards(spark, sf_dir):
+    """Dataset-export last mile proven end to end: shard the shuffled
+    corpus (64 docs per shard), COMMIT one catalog partition per shard in
+    one wave snapshot, then read the committed partitions back and report
+    the per-shard summary.  The oracle computes the same summary from the
+    shuffle-rank SQL alone — a hash match proves assignment, write, and
+    manifest read-back all preserve the deterministic permutation."""
+    import tempfile
+
+    from influxer_spark.catalog import TableCatalog
+
+    cat = TableCatalog(tempfile.mkdtemp(prefix="shards_gate_"))
+    docs = _docs(spark, sf_dir).select("doc_id", "text", "n_chars")
+    shards = SA.export_shards(
+        spark, cat, docs, "doc_id", docs_per_shard=64, seed="shards"
+    )
+    back = spark.read.parquet(
+        *cat.partition_paths("train_shards", shards)
+    )
+    return back.groupBy("shard_idx").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+        F.min("shuffle_rank").alias("min_rank"),
+        F.max("shuffle_rank").alias("max_rank"),
+    )
+
+
+_EXPORT_SHARDS_SQL = (
+    "WITH ranked AS ("
+    "  SELECT doc_id, n_chars, "
+    "         CAST(row_number() OVER (ORDER BY "
+    "  md5('shards' || CAST(doc_id AS VARCHAR)) || ':' "
+    "  || CAST(doc_id AS VARCHAR)) AS BIGINT) AS r"
+    "  FROM documents"
+    ") "
+    "SELECT CAST(floor((r - 1) / 64) AS BIGINT) AS shard_idx, "
+    "count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars, "
+    "min(r) AS min_rank, max(r) AS max_rank "
+    "FROM ranked GROUP BY 1"
+)
+
+
 def _q_weighted_sample(spark, sf_dir):
     """25 docs per lang, inclusion odds ∝ n_chars (Efraimidis–Spirakis
     A-Res, hash-deterministic) — quality-weighted corpus subsetting."""
@@ -1450,6 +1492,7 @@ def training_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample_lang": _q_stratified_sample,
         "upsample_epochs_mixture": _q_upsample_epochs,
         "global_shuffle_documents": _q_global_shuffle,
+        "export_train_shards": _q_export_shards,
         "weighted_sample_quality": _q_weighted_sample,
         "dsir_resample_en": _q_dsir_resample,
         "embedding_quantize_int8": _q_quantize_int8,
@@ -1696,6 +1739,7 @@ GROUP BY t.id, t.n, t.fb
         ),
         "upsample_epochs_mixture": _UPSAMPLE_SQL,
         "weighted_sample_quality": _WEIGHTED_SAMPLE_SQL,
+        "export_train_shards": _EXPORT_SHARDS_SQL,
         "dsir_resample_en": _DSIR_SQL,
         "global_shuffle_documents": (
             f"SELECT doc_id AS id, {_SHUFFLE_KEY} AS shuffle_key, "

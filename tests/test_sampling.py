@@ -149,3 +149,52 @@ def test_upsample_epochs_properties(spark, sf_dir):
     some = SA.upsample_epochs(docs, "doc_id", 0.4).count()
     assert 0 < some < n
     assert SA.upsample_epochs(docs, "doc_id", 0.0).count() == 0
+
+
+def test_shard_assignment_deterministic_and_complete(spark):
+    from influxer_spark.operators import sampling as SA
+
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(10)], ["doc_id", "text"]
+    )
+    a = SA.shard_assignments(docs, "doc_id", 3)
+    b = SA.shard_assignments(docs, "doc_id", 3)
+    ra = sorted(map(tuple, a.collect()))
+    assert ra == sorted(map(tuple, b.collect()))
+    shards = {}
+    for _, _, rank, sh in ra:
+        shards.setdefault(sh, []).append(rank)
+    # contiguous rank ranges, every shard full except possibly the last
+    assert sorted(shards) == [0, 1, 2, 3]
+    for sh, ranks in shards.items():
+        assert sorted(ranks) == list(range(sh * 3 + 1, min(sh * 3 + 3, 10) + 1))
+
+
+def test_export_shards_roundtrip_and_reexport_snapshot(spark, tmp_path):
+    from influxer_spark.catalog import TableCatalog
+    from influxer_spark.operators import sampling as SA
+
+    cat = TableCatalog(str(tmp_path / "cat"))
+    docs = spark.createDataFrame(
+        [(i, f"text-{i}") for i in range(10)], ["doc_id", "text"]
+    )
+    shards = SA.export_shards(spark, cat, docs, "doc_id", 4)
+    assert shards == ["0", "1", "2"]
+    assert cat.table_property("train_shards", "docs_per_shard") == 4
+    back = spark.read.parquet(*cat.partition_paths("train_shards", shards))
+    assert back.count() == 10
+    assert set(back.columns) >= {"id", "text", "shuffle_rank", "shard_idx"}
+    v1 = cat.current_snapshot("train_shards")
+    # re-export (e.g. after corpus curation changed) lands a NEW snapshot;
+    # the previous dataset version remains time-travelable
+    SA.export_shards(spark, cat, docs.filter("doc_id < 8"), "doc_id", 4)
+    assert cat.current_snapshot("train_shards") > v1
+    old = spark.read.parquet(
+        *[
+            cat._partition_dir("train_shards", pv, e)
+            for pv, e in cat.committed_partitions(
+                "train_shards", as_of=v1
+            ).items()
+        ]
+    )
+    assert old.count() == 10
