@@ -134,6 +134,12 @@ def _build_parser() -> argparse.ArgumentParser:
         "rewrite_data_files + expire_snapshots as one maintenance command",
     )
     p.add_argument(
+        "-compactbloom", default=None, metavar="COLS",
+        help="with -compact: comma list of columns to also write parquet "
+        "bloom filters for (row-group pruning on high-cardinality "
+        "equality probes like WHERE url = ...)",
+    )
+    p.add_argument(
         "-compactsort", default=None, metavar="COLS",
         help="with -compact: comma list of sort columns — use Iceberg's "
         "SORT rewrite strategy (cluster rows for row-group pruning) "
@@ -313,7 +319,14 @@ def main(argv: list[str] | None = None) -> int:
             if not cat.exists(t):
                 print(f"{t}: absent, skipped")
                 continue
-            res = cat.compact(spark, t, sort_cols=sort_cols)
+            bloom_cols = (
+                [c for c in args.compactbloom.split(",") if c]
+                if args.compactbloom
+                else None
+            )
+            res = cat.compact(
+                spark, t, sort_cols=sort_cols, bloom_cols=bloom_cols
+            )
             freed = cat.vacuum(t)
             print(
                 f"{t}: {res['rewritten']}/{res['partitions']} partitions "

@@ -451,6 +451,7 @@ class TableCatalog:
         partition_value: str,
         target_file_mb: int = 128,
         sort_cols: list[str] | None = None,
+        bloom_cols: list[str] | None = None,
     ) -> dict[str, Any]:
         """Bin-pack one partition's small files into ~``target_file_mb``
         outputs (Iceberg's ``rewrite_data_files`` binpack strategy).
@@ -474,6 +475,16 @@ class TableCatalog:
         time, save it on every subsequent selective scan.  A sort rewrite
         runs even when the file count is already at target — layout, not
         file count, is what it fixes.
+
+        ``bloom_cols`` writes a parquet BLOOM FILTER per listed column
+        (``parquet.bloom.filter.enabled#col``): the point-lookup
+        complement to sort clustering — min/max stats prune RANGES, the
+        bloom bitset prunes row groups for ``WHERE url = '…'`` equality
+        probes on high-cardinality columns where every group's min/max
+        straddles the probe.  Costs bytes at maintenance time
+        (parquet-mr also disables dictionary encoding on bloomed
+        columns), saves I/O on every later point query — the same trade
+        as the sort rewrite.
         """
         parts = self.committed_partitions(name)
         if partition_value not in parts:
@@ -488,7 +499,7 @@ class TableCatalog:
         ]
         n_bytes = sum(os.path.getsize(os.path.join(src, fn)) for fn in data_files)
         n_target = max(1, -(-n_bytes // (target_file_mb << 20)))  # ceil
-        if len(data_files) <= n_target and not sort_cols:
+        if len(data_files) <= n_target and not sort_cols and not bloom_cols:
             return {"compacted": False, "files": len(data_files), "bytes": n_bytes}
         df = spark.read.parquet(src)
         vdir = f"v={uuid.uuid4().hex[:8]}"
@@ -502,7 +513,10 @@ class TableCatalog:
             # coalesce, not repartition: a narrow merge of input splits — no
             # shuffle; parquet re-encode is the only cost
             out = df.coalesce(n_target)
-        out.write.mode("overwrite").parquet(dest)
+        writer = out.write.mode("overwrite")
+        for bc in bloom_cols or []:
+            writer = writer.option(f"parquet.bloom.filter.enabled#{bc}", "true")
+        writer.parquet(dest)
         manifest = self.read_manifest(name)
         new_entry = dict(manifest["partitions"][partition_value])
         new_entry["dir"] = vdir
@@ -514,6 +528,7 @@ class TableCatalog:
             "bytes": n_bytes,
             "strategy": "sort" if sort_cols else "binpack",
             **({"sort_cols": list(sort_cols)} if sort_cols else {}),
+            **({"bloom_cols": list(bloom_cols)} if bloom_cols else {}),
         }
         manifest["partitions"][partition_value] = new_entry
         manifest["lineage"].append({"partition": partition_value, **new_entry})
@@ -531,6 +546,7 @@ class TableCatalog:
         name: str,
         target_file_mb: int = 128,
         sort_cols: list[str] | None = None,
+        bloom_cols: list[str] | None = None,
     ) -> dict[str, Any]:
         """Compact every committed partition (driver loop over partition
         METADATA — bounded by partition count, never data; each rewrite is
@@ -540,7 +556,8 @@ class TableCatalog:
         out: dict[str, Any] = {"partitions": 0, "rewritten": 0}
         for pv in sorted(self.committed_partitions(name)):
             res = self.compact_partition(
-                spark, name, pv, target_file_mb, sort_cols=sort_cols
+                spark, name, pv, target_file_mb, sort_cols=sort_cols,
+                bloom_cols=bloom_cols,
             )
             out["partitions"] += 1
             out["rewritten"] += int(res.get("compacted", False))

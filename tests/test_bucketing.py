@@ -6,6 +6,7 @@ on the bucket key reuses it."""
 
 from __future__ import annotations
 
+import os
 import shutil
 
 from pyspark.sql import functions as F
@@ -99,3 +100,45 @@ def test_time_travel_manifest_cannot_commit(spark, tmp_path):
 
     with _pytest.raises(CommitConflictError):
         cat._commit_manifest("t", old)
+
+
+def test_compact_with_bloom_filters(spark, tmp_path):
+    """bloom_cols rewrites the partition with a parquet bloom filter on
+    the listed columns.  pyarrow 16 exposes no bloom metadata, so the
+    pinned observable is the stored BITSET itself: two sort rewrites of
+    identical data differ only by the bloom option, and the bloomed file
+    must carry the extra bytes — plus the manifest compaction note and
+    an unchanged read-back."""
+    import glob
+
+    from influxer_spark.catalog import TableCatalog
+
+    cat = TableCatalog(str(tmp_path / "cat"))
+    # high-cardinality url — the bloom use case (parquet-mr skips blooms
+    # for fully dictionary-encoded columns by design)
+    df = spark.createDataFrame(
+        [(f"url-{i}", f"m-{i % 3}", float(i), "d") for i in range(2000)],
+        ["url", "metric", "v", "day"],
+    )
+    cat.write_partition(df, "points", "d")
+
+    def part_bytes():
+        paths = cat.partition_paths("points", ["d"])
+        return sum(
+            os.path.getsize(f) for f in glob.glob(f"{paths[0]}/*.parquet")
+        )
+
+    res_plain = cat.compact_partition(spark, "points", "d", sort_cols=["url"])
+    assert res_plain["compacted"]
+    plain_bytes = part_bytes()
+    res_bloom = cat.compact_partition(
+        spark, "points", "d", sort_cols=["url"], bloom_cols=["url"]
+    )
+    assert res_bloom["compacted"]
+    bloom_bytes = part_bytes()
+    assert bloom_bytes > plain_bytes + 50_000  # the stored bitset
+    note = cat.committed_partitions("points")["d"]["compaction"]
+    assert note["bloom_cols"] == ["url"]
+    back = spark.read.parquet(*cat.partition_paths("points", ["d"]))
+    assert back.count() == 2000
+    assert back.filter("url = 'url-7'").count() == 1
