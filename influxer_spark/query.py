@@ -48,9 +48,10 @@ def _partitions_in_range(
     table: str,
     start: dt.datetime | None,
     end: dt.datetime | None,
+    as_of: int | None = None,
 ) -> list[str]:
     parts = []
-    for p in sorted(catalog.committed_partitions(table)):
+    for p in sorted(catalog.committed_partitions(table, as_of=as_of)):
         try:
             day0 = dt.datetime.combine(dt.date.fromisoformat(p), dt.time.min)
         except ValueError:
@@ -73,16 +74,23 @@ def read_rollup(
     end: dt.datetime | None = None,
     key_cols: Sequence[str] = ("url", "metric"),
     tier: str | None = None,
+    as_of: int | None = None,
 ) -> DataFrame:
     """Exact (cnt, sum, min, max, avg) at any bucket width over [start, end),
     answered from the cheapest materialized tier with manifest-level
-    partition pruning."""
+    partition pruning.
+
+    ``as_of`` answers from a RETAINED EARLIER SNAPSHOT of the tier table
+    (Iceberg time travel on the read path): "what did this dashboard say
+    before yesterday's re-crawl refresh landed" — the immutable ``v=``
+    dirs the old manifest references stay on disk until
+    ``expire_snapshots`` reclaims them."""
     tier = tier or select_tier(width_seconds)
     table = f"rollup_{tier}"
-    parts = _partitions_in_range(catalog, table, start, end)
+    parts = _partitions_in_range(catalog, table, start, end, as_of=as_of)
     if not parts:
         raise ValueError(f"no committed {table} partitions in range")
-    paths = catalog.partition_paths(table, parts)
+    paths = catalog.partition_paths(table, parts, as_of=as_of)
     df = spark.read.parquet(*paths)
     if start is not None:
         df = df.filter(F.col("bucket") >= F.lit(start))

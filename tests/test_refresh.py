@@ -345,3 +345,30 @@ def test_refresh_rebuilds_sumsq_tiers(spark, tmp_path):
         )
 
     assert _sums(cat) == _sums(fresh)
+
+
+def test_read_rollup_as_of_pre_refresh_snapshot(spark, events, tmp_path):
+    """Time travel on the READ path: after a refresh lands late data, the
+    same read_rollup call with as_of = the pre-refresh snapshot answers
+    from the OLD tier version — the dashboard as it stood before the
+    re-crawl — while the default read sees the refreshed truth."""
+    from influxer_spark.operators.refresh import refresh_point_tiers
+    from influxer_spark.query import read_rollup
+
+    cat = TableCatalog(str(tmp_path / "cat"))
+    days = sorted(source_day_counts(events, "ts"))
+    day = F.date_format("ts", "yyyy-MM-dd")
+    initial = events.filter(day != days[-1])
+    build_point_tiers(spark, cat, initial, "ts", KEYS, "value")
+    pre = cat.current_snapshot("rollup_1h")
+    refresh_point_tiers(spark, cat, events, "ts", KEYS, "value")
+    assert cat.current_snapshot("rollup_1h") > pre
+    now_rows = _tier_rows(
+        read_rollup(spark, cat, 3600, key_cols=KEYS, tier="1h")
+    )
+    old_rows = _tier_rows(
+        read_rollup(spark, cat, 3600, key_cols=KEYS, tier="1h", as_of=pre)
+    )
+    assert now_rows == _tier_rows(_direct_1h(events))
+    assert old_rows == _tier_rows(_direct_1h(initial))
+    assert old_rows != now_rows
