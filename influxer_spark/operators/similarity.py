@@ -877,7 +877,19 @@ def extend_ivfpq_index(
     )
     merged = new_codes
     if existing:
-        old = spark.read.parquet(*existing).select(*new_codes.columns)
+        # MERGE on vec_id, not blind append: stored rows whose id arrives
+        # again are REPLACED, so replaying an already-committed batch (the
+        # foreachBatch at-least-once edge) and re-crawled vectors that
+        # re-encode into the same list are both idempotent.  A vector whose
+        # NEW embedding lands in a different list leaves its old posting in
+        # the unrewritten list — full cross-list upsert needs a tombstone
+        # pass or rebuild (documented; same trade Iceberg MERGE makes when
+        # the partition key itself changes).
+        old = (
+            spark.read.parquet(*existing)
+            .select(*new_codes.columns)
+            .join(new_codes.select("vec_id"), on="vec_id", how="left_anti")
+        )
         merged = old.unionByName(new_codes)
     catalog.write_partitions(
         merged.withColumn("plist", F.col("ivf_list").cast("string")),

@@ -476,3 +476,35 @@ def test_ivfpq_search_empty_index_fails_loudly(spark, tmp_path, vecs):
     )
     with pytest.raises(FileNotFoundError, match="no postings"):
         S.ivfpq_search_index(spark, cat, vecs, n_probe=2, k=3)
+
+
+def test_ivfpq_extend_is_upsert_on_vec_id(spark, tmp_path):
+    """Re-extending with an already-committed shard must not double rows
+    (the foreachBatch at-least-once edge), and a re-crawled vector that
+    stays in its list is REPLACED, not duplicated."""
+    import numpy as np
+
+    from influxer_spark.catalog import TableCatalog
+
+    rng = np.random.default_rng(37)
+    mat = rng.standard_normal((16, 8))
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    rows = [(i, [float(x) for x in row]) for i, row in enumerate(mat)]
+    full = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cent = S.ivf_random_centroids(8, 4)
+    books = S.pq_random_codebooks(8, m=2, ksub=4)
+    cat = TableCatalog(str(tmp_path / "cat"))
+    S.build_ivfpq_index(
+        spark, cat, full, centroids=cent, books=books, dim=8, n_lists=4
+    )
+    S.extend_ivfpq_index(spark, cat, full.filter(F.col("vec_id") < 8))
+    committed = sorted(cat.committed_partitions("ivfpq_postings"))
+    n = sum(
+        spark.read.parquet(p).count()
+        for p in cat.partition_paths("ivfpq_postings", committed)
+    )
+    assert n == 16  # replay replaced, never appended
+    q = full.filter(F.col("vec_id") % 5 == 0)
+    got = S.ivfpq_search_index(spark, cat, q, n_probe=4, k=5).collect()
+    mem = S.ivf_pq_topk(full, q, cent, books, n_probe=4, k=5).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, mem))
