@@ -385,3 +385,51 @@ def matrix_profile_znorm(
         .groupBy(*keys)
         .applyInPandas(profile, out_schema)
     )
+
+
+def top_motifs(
+    profile: DataFrame,
+    key_cols: Sequence[str],
+    m: int,
+    k: int = 3,
+) -> DataFrame:
+    """Top-k NON-OVERLAPPING motif pairs per series from a
+    :func:`matrix_profile` result: profile rows ascending by distance,
+    greedily kept while neither window overlaps (within m starts of) an
+    already-kept pair's windows — the de-duplicated "recurring shapes"
+    list a dashboard renders (Matrix Profile I §D top-k motif
+    convention).  Greedy suppression is sequentially dependent, so it
+    folds per series over the (tiny: ≤ a few k windows) sorted profile
+    rows collected per key — the profile itself stays the distributed
+    artifact.  Output (keys…, motif_rank, idx, nn_idx, nn_dist2)."""
+    keys = list(key_cols)
+    key_fields = [profile.schema[c] for c in keys]
+    out_schema = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}" for f in key_fields]
+        + ["motif_rank int", "idx int", "nn_idx int", "nn_dist2 long"]
+    )
+
+    def pick(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["nn_dist2", "idx"], kind="mergesort"
+        )
+        taken: list[tuple[int, int, int]] = []
+        occupied: list[int] = []
+        for r in pdf.itertuples(index=False):
+            if len(taken) >= k:
+                break
+            if any(abs(r.idx - o) < m or abs(r.nn_idx - o) < m for o in occupied):
+                continue
+            taken.append((int(r.idx), int(r.nn_idx), int(r.nn_dist2)))
+            occupied += [int(r.idx), int(r.nn_idx)]
+        return pd.DataFrame(
+            {
+                **{c: pdf.iloc[0][c] for c in keys},
+                "motif_rank": np.arange(1, len(taken) + 1, dtype=np.int32),
+                "idx": np.asarray([t[0] for t in taken], dtype=np.int32),
+                "nn_idx": np.asarray([t[1] for t in taken], dtype=np.int32),
+                "nn_dist2": np.asarray([t[2] for t in taken], dtype=np.int64),
+            }
+        )
+
+    return profile.groupBy(*keys).applyInPandas(pick, out_schema)

@@ -256,3 +256,25 @@ def test_znorm_profile_all_flat_emits_nothing(spark):
         ).count()
         == 0
     )
+
+
+def test_top_motifs_nonoverlapping_and_ranked(spark):
+    # two exact motif pairs at different scales + noise between them
+    base = [1, 9, 1, 9]
+    v = (
+        base + [40, 41, 42, 43] + base            # pair A: idx 0 & 8 (dist 0)
+        + [77, 60, 77, 60] + [55] * 4 + [77, 60, 77, 60]  # pair B: 12 & 20
+    )
+    prof = MP.matrix_profile(_series_df(spark, v), ["k"], "i", "v", m=4, excl=4)
+    rows = MP.top_motifs(prof, ["k"], m=4, k=3).collect()
+    got = sorted((r["motif_rank"], r["idx"], r["nn_idx"]) for r in rows)
+    assert got[0][0] == 1 and got[0][1:] in [(0, 8), (8, 0), (12, 20), (20, 12)]
+    # every kept pair's windows are >= m starts from every other kept window
+    starts = [x for r in rows for x in (r["idx"], r["nn_idx"])]
+    for i, a in enumerate(starts):
+        for b in starts[i + 1:]:
+            assert abs(a - b) >= 4
+    # rank 1 is the best (zero-distance) motif
+    assert min(r["nn_dist2"] for r in rows) == [
+        r["nn_dist2"] for r in rows if r["motif_rank"] == 1
+    ][0]
