@@ -44,7 +44,20 @@ def statements(draw):
     aggs = draw(
         st.lists(st.sampled_from(_AGGS), min_size=1, max_size=3, unique=True)
     )
-    proj = ", ".join(f"{a}(value) AS a_{a}" for a in aggs)
+    tr = draw(
+        st.sampled_from(
+            ["", "derivative", "difference", "cumulative_sum",
+             "moving_average:3"]
+        )
+    )
+    if tr and len(aggs) == 1:
+        # chain-window transforms over the (possibly tier-served) aggregate
+        name, _, arg = tr.partition(":")
+        inner = f"{aggs[0]}(value)"
+        call = f"{name}({inner}, {arg})" if arg else f"{name}({inner})"
+        proj = f"{call} AS t_{name}"
+    else:
+        proj = ", ".join(f"{a}(value) AS a_{a}" for a in aggs)
     width = draw(st.sampled_from(_WIDTHS))
     tags = draw(st.sampled_from(["", ", metric", ", metric, url", ", *"]))
     where = draw(
