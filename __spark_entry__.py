@@ -2318,6 +2318,7 @@ _WINDOW_PRIORITY = [
     "influxql_matrix_profile",
     "matrix_profile_tier_read",
     "export_train_shards",
+    "dominant_period_48",
     "ivf_pq_index_topk",
     "ivf_pq_index_extend_topk",
     "stream_ivfpq_extend_replay",

@@ -1680,6 +1680,27 @@ FROM l
 """
 
 
+def _q_dominant_period(spark, sf_dir):
+    """Season-length detection: argmax-acf lag in [2, 48] per series —
+    must find the daily cycle (24) on hourly data where one exists.
+    Shares acf's fold discipline, so the argmax is bit-deterministic."""
+    from influxer_spark.operators.decompose import dominant_period
+
+    h = _hourly(spark, sf_dir).select("event_type", "bucket", "v")
+    return dominant_period(h, ["event_type"], "bucket", "v", 48)
+
+
+def _dominant_period_sql(max_lag: int) -> str:
+    inner = _acf_sql(max_lag).strip()
+    return (
+        f"WITH a AS ({inner}) "
+        "SELECT event_type, lag AS period, acf AS acf_peak FROM a "
+        "WHERE lag >= 2 AND acf IS NOT NULL "
+        "QUALIFY row_number() OVER ("
+        "  PARTITION BY event_type ORDER BY acf DESC, lag ASC) = 1"
+    )
+
+
 def _q_series_corr(spark, sf_dir):
     """Pearson correlation of hourly level (mean v) vs volume (count) per
     event_type — cross-metric analysis over aligned series.  Oracle
@@ -1861,6 +1882,7 @@ def influxql_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m4_downsample_1h": _q_m4,
         "seasonal_decompose_24h": _q_decompose,
         "acf_48_hourly": _q_acf,
+        "dominant_period_48": _q_dominant_period,
         "series_corr_hourly": _q_series_corr,
         "cross_corr_lags": _q_cross_corr,
         "deadman_1h": _q_deadman,
@@ -1911,6 +1933,7 @@ def influxql_oracle_sql() -> dict[str, str]:
         "m4_downsample_1h": _M4_SQL,
         "seasonal_decompose_24h": _decompose_sql(),
         "acf_48_hourly": _acf_sql(48),
+        "dominant_period_48": _dominant_period_sql(48),
         "series_corr_hourly": _series_corr_sql(),
         "cross_corr_lags": _ccf_sql([-2, -1, 0, 1, 2]),
         "deadman_1h": _DEADMAN_SQL,

@@ -336,3 +336,37 @@ def cross_corr(
     for s in shifted[1:]:
         paired = paired.unionByName(s)
     return series_corr(paired, [*keys, "lag"], ts_col, "_x", "_y")
+
+
+def dominant_period(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    max_lag: int,
+    min_lag: int = 2,
+) -> DataFrame:
+    """Per-series season-length detection: the lag in [min_lag, max_lag]
+    with the highest autocorrelation (ties → smallest lag) — the
+    automatic input every seasonal operator here takes as a parameter
+    (decompose's period, Holt-Winters' season, the phase bands' cycle).
+    ``min_lag`` defaults to 2 because lag 1 is ordinary smoothness, not a
+    season.  Pure window rank over :func:`acf`'s proven folds — the
+    doubles are bit-identical in both engines, so the argmax is too.
+    Output (keys…, period, acf_peak); series with no usable acf (constant
+    or shorter than min_lag) emit nothing."""
+    from pyspark.sql import Window
+
+    a = acf(df, key_cols, ts_col, value_col, max_lag).filter(
+        (F.col("lag") >= min_lag) & F.col("acf").isNotNull()
+    )
+    w = Window.partitionBy(*key_cols).orderBy(F.desc("acf"), F.asc("lag"))
+    return (
+        a.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .select(
+            *key_cols,
+            F.col("lag").alias("period"),
+            F.col("acf").alias("acf_peak"),
+        )
+    )

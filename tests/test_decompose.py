@@ -275,3 +275,25 @@ def test_resid_anomaly_catches_in_season_outlier(spark):
     target = T0 + dt.timedelta(hours=24 * 7 + 18)
     assert target not in raw_flags
     assert target in resid_flags
+
+
+def test_dominant_period_finds_planted_season(spark):
+    import math
+
+    from influxer_spark.operators.decompose import dominant_period
+
+    rows = []
+    for i in range(240):  # 10 cycles of a period-24 season + tiny trend
+        rows.append(("s", i, 100.0 + 10.0 * math.sin(2 * math.pi * i / 24) + 0.01 * i))
+    df = spark.createDataFrame(rows, ["k", "t", "v"])
+    got = dominant_period(df, ["k"], "t", "v", max_lag=48).collect()
+    assert len(got) == 1
+    assert got[0]["period"] == 24
+    assert got[0]["acf_peak"] > 0.8
+
+
+def test_dominant_period_constant_series_emits_nothing(spark):
+    from influxer_spark.operators.decompose import dominant_period
+
+    df = spark.createDataFrame([("s", i, 5.0) for i in range(50)], ["k", "t", "v"])
+    assert dominant_period(df, ["k"], "t", "v", max_lag=10).count() == 0
