@@ -2319,6 +2319,7 @@ _WINDOW_PRIORITY = [
     "matrix_profile_tier_read",
     "export_train_shards",
     "dominant_period_48",
+    "ngram_novelty_scores",
     "ivf_pq_index_topk",
     "ivf_pq_index_extend_topk",
     "stream_ivfpq_extend_replay",

@@ -939,3 +939,52 @@ def incremental_minhash_dedup(
         sigs_s.select(F.col("id"))
         .join(dropped.select(F.col("sid").alias("id")), "id", "left_anti")
     )
+
+
+def ngram_novelty(
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 4,
+) -> DataFrame:
+    """Per-document novelty: the fraction of a doc's distinct word
+    k-grams that appear in NO OTHER document of the corpus — the inverse
+    of the boilerplate/memorization signal (decontamination asks "is this
+    gram in the eval set?"; novelty asks "is this gram anywhere else at
+    all?").  Low novelty = templated or heavily duplicated content worth
+    down-weighting in a mixture; high = fresh text.
+
+    Returns (id, n_grams, n_novel, novelty_frac) for every document with
+    at least one gram.
+
+    Scale: one explode → one gram-keyed partial-aggregated shuffle to
+    count per-gram DOC FREQUENCY, then one shuffle back on doc id.  The
+    gram DF table scales with corpus size, so unlike decontam's broadcast
+    bench there is no broadcast here — both joins are plain hash
+    exchanges on high-cardinality keys, the shape AQE handles.  A gram is
+    novel iff its document frequency is exactly 1 (it can still repeat
+    WITHIN the document — novelty is a cross-doc property).
+    """
+    g = corpus.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(word_shingles(F.col(text_col), k))).alias(
+            "gram"
+        ),
+    )
+    df_counts = g.groupBy("gram").agg(F.count("*").alias("_df"))
+    return (
+        g.join(df_counts, "gram")
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.when(F.col("_df") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_novel"),
+        )
+        .select(
+            "id",
+            "n_grams",
+            "n_novel",
+            (F.col("n_novel") / F.col("n_grams")).alias("novelty_frac"),
+        )
+    )

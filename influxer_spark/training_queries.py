@@ -900,6 +900,29 @@ FROM agg WHERE n_contaminated > 0
 """
 
 
+def _q_ngram_novelty(spark, sf_dir):
+    """Cross-doc novelty: share of each doc's distinct 4-grams found in
+    no other document (dedup.ngram_novelty) — the mixture down-weighting
+    signal for templated content."""
+    return D.ngram_novelty(_docs(spark, sf_dir), "doc_id", "text")
+
+
+def _novelty_sql() -> str:
+    return f"""
+WITH g AS (
+  SELECT DISTINCT doc_id, unnest({_shingles_sql('text', 4)}) AS gram
+  FROM documents
+), df AS (
+  SELECT gram, count(*) AS d FROM g GROUP BY 1
+)
+SELECT g.doc_id AS id, CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN df.d = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       sum(CASE WHEN df.d = 1 THEN 1 ELSE 0 END) / count(*) AS novelty_frac
+FROM g JOIN df USING (gram)
+GROUP BY 1
+"""
+
+
 def _q_bloom_decontam(spark, sf_dir):
     """Bloom-prefiltered decontamination MUST equal the exact screen —
     the oracle is ngram_decontam's own SQL, so a green row proves the
@@ -1474,6 +1497,7 @@ def training_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": _q_token_stats,
         "repetition_stats": _q_repetition,
         "ngram_decontam": _q_decontam,
+        "ngram_novelty_scores": _q_ngram_novelty,
         "bloom_decontam": _q_bloom_decontam,
         "curation_funnel": _q_curation_funnel,
         "bm25_topk_terms": _q_bm25,
@@ -1591,6 +1615,7 @@ SELECT au.doc_id, n_words, n_distinct_words, top_word_cnt,
 FROM au JOIN ab USING (doc_id)
 """,
         "ngram_decontam": _decontam_sql(),
+        "ngram_novelty_scores": _novelty_sql(),
         # the Bloom prefilter is exact-by-construction: same oracle
         "bloom_decontam": _decontam_sql(),
         "curation_funnel": _funnel_sql(),

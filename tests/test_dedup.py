@@ -419,3 +419,25 @@ def test_incremental_minhash_fuzzy_shard(spark):
         ).collect()
     )
     assert kept == [12]  # 10 exact, 11 fuzzy vs corpus; 13 vs 12 in-shard
+
+
+def test_ngram_novelty_cross_doc_property(spark):
+    from influxer_spark.operators.dedup import ngram_novelty
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),          # unique everywhere
+            (2, "one two three four five"),         # shares all grams with 3
+            (3, "one two three four five six"),
+            (4, "one two three four"),              # subset of 2/3's grams
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["id"]: (r["n_grams"], r["n_novel"])
+        for r in ngram_novelty(docs, "doc_id", "text", k=4).collect()
+    }
+    assert got[1] == (1, 1)            # one gram, seen nowhere else
+    assert got[4] == (1, 0)            # its only gram also in docs 2 and 3
+    assert got[2] == (2, 0)            # both grams also appear in doc 3
+    assert got[3] == (3, 1)            # only 'three four five six' is novel
