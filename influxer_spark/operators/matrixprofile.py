@@ -66,6 +66,22 @@ def _exact_float_ok(m: int, *arrays: np.ndarray) -> bool:
     return 4 * m * mx * mx < 2**53
 
 
+def _check_int64_bound(fn: str, m: int, *arrays: np.ndarray) -> None:
+    """Fail LOUDLY (same discipline as ``max_points``) when the exact-int64
+    distance math could wrap: every intermediate |sqᵢ + sqⱼ − 2g| is
+    bounded by 4·m·maxtick², computed here in unbounded Python ints.
+    numpy int64 overflow is silent, so without this guard a byte-scale
+    metric (ticks ~5e9, m=24 → d² ~6e20 > 2⁶³) would return a wrong —
+    possibly negative — profile with no error."""
+    mx = max((int(np.abs(a).max()) if len(a) else 0) for a in arrays)
+    if 4 * m * mx * mx >= 2**63:
+        raise ValueError(
+            f"{fn}: max |tick| {mx} with window m={m} can overflow exact "
+            f"int64 distance math (bound 4·m·tick² = {4 * m * mx * mx} ≥ 2⁶³); "
+            f"re-quantize the series to coarser ticks upstream"
+        )
+
+
 
 def matrix_profile(
     series: DataFrame,
@@ -123,6 +139,7 @@ def matrix_profile(
         )
         if nw < excl_z + 1:
             return empty
+        _check_int64_bound("matrix_profile", m, v)
         W = np.lib.stride_tricks.sliding_window_view(v, m)  # (nw, m) view
         Wf = np.ascontiguousarray(W, dtype=np.float64) if _exact_float_ok(m, v) else None
         sq = np.einsum("ij,ij->i", W, W)  # |W_i|² exact int64
@@ -138,15 +155,20 @@ def matrix_profile(
             arg = d.argmin(axis=1)  # first occurrence → smallest j on ties
             best[s:e] = d[np.arange(e - s), arg]
             best_j[s:e] = arg
+        # windows with NO admissible neighbor (every other start inside the
+        # exclusion zone — possible while nw ≤ 2·excl_z) still carry the
+        # _I64_MAX sentinel after the loop; the oracle and the brute
+        # reference both omit them, so drop rather than emit garbage
+        keep = best < _I64_MAX
         out = pd.DataFrame(
             {
                 **{k: pdf.iloc[0][k] for k in keys},
-                "idx": np.arange(nw, dtype=np.int32),
-                "nn_idx": best_j.astype(np.int32),
-                "nn_dist2": best,
+                "idx": np.arange(nw, dtype=np.int32)[keep],
+                "nn_idx": best_j.astype(np.int32)[keep],
+                "nn_dist2": best[keep],
             }
         )
-        return out
+        return out if len(out) else empty
 
     return (
         series.select(*keys, order_col, tick_col)
@@ -161,11 +183,13 @@ def hourly_tick_series(
     ts_col: str = "ts",
     value_col: str = "value",
 ) -> DataFrame:
-    """Hourly mean series in exact 1e-4 ticks: (100 · cent_sum) DIV count —
-    BIGINT end to end (DIV truncates; values are non-negative, so
-    truncation == floor and the DuckDB ``//`` replays it).  Index ``i``
-    is the 0-based rank of the OBSERVED hour buckets, so gaps don't
-    produce phantom windows."""
+    """Hourly mean series in exact 1e-4 ticks: floor((100 · cent_sum) /
+    count) — BIGINT end to end.  Spark's ``DIV`` truncates toward zero
+    while the DuckDB oracle's ``//`` floors, so the truncating quotient is
+    corrected by 1 when a NEGATIVE cent sum leaves a remainder (count is
+    always > 0) — exact integer floor division with no float excursion.
+    Index ``i`` is the 0-based rank of the OBSERVED hour buckets, so gaps
+    don't produce phantom windows."""
     keys = list(key_cols)
     hourly = (
         events.groupBy(*keys, F.date_trunc("hour", F.col(ts_col)).alias("bucket"))
@@ -173,7 +197,13 @@ def hourly_tick_series(
             F.round(F.sum(value_col) * 100, 0).cast("long").alias("_cents"),
             F.count(value_col).alias("_cnt"),
         )
-        .withColumn("v", F.expr("(100 * _cents) DIV _cnt"))
+        .withColumn(
+            "v",
+            F.expr(
+                "(100 * _cents) DIV _cnt"
+                " - CASE WHEN (100 * _cents) % _cnt < 0 THEN 1 ELSE 0 END"
+            ),
+        )
     )
     return hourly.select(*keys, "bucket", "v")
 
@@ -250,7 +280,6 @@ def matrix_profile_ab(
                 "nn_dist2": pd.Series(dtype="int64"),
             }
         )
-        out_parts = []
         a = pdf[pdf["_side"] == 0].sort_values("_o", kind="mergesort")
         b = pdf[pdf["_side"] == 1].sort_values("_o", kind="mergesort")
         va = a["_v"].to_numpy(dtype=np.int64)
@@ -262,6 +291,7 @@ def matrix_profile_ab(
             )
         if len(va) < m or len(vb) < m:
             return empty
+        _check_int64_bound("matrix_profile_ab", m, va, vb)
         wa = np.lib.stride_tricks.sliding_window_view(va, m)
         wb = np.lib.stride_tricks.sliding_window_view(vb, m)
         fast = _exact_float_ok(m, va, vb)
@@ -278,17 +308,14 @@ def matrix_profile_ab(
             arg = d.argmin(axis=1)
             best[s:e] = d[np.arange(e - s), arg]
             best_j[s:e] = arg
-        out_parts.append(
-            pd.DataFrame(
-                {
-                    **{k: pdf.iloc[0][k] for k in keys},
-                    "idx": np.arange(nwa, dtype=np.int32),
-                    "nn_idx": best_j.astype(np.int32),
-                    "nn_dist2": best,
-                }
-            )
+        return pd.DataFrame(
+            {
+                **{k: pdf.iloc[0][k] for k in keys},
+                "idx": np.arange(nwa, dtype=np.int32),
+                "nn_idx": best_j.astype(np.int32),
+                "nn_dist2": best,
+            }
         )
-        return pd.concat(out_parts) if out_parts else empty
 
     return tagged.groupBy(*keys).applyInPandas(profile, out_schema)
 

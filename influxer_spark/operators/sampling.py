@@ -330,13 +330,24 @@ def export_shards(
     data = docs.select(F.col(id_col).alias("id"), *cols).join(
         assigned, on="id"
     )
-    n = data.count()
+    # the assignment join is 1:1 on id, so the corpus count IS the export
+    # count — counting `docs` avoids executing the join + two-pass prefix
+    # scan a second time just to size the shard list
+    n = docs.count()
     n_shards = (n + docs_per_shard - 1) // docs_per_shard
     shards = [str(i) for i in range(n_shards)]
     catalog.write_partitions(
         data.withColumn("pshard", F.col("shard_idx").cast("string")),
         table, shards, day_col="pshard",
     )
+    # a re-export over a SMALLER corpus writes fewer shards: retire the
+    # higher-numbered partitions from the previous version, or readers of
+    # "all committed shards" would mix two permutations (stale ranks)
+    for stale in sorted(catalog.committed_partitions(table)):
+        if stale.isdigit() and int(stale) >= n_shards:
+            catalog.drop_partition(
+                table, stale, reason=f"re-export: corpus now fills {n_shards} shards"
+            )
     catalog.set_table_property(table, "docs_per_shard", int(docs_per_shard))
     catalog.set_table_property(table, "shuffle_seed", seed)
     return shards

@@ -75,6 +75,50 @@ def test_profile_short_series_emits_nothing(spark):
     assert MP.matrix_profile(_series_df(spark, [1, 2, 3]), ["k"], "i", "v", m=3).count() == 0
 
 
+def test_profile_no_admissible_neighbor_rows_dropped(spark):
+    # n=12, m=8 → excl_z=4, nw=5: idx 1..3 have NO admissible neighbor
+    # (every other start is within the exclusion zone) — they must be
+    # dropped, not emitted as 2⁶³−1 sentinels; idx 0 and 4 pair up.
+    v = list(range(12))
+    rows = MP.matrix_profile(_series_df(spark, v), ["k"], "i", "v", m=8).collect()
+    got = {r["idx"]: (r["nn_idx"], r["nn_dist2"]) for r in rows}
+    assert got == _brute(v, 8, 4)
+    assert sorted(got) == [0, 4]
+    assert all(d < 2**62 for _, d in got.values())
+
+
+def test_profile_int64_overflow_guard_raises(spark):
+    # ticks at 3e9 with m=4: the d² bound 4·m·tick² ≈ 1.4e20 ≥ 2⁶³ —
+    # numpy would wrap silently, so the operator must fail loudly instead
+    v = [3_000_000_000 * (i % 2) for i in range(12)]
+    with pytest.raises(Exception, match="overflow"):
+        MP.matrix_profile(_series_df(spark, v), ["k"], "i", "v", m=4).collect()
+
+
+def test_ab_profile_int64_overflow_guard_raises(spark):
+    va = [3_000_000_000 * (i % 2) for i in range(12)]
+    vb = [1, 2, 3, 4, 5, 6]
+    with pytest.raises(Exception, match="overflow"):
+        MP.matrix_profile_ab(
+            _series_df(spark, va), _series_df(spark, vb), ["k"], "i", "v", m=4
+        ).collect()
+
+
+def test_hourly_tick_series_floors_negative_means(spark):
+    # cents = −1 over 3 points: (100·−1)/3 = −33.33…; DuckDB // floors to
+    # −34, Spark DIV would truncate to −33 — the operator must floor.
+    rows = [
+        ("e", "2024-01-01 00:10:00", -0.005),
+        ("e", "2024-01-01 00:20:00", -0.005),
+        ("e", "2024-01-01 00:30:00", 0.0),
+    ]
+    df = spark.createDataFrame(rows, ["event_type", "ts", "value"]).withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    got = {str(r["bucket"]): r["v"] for r in MP.hourly_tick_series(df).collect()}
+    assert got["2024-01-01 00:00:00"] == -34
+
+
 def test_profile_max_points_guard(spark):
     df = _series_df(spark, list(range(50)))
     with pytest.raises(Exception, match="max_points"):

@@ -189,6 +189,17 @@ def test_export_shards_roundtrip_and_reexport_snapshot(spark, tmp_path):
     # the previous dataset version remains time-travelable
     SA.export_shards(spark, cat, docs.filter("doc_id < 8"), "doc_id", 4)
     assert cat.current_snapshot("train_shards") > v1
+    # the smaller corpus fills 2 shards: shard "2" from v1 must be RETIRED
+    # from the current snapshot (a reader of all committed shards must see
+    # one permutation, never stale ranks from the previous export)
+    live = cat.committed_partitions("train_shards")
+    assert sorted(live) == ["0", "1"]
+    assert "2" in cat.dropped_partitions("train_shards")
+    cur = spark.read.parquet(
+        *cat.partition_paths("train_shards", sorted(live))
+    )
+    assert cur.count() == 8
+    assert sorted(r["id"] for r in cur.select("id").collect()) == list(range(8))
     old = spark.read.parquet(
         *[
             cat._partition_dir("train_shards", pv, e)
