@@ -2008,6 +2008,114 @@ QUALIFY row_number() OVER (PARTITION BY event_type, i ORDER BY d2, j) = 1
 """
 
 
+def _q_trend_mk_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall S / tau + Theil-Sen slope per event_type over the daily
+    mean tick series (operators/trend.py): the robust 'is this metric
+    drifting?' classifier.  S is an exact integer sign sum, tau and each
+    pairwise slope are single IEEE ops on exact integers, and the Theil-Sen
+    median replays DuckDB's interpolation bit-exactly — every column
+    hash-matches a pair self-join oracle."""
+    from influxer_spark.operators.trend import mk_theilsen
+
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", F.date_trunc("day", "ts").alias("bucket"))
+        .agg(
+            F.round(F.sum("value") * 100, 0).cast("long").alias("_cents"),
+            F.count("value").alias("_cnt"),
+        )
+        .withColumn(
+            "v",
+            F.expr(
+                "(100 * _cents) DIV _cnt"
+                " - CASE WHEN (100 * _cents) % _cnt < 0 THEN 1 ELSE 0 END"
+            ),
+        )
+    )
+    return mk_theilsen(daily, ["event_type"], "bucket", "v")
+
+
+_TREND_MK_ORACLE = """
+WITH d AS (
+  SELECT event_type, date_trunc('day', ts) AS bucket,
+         (100 * CAST(round(sum(value) * 100, 0) AS BIGINT)) // count(value) AS x
+  FROM events GROUP BY 1, 2
+), r AS (
+  SELECT event_type, x,
+         CAST(row_number() OVER (PARTITION BY event_type ORDER BY bucket) - 1
+              AS BIGINT) AS i
+  FROM d
+), p AS (
+  SELECT a.event_type,
+         CAST(sign(b.x - a.x) AS BIGINT) AS s,
+         CAST(b.x - a.x AS DOUBLE) / CAST(b.i - a.i AS DOUBLE) AS slope
+  FROM r a JOIN r b ON a.event_type = b.event_type AND b.i > a.i
+), n AS (
+  SELECT event_type, count(*) AS n_points FROM r GROUP BY 1
+)
+SELECT n.event_type, n.n_points,
+       CAST(sum(p.s) AS BIGINT) AS mk_s,
+       CAST(sum(p.s) AS DOUBLE) / (n.n_points * (n.n_points - 1) / 2.0) AS mk_tau,
+       median(p.slope) AS sen_slope
+FROM p JOIN n ON p.event_type = n.event_type
+GROUP BY n.event_type, n.n_points
+"""
+
+
+def _q_delete_where_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level COPY-ON-WRITE delete VALUE-oracled (catalog.delete_where):
+    land events as a day-partitioned catalog table, serve a takedown for a
+    'url list' (user_id % 13 = 0 stands in for the request set) in ONE
+    atomic snapshot, and roll up the surviving table.  The oracle is the
+    same rollup over events minus the matching rows — a hash match proves
+    the COW rewrite deleted exactly the requested ROWS (not partitions)
+    and nothing else, through the manifest-pruned rewrite wave."""
+    import shutil
+    import tempfile
+
+    from influxer_spark.catalog import TableCatalog
+
+    ev = _t(spark, sf_dir, "events")
+    root = tempfile.mkdtemp(prefix="delete_gate_")
+    try:
+        cat = TableCatalog(root)
+        days = sorted(
+            r["day"]
+            for r in ev.select(
+                F.date_format("ts", "yyyy-MM-dd").alias("day")
+            ).distinct().collect()
+        )
+        cat.write_partitions(
+            ev.withColumn("day", F.date_format("ts", "yyyy-MM-dd")),
+            "pages_t", days,
+        )
+        cat.delete_where(spark, "pages_t", "user_id % 13 = 0", reason="takedown")
+        back = cat.read_committed(spark, "pages_t")
+        out = back.groupBy("event_type").agg(
+            F.count("value").alias("cnt"),
+            (_q2(F.sum("value")) / 100.0).alias("sum_v"),
+            F.min("value").alias("min_v"),
+            F.max("value").alias("max_v"),
+            F.countDistinct("user_id").alias("users"),
+        )
+        # materialize before removing the scratch catalog (lazy reads)
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+_DELETE_TAKEDOWN_ORACLE = """
+SELECT event_type, count(value) AS cnt,
+       CAST(round(sum(value) * 100, 0) AS BIGINT) / 100.0 AS sum_v,
+       min(value) AS min_v, max(value) AS max_v,
+       count(DISTINCT user_id) AS users
+FROM events
+WHERE COALESCE(user_id % 13 = 0, FALSE) = FALSE
+GROUP BY 1
+"""
+
+
 def _q_matrix_profile_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AB-join profile: every 12h window of the FINAL 9 days vs the first
     21 days of the same series — "did this shape occur in the reference
@@ -2323,6 +2431,8 @@ _WINDOW_PRIORITY = [
     "ivf_pq_index_topk",
     "ivf_pq_index_extend_topk",
     "stream_ivfpq_extend_replay",
+    "trend_mk_theilsen_daily",
+    "delete_where_takedown",
 ]
 
 # Rows-only queries (genuinely non-SQL-expressible internals) — always last.
@@ -2396,6 +2506,8 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_hot_users": _q_topk_hot_users,
         "sessionize_30m": _q_sessionize,
         "matrix_profile_24h": _q_matrix_profile,
+        "trend_mk_theilsen_daily": _q_trend_mk_theilsen,
+        "delete_where_takedown": _q_delete_where_takedown,
         "matrix_profile_ab_recent": _q_matrix_profile_ab,
         "matrix_profile_tier_read": _q_matrix_profile_tier,
         "stream_sessionize_replay": _q_stream_sessionize,
@@ -2506,6 +2618,8 @@ def oracle_sql() -> dict[str, str]:
         "hdr_tier_read_4h": _HDR_TIER_4H_ORACLE,
         "stream_heavy_hitters_replay": _STREAM_HH_ORACLE,
         "matrix_profile_24h": _MATRIX_PROFILE_ORACLE,
+        "trend_mk_theilsen_daily": _TREND_MK_ORACLE,
+        "delete_where_takedown": _DELETE_TAKEDOWN_ORACLE,
         "matrix_profile_ab_recent": _MATRIX_PROFILE_AB_ORACLE,
         "matrix_profile_tier_read": _MATRIX_PROFILE_ORACLE,
         "heavy_hitters_1d": _HEAVY_HITTERS_ORACLE,

@@ -332,6 +332,102 @@ class TableCatalog:
         self._commit_manifest(name, manifest)
         shutil.rmtree(staging, ignore_errors=True)
 
+    def delete_where(
+        self, spark: SparkSession, name: str, predicate: str, reason: str = ""
+    ) -> dict[str, int]:
+        """Row-level COPY-ON-WRITE delete — Iceberg ``DELETE FROM <name>
+        WHERE <predicate>`` semantics in ONE atomic snapshot.  Takedown /
+        right-to-be-forgotten requests over a web corpus remove ROWS (a
+        url), not partitions (a day), so partition drops can't express
+        them; this is the missing granularity.
+
+        Two wave jobs, both manifest-pruned:
+
+        1. a count job finds the AFFECTED partitions (≥1 matching row) —
+           untouched partitions keep their immutable ``v=`` dirs
+           byte-for-byte, so time travel and :meth:`snapshot_diff` readers
+           see no spurious change and the write amplification is bounded
+           by the rows actually hit;
+        2. one rewrite wave stages the SURVIVORS (rows where the predicate
+           is not TRUE — SQL ``DELETE`` leaves NULL-predicate rows in
+           place) for exactly the affected partitions.
+
+        The commit is a single snapshot: rewritten partitions point at new
+        ``v=`` dirs, fully-emptied partitions leave the manifest, and each
+        lineage event records ``rows_deleted`` — the audit trail a takedown
+        pipeline must produce.  A crash before the pointer flip leaves the
+        previous snapshot authoritative (old dirs are immutable); re-running
+        is idempotent (the second pass matches zero rows).  The predicate
+        sees the data columns plus the partition value as string column
+        ``p``, so partition-aligned predicates prune for free.
+        """
+        from pyspark.sql import functions as F
+
+        pvs = sorted(self.committed_partitions(name))
+        out = {"partitions_rewritten": 0, "partitions_dropped": 0, "rows_deleted": 0}
+        if not pvs:
+            return out
+        pred = F.coalesce(F.expr(predicate), F.lit(False))
+        tagged = self.read_partitions_with_key(spark, name, pvs)
+        hits = {
+            r["p"]: (int(r["matched"]), int(r["total"]))
+            for r in tagged.groupBy("p")
+            .agg(
+                F.sum(pred.cast("long")).alias("matched"),
+                F.count(F.lit(1)).alias("total"),
+            )
+            .collect()
+            if r["matched"]
+        }
+        if not hits:
+            return out
+        rewritten = sorted(pv for pv, (m, t) in hits.items() if m < t)
+        staging = os.path.join(self.table_path(name), f".delete-{uuid.uuid4().hex[:8]}")
+        if rewritten:
+            (
+                self.read_partitions_with_key(spark, name, rewritten)
+                .filter(~pred)
+                .write.mode("overwrite")
+                .partitionBy("p")
+                .parquet(staging)
+            )
+        manifest = self.read_manifest(name)
+        for pv in sorted(hits):
+            matched, total = hits[pv]
+            out["rows_deleted"] += matched
+            if matched == total:
+                manifest["partitions"].pop(pv, None)
+                manifest["lineage"].append(
+                    {
+                        "partition": pv,
+                        "dropped_at": time.time(),
+                        "reason": reason or f"delete_where: all {total} rows matched",
+                        "rows_deleted": matched,
+                    }
+                )
+                out["partitions_dropped"] += 1
+                continue
+            src = os.path.join(staging, f"p={pv}")
+            vdir = f"v={uuid.uuid4().hex[:8]}"
+            pdir = os.path.join(self.table_path(name), f"p={pv}")
+            os.makedirs(pdir, exist_ok=True)
+            os.replace(src, os.path.join(pdir, vdir))
+            entry = {
+                "committed_at": time.time(),
+                "dir": vdir,
+                "counters": {"rows_deleted": matched, "rows_kept": total - matched},
+                "lineage": {"op": "delete_where", "predicate": predicate,
+                            "reason": reason},
+            }
+            manifest["partitions"][pv] = entry
+            manifest["lineage"].append(
+                {"partition": pv, "rows_deleted": matched, **entry}
+            )
+            out["partitions_rewritten"] += 1
+        self._commit_manifest(name, manifest)
+        shutil.rmtree(staging, ignore_errors=True)
+        return out
+
     # ------------------------------------------------------------------
     # retention / expiry / gc
     # ------------------------------------------------------------------

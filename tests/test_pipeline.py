@@ -222,6 +222,65 @@ def test_snapshot_time_travel_and_expiry(tmp_path, spark):
     )
 
 
+def test_delete_where_copy_on_write(tmp_path, spark):
+    """Row-level COW delete: one atomic snapshot rewrites only the affected
+    partitions, drops fully-emptied ones, leaves untouched partitions'
+    data dirs byte-identical, and keeps history time-travelable."""
+    cat = TableCatalog(str(tmp_path / "c"))
+    rows = [(i, f"url-{i % 5}", f"2024-01-0{1 + i % 3}") for i in range(30)]
+    df = spark.createDataFrame(rows, ["id", "url", "day"])
+    days = ["2024-01-01", "2024-01-02", "2024-01-03"]
+    cat.write_partitions(df, "t", days)
+    s1 = cat.current_snapshot("t")
+    dirs_before = {d: cat._partition_dir("t", d, e)
+                   for d, e in cat.committed_partitions("t").items()}
+
+    # takedown: url-2 appears in every partition → all three rewritten
+    res = cat.delete_where(spark, "t", "url = 'url-2'", reason="takedown")
+    assert res == {"partitions_rewritten": 3, "partitions_dropped": 0,
+                   "rows_deleted": 6}
+    assert cat.current_snapshot("t") == s1 + 1  # ONE snapshot for the whole op
+    cur = cat.read_committed(spark, "t")
+    assert cur.count() == 24
+    assert cur.filter("url = 'url-2'").count() == 0
+    # history intact: the pre-delete snapshot still shows the deleted rows
+    assert cat.read_committed(spark, "t", as_of=s1).count() == 30
+
+    # partition-aligned predicate: only that partition changes; the other
+    # two keep their v= dirs BYTE-IDENTICAL (no spurious rewrite)
+    s2 = cat.current_snapshot("t")
+    res = cat.delete_where(spark, "t", "p = '2024-01-02' AND id < 100")
+    assert res["partitions_dropped"] == 1 and res["partitions_rewritten"] == 0
+    live = cat.committed_partitions("t")
+    assert sorted(live) == ["2024-01-01", "2024-01-03"]
+    for d in live:
+        assert cat._partition_dir("t", d, live[d]) == \
+            cat._partition_dir("t", d, cat.committed_partitions("t", as_of=s2)[d])
+    assert "2024-01-02" in cat.dropped_partitions("t")
+    # lineage carries the audit counter
+    deleted_events = [e for e in cat.read_manifest("t")["lineage"]
+                      if e.get("rows_deleted")]
+    assert sum(e["rows_deleted"] for e in deleted_events) == 6 + 8
+
+    # idempotent: re-running the takedown matches zero rows, commits nothing
+    s3 = cat.current_snapshot("t")
+    assert cat.delete_where(spark, "t", "url = 'url-2'") == {
+        "partitions_rewritten": 0, "partitions_dropped": 0, "rows_deleted": 0}
+    assert cat.current_snapshot("t") == s3
+
+    # NULL predicate rows survive (SQL DELETE deletes only TRUE)
+    res = cat.delete_where(
+        spark, "t", "CASE WHEN id % 2 = 0 THEN NULL ELSE id % 3 = 0 END")
+    back = cat.read_committed(spark, "t")
+    assert back.filter("id % 2 = 0").count() > 0
+    assert back.filter("id % 2 = 1 AND id % 3 = 0").count() == 0
+
+    # untouched partitions stay byte-identical vs the ORIGINAL write when
+    # never hit: 2024-01-01's dir changed only on deletes that matched it
+    assert dirs_before["2024-01-01"] != cat._partition_dir(
+        "t", "2024-01-01", cat.committed_partitions("t")["2024-01-01"])
+
+
 def test_wave_commit_skips_empty_partition_values(tmp_path, spark):
     """A requested partition value with zero staged rows must NOT get a
     manifest entry (read_partition on it would throw)."""
