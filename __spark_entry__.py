@@ -2116,6 +2116,70 @@ GROUP BY 1
 """
 
 
+def _q_merge_into_recrawl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-scoped MERGE INTO VALUE-oracled (catalog.merge_into): land
+    events as a day-partitioned catalog table, then 'the re-crawl lands' —
+    every 11th event's row is REPLACED (value + 1.0) and every 17th event
+    re-appears under a new id (INSERT) — in one atomic snapshot.  The
+    oracle applies the same matched-replace/unmatched-insert algebra in
+    SQL; a hash match proves the anti-join + wave rewrite upserted exactly
+    the source rows and left every other row untouched."""
+    import shutil
+    import tempfile
+
+    from influxer_spark.catalog import TableCatalog
+
+    ev = _t(spark, sf_dir, "events")
+    root = tempfile.mkdtemp(prefix="merge_gate_")
+    try:
+        cat = TableCatalog(root)
+        withday = ev.withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+        days = sorted(
+            r["day"] for r in withday.select("day").distinct().collect()
+        )
+        cat.write_partitions(withday, "pages_t", days)
+        updates = withday.filter("event_id % 11 = 0").withColumn(
+            "value", F.col("value") + F.lit(1.0)
+        )
+        inserts = withday.filter("event_id % 17 = 0").withColumn(
+            "event_id", F.col("event_id") + F.lit(1_000_000_000)
+        )
+        cat.merge_into(
+            spark, "pages_t", updates.unionByName(inserts), ["event_id"],
+            reason="recrawl",
+        )
+        back = cat.read_committed(spark, "pages_t")
+        out = back.groupBy("event_type").agg(
+            F.count("value").alias("cnt"),
+            (_q2(F.sum("value")) / 100.0).alias("sum_v"),
+            F.countDistinct("event_id").alias("ids"),
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+_MERGE_RECRAWL_ORACLE = """
+WITH up AS (
+  SELECT event_id, ts, user_id, event_type, value + 1.0 AS value, props
+  FROM events WHERE event_id % 11 = 0
+), ins AS (
+  SELECT event_id + 1000000000 AS event_id, ts, user_id, event_type, value, props
+  FROM events WHERE event_id % 17 = 0
+), keep AS (
+  SELECT event_id, ts, user_id, event_type, value, props
+  FROM events WHERE event_id % 11 <> 0 OR event_id IS NULL
+), merged AS (
+  SELECT * FROM keep UNION ALL SELECT * FROM up UNION ALL SELECT * FROM ins
+)
+SELECT event_type, count(value) AS cnt,
+       CAST(round(sum(value) * 100, 0) AS BIGINT) / 100.0 AS sum_v,
+       count(DISTINCT event_id) AS ids
+FROM merged GROUP BY 1
+"""
+
+
 def _q_matrix_profile_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AB-join profile: every 12h window of the FINAL 9 days vs the first
     21 days of the same series — "did this shape occur in the reference
@@ -2433,6 +2497,7 @@ _WINDOW_PRIORITY = [
     "stream_ivfpq_extend_replay",
     "trend_mk_theilsen_daily",
     "delete_where_takedown",
+    "merge_into_recrawl",
 ]
 
 # Rows-only queries (genuinely non-SQL-expressible internals) — always last.
@@ -2508,6 +2573,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "matrix_profile_24h": _q_matrix_profile,
         "trend_mk_theilsen_daily": _q_trend_mk_theilsen,
         "delete_where_takedown": _q_delete_where_takedown,
+        "merge_into_recrawl": _q_merge_into_recrawl,
         "matrix_profile_ab_recent": _q_matrix_profile_ab,
         "matrix_profile_tier_read": _q_matrix_profile_tier,
         "stream_sessionize_replay": _q_stream_sessionize,
@@ -2620,6 +2686,7 @@ def oracle_sql() -> dict[str, str]:
         "matrix_profile_24h": _MATRIX_PROFILE_ORACLE,
         "trend_mk_theilsen_daily": _TREND_MK_ORACLE,
         "delete_where_takedown": _DELETE_TAKEDOWN_ORACLE,
+        "merge_into_recrawl": _MERGE_RECRAWL_ORACLE,
         "matrix_profile_ab_recent": _MATRIX_PROFILE_AB_ORACLE,
         "matrix_profile_tier_read": _MATRIX_PROFILE_ORACLE,
         "heavy_hitters_1d": _HEAVY_HITTERS_ORACLE,

@@ -428,6 +428,80 @@ class TableCatalog:
         shutil.rmtree(staging, ignore_errors=True)
         return out
 
+    def merge_into(
+        self,
+        spark: SparkSession,
+        name: str,
+        source: DataFrame,
+        key_cols: list[str],
+        day_col: str = "day",
+        reason: str = "",
+    ) -> dict[str, int]:
+        """Partition-scoped UPSERT — Iceberg ``MERGE INTO`` (matched →
+        replace the row, unmatched → insert) in ONE atomic snapshot: the
+        re-crawl last mile, where updated pages replace their previous row
+        by key and new pages append, without rewriting the table.
+
+        ``source`` carries the data columns plus ``day_col`` (each row's
+        partition value).  Rows match on ``key_cols`` WITHIN their
+        partition — the rewrite wave is therefore bounded by the
+        partitions the source actually touches, which is what keeps MERGE
+        affordable at 10^12 rows (a cross-partition key move is a
+        :meth:`delete_where` + merge, stated rather than hidden).  Like
+        Iceberg, a source with duplicate keys in one partition is an ERROR
+        (each target row must have at most one update), checked up front.
+
+        One anti-join + one wave write; untouched partitions keep their
+        immutable ``v=`` dirs byte-for-byte; the commit is a single
+        snapshot whose lineage records the merge op per partition.
+        Returns {rows_updated, rows_inserted, partitions_written}.
+        """
+        from pyspark.sql import functions as F
+
+        keys = list(key_cols)
+        days = sorted(
+            r[day_col]
+            for r in source.select(day_col).distinct().collect()
+        )
+        if not days:
+            return {"rows_updated": 0, "rows_inserted": 0, "partitions_written": 0}
+        dupes = (
+            source.groupBy(day_col, *keys).count().filter(F.col("count") > 1)
+        )
+        if dupes.limit(1).count():
+            ex = dupes.first()
+            raise ValueError(
+                f"merge_into: source has duplicate keys within a partition "
+                f"(e.g. {dict((k, ex[k]) for k in [day_col, *keys])} ×{ex['count']}); "
+                f"each target row must match at most one source row"
+            )
+        present = [d for d in days if d in self.committed_partitions(name)]
+        n_src = source.count()
+        n_exist = n_surv = 0
+        merged = source
+        if present:
+            existing = self.read_partitions_with_key(
+                spark, name, present
+            ).withColumnRenamed("p", day_col)
+            survivors = existing.join(
+                source.select(day_col, *keys), on=[day_col, *keys], how="left_anti"
+            )
+            n_exist = existing.count()
+            n_surv = survivors.count()
+            merged = survivors.unionByName(source)
+        updated = n_exist - n_surv
+        self.write_partitions(
+            merged, name, days, day_col=day_col,
+            lineage_by_partition={
+                d: {"op": "merge_into", "reason": reason} for d in days
+            },
+        )
+        return {
+            "rows_updated": updated,
+            "rows_inserted": n_src - updated,
+            "partitions_written": len(days),
+        }
+
     # ------------------------------------------------------------------
     # retention / expiry / gc
     # ------------------------------------------------------------------

@@ -281,6 +281,65 @@ def test_delete_where_copy_on_write(tmp_path, spark):
         "t", "2024-01-01", cat.committed_partitions("t")["2024-01-01"])
 
 
+def test_merge_into_upsert(tmp_path, spark):
+    """MERGE semantics: matched keys replaced, unmatched inserted, one
+    atomic snapshot, untouched partitions byte-identical, duplicate source
+    keys rejected up front."""
+    cat = TableCatalog(str(tmp_path / "c"))
+    rows = [(i, f"text-{i}", f"2024-01-0{1 + i % 3}") for i in range(12)]
+    df = spark.createDataFrame(rows, ["id", "text", "day"])
+    days = ["2024-01-01", "2024-01-02", "2024-01-03"]
+    cat.write_partitions(df, "t", days)
+    s1 = cat.current_snapshot("t")
+    dirs_before = {d: cat._partition_dir("t", d, e)
+                   for d, e in cat.committed_partitions("t").items()}
+
+    # re-crawl: ids 3 and 9 updated (both day 2024-01-01), id 100 inserted
+    # into day 2024-01-02 → days 01 and 02 rewritten, day 03 untouched
+    src = spark.createDataFrame(
+        [(3, "NEW-3", "2024-01-01"), (9, "NEW-9", "2024-01-01"),
+         (100, "text-100", "2024-01-02")],
+        ["id", "text", "day"],
+    )
+    res = cat.merge_into(spark, "t", src, ["id"], reason="recrawl")
+    assert res == {"rows_updated": 2, "rows_inserted": 1,
+                   "partitions_written": 2}
+    assert cat.current_snapshot("t") == s1 + 1  # ONE snapshot
+    cur = cat.read_committed(spark, "t")
+    assert cur.count() == 13
+    got = {r["id"]: r["text"] for r in cur.collect()}
+    assert got[3] == "NEW-3" and got[9] == "NEW-9" and got[100] == "text-100"
+    assert got[0] == "text-0"  # unmatched target rows survive
+    live = cat.committed_partitions("t")
+    assert cat._partition_dir("t", "2024-01-03", live["2024-01-03"]) == \
+        dirs_before["2024-01-03"]
+    assert cat._partition_dir("t", "2024-01-01", live["2024-01-01"]) != \
+        dirs_before["2024-01-01"]
+    # history: pre-merge snapshot still shows the old rows
+    old = {r["id"]: r["text"]
+           for r in cat.read_committed(spark, "t", as_of=s1).collect()}
+    assert old[3] == "text-3" and 100 not in old
+
+    # a brand-new partition value inserts cleanly
+    res = cat.merge_into(
+        spark, "t",
+        spark.createDataFrame([(200, "t200", "2024-01-09")],
+                              ["id", "text", "day"]),
+        ["id"],
+    )
+    assert res["rows_inserted"] == 1 and res["rows_updated"] == 0
+    assert "2024-01-09" in cat.committed_partitions("t")
+
+    # duplicate source keys within one partition are an ERROR (Iceberg
+    # MERGE contract: at most one update per target row)
+    bad = spark.createDataFrame(
+        [(3, "x", "2024-01-01"), (3, "y", "2024-01-01")],
+        ["id", "text", "day"],
+    )
+    with pytest.raises(ValueError, match="duplicate keys"):
+        cat.merge_into(spark, "t", bad, ["id"])
+
+
 def test_wave_commit_skips_empty_partition_values(tmp_path, spark):
     """A requested partition value with zero staged rows must NOT get a
     manifest entry (read_partition on it would throw)."""
