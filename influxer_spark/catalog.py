@@ -220,16 +220,28 @@ class TableCatalog:
         self, spark: SparkSession, name: str, partition_values: list[str],
         as_of: int | None = None,
     ) -> DataFrame:
-        """Read given partitions keeping the partition value as column ``p``."""
+        """Read given partitions keeping the partition value as column ``p``.
+
+        Projects the snapshot's recorded schema when present (directory
+        columns ``p``/``v`` are appended by partition discovery), so
+        rewrite paths (delete/merge) can never lose a column that a given
+        partition predates — it reads as NULL and rewrites as NULL."""
         from pyspark.sql import functions as F
 
-        parts = self.committed_partitions(name, as_of)
+        manifest = self.read_manifest(name, as_of)
+        parts = manifest["partitions"]
         paths = [
             self._partition_dir(name, v, parts[v])
             for v in partition_values
             if v in parts
         ]
-        df = spark.read.option("basePath", self.table_path(name)).parquet(*paths)
+        reader = spark.read.option("basePath", self.table_path(name))
+        schema = manifest.get("schema")
+        if schema is not None:
+            from pyspark.sql.types import StructType
+
+            reader = reader.schema(StructType.fromJson(schema))
+        df = reader.parquet(*paths)
         # partition inference types p=2024-03-01 as DATE; keep the catalog's
         # partition keys as plain strings; v is the internal data version
         df = df.withColumn("p", F.col("p").cast("string"))
@@ -240,13 +252,26 @@ class TableCatalog:
     ) -> DataFrame:
         """Read ONLY snapshot-committed partitions (staging/uncommitted and
         orphaned data versions are invisible — Iceberg snapshot isolation).
-        ``as_of`` reads a historical snapshot (VERSION AS OF)."""
-        parts = self.committed_partitions(name, as_of)
+        ``as_of`` reads a historical snapshot (VERSION AS OF).
+
+        When the snapshot carries a recorded schema (every wave write
+        records one), the read PROJECTS it — Iceberg schema evolution:
+        partitions written before a column existed return NULL for it, and
+        no file footers are sampled to infer types.  Time travel reads the
+        schema AS OF that snapshot, so history keeps its own shape."""
+        manifest = self.read_manifest(name, as_of)
+        parts = manifest["partitions"]
         paths = [self._partition_dir(name, v, e) for v, e in sorted(parts.items())]
         paths = [p for p in paths if os.path.exists(p)]
         if not paths:
             raise ValueError(f"table {name} has no committed partitions")
-        return spark.read.parquet(*paths)
+        schema = manifest.get("schema")
+        reader = spark.read
+        if schema is not None:
+            from pyspark.sql.types import StructType
+
+            reader = reader.schema(StructType.fromJson(schema))
+        return reader.parquet(*paths)
 
     def read(self, spark: SparkSession, name: str) -> DataFrame:
         return self.read_committed(spark, name)
@@ -275,6 +300,7 @@ class TableCatalog:
         df.write.mode("overwrite").parquet(dest)
 
         manifest = self.read_manifest(name)
+        manifest["schema"] = json.loads(df.schema.json())
         entry = {
             "committed_at": time.time(),
             "dir": vdir,
@@ -311,6 +337,11 @@ class TableCatalog:
         staging = os.path.join(self.table_path(name), f".wave-{uuid.uuid4().hex[:8]}")
         df.write.mode("overwrite").partitionBy(day_col).parquet(staging)
         manifest = self.read_manifest(name)
+        # the CURRENT schema is snapshot metadata (Iceberg schema tracking):
+        # data files exclude the partition column, and readers project this
+        # schema so partitions written before a column was added return
+        # NULL for it instead of silently dropping it
+        manifest["schema"] = json.loads(df.drop(day_col).schema.json())
         for pv in partition_values:
             src = os.path.join(staging, f"{day_col}={pv}")
             if not os.path.exists(src):
@@ -488,7 +519,10 @@ class TableCatalog:
             )
             n_exist = existing.count()
             n_surv = survivors.count()
-            merged = survivors.unionByName(source)
+            # allowMissingColumns = schema evolution through MERGE: a source
+            # with a NEW column upserts it (survivors read it as NULL), and
+            # the wave commit records the widened schema for readers
+            merged = survivors.unionByName(source, allowMissingColumns=True)
         updated = n_exist - n_surv
         self.write_partitions(
             merged, name, days, day_col=day_col,

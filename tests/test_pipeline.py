@@ -340,6 +340,55 @@ def test_merge_into_upsert(tmp_path, spark):
         cat.merge_into(spark, "t", bad, ["id"])
 
 
+def test_schema_evolution_add_column(tmp_path, spark):
+    """Iceberg schema tracking: the snapshot records the writer's schema,
+    readers PROJECT it (old partitions return NULL for added columns, no
+    footer sampling), time travel keeps each snapshot's own shape, and
+    MERGE widens the schema when the source carries a new column."""
+    cat = TableCatalog(str(tmp_path / "c"))
+    cat.write_partitions(
+        spark.createDataFrame([(1, "a", "d1")], ["id", "text", "day"]),
+        "t", ["d1"],
+    )
+    s1 = cat.current_snapshot("t")
+    # a later wave adds a column: the new snapshot's schema carries it
+    cat.write_partitions(
+        spark.createDataFrame([(2, "b", 0.5, "d2")],
+                              ["id", "text", "lang_score", "day"]),
+        "t", ["d2"],
+    )
+    cur = cat.read_committed(spark, "t")
+    assert cur.columns == ["id", "text", "lang_score"]
+    got = {r["id"]: r["lang_score"] for r in cur.collect()}
+    assert got[1] is None and got[2] == 0.5  # old partition projects NULL
+    # time travel: the pre-evolution snapshot keeps its original shape
+    assert cat.read_committed(spark, "t", as_of=s1).columns == ["id", "text"]
+
+    # COW delete of the OLD partition must not lose the new column
+    cat.delete_where(spark, "t", "id = -1 OR text = 'never'")  # no-op
+    cat.merge_into(
+        spark, "t",
+        spark.createDataFrame([(1, "a2", "d1")], ["id", "text", "day"]),
+        ["id"],
+    )
+    back = {r["id"]: (r["text"], r["lang_score"])
+            for r in cat.read_committed(spark, "t").collect()}
+    assert back[1] == ("a2", None) and back[2] == ("b", 0.5)
+
+    # MERGE with a source that carries a brand-new column widens the schema
+    cat.merge_into(
+        spark, "t",
+        spark.createDataFrame([(3, "c", "quality-ok", "d2")],
+                              ["id", "text", "audit", "day"]),
+        ["id"],
+    )
+    cur = cat.read_committed(spark, "t")
+    assert "audit" in cur.columns
+    got = {r["id"]: r["audit"] for r in cur.collect()}
+    assert got[3] == "quality-ok" and got[2] is None
+    assert got[1] is None  # d1 untouched by this merge: projected NULL
+
+
 def test_wave_commit_skips_empty_partition_values(tmp_path, spark):
     """A requested partition value with zero staged rows must NOT get a
     manifest entry (read_partition on it would throw)."""
