@@ -635,7 +635,7 @@ class TableCatalog:
                 dropped_manifests += 1
                 continue
             full = os.path.join(tdir, fn)
-            if fn.startswith(".wave-") and os.path.isdir(full):
+            if fn.startswith((".wave-", ".delete-")) and os.path.isdir(full):
                 shutil.rmtree(full, ignore_errors=True)
                 dropped_dirs += 1
             elif fn.startswith("p=") and os.path.isdir(full):

@@ -280,6 +280,13 @@ def test_delete_where_copy_on_write(tmp_path, spark):
     assert dirs_before["2024-01-01"] != cat._partition_dir(
         "t", "2024-01-01", cat.committed_partitions("t")["2024-01-01"])
 
+    # a crashed delete's staging dir is swept by expire_snapshots
+    import os
+    orphan = os.path.join(cat.table_path("t"), ".delete-deadbeef")
+    os.makedirs(orphan)
+    cat.expire_snapshots("t", keep_last=1)
+    assert not os.path.exists(orphan)
+
 
 def test_merge_into_upsert(tmp_path, spark):
     """MERGE semantics: matched keys replaced, unmatched inserted, one
