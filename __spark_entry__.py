@@ -2116,6 +2116,61 @@ GROUP BY 1
 """
 
 
+def _q_update_where_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level COPY-ON-WRITE update VALUE-oracled (catalog.update_where):
+    land events day-partitioned, then redact one user cohort in place —
+    SET value = value * 2, props = '[redacted]' WHERE user_id % 13 = 0 —
+    in one atomic snapshot, and roll up the result.  The oracle applies
+    the same CASE algebra over raw events; a hash match proves the
+    rewrite updated exactly the matching rows and passed every other row
+    through byte-equal."""
+    import shutil
+    import tempfile
+
+    from influxer_spark.catalog import TableCatalog
+
+    ev = _t(spark, sf_dir, "events")
+    root = tempfile.mkdtemp(prefix="update_gate_")
+    try:
+        cat = TableCatalog(root)
+        withday = ev.withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+        days = sorted(
+            r["day"] for r in withday.select("day").distinct().collect()
+        )
+        cat.write_partitions(withday, "pages_t", days)
+        cat.update_where(
+            spark, "pages_t", "user_id % 13 = 0",
+            {"value": "value * 2", "props": "'[redacted]'"},
+            reason="redact cohort",
+        )
+        back = cat.read_committed(spark, "pages_t")
+        out = back.groupBy("event_type").agg(
+            F.count("value").alias("cnt"),
+            (_q2(F.sum("value")) / 100.0).alias("sum_v"),
+            F.sum((F.col("props") == "[redacted]").cast("long")).alias("redacted"),
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+_UPDATE_REDACT_ORACLE = """
+WITH u AS (
+  SELECT event_type,
+         CASE WHEN COALESCE(user_id % 13 = 0, FALSE)
+              THEN value * 2 ELSE value END AS value,
+         CASE WHEN COALESCE(user_id % 13 = 0, FALSE)
+              THEN '[redacted]' ELSE props END AS props
+  FROM events
+)
+SELECT event_type, count(value) AS cnt,
+       CAST(round(sum(value) * 100, 0) AS BIGINT) / 100.0 AS sum_v,
+       CAST(count(*) FILTER (WHERE props = '[redacted]') AS BIGINT) AS redacted
+FROM u GROUP BY 1
+"""
+
+
 def _q_merge_into_recrawl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partition-scoped MERGE INTO VALUE-oracled (catalog.merge_into): land
     events as a day-partitioned catalog table, then 'the re-crawl lands' —
@@ -2498,6 +2553,7 @@ _WINDOW_PRIORITY = [
     "trend_mk_theilsen_daily",
     "delete_where_takedown",
     "merge_into_recrawl",
+    "update_where_redact",
 ]
 
 # Rows-only queries (genuinely non-SQL-expressible internals) — always last.
@@ -2574,6 +2630,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trend_mk_theilsen_daily": _q_trend_mk_theilsen,
         "delete_where_takedown": _q_delete_where_takedown,
         "merge_into_recrawl": _q_merge_into_recrawl,
+        "update_where_redact": _q_update_where_redact,
         "matrix_profile_ab_recent": _q_matrix_profile_ab,
         "matrix_profile_tier_read": _q_matrix_profile_tier,
         "stream_sessionize_replay": _q_stream_sessionize,
@@ -2687,6 +2744,7 @@ def oracle_sql() -> dict[str, str]:
         "trend_mk_theilsen_daily": _TREND_MK_ORACLE,
         "delete_where_takedown": _DELETE_TAKEDOWN_ORACLE,
         "merge_into_recrawl": _MERGE_RECRAWL_ORACLE,
+        "update_where_redact": _UPDATE_REDACT_ORACLE,
         "matrix_profile_ab_recent": _MATRIX_PROFILE_AB_ORACLE,
         "matrix_profile_tier_read": _MATRIX_PROFILE_ORACLE,
         "heavy_hitters_1d": _HEAVY_HITTERS_ORACLE,

@@ -459,6 +459,90 @@ class TableCatalog:
         shutil.rmtree(staging, ignore_errors=True)
         return out
 
+    def update_where(
+        self,
+        spark: SparkSession,
+        name: str,
+        predicate: str,
+        set_exprs: dict[str, str],
+        reason: str = "",
+    ) -> dict[str, int]:
+        """Row-level COPY-ON-WRITE update — Iceberg ``UPDATE <name> SET …
+        WHERE <predicate>`` in ONE atomic snapshot; completes the DML trio
+        beside :meth:`delete_where` and :meth:`merge_into` (use it when
+        the new values are EXPRESSIONS over the existing row — redaction,
+        re-scoring, unit fixes — rather than a source table of
+        replacements).
+
+        Same shape as delete_where: a count job finds the affected
+        partitions, one wave rewrites them with each matching row's
+        ``set_exprs`` applied (non-matching rows and NULL-predicate rows
+        pass through byte-equal); untouched partitions keep their
+        immutable dirs; lineage records ``rows_updated`` per partition.
+        ``set_exprs`` maps existing column name → SQL expression evaluated
+        on the OLD row (all assignments see pre-update values, the SQL
+        UPDATE contract).  Assigning a NEW column is an error — schema
+        evolution happens through :meth:`merge_into`, not as a side effect.
+        """
+        from pyspark.sql import functions as F
+
+        pvs = sorted(self.committed_partitions(name))
+        out = {"partitions_rewritten": 0, "rows_updated": 0}
+        if not pvs:
+            return out
+        pred = F.coalesce(F.expr(predicate), F.lit(False))
+        tagged = self.read_partitions_with_key(spark, name, pvs)
+        bad = [c for c in set_exprs if c not in tagged.columns]
+        if bad:
+            raise ValueError(
+                f"update_where: SET targets {bad} are not columns of {name}; "
+                f"add columns through merge_into, not UPDATE"
+            )
+        hits = {
+            r["p"]: int(r["matched"])
+            for r in tagged.groupBy("p")
+            .agg(F.sum(pred.cast("long")).alias("matched"))
+            .collect()
+            if r["matched"]
+        }
+        if not hits:
+            return out
+        affected = sorted(hits)
+        updated = self.read_partitions_with_key(spark, name, affected)
+        # all assignments see the OLD row: build every new value first,
+        # then swap — the SQL UPDATE simultaneous-assignment contract
+        for c, e in set_exprs.items():
+            updated = updated.withColumn(
+                f"__new_{c}", F.when(pred, F.expr(e)).otherwise(F.col(c))
+            )
+        for c in set_exprs:
+            updated = updated.withColumn(c, F.col(f"__new_{c}")).drop(f"__new_{c}")
+        staging = os.path.join(self.table_path(name), f".update-{uuid.uuid4().hex[:8]}")
+        updated.write.mode("overwrite").partitionBy("p").parquet(staging)
+        manifest = self.read_manifest(name)
+        for pv in affected:
+            src = os.path.join(staging, f"p={pv}")
+            vdir = f"v={uuid.uuid4().hex[:8]}"
+            pdir = os.path.join(self.table_path(name), f"p={pv}")
+            os.makedirs(pdir, exist_ok=True)
+            os.replace(src, os.path.join(pdir, vdir))
+            entry = {
+                "committed_at": time.time(),
+                "dir": vdir,
+                "counters": {"rows_updated": hits[pv]},
+                "lineage": {"op": "update_where", "predicate": predicate,
+                            "reason": reason},
+            }
+            manifest["partitions"][pv] = entry
+            manifest["lineage"].append(
+                {"partition": pv, "rows_updated": hits[pv], **entry}
+            )
+            out["partitions_rewritten"] += 1
+            out["rows_updated"] += hits[pv]
+        self._commit_manifest(name, manifest)
+        shutil.rmtree(staging, ignore_errors=True)
+        return out
+
     def merge_into(
         self,
         spark: SparkSession,
@@ -635,7 +719,7 @@ class TableCatalog:
                 dropped_manifests += 1
                 continue
             full = os.path.join(tdir, fn)
-            if fn.startswith((".wave-", ".delete-")) and os.path.isdir(full):
+            if fn.startswith((".wave-", ".delete-", ".update-")) and os.path.isdir(full):
                 shutil.rmtree(full, ignore_errors=True)
                 dropped_dirs += 1
             elif fn.startswith("p=") and os.path.isdir(full):

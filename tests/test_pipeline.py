@@ -288,6 +288,57 @@ def test_delete_where_copy_on_write(tmp_path, spark):
     assert not os.path.exists(orphan)
 
 
+def test_update_where_copy_on_write(tmp_path, spark):
+    """UPDATE semantics: matching rows get the SET expressions (evaluated
+    on the OLD row — simultaneous assignment), others pass through; one
+    snapshot; only affected partitions rewritten; new columns rejected."""
+    cat = TableCatalog(str(tmp_path / "c"))
+    rows = [(i, 10 * i, 100 + i, f"2024-01-0{1 + i % 2}") for i in range(8)]
+    df = spark.createDataFrame(rows, ["id", "a", "b", "day"])
+    cat.write_partitions(df, "t", ["2024-01-01", "2024-01-02"])
+    s1 = cat.current_snapshot("t")
+    dirs_before = {d: cat._partition_dir("t", d, e)
+                   for d, e in cat.committed_partitions("t").items()}
+
+    # swap test: SET a = b, b = a must see OLD values on both sides
+    res = cat.update_where(
+        spark, "t", "id = 3", {"a": "b", "b": "a"}, reason="swap"
+    )
+    assert res == {"partitions_rewritten": 1, "rows_updated": 1}
+    assert cat.current_snapshot("t") == s1 + 1
+    got = {r["id"]: (r["a"], r["b"])
+           for r in cat.read_committed(spark, "t").collect()}
+    assert got[3] == (103, 30)   # swapped from (30, 103)
+    assert got[1] == (10, 101)   # untouched row intact
+    # id=3 is day 2024-01-02: day 01 keeps its dir byte-identical
+    live = cat.committed_partitions("t")
+    assert cat._partition_dir("t", "2024-01-01", live["2024-01-01"]) == \
+        dirs_before["2024-01-01"]
+    assert cat._partition_dir("t", "2024-01-02", live["2024-01-02"]) != \
+        dirs_before["2024-01-02"]
+    # history: the pre-update snapshot still shows the old values
+    old = {r["id"]: (r["a"], r["b"])
+           for r in cat.read_committed(spark, "t", as_of=s1).collect()}
+    assert old[3] == (30, 103)
+
+    # redaction-style expression update: even ids all live in day 01
+    # (day = 1 + i % 2), so exactly one partition is rewritten
+    res = cat.update_where(spark, "t", "id % 2 = 0", {"a": "a * 100"})
+    assert res["rows_updated"] == 4 and res["partitions_rewritten"] == 1
+    got = {r["id"]: r["a"] for r in cat.read_committed(spark, "t").collect()}
+    assert got[2] == 2000 and got[1] == 10
+
+    # SET on a column that doesn't exist is an error, not schema evolution
+    with pytest.raises(ValueError, match="not columns"):
+        cat.update_where(spark, "t", "id = 0", {"nope": "1"})
+
+    # no matches → no new snapshot
+    s = cat.current_snapshot("t")
+    assert cat.update_where(spark, "t", "id = 999", {"a": "0"}) == {
+        "partitions_rewritten": 0, "rows_updated": 0}
+    assert cat.current_snapshot("t") == s
+
+
 def test_merge_into_upsert(tmp_path, spark):
     """MERGE semantics: matched keys replaced, unmatched inserted, one
     atomic snapshot, untouched partitions byte-identical, duplicate source
