@@ -364,7 +364,12 @@ class TableCatalog:
         shutil.rmtree(staging, ignore_errors=True)
 
     def delete_where(
-        self, spark: SparkSession, name: str, predicate: str, reason: str = ""
+        self,
+        spark: SparkSession,
+        name: str,
+        predicate: Any,
+        reason: str = "",
+        partitions: list[str] | None = None,
     ) -> dict[str, int]:
         """Row-level COPY-ON-WRITE delete — Iceberg ``DELETE FROM <name>
         WHERE <predicate>`` semantics in ONE atomic snapshot.  Takedown /
@@ -388,17 +393,26 @@ class TableCatalog:
         lineage event records ``rows_deleted`` — the audit trail a takedown
         pipeline must produce.  A crash before the pointer flip leaves the
         previous snapshot authoritative (old dirs are immutable); re-running
-        is idempotent (the second pass matches zero rows).  The predicate
-        sees the data columns plus the partition value as string column
-        ``p``, so partition-aligned predicates prune for free.
+        is idempotent (the second pass matches zero rows).
+
+        ``predicate`` is a SQL string or a Column; it sees the data columns
+        plus the partition value as string column ``p``.  ``partitions``
+        restricts even the COUNT job to a candidate list (metadata pruning:
+        a caller who knows the predicate's partition range — e.g. a
+        day-aligned time bound — never scans outside it).
         """
+        from pyspark.sql import Column
         from pyspark.sql import functions as F
 
         pvs = sorted(self.committed_partitions(name))
+        if partitions is not None:
+            want = set(partitions)
+            pvs = [pv for pv in pvs if pv in want]
         out = {"partitions_rewritten": 0, "partitions_dropped": 0, "rows_deleted": 0}
         if not pvs:
             return out
-        pred = F.coalesce(F.expr(predicate), F.lit(False))
+        expr = predicate if isinstance(predicate, Column) else F.expr(predicate)
+        pred = F.coalesce(expr, F.lit(False))
         tagged = self.read_partitions_with_key(spark, name, pvs)
         hits = {
             r["p"]: (int(r["matched"]), int(r["total"]))
@@ -447,7 +461,7 @@ class TableCatalog:
                 "committed_at": time.time(),
                 "dir": vdir,
                 "counters": {"rows_deleted": matched, "rows_kept": total - matched},
-                "lineage": {"op": "delete_where", "predicate": predicate,
+                "lineage": {"op": "delete_where", "predicate": str(predicate),
                             "reason": reason},
             }
             manifest["partitions"][pv] = entry
@@ -680,6 +694,26 @@ class TableCatalog:
         )
         self._commit_manifest(name, manifest)
         return True
+
+    def drop_partitions(self, name: str, partition_values: list[str],
+                        reason: str = "") -> int:
+        """Metadata-only drop of MANY partitions in ONE snapshot (the bulk
+        form of :meth:`drop_partition` — DROP MEASUREMENT / retention
+        sweeps must not pay one commit per day).  Returns the drop count;
+        bytes are reclaimed later by :meth:`expire_snapshots`."""
+        manifest = self.read_manifest(name)
+        dropped = 0
+        for pv in partition_values:
+            if pv not in manifest["partitions"]:
+                continue
+            del manifest["partitions"][pv]
+            manifest["lineage"].append(
+                {"partition": pv, "dropped_at": time.time(), "reason": reason}
+            )
+            dropped += 1
+        if dropped:
+            self._commit_manifest(name, manifest)
+        return dropped
 
     def dropped_partitions(self, name: str) -> dict[str, str]:
         """Partitions whose LATEST lineage event is a drop: {value: reason}.

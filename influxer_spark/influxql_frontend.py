@@ -2481,6 +2481,12 @@ class InfluxQLEngine:
             name = p.ident()
             if name not in self.tables:
                 raise InfluxQLError(f"unknown measurement {name!r}")
+            if name in self.tiered:
+                # InfluxDB DROP MEASUREMENT deletes all data: metadata-only
+                # bulk drop of every persisted tier partition (no scan),
+                # time-travelable until expire_snapshots
+                self._delete_tiered(name, None)
+                del self.tiered[name]
             del self.tables[name]
             return spark.createDataFrame([(name,)], "dropped string")
         if p.kw("DROP", "SERIES"):
@@ -2498,22 +2504,139 @@ class InfluxQLEngine:
             self.tables[name] = self.tables[name].filter(~self._cond(cond))
             return spark.createDataFrame([(name,)], "dropped_series_from string")
         if p.kw("DELETE"):
-            # DELETE FROM m [WHERE …]: keep the complement — the lazy-frame
-            # analogue of InfluxDB's tombstones; the persisted-table analogue
-            # is catalog drop_partitions / retention.apply_retention
+            # DELETE FROM m [WHERE …]: keep the complement on the lazy frame
+            # (InfluxDB's tombstones) AND, for a catalog-tiered measurement,
+            # row-level COW-delete the matching rows from every persisted
+            # tier table in one snapshot each (_delete_tiered)
             if not p.kw("FROM"):
                 raise InfluxQLError("DELETE needs FROM <measurement>")
             name = p.ident()
             if name not in self.tables:
                 raise InfluxQLError(f"unknown measurement {name!r}")
-            if p.kw("WHERE"):
-                self.tables[name] = self.tables[name].filter(
-                    ~self._cond(p.cond())
-                )
+            cond = p.cond() if p.kw("WHERE") else None
+            if name in self.tiered:
+                deleted = self._delete_tiered(name, cond)
+            else:
+                deleted = None
+            if cond is not None:
+                self.tables[name] = self.tables[name].filter(~self._cond(cond))
             else:
                 self.tables[name] = self.tables[name].limit(0)
+            if deleted is not None:
+                return spark.createDataFrame(
+                    [(name, t, int(r["rows_deleted"]))
+                     for t, r in sorted(deleted.items())],
+                    "deleted_from string, tier_table string, rows_deleted long",
+                )
             return spark.createDataFrame([(name,)], "deleted_from string")
         raise InfluxQLError(f"unsupported statement: {sql!r}")
+
+    # every tier family a tiered measurement may have materialized; DELETE
+    # must hit them all or the families drift out of sync
+    _TIER_TABLES = ("rollup_1m", "rollup_1h", "rollup_1d",
+                    "sumsq_1m", "sumsq_1h", "sumsq_1d",
+                    "kmv_1h", "kmv_1d", "hdr_1h", "hdr_1d")
+
+    def _delete_tiered(self, name: str, cond: Any) -> dict[str, dict]:
+        """``DELETE FROM <tiered measurement>`` against the PERSISTED tier
+        tables: tier rows are aggregates, so a row-level delete is exact
+        only when the predicate removes WHOLE buckets of every tier —
+        i.e. AND-combined (a) time bounds ``time >= 'T'`` / ``time < 'T'``
+        aligned to the coarsest tier (day), and (b) tag predicates on the
+        tier key columns (a tag selects whole series, bucket-complete by
+        construction).  Anything finer is rejected with the fix named
+        (recompute via refresh).  Day-aligned bounds also become a
+        partition candidate list, so the delete never scans outside the
+        requested range — metadata pruning before any job runs."""
+        import datetime as dt
+
+        cfg = self.tiered[name]
+        cat = cfg["catalog"]
+        keyset = set(cfg["key_cols"])
+        if isinstance(cond, Bool) and cond.op != "and":
+            raise InfluxQLError("tiered DELETE supports AND-only predicates")
+        parts = (
+            cond.parts if isinstance(cond, Bool) else
+            [] if cond is None else [cond]
+        )
+        pred = None
+        lo_day = hi_day = None
+        for c in parts:
+            if not isinstance(c, Cmp):
+                raise InfluxQLError(f"tiered DELETE: unsupported predicate {c!r}")
+            if self._is_time(c.left) or self._is_time(c.right):
+                left, right, op = c.left, c.right, c.op
+                if self._is_time(right):  # literal-on-left form: flip
+                    left, right = right, left
+                    op = {"<": ">", ">": "<", "<=": ">=", ">=": "<="}[op]
+                if not isinstance(right, Str):
+                    raise InfluxQLError(
+                        "tiered DELETE time bounds must be literal timestamps")
+                if op not in (">=", "<"):
+                    raise InfluxQLError(
+                        "tiered DELETE time bounds must be half-open "
+                        "(time >= 'T' and/or time < 'T')")
+                t = dt.datetime.fromisoformat(right.value)
+                secs = int(t.replace(tzinfo=dt.timezone.utc).timestamp())
+                if secs % 86400:
+                    raise InfluxQLError(
+                        "tiered DELETE time bounds must align to day "
+                        "boundaries (the coarsest tier stores whole days); "
+                        "for partial-bucket deletes, delete from the raw "
+                        "table and refresh the tiers")
+                naive = t.replace(tzinfo=None)
+                col = (F.col("bucket") >= F.lit(naive)) if op == ">=" \
+                    else (F.col("bucket") < F.lit(naive))
+                day = naive.strftime("%Y-%m-%d")
+                if op == ">=":
+                    lo_day = day if lo_day is None else max(lo_day, day)
+                else:
+                    hi_day = day if hi_day is None else min(hi_day, day)
+            elif (isinstance(c.left, Ref) and c.left.name in keyset
+                  and isinstance(c.right, Str) and c.op in ("=", "!=")):
+                col = (F.col(c.left.name) == c.right.value) if c.op == "=" \
+                    else (F.col(c.left.name) != c.right.value)
+            else:
+                raise InfluxQLError(
+                    f"tiered DELETE supports day-aligned time bounds and tag "
+                    f"predicates on {sorted(keyset)}; got {c!r}")
+            pred = col if pred is None else (pred & col)
+        spark = self._spark()
+        out: dict[str, dict] = {}
+        time_only = pred is None or not any(
+            isinstance(c, Cmp)
+            and not (self._is_time(c.left) or self._is_time(c.right))
+            for c in parts
+        )
+        for table in self._TIER_TABLES:
+            if not cat.exists(table):
+                continue
+            candidates = None
+            if lo_day is not None or hi_day is not None:
+                candidates = [
+                    pv for pv in cat.committed_partitions(table)
+                    if (lo_day is None or pv >= lo_day)
+                    and (hi_day is None or pv < hi_day)
+                ]
+            if time_only:
+                # whole-partition semantics (no WHERE, or day-aligned time
+                # bounds only): a metadata-only bulk drop, NO data scan —
+                # what DROP MEASUREMENT / retention must cost at 10^12 rows
+                pvs = sorted(
+                    cat.committed_partitions(table)
+                ) if candidates is None else candidates
+                n = cat.drop_partitions(
+                    table, pvs, reason=f"InfluxQL DELETE FROM {name}"
+                )
+                out[table] = {"partitions_dropped": n,
+                              "partitions_rewritten": 0, "rows_deleted": -1}
+                continue
+            out[table] = cat.delete_where(
+                spark, table, pred,
+                reason=f"InfluxQL DELETE FROM {name}",
+                partitions=candidates,
+            )
+        return out
 
     def _mentions_time(self, e: Any) -> bool:
         if isinstance(e, Bool):

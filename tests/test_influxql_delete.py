@@ -1,0 +1,98 @@
+"""InfluxQL DELETE / DROP MEASUREMENT against PERSISTED tier tables:
+whole-bucket predicates map to catalog metadata drops or row-level COW
+deletes; anything finer is rejected with the fix named."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from influxer_spark.catalog import TableCatalog
+from influxer_spark.influxql_frontend import InfluxQLEngine, InfluxQLError
+from influxer_spark.operators.refresh import build_point_tiers
+
+
+def _points(spark):
+    rows = []
+    for d in (1, 2, 3):
+        for h in (0, 6, 12):
+            for k in ("a", "b"):
+                rows.append((f"2024-01-0{d} {h:02d}:30:00", k, float(d * 10 + h)))
+    return spark.createDataFrame(rows, ["ts", "event_type", "value"]).withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+
+
+def _build(spark, tmp_path):
+    ev = _points(spark)
+    cat = TableCatalog(str(tmp_path / "cat"))
+    build_point_tiers(spark, cat, ev, "ts", ["event_type"], "value")
+    eng = InfluxQLEngine({"m": ev}, ts_col="ts")
+    eng.register_tiered("m", cat, key_cols=("event_type",))
+    return ev, cat, eng
+
+
+def test_time_delete_is_metadata_only_and_consistent(spark, tmp_path):
+    ev, cat, eng = _build(spark, tmp_path)
+    res = {r["tier_table"]: r["rows_deleted"] for r in eng.execute_statement(
+        "DELETE FROM m WHERE time < '2024-01-02'"
+    ).collect()}
+    # metadata-only path: no scan ran, so the row count is reported unknown
+    assert res["rollup_1d"] == -1 and set(res) >= {"rollup_1m", "rollup_1h"}
+    assert sorted(cat.committed_partitions("rollup_1d")) == [
+        "2024-01-02", "2024-01-03"]
+    # tier-served queries and the lazy raw frame agree after the delete
+    got = {(r[0], r[1]): r[2] for r in eng.execute(
+        "SELECT count(value) AS cnt FROM m GROUP BY time(1d), event_type"
+    ).collect()}
+    raw = InfluxQLEngine(
+        {"m": ev.filter("ts >= '2024-01-02'")}, ts_col="ts"
+    ).execute("SELECT count(value) AS cnt FROM m GROUP BY time(1d), event_type")
+    assert got == {(r[0], r[1]): r[2] for r in raw.collect()}
+    assert all(b.year == 2024 and b.day >= 2 for b, _ in got)
+
+
+def test_tag_delete_rewrites_tiers(spark, tmp_path):
+    ev, cat, eng = _build(spark, tmp_path)
+    res = {r["tier_table"]: r["rows_deleted"] for r in eng.execute_statement(
+        "DELETE FROM m WHERE event_type = 'a'"
+    ).collect()}
+    assert res["rollup_1h"] > 0  # row-level COW path, scanned and counted
+    rows = eng.execute(
+        "SELECT count(value) AS cnt FROM m GROUP BY time(1d), event_type"
+    ).collect()
+    assert rows and all(r["event_type"] == "b" for r in rows)
+    # tag+time conjunction also works and prunes to the day range
+    res2 = eng.execute_statement(
+        "DELETE FROM m WHERE event_type = 'b' AND time >= '2024-01-03'"
+    )
+    assert eng.execute(
+        "SELECT count(value) AS cnt FROM m GROUP BY time(1d), event_type"
+    ).count() == 2  # b on days 1-2 only
+
+
+def test_unsupported_tiered_predicates_fail_loudly(spark, tmp_path):
+    _, _, eng = _build(spark, tmp_path)
+    with pytest.raises(InfluxQLError, match="day boundaries"):
+        eng.execute_statement("DELETE FROM m WHERE time < '2024-01-02 06:00:00'")
+    with pytest.raises(InfluxQLError, match="half-open"):
+        eng.execute_statement("DELETE FROM m WHERE time <= '2024-01-02'")
+    with pytest.raises(InfluxQLError, match="AND-only"):
+        eng.execute_statement(
+            "DELETE FROM m WHERE event_type = 'a' OR event_type = 'b'")
+    with pytest.raises(InfluxQLError, match="tag predicates"):
+        eng.execute_statement("DELETE FROM m WHERE value > 5")
+
+
+def test_drop_measurement_purges_tiers(spark, tmp_path):
+    _, cat, eng = _build(spark, tmp_path)
+    eng.execute_statement("DROP MEASUREMENT m")
+    assert cat.committed_partitions("rollup_1m") == {}
+    assert cat.committed_partitions("rollup_1d") == {}
+    assert "m" not in eng.tiered
+    with pytest.raises(InfluxQLError, match="unknown measurement"):
+        eng.execute("SELECT count(value) FROM m GROUP BY time(1h)")
+    # history survives until expire_snapshots (time-travelable drop)
+    snaps = cat.snapshots("rollup_1d")
+    assert len(snaps) >= 2
+    assert cat.committed_partitions("rollup_1d", as_of=snaps[-2]) != {}
