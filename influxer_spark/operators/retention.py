@@ -71,11 +71,13 @@ def apply_retention(
             if pol.depends_on is not None and part not in dep_parts:
                 blocked.append(part)
                 continue
-            catalog.drop_partition(
-                pol.table, part, reason=f"ttl {pol.ttl_days}d (cutoff {cutoff})"
-            )
             dropped.append(part)
         if dropped:
+            # ONE snapshot for the whole sweep — a year-deep TTL pass over a
+            # day-partitioned table must not pay 365 manifest commits
+            catalog.drop_partitions(
+                pol.table, dropped, reason=f"ttl {pol.ttl_days}d (cutoff {cutoff})"
+            )
             report[pol.table] = dropped
         if blocked:
             report[f"blocked:{pol.table}"] = blocked

@@ -492,15 +492,18 @@ def refresh_pipeline(
                     spark, catalog, pages_to_points(wide), "warc_ts",
                     list(skeys), vcol,
                 )
-    for day in orphaned:
+    if orphaned:
+        days = sorted(orphaned)
         for table in (
             "raw_points", "rollup_1m", "rollup_1m_gorilla",
             "rollup_1h", "rollup_1d", "kmv_1h", "kmv_1d",
             "hdr_1h", "hdr_1d", "sumsq_1m", "sumsq_1h", "sumsq_1d",
         ):
-            catalog.drop_partition(
-                table, day, reason="refresh: source rows all deleted"
+            # one snapshot per TABLE, not per (table, day)
+            catalog.drop_partitions(
+                table, days, reason="refresh: source rows all deleted"
             )
-        res.counters[day] = {"dropped": True}
+        for day in days:
+            res.counters[day] = {"dropped": True}
     res.elapsed_s = time.time() - t0
     return res
