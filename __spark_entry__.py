@@ -2554,6 +2554,7 @@ _WINDOW_PRIORITY = [
     "delete_where_takedown",
     "merge_into_recrawl",
     "update_where_redact",
+    "influxql_trend_hourly",
 ]
 
 # Rows-only queries (genuinely non-SQL-expressible internals) — always last.

@@ -538,6 +538,10 @@ FOLD_TRANSFORMS = {"exponential_moving_average",
 # prediction: holt_winters(agg(f), N, S) — fitted per series, so it also
 # takes over the whole SELECT (routed to _exec_hw)
 HW_FNS = {"holt_winters", "holt_winters_with_fit"}
+# engine extension: trend(field | agg(field)) — Mann-Kendall + Theil-Sen
+# per series (operators/trend.py); one row per series, so it also takes
+# over the SELECT (routed to _exec_trend)
+TREND_FNS = {"trend"}
 # fn, accepts (hold, warmup_type) extra args
 _FOLD_DISPATCH = {
     "exponential_moving_average": (Q.tr_exponential_moving_average, True),
@@ -994,7 +998,8 @@ class InfluxQLEngine:
             (
                 e for e, _ in stmt.projections
                 if isinstance(e, Call)
-                and (e.fname in FOLD_TRANSFORMS or e.fname in HW_FNS)
+                and (e.fname in FOLD_TRANSFORMS or e.fname in HW_FNS
+                     or e.fname in TREND_FNS)
             ),
             None,
         )
@@ -1003,6 +1008,8 @@ class InfluxQLEngine:
         ):
             if ta_root.fname in HW_FNS:
                 return self._exec_hw(stmt, None)
+            if ta_root.fname in TREND_FNS:
+                return self._exec_trend(stmt, None)
             return self._exec_fold(stmt, None)
         if stmt.measurement in self.tiered and self._kmv_tier_answerable(stmt):
             return self._exec_kmv_tiered(stmt)
@@ -1039,6 +1046,11 @@ class InfluxQLEngine:
             for e, _ in stmt.projections
         ):
             return self._exec_hw(stmt, df)
+        if any(
+            isinstance(e, Call) and e.fname in TREND_FNS
+            for e, _ in stmt.projections
+        ):
+            return self._exec_trend(stmt, df)
 
         calls: list[Call] = []
         for e, _ in stmt.projections:
@@ -1408,6 +1420,69 @@ class InfluxQLEngine:
             with_fit=e.fname.endswith("_with_fit"),
         )
         out = out.select("time", *keys, F.col("holt_winters").alias(name))
+        return self._finish(stmt, out, keys)
+
+    def _exec_trend(self, stmt: Select, df: DataFrame | None) -> DataFrame:
+        """``trend(field)`` or ``trend(agg(f)) … GROUP BY time(w)``:
+        Mann-Kendall + Theil-Sen per series (operators/trend.py) — "is
+        this series drifting, and how fast?".  One row per series at the
+        epoch-0 timestamp (the InfluxQL convention for whole-series
+        results):
+
+            (time, tags…, <name>, <name>_tau, <name>_s, <name>_n)
+
+        ``<name>`` is the Theil-Sen slope in FIELD UNITS PER BUCKET (the
+        series is quantized to exact 1e-4 ticks first, so every output
+        column replays on an integer oracle; the slope converts back by
+        one IEEE division).  The agg form desugars through ``_run`` like
+        holt_winters, so the inner aggregate is tier-served when the
+        measurement is registered."""
+        if len(stmt.projections) != 1 or not (
+            isinstance(stmt.projections[0][0], Call)
+            and stmt.projections[0][0].fname in TREND_FNS
+        ):
+            raise InfluxQLError("trend() must be the only projection")
+        e, alias = stmt.projections[0]
+        if len(e.args) != 1:
+            raise InfluxQLError("trend(field | agg(field)) takes one argument")
+        from influxer_spark.operators.trend import mk_theilsen
+
+        if isinstance(e.args[0], Call) and e.args[0].fname in AGGS:
+            if stmt.time_width is None:
+                raise InfluxQLError("trend(agg(field)) needs GROUP BY time()")
+            from dataclasses import replace as _replace
+
+            inner = _replace(
+                stmt, projections=[(e.args[0], "__fv__")], limit=None,
+                offset=None, slimit=None, soffset=None, order_desc=False,
+                into=None,
+            )
+            frame = self._run(inner)  # tier-served when registered
+            keys = self._frame_keys(stmt, frame)
+            val, tcol = "__fv__", "time"
+        elif isinstance(e.args[0], Ref) and df is not None:
+            if stmt.time_width is not None:
+                raise InfluxQLError(
+                    "trend(field) with GROUP BY time() needs an aggregate: "
+                    "trend(mean(field))")
+            frame, keys = df, list(stmt.group_tags)
+            val, tcol = e.args[0].name, self.ts_col
+        else:
+            raise InfluxQLError("trend() needs a field or aggregate argument")
+        ticks = frame.select(
+            *keys, F.col(tcol).alias("__tt__"),
+            F.round(F.col(val) * 10000, 0).cast("long").alias("__tv__"),
+        ).filter(F.col("__tv__").isNotNull())
+        st = mk_theilsen(ticks, keys, "__tt__", "__tv__")
+        name = alias or "trend"
+        out = st.select(
+            F.timestamp_seconds(F.lit(0)).alias("time"),
+            *keys,
+            (F.col("sen_slope") / 10000.0).alias(name),
+            F.col("mk_tau").alias(f"{name}_tau"),
+            F.col("mk_s").alias(f"{name}_s"),
+            F.col("n_points").alias(f"{name}_n"),
+        )
         return self._finish(stmt, out, keys)
 
     def _exec_distinct(self, stmt: Select, df: DataFrame) -> DataFrame:

@@ -785,6 +785,48 @@ _EMA_SQL = (
 )
 
 
+def _q_trend_hourly(spark, sf_dir):
+    """trend(v) through the string front-end: Mann-Kendall S/tau +
+    Theil-Sen slope per event_type over the exact hourly mean series
+    (influxql_frontend._exec_trend → operators/trend.py).  One row per
+    series at epoch 0; the slope converts from 1e-4 ticks back to field
+    units by one IEEE division, so all four stat columns hash-match the
+    pair self-join oracle."""
+    h = _hourly(spark, sf_dir)
+    out = influxql(
+        "SELECT trend(v) AS drift FROM hourly GROUP BY event_type",
+        {"hourly": h},
+        ts_col="bucket",
+    )
+    return out
+
+
+_TREND_HOURLY_SQL = f"""
+WITH {_HOURLY_MAT_SQL}, t AS (
+  SELECT event_type,
+         CAST(round(v * 10000, 0) AS BIGINT) AS x,
+         CAST(row_number() OVER (PARTITION BY event_type ORDER BY bucket) - 1
+              AS BIGINT) AS i
+  FROM hourly
+), p AS (
+  SELECT a.event_type,
+         CAST(sign(b.x - a.x) AS BIGINT) AS s,
+         CAST(b.x - a.x AS DOUBLE) / CAST(b.i - a.i AS DOUBLE) AS slope
+  FROM t a JOIN t b ON a.event_type = b.event_type AND b.i > a.i
+), n AS (
+  SELECT event_type, count(*) AS trend_n FROM t GROUP BY 1
+)
+SELECT TIMESTAMP '1970-01-01 00:00:00' AS time, n.event_type,
+       median(p.slope) / 10000.0 AS drift,
+       CAST(sum(p.s) AS DOUBLE) / (n.trend_n * (n.trend_n - 1) / 2.0)
+         AS drift_tau,
+       CAST(sum(p.s) AS BIGINT) AS drift_s,
+       n.trend_n AS drift_n
+FROM p JOIN n ON p.event_type = n.event_type
+GROUP BY n.event_type, n.trend_n
+"""
+
+
 def _q_matrix_profile(spark, sf_dir):
     """matrix_profile(field, 24) through the string front-end: per-bucket
     discord score = NN distance of the 24h window starting there, exact
@@ -1868,6 +1910,7 @@ def influxql_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "influxql_multi_measurement": _q_multi_measurement,
         "influxql_ema_series": _q_ema,
         "influxql_matrix_profile": _q_matrix_profile,
+        "influxql_trend_hourly": _q_trend_hourly,
         "influxql_rsi_series": _q_rsi,
         "influxql_cmo_ker_series": _q_cmo_ker,
         "influxql_kama_series": _q_kama,
@@ -1919,6 +1962,7 @@ def influxql_oracle_sql() -> dict[str, str]:
         "influxql_multi_measurement": _MULTI_SQL,
         "influxql_ema_series": _EMA_SQL,
         "influxql_matrix_profile": _MP_SQL,
+        "influxql_trend_hourly": _TREND_HOURLY_SQL,
         "influxql_rsi_series": _rsi_sql(14),
         "influxql_cmo_ker_series": _cmo_ker_sql(14),
         "influxql_kama_series": _kama_sql(10),

@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from influxer_spark.operators.trend import mk_theilsen
 
@@ -74,6 +75,59 @@ def test_multiple_series_independent(spark):
             n, s, tau, sen
         )
     assert rows["b"]["mk_tau"] > 0.9  # sorted series is near-perfectly rising
+
+
+def test_influxql_trend_field_form(spark):
+    from influxer_spark.influxql_frontend import influxql
+
+    rows = [("a", f"2024-01-01 {h:02d}:00:00", float(3 * h + 7)) for h in range(20)]
+    df = spark.createDataFrame(rows, ["k", "bucket", "v"]).withColumn(
+        "bucket", F.to_timestamp("bucket")
+    )
+    out = influxql(
+        "SELECT trend(v) FROM m GROUP BY k", {"m": df}, ts_col="bucket"
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["trend"] == 3.0 and r["trend_tau"] == 1.0
+    assert r["trend_s"] == 20 * 19 // 2 and r["trend_n"] == 20
+
+
+def test_influxql_trend_agg_form(spark):
+    from influxer_spark.influxql_frontend import influxql
+
+    # two points per hour, mean = 2h exactly; hourly mean series rises 2/bucket
+    rows = []
+    for h in range(12):
+        rows.append(("a", f"2024-01-01 {h:02d}:10:00", float(2 * h - 1)))
+        rows.append(("a", f"2024-01-01 {h:02d}:40:00", float(2 * h + 1)))
+    df = spark.createDataFrame(rows, ["k", "ts", "v"]).withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    out = influxql(
+        "SELECT trend(mean(v)) AS drift FROM m GROUP BY time(1h), k",
+        {"m": df}, ts_col="ts",
+    ).collect()
+    assert len(out) == 1 and out[0]["drift"] == 2.0 and out[0]["drift_tau"] == 1.0
+
+
+def test_influxql_trend_rejections(spark):
+    import pytest as _pytest
+
+    from influxer_spark.influxql_frontend import InfluxQLError, influxql
+
+    df = spark.createDataFrame(
+        [("a", "2024-01-01 00:00:00", 1.0)], ["k", "ts", "v"]
+    )
+    with _pytest.raises(InfluxQLError, match="needs an aggregate"):
+        influxql("SELECT trend(v) FROM m GROUP BY time(1h)", {"m": df}, ts_col="ts")
+    with _pytest.raises(InfluxQLError, match="GROUP BY time"):
+        influxql("SELECT trend(mean(v)) FROM m", {"m": df}, ts_col="ts")
+    with _pytest.raises(InfluxQLError, match="only projection"):
+        influxql(
+            "SELECT trend(v), mean(v) FROM m GROUP BY time(1h)",
+            {"m": df}, ts_col="ts",
+        )
 
 
 def test_order_col_gaps_rank_not_time(spark):
