@@ -84,6 +84,27 @@ def test_unsupported_tiered_predicates_fail_loudly(spark, tmp_path):
         eng.execute_statement("DELETE FROM m WHERE value > 5")
 
 
+def test_trend_inner_aggregate_is_tier_served(spark, tmp_path):
+    """trend(mean(value)) on a registered tiered measurement desugars its
+    inner GROUP BY time(1h) through the continuous-aggregate router: the
+    plan reads the rollup_1h tier, and the answer equals the raw path."""
+    ev, cat, eng = _build(spark, tmp_path)
+    df = eng.execute(
+        "SELECT trend(mean(value)) AS drift FROM m GROUP BY time(1h), event_type"
+    )
+    # the raw path scans only the in-memory frame (Scan ExistingRDD); a
+    # parquet FileScan in the plan proves the tier tables are read (the
+    # tier path string itself gets elided under pytest's long tmp paths)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FileScan parquet" in plan
+    raw = InfluxQLEngine({"m": ev}, ts_col="ts").execute(
+        "SELECT trend(mean(value)) AS drift FROM m GROUP BY time(1h), event_type"
+    )
+    key = ["event_type", "drift", "drift_tau", "drift_s", "drift_n"]
+    assert sorted(tuple(r[k] for k in key) for r in df.collect()) == \
+        sorted(tuple(r[k] for k in key) for r in raw.collect())
+
+
 def test_drop_measurement_purges_tiers(spark, tmp_path):
     _, cat, eng = _build(spark, tmp_path)
     eng.execute_statement("DROP MEASUREMENT m")
