@@ -127,6 +127,29 @@ def _build_parser() -> argparse.ArgumentParser:
         "today (deterministic dry runs / backfill replays)",
     )
     p.add_argument(
+        "-deleterows", default=None, metavar="TABLE",
+        help="with -catalog and -where: row-level COPY-ON-WRITE delete "
+        "(Iceberg DELETE FROM) — one atomic snapshot, only affected "
+        "partitions rewritten, rows_deleted in lineage (takedown / "
+        "right-to-be-forgotten)",
+    )
+    p.add_argument(
+        "-updaterows", default=None, metavar="TABLE",
+        help="with -catalog, -where, and -set: row-level COPY-ON-WRITE "
+        "update (Iceberg UPDATE … SET) — matching rows get the SET "
+        "expressions evaluated on the old row; others pass through",
+    )
+    p.add_argument(
+        "-where", default=None, metavar="SQL_PRED",
+        help="SQL predicate for -deleterows/-updaterows (sees the data "
+        "columns plus partition value as string column p)",
+    )
+    p.add_argument(
+        "-set", dest="set_exprs", default=None, metavar="COL=EXPR[;COL=EXPR]",
+        help="for -updaterows: semicolon-separated assignments, each EXPR "
+        "a SQL expression over the OLD row",
+    )
+    p.add_argument(
         "-compact", default=None, metavar="TABLES",
         help="with -catalog: binpack-rewrite small files in each named "
         "table's partitions (comma list, or 'all' for the five pipeline "
@@ -213,14 +236,16 @@ def main(argv: list[str] | None = None) -> int:
     parser = _build_parser()
     args = parser.parse_args(argv)
     if not getattr(args, "input") and not (
-        (args.query or args.retention or args.compact or args.diff)
+        (args.query or args.retention or args.compact or args.diff
+         or args.deleterows or args.updaterows)
         and args.catalog
     ):
         # -input stays mandatory everywhere the reference required it; only
         # catalog maintenance/query modes run without raw data
         parser.error(
             "-input is required (optional only with "
-            "-query/-retention/-compact/-diff -catalog)"
+            "-query/-retention/-compact/-diff/-deleterows/-updaterows "
+            "-catalog)"
         )
 
     if args.retention:
@@ -331,6 +356,38 @@ def main(argv: list[str] | None = None) -> int:
             print(
                 f"{t}: {res['rewritten']}/{res['partitions']} partitions "
                 f"rewritten, {freed} stale objects vacuumed"
+            )
+        print(f"done in {time.time() - t0:.1f}s")
+        return 0
+
+    if args.deleterows or args.updaterows:
+        if not args.catalog or not args.where:
+            parser.error("-deleterows/-updaterows require -catalog and -where")
+        from influxer_spark.catalog import TableCatalog
+
+        cat = TableCatalog(args.catalog)
+        if args.deleterows:
+            res = cat.delete_where(
+                spark, args.deleterows, args.where, reason="cli -deleterows"
+            )
+            print(
+                f"{args.deleterows}: {res['rows_deleted']} rows deleted "
+                f"({res['partitions_rewritten']} partitions rewritten, "
+                f"{res['partitions_dropped']} emptied+dropped)"
+            )
+        else:
+            if not args.set_exprs:
+                parser.error("-updaterows requires -set COL=EXPR[;COL=EXPR]")
+            sets = dict(
+                kv.split("=", 1) for kv in args.set_exprs.split(";") if kv
+            )
+            res = cat.update_where(
+                spark, args.updaterows, args.where, sets,
+                reason="cli -updaterows",
+            )
+            print(
+                f"{args.updaterows}: {res['rows_updated']} rows updated "
+                f"({res['partitions_rewritten']} partitions rewritten)"
             )
         print(f"done in {time.time() - t0:.1f}s")
         return 0

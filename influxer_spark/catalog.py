@@ -222,9 +222,15 @@ class TableCatalog:
     ) -> DataFrame:
         """Read given partitions keeping the partition value as column ``p``.
 
-        Projects the snapshot's recorded schema when present (directory
-        columns ``p``/``v`` are appended by partition discovery), so
-        rewrite paths (delete/merge) can never lose a column that a given
+        ``p`` is extracted from the file path, NOT by Spark partition
+        discovery: discovery would also parse the internal ``v=<uuid>``
+        data-version dirs as a column named ``v``, silently SHADOWING any
+        data column of that name (observed: a real double column ``v``
+        read back as the uuid string).  Path extraction keeps one scan
+        over one file index with no discovery at all.
+
+        Projects the snapshot's recorded schema when present, so rewrite
+        paths (delete/merge) can never lose a column that a given
         partition predates — it reads as NULL and rewrites as NULL."""
         from pyspark.sql import functions as F
 
@@ -235,17 +241,16 @@ class TableCatalog:
             for v in partition_values
             if v in parts
         ]
-        reader = spark.read.option("basePath", self.table_path(name))
+        reader = spark.read
         schema = manifest.get("schema")
         if schema is not None:
             from pyspark.sql.types import StructType
 
             reader = reader.schema(StructType.fromJson(schema))
         df = reader.parquet(*paths)
-        # partition inference types p=2024-03-01 as DATE; keep the catalog's
-        # partition keys as plain strings; v is the internal data version
-        df = df.withColumn("p", F.col("p").cast("string"))
-        return df.drop("v") if "v" in df.columns else df
+        return df.withColumn(
+            "p", F.regexp_extract(F.input_file_name(), "/p=([^/]+)/", 1)
+        )
 
     def read_committed(
         self, spark: SparkSession, name: str, as_of: int | None = None

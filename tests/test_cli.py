@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import json
 
+import pytest
+
 from influxer_spark.__main__ import main
 from influxer_spark.ingest.config import load_config
 from tests.ingest_fixtures import write_perfmon, write_simple_metrics
@@ -295,3 +297,37 @@ def test_cli_diff_prints_changelog(spark, tmp_path, capsys):
     printed = capsys.readouterr().out
     assert "added: 2024-01-02" in printed
     assert "rows delta: +9" in printed
+
+
+def test_cli_deleterows_and_updaterows(spark, tmp_path, capsys):
+    """-deleterows/-updaterows drive the catalog's row-level DML from the
+    ops surface: COW delete with audit counts, then an in-place UPDATE."""
+    from pyspark.sql import functions as F
+
+    from influxer_spark.catalog import TableCatalog
+
+    root = str(tmp_path / "cat")
+    cat = TableCatalog(root)
+    df = spark.createDataFrame(
+        [(i, float(i), "2024-01-01") for i in range(10)], ["id", "v", "day"]
+    )
+    cat.write_partitions(df, "t", ["2024-01-01"])
+
+    rc = main(["-catalog", root, "-deleterows", "t", "-where", "id >= 8",
+               "-cores", "8"])
+    assert rc == 0
+    assert "2 rows deleted" in capsys.readouterr().out
+    assert cat.read_committed(spark, "t").count() == 8
+
+    rc = main(["-catalog", root, "-updaterows", "t",
+               "-where", "id < 3", "-set", "v=v * 10", "-cores", "8"])
+    assert rc == 0
+    assert "3 rows updated" in capsys.readouterr().out
+    got = {r["id"]: r["v"] for r in cat.read_committed(spark, "t").collect()}
+    assert got[2] == 20.0 and got[5] == 5.0
+
+    with pytest.raises(SystemExit):
+        main(["-catalog", root, "-deleterows", "t", "-cores", "8"])  # no -where
+    with pytest.raises(SystemExit):
+        main(["-catalog", root, "-updaterows", "t", "-where", "id=0",
+              "-cores", "8"])  # no -set

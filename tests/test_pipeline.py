@@ -398,6 +398,25 @@ def test_merge_into_upsert(tmp_path, spark):
         cat.merge_into(spark, "t", bad, ["id"])
 
 
+def test_data_column_named_v_survives_partition_reads(tmp_path, spark):
+    """The internal v=<uuid> data-version dirs must never shadow a DATA
+    column named v: partition discovery would read the uuid string in its
+    place (observed before the path-extraction fix), corrupting any
+    delete/merge rewrite of such a table."""
+    cat = TableCatalog(str(tmp_path / "c"))
+    df = spark.createDataFrame(
+        [(1, 2.5, "d1"), (2, 7.5, "d1"), (3, 9.0, "d2")], ["id", "v", "day"]
+    )
+    cat.write_partitions(df, "t", ["d1", "d2"])
+    back = cat.read_partitions_with_key(spark, "t", ["d1", "d2"])
+    got = {r["id"]: (r["v"], r["p"]) for r in back.collect()}
+    assert got == {1: (2.5, "d1"), 2: (7.5, "d1"), 3: (9.0, "d2")}
+    # and a COW delete over it keeps the column's values
+    cat.delete_where(spark, "t", "id = 2")
+    vals = {r["id"]: r["v"] for r in cat.read_committed(spark, "t").collect()}
+    assert vals == {1: 2.5, 3: 9.0}
+
+
 def test_schema_evolution_add_column(tmp_path, spark):
     """Iceberg schema tracking: the snapshot records the writer's schema,
     readers PROJECT it (old partitions return NULL for added columns, no
