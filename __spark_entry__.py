@@ -2171,6 +2171,59 @@ FROM u GROUP BY 1
 """
 
 
+def _q_incremental_read_new_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg incremental read VALUE-oracled (catalog.read_increment):
+    commit all but the last two days, snapshot, land the remaining days,
+    then read ONLY what changed since the snapshot — the poll an
+    incremental training-data exporter runs instead of rescanning the
+    table.  The oracle aggregates events of exactly those two days; a
+    hash match proves the metadata diff selected precisely the new
+    partitions and the scan read them at the target snapshot."""
+    import shutil
+    import tempfile
+
+    from influxer_spark.catalog import TableCatalog
+
+    ev = _t(spark, sf_dir, "events")
+    root = tempfile.mkdtemp(prefix="inc_gate_")
+    try:
+        cat = TableCatalog(root)
+        withday = ev.withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+        days = sorted(
+            r["day"] for r in withday.select("day").distinct().collect()
+        )
+        head, tail = days[:-2], days[-2:]
+        cat.write_partitions(
+            withday.filter(F.col("day").isin(head)), "pages_t", head
+        )
+        s1 = cat.current_snapshot("pages_t")
+        cat.write_partitions(
+            withday.filter(F.col("day").isin(tail)), "pages_t", tail
+        )
+        inc = cat.read_increment(spark, "pages_t", s1)
+        out = inc.groupBy("event_type").agg(
+            F.count("value").alias("cnt"),
+            (_q2(F.sum("value")) / 100.0).alias("sum_v"),
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+_INCREMENT_ORACLE = """
+WITH dd AS (
+  SELECT DISTINCT date_trunc('day', ts) AS day FROM events
+  ORDER BY day DESC LIMIT 2
+)
+SELECT event_type, count(value) AS cnt,
+       CAST(round(sum(value) * 100, 0) AS BIGINT) / 100.0 AS sum_v
+FROM events
+WHERE date_trunc('day', ts) IN (SELECT day FROM dd)
+GROUP BY 1
+"""
+
+
 def _q_merge_into_recrawl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partition-scoped MERGE INTO VALUE-oracled (catalog.merge_into): land
     events as a day-partitioned catalog table, then 'the re-crawl lands' —
@@ -2555,6 +2608,7 @@ _WINDOW_PRIORITY = [
     "merge_into_recrawl",
     "update_where_redact",
     "influxql_trend_hourly",
+    "incremental_read_new_days",
 ]
 
 # Rows-only queries (genuinely non-SQL-expressible internals) — always last.
@@ -2632,6 +2686,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delete_where_takedown": _q_delete_where_takedown,
         "merge_into_recrawl": _q_merge_into_recrawl,
         "update_where_redact": _q_update_where_redact,
+        "incremental_read_new_days": _q_incremental_read_new_days,
         "matrix_profile_ab_recent": _q_matrix_profile_ab,
         "matrix_profile_tier_read": _q_matrix_profile_tier,
         "stream_sessionize_replay": _q_stream_sessionize,
@@ -2746,6 +2801,7 @@ def oracle_sql() -> dict[str, str]:
         "delete_where_takedown": _DELETE_TAKEDOWN_ORACLE,
         "merge_into_recrawl": _MERGE_RECRAWL_ORACLE,
         "update_where_redact": _UPDATE_REDACT_ORACLE,
+        "incremental_read_new_days": _INCREMENT_ORACLE,
         "matrix_profile_ab_recent": _MATRIX_PROFILE_AB_ORACLE,
         "matrix_profile_tier_read": _MATRIX_PROFILE_ORACLE,
         "heavy_hitters_1d": _HEAVY_HITTERS_ORACLE,

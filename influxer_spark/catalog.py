@@ -685,6 +685,46 @@ class TableCatalog:
             ),
         }
 
+    def read_increment(
+        self,
+        spark: SparkSession,
+        name: str,
+        from_snapshot: int,
+        to_snapshot: int | None = None,
+    ) -> DataFrame:
+        """Rows of the partitions ADDED or CHANGED between two snapshots —
+        Iceberg's incremental read, the "what landed since my last export?"
+        primitive an incremental training-data consumer polls instead of
+        rescanning 10^12 rows.  Metadata decides the partition list
+        (:meth:`snapshot_diff`, no data files touched); only those
+        partitions are then scanned, AT the target snapshot (a concurrent
+        writer can't leak newer data into the increment).
+
+        Granularity is the commit unit — the partition: a changed
+        partition returns its full current contents (consumers dedup by
+        key; true row-level CDC would diff old vs new files, an
+        O(partition) job either way).  Removed partitions are reported by
+        snapshot_diff, not readable here.  Returns the data columns plus
+        the partition value as ``p``; empty increment → empty frame with
+        the snapshot's recorded schema."""
+        d = self.snapshot_diff(name, from_snapshot, to_snapshot)
+        pvs = sorted(d["added"] + d["changed"])
+        if not pvs:
+            from pyspark.sql.types import StructType
+
+            mf = self.read_manifest(name, as_of=d["to_snapshot"])
+            schema = mf.get("schema")
+            if schema is None:
+                raise ValueError(
+                    f"table {name} increment is empty and the snapshot "
+                    f"records no schema to shape an empty frame"
+                )
+            st = StructType.fromJson(schema).add("p", "string")
+            return spark.createDataFrame([], st)
+        return self.read_partitions_with_key(
+            spark, name, pvs, as_of=d["to_snapshot"]
+        )
+
     def drop_partition(self, name: str, partition_value: str, reason: str = "") -> bool:
         """Metadata-only partition drop: a new snapshot without the partition
         (the analogue of Iceberg ``DROP PARTITION``).  Bytes remain until

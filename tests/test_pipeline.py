@@ -398,6 +398,39 @@ def test_merge_into_upsert(tmp_path, spark):
         cat.merge_into(spark, "t", bad, ["id"])
 
 
+def test_read_increment_added_and_changed(tmp_path, spark):
+    """Incremental read: rows of partitions added or changed since a
+    snapshot, at the target snapshot — empty increments keep the schema,
+    later commits don't leak into a pinned to_snapshot."""
+    cat = TableCatalog(str(tmp_path / "c"))
+
+    def _w(ids, day):
+        cat.write_partitions(
+            spark.createDataFrame([(i, day) for i in ids], ["id", "day"]),
+            "t", [day],
+        )
+
+    _w([1, 2], "d1")
+    _w([3], "d2")
+    s1 = cat.current_snapshot("t")
+    _w([30, 31], "d2")   # changed partition
+    _w([9], "d3")        # added partition
+    s2 = cat.current_snapshot("t")
+    inc = cat.read_increment(spark, "t", s1)
+    got = sorted((r["id"], r["p"]) for r in inc.collect())
+    assert got == [(9, "d3"), (30, "d2"), (31, "d2")]  # d1 untouched: absent
+    # empty increment keeps the recorded schema
+    empty = cat.read_increment(spark, "t", s2)
+    assert empty.count() == 0 and empty.columns == ["id", "p"]
+    # pinned to_snapshot: a later commit must not leak in
+    _w([99], "d4")
+    again = sorted(
+        (r["id"], r["p"])
+        for r in cat.read_increment(spark, "t", s1, to_snapshot=s2).collect()
+    )
+    assert again == got
+
+
 def test_data_column_named_v_survives_partition_reads(tmp_path, spark):
     """The internal v=<uuid> data-version dirs must never shadow a DATA
     column named v: partition discovery would read the uuid string in its
