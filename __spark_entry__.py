@@ -2171,6 +2171,53 @@ FROM u GROUP BY 1
 """
 
 
+def _q_wap_publish_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-Audit-Publish VALUE-oracled (catalog.stage_partitions /
+    read_staged / publish_staged): stage the full events table invisibly,
+    AUDIT the staged wave through the token (row count must match the
+    source — the validation a training-data pipeline runs before a
+    snapshot goes live), publish in one snapshot, and roll up the now-
+    visible table.  The oracle is the plain rollup over events; a hash
+    match proves stage→audit→publish is byte-lossless."""
+    import shutil
+    import tempfile
+
+    from influxer_spark.catalog import TableCatalog
+
+    ev = _t(spark, sf_dir, "events")
+    root = tempfile.mkdtemp(prefix="wap_gate_")
+    try:
+        cat = TableCatalog(root)
+        withday = ev.withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+        days = sorted(
+            r["day"] for r in withday.select("day").distinct().collect()
+        )
+        tok = cat.stage_partitions(withday, "pages_t", days)
+        audited = cat.read_staged(spark, tok).count()
+        if audited != ev.count():  # the audit gate itself
+            raise AssertionError(f"WAP audit failed: {audited} staged rows")
+        cat.publish_staged(tok, reason="gate audit passed")
+        back = cat.read_committed(spark, "pages_t")
+        out = back.groupBy("event_type").agg(
+            F.count("value").alias("cnt"),
+            (_q2(F.sum("value")) / 100.0).alias("sum_v"),
+            F.min("value").alias("min_v"),
+            F.max("value").alias("max_v"),
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+_WAP_ORACLE = """
+SELECT event_type, count(value) AS cnt,
+       CAST(round(sum(value) * 100, 0) AS BIGINT) / 100.0 AS sum_v,
+       min(value) AS min_v, max(value) AS max_v
+FROM events GROUP BY 1
+"""
+
+
 def _q_incremental_read_new_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iceberg incremental read VALUE-oracled (catalog.read_increment):
     commit all but the last two days, snapshot, land the remaining days,
@@ -2609,6 +2656,7 @@ _WINDOW_PRIORITY = [
     "update_where_redact",
     "influxql_trend_hourly",
     "incremental_read_new_days",
+    "wap_publish_rollup",
 ]
 
 # Rows-only queries (genuinely non-SQL-expressible internals) — always last.
@@ -2687,6 +2735,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_into_recrawl": _q_merge_into_recrawl,
         "update_where_redact": _q_update_where_redact,
         "incremental_read_new_days": _q_incremental_read_new_days,
+        "wap_publish_rollup": _q_wap_publish_rollup,
         "matrix_profile_ab_recent": _q_matrix_profile_ab,
         "matrix_profile_tier_read": _q_matrix_profile_tier,
         "stream_sessionize_replay": _q_stream_sessionize,
@@ -2802,6 +2851,7 @@ def oracle_sql() -> dict[str, str]:
         "merge_into_recrawl": _MERGE_RECRAWL_ORACLE,
         "update_where_redact": _UPDATE_REDACT_ORACLE,
         "incremental_read_new_days": _INCREMENT_ORACLE,
+        "wap_publish_rollup": _WAP_ORACLE,
         "matrix_profile_ab_recent": _MATRIX_PROFILE_AB_ORACLE,
         "matrix_profile_tier_read": _MATRIX_PROFILE_ORACLE,
         "heavy_hitters_1d": _HEAVY_HITTERS_ORACLE,

@@ -368,6 +368,87 @@ class TableCatalog:
         self._commit_manifest(name, manifest)
         shutil.rmtree(staging, ignore_errors=True)
 
+    def stage_partitions(
+        self,
+        df: DataFrame,
+        name: str,
+        partition_values: list[str],
+        day_col: str = "day",
+    ) -> dict[str, Any]:
+        """Write-Audit-Publish, step 1: land the wave's data dirs WITHOUT
+        touching the current snapshot (Iceberg's WAP / branch-commit
+        pattern).  Data is written into immutable ``v=`` dirs exactly as
+        :meth:`write_partitions` would, but the manifest pointer is NOT
+        flipped — readers still see the previous snapshot, while the audit
+        job reads the staged dirs through the returned token's paths.
+        Publish with :meth:`publish_staged`; abandon by simply not
+        publishing (expire_snapshots sweeps unreferenced ``v=`` dirs —
+        which also means: do NOT run expire between stage and publish, the
+        same "maintenance pauses during WAP" rule real Iceberg WAP
+        deployments follow).
+
+        Returns the token: {"table", "schema", "entries": {pv: vdir},
+        "paths": [staged dirs]}.
+        """
+        staging = os.path.join(self.table_path(name), f".wave-{uuid.uuid4().hex[:8]}")
+        df.write.mode("overwrite").partitionBy(day_col).parquet(staging)
+        entries: dict[str, str] = {}
+        paths: list[str] = []
+        for pv in partition_values:
+            src = os.path.join(staging, f"{day_col}={pv}")
+            if not os.path.exists(src):
+                continue
+            vdir = f"v={uuid.uuid4().hex[:8]}"
+            pdir = os.path.join(self.table_path(name), f"p={pv}")
+            os.makedirs(pdir, exist_ok=True)
+            os.replace(src, os.path.join(pdir, vdir))
+            entries[pv] = vdir
+            paths.append(os.path.join(pdir, vdir))
+        shutil.rmtree(staging, ignore_errors=True)
+        return {
+            "table": name,
+            "schema": json.loads(df.drop(day_col).schema.json()),
+            "entries": entries,
+            "paths": paths,
+        }
+
+    def read_staged(self, spark: SparkSession, token: dict[str, Any]) -> DataFrame:
+        """Read a staged (unpublished) wave for auditing — the data the
+        CURRENT snapshot does not see."""
+        from pyspark.sql.types import StructType
+
+        if not token["paths"]:
+            return spark.createDataFrame(
+                [], StructType.fromJson(token["schema"])
+            )
+        return spark.read.schema(
+            StructType.fromJson(token["schema"])
+        ).parquet(*token["paths"])
+
+    def publish_staged(
+        self,
+        token: dict[str, Any],
+        counters_by_partition: dict[str, dict[str, Any]] | None = None,
+        reason: str = "",
+    ) -> int:
+        """Write-Audit-Publish, step 2: flip the staged wave visible in ONE
+        snapshot.  The manifest is re-read fresh at publish time, so audits
+        can run for hours while other writers commit (optimistic
+        concurrency applies as usual).  Returns the new snapshot id."""
+        name = token["table"]
+        manifest = self.read_manifest(name)
+        manifest["schema"] = token["schema"]
+        for pv, vdir in sorted(token["entries"].items()):
+            entry = {
+                "committed_at": time.time(),
+                "dir": vdir,
+                "counters": (counters_by_partition or {}).get(pv, {}),
+                "lineage": {"op": "publish_staged", "reason": reason},
+            }
+            manifest["partitions"][pv] = entry
+            manifest["lineage"].append({"partition": pv, **entry})
+        return self._commit_manifest(name, manifest)
+
     def delete_where(
         self,
         spark: SparkSession,

@@ -398,6 +398,39 @@ def test_merge_into_upsert(tmp_path, spark):
         cat.merge_into(spark, "t", bad, ["id"])
 
 
+def test_write_audit_publish(tmp_path, spark):
+    """WAP: staged waves are invisible to readers, auditable through the
+    token, published in one snapshot, or abandoned (swept by expire)."""
+    cat = TableCatalog(str(tmp_path / "c"))
+    cat.write_partitions(
+        spark.createDataFrame([(1, "d1")], ["id", "day"]), "t", ["d1"]
+    )
+    s1 = cat.current_snapshot("t")
+    tok = cat.stage_partitions(
+        spark.createDataFrame([(2, "d2"), (3, "d2")], ["id", "day"]),
+        "t", ["d2"],
+    )
+    # invisible: current snapshot unchanged, reads see only d1
+    assert cat.current_snapshot("t") == s1
+    assert cat.read_committed(spark, "t").count() == 1
+    # auditable: the staged wave reads through the token
+    staged = cat.read_staged(spark, tok)
+    assert sorted(r["id"] for r in staged.collect()) == [2, 3]
+    # publish: one snapshot, wave visible
+    s2 = cat.publish_staged(tok, reason="audit passed")
+    assert s2 == s1 + 1 and cat.read_committed(spark, "t").count() == 3
+
+    # an ABANDONED stage is swept by expire and never becomes visible
+    tok2 = cat.stage_partitions(
+        spark.createDataFrame([(9, "d3")], ["id", "day"]), "t", ["d3"]
+    )
+    cat.expire_snapshots("t", keep_last=5)
+    assert "d3" not in cat.committed_partitions("t")
+    import os
+    assert not any(os.path.exists(p) for p in tok2["paths"])
+    assert cat.read_committed(spark, "t").count() == 3
+
+
 def test_read_increment_added_and_changed(tmp_path, spark):
     """Incremental read: rows of partitions added or changed since a
     snapshot, at the target snapshot — empty increments keep the schema,
