@@ -1211,6 +1211,59 @@ def _q_cluster_keep(spark, sf_dir):
     return D.cluster_keep(docs, pairs, "doc_id", "n_chars")
 
 
+def _q_gram_exact(spark, sf_dir):
+    """Exact integer Gram/covariance summary (operators/pca.py) — the
+    one-pass mapInPandas partial path; integer sums are order-independent
+    so the DuckDB oracle hash-matches bit-for-bit."""
+    from influxer_spark.operators.pca import gram_exact
+
+    return gram_exact(_vecs(spark, sf_dir), "embedding").orderBy("i", "j")
+
+
+_GRAM_EXACT_SQL = """
+WITH q AS (
+  SELECT vec_id, i,
+         CAST(floor(CAST(embedding[i] AS DOUBLE) * 1024 + 0.5) AS BIGINT) AS v
+  FROM embeddings,
+       UNNEST(generate_series(1, len(embedding))) AS t(i)
+)
+SELECT CAST(a.i - 1 AS INT) AS i, CAST(b.i - 1 AS INT) AS j,
+       count(*) AS n,
+       CAST(sum(a.v) AS BIGINT) AS sum_qi,
+       CAST(sum(b.v) AS BIGINT) AS sum_qj,
+       CAST(sum(a.v * b.v) AS BIGINT) AS sum_qq
+FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i
+GROUP BY 1, 2
+"""
+
+
+def _q_bpe_train(spark, sf_dir):
+    """Distributed BPE merge training (operators/bpe.py) — iterative
+    argmax over pair counts, so no single SQL oracle exists (rows-only
+    gate check); exact parity with the pure-Python reference trainer is
+    pinned by tests/test_bpe.py on this same table."""
+    from influxer_spark.operators.bpe import bpe_train
+
+    docs = _docs(spark, sf_dir)
+    return bpe_train(docs, "text", 24).orderBy("rank")
+
+
+def _q_bpe_encode(spark, sf_dir):
+    """Rank-greedy BPE encoding with merges learned on the same corpus.
+    Iterative (rows-only gate check); reference parity + document
+    reconstruction pinned by tests/test_bpe.py."""
+    from influxer_spark.operators.bpe import bpe_encode, bpe_train
+
+    docs = _docs(spark, sf_dir)
+    merges = bpe_train(docs, "text", 24)
+    enc = bpe_encode(docs, "doc_id", "text", merges)
+    return enc.select(
+        "id",
+        F.array_join("tokens", " ").alias("token_str"),
+        "n_tokens",
+    )
+
+
 def _cluster_keep_sql() -> str:
     """Recursive-CTE transitive closure over the SAME minhash-LSH pairs
     (small at oracle scale), then best-per-cluster by (n_chars desc, id)."""
@@ -1521,6 +1574,9 @@ def training_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_resample_en": _q_dsir_resample,
         "embedding_quantize_int8": _q_quantize_int8,
         "dedup_cluster_keep": _q_cluster_keep,
+        "embedding_gram_exact": _q_gram_exact,
+        "bpe_train_merges": _q_bpe_train,
+        "bpe_encode_tokens": _q_bpe_encode,
     }
 
 
@@ -1772,5 +1828,6 @@ GROUP BY t.id, t.n, t.fb
             "AS shuffle_rank FROM documents"
         ),
         "embedding_quantize_int8": _QUANT_INT8_SQL,
+        "embedding_gram_exact": _GRAM_EXACT_SQL,
         "dedup_cluster_keep": _cluster_keep_sql(),
     }
