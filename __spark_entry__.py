@@ -138,6 +138,28 @@ def _q_gorilla_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_simple8b_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer codec (operators/intcodec.py: zigzag deltas + simple8b +
+    RLE) VALUE-oracled end-to-end, same pattern as gorilla_roundtrip_1m:
+    encode each event_type's 1m COUNT series, decode back, hash-match
+    the plain SQL count rollup — proof the integer path is lossless on
+    real tier data, not just on the property-test domain."""
+    from influxer_spark.operators.intcodec import (
+        decode_int_series_df,
+        encode_int_series_df,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    t1m = R.rollup(ev, "ts", ["event_type"], "value", "1m")
+    enc = encode_int_series_df(t1m, ["event_type"], "bucket", "cnt")
+    dec = decode_int_series_df(enc)
+    return dec.select(
+        F.element_at("series_keys", 1).alias("event_type"),
+        F.col("ts").cast("timestamp").alias("bucket"),
+        F.col("value").alias("cnt"),
+    )
+
+
 def _q_stream_rollup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured-Streaming 1m tier VALUE-oracled (upgrades §2.7 from
     pytest-only): land events as two time-ordered files, drain them with
@@ -2694,6 +2716,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_distinct_tiers": _q_sketch_distinct_tiers,
         "hist_quantile_1h": _q_hist_quantile_1h,
         "gorilla_roundtrip_1m": _q_gorilla_roundtrip,
+        "simple8b_roundtrip_1m": _q_simple8b_roundtrip,
         "stream_rollup_replay_1m": _q_stream_rollup_replay,
         "rollup_5m_width": _q_rollup_5m_width,
         "tier_refresh_1h": _q_tier_refresh_1h,
@@ -2818,6 +2841,11 @@ def oracle_sql() -> dict[str, str]:
             "FROM events GROUP BY 1, 2"
         ),
         # the Gorilla round trip must reproduce the plain rollup exactly
+        # the simple8b integer round trip must reproduce the count rollup
+        "simple8b_roundtrip_1m": (
+            "SELECT date_trunc('minute', ts) AS bucket, event_type, "
+            "count(value) AS cnt FROM events GROUP BY 1, 2"
+        ),
         "gorilla_roundtrip_1m": (
             "SELECT date_trunc('minute', ts) AS bucket, event_type, "
             "CAST(round(sum(value) * 100, 0) AS BIGINT) "

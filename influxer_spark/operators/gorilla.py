@@ -575,7 +575,16 @@ def encode_series_df(df, key_cols, ts_col: str, value_col: str):
             out["encoded_bytes"].append(len(blob))
         return pd.DataFrame(out)
 
-    def _enc_partition(batches):
+    return sdf.mapInPandas(carry_partition(keys, _emit), schema=ENCODED_SCHEMA)
+
+
+def carry_partition(keys, emit):
+    """Generator factory for the batch-boundary carry pattern above:
+    series straddling Arrow batch boundaries are held back and prepended
+    to the next batch, so ``emit`` always sees whole series.  Shared by
+    every per-series block codec (Gorilla floats, simple8b ints)."""
+
+    def gen(batches):
         carry: pd.DataFrame | None = None
         for pdf in batches:
             if carry is not None and len(carry):
@@ -591,11 +600,11 @@ def encode_series_df(df, key_cols, ts_col: str, value_col: str):
                 continue
             n_tail = int(np.argmin(tail[::-1]))  # contiguous trailing run
             carry = pdf.iloc[len(pdf) - n_tail :]
-            yield _emit(pdf.iloc[: len(pdf) - n_tail])
+            yield emit(pdf.iloc[: len(pdf) - n_tail])
         if carry is not None and len(carry):
-            yield _emit(carry)
+            yield emit(carry)
 
-    return sdf.mapInPandas(_enc_partition, schema=ENCODED_SCHEMA)
+    return gen
 
 
 DECODED_SCHEMA = "series_keys array<string>, ts timestamp, value double"
