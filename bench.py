@@ -157,12 +157,18 @@ def run_pipeline_bench(cores: int, pages_path: str, warm: bool = True) -> dict:
             for c in res.counters.values()
             if c.get("gorilla_bytes_per_point")
         ]
+        ipp = [
+            c["int_bytes_per_point"]
+            for c in res.counters.values()
+            if c.get("int_bytes_per_point")
+        ]
         return {
             "cores": cores,
             "elapsed_s": round(elapsed, 3),
             "points": points,
             "points_per_sec": round(points / elapsed, 1),
             "gorilla_bytes_per_point": round(sum(bpp) / len(bpp), 3) if bpp else None,
+            "int_bytes_per_point": round(sum(ipp) / len(ipp), 3) if ipp else None,
             "tier_query_4h_s": round(t_tier, 3),
             "raw_query_4h_s": round(t_raw, 3),
             "tier_query_speedup": round(t_raw / t_tier, 1) if t_tier else None,
@@ -266,6 +272,7 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "pipeline_points_per_sec": pipe["points_per_sec"],
         "gorilla_bytes_per_point": pipe["gorilla_bytes_per_point"],
+        "int_bytes_per_point": pipe.get("int_bytes_per_point"),
         "tier_query_speedup_4h": pipe.get("tier_query_speedup"),
         "pages_rows": BENCH_PAGES_ROWS,
         "cpus": CPUS,

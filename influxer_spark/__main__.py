@@ -331,7 +331,7 @@ def main(argv: list[str] | None = None) -> int:
         cat = TableCatalog(args.catalog)
         tables = (
             ["raw_points", "rollup_1m", "rollup_1m_gorilla",
-             "rollup_1h", "rollup_1d"]
+             "rollup_1m_counts", "rollup_1h", "rollup_1d"]
             if args.compact.strip().lower() == "all"
             else [t for t in args.compact.split(",") if t]
         )

@@ -2442,6 +2442,7 @@ class InfluxQLEngine:
                     for tbl in sorted(
                         t for t in (
                             "raw_points", "rollup_1m", "rollup_1m_gorilla",
+                            "rollup_1m_counts",
                             "rollup_1h", "rollup_1d", "kmv_1h", "kmv_1d",
                             "hdr_1h", "hdr_1d",
                             "sumsq_1m", "sumsq_1h", "sumsq_1d",

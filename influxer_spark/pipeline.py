@@ -40,6 +40,7 @@ from influxer_spark.catalog import TableCatalog
 from influxer_spark.extract import pages_to_points, with_crawl_metrics, with_extracted
 from influxer_spark.operators import rollup as R
 from influxer_spark.operators.gorilla import encode_series_df
+from influxer_spark.operators.intcodec import encode_int_series_df
 
 POINT_KEYS = ["url", "metric"]
 
@@ -263,6 +264,7 @@ def process_days(
             lineage_by_partition=lineage,
         )
         f_gor = None
+        f_cnt = None
         if encode_gorilla:
             enc = encode_series_df(
                 t1m.withColumn("v", F.col("sum_v") / F.col("cnt")),
@@ -271,6 +273,19 @@ def process_days(
             f_gor = pool.submit(
                 catalog.write_partitions,
                 enc, "rollup_1m_gorilla", days,
+                counters_by_partition={d: {"rows_in": b1m[d]} for d in days},
+                lineage_by_partition=lineage,
+            )
+            # the COUNT column is an integer series — the zigzag-delta +
+            # simple8b path beats the float codec on it by an order of
+            # magnitude (evenly spaced buckets RLE away entirely); one
+            # more overlapped sink, same wave commit discipline
+            enc_i = encode_int_series_df(
+                t1m, ["day", *POINT_KEYS], "bucket", "cnt"
+            ).withColumn("day", F.element_at("series_keys", 1))
+            f_cnt = pool.submit(
+                catalog.write_partitions,
+                enc_i, "rollup_1m_counts", days,
                 counters_by_partition={d: {"rows_in": b1m[d]} for d in days},
                 lineage_by_partition=lineage,
             )
@@ -295,7 +310,7 @@ def process_days(
         # must be the LAST table to commit — a crash mid-wave then re-runs
         # the whole wave instead of skipping a day whose other tables never
         # landed (partition-level exactly-once)
-        for f in (f_raw, f_1m, f_gor):
+        for f in (f_raw, f_1m, f_gor, f_cnt):
             if f is not None:
                 f.result()
         catalog.write_partitions(
@@ -341,6 +356,19 @@ def process_days(
                 )
                 counters[d]["gorilla_ratio"] = (
                     r["enc"] / r["raw"] if r["raw"] else None
+                )
+            istats = (
+                catalog.read_partitions_with_key(spark, "rollup_1m_counts", days)
+                .groupBy("p")
+                .agg(
+                    F.sum("n_points").alias("n"),
+                    F.sum("encoded_bytes").alias("enc"),
+                )
+                .collect()
+            )
+            for r in istats:
+                counters[r["p"]]["int_bytes_per_point"] = (
+                    r["enc"] / r["n"] if r["n"] else None
                 )
         return counters
     finally:
@@ -496,6 +524,7 @@ def refresh_pipeline(
         days = sorted(orphaned)
         for table in (
             "raw_points", "rollup_1m", "rollup_1m_gorilla",
+            "rollup_1m_counts",
             "rollup_1h", "rollup_1d", "kmv_1h", "kmv_1d",
             "hdr_1h", "hdr_1d", "sumsq_1m", "sumsq_1h", "sumsq_1d",
         ):

@@ -39,9 +39,34 @@ def test_pipeline_end_to_end_and_resume(spark, pages_path, tmp_path):
     res1 = run_pipeline(spark, pages_path, root, validate_extraction=True)
     assert len(res1.days_processed) >= 3  # 3-day span (may straddle 4 dates)
     cat = TableCatalog(root)
-    for tbl in ["raw_points", "rollup_1m", "rollup_1h", "rollup_1d", "rollup_1m_gorilla"]:
+    for tbl in ["raw_points", "rollup_1m", "rollup_1h", "rollup_1d",
+                "rollup_1m_gorilla", "rollup_1m_counts"]:
         assert cat.exists(tbl), tbl
         assert len(cat.committed_partitions(tbl)) == len(res1.days_processed)
+
+    # the integer-codec counts table round-trips to the committed 1m tier
+    from influxer_spark.operators.intcodec import decode_int_series_df
+    from pyspark.sql import functions as F
+
+    dec = decode_int_series_df(
+        cat.read_committed(spark, "rollup_1m_counts").drop("day")
+    )
+    got = {
+        (tuple(r["series_keys"]), r["ts"]): r["value"] for r in dec.collect()
+    }
+    t1m = cat.read_committed(spark, "rollup_1m")
+    want = {
+        ((r["day"], r["url"], r["metric"]), r["bucket"]): r["cnt"]
+        for r in t1m.select(
+            F.date_format("bucket", "yyyy-MM-dd").alias("day"),
+            "url", "metric", "bucket", "cnt",
+        ).collect()
+    }
+    assert got == want
+    # and the counters carry the storage metric
+    mi = cat.read_manifest("rollup_1m_counts")
+    assert res1.counters[res1.days_processed[0]]["int_bytes_per_point"] > 0
+    assert mi["partitions"]
 
     # counters + lineage recorded per partition
     m = cat.read_manifest("rollup_1m")
@@ -694,7 +719,8 @@ def test_rollup_1d_commits_last(spark, pages_path, tmp_path, monkeypatch):
     run_pipeline(spark, pages_path, str(tmp_path / "cat"), resume=False)
     assert order[-1] == "rollup_1d", order
     assert set(order) == {
-        "raw_points", "rollup_1m", "rollup_1h", "rollup_1d", "rollup_1m_gorilla"
+        "raw_points", "rollup_1m", "rollup_1h", "rollup_1d",
+        "rollup_1m_gorilla", "rollup_1m_counts",
     }
 
 
