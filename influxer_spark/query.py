@@ -286,6 +286,43 @@ def read_series(
     return out
 
 
+def read_count_series(
+    spark: SparkSession,
+    catalog: TableCatalog,
+    start: dt.datetime | None = None,
+    end: dt.datetime | None = None,
+    key_cols: Sequence[str] = ("url", "metric"),
+    table: str = "rollup_1m_counts",
+) -> DataFrame:
+    """Integer-codec analogue of read_series for the COUNT archive tier
+    (rollup_1m_counts, zigzag-delta + simple8b blobs): decode back to the
+    exact per-series 1m ``(…keys, bucket, cnt)``.  Counts are integers,
+    so unlike the float mean series this read is usable for EXACT wider
+    re-aggregation (sums of counts) even after the plain 1m tier expired.
+    Same pruning/decode shape as read_series: manifest-level day pruning,
+    narrow mapInPandas decode, no shuffle."""
+    from influxer_spark.operators.intcodec import decode_int_series_df
+
+    parts = _partitions_in_range(catalog, table, start, end)
+    if not parts:
+        raise ValueError(f"no committed {table} partitions in range")
+    enc = spark.read.parquet(*catalog.partition_paths(table, parts))
+    pts = decode_int_series_df(enc)
+    out = pts.select(
+        *[
+            F.element_at("series_keys", i + 2).alias(k)
+            for i, k in enumerate(key_cols)
+        ],
+        F.col("ts").alias("bucket"),
+        F.col("value").alias("cnt"),
+    )
+    if start is not None:
+        out = out.filter(F.col("bucket") >= F.lit(start))
+    if end is not None:
+        out = out.filter(F.col("bucket") < F.lit(end))
+    return out
+
+
 def read_quantile(
     spark: SparkSession,
     catalog: TableCatalog,

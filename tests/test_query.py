@@ -103,6 +103,43 @@ def test_read_series_decodes_expired_1m_tier_exactly(spark, built_gorilla):
     assert got == want  # bit-exact: codec round-trip + same IEEE division
 
 
+def test_read_count_series_decodes_counts_archive_exactly(spark, built_gorilla):
+    """The integer-codec counts archive answers the exact per-bucket cnt
+    even with the plain 1m tier expired (the previous test dropped it) —
+    expected counts recomputed independently from the pages source."""
+    from influxer_spark.extract import (
+        pages_to_points, with_crawl_metrics, with_extracted,
+    )
+    from influxer_spark.operators.rollup import rollup
+    from influxer_spark.query import read_count_series
+
+    pages, cat = built_gorilla
+    pts = pages_to_points(
+        with_crawl_metrics(with_extracted(spark.read.parquet(pages))))
+    want = {
+        (r["url"], r["metric"], r["bucket"]): r["cnt"]
+        for r in rollup(
+            pts, "warc_ts", ["url", "metric"], "value", "1m"
+        ).collect()
+    }
+    got = {
+        (r["url"], r["metric"], r["bucket"]): r["cnt"]
+        for r in read_count_series(spark, cat).collect()
+    }
+    assert got == want
+
+
+def test_read_count_series_prunes_partitions(spark, built_gorilla):
+    from influxer_spark.query import read_count_series
+
+    _pages, cat = built_gorilla
+    days = sorted(cat.committed_partitions("rollup_1m_counts"))
+    d1 = dt.datetime.fromisoformat(days[1])
+    out = read_count_series(spark, cat, start=d1, end=d1 + dt.timedelta(days=1))
+    files = out.inputFiles()
+    assert files and all(f"p={days[1]}" in f for f in files)
+
+
 def test_read_series_prunes_and_filters_time_range(spark, built_gorilla):
     from influxer_spark.query import read_series
 
