@@ -57,20 +57,104 @@ def unzigzag(u: np.ndarray) -> np.ndarray:
             ^ -(u & np.uint64(1)).astype(np.int64))
 
 
+# exact bit_length for uint64 < 2**61 without Python-per-value loops:
+# count of powers of two ≤ v (integer comparisons, no float)
+_POW2 = (np.uint64(1) << np.arange(61, dtype=np.uint64)).astype(np.uint64)
+
+
+def _bit_widths(vals: np.ndarray) -> np.ndarray:
+    return np.maximum(np.searchsorted(_POW2, vals, side="right"), 1)
+
+
+def _sliding_max(a: np.ndarray, c: int) -> np.ndarray:
+    """max(a[i : i+c]) for every i, windows truncated past the end — the
+    O(n) block prefix/suffix decomposition (no per-window scan): pad with
+    sentinel -inf blocks, split into blocks of c; every window spans at
+    most one block boundary, so its max is max(suffix-max from i within
+    i's block, prefix-max up to i+c-1 within the next block)."""
+    n = len(a)
+    if n == 0:
+        return a.copy()
+    pad = (-n) % c + c  # round up to a block, plus one whole sentinel block
+    sentinel = np.iinfo(a.dtype).min
+    b = np.concatenate([a, np.full(pad, sentinel, dtype=a.dtype)])
+    blocks = b.reshape(-1, c)
+    pref = np.maximum.accumulate(blocks, axis=1).ravel()
+    suff = np.maximum.accumulate(blocks[:, ::-1], axis=1)[:, ::-1].ravel()
+    i = np.arange(n, dtype=np.int64)
+    return np.maximum(suff[i], pref[i + c - 1])
+
+
 def pack_simple8b(vals: np.ndarray) -> list[int]:
-    """Greedy pack of uint64 values (< 2**60 each) into 64-bit words."""
-    widths = np.maximum(
-        np.array([int(v).bit_length() for v in vals], dtype=np.int64), 1
+    """Greedy pack of uint64 values (< 2**60 each) into 64-bit words —
+    vectorized: the best selector at EVERY position is precomputed with
+    14 sliding-window maxima (one per capacity), the boundary walk is
+    O(1) Python per output word, and all payloads assemble in one
+    ``bitwise_or.reduceat``.  Bit-identical to pack_simple8b_ref."""
+    vals = np.ascontiguousarray(vals, dtype=np.uint64)
+    n = len(vals)
+    if n == 0:
+        return []
+    widths = _bit_widths(vals)
+    # sel_at[i] = smallest-width selector whose window starting at i fits
+    # (iterate widest→smallest so the last fitting assignment wins; the
+    # 0-padding makes short end-windows constrain only real values)
+    sel_at = np.full(n, len(_WIDTHS) - 1, dtype=np.int64)
+    gmax = int(widths.max())
+    for s in range(len(_WIDTHS) - 1, -1, -1):
+        w, c = _WIDTHS[s], _COUNTS[s]
+        if w >= gmax:          # every window fits — no max needed
+            sel_at[:] = s
+            continue
+        wm = _sliding_max(widths, c)
+        sel_at[wm <= w] = s
+    # boundary walk, run-skipping: inside a run of identical sel_at the
+    # boundaries advance by a fixed stride, so each RUN costs O(1) Python
+    # (whole-array-homogeneous data — the common case — walks in one step)
+    run_ends = np.concatenate(
+        [np.nonzero(np.diff(sel_at))[0] + 1, [n]]
     )
+    starts_parts: list[np.ndarray] = []
+    sels_l: list[int] = []
+    counts_arr = np.array(_COUNTS, dtype=np.int64)
+    i = 0
+    ri = 0
+    while i < n:
+        while run_ends[ri] <= i:
+            ri += 1
+        s = int(sel_at[i])
+        c = int(counts_arr[s])
+        stop = int(run_ends[ri])
+        ws = np.arange(i, stop, c, dtype=np.int64)
+        starts_parts.append(ws)
+        sels_l.append(s)
+        i = int(ws[-1]) + c
+    starts = np.concatenate(starts_parts)
+    sels = np.repeat(
+        np.array(sels_l, dtype=np.int64),
+        [len(p) for p in starts_parts],
+    )
+    take = np.minimum(np.array(_COUNTS)[sels], n - starts)
+    w_per_val = np.repeat(np.array(_WIDTHS, dtype=np.uint64)[sels], take)
+    pos_in_word = np.arange(n, dtype=np.uint64) - np.repeat(
+        starts.astype(np.uint64), take
+    )
+    shifts = np.uint64(60) - w_per_val * (pos_in_word + np.uint64(1))
+    payloads = np.bitwise_or.reduceat(vals << shifts, starts)
+    words = (((sels + 1).astype(np.uint64)) << np.uint64(60)) | payloads
+    return [int(w) for w in words]
+
+
+def pack_simple8b_ref(vals: np.ndarray) -> list[int]:
+    """Pure-Python reference packer (pinned identical by tests)."""
+    widths = [max(int(v).bit_length(), 1) for v in vals]
     words: list[int] = []
     i, n = 0, len(vals)
     while i < n:
-        # widest selector whose capacity fits starting at i with the
-        # running max width — greedy, like the reference implementations
         sel = len(_WIDTHS) - 1
         for s, (w, c) in enumerate(zip(_WIDTHS, _COUNTS)):
             take = min(c, n - i)
-            if int(widths[i : i + take].max()) <= w:
+            if max(widths[i : i + take]) <= w:
                 sel = s
                 break
         w, c = _WIDTHS[sel], _COUNTS[sel]
@@ -86,6 +170,36 @@ def pack_simple8b(vals: np.ndarray) -> list[int]:
 
 
 def unpack_simple8b(words: list[int] | np.ndarray, n: int) -> np.ndarray:
+    """Vectorized unpack: one numpy gather per SELECTOR present (≤ 14),
+    not one Python step per value.  Greedy packing fills every word to
+    capacity except possibly the final one, so output offsets are a
+    plain cumsum of per-word capacities."""
+    w_arr = np.asarray(words, dtype=np.uint64)
+    if len(w_arr) == 0:
+        if n:
+            raise ValueError(f"simple8b stream ended at 0 of {n} values")
+        return np.empty(0, dtype=np.uint64)
+    sels = (w_arr >> np.uint64(60)).astype(np.int64) - 1
+    caps = np.array(_COUNTS, dtype=np.int64)[sels]
+    offs = np.concatenate(([0], np.cumsum(caps)))
+    total = int(offs[-1])
+    if not (total - caps[-1] < n <= total):
+        raise ValueError(f"simple8b stream carries {total} slots for {n} values")
+    out = np.empty(total, dtype=np.uint64)
+    for s in np.unique(sels):
+        w, c = _WIDTHS[s], _COUNTS[s]
+        idx = np.nonzero(sels == s)[0]
+        shifts = (60 - w * np.arange(1, c + 1, dtype=np.uint64)).astype(np.uint64)
+        mask = np.uint64((1 << w) - 1)
+        block = (w_arr[idx][:, None] >> shifts[None, :]) & mask  # (k, c)
+        starts = offs[idx]
+        pos = (starts[:, None] + np.arange(c, dtype=np.int64)[None, :]).ravel()
+        out[pos] = block.ravel()
+    return out[:n]
+
+
+def unpack_simple8b_ref(words: list[int] | np.ndarray, n: int) -> np.ndarray:
+    """Pure-Python reference unpacker (pinned identical by tests)."""
     out = np.empty(n, dtype=np.uint64)
     k = 0
     for word in words:

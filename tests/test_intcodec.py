@@ -71,6 +71,31 @@ def test_simple8b_pack_unpack_all_widths():
         assert np.array_equal(got, vals)
 
 
+def test_vectorized_pack_unpack_match_reference():
+    rng = np.random.default_rng(11)
+    for trial in range(50):
+        n = int(rng.integers(0, 400))
+        # mixed-width stream exercises selector switching
+        width = rng.integers(1, 60, max(n, 1))
+        vals = (rng.integers(0, 2**53, max(n, 1)) % (1 << width))[:n].astype(
+            np.uint64
+        )
+        words_v = IC.pack_simple8b(vals)
+        words_r = IC.pack_simple8b_ref(vals)
+        assert words_v == words_r, trial
+        if n:
+            assert np.array_equal(
+                IC.unpack_simple8b(words_v, n), IC.unpack_simple8b_ref(words_v, n)
+            )
+
+
+def test_unpack_rejects_wrong_count():
+    vals = np.arange(100, dtype=np.uint64)
+    words = IC.pack_simple8b(vals)
+    with pytest.raises(ValueError):
+        IC.unpack_simple8b(words, 400)
+
+
 @settings(max_examples=60, deadline=None)
 @given(
     st.lists(
