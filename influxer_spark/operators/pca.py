@@ -175,6 +175,51 @@ def pca_fit(
     if not rows:
         raise ValueError("empty gram — no input rows")
     d = max(r["j"] for r in rows) + 1
+    return pca_fit_rows(rows, d, k)
+
+
+def opq_rotation(gram: DataFrame, m: int) -> np.ndarray:
+    """Parametric OPQ rotation (Ge, He, Ke, Sun, "Optimized Product
+    Quantization", CVPR 2013 §4: eigenvalue allocation): a d×d ORTHOGONAL
+    matrix whose row blocks give each of the m PQ subspaces an
+    (approximately) equal variance PRODUCT — the provably optimal
+    dimension split for a Gaussian source.  Orthogonality preserves dot
+    products, so rotating the corpus and the queries leaves cosine
+    scores untouched while the subquantizers see decorrelated,
+    variance-balanced inputs (lower quantization error → higher recall
+    at the same code budget).
+
+    Allocation: dims sorted by eigenvalue descending; each goes to the
+    non-full subspace with the smallest accumulated log-eigenvalue sum.
+    Rows of the result are permuted eigenvectors: subspace j owns rows
+    j·(d/m) … (j+1)·(d/m)−1."""
+    rows = gram.collect()
+    if not rows:
+        raise ValueError("empty gram — no input rows")
+    d = max(r["j"] for r in rows) + 1
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    _, comps, vals, _ = pca_fit_rows(rows, d, k=d)
+    cap = d // m
+    buckets: list[list[int]] = [[] for _ in range(m)]
+    load = [0.0] * m
+    eps = max(float(vals[-1]), 1e-12) * 1e-6
+    for i in range(d):  # eigenvalues already descending
+        j = min(
+            (j for j in range(m) if len(buckets[j]) < cap),
+            key=lambda j: load[j],
+        )
+        buckets[j].append(i)
+        load[j] += float(np.log(max(float(vals[i]), eps)))
+    order = [i for b in buckets for i in b]
+    return comps[order]
+
+
+def pca_fit_rows(
+    rows, d: int, k: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, int]:
+    """pca_fit over already-collected gram rows (shared by pca_fit and
+    opq_rotation so the eigensolve happens once per caller)."""
     n = rows[0]["n"]
     s = np.zeros(d)
     G = np.zeros((d, d))
@@ -185,15 +230,34 @@ def pca_fit(
         s[j] = r["sum_qj"]
     mean_q = s / n
     cov_q = G / n - np.outer(mean_q, mean_q)
-    vals, vecs = np.linalg.eigh(cov_q)          # ascending
+    vals, vecs = np.linalg.eigh(cov_q)
     order = np.argsort(vals)[::-1][:k]
     vals = vals[order]
-    comps = vecs[:, order].T                     # k×d, rows are components
-    for r_ in range(comps.shape[0]):             # deterministic sign
-        m = np.argmax(np.abs(comps[r_]))
-        if comps[r_, m] < 0:
+    comps = vecs[:, order].T
+    for r_ in range(comps.shape[0]):
+        m_ = np.argmax(np.abs(comps[r_]))
+        if comps[r_, m_] < 0:
             comps[r_] = -comps[r_]
     return mean_q, comps, vals, n
+
+
+def rotate_embeddings(
+    df: DataFrame, id_col: str, vec_col: str, rotation: np.ndarray
+) -> DataFrame:
+    """(id, embedding) with vectors rotated by the (broadcast) orthogonal
+    matrix — no centering, so every dot product/cosine is preserved
+    exactly up to float round-off; one Arrow-batched matmul per batch."""
+    spark = df.sparkSession
+    b = spark.sparkContext.broadcast(np.asarray(rotation, dtype=np.float64))
+
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def rot(vecs: pd.Series) -> pd.Series:
+        R = b.value
+        v = np.stack(vecs.to_numpy()).astype(np.float64)
+        return pd.Series(list(v @ R.T))
+
+    return df.select(F.col(id_col).alias("vec_id"),
+                     rot(F.col(vec_col)).alias("embedding"))
 
 
 def pca_project(

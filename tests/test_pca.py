@@ -99,6 +99,51 @@ def test_whitened_projection_has_unit_variance(vecs):
     np.testing.assert_allclose(p.var(axis=0, ddof=0), 1.0, rtol=1e-9)
 
 
+def test_opq_rotation_is_orthogonal_and_preserves_dots(spark, vecs, local):
+    gram = pca.gram_exact(vecs, "embedding")
+    R = pca.opq_rotation(gram, m=8)
+    np.testing.assert_allclose(R @ R.T, np.eye(64), atol=1e-10)
+    rot = pca.rotate_embeddings(vecs, "vec_id", "embedding", R)
+    got = {r["vec_id"]: np.asarray(r["embedding"]) for r in rot.collect()}
+    ids = sorted(got)[:20]
+    raw = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+           for r in vecs.collect()}
+    for a in ids[:5]:
+        for b in ids[5:10]:
+            np.testing.assert_allclose(
+                got[a] @ got[b], raw[a] @ raw[b], rtol=1e-9, atol=1e-9
+            )
+
+
+def test_opq_balances_subspace_variance(spark):
+    # strongly anisotropic data: variance 100:1 across halves of the dims
+    rng = np.random.default_rng(5)
+    v = rng.standard_normal((400, 8))
+    v[:, :4] *= 10.0
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v[i]]) for i in range(400)], ["id", "e"]
+    )
+    gram = pca.gram_exact(df, "e", scale=1024)
+    _, _, vals, _ = pca.pca_fit(gram, k=8)
+    R = pca.opq_rotation(gram, m=2)
+    assert R.shape == (8, 8)
+    # replay the greedy allocation; its subspace log-variance-product
+    # spread must beat the naive in-eigen-order split (which puts all
+    # four large eigenvalues in one subspace on this data)
+    buckets, load = [[], []], [0.0, 0.0]
+    for i in range(8):
+        j = min((j for j in range(2) if len(buckets[j]) < 4),
+                key=lambda j: load[j])
+        buckets[j].append(i)
+        load[j] += float(np.log(max(vals[i], 1e-18)))
+    naive = abs(float(sum(np.log(vals[:4])) - sum(np.log(vals[4:]))))
+    assert abs(load[0] - load[1]) < naive
+    # and the rotation's rows really are the permuted eigenvectors:
+    # subspace 0's rows span the dims buckets[0] picked
+    _, comps, _, _ = pca.pca_fit(gram, k=8)
+    np.testing.assert_allclose(R[:4], comps[buckets[0]], atol=1e-12)
+
+
 def test_reconstruction_error_decreases_with_k(vecs, local):
     q = np.floor(local * 1024 + 0.5)
     gram = pca.gram_exact(vecs, "embedding")

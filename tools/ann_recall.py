@@ -83,6 +83,18 @@ def main() -> None:
     rand_cent = S.ivf_random_centroids(dim, 8)
     books_rand = S.pq_random_codebooks(dim, m=8, ksub=16)
     books_trained = S.pq_train_codebooks(mat, m=8, ksub=16)
+    # OPQ-lite (parametric init, Ge et al. CVPR 2013): PCA-rotate with
+    # eigenvalue allocation so the 8 subquantizers see balanced variance;
+    # rotation is orthogonal → cosine scores unchanged, recall measured
+    # in the ORIGINAL id space
+    from influxer_spark.operators import pca as P
+
+    gram = P.gram_exact(vecs, "embedding")
+    R = P.opq_rotation(gram, m=8)
+    vecs_rot = P.rotate_embeddings(vecs, "vec_id", "embedding", R)
+    vecs_rot.cache().count()
+    queries_rot = vecs_rot.filter(F.col("vec_id") % 100 == 0)
+    books_opq = S.pq_train_codebooks(mat @ R.T, m=8, ksub=16)
     # faiss IndexIVFPQ trains the PQ on RESIDUALS (vec - coarse centroid),
     # not raw vectors — mirror that for the residual variant
     assign = np.argmax(mat @ trained_cent.T, axis=1)
@@ -109,6 +121,9 @@ def main() -> None:
         ),
         "pq_adc(m=8, ksub=16, trained books)": S.pq_adc_topk(
             vecs, queries, books_trained, k=k
+        ),
+        "pq_adc(m=8, ksub=16, OPQ-rotated)": S.pq_adc_topk(
+            vecs_rot, queries_rot, books_opq, k=k
         ),
         f"ivf_pq({n_lists} kmeans, probe 4, trained, raw)": S.ivf_pq_topk(
             vecs, queries, trained_cent, books_trained, n_probe=4, k=k
