@@ -317,6 +317,63 @@ def _sq(s: str) -> str:
 # ---------------------------------------------------------------------------
 
 
+def vocab_table(df: DataFrame, text_col: str, merges: DataFrame) -> DataFrame:
+    """(token STRING, id INT) — the finished tokenizer artifact.  Base
+    symbols (every character and character+EOW the corpus produces) take
+    ids 0..B−1 in lexicographic order; merged tokens follow in learned
+    rank order (the GPT-2-style convention: id order reproduces training
+    order, so two trainings on the same corpus yield identical tables).
+    Base extraction is one pass over the unique-word frame."""
+    spark = df.sparkSession
+    base = (
+        _with_syms(word_count_table(df, text_col))
+        .select(F.explode("syms").alias("token"))
+        .distinct()
+        .orderBy("token")
+        .collect()
+    )
+    rows = [(r["token"], i) for i, r in enumerate(base)]
+    b = len(rows)
+    rows += [
+        (r["left"] + r["right"], b + int(r["rank"]))
+        for r in merges.select("rank", "left", "right")
+        .orderBy("rank").collect()
+    ]
+    return spark.createDataFrame(rows, ["token", "id"]).select(
+        "token", F.col("id").cast("int").alias("id")
+    )
+
+
+def bpe_encode_ids(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    merges: DataFrame,
+    vocab: DataFrame,
+) -> DataFrame:
+    """(id, token_ids ARRAY<INT>, n_tokens) — encode then map tokens to
+    vocab ids with one broadcast join on the token string (every token
+    bpe_encode emits is in the vocab by construction: it is either a
+    base symbol or a merge output).  The training-shard export shape."""
+    enc = bpe_encode(df, id_col, text_col, merges)
+    tok = enc.select("id", F.posexplode("tokens").alias("pos", "token"))
+    v = vocab.select("token", F.col("id").alias("tid"))
+    return (
+        tok.join(F.broadcast(v), "token")
+        .groupBy("id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tid"))),
+                lambda s: s["tid"],
+            ).alias("token_ids")
+        )
+        .select(
+            "id", "token_ids",
+            F.size("token_ids").cast("long").alias("n_tokens"),
+        )
+    )
+
+
 def bpe_encode(
     df: DataFrame,
     id_col: str,

@@ -115,6 +115,28 @@ def test_partition_count_stays_bounded_across_iterations(spark, docs):
     # iteration 10 run 2^10 tasks and this test visibly hang
 
 
+def test_vocab_and_id_encoding_roundtrip(spark, docs):
+    merges = bpe.bpe_train(docs, "text", 10)
+    vocab = bpe.vocab_table(docs, "text", merges)
+    rows = vocab.collect()
+    ids = [r["id"] for r in rows]
+    assert sorted(ids) == list(range(len(rows)))  # dense, no gaps
+    base = [r["token"] for r in rows if r["id"] < len(rows) - 10]
+    assert base == sorted(base)  # base symbols lexicographic
+    by_id = {r["id"]: r["token"] for r in rows}
+    enc_s = {r["id"]: list(r["tokens"])
+             for r in bpe.bpe_encode(docs, "doc_id", "text", merges).collect()}
+    enc_i = {
+        r["id"]: list(r["token_ids"])
+        for r in bpe.bpe_encode_ids(
+            docs, "doc_id", "text", merges, vocab
+        ).collect()
+    }
+    assert enc_i.keys() == enc_s.keys()
+    for d, tids in enc_i.items():
+        assert [by_id[t] for t in tids] == enc_s[d]
+
+
 def test_train_on_sf_documents(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     ref = bpe.ref_bpe_train(
