@@ -169,6 +169,12 @@ def _build_parser() -> argparse.ArgumentParser:
         "instead of binpack",
     )
     p.add_argument(
+        "-compactzorder", default=None, metavar="COLS",
+        help="with -compact: comma list of columns — use Iceberg's ZORDER "
+        "rewrite strategy (Morton-interleaved rank buckets: min/max "
+        "pruning on every listed column at once) instead of binpack/sort",
+    )
+    p.add_argument(
         "-diff", default=None, metavar="TABLE:FROM[:TO]",
         help="with -catalog: metadata-only changelog between two retained "
         "snapshots of TABLE (added/removed/changed partitions + rows "
@@ -340,6 +346,11 @@ def main(argv: list[str] | None = None) -> int:
             if args.compactsort
             else None
         )
+        zorder_cols = (
+            [c for c in args.compactzorder.split(",") if c]
+            if args.compactzorder
+            else None
+        )
         for t in tables:
             if not cat.exists(t):
                 print(f"{t}: absent, skipped")
@@ -350,7 +361,8 @@ def main(argv: list[str] | None = None) -> int:
                 else None
             )
             res = cat.compact(
-                spark, t, sort_cols=sort_cols, bloom_cols=bloom_cols
+                spark, t, sort_cols=sort_cols, bloom_cols=bloom_cols,
+                zorder_cols=zorder_cols,
             )
             freed = cat.vacuum(t)
             print(

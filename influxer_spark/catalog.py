@@ -53,6 +53,72 @@ from pyspark.sql import DataFrame, SparkSession
 _MANIFEST_RE = re.compile(r"_manifest\.v(\d+)\.json$")
 
 
+def zorder_key(df: DataFrame, cols: list[str], bits: int = 8):
+    """Morton (Z-order) clustering key over ``cols`` as one pure Column
+    expression — the layout math behind Iceberg's ``rewrite_data_files``
+    ZORDER strategy.
+
+    Each column is first reduced to a RANK bucket (``2**bits`` quantile
+    buckets from one ``percentile_approx`` aggregate over all columns at
+    once), then the bucket ids' bits are interleaved.  Rank buckets rather
+    than Iceberg's raw byte-slices: quantiles stay balanced under the skew a
+    crawl corpus always has (hot urls, hot metrics), so every bucket — and
+    therefore every output file — holds ~equal row counts regardless of the
+    value distribution.  Strings get an order-preserving 7-byte prefix
+    (left-justified, base-16 → double; monotone, ties only share a bucket),
+    numerics/timestamps cast to double.  NULL ranks lowest (bucket 0).
+
+    Why Z-order at all: a SORT rewrite on (a, b) makes parquet min/max
+    selective on ``a`` but leaves ``b``'s per-file range as wide as the
+    whole partition — predicates on ``b`` alone prune nothing.  Interleaving
+    bits gives every listed column per-file ranges ~``2**(bits/ncols)``×
+    narrower than the partition's, so single-column predicates on ANY of
+    them prune files/row groups.  The trade is the same as SORT: one
+    maintenance-time shuffle, paid once.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StringType
+
+    if not cols:
+        raise ValueError("zorder_key needs at least one column")
+    if bits * len(cols) > 62:
+        raise ValueError("bits * len(cols) must fit a signed long (≤ 62)")
+    nb = 1 << bits
+    qs = [i / nb for i in range(1, nb)]
+    keyed = []
+    for c in cols:
+        if isinstance(df.schema[c].dataType, StringType):
+            # order-preserving numeric image of the string's 7-byte prefix;
+            # rpad left-justifies so 'b' > 'ab' survives the widening
+            k = F.expr(
+                f"cast(conv(hex(cast(rpad(`{c}`, 7, ' ') as binary)), 16, 10) "
+                "as double)"
+            )
+        else:
+            k = F.col(c).cast("double")
+        keyed.append(k)
+    bounds = df.agg(
+        *[
+            F.percentile_approx(k, qs, 10000).alias(f"b{i}")
+            for i, k in enumerate(keyed)
+        ]
+    ).first()
+    z = F.lit(0).cast("long")
+    for i, k in enumerate(keyed):
+        bl = [b for b in (bounds[f"b{i}"] or []) if b is not None]
+        if bl:
+            barr = F.array(*[F.lit(float(b)) for b in bl])
+            bucket = F.size(F.filter(barr, lambda x: x < k)).cast("long")
+        else:
+            bucket = F.lit(0).cast("long")
+        for j in range(bits):
+            z = z + F.shiftleft(
+                F.shiftright(bucket, j).bitwiseAND(F.lit(1)),
+                j * len(cols) + i,
+            )
+    return z
+
+
 def iceberg_available(spark: SparkSession) -> bool:
     try:
         spark._jvm.java.lang.Class.forName(  # type: ignore[union-attr]
@@ -900,6 +966,8 @@ class TableCatalog:
         target_file_mb: int = 128,
         sort_cols: list[str] | None = None,
         bloom_cols: list[str] | None = None,
+        zorder_cols: list[str] | None = None,
+        zorder_bits: int = 8,
     ) -> dict[str, Any]:
         """Bin-pack one partition's small files into ~``target_file_mb``
         outputs (Iceberg's ``rewrite_data_files`` binpack strategy).
@@ -933,7 +1001,15 @@ class TableCatalog:
         (parquet-mr also disables dictionary encoding on bloomed
         columns), saves I/O on every later point query — the same trade
         as the sort rewrite.
+
+        ``zorder_cols`` switches to Iceberg's ZORDER strategy: rows cluster
+        by the Morton interleave of per-column rank buckets (see
+        :func:`zorder_key`), so min/max stats become selective on EVERY
+        listed column at once — the multi-dimensional complement to SORT's
+        single-prefix clustering.
         """
+        if sort_cols and zorder_cols:
+            raise ValueError("sort_cols and zorder_cols are exclusive strategies")
         parts = self.committed_partitions(name)
         if partition_value not in parts:
             raise ValueError(
@@ -947,12 +1023,21 @@ class TableCatalog:
         ]
         n_bytes = sum(os.path.getsize(os.path.join(src, fn)) for fn in data_files)
         n_target = max(1, -(-n_bytes // (target_file_mb << 20)))  # ceil
-        if len(data_files) <= n_target and not sort_cols and not bloom_cols:
+        if (len(data_files) <= n_target and not sort_cols and not bloom_cols
+                and not zorder_cols):
             return {"compacted": False, "files": len(data_files), "bytes": n_bytes}
         df = spark.read.parquet(src)
         vdir = f"v={uuid.uuid4().hex[:8]}"
         dest = os.path.join(self.table_path(name), f"p={partition_value}", vdir)
-        if sort_cols:
+        if zorder_cols:
+            zk = zorder_key(df, list(zorder_cols), zorder_bits)
+            out = (
+                df.withColumn("_zkey", zk)
+                .repartitionByRange(n_target, "_zkey")
+                .sortWithinPartitions("_zkey")
+                .drop("_zkey")
+            )
+        elif sort_cols:
             cols = list(sort_cols)
             out = df.repartitionByRange(n_target, *cols).sortWithinPartitions(
                 *cols
@@ -974,9 +1059,16 @@ class TableCatalog:
             "files_before": len(data_files),
             "files_after": n_target,
             "bytes": n_bytes,
-            "strategy": "sort" if sort_cols else "binpack",
+            "strategy": (
+                "zorder" if zorder_cols else "sort" if sort_cols else "binpack"
+            ),
             **({"sort_cols": list(sort_cols)} if sort_cols else {}),
             **({"bloom_cols": list(bloom_cols)} if bloom_cols else {}),
+            **(
+                {"zorder_cols": list(zorder_cols), "zorder_bits": zorder_bits}
+                if zorder_cols
+                else {}
+            ),
         }
         manifest["partitions"][partition_value] = new_entry
         manifest["lineage"].append({"partition": partition_value, **new_entry})
@@ -995,17 +1087,20 @@ class TableCatalog:
         target_file_mb: int = 128,
         sort_cols: list[str] | None = None,
         bloom_cols: list[str] | None = None,
+        zorder_cols: list[str] | None = None,
+        zorder_bits: int = 8,
     ) -> dict[str, Any]:
         """Compact every committed partition (driver loop over partition
         METADATA — bounded by partition count, never data; each rewrite is
         its own Spark job, so a scheduler can run them as a wave).
-        ``sort_cols`` applies the SORT strategy per partition (see
-        :meth:`compact_partition`)."""
+        ``sort_cols`` / ``zorder_cols`` pick the SORT / ZORDER strategy per
+        partition (see :meth:`compact_partition`)."""
         out: dict[str, Any] = {"partitions": 0, "rewritten": 0}
         for pv in sorted(self.committed_partitions(name)):
             res = self.compact_partition(
                 spark, name, pv, target_file_mb, sort_cols=sort_cols,
-                bloom_cols=bloom_cols,
+                bloom_cols=bloom_cols, zorder_cols=zorder_cols,
+                zorder_bits=zorder_bits,
             )
             out["partitions"] += 1
             out["rewritten"] += int(res.get("compacted", False))

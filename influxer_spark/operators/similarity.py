@@ -564,6 +564,65 @@ def ivf_pq_topk(
     )
 
 
+def ivf_pq_refine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: np.ndarray,
+    books: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 2,
+    k: int = 10,
+    refine_factor: int = 4,
+    residual: bool = False,
+) -> DataFrame:
+    """IVF-PQ + exact re-rank (faiss ``IndexRefineFlat`` composition): ADC
+    nominates ``refine_factor·k`` candidates per query, ONE equi-join back to
+    the raw vector table rescores exactly those rows with exact cosine, and
+    the final top-k orders by the exact score.
+
+    Why this is the production ANN shape: pure ADC top-k inherits PQ's
+    quantization error in the final RANKING, while pure exact search scans
+    every vector.  Refine pays exact math on only ``refine_factor·k`` rows
+    per query — at 10^12 vectors the raw-vector join is a point-lookup
+    pattern (candidate ids → the id-partitioned vector table, bloom/minmax
+    pruned), so recall approaches exact search at ADC scan cost.  Output
+    (query_id, rank, vec_id, cos) like :func:`brute_topk`.
+    """
+    cand = ivf_pq_topk(
+        corpus, queries, centroids, books, id_col, vec_col,
+        n_probe=n_probe, k=k * refine_factor, residual=residual,
+    ).select("query_id", "vec_id")
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("cvec"),
+        F.sqrt(dot_f64(F.col(vec_col), F.col(vec_col))).alias("cnorm"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.sqrt(dot_f64(F.col(vec_col), F.col(vec_col))).alias("qnorm"),
+    )
+    scored = (
+        cand.join(c, "vec_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            (
+                dot_f64(F.col("qvec"), F.col("cvec"))
+                / (F.col("qnorm") * F.col("cnorm"))
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("rank").cast("int"), "vec_id", "cos")
+    )
+
+
 def centroid_cosine(
     df: DataFrame,
     group_col: str,

@@ -467,6 +467,14 @@ def _q_ngram_jaccard(spark, sf_dir):
     return D.jaccard_pairs(_docs(spark, sf_dir), "doc_id", "text", k=5, min_jaccard=0.7)
 
 
+def _q_ppjoin_jaccard(spark, sf_dir):
+    # lower τ than ngram_jaccard_dedup: more qualifying pairs AND a longer
+    # prefix — exercises the filter's completeness where it is weakest
+    return D.prefix_filter_jaccard_pairs(
+        _docs(spark, sf_dir), "doc_id", "text", k=5, min_jaccard=0.6
+    )
+
+
 def _q_simhash(spark, sf_dir):
     return D.simhash_dedup(_docs(spark, sf_dir), "doc_id", "text", max_hamming=3)
 
@@ -734,7 +742,8 @@ WHERE {pdot} / (a.norm * b.norm) >= {thr}
 
 
 def _ivf_pq_sql(
-    n_clusters: int, n_probe: int, k: int, mod: int, residual: bool = False
+    n_clusters: int, n_probe: int, k: int, mod: int, residual: bool = False,
+    refine_factor: int | None = None,
 ) -> str:
     """IVF-PQ oracle: coarse assignment + probe ranks replicate the Spark
     fold dots; codes and LUTs replicate _pq_dists_sql; adist is the same
@@ -784,6 +793,33 @@ def _ivf_pq_sql(
             f"WHERE vec_id % {mod} = 0\n"
         )
         ql_join = "JOIN qlut ql ON ql.query_id = qp.query_id"
+    if refine_factor is None:
+        tail = f"""SELECT query_id, CAST(rank AS INT) AS rank, vec_id, adist FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+       ORDER BY adist ASC, vec_id ASC) AS rank FROM scored
+) WHERE rank <= {k}"""
+    else:
+        # faiss IndexRefineFlat tail: ADC nominates refine_factor·k, exact
+        # cosine (same ordered fold + operand order as _topk_sql) re-ranks
+        exact_dot = _DOT.format(a="qe.embedding", b="e.embedding")
+        qnorm = _DOT.format(a="qe.embedding", b="qe.embedding")
+        cnorm = _DOT.format(a="e.embedding", b="e.embedding")
+        tail = f""", cand AS (
+  SELECT query_id, vec_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+         ORDER BY adist ASC, vec_id ASC) AS rank FROM scored
+  ) WHERE rank <= {k * refine_factor}
+), exact AS (
+  SELECT cd.query_id, cd.vec_id,
+         {exact_dot} / (sqrt({qnorm}) * sqrt({cnorm})) AS cos
+  FROM cand cd
+  JOIN embeddings e ON e.vec_id = cd.vec_id
+  JOIN embeddings qe ON qe.vec_id = cd.query_id
+)
+SELECT query_id, CAST(rank AS INT) AS rank, vec_id, cos FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+       ORDER BY cos DESC, vec_id ASC) AS rank FROM exact
+) WHERE rank <= {k}"""
     return f"""
 WITH cent(cid, c) AS (VALUES {_cent_values_cast(cent)}),
 v AS (SELECT vec_id, embedding AS v FROM embeddings),
@@ -812,11 +848,19 @@ qlut AS ({qlut_sql}), scored AS (
   {ql_join}
   WHERE ca.vec_id <> qp.query_id
 )
-SELECT query_id, CAST(rank AS INT) AS rank, vec_id, adist FROM (
-  SELECT *, row_number() OVER (PARTITION BY query_id
-       ORDER BY adist ASC, vec_id ASC) AS rank FROM scored
-) WHERE rank <= {k}
+{tail}
 """
+
+
+def _q_ivf_pq_refine_topk(spark, sf_dir):
+    vecs = _vecs(spark, sf_dir)
+    queries = vecs.filter(F.col("vec_id") % 100 == 0)
+    cent = S.ivf_random_centroids(64, 8)
+    books = S.pq_random_codebooks(64, m=8, ksub=16)
+    return S.ivf_pq_refine_topk(
+        vecs, queries, cent, books, "vec_id", "embedding",
+        n_probe=2, k=10, refine_factor=4,
+    )
 
 
 def _q_token_stats(spark, sf_dir):
@@ -1533,6 +1577,7 @@ def training_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_dedup": _q_minhash_lsh,
         "exact_substr_dedup": _q_exact_substr,
         "ngram_jaccard_dedup": _q_ngram_jaccard,
+        "ppjoin_jaccard_dedup": _q_ppjoin_jaccard,
         "simhash_dedup": _q_simhash,
         "embedding_neardup_cosine": _q_embedding_neardup,
         "ann_brute_cosine_topk": _q_ann_brute_topk,
@@ -1542,6 +1587,7 @@ def training_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_encode_codes": _q_pq_encode,
         "pq_adc_cosine_topk": _q_pq_adc_topk,
         "ivf_pq_adc_topk": _q_ivf_pq_topk,
+        "ivf_pq_refine_topk": _q_ivf_pq_refine_topk,
         "ivf_pq_index_topk": _q_ivf_pq_index_topk,
         "ivf_pq_index_extend_topk": _q_ivf_pq_index_extend_topk,
         "stream_ivfpq_extend_replay": _q_stream_ivfpq_extend,
@@ -1619,6 +1665,9 @@ def training_oracle_sql() -> dict[str, str]:
         "minhash_lsh_dedup": _minhash_lsh_sql(5, 0.7),
         "exact_substr_dedup": _EXACT_SUBSTR_SQL,
         "ngram_jaccard_dedup": _ngram_jaccard_sql(5, 0.7),
+        # the prefix filter is exact-complete, so the oracle is the SAME
+        # brute inverted-index SQL at the ppjoin query's threshold
+        "ppjoin_jaccard_dedup": _ngram_jaccard_sql(5, 0.6),
         "simhash_dedup": _simhash_sql(3),
         "embedding_neardup_cosine": _neardup_cos_sql(0.4),
         "ann_brute_cosine_topk": _topk_sql(10, 100),
@@ -1628,6 +1677,7 @@ def training_oracle_sql() -> dict[str, str]:
         "pq_encode_codes": _pq_encode_sql(),
         "pq_adc_cosine_topk": _pq_adc_sql(10, 100),
         "ivf_pq_adc_topk": _ivf_pq_sql(8, 2, 10, 100),
+        "ivf_pq_refine_topk": _ivf_pq_sql(8, 2, 10, 100, refine_factor=4),
         "ivf_pq_index_topk": _ivf_pq_sql(8, 2, 10, 100),
         "ivf_pq_index_extend_topk": _ivf_pq_sql(8, 2, 10, 100),
         "stream_ivfpq_extend_replay": _ivf_pq_sql(8, 2, 10, 100),

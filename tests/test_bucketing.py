@@ -102,6 +102,117 @@ def test_time_travel_manifest_cannot_commit(spark, tmp_path):
         cat._commit_manifest("t", old)
 
 
+def test_compact_zorder_clusters_both_columns(spark, tmp_path):
+    """ZORDER rewrite: per-file min/max ranges shrink on BOTH interleaved
+    columns, where the SORT rewrite leaves the second column's per-file
+    range as wide as the partition.  Data multiset and manifest contract
+    (strategy note, snapshot flip) are preserved like every other rewrite."""
+    import glob
+
+    import pandas as pd
+
+    from influxer_spark.catalog import TableCatalog
+    from pyspark.sql import functions as F
+
+    cat = TableCatalog(str(tmp_path / "cat"))
+    n = 300_000
+    # two decorrelated uniform columns + an incompressible payload so the
+    # 1 MB target yields several output files
+    df = (
+        spark.range(n)
+        .select(
+            (F.col("id") % 997).cast("long").alias("a"),
+            ((F.col("id") * 7919 + 13) % 997).cast("long").alias("b"),
+            F.sha2(F.col("id").cast("string"), 256).alias("payload"),
+        )
+        .withColumn("day", F.lit("d"))
+    )
+    cat.write_partition(df, "points", "d")
+
+    def file_ranges():
+        paths = cat.partition_paths("points", ["d"])
+        spans_a, spans_b = [], []
+        files = glob.glob(f"{paths[0]}/*.parquet")
+        for f in files:
+            pdf = pd.read_parquet(f, columns=["a", "b"])
+            spans_a.append(float(pdf["a"].max() - pdf["a"].min()))
+            spans_b.append(float(pdf["b"].max() - pdf["b"].min()))
+        return len(files), sum(spans_a) / len(spans_a), sum(spans_b) / len(spans_b)
+
+    full = 996.0
+    res_sort = cat.compact_partition(
+        spark, "points", "d", target_file_mb=1, sort_cols=["a"]
+    )
+    assert res_sort["compacted"] and res_sort["files_after"] >= 4
+    nf, span_a_sort, span_b_sort = file_ranges()
+    assert nf >= 4
+    assert span_a_sort < 0.5 * full        # sorted column clusters
+    assert span_b_sort > 0.9 * full        # the OTHER column does not
+
+    res_z = cat.compact_partition(
+        spark, "points", "d", target_file_mb=1, zorder_cols=["a", "b"]
+    )
+    assert res_z["compacted"]
+    nf_z, span_a_z, span_b_z = file_ranges()
+    assert nf_z >= 4
+    assert span_a_z < 0.75 * full          # both columns cluster
+    assert span_b_z < 0.75 * full
+
+    note = cat.committed_partitions("points")["d"]["compaction"]
+    assert note["strategy"] == "zorder"
+    assert note["zorder_cols"] == ["a", "b"] and note["zorder_bits"] == 8
+    back = spark.read.parquet(*cat.partition_paths("points", ["d"]))
+    assert back.count() == n
+    assert back.agg(F.sum("a"), F.sum("b")).first() == df.agg(
+        F.sum("a"), F.sum("b")
+    ).first()
+    # exclusivity + arity guards
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="exclusive"):
+        cat.compact_partition(
+            spark, "points", "d", sort_cols=["a"], zorder_cols=["b"]
+        )
+
+
+def test_zorder_key_string_columns_cluster(spark, tmp_path):
+    """String columns ride the order-preserving 7-byte-prefix image: a
+    ZORDER on (url, metric) leaves each output file with a small slice of
+    each column's distinct values, not a random shuffle of all of them."""
+    import glob
+
+    import pandas as pd
+
+    from influxer_spark.catalog import TableCatalog
+    from pyspark.sql import functions as F
+
+    cat = TableCatalog(str(tmp_path / "cat"))
+    n = 120_000
+    df = (
+        spark.range(n)
+        .select(
+            F.concat(F.lit("url-"), F.format_string("%04d", F.col("id") % 500)).alias("url"),
+            F.concat(F.lit("m-"), F.format_string("%03d", (F.col("id") * 31 + 7) % 200)).alias("metric"),
+            F.sha2(F.col("id").cast("string"), 256).alias("payload"),
+        )
+        .withColumn("day", F.lit("d"))
+    )
+    cat.write_partition(df, "points", "d")
+    res = cat.compact_partition(
+        spark, "points", "d", target_file_mb=1, zorder_cols=["url", "metric"]
+    )
+    assert res["compacted"] and res["files_after"] >= 4
+    paths = cat.partition_paths("points", ["d"])
+    frac_url, frac_metric, nf = [], [], 0
+    for f in glob.glob(f"{paths[0]}/*.parquet"):
+        pdf = pd.read_parquet(f, columns=["url", "metric"])
+        frac_url.append(pdf["url"].nunique() / 500)
+        frac_metric.append(pdf["metric"].nunique() / 200)
+        nf += 1
+    assert sum(frac_url) / nf < 0.75
+    assert sum(frac_metric) / nf < 0.75
+
+
 def test_compact_with_bloom_filters(spark, tmp_path):
     """bloom_cols rewrites the partition with a parquet bloom filter on
     the listed columns.  pyarrow 16 exposes no bloom metadata, so the

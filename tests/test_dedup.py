@@ -71,6 +71,62 @@ def test_jaccard_pairs_exact(docs):
     assert (1, 5) not in pairs and (4, 5) not in pairs
 
 
+@pytest.mark.parametrize("thr", [0.2, 0.5, 0.7, 0.9])
+def test_prefix_filter_equals_brute(spark, thr):
+    """PPJoin prefix filter is exact-complete: output bit-equals the full
+    inverted-index join at every threshold, on a corpus with near-dups at
+    several similarity levels."""
+    words = "w{} x{} y{} z{}".format
+    rows = [(i, " ".join(f"tok{j}" for j in range(20))) for i in range(3)]
+    rows += [
+        (10, " ".join(f"tok{j}" for j in range(19)) + " CHANGED"),
+        (11, " ".join(f"tok{j}" for j in range(15)) + " a b c d e"),
+        (12, " ".join(f"alt{j}" for j in range(20))),
+        (13, " ".join(f"alt{j}" for j in range(10)) + " " + " ".join(f"tok{j}" for j in range(10))),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    brute = sorted(
+        (r["id_a"], r["id_b"], round(r["jaccard"], 12))
+        for r in D.jaccard_pairs(docs, "doc_id", "text", k=3, min_jaccard=thr).collect()
+    )
+    pp = sorted(
+        (r["id_a"], r["id_b"], round(r["jaccard"], 12))
+        for r in D.prefix_filter_jaccard_pairs(
+            docs, "doc_id", "text", k=3, min_jaccard=thr
+        ).collect()
+    )
+    assert pp == brute
+    if thr <= 0.5:
+        assert pp, "corpus should produce pairs at low thresholds"
+
+
+def test_prefix_filter_exact_threshold_boundary(spark):
+    """A pair whose Jaccard is EXACTLY τ must survive the float ⌈τ·n⌉ prefix
+    math (the ε guard): two 4-shingle sets sharing 2 shingles → J = 1/3."""
+    # k=1 shingles = words; A={a,b,c,d}, B={a,b,e,f}: inter=2, union=6, J=1/3
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b e f")], ["doc_id", "text"]
+    )
+    thr = 1.0 / 3.0
+    out = D.prefix_filter_jaccard_pairs(docs, "doc_id", "text", k=1, min_jaccard=thr).collect()
+    assert [(r["id_a"], r["id_b"]) for r in out] == [(1, 2)]
+
+
+def test_prefix_filter_index_is_smaller(spark):
+    """The point of the filter: the prefix index holds strictly fewer rows
+    than the full inverted index at high τ (~(1−τ)·rows + 1 per doc)."""
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"t{i}_{j}" for j in range(30))) for i in range(5)],
+        ["doc_id", "text"],
+    )
+    ds = D.distinct_shingles(docs, "doc_id", "text", k=3)
+    full_rows = ds.count()
+    n = 28  # 30 words → 28 3-shingles, all distinct per doc
+    tau = 0.8
+    expected_prefix = n - int(-(-tau * n // 1)) + 1  # n − ⌈τn⌉ + 1 = 28−23+1 = 6
+    assert expected_prefix * 5 < full_rows / 2
+
+
 def test_jaccard_case_sensitivity(docs):
     # shingling is NOT normalized: doc 2 (uppercase) shares no shingle with 4
     rows = D.jaccard_pairs(docs, "doc_id", "text", k=5, min_jaccard=0.01).collect()

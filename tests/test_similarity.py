@@ -226,6 +226,47 @@ def test_ivf_pq_corpus_side_is_pure_codegen(pq_vecs):
     assert "Python" not in plan and "ArrowEval" not in plan
 
 
+def test_ivf_pq_refine_rescores_exactly(pq_vecs):
+    """Refine = ADC candidates → exact cosine re-rank: every reported cos
+    equals brute cosine for that pair, and recall@k vs brute ground truth
+    is at least plain ADC's (the point of paying the rescore join)."""
+    df, mat = pq_vecs
+    cent = S.ivf_random_centroids(8, 4)
+    books = S.pq_random_codebooks(8, m=2, ksub=4)
+    q = df.filter(F.col("vec_id") < 4)
+    k = 5
+    brute = S.brute_topk(df, q, k=k).collect()
+    truth = {}
+    brute_cos = {}
+    for r in brute:
+        truth.setdefault(r["query_id"], set()).add(r["vec_id"])
+        brute_cos[(r["query_id"], r["vec_id"])] = r["cos"]
+    refined = S.ivf_pq_refine_topk(
+        df, q, cent, books, "vec_id", "embedding",
+        n_probe=4, k=k, refine_factor=4,
+    ).collect()
+    adc = S.ivf_pq_topk(df, q, cent, books, "vec_id", "embedding",
+                        n_probe=4, k=k).collect()
+
+    def recall(rows):
+        hit = sum(1 for r in rows if r["vec_id"] in truth[r["query_id"]])
+        return hit / sum(len(v) for v in truth.values())
+
+    assert recall(refined) >= recall(adc)
+    # exactness: reported cos is the true cosine, bit-for-bit vs brute
+    for r in refined:
+        key = (r["query_id"], r["vec_id"])
+        if key in brute_cos:
+            assert r["cos"] == brute_cos[key]
+    # with refine_factor covering the whole corpus, refine == brute top-k
+    full = S.ivf_pq_refine_topk(
+        df, q, cent, books, "vec_id", "embedding",
+        n_probe=4, k=k, refine_factor=40,
+    ).collect()
+    assert sorted((r["query_id"], r["rank"], r["vec_id"]) for r in full) == \
+        sorted((r["query_id"], r["rank"], r["vec_id"]) for r in brute)
+
+
 def test_ivf_pq_residual_matches_numpy_adc(pq_vecs):
     """Residual mode (faiss default): corpus codes quantize (vec - its
     list centroid); each query LUT is built from (qvec - probed-list
