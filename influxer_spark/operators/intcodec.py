@@ -340,6 +340,70 @@ def encode_int_series_df(df, key_cols, ts_col: str, value_col: str):
     return sdf.mapInPandas(carry_partition(keys, _emit), schema=ENCODED_SCHEMA)
 
 
+DUAL_ENCODED_SCHEMA = (
+    "series_keys array<string>, n_points long, gor_blob binary, "
+    "gor_bytes long, int_blob binary, int_bytes long, raw_bytes long"
+)
+
+
+def encode_dual_series_df(
+    df, key_cols, ts_col: str, float_col: str, int_col: str
+):
+    """Encode a float column (Gorilla XOR) AND an integer column (zigzag-
+    delta + simple8b) per series in ONE pass: one repartition-by-key
+    shuffle, one partition sort, one Arrow transfer, one Python sweep.
+
+    The pipeline's 1m tier feeds two blob sinks (mean values → Gorilla,
+    counts → simple8b).  Running :func:`gorilla.encode_series_df` and
+    :func:`encode_int_series_df` separately shuffles the SAME tier rows by
+    the SAME keys twice and pays the Arrow round-trip twice — at 10^12-doc
+    scale that is a full extra pass over the largest intermediate.  Here
+    both codecs share the sorted run (timestamps are identical for both
+    columns by construction, so the delta-of-delta prefix work is shared
+    implicitly).  Output: one row per series with both blobs; downstream
+    sinks are cheap per-codec column selects.
+    """
+    import pyspark.sql.functions as F
+
+    from influxer_spark.operators.gorilla import encode as _gor_encode
+
+    keys = list(key_cols)
+    sdf = (
+        df.select(*keys, ts_col, float_col, int_col)
+        .repartition(*[F.col(k) for k in keys])
+        .sortWithinPartitions(*keys, ts_col)
+    )
+
+    def _emit(pdf: pd.DataFrame) -> pd.DataFrame:
+        ts_all = (
+            pdf[ts_col].astype("datetime64[us]").astype("int64").to_numpy()
+            // 1_000_000
+        )
+        fs_all = pdf[float_col].to_numpy(dtype=np.float64)
+        is_all = pdf[int_col].to_numpy(dtype=np.int64)
+        out: dict[str, list] = {
+            "series_keys": [], "n_points": [], "gor_blob": [],
+            "gor_bytes": [], "int_blob": [], "int_bytes": [], "raw_bytes": [],
+        }
+        for key, idx in pdf.groupby(keys, sort=False).indices.items():
+            t = ts_all[idx]
+            gb = _gor_encode(t, fs_all[idx])
+            ib = encode_int(t, is_all[idx])
+            kt = key if isinstance(key, tuple) else (key,)
+            out["series_keys"].append([str(k) for k in kt])
+            out["n_points"].append(len(t))
+            out["gor_blob"].append(gb)
+            out["gor_bytes"].append(len(gb))
+            out["int_blob"].append(ib)
+            out["int_bytes"].append(len(ib))
+            out["raw_bytes"].append(16 * len(t))
+        return pd.DataFrame(out)
+
+    return sdf.mapInPandas(
+        carry_partition(keys, _emit), schema=DUAL_ENCODED_SCHEMA
+    )
+
+
 def decode_int_series_df(encoded):
     """Inverse of encode_int_series_df: blobs → (series_keys, ts, value)."""
 

@@ -39,8 +39,7 @@ from pyspark.sql import functions as F
 from influxer_spark.catalog import TableCatalog
 from influxer_spark.extract import pages_to_points, with_crawl_metrics, with_extracted
 from influxer_spark.operators import rollup as R
-from influxer_spark.operators.gorilla import encode_series_df
-from influxer_spark.operators.intcodec import encode_int_series_df
+from influxer_spark.operators.intcodec import encode_dual_series_df
 
 POINT_KEYS = ["url", "metric"]
 
@@ -214,6 +213,7 @@ def process_days(
         return R.cascade(frame, POINT_KEYS, tier)
 
     pool = ThreadPoolExecutor(max_workers=3)
+    dual = None
     try:
         # one job for both per-day counters, straight off the wide cache
         stats = {
@@ -266,23 +266,36 @@ def process_days(
         f_gor = None
         f_cnt = None
         if encode_gorilla:
-            enc = encode_series_df(
-                t1m.withColumn("v", F.col("sum_v") / F.col("cnt")),
-                ["day", *POINT_KEYS], "bucket", "v",
-            ).withColumn("day", F.element_at("series_keys", 1))
+            # ONE repartition+sort+Arrow pass encodes BOTH blob sinks (mean
+            # values → Gorilla XOR, counts → zigzag-delta+simple8b, which
+            # beats the float codec on integer series by an order of
+            # magnitude): the two sinks then split per-codec columns off the
+            # cached per-series result (rows = series count ≪ points).
+            dual = (
+                encode_dual_series_df(
+                    t1m.withColumn("v", F.col("sum_v") / F.col("cnt")),
+                    ["day", *POINT_KEYS], "bucket", "v", "cnt",
+                )
+                .withColumn("day", F.element_at("series_keys", 1))
+                .cache()
+            )
+            dual.count()  # materialize once before the concurrent sinks
+            enc = dual.select(
+                "series_keys", "n_points",
+                F.col("gor_blob").alias("blob"), "raw_bytes",
+                F.col("gor_bytes").alias("encoded_bytes"), "day",
+            )
             f_gor = pool.submit(
                 catalog.write_partitions,
                 enc, "rollup_1m_gorilla", days,
                 counters_by_partition={d: {"rows_in": b1m[d]} for d in days},
                 lineage_by_partition=lineage,
             )
-            # the COUNT column is an integer series — the zigzag-delta +
-            # simple8b path beats the float codec on it by an order of
-            # magnitude (evenly spaced buckets RLE away entirely); one
-            # more overlapped sink, same wave commit discipline
-            enc_i = encode_int_series_df(
-                t1m, ["day", *POINT_KEYS], "bucket", "cnt"
-            ).withColumn("day", F.element_at("series_keys", 1))
+            enc_i = dual.select(
+                "series_keys", "n_points",
+                F.col("int_blob").alias("blob"), "raw_bytes",
+                F.col("int_bytes").alias("encoded_bytes"), "day",
+            )
             f_cnt = pool.submit(
                 catalog.write_partitions,
                 enc_i, "rollup_1m_counts", days,
@@ -375,6 +388,8 @@ def process_days(
         # on the failure path, in-flight sink jobs must drain before the
         # caches they read are unpersisted
         pool.shutdown(wait=True)
+        if dual is not None:
+            dual.unpersist()
         t1m.unpersist()
         wide.unpersist()
 

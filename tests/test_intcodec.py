@@ -133,3 +133,40 @@ def test_series_df_roundtrip_matches_rollup(spark, sf_dir):
         F.sum("raw_bytes").alias("raw"), F.sum("encoded_bytes").alias("enc")
     ).collect()[0]
     assert stats["enc"] < stats["raw"] / 4  # ≥4× on real tier counts
+
+
+def test_dual_encode_matches_single_codecs(spark, sf_dir):
+    """encode_dual_series_df = one shuffle/one pass, but its blobs must be
+    bit-identical to the two single-codec paths (Gorilla on the float col,
+    simple8b on the int col), series for series."""
+    from influxer_spark.operators.gorilla import encode_series_df
+    from influxer_spark.operators.rollup import rollup
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    t1m = rollup(ev, "ts", ["event_type"], "value", "1m").withColumn(
+        "v", F.col("sum_v") / F.col("cnt")
+    )
+    dual = {
+        tuple(r["series_keys"]): r
+        for r in IC.encode_dual_series_df(
+            t1m, ["event_type"], "bucket", "v", "cnt"
+        ).collect()
+    }
+    gor = {
+        tuple(r["series_keys"]): r
+        for r in encode_series_df(t1m, ["event_type"], "bucket", "v").collect()
+    }
+    ints = {
+        tuple(r["series_keys"]): r
+        for r in IC.encode_int_series_df(
+            t1m, ["event_type"], "bucket", "cnt"
+        ).collect()
+    }
+    assert set(dual) == set(gor) == set(ints) and dual
+    for k, d in dual.items():
+        assert bytes(d["gor_blob"]) == bytes(gor[k]["blob"]), k
+        assert d["gor_bytes"] == gor[k]["encoded_bytes"]
+        assert bytes(d["int_blob"]) == bytes(ints[k]["blob"]), k
+        assert d["int_bytes"] == ints[k]["encoded_bytes"]
+        assert d["n_points"] == gor[k]["n_points"] == ints[k]["n_points"]
+        assert d["raw_bytes"] == gor[k]["raw_bytes"]
