@@ -2293,6 +2293,62 @@ GROUP BY 1
 """
 
 
+def _q_stats_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest column-stats data skipping VALUE-oracled (catalog.
+    write_partitions(stats_cols=) → read_where): commit events as a
+    day-partitioned catalog table recording per-partition (min, max) for
+    ``ts``, then answer a 3-day range query through the zone maps — the
+    read opens only the partitions whose recorded range can intersect
+    (asserted: the prune must drop most of the month) and the residual
+    filter makes the answer exact.  Oracle = the same filter over the raw
+    table; a hash match proves skipping never changed the answer."""
+    import shutil
+    import tempfile
+
+    from influxer_spark.catalog import TableCatalog
+
+    lo, hi = "2024-01-10 00:00:00", "2024-01-12 23:59:59.999999"
+    ev = _t(spark, sf_dir, "events")
+    root = tempfile.mkdtemp(prefix="stats_gate_")
+    try:
+        cat = TableCatalog(root)
+        withday = ev.withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+        days = sorted(
+            r["day"] for r in withday.select("day").distinct().collect()
+        )
+        cat.write_partitions(withday, "pages_t", days, stats_cols=["ts"])
+        pruned = cat.pruned_partitions("pages_t", "ts", lo, hi)
+        if not pruned or len(pruned) >= len(days):  # the skip must be real
+            raise AssertionError(
+                f"zone maps pruned nothing: {len(pruned)}/{len(days)} kept"
+            )
+        out = (
+            cat.read_where(spark, "pages_t", "ts", lo, hi)
+            .groupBy("event_type")
+            .agg(
+                F.count("value").alias("cnt"),
+                (_q2(F.sum("value")) / 100.0).alias("sum_v"),
+                F.min("value").alias("min_v"),
+                F.max("value").alias("max_v"),
+            )
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+_STATS_PRUNED_ORACLE = """
+SELECT event_type, count(value) AS cnt,
+       CAST(round(sum(value) * 100, 0) AS BIGINT) / 100.0 AS sum_v,
+       min(value) AS min_v, max(value) AS max_v
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+  AND ts <= TIMESTAMP '2024-01-12 23:59:59.999999'
+GROUP BY 1
+"""
+
+
 def _q_merge_into_recrawl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partition-scoped MERGE INTO VALUE-oracled (catalog.merge_into): land
     events as a day-partitioned catalog table, then 'the re-crawl lands' —
@@ -2796,6 +2852,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "update_where_redact": _q_update_where_redact,
         "incremental_read_new_days": _q_incremental_read_new_days,
         "wap_publish_rollup": _q_wap_publish_rollup,
+        "stats_pruned_read": _q_stats_pruned_read,
         "matrix_profile_ab_recent": _q_matrix_profile_ab,
         "matrix_profile_tier_read": _q_matrix_profile_tier,
         "stream_sessionize_replay": _q_stream_sessionize,
@@ -2917,6 +2974,7 @@ def oracle_sql() -> dict[str, str]:
         "update_where_redact": _UPDATE_REDACT_ORACLE,
         "incremental_read_new_days": _INCREMENT_ORACLE,
         "wap_publish_rollup": _WAP_ORACLE,
+        "stats_pruned_read": _STATS_PRUNED_ORACLE,
         "matrix_profile_ab_recent": _MATRIX_PROFILE_AB_ORACLE,
         "matrix_profile_tier_read": _MATRIX_PROFILE_ORACLE,
         "heavy_hitters_1d": _HEAVY_HITTERS_ORACLE,

@@ -348,6 +348,141 @@ class TableCatalog:
         return self.read_committed(spark, name)
 
     # ------------------------------------------------------------------
+    # column-stats data skipping (Iceberg manifest zone maps)
+    # ------------------------------------------------------------------
+
+    @staticmethod
+    def _stat_value(v: Any) -> Any:
+        """JSON-safe stat value.  Timestamps/dates serialize as their ISO
+        string, which sorts identically to the value itself — so pruning
+        comparisons against ISO-string bounds stay correct."""
+        import datetime as _dt
+        import decimal as _dec
+
+        if isinstance(v, (_dt.datetime, _dt.date)):
+            return v.isoformat(sep=" ") if isinstance(v, _dt.datetime) else v.isoformat()
+        if isinstance(v, _dec.Decimal):
+            return float(v)
+        return v
+
+    @classmethod
+    def _collect_stats(
+        cls, df: DataFrame, stats_cols: list[str], group_col: str | None
+    ) -> dict[str, dict[str, Any]]:
+        """Per-partition (min, max, null count) for the chosen columns in
+        ONE partial-aggregated job — the metadata Iceberg writers collect
+        from parquet footers while committing data files.  Bounded output:
+        one row per partition value."""
+        from pyspark.sql import functions as F
+
+        aggs = []
+        for c in stats_cols:
+            aggs += [
+                F.min(c).alias(f"__mn_{c}"),
+                F.max(c).alias(f"__mx_{c}"),
+                F.count(F.when(F.col(c).isNull(), 1)).alias(f"__nu_{c}"),
+            ]
+        if group_col is None:
+            rows = [("", df.agg(*aggs).collect()[0])]
+        else:
+            rows = [
+                (r[group_col], r)
+                for r in df.groupBy(group_col).agg(*aggs).collect()
+            ]
+        out: dict[str, dict[str, Any]] = {}
+        for pv, r in rows:
+            out[str(pv)] = {
+                c: {
+                    "min": cls._stat_value(r[f"__mn_{c}"]),
+                    "max": cls._stat_value(r[f"__mx_{c}"]),
+                    "nulls": int(r[f"__nu_{c}"]),
+                }
+                for c in stats_cols
+            }
+        return out
+
+    def pruned_partitions(
+        self,
+        name: str,
+        col: str,
+        lo: Any = None,
+        hi: Any = None,
+        as_of: int | None = None,
+    ) -> list[str]:
+        """Partition values whose recorded [min, max] range for ``col``
+        intersects [lo, hi] (either bound may be None = unbounded).
+
+        Conservative by contract: a partition with NO recorded stats for
+        ``col`` is always returned (never skipped), exactly like an Iceberg
+        manifest entry without column bounds — pruning can only drop
+        partitions the stats PROVE empty for the predicate.  All-null
+        partitions (min is None with recorded stats) are skipped for a
+        range predicate, which SQL comparison semantics make correct."""
+        parts = self.committed_partitions(name, as_of)
+        keep: list[str] = []
+        for pv, entry in sorted(parts.items()):
+            st = (entry.get("stats") or {}).get(col)
+            if st is None:
+                keep.append(pv)
+                continue
+            mn, mx = st.get("min"), st.get("max")
+            if mn is None:  # stats recorded, every value NULL
+                continue
+            if lo is not None and mx < lo:
+                continue
+            if hi is not None and mn > hi:
+                continue
+            keep.append(pv)
+        return keep
+
+    def read_where(
+        self,
+        spark: SparkSession,
+        name: str,
+        col: str,
+        lo: Any = None,
+        hi: Any = None,
+        as_of: int | None = None,
+    ) -> DataFrame:
+        """Range-predicate read with manifest-level data skipping: only
+        partitions whose recorded column stats can contain ``col`` in
+        [lo, hi] are opened (zero I/O for the rest — at 10^12 rows this is
+        the difference between a metric-range scan touching 3 days and
+        touching 3 years), then the exact residual filter applies on top.
+
+        The answer is identical to filtering the full table — the stats
+        only ever REMOVE provably-empty partitions (pinned by test)."""
+        from pyspark.sql import functions as F
+
+        keep = self.pruned_partitions(name, col, lo, hi, as_of)
+        manifest = self.read_manifest(name, as_of)
+        parts = manifest["partitions"]
+        paths = [self._partition_dir(name, v, parts[v]) for v in keep]
+        paths = [p for p in paths if os.path.exists(p)]
+        schema = manifest.get("schema")
+        if not paths:
+            from pyspark.sql.types import StructType
+
+            if schema is None:
+                raise ValueError(
+                    f"table {name}: every partition pruned and no recorded "
+                    "schema to shape the empty result"
+                )
+            return spark.createDataFrame([], StructType.fromJson(schema))
+        reader = spark.read
+        if schema is not None:
+            from pyspark.sql.types import StructType
+
+            reader = reader.schema(StructType.fromJson(schema))
+        df = reader.parquet(*paths)
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (F.col(col) >= F.lit(lo))
+        if hi is not None:
+            cond = cond & (F.col(col) <= F.lit(hi))
+        return df.filter(cond)
+
+    # ------------------------------------------------------------------
     # writes
     # ------------------------------------------------------------------
 
@@ -358,6 +493,7 @@ class TableCatalog:
         partition_value: str,
         counters: dict[str, Any] | None = None,
         lineage: dict[str, Any] | None = None,
+        stats_cols: list[str] | None = None,
     ) -> dict[str, Any]:
         """Idempotently (over)write one partition of ``name``.
 
@@ -365,6 +501,10 @@ class TableCatalog:
         snapshot-pointer flip is the only visibility point, so a crash
         anywhere leaves the previous snapshot fully intact AND readable
         (old bytes are never touched — reclaimed later by expire/vacuum).
+
+        ``stats_cols`` records per-partition (min, max, nulls) column stats
+        in the manifest entry (Iceberg zone maps) — the input to
+        :meth:`pruned_partitions` / :meth:`read_where` data skipping.
         """
         vdir = f"v={uuid.uuid4().hex[:8]}"
         dest = os.path.join(self.table_path(name), f"p={partition_value}", vdir)
@@ -378,6 +518,8 @@ class TableCatalog:
             "counters": counters or {},
             "lineage": lineage or {},
         }
+        if stats_cols:
+            entry["stats"] = self._collect_stats(df, stats_cols, None)[""]
         manifest["partitions"][partition_value] = entry
         manifest["lineage"].append({"partition": partition_value, **entry})
         self._commit_manifest(name, manifest)
@@ -391,6 +533,7 @@ class TableCatalog:
         day_col: str = "day",
         counters_by_partition: dict[str, dict[str, Any]] | None = None,
         lineage_by_partition: dict[str, dict[str, Any]] | None = None,
+        stats_cols: list[str] | None = None,
     ) -> None:
         """Idempotently (over)write MANY partitions of ``name`` in ONE Spark
         job (``partitionBy`` into staging, then per-partition rename into
@@ -407,6 +550,16 @@ class TableCatalog:
         """
         staging = os.path.join(self.table_path(name), f".wave-{uuid.uuid4().hex[:8]}")
         df.write.mode("overwrite").partitionBy(day_col).parquet(staging)
+        stats_by_pv: dict[str, dict[str, Any]] = {}
+        if stats_cols and any(
+            os.path.exists(os.path.join(staging, f"{day_col}={pv}"))
+            for pv in partition_values
+        ):
+            # one partial-aggregated job over the just-staged bytes (not the
+            # input plan, which may be expensive to recompute) — the same
+            # footer-derived metadata an Iceberg writer commits
+            staged = df.sparkSession.read.parquet(staging)
+            stats_by_pv = self._collect_stats(staged, stats_cols, day_col)
         manifest = self.read_manifest(name)
         # the CURRENT schema is snapshot metadata (Iceberg schema tracking):
         # data files exclude the partition column, and readers project this
@@ -429,6 +582,8 @@ class TableCatalog:
                 "counters": (counters_by_partition or {}).get(pv, {}),
                 "lineage": (lineage_by_partition or {}).get(pv, {}),
             }
+            if pv in stats_by_pv:
+                entry["stats"] = stats_by_pv[pv]
             manifest["partitions"][pv] = entry
             manifest["lineage"].append({"partition": pv, **entry})
         self._commit_manifest(name, manifest)

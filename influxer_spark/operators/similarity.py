@@ -1017,3 +1017,89 @@ def ivfpq_search_index(
         .filter(F.col("rank") <= k)
         .select("query_id", F.col("rank").cast("int"), "vec_id", "adist")
     )
+
+
+def _sq8_codes(vec_col: str):
+    """Symmetric per-vector int8 quantization (sampling.quantize_embeddings_
+    int8's exact rule: ``scale = max|x| / 127``, ``q = floor(x/scale + 0.5)``)
+    plus the code self-dot as an exact BIGINT.  Pure Column expressions."""
+    xd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    mx = F.array_max(F.transform(xd, lambda x: F.abs(x)))
+    q = F.transform(
+        xd,
+        lambda x: F.when(
+            mx > 0.0,
+            F.floor(x / (mx / F.lit(127.0)) + F.lit(0.5)).cast("int"),
+        ).otherwise(F.lit(0)),
+    )
+    qq = F.aggregate(
+        F.transform(q, lambda c: (c.cast("long") * c.cast("long"))),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return q, qq
+
+
+def sq8_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Scalar-quantized (SQ8) cosine top-k — the faiss IndexScalarQuantizer
+    tier between exact float scan and PQ codes: both sides quantize to int8
+    (4x smaller corpus rows than float32, 8x than the float64 scan), the
+    pair score is an EXACT BIGINT dot product over the codes, and cosine in
+    quantized space divides both per-vector scales out entirely::
+
+        cos8 = dot(q_a, q_b) / (sqrt(dot(q_a,q_a)) * sqrt(dot(q_b,q_b)))
+
+    so the ranking reduces to exact integers plus two correctly-rounded
+    IEEE ops (sqrt, divide) — bit-reproducible across engines, hence fully
+    value-oracle-able, unlike any float-accumulation ANN score.
+
+    Scale posture: identical to brute_topk's scatter-gather (query side
+    broadcast, corpus streams once, WindowGroupLimit folds per-partition
+    top-k before the one (queries x k)-sized exchange) — but the corpus
+    scan reads int8 codes, not floats.  At 10^12 vectors SQ8 is the widest
+    index faiss deploys before IVF pruning; compose with IVF lists the same
+    way ivf_pq_topk does for the pruned variant.
+
+    Output: (query_id, rank, vec_id, dot_int, cos8), rank 1..k by
+    (cos8 desc, vec_id asc); zero vectors (all-zero codes) are excluded
+    from both sides — cosine is undefined for them.
+    """
+    cq, cqq = _sq8_codes(vec_col)
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), cq.alias("cq"), cqq.alias("cqq")
+    ).filter(F.col("cqq") > 0)
+    qq_codes, qqq = _sq8_codes(vec_col)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), qq_codes.alias("qq"), qqq.alias("qqq")
+    ).filter(F.col("qqq") > 0)
+    dot_int = F.aggregate(
+        F.zip_with(
+            F.col("qq"), F.col("cq"), lambda a, b: a.cast("long") * b.cast("long")
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            dot_int.alias("dot_int"),
+            (
+                dot_int.cast("double")
+                / (F.sqrt(F.col("qqq").cast("double")) * F.sqrt(F.col("cqq").cast("double")))
+            ).alias("cos8"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos8"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("rank").cast("int"), "vec_id", "dot_int", "cos8")
+    )

@@ -489,6 +489,60 @@ def _q_ann_brute_topk(spark, sf_dir):
     return S.brute_topk(vecs, queries, "vec_id", "embedding", k=10)
 
 
+def _q_sq8_topk(spark, sf_dir):
+    """Scalar-quantized (SQ8) cosine top-k (operators/similarity.py:
+    sq8_topk) — exact BIGINT code dots, scales cancel in quantized-space
+    cosine, so the whole ranking is value-oracle-able."""
+    vecs = _vecs(spark, sf_dir)
+    queries = vecs.filter(F.col("vec_id") % 100 == 0)
+    return S.sq8_topk(vecs, queries, "vec_id", "embedding", k=10)
+
+
+_SQ8_TOPK_SQL = """
+WITH x AS (
+  SELECT vec_id, list_transform(embedding, e -> CAST(e AS DOUBLE)) AS v
+  FROM embeddings
+), m AS (
+  SELECT vec_id, v,
+         list_aggregate(list_transform(v, e -> abs(e)), 'max') AS mx
+  FROM x
+), codes AS (
+  SELECT vec_id,
+    list_transform(v, e -> CASE WHEN mx > CAST(0.0 AS DOUBLE)
+        THEN CAST(floor(e / (mx / CAST(127.0 AS DOUBLE))
+                        + CAST(0.5 AS DOUBLE)) AS BIGINT)
+        ELSE CAST(0 AS BIGINT) END) AS q
+  FROM m
+), sd AS (
+  SELECT vec_id, q,
+    list_reduce(list_transform(list_zip(q, q), p -> p[1] * p[2]),
+                (a, b) -> a + b) AS qq
+  FROM codes
+), c AS (SELECT vec_id, q, qq FROM sd WHERE qq > 0),
+qs AS (
+  SELECT vec_id AS query_id, q AS qv, qq AS qqq
+  FROM sd WHERE qq > 0 AND vec_id % 100 = 0
+), scored AS (
+  SELECT qs.query_id, c.vec_id,
+    list_reduce(list_transform(list_zip(qs.qv, c.q), p -> p[1] * p[2]),
+                (a, b) -> a + b) AS dot_int,
+    c.qq AS cqq, qs.qqq AS qqq
+  FROM c JOIN qs ON c.vec_id <> qs.query_id
+)
+SELECT query_id, CAST(rank AS INT) AS rank, vec_id,
+       CAST(dot_int AS BIGINT) AS dot_int, cos8 FROM (
+  SELECT query_id, vec_id, dot_int,
+    CAST(dot_int AS DOUBLE)
+      / (sqrt(CAST(qqq AS DOUBLE)) * sqrt(CAST(cqq AS DOUBLE))) AS cos8,
+    row_number() OVER (PARTITION BY query_id
+        ORDER BY CAST(dot_int AS DOUBLE)
+          / (sqrt(CAST(qqq AS DOUBLE)) * sqrt(CAST(cqq AS DOUBLE))) DESC,
+        vec_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 10
+"""
+
+
 def _q_ann_lsh_topk(spark, sf_dir):
     vecs = _vecs(spark, sf_dir)
     queries = vecs.filter(F.col("vec_id") % 100 == 0)
@@ -1581,6 +1635,7 @@ def training_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_dedup": _q_simhash,
         "embedding_neardup_cosine": _q_embedding_neardup,
         "ann_brute_cosine_topk": _q_ann_brute_topk,
+        "sq8_topk_cosine": _q_sq8_topk,
         "ann_lsh_cosine_topk": _q_ann_lsh_topk,
         "ann_ivf_cosine_topk": _q_ann_ivf_topk,
         "ann_ivf_index_topk": _q_ann_ivf_index_topk,
@@ -1671,6 +1726,7 @@ def training_oracle_sql() -> dict[str, str]:
         "simhash_dedup": _simhash_sql(3),
         "embedding_neardup_cosine": _neardup_cos_sql(0.4),
         "ann_brute_cosine_topk": _topk_sql(10, 100),
+        "sq8_topk_cosine": _SQ8_TOPK_SQL,
         "ann_lsh_cosine_topk": _lsh_sql(8, 10, 100),
         "ann_ivf_cosine_topk": _ivf_sql(8, 2, 10, 100),
         "ann_ivf_index_topk": _ivf_sql(8, 2, 10, 100),

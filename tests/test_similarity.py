@@ -549,3 +549,55 @@ def test_ivfpq_extend_is_upsert_on_vec_id(spark, tmp_path):
     got = S.ivfpq_search_index(spark, cat, q, n_probe=4, k=5).collect()
     mem = S.ivf_pq_topk(full, q, cent, books, n_probe=4, k=5).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, mem))
+
+
+def test_sq8_topk_codes_and_ranking(vecs):
+    """SQ8 ranking agrees with a numpy replay of the exact quantization
+    rule, dot_int is the exact integer code dot, and the zero vector is
+    excluded from the corpus side."""
+    import numpy as np
+
+    rows = vecs.collect()
+    base = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64) for r in rows}
+    base[9] = np.zeros(3)
+    df = vecs.sparkSession.createDataFrame(
+        [(k, v.tolist()) for k, v in base.items()], ["vec_id", "embedding"]
+    )
+
+    def codes(x):
+        mx = np.abs(x).max()
+        if mx <= 0:
+            return np.zeros_like(x, dtype=np.int64)
+        return np.floor(x / (mx / 127.0) + 0.5).astype(np.int64)
+
+    q = df.filter(F.col("vec_id") == 0)
+    got = S.sq8_topk(df, q, k=10).collect()
+    got = sorted(got, key=lambda r: r["rank"])
+    # zero vector never appears
+    assert all(r["vec_id"] != 9 for r in got)
+    # replay expected scores
+    qc = codes(base[0])
+    exp = []
+    for vid, vec in base.items():
+        if vid == 0:
+            continue
+        cc = codes(vec)
+        if not cc.any():
+            continue
+        d = int((qc * cc).sum())
+        cos8 = d / (math.sqrt(float((qc * qc).sum())) * math.sqrt(float((cc * cc).sum())))
+        exp.append((vid, d, cos8))
+    exp.sort(key=lambda t: (-t[2], t[0]))
+    assert [(r["vec_id"], r["dot_int"]) for r in got] == [(v, d) for v, d, _ in exp]
+    for r, (_, _, cos8) in zip(got, exp):
+        assert r["cos8"] == pytest.approx(cos8, abs=0)  # bit-exact
+
+
+def test_sq8_topk_matches_brute_on_separated_clusters(vecs):
+    """On well-separated directions the 8-bit quantization cannot reorder
+    the top-1 neighbor vs the exact float scan."""
+    q = vecs.filter(F.col("vec_id") == 0)
+    brute1 = {r["query_id"]: r["vec_id"]
+              for r in S.brute_topk(vecs, q, k=1).collect()}
+    sq1 = {r["query_id"]: r["vec_id"] for r in S.sq8_topk(vecs, q, k=1).collect()}
+    assert sq1 == brute1
