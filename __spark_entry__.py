@@ -2349,6 +2349,46 @@ GROUP BY 1
 """
 
 
+def _q_tagged_snapshot_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot tags VALUE-oracled (catalog.create_tag → as_of=tag reads →
+    tag-aware expire_snapshots): commit events as day partitions, tag the
+    snapshot 'release', then corrupt every day (value + 1000 — a botched
+    refresh) and run maintenance with keep_last=1.  The tagged snapshot
+    must survive expiry AND answer by name: the rollup over
+    ``as_of='release'`` hash-matches the oracle over the ORIGINAL events,
+    proving the pinned release is byte-stable through later bad writes
+    and routine maintenance."""
+    import shutil
+    import tempfile
+
+    from influxer_spark.catalog import TableCatalog
+
+    ev = _t(spark, sf_dir, "events")
+    root = tempfile.mkdtemp(prefix="tag_gate_")
+    try:
+        cat = TableCatalog(root)
+        withday = ev.withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+        days = sorted(
+            r["day"] for r in withday.select("day").distinct().collect()
+        )
+        cat.write_partitions(withday, "pages_t", days)
+        cat.create_tag("pages_t", "release")
+        corrupted = withday.withColumn("value", F.col("value") + 1000.0)
+        cat.write_partitions(corrupted, "pages_t", days)
+        cat.expire_snapshots("pages_t", keep_last=1)
+        back = cat.read_committed(spark, "pages_t", as_of="release")
+        out = back.groupBy("event_type").agg(
+            F.count("value").alias("cnt"),
+            (_q2(F.sum("value")) / 100.0).alias("sum_v"),
+            F.min("value").alias("min_v"),
+            F.max("value").alias("max_v"),
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _q_merge_into_recrawl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partition-scoped MERGE INTO VALUE-oracled (catalog.merge_into): land
     events as a day-partitioned catalog table, then 'the re-crawl lands' —
@@ -2853,6 +2893,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_read_new_days": _q_incremental_read_new_days,
         "wap_publish_rollup": _q_wap_publish_rollup,
         "stats_pruned_read": _q_stats_pruned_read,
+        "tagged_snapshot_read": _q_tagged_snapshot_read,
         "matrix_profile_ab_recent": _q_matrix_profile_ab,
         "matrix_profile_tier_read": _q_matrix_profile_tier,
         "stream_sessionize_replay": _q_stream_sessionize,
@@ -2975,6 +3016,7 @@ def oracle_sql() -> dict[str, str]:
         "incremental_read_new_days": _INCREMENT_ORACLE,
         "wap_publish_rollup": _WAP_ORACLE,
         "stats_pruned_read": _STATS_PRUNED_ORACLE,
+        "tagged_snapshot_read": _WAP_ORACLE,
         "matrix_profile_ab_recent": _MATRIX_PROFILE_AB_ORACLE,
         "matrix_profile_tier_read": _MATRIX_PROFILE_ORACLE,
         "heavy_hitters_1d": _HEAVY_HITTERS_ORACLE,

@@ -178,7 +178,75 @@ class TableCatalog:
                 out.append(int(m.group(1)))
         return sorted(out)
 
-    def read_manifest(self, name: str, as_of: int | None = None) -> dict[str, Any]:
+    # ------------------------------------------------------------------
+    # named snapshot refs (Iceberg tags)
+    # ------------------------------------------------------------------
+
+    def _refs_path(self, name: str) -> str:
+        return os.path.join(self.table_path(name), "_refs.json")
+
+    def tags(self, name: str) -> dict[str, int]:
+        """Named snapshot refs: tag → snapshot id (Iceberg's ``tags``)."""
+        p = self._refs_path(name)
+        if not os.path.exists(p):
+            return {}
+        with open(p) as f:
+            return {k: int(v) for k, v in json.load(f).get("tags", {}).items()}
+
+    def _write_refs(self, name: str, tags: dict[str, int]) -> None:
+        tdir = self.table_path(name)
+        os.makedirs(tdir, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=tdir, suffix=".refs")
+        with os.fdopen(fd, "w") as f:
+            json.dump({"tags": tags}, f, indent=1)
+        os.replace(tmp, self._refs_path(name))  # atomic on POSIX
+
+    def create_tag(self, name: str, tag: str, snapshot: int | None = None) -> int:
+        """Pin a snapshot under a name (Iceberg ``CREATE TAG``): the tagged
+        snapshot becomes addressable as ``as_of=tag`` on every read path
+        AND immune to :meth:`expire_snapshots` until the tag is dropped —
+        the audit/rollback/reproducibility anchor ("the dataset release we
+        trained run 47 on") that bare integer time travel cannot give,
+        because untagged history is exactly what expiry reaps."""
+        snap = self.current_snapshot(name) if snapshot is None else snapshot
+        if snap is None or snap not in self.snapshots(name):
+            raise ValueError(
+                f"table {name}: cannot tag snapshot {snap!r} "
+                f"(retained: {self.snapshots(name)})"
+            )
+        tags = self.tags(name)
+        if tag in tags and tags[tag] != snap:
+            raise ValueError(
+                f"table {name}: tag {tag!r} already pins snapshot "
+                f"{tags[tag]} — drop it first (tags are immutable refs)"
+            )
+        tags[tag] = snap
+        self._write_refs(name, tags)
+        return snap
+
+    def drop_tag(self, name: str, tag: str) -> None:
+        tags = self.tags(name)
+        if tag not in tags:
+            raise ValueError(f"table {name}: no tag {tag!r}")
+        del tags[tag]
+        self._write_refs(name, tags)
+
+    def resolve_ref(self, name: str, ref: int | str) -> int:
+        """Resolve a ref (tag name or snapshot id) to a snapshot id."""
+        if isinstance(ref, str):
+            tags = self.tags(name)
+            if ref not in tags:
+                raise ValueError(
+                    f"table {name}: unknown tag {ref!r} (tags: {sorted(tags)})"
+                )
+            return tags[ref]
+        return ref
+
+    def read_manifest(
+        self, name: str, as_of: int | str | None = None
+    ) -> dict[str, Any]:
+        if isinstance(as_of, str):
+            as_of = self.resolve_ref(name, as_of)
         version = self.current_snapshot(name) if as_of is None else as_of
         if version is None:
             # legacy single-manifest layout (pre-snapshot catalogs)
@@ -1085,8 +1153,18 @@ class TableCatalog:
         """Iceberg ``expire_snapshots``: retain the last ``keep_last``
         snapshots, delete older manifest files, and delete exactly the data
         dirs no retained snapshot references.  Also sweeps crashed-run
-        staging and orphaned (never-committed) data versions."""
-        kept = self.snapshots(name)[-max(1, keep_last):]
+        staging and orphaned (never-committed) data versions.
+
+        TAGGED snapshots (:meth:`create_tag`) are always retained — their
+        manifests and every data dir they reference survive any
+        ``keep_last`` until the tag is dropped, matching Iceberg's ref-
+        aware expiry.  That is the tags' whole point: a pinned dataset
+        release must survive routine maintenance."""
+        kept = set(self.snapshots(name)[-max(1, keep_last):])
+        kept |= {
+            s for s in self.tags(name).values() if s in self.snapshots(name)
+        }
+        kept = sorted(kept)
         referenced: set[str] = set()
         for v in kept:
             for pv, e in self.read_manifest(name, v)["partitions"].items():

@@ -1355,6 +1355,76 @@ def _q_cusum(spark, sf_dir):
     )
 
 
+def _q_ewma_chart(spark, sf_dir):
+    """EWMA control chart (Roberts 1959) over hourly event counts — the
+    small-persistent-drift SPC monitor beside sigma (per-point) and CUSUM
+    (cumulative).  The variance-inflation factor is a fold-threaded
+    running product instead of pow(), so the recursive-CTE oracle replays
+    every emitted double bit-for-bit."""
+    from influxer_spark.operators.influxql import ewma_chart
+
+    h = _hourly(spark, sf_dir).select("event_type", "bucket", "v")
+    return ewma_chart(h, ["event_type"], "bucket", "v", lam=0.2, l_mads=3.0)
+
+
+def _ewma_sql(lam: float, l_mads: float) -> str:
+    om = 1.0 - lam
+    om2 = om * om
+    cfac = lam / (2.0 - lam)
+    return f"""
+WITH RECURSIVE {_HOURLY_MAT_SQL},
+med AS (
+  SELECT event_type, v AS mu FROM (
+    SELECT event_type, v,
+           row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn,
+           count(*) OVER (PARTITION BY event_type) AS n
+    FROM hourly
+  ) WHERE rn = CAST(floor(0.5 * n + 0.5) AS BIGINT)
+),
+ad AS (
+  SELECT h.event_type, h.bucket, h.v, m.mu, abs(h.v - m.mu) AS adv
+  FROM hourly h JOIN med m USING (event_type)
+),
+madt AS (
+  SELECT event_type, adv AS mad FROM (
+    SELECT event_type, adv,
+           row_number() OVER (PARTITION BY event_type ORDER BY adv) AS rn,
+           count(*) OVER (PARTITION BY event_type) AS n
+    FROM ad
+  ) WHERE rn = CAST(floor(0.5 * n + 0.5) AS BIGINT)
+),
+s AS MATERIALIZED (
+  SELECT a.event_type, a.bucket, a.v, a.mu, d.mad,
+         row_number() OVER (PARTITION BY a.event_type
+                            ORDER BY a.bucket) AS rn
+  FROM ad a JOIN madt d USING (event_type)
+),
+r AS (
+  -- every literal CAST AS DOUBLE: a bare decimal literal is DECIMAL in
+  -- DuckDB, and the f chain is literals-only so nothing else promotes it
+  SELECT event_type, bucket, v, mu, mad, rn,
+    {lam!r} * v + {om!r} * mu AS z,
+    CAST({om2!r} AS DOUBLE) AS f
+  FROM s WHERE rn = 1
+  UNION ALL
+  SELECT s.event_type, s.bucket, s.v, s.mu, s.mad, s.rn,
+    {lam!r} * s.v + {om!r} * r.z,
+    r.f * CAST({om2!r} AS DOUBLE)
+  FROM s JOIN r ON s.event_type = r.event_type AND s.rn = r.rn + 1
+)
+SELECT event_type, bucket, v, z AS ewma,
+       mu + CAST({l_mads!r} AS DOUBLE) * mad
+            * sqrt(CAST({cfac!r} AS DOUBLE) * (CAST(1.0 AS DOUBLE) - f)) AS ucl,
+       mu - CAST({l_mads!r} AS DOUBLE) * mad
+            * sqrt(CAST({cfac!r} AS DOUBLE) * (CAST(1.0 AS DOUBLE) - f)) AS lcl,
+       (z > mu + CAST({l_mads!r} AS DOUBLE) * mad
+            * sqrt(CAST({cfac!r} AS DOUBLE) * (CAST(1.0 AS DOUBLE) - f))
+        OR z < mu - CAST({l_mads!r} AS DOUBLE) * mad
+            * sqrt(CAST({cfac!r} AS DOUBLE) * (CAST(1.0 AS DOUBLE) - f))) AS alarm
+FROM r
+"""
+
+
 def _cusum_sql(slack_mads: float, h_mads: float) -> str:
     return f"""
 WITH RECURSIVE {_HOURLY_MAT_SQL},
@@ -1935,6 +2005,7 @@ def influxql_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resid_anomaly_24h": _q_resid_anomaly,
         "sax_daily_motifs": _q_sax_motifs,
         "cusum_changepoints_hourly": _q_cusum,
+        "ewma_chart_hourly": _q_ewma_chart,
         "holt_winters_forecast_24h": _q_holt_winters,
     }
 
@@ -1987,4 +2058,5 @@ def influxql_oracle_sql() -> dict[str, str]:
         "resid_anomaly_24h": _resid_anomaly_sql(),
         "sax_daily_motifs": _sax_sql(),
         "cusum_changepoints_hourly": _cusum_sql(0.5, 5.0),
+        "ewma_chart_hourly": _ewma_sql(0.2, 3.0),
     }

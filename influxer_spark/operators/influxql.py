@@ -490,6 +490,93 @@ def cusum_changepoints(
     )
 
 
+def ewma_chart(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    lam: float = 0.2,
+    l_mads: float = 3.0,
+) -> DataFrame:
+    """EWMA control chart (Roberts 1959, public) per series — the third
+    classic SPC monitor beside tr_sigma (Shewhart-style per-point) and
+    cusum_changepoints (sustained shifts): z_t = λ·x_t + (1−λ)·z_{t−1}
+    with z_0 = μ, alarming when z leaves μ ± L·σ̂·sqrt(λ/(2−λ)·(1−(1−λ)^{2t})).
+    EWMA catches SMALL persistent drifts faster than Shewhart and localizes
+    them better than CUSUM's cumulative sums.
+
+    Exactness discipline (what makes the whole chart value-oracle-able):
+    μ is the nearest-rank median and σ̂ the MAD (both real data points);
+    λ, 1−λ, (1−λ)² and λ/(2−λ) are Python-computed double literals shared
+    verbatim with the oracle; and the variance-inflation factor
+    (1−λ)^{2t} is threaded through the fold as a running product (state
+    ``f``) instead of pow() — a sequential multiply chain replays
+    bit-for-bit in a recursive CTE, while pow's last ulp is libm's.
+
+    One grouped-median pass ×2 + the per-series fold (same single-shuffle
+    shape as the TA recurrence family; series length guarded by
+    ``DEFAULT_MAX_SERIES_POINTS``).
+
+    Output: (keys…, ts, v, ewma, ucl, lcl, alarm).
+    """
+    om = 1.0 - lam          # (1−λ) as the SAME double literal both engines use
+    om2 = om * om           # (1−λ)²
+    cfac = lam / (2.0 - lam)
+    src = _median_mad(df, key_cols, value_col)
+    g = _collected(
+        src, key_cols, ts_col, value_col,
+        extra={"mu": F.col("_mu"), "mad": F.col("_mad")},
+    )
+
+    def step(st: Column, x: Column) -> Column:
+        # f == 1.0 exactly ⇔ no step has run yet (f only shrinks by ·(1−λ)²)
+        zprev = F.when(st["f"] == 1.0, x["mu"]).otherwise(st["z"])
+        z2 = F.lit(lam) * x["v"] + F.lit(om) * zprev
+        f2 = st["f"] * F.lit(om2)
+        return F.struct(z2.alias("z"), f2.alias("f"))
+
+    init = F.struct(F.lit(0.0).alias("z"), F.lit(1.0).alias("f"))
+    z_arr = _fold_emit(
+        F.col("_arr"), init, step,
+        lambda st, x: F.lit(True), lambda st, x: st["z"],
+    )
+    f_arr = _fold_emit(
+        F.col("_arr"), init, step,
+        lambda st, x: F.lit(True), lambda st, x: st["f"],
+    )
+    zipped = F.zip_with(
+        F.zip_with(
+            F.col("_arr"), z_arr,
+            lambda a, p: F.struct(
+                a["t"].alias("t"), a["v"].alias("v"), a["mu"].alias("mu"),
+                a["mad"].alias("mad"), p["v"].alias("z"),
+            ),
+        ),
+        f_arr,
+        lambda z, q: F.struct(
+            z["t"].alias("t"), z["v"].alias("v"), z["z"].alias("z"),
+            (
+                F.lit(l_mads) * z["mad"]
+                * F.sqrt(F.lit(cfac) * (F.lit(1.0) - q["v"]))
+            ).alias("hw"),
+            z["mu"].alias("mu"),
+        ),
+    )
+    ex = g.select(*key_cols, F.explode(zipped).alias("_p"))
+    return ex.select(
+        *key_cols,
+        F.col("_p.t").alias(ts_col),
+        F.col("_p.v").alias(value_col),
+        F.col("_p.z").alias("ewma"),
+        (F.col("_p.mu") + F.col("_p.hw")).alias("ucl"),
+        (F.col("_p.mu") - F.col("_p.hw")).alias("lcl"),
+        (
+            (F.col("_p.z") > F.col("_p.mu") + F.col("_p.hw"))
+            | (F.col("_p.z") < F.col("_p.mu") - F.col("_p.hw"))
+        ).alias("alarm"),
+    )
+
+
 def deadman(
     df: DataFrame,
     key_cols: Sequence[str],

@@ -622,3 +622,41 @@ def test_series_fold_cap_fails_loudly(spark):
     from influxer_spark.operators.decompose import acf
     out = acf(df, ["key"], "ts", "v", max_lag=3)
     assert out.count() == 4  # guard wired in, harmless under the cap
+
+
+def test_ewma_chart_matches_python_mirror(spark):
+    """z, ucl, lcl replay bit-for-bit against a plain-Python recurrence
+    (including the fold-threaded (1-lam)^(2t) running product)."""
+    import math
+
+    vals = [float((i * 37) % 23) + 0.5 * (i % 3) for i in range(60)]
+    df = _series(spark, vals)
+    rows = Q.ewma_chart(df, ["k"], "ts", "v", lam=0.2, l_mads=3.0).orderBy("ts").collect()
+    sv = sorted(vals)
+    mu = sv[int(0.5 * len(vals) + 0.5) - 1]
+    sad = sorted(abs(v - mu) for v in vals)
+    mad = sad[int(0.5 * len(vals) + 0.5) - 1]
+    lam, om, l = 0.2, 0.8, 3.0
+    om2, cfac = om * om, 0.2 / 1.8
+    z, f = None, 1.0
+    for r, v in zip(rows, vals):
+        z = lam * v + om * (mu if z is None else z)
+        f = f * om2
+        hw = l * mad * math.sqrt(cfac * (1.0 - f))
+        assert r["ewma"] == z           # bit-exact
+        assert r["ucl"] == mu + hw
+        assert r["lcl"] == mu - hw
+        assert r["alarm"] == (z > mu + hw or z < mu - hw)
+
+
+def test_ewma_chart_catches_small_drift_sigma_misses(spark):
+    """A slow +0.15/step drift: per-point MAD at k=8 never fires, the
+    EWMA chart walks out of its band."""
+    stable = [10.0 + 0.1 * ((i * 7) % 5) for i in range(40)]
+    drift = [stable[-1] + 0.15 * i for i in range(1, 31)]
+    df = _series(spark, stable + drift)
+    rows = Q.ewma_chart(df, ["k"], "ts", "v", lam=0.2, l_mads=3.0).orderBy("ts").collect()
+    assert not any(r["alarm"] for r in rows[:40])
+    assert any(r["alarm"] for r in rows[40:])
+    mrows = Q.anomaly_mad(df, ["k"], "ts", "v", k=8.0).collect()
+    assert not any(r["anomaly"] for r in mrows[:55])  # per-point test lags far behind
