@@ -1825,6 +1825,52 @@ def _q_series_corr(spark, sf_dir):
     return series_corr(h, ["event_type"], "bucket", "v", "c")
 
 
+def _q_corr_matrix(spark, sf_dir):
+    """All-pairs Pearson correlation between event_type series over the
+    shared hourly buckets (operators/decompose.py:corr_matrix) — the
+    'which metrics move together' matrix, exact BIGINT power sums over
+    hourly_tick_series integer ticks."""
+    from influxer_spark.operators.decompose import corr_matrix
+    from influxer_spark.operators.matrixprofile import hourly_tick_series
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    series = hourly_tick_series(ev)
+    return corr_matrix(series, "event_type", "bucket", "v")
+
+
+_CORR_MATRIX_SQL = """
+WITH h AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket,
+         (100 * CAST(round(sum(value) * 100, 0) AS BIGINT)) // count(value) AS v
+  FROM events GROUP BY 1, 2
+), j AS (
+  SELECT a.event_type AS key_a, b.event_type AS key_b, a.v AS x, b.v AS y
+  FROM h a JOIN h b ON a.bucket = b.bucket AND a.event_type < b.event_type
+), s AS (
+  SELECT key_a, key_b, count(*) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy,
+         CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM j GROUP BY 1, 2
+)
+SELECT key_a, key_b, n,
+  CASE WHEN n >= 2
+        AND (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > CAST(0.0 AS DOUBLE)
+        AND (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > CAST(0.0 AS DOUBLE)
+       THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                   * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+       ELSE NULL END AS corr
+FROM s
+"""
+
+
 def _series_corr_sql() -> str:
     fold = (
         "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), {lst}), "
@@ -1997,6 +2043,7 @@ def influxql_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "acf_48_hourly": _q_acf,
         "dominant_period_48": _q_dominant_period,
         "series_corr_hourly": _q_series_corr,
+        "corr_matrix_hourly": _q_corr_matrix,
         "cross_corr_lags": _q_cross_corr,
         "deadman_1h": _q_deadman,
         "alert_transitions_1h": _q_alert_transitions,
@@ -2050,6 +2097,7 @@ def influxql_oracle_sql() -> dict[str, str]:
         "acf_48_hourly": _acf_sql(48),
         "dominant_period_48": _dominant_period_sql(48),
         "series_corr_hourly": _series_corr_sql(),
+        "corr_matrix_hourly": _CORR_MATRIX_SQL,
         "cross_corr_lags": _ccf_sql([-2, -1, 0, 1, 2]),
         "deadman_1h": _DEADMAN_SQL,
         "alert_transitions_1h": _ALERT_TRANSITIONS_SQL,

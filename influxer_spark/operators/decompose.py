@@ -370,3 +370,73 @@ def dominant_period(
             F.col("acf").alias("acf_peak"),
         )
     )
+
+
+def corr_matrix(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    min_overlap: int = 2,
+) -> DataFrame:
+    """All-pairs Pearson correlation between the series named by
+    ``key_col``, aligned on shared ``ts_col`` buckets — the "which metrics
+    move together?" monitoring primitive (series_corr answers it for ONE
+    pre-joined pair; this answers it for the whole dashboard).
+
+    Exactness: ``value_col`` must be an EXACT INTEGER per bucket (feed it
+    `matrixprofile.hourly_tick_series` ticks or tier cents) so the five
+    power sums (n, Σx, Σy, Σx², Σxy) aggregate as order-free BIGINTs;
+    r then derives in a fixed float shape — casts, products, one √, one
+    division, all correctly-rounded IEEE ops over exact integers — so a
+    SQL oracle replays it bit-for-bit.  (Deriving from exact sums is the
+    same discipline as rollup.with_stddev; a float corr() aggregate would
+    drift with partial-agg order.)
+
+    Plan: one self-equi-join on the bucket (a single shuffle on ts), then
+    one (key_a, key_b) groupBy.  Per-bucket pair fan-out is S·(S−1)/2 for
+    S series per bucket — the operator is for dashboard-scale series sets
+    (S in the hundreds); at larger S, pre-filter keys or sample buckets.
+    Overflow is guarded, not assumed: BIGINT sums of v·v fail loudly when
+    n·max(v)² could pass 2⁶².
+
+    Output: (key_a, key_b, n, corr) for key_a < key_b; corr NULL when
+    either side is constant over the shared buckets or n < min_overlap.
+    """
+    bound = df.agg(
+        F.max(F.abs(F.col(value_col).cast("long"))).alias("mx"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    if bound["mx"] is not None and bound["n"] * bound["mx"] ** 2 >= 2**62:
+        raise ValueError(
+            f"corr_matrix: n·max(v)² = {bound['n']}·{bound['mx']}² may "
+            "overflow BIGINT power sums — rescale the tick unit"
+        )
+    a = df.select(
+        F.col(ts_col).alias("_b"),
+        F.col(key_col).alias("key_a"),
+        F.col(value_col).cast("long").alias("x"),
+    )
+    b = df.select(
+        F.col(ts_col).alias("_b"),
+        F.col(key_col).alias("key_b"),
+        F.col(value_col).cast("long").alias("y"),
+    )
+    joined = a.join(b, on="_b").filter(F.col("key_a") < F.col("key_b"))
+    sums = joined.groupBy("key_a", "key_b").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    num = nd * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy").cast("double")
+    denx = nd * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx").cast("double")
+    deny = nd * F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy").cast("double")
+    corr = F.when(
+        (F.col("n") >= min_overlap) & (denx > 0.0) & (deny > 0.0),
+        num / F.sqrt(denx * deny),
+    )
+    return sums.select("key_a", "key_b", "n", corr.alias("corr"))

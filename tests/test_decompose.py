@@ -297,3 +297,51 @@ def test_dominant_period_constant_series_emits_nothing(spark):
 
     df = spark.createDataFrame([("s", i, 5.0) for i in range(50)], ["k", "t", "v"])
     assert dominant_period(df, ["k"], "t", "v", max_lag=10).count() == 0
+
+
+def test_corr_matrix_hand_geometry(spark):
+    """Perfect positive / negative correlation and zero-variance NULL on
+    hand-aligned integer series, with the key_a < key_b output shape."""
+    from influxer_spark.operators.decompose import corr_matrix
+
+    rows = []
+    for i in range(6):
+        rows += [
+            ("up", i, 10 + 2 * i),
+            ("dn", i, 50 - 3 * i),
+            ("flat", i, 7),
+        ]
+    df = spark.createDataFrame(rows, ["k", "b", "v"])
+    got = {(r["key_a"], r["key_b"]): r for r in
+           corr_matrix(df, "k", "b", "v").collect()}
+    assert set(got) == {("dn", "up"), ("dn", "flat"), ("flat", "up")}
+    assert got[("dn", "up")]["corr"] == pytest.approx(-1.0)
+    assert got[("dn", "flat")]["corr"] is None  # zero variance side
+    assert all(r["n"] == 6 for r in got.values())
+
+
+def test_corr_matrix_partial_overlap_and_min_overlap(spark):
+    from influxer_spark.operators.decompose import corr_matrix
+
+    rows = [("a", 0, 1), ("a", 1, 2), ("a", 2, 3),
+            ("b", 1, 5), ("b", 2, 7),          # overlaps a on buckets 1,2
+            ("c", 9, 4)]                        # no shared bucket with a
+    df = spark.createDataFrame(rows, ["k", "b", "v"])
+    got = {(r["key_a"], r["key_b"]): r for r in
+           corr_matrix(df, "k", "b", "v").collect()}
+    assert ("a", "b") in got and got[("a", "b")]["n"] == 2
+    assert got[("a", "b")]["corr"] == pytest.approx(1.0)
+    assert ("a", "c") not in got  # inner alignment: no shared buckets, no row
+    strict = {(r["key_a"], r["key_b"]): r["corr"] for r in
+              corr_matrix(df, "k", "b", "v", min_overlap=3).collect()}
+    assert strict[("a", "b")] is None  # below the overlap floor
+
+
+def test_corr_matrix_overflow_guard(spark):
+    from influxer_spark.operators.decompose import corr_matrix
+
+    big = spark.createDataFrame(
+        [("a", 0, 2**31), ("b", 0, 2**31)], ["k", "b", "v"]
+    )
+    with pytest.raises(ValueError, match="overflow"):
+        corr_matrix(big, "k", "b", "v")
