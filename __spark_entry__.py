@@ -2349,6 +2349,57 @@ GROUP BY 1
 """
 
 
+def _q_branch_publish_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Branch refs VALUE-oracled (catalog.create_branch → branch= wave
+    commits → fast_forward): half the month lands on main, the rest lands
+    on an 'audit' branch in TWO separate wave commits (the multi-commit
+    isolation single-snapshot WAP cannot express), main is verified
+    unchanged between them, then fast_forward publishes the branch head
+    atomically.  Oracle = the plain rollup over ALL events; a hash match
+    proves the branch line carried both waves byte-losslessly into main."""
+    import shutil
+    import tempfile
+
+    from influxer_spark.catalog import TableCatalog
+
+    ev = _t(spark, sf_dir, "events")
+    root = tempfile.mkdtemp(prefix="branch_gate_")
+    try:
+        cat = TableCatalog(root)
+        withday = ev.withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+        days = sorted(
+            r["day"] for r in withday.select("day").distinct().collect()
+        )
+        head_days, mid_days, tail_days = days[:-10], days[-10:-5], days[-5:]
+        cat.write_partitions(
+            withday.filter(F.col("day").isin(head_days)), "pages_t", head_days
+        )
+        main_before = cat.current_snapshot("pages_t")
+        cat.create_branch("pages_t", "audit")
+        cat.write_partitions(
+            withday.filter(F.col("day").isin(mid_days)), "pages_t", mid_days,
+            branch="audit",
+        )
+        cat.write_partitions(
+            withday.filter(F.col("day").isin(tail_days)), "pages_t", tail_days,
+            branch="audit",
+        )
+        if cat.current_snapshot("pages_t") != main_before:  # isolation gate
+            raise AssertionError("branch commits moved the main pointer")
+        cat.fast_forward("pages_t", "audit")
+        back = cat.read_committed(spark, "pages_t")
+        out = back.groupBy("event_type").agg(
+            F.count("value").alias("cnt"),
+            (_q2(F.sum("value")) / 100.0).alias("sum_v"),
+            F.min("value").alias("min_v"),
+            F.max("value").alias("max_v"),
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _q_tagged_snapshot_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot tags VALUE-oracled (catalog.create_tag → as_of=tag reads →
     tag-aware expire_snapshots): commit events as day partitions, tag the
@@ -2894,6 +2945,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wap_publish_rollup": _q_wap_publish_rollup,
         "stats_pruned_read": _q_stats_pruned_read,
         "tagged_snapshot_read": _q_tagged_snapshot_read,
+        "branch_publish_rollup": _q_branch_publish_rollup,
         "matrix_profile_ab_recent": _q_matrix_profile_ab,
         "matrix_profile_tier_read": _q_matrix_profile_tier,
         "stream_sessionize_replay": _q_stream_sessionize,
@@ -3017,6 +3069,7 @@ def oracle_sql() -> dict[str, str]:
         "wap_publish_rollup": _WAP_ORACLE,
         "stats_pruned_read": _STATS_PRUNED_ORACLE,
         "tagged_snapshot_read": _WAP_ORACLE,
+        "branch_publish_rollup": _WAP_ORACLE,
         "matrix_profile_ab_recent": _MATRIX_PROFILE_AB_ORACLE,
         "matrix_profile_tier_read": _MATRIX_PROFILE_ORACLE,
         "heavy_hitters_1d": _HEAVY_HITTERS_ORACLE,

@@ -233,6 +233,13 @@ def main() -> None:
     from influxer_spark.session import get_spark
     import __spark_entry__ as E
 
+    # size the driver JVM BEFORE the first session: this one process runs
+    # the full pipeline (incl. the cached dual-codec frame), and session.py's
+    # 8g default forces cache eviction + GC churn at local[32] — measured
+    # 23s vs 9s for the identical pipeline at 2 GiB/core (how real
+    # executors are sized, and what run_pipeline_bench sets when it owns
+    # the process)
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", f"{min(2 * CPUS, 64)}g")
     spark = get_spark("bench", cores=CPUS)
     qs = E.queries()
     timings: dict[str, float] = {}
@@ -257,7 +264,11 @@ def main() -> None:
     # so warm once, then run twice and report the best — both walls recorded.
     pages = _bench_pages_path()
     _warm_pipeline(spark, pages)
-    runs = [run_pipeline_bench(CPUS, pages, warm=False) for _ in range(2)]
+    # three runs: even after the explicit warm pass, run 1 still carries
+    # residual JIT/page-cache ramp ([16.2, 11.8, ~9] measured) — best-of-3
+    # reaches steady state where best-of-2 reports the ramp
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_PIPE_RUNS", "3"))
+    runs = [run_pipeline_bench(CPUS, pages, warm=False) for _ in range(n_runs)]
     pipe = max(runs, key=lambda r: r["points_per_sec"])
     timings["pages_pipeline"] = pipe["elapsed_s"]
     timings["pages_pipeline_runs"] = [r["elapsed_s"] for r in runs]

@@ -185,20 +185,31 @@ class TableCatalog:
     def _refs_path(self, name: str) -> str:
         return os.path.join(self.table_path(name), "_refs.json")
 
-    def tags(self, name: str) -> dict[str, int]:
-        """Named snapshot refs: tag → snapshot id (Iceberg's ``tags``)."""
+    def _read_refs(self, name: str) -> dict[str, dict[str, int]]:
         p = self._refs_path(name)
         if not os.path.exists(p):
-            return {}
+            return {"tags": {}, "branches": {}}
         with open(p) as f:
-            return {k: int(v) for k, v in json.load(f).get("tags", {}).items()}
+            raw = json.load(f)
+        return {
+            "tags": {k: int(v) for k, v in raw.get("tags", {}).items()},
+            "branches": {k: int(v) for k, v in raw.get("branches", {}).items()},
+        }
 
-    def _write_refs(self, name: str, tags: dict[str, int]) -> None:
+    def tags(self, name: str) -> dict[str, int]:
+        """Named snapshot refs: tag → snapshot id (Iceberg's ``tags``)."""
+        return self._read_refs(name)["tags"]
+
+    def branches(self, name: str) -> dict[str, int]:
+        """Branch refs: branch → head snapshot id (Iceberg's ``branches``)."""
+        return self._read_refs(name)["branches"]
+
+    def _write_refs(self, name: str, refs: dict[str, dict[str, int]]) -> None:
         tdir = self.table_path(name)
         os.makedirs(tdir, exist_ok=True)
         fd, tmp = tempfile.mkstemp(dir=tdir, suffix=".refs")
         with os.fdopen(fd, "w") as f:
-            json.dump({"tags": tags}, f, indent=1)
+            json.dump(refs, f, indent=1)
         os.replace(tmp, self._refs_path(name))  # atomic on POSIX
 
     def create_tag(self, name: str, tag: str, snapshot: int | None = None) -> int:
@@ -214,32 +225,102 @@ class TableCatalog:
                 f"table {name}: cannot tag snapshot {snap!r} "
                 f"(retained: {self.snapshots(name)})"
             )
-        tags = self.tags(name)
+        refs = self._read_refs(name)
+        tags = refs["tags"]
         if tag in tags and tags[tag] != snap:
             raise ValueError(
                 f"table {name}: tag {tag!r} already pins snapshot "
                 f"{tags[tag]} — drop it first (tags are immutable refs)"
             )
         tags[tag] = snap
-        self._write_refs(name, tags)
+        self._write_refs(name, refs)
         return snap
 
     def drop_tag(self, name: str, tag: str) -> None:
-        tags = self.tags(name)
-        if tag not in tags:
+        refs = self._read_refs(name)
+        if tag not in refs["tags"]:
             raise ValueError(f"table {name}: no tag {tag!r}")
-        del tags[tag]
-        self._write_refs(name, tags)
+        del refs["tags"][tag]
+        self._write_refs(name, refs)
+
+    def create_branch(
+        self, name: str, branch: str, from_snapshot: int | None = None
+    ) -> int:
+        """Fork a write-isolated snapshot line (Iceberg ``CREATE BRANCH``):
+        commits made with ``branch=`` move only the branch head; readers of
+        the main line never see them until :meth:`fast_forward` publishes
+        the branch — the multi-commit audit workflow (land several waves,
+        validate the whole, publish atomically) that single-commit WAP
+        (:meth:`stage_partitions`) cannot express."""
+        snap = self.current_snapshot(name) if from_snapshot is None else from_snapshot
+        if snap is None or snap not in self.snapshots(name):
+            raise ValueError(
+                f"table {name}: cannot branch from snapshot {snap!r} "
+                f"(retained: {self.snapshots(name)})"
+            )
+        refs = self._read_refs(name)
+        if branch in refs["branches"]:
+            raise ValueError(f"table {name}: branch {branch!r} already exists")
+        refs["branches"][branch] = snap
+        self._write_refs(name, refs)
+        return snap
+
+    def drop_branch(self, name: str, branch: str) -> None:
+        refs = self._read_refs(name)
+        if branch not in refs["branches"]:
+            raise ValueError(f"table {name}: no branch {branch!r}")
+        del refs["branches"][branch]
+        self._write_refs(name, refs)
+
+    def _ancestors(self, name: str, snapshot: int) -> set[int]:
+        """Snapshot ids reachable from ``snapshot`` via parent links."""
+        out: set[int] = set()
+        cur: int | None = snapshot
+        while cur is not None and cur not in out:
+            out.add(cur)
+            mf = self._manifest_file(name, cur)
+            if not os.path.exists(mf):
+                break
+            with open(mf) as f:
+                cur = json.load(f).get("parent_id")
+        return out
+
+    def fast_forward(self, name: str, branch: str) -> int:
+        """Publish a branch (Iceberg ``fast_forward``): flip the main
+        pointer to the branch head in one atomic step.  Refused unless the
+        current main snapshot is an ANCESTOR of the branch head — if main
+        moved since the fork, a blind flip would erase those commits
+        (re-branch, re-apply, retry: the same optimistic-concurrency
+        contract as :class:`CommitConflictError` on single commits)."""
+        head = self.branches(name).get(branch)
+        if head is None:
+            raise ValueError(f"table {name}: no branch {branch!r}")
+        cur = self.current_snapshot(name)
+        if cur is not None and cur not in self._ancestors(name, head):
+            raise CommitConflictError(
+                f"table {name}: main is at {cur}, not an ancestor of "
+                f"branch {branch!r} head {head} — cannot fast-forward"
+            )
+        tdir = self.table_path(name)
+        fd, tmp = tempfile.mkstemp(dir=tdir, suffix=".current")
+        with os.fdopen(fd, "w") as f:
+            f.write(str(head))
+        os.replace(tmp, self._current_path(name))
+        return head
 
     def resolve_ref(self, name: str, ref: int | str) -> int:
-        """Resolve a ref (tag name or snapshot id) to a snapshot id."""
+        """Resolve a ref (tag/branch name or snapshot id) to a snapshot id."""
         if isinstance(ref, str):
-            tags = self.tags(name)
-            if ref not in tags:
-                raise ValueError(
-                    f"table {name}: unknown tag {ref!r} (tags: {sorted(tags)})"
-                )
-            return tags[ref]
+            refs = self._read_refs(name)
+            if ref in refs["tags"]:
+                return refs["tags"][ref]
+            if ref in refs["branches"]:
+                return refs["branches"][ref]
+            raise ValueError(
+                f"table {name}: unknown ref {ref!r} "
+                f"(tags: {sorted(refs['tags'])}, "
+                f"branches: {sorted(refs['branches'])})"
+            )
         return ref
 
     def read_manifest(
@@ -264,12 +345,23 @@ class TableCatalog:
         with open(mf) as f:
             return json.load(f)
 
-    def _commit_manifest(self, name: str, manifest: dict[str, Any]) -> int:
-        """Write the next snapshot manifest, then atomically flip _current —
-        the single visibility point (Iceberg's metadata.json swap)."""
+    def _commit_manifest(
+        self, name: str, manifest: dict[str, Any], branch: str | None = None
+    ) -> int:
+        """Write the next snapshot manifest, then atomically flip the
+        pointer — _current for main-line commits, the branch ref for
+        ``branch=`` commits — the single visibility point (Iceberg's
+        metadata.json swap).  Version numbers are unique across ALL lines
+        (max retained + 1), so a branch and main never collide."""
         tdir = self.table_path(name)
         os.makedirs(tdir, exist_ok=True)
-        parent = self.current_snapshot(name)
+        if branch is not None:
+            refs = self._read_refs(name)
+            if branch not in refs["branches"]:
+                raise ValueError(f"table {name}: no branch {branch!r}")
+            parent = refs["branches"][branch]
+        else:
+            parent = self.current_snapshot(name)
         base = manifest.get("snapshot_id")
         if base != parent:
             # stale base: someone committed since this manifest was read
@@ -277,14 +369,22 @@ class TableCatalog:
             # would silently erase the other writer's snapshot
             raise CommitConflictError(
                 f"table {name}: manifest was read at snapshot {base} but "
-                f"current is {parent}; re-read, re-apply, retry"
+                f"{'branch ' + branch if branch else 'current'} head is "
+                f"{parent}; re-read, re-apply, retry"
             )
-        version = (parent or 0) + 1
+        retained = self.snapshots(name)
+        version = max(retained or [0], default=0) + 1
+        if parent is not None:
+            version = max(version, parent + 1)
         manifest["snapshot_id"] = version
         manifest["parent_id"] = parent
         manifest["committed_at"] = time.time()
         with open(self._manifest_file(name, version), "w") as f:
             json.dump(manifest, f, indent=1, default=str)
+        if branch is not None:
+            refs["branches"][branch] = version
+            self._write_refs(name, refs)
+            return version
         fd, tmp = tempfile.mkstemp(dir=tdir, suffix=".current")
         with os.fdopen(fd, "w") as f:
             f.write(str(version))
@@ -602,6 +702,7 @@ class TableCatalog:
         counters_by_partition: dict[str, dict[str, Any]] | None = None,
         lineage_by_partition: dict[str, dict[str, Any]] | None = None,
         stats_cols: list[str] | None = None,
+        branch: str | None = None,
     ) -> None:
         """Idempotently (over)write MANY partitions of ``name`` in ONE Spark
         job (``partitionBy`` into staging, then per-partition rename into
@@ -628,7 +729,10 @@ class TableCatalog:
             # footer-derived metadata an Iceberg writer commits
             staged = df.sparkSession.read.parquet(staging)
             stats_by_pv = self._collect_stats(staged, stats_cols, day_col)
-        manifest = self.read_manifest(name)
+        # branch commits fork from the BRANCH head, not main — the branch
+        # accumulates its own partition map until fast_forward publishes it
+        base = self.branches(name).get(branch) if branch is not None else None
+        manifest = self.read_manifest(name, as_of=base)
         # the CURRENT schema is snapshot metadata (Iceberg schema tracking):
         # data files exclude the partition column, and readers project this
         # schema so partitions written before a column was added return
@@ -654,7 +758,7 @@ class TableCatalog:
                 entry["stats"] = stats_by_pv[pv]
             manifest["partitions"][pv] = entry
             manifest["lineage"].append({"partition": pv, **entry})
-        self._commit_manifest(name, manifest)
+        self._commit_manifest(name, manifest, branch=branch)
         shutil.rmtree(staging, ignore_errors=True)
 
     def stage_partitions(
@@ -1161,8 +1265,16 @@ class TableCatalog:
         aware expiry.  That is the tags' whole point: a pinned dataset
         release must survive routine maintenance."""
         kept = set(self.snapshots(name)[-max(1, keep_last):])
+        # branch manifests share the version sequence, so "newest N" is no
+        # longer guaranteed to contain main's head — pin it unconditionally
+        cur = self.current_snapshot(name)
+        if cur is not None:
+            kept.add(cur)
+        refs = self._read_refs(name)
         kept |= {
-            s for s in self.tags(name).values() if s in self.snapshots(name)
+            s
+            for s in (*refs["tags"].values(), *refs["branches"].values())
+            if s in self.snapshots(name)
         }
         kept = sorted(kept)
         referenced: set[str] = set()

@@ -66,3 +66,92 @@ def test_tag_validation(tagged):
     assert tagged.create_tag("t", "release-1", snapshot=1) == 1
     with pytest.raises(ValueError):  # unknown tag on read
         tagged.resolve_ref("t", "nope")
+
+
+def _vals(cat, spark, name, as_of=None):
+    return {
+        (r["user"], r["value"])
+        for r in cat.read_committed(spark, name, as_of=as_of).collect()
+    }
+
+
+class TestBranches:
+    def _base(self, spark, tmp_path):
+        cat = TableCatalog(str(tmp_path))
+        df = spark.createDataFrame(
+            [("2024-01-01", "a", 1.0)], ["day", "user", "value"]
+        )
+        cat.write_partitions(df, "t", ["2024-01-01"])
+        return cat
+
+    def test_branch_commits_invisible_until_fast_forward(self, spark, tmp_path):
+        cat = self._base(spark, tmp_path)
+        cat.create_branch("t", "audit")
+        d2 = spark.createDataFrame(
+            [("2024-01-02", "b", 2.0)], ["day", "user", "value"]
+        )
+        d3 = spark.createDataFrame(
+            [("2024-01-03", "c", 3.0)], ["day", "user", "value"]
+        )
+        cat.write_partitions(d2, "t", ["2024-01-02"], branch="audit")
+        cat.write_partitions(d3, "t", ["2024-01-03"], branch="audit")
+        # two waves landed on the branch; main still sees only day 1
+        assert _vals(cat, spark, "t") == {("a", 1.0)}
+        assert _vals(cat, spark, "t", as_of="audit") == {
+            ("a", 1.0), ("b", 2.0), ("c", 3.0)
+        }
+        head = cat.fast_forward("t", "audit")
+        assert cat.current_snapshot("t") == head
+        assert _vals(cat, spark, "t") == {("a", 1.0), ("b", 2.0), ("c", 3.0)}
+
+    def test_fast_forward_refused_when_main_moved(self, spark, tmp_path):
+        from influxer_spark.catalog import CommitConflictError
+
+        cat = self._base(spark, tmp_path)
+        cat.create_branch("t", "audit")
+        d2 = spark.createDataFrame(
+            [("2024-01-02", "b", 2.0)], ["day", "user", "value"]
+        )
+        cat.write_partitions(d2, "t", ["2024-01-02"], branch="audit")
+        # a concurrent main-line commit forks history
+        main2 = spark.createDataFrame(
+            [("2024-01-05", "z", 9.0)], ["day", "user", "value"]
+        )
+        cat.write_partitions(main2, "t", ["2024-01-05"])
+        with pytest.raises(CommitConflictError):
+            cat.fast_forward("t", "audit")
+        # main's commit is intact
+        assert ("z", 9.0) in _vals(cat, spark, "t")
+
+    def test_expire_keeps_branch_head_and_main_current(self, spark, tmp_path):
+        cat = self._base(spark, tmp_path)
+        cat.create_branch("t", "audit")
+        d2 = spark.createDataFrame(
+            [("2024-01-02", "b", 2.0)], ["day", "user", "value"]
+        )
+        cat.write_partitions(d2, "t", ["2024-01-02"], branch="audit")
+        # branch head has the highest version; main current must survive too
+        cat.expire_snapshots("t", keep_last=1)
+        assert _vals(cat, spark, "t") == {("a", 1.0)}
+        assert _vals(cat, spark, "t", as_of="audit") == {("a", 1.0), ("b", 2.0)}
+        # dropping the branch releases its head at the next expiry
+        cat.drop_branch("t", "audit")
+        cat.expire_snapshots("t", keep_last=1)
+        with pytest.raises(ValueError):
+            cat.read_committed(spark, "t", as_of="audit")
+
+    def test_branch_validation(self, spark, tmp_path):
+        cat = self._base(spark, tmp_path)
+        with pytest.raises(ValueError):
+            cat.create_branch("t", "x", from_snapshot=42)
+        cat.create_branch("t", "x")
+        with pytest.raises(ValueError):
+            cat.create_branch("t", "x")  # already exists
+        with pytest.raises(ValueError):
+            cat.drop_branch("t", "nope")
+        with pytest.raises(ValueError):
+            cat.write_partitions(
+                spark.createDataFrame([("2024-01-02", "b", 2.0)],
+                                      ["day", "user", "value"]),
+                "t", ["2024-01-02"], branch="nope",
+            )

@@ -183,7 +183,7 @@ def test_wave_commit_crash_preserves_committed_snapshot(tmp_path, spark, monkeyp
     assert cat.read_committed(spark, "t").count() == 10
 
     # crash between data staging and the snapshot-pointer flip
-    def boom(name, manifest):
+    def boom(name, manifest, **kwargs):
         raise RuntimeError("simulated crash before snapshot commit")
 
     monkeypatch.setattr(cat, "_commit_manifest", boom)
