@@ -180,6 +180,14 @@ def _build_parser() -> argparse.ArgumentParser:
         "snapshots of TABLE (added/removed/changed partitions + rows "
         "delta); TO defaults to the current snapshot",
     )
+    p.add_argument(
+        "-ref", default=None, metavar="TABLE:OP[:NAME[:SNAPSHOT]]",
+        help="with -catalog: snapshot ref maintenance (metadata-only, no "
+        "Spark) — OP one of tag / droptag / branch / dropbranch / "
+        "ff (fast-forward main to a branch head) / list.  Tagged "
+        "snapshots and branch heads survive expire_snapshots; reads "
+        "address them as as_of='NAME'",
+    )
     p.add_argument("-cores", type=int, default=None)
     return p
 
@@ -243,16 +251,54 @@ def main(argv: list[str] | None = None) -> int:
     args = parser.parse_args(argv)
     if not getattr(args, "input") and not (
         (args.query or args.retention or args.compact or args.diff
-         or args.deleterows or args.updaterows)
+         or args.deleterows or args.updaterows or args.ref)
         and args.catalog
     ):
         # -input stays mandatory everywhere the reference required it; only
         # catalog maintenance/query modes run without raw data
         parser.error(
             "-input is required (optional only with "
-            "-query/-retention/-compact/-diff/-deleterows/-updaterows "
+            "-query/-retention/-compact/-diff/-deleterows/-updaterows/-ref "
             "-catalog)"
         )
+
+    if args.ref:
+        # metadata-only: ref file + manifest pointers, no Spark session
+        if not args.catalog:
+            parser.error("-ref requires -catalog")
+        from influxer_spark.catalog import TableCatalog
+
+        parts = args.ref.split(":")
+        if len(parts) < 2:
+            parser.error("-ref wants TABLE:OP[:NAME[:SNAPSHOT]]")
+        table, op = parts[0], parts[1].lower()
+        name = parts[2] if len(parts) > 2 else None
+        snap = int(parts[3]) if len(parts) > 3 else None
+        cat = TableCatalog(args.catalog)
+        if op == "list":
+            for tag, s in sorted(cat.tags(table).items()):
+                print(f"tag    {tag} -> {s}")
+            for br, s in sorted(cat.branches(table).items()):
+                print(f"branch {br} -> {s}")
+            print(f"main   -> {cat.current_snapshot(table)}")
+            return 0
+        if name is None:
+            parser.error(f"-ref {op} wants TABLE:{op}:NAME")
+        if op == "tag":
+            print(f"tagged {name} -> {cat.create_tag(table, name, snap)}")
+        elif op == "droptag":
+            cat.drop_tag(table, name)
+            print(f"dropped tag {name}")
+        elif op == "branch":
+            print(f"branched {name} @ {cat.create_branch(table, name, snap)}")
+        elif op == "dropbranch":
+            cat.drop_branch(table, name)
+            print(f"dropped branch {name}")
+        elif op == "ff":
+            print(f"fast-forwarded main -> {cat.fast_forward(table, name)}")
+        else:
+            parser.error(f"unknown -ref op {op!r}")
+        return 0
 
     if args.retention:
         # metadata-only: partition drops via the manifest, no Spark session

@@ -331,3 +331,32 @@ def test_cli_deleterows_and_updaterows(spark, tmp_path, capsys):
     with pytest.raises(SystemExit):
         main(["-catalog", root, "-updaterows", "t", "-where", "id=0",
               "-cores", "8"])  # no -set
+
+
+def test_cli_ref_lifecycle(spark, tmp_path, capsys):
+    """-ref drives the tag/branch lifecycle end to end: tag, list, branch,
+    fast-forward, drop — metadata-only, no Spark job."""
+    from pyspark.sql import functions as F
+
+    from influxer_spark.catalog import TableCatalog
+
+    root = str(tmp_path / "cat")
+    cat = TableCatalog(root)
+    df1 = spark.range(4).select(F.col("id"), F.lit("2024-01-01").alias("day"))
+    cat.write_partitions(df1, "t", ["2024-01-01"])
+
+    assert main(["-catalog", root, "-ref", "t:tag:rel1"]) == 0
+    assert main(["-catalog", root, "-ref", "t:branch:audit"]) == 0
+    df2 = spark.range(3).select(F.col("id"), F.lit("2024-01-02").alias("day"))
+    cat.write_partitions(df2, "t", ["2024-01-02"], branch="audit")
+    capsys.readouterr()
+    assert main(["-catalog", root, "-ref", "t:list"]) == 0
+    listed = capsys.readouterr().out
+    assert "tag    rel1 -> 1" in listed and "branch audit -> 2" in listed
+
+    assert main(["-catalog", root, "-ref", "t:ff:audit"]) == 0
+    assert cat.current_snapshot("t") == 2
+    assert cat.read_committed(spark, "t").count() == 7
+    assert main(["-catalog", root, "-ref", "t:dropbranch:audit"]) == 0
+    assert main(["-catalog", root, "-ref", "t:droptag:rel1"]) == 0
+    assert cat.tags("t") == {} and cat.branches("t") == {}
