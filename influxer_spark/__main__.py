@@ -181,6 +181,12 @@ def _build_parser() -> argparse.ArgumentParser:
         "delta); TO defaults to the current snapshot",
     )
     p.add_argument(
+        "-queryasof", default=None, metavar="REF",
+        help="with -query -catalog: answer tier-served statements from "
+        "this snapshot id, tag, or branch (Iceberg time travel through "
+        "the dashboard); the real-time raw tail is disabled under as_of",
+    )
+    p.add_argument(
         "-ref", default=None, metavar="TABLE:OP[:NAME[:SNAPSHOT]]",
         help="with -catalog: snapshot ref maintenance (metadata-only, no "
         "Spark) — OP one of tag / droptag / branch / dropbranch / "
@@ -485,11 +491,15 @@ def main(argv: list[str] | None = None) -> int:
             else:
                 # default to the bound list the pipeline pinned on the tiers
                 hb = cat.table_property("rollup_1h", "hist_bounds")
+            aso = args.queryasof
+            if aso is not None and aso.isdigit():
+                aso = int(aso)
             eng.register_tiered(
                 args.table, cat,
                 key_cols=tuple(k for k in args.keys.split(",") if k),
                 hist_bounds=hb,
                 kmv_item_col=args.kmvitem,
+                as_of=aso,
             )
             # CQ registry durability: CREATE/DROP CONTINUOUS QUERY from the
             # CLI persists in the catalog, like InfluxDB's server meta store

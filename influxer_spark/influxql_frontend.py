@@ -1528,6 +1528,7 @@ class InfluxQLEngine:
         kmv_item_col: str | None = None,
         sumsq: bool = False,
         hdr: bool = False,
+        as_of: int | str | None = None,
     ) -> None:
         """Serve this measurement's ``GROUP BY time(w)`` aggregate queries
         from the catalog's materialized rollup tiers (``rollup_1m/1h/1d``)
@@ -1581,6 +1582,11 @@ class InfluxQLEngine:
         for existing catalogs).  Served only for hour-multiple widths and
         percentile-only statements; anything else falls back.
         """
+        # as_of: serve every tier read from that snapshot / tag / branch
+        # (Iceberg time travel through the dashboard — "the metrics as of
+        # release-1").  The real-time raw tail is disabled under as_of:
+        # mixing a historical tier with the live raw table would answer
+        # neither point in time.
         self.tiered[name] = {
             "catalog": catalog,
             "key_cols": tuple(key_cols),
@@ -1589,6 +1595,7 @@ class InfluxQLEngine:
             "kmv_item_col": kmv_item_col,
             "sumsq": bool(sumsq),
             "hdr": bool(hdr),
+            "as_of": as_of,
         }
 
     def _tiered_answerable(self, stmt: Select) -> bool:
@@ -1774,8 +1781,9 @@ class InfluxQLEngine:
         # so the stitch preconditions hold; any catalog-shape surprise
         # (tiers committed unevenly) raises inside stitch_tier_frames and
         # falls back to the single-tier path.
+        aso = cfg.get("as_of")
         df = None
-        if not has_hist and not has_sd and (
+        if not has_hist and not has_sd and aso is None and (
             (tier == "1m" and w > 3600) or (tier == "1h" and w > 86400)
         ):
             try:
@@ -1797,10 +1805,12 @@ class InfluxQLEngine:
                     stitched = f if stitched is None else stitched.unionByName(f)
                 df = stitched
         if df is None:
-            parts = _qapi._partitions_in_range(cat, table, start, end)
+            parts = _qapi._partitions_in_range(
+                cat, table, start, end, as_of=aso
+            )
             if parts:
                 df = self._spark().read.parquet(
-                    *cat.partition_paths(table, parts)
+                    *cat.partition_paths(table, parts, as_of=aso)
                 )
                 if stmt.where is not None:
                     # compile the WHERE against the tier frame: its time
@@ -1822,7 +1832,7 @@ class InfluxQLEngine:
         # exist only in materialized tiers).
         raw = self.tables.get(stmt.measurement)
         wm = _qapi.tier_watermark(cat, tier)
-        if raw is not None and not has_hist and not has_sd and (
+        if raw is not None and not has_hist and not has_sd and aso is None and (
             wm is None or end is None or end > wm
         ):
             tail = raw
@@ -1933,13 +1943,16 @@ class InfluxQLEngine:
         from influxer_spark.operators import hdrsketch as H
 
         cat = cfg["catalog"]
+        aso = cfg.get("as_of")
         table = "hdr_1d" if w % 86400 == 0 else "hdr_1h"
         if not cat.exists(table):
             table = "hdr_1h"
-        parts = _qapi._partitions_in_range(cat, table, start, end)
+        parts = _qapi._partitions_in_range(cat, table, start, end, as_of=aso)
         if not parts:
             raise InfluxQLError(f"no committed {table} partitions in range")
-        df = self._spark().read.parquet(*cat.partition_paths(table, parts))
+        df = self._spark().read.parquet(
+            *cat.partition_paths(table, parts, as_of=aso)
+        )
         if stmt.where is not None:
             df = df.filter(InfluxQLEngine({}, ts_col="bucket")._cond(stmt.where))
         keys = stmt.group_tags
@@ -2080,10 +2093,13 @@ class InfluxQLEngine:
         )
         start = _dt.datetime.fromisoformat(lo[0]) if lo else None
         end = _dt.datetime.fromisoformat(hi[0]) if hi else None
-        parts = _qapi._partitions_in_range(cat, table, start, end)
+        aso = cfg.get("as_of")
+        parts = _qapi._partitions_in_range(cat, table, start, end, as_of=aso)
         if not parts:
             raise InfluxQLError(f"no committed {table} partitions in range")
-        df = self._spark().read.parquet(*cat.partition_paths(table, parts))
+        df = self._spark().read.parquet(
+            *cat.partition_paths(table, parts, as_of=aso)
+        )
         if stmt.where is not None:
             df = df.filter(
                 InfluxQLEngine({}, ts_col="bucket")._cond(stmt.where)

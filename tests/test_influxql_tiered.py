@@ -636,3 +636,47 @@ def test_show_stats_reports_catalog_tables(built):
         assert rows[t]["snapshots"] >= 1
         assert rows[t]["current_snapshot"] is not None
     assert rows["raw_points"]["rows_in"] > 0  # pipeline counters surface
+
+
+def test_as_of_tag_serves_historical_tier(built, spark):
+    """register_tiered(as_of='tag') answers GROUP BY time() from the
+    TAGGED snapshot: after a corrupting rewrite of the 1h tier, the
+    as_of engine still returns the pre-rewrite answer and the current
+    engine sees the corruption."""
+    points, cat = built
+    q = ("SELECT sum(value) AS s, count(value) AS c "
+         "FROM pages GROUP BY time(4h), metric")
+    _, before_eng = _engines(points, cat)
+    want = {tuple(r[:2]): tuple(r[2:]) for r in before_eng.execute(q).collect()}
+
+    cat.create_tag("rollup_1h", "release")
+    # corrupt: rewrite every 1h partition with doubled sums
+    days = sorted(cat.committed_partitions("rollup_1h"))
+    t1h = cat.read_committed(spark, "rollup_1h")
+    corrupted = t1h.withColumn("sum_v", F.col("sum_v") * 2).withColumn(
+        "day", F.date_format("bucket", "yyyy-MM-dd")
+    )
+    cat.write_partitions(corrupted, "rollup_1h", days)
+
+    cur = InfluxQLEngine({"pages": points}, ts_col="warc_ts")
+    cur.register_tiered("pages", cat, key_cols=("url", "metric"))
+    got_cur = {tuple(r[:2]): tuple(r[2:]) for r in cur.execute(q).collect()}
+    assert got_cur != want  # corruption is visible on the current line
+
+    old = InfluxQLEngine({"pages": points}, ts_col="warc_ts")
+    old.register_tiered(
+        "pages", cat, key_cols=("url", "metric"), as_of="release"
+    )
+    got_old = {tuple(r[:2]): tuple(r[2:]) for r in old.execute(q).collect()}
+    assert got_old == want  # the tagged snapshot answers exactly
+
+    # restore the shared fixture's tier from the tagged snapshot, then
+    # release the tag — later module tests must see the original data
+    restore = cat.read_committed(spark, "rollup_1h", as_of="release").withColumn(
+        "day", F.date_format("bucket", "yyyy-MM-dd")
+    )
+    cat.write_partitions(restore, "rollup_1h", days)
+    cat.drop_tag("rollup_1h", "release")
+    fixed = InfluxQLEngine({"pages": points}, ts_col="warc_ts")
+    fixed.register_tiered("pages", cat, key_cols=("url", "metric"))
+    assert {tuple(r[:2]): tuple(r[2:]) for r in fixed.execute(q).collect()} == want
