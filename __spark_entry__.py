@@ -2349,6 +2349,76 @@ GROUP BY 1
 """
 
 
+def _q_archive_exact_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-mean integer archive VALUE-oracled (intcodec
+    encode_dual_series_df int_col2= → query.read_exact_rollup): the 1m
+    tier's (cnt, sum_cents) series encode as two zigzag-delta+simple8b
+    blobs in ONE table row, land as day partitions, and re-aggregate to
+    5m buckets EXACTLY from the decoded archive — integer sums end to
+    end, mean derived in one float shape at read time.  This is what
+    lets retention expire the plain 1m tier while any-width re-rollup
+    stays exact (the float Gorilla path can only replay its own width).
+    Oracle replays the same cents quantization and re-bucket in SQL."""
+    import shutil
+    import tempfile
+
+    from influxer_spark.catalog import TableCatalog
+    from influxer_spark.operators.intcodec import encode_dual_series_df
+    from influxer_spark.query import read_exact_rollup
+
+    ev = _t(spark, sf_dir, "events")
+    t1m = R.rollup(ev, "ts", ["event_type"], "value", "1m")
+    src = (
+        t1m.withColumn("day", F.date_format("bucket", "yyyy-MM-dd"))
+        .withColumn("v", F.col("sum_v") / F.col("cnt"))
+        .withColumn("sum_cents", F.round(F.col("sum_v") * 100, 0).cast("long"))
+    )
+    enc = (
+        encode_dual_series_df(
+            src, ["day", "event_type"], "bucket", "v", "cnt",
+            int_col2="sum_cents",
+        )
+        .withColumn("day", F.element_at("series_keys", 1))
+        .select(
+            "series_keys", "n_points",
+            F.col("int_blob").alias("blob"), "raw_bytes",
+            F.col("int_bytes").alias("encoded_bytes"),
+            F.col("int2_blob").alias("sum_blob"),
+            F.col("int2_bytes").alias("sum_bytes"), "day",
+        )
+    )
+    days = sorted(r["day"] for r in src.select("day").distinct().collect())
+    root = tempfile.mkdtemp(prefix="arch_gate_")
+    try:
+        cat = TableCatalog(root)
+        cat.write_partitions(enc, "rollup_1m_counts", days)
+        out = read_exact_rollup(
+            spark, cat, 300, key_cols=("event_type",)
+        ).orderBy("event_type", "bucket")
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+_ARCHIVE_EXACT_ORACLE = """
+WITH m AS (
+  SELECT event_type, date_trunc('minute', ts) AS b1m,
+         count(value) AS cnt,
+         CAST(round(sum(value) * 100, 0) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type,
+       make_timestamp((CAST(floor(epoch(b1m)) AS BIGINT)
+         - CAST(floor(epoch(b1m)) AS BIGINT) % 300) * 1000000) AS bucket,
+       CAST(sum(cnt) AS BIGINT) AS cnt,
+       CAST(sum(cents) AS BIGINT) AS sum_cents,
+       CAST(CAST(sum(cents) AS BIGINT) AS DOUBLE) / CAST(100.0 AS DOUBLE)
+         / CAST(CAST(sum(cnt) AS BIGINT) AS DOUBLE) AS mean_v
+FROM m GROUP BY 1, 2
+"""
+
+
 def _q_branch_publish_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Branch refs VALUE-oracled (catalog.create_branch → branch= wave
     commits → fast_forward): half the month lands on main, the rest lands
@@ -2946,6 +3016,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_pruned_read": _q_stats_pruned_read,
         "tagged_snapshot_read": _q_tagged_snapshot_read,
         "branch_publish_rollup": _q_branch_publish_rollup,
+        "archive_exact_rollup_5m": _q_archive_exact_rollup,
         "matrix_profile_ab_recent": _q_matrix_profile_ab,
         "matrix_profile_tier_read": _q_matrix_profile_tier,
         "stream_sessionize_replay": _q_stream_sessionize,
@@ -3070,6 +3141,7 @@ def oracle_sql() -> dict[str, str]:
         "stats_pruned_read": _STATS_PRUNED_ORACLE,
         "tagged_snapshot_read": _WAP_ORACLE,
         "branch_publish_rollup": _WAP_ORACLE,
+        "archive_exact_rollup_5m": _ARCHIVE_EXACT_ORACLE,
         "matrix_profile_ab_recent": _MATRIX_PROFILE_AB_ORACLE,
         "matrix_profile_tier_read": _MATRIX_PROFILE_ORACLE,
         "heavy_hitters_1d": _HEAVY_HITTERS_ORACLE,

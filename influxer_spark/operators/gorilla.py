@@ -556,8 +556,7 @@ def encode_series_df(df, key_cols, ts_col: str, value_col: str):
 
     def _emit(pdf: pd.DataFrame) -> pd.DataFrame:
         ts_all = (
-            pdf[ts_col].astype("datetime64[us]").astype("int64").to_numpy()
-            // 1_000_000
+            epoch_seconds(pdf[ts_col])
         )
         vs_all = pdf[value_col].to_numpy(dtype=np.float64)
         out: dict[str, list] = {
@@ -576,6 +575,16 @@ def encode_series_df(df, key_cols, ts_col: str, value_col: str):
         return pd.DataFrame(out)
 
     return sdf.mapInPandas(carry_partition(keys, _emit), schema=ENCODED_SCHEMA)
+
+
+def epoch_seconds(col: "pd.Series") -> "np.ndarray":
+    """Timestamp pandas Series -> int64 epoch seconds, tz-aware or naive:
+    Arrow hands the SAME Spark TimestampType over as tz-aware or tz-naive
+    depending on the upstream plan, and pandas refuses aware->naive
+    .astype, so normalize explicitly (UTC session timezone engine-wide)."""
+    if getattr(col.dtype, "tz", None) is not None:
+        col = col.dt.tz_convert("UTC").dt.tz_localize(None)
+    return col.astype("datetime64[us]").astype("int64").to_numpy() // 1_000_000
 
 
 def carry_partition(keys, emit):

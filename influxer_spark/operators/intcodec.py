@@ -36,7 +36,7 @@ import struct
 import numpy as np
 import pandas as pd
 
-from influxer_spark.operators.gorilla import carry_partition
+from influxer_spark.operators.gorilla import carry_partition, epoch_seconds
 
 # width → how many values one 60-bit payload holds; selector = index + 1
 _WIDTHS = [1, 2, 3, 4, 5, 6, 7, 8, 10, 12, 15, 20, 30, 60]
@@ -318,8 +318,7 @@ def encode_int_series_df(df, key_cols, ts_col: str, value_col: str):
 
     def _emit(pdf: pd.DataFrame) -> pd.DataFrame:
         ts_all = (
-            pdf[ts_col].astype("datetime64[us]").astype("int64").to_numpy()
-            // 1_000_000
+            epoch_seconds(pdf[ts_col])
         )
         vs_all = pdf[value_col].to_numpy(dtype=np.int64)
         out: dict[str, list] = {
@@ -345,9 +344,14 @@ DUAL_ENCODED_SCHEMA = (
     "gor_bytes long, int_blob binary, int_bytes long, raw_bytes long"
 )
 
+TRIPLE_ENCODED_SCHEMA = (
+    DUAL_ENCODED_SCHEMA + ", int2_blob binary, int2_bytes long"
+)
+
 
 def encode_dual_series_df(
-    df, key_cols, ts_col: str, float_col: str, int_col: str
+    df, key_cols, ts_col: str, float_col: str, int_col: str,
+    int_col2: str | None = None,
 ):
     """Encode a float column (Gorilla XOR) AND an integer column (zigzag-
     delta + simple8b) per series in ONE pass: one repartition-by-key
@@ -362,29 +366,43 @@ def encode_dual_series_df(
     columns by construction, so the delta-of-delta prefix work is shared
     implicitly).  Output: one row per series with both blobs; downstream
     sinks are cheap per-codec column selects.
+
+    ``int_col2`` encodes a SECOND integer column in the same sweep
+    (columns ``int2_blob``/``int2_bytes``): the pipeline archives counts
+    AND sum-cents this way, so the expired 1m tier re-aggregates EXACTLY
+    from two integer archives instead of approximately from a float one.
     """
     import pyspark.sql.functions as F
 
     from influxer_spark.operators.gorilla import encode as _gor_encode
 
     keys = list(key_cols)
+    cols = [*keys, ts_col, float_col, int_col]
+    if int_col2 is not None:
+        cols.append(int_col2)
     sdf = (
-        df.select(*keys, ts_col, float_col, int_col)
+        df.select(*cols)
         .repartition(*[F.col(k) for k in keys])
         .sortWithinPartitions(*keys, ts_col)
     )
 
     def _emit(pdf: pd.DataFrame) -> pd.DataFrame:
         ts_all = (
-            pdf[ts_col].astype("datetime64[us]").astype("int64").to_numpy()
-            // 1_000_000
+            epoch_seconds(pdf[ts_col])
         )
         fs_all = pdf[float_col].to_numpy(dtype=np.float64)
         is_all = pdf[int_col].to_numpy(dtype=np.int64)
+        i2_all = (
+            pdf[int_col2].to_numpy(dtype=np.int64)
+            if int_col2 is not None else None
+        )
         out: dict[str, list] = {
             "series_keys": [], "n_points": [], "gor_blob": [],
             "gor_bytes": [], "int_blob": [], "int_bytes": [], "raw_bytes": [],
         }
+        if int_col2 is not None:
+            out["int2_blob"] = []
+            out["int2_bytes"] = []
         for key, idx in pdf.groupby(keys, sort=False).indices.items():
             t = ts_all[idx]
             gb = _gor_encode(t, fs_all[idx])
@@ -397,11 +415,16 @@ def encode_dual_series_df(
             out["int_blob"].append(ib)
             out["int_bytes"].append(len(ib))
             out["raw_bytes"].append(16 * len(t))
+            if i2_all is not None:
+                b2 = encode_int(t, i2_all[idx])
+                out["int2_blob"].append(b2)
+                out["int2_bytes"].append(len(b2))
         return pd.DataFrame(out)
 
-    return sdf.mapInPandas(
-        carry_partition(keys, _emit), schema=DUAL_ENCODED_SCHEMA
+    schema = (
+        TRIPLE_ENCODED_SCHEMA if int_col2 is not None else DUAL_ENCODED_SCHEMA
     )
+    return sdf.mapInPandas(carry_partition(keys, _emit), schema=schema)
 
 
 def decode_int_series_df(encoded):
@@ -420,3 +443,40 @@ def decode_int_series_df(encoded):
             yield pd.DataFrame(rows)
 
     return encoded.mapInPandas(_dec, schema=DECODED_SCHEMA)
+
+
+DECODED2_SCHEMA = (
+    "series_keys array<string>, ts timestamp, v1 long, v2 long"
+)
+
+
+def decode_int2_series_df(encoded, blob_col: str = "blob",
+                          blob2_col: str = "sum_blob"):
+    """Decode TWO integer blobs per series row in one pass — the exact-
+    archive read: both blobs encode the same timestamp run (built from one
+    sweep in encode_dual_series_df), so values align positionally and no
+    join is needed.  A timestamp mismatch between the blobs means a
+    corrupted archive row and raises rather than silently zipping."""
+
+    def _dec(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = {"series_keys": [], "ts": [], "v1": [], "v2": []}
+            for sk, b1, b2 in zip(
+                pdf["series_keys"], pdf[blob_col], pdf[blob2_col]
+            ):
+                t1, x1 = decode_int(bytes(b1))
+                t2, x2 = decode_int(bytes(b2))
+                if len(t1) != len(t2) or (t1 != t2).any():
+                    raise ValueError(
+                        "archive blobs disagree on timestamps for series "
+                        f"{list(sk)} — corrupted row"
+                    )
+                rows["series_keys"].extend([sk] * len(t1))
+                rows["ts"].extend(pd.to_datetime(t1, unit="s"))
+                rows["v1"].extend(x1.tolist())
+                rows["v2"].extend(x2.tolist())
+            yield pd.DataFrame(rows)
+
+    return encoded.mapInPandas(_dec, schema=DECODED2_SCHEMA)

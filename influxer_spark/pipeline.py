@@ -271,10 +271,20 @@ def process_days(
             # beats the float codec on integer series by an order of
             # magnitude): the two sinks then split per-codec columns off the
             # cached per-series result (rows = series count ≪ points).
+            # sum_cents: the engine's exact integer representation of the
+            # bucket sum — archived beside the counts so the expired 1m
+            # tier re-aggregates EXACTLY from two integer archives (mean =
+            # sum_cents / (100·cnt) at read time), where the float Gorilla
+            # mean can only be replayed, not exactly re-bucketed
             dual = (
                 encode_dual_series_df(
-                    t1m.withColumn("v", F.col("sum_v") / F.col("cnt")),
+                    t1m.withColumn("v", F.col("sum_v") / F.col("cnt"))
+                    .withColumn(
+                        "sum_cents",
+                        F.round(F.col("sum_v") * 100, 0).cast("long"),
+                    ),
                     ["day", *POINT_KEYS], "bucket", "v", "cnt",
+                    int_col2="sum_cents",
                 )
                 .withColumn("day", F.element_at("series_keys", 1))
                 .cache()
@@ -294,7 +304,9 @@ def process_days(
             enc_i = dual.select(
                 "series_keys", "n_points",
                 F.col("int_blob").alias("blob"), "raw_bytes",
-                F.col("int_bytes").alias("encoded_bytes"), "day",
+                F.col("int_bytes").alias("encoded_bytes"),
+                F.col("int2_blob").alias("sum_blob"),
+                F.col("int2_bytes").alias("sum_bytes"), "day",
             )
             f_cnt = pool.submit(
                 catalog.write_partitions,
@@ -376,12 +388,16 @@ def process_days(
                 .agg(
                     F.sum("n_points").alias("n"),
                     F.sum("encoded_bytes").alias("enc"),
+                    F.sum("sum_bytes").alias("senc"),
                 )
                 .collect()
             )
             for r in istats:
                 counters[r["p"]]["int_bytes_per_point"] = (
                     r["enc"] / r["n"] if r["n"] else None
+                )
+                counters[r["p"]]["sum_bytes_per_point"] = (
+                    r["senc"] / r["n"] if r["n"] and r["senc"] else None
                 )
         return counters
     finally:

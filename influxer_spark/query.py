@@ -323,6 +323,63 @@ def read_count_series(
     return out
 
 
+def read_exact_rollup(
+    spark: SparkSession,
+    catalog: TableCatalog,
+    width_seconds: int,
+    start: dt.datetime | None = None,
+    end: dt.datetime | None = None,
+    key_cols: Sequence[str] = ("url", "metric"),
+    table: str = "rollup_1m_counts",
+) -> DataFrame:
+    """EXACT count/sum/mean at any minute-multiple width from the integer
+    archive tier: the pipeline stores (cnt, sum_cents) per 1m bucket as two
+    zigzag-delta + simple8b blobs in one table row (encode_dual_series_df
+    int_col2=), so after the plain 1m tier is retention-expired this read
+    still re-aggregates EXACTLY — integer sums of integer archives — where
+    the float Gorilla mean series can only be replayed at its own width.
+    mean = sum_cents / 100.0 / cnt derives in one fixed float shape at the
+    very end (value-oracle-safe, same discipline as the tier reads).
+
+    Plan: manifest-pruned day read, one mapInPandas decode of BOTH blobs
+    (positionally aligned — same timestamp run by construction, verified at
+    decode), one groupBy on (keys, bucket) — no join between archives."""
+    from influxer_spark.operators.intcodec import decode_int2_series_df
+
+    parts = _partitions_in_range(catalog, table, start, end)
+    if not parts:
+        raise ValueError(f"no committed {table} partitions in range")
+    enc = spark.read.parquet(*catalog.partition_paths(table, parts))
+    pts = decode_int2_series_df(enc, blob_col="blob", blob2_col="sum_blob")
+    w = F.lit(int(width_seconds)).cast("long")
+    epoch = F.unix_timestamp("ts").cast("long")
+    out = pts.select(
+        *[
+            F.element_at("series_keys", i + 2).alias(k)
+            for i, k in enumerate(key_cols)
+        ],
+        F.timestamp_seconds((epoch - (epoch % w))).alias("bucket"),
+        F.col("v1").alias("cnt"),
+        F.col("v2").alias("sum_cents"),
+        F.col("ts"),
+    )
+    if start is not None:
+        out = out.filter(F.col("ts") >= F.lit(start))
+    if end is not None:
+        out = out.filter(F.col("ts") < F.lit(end))
+    agg = out.groupBy(*key_cols, "bucket").agg(
+        F.sum("cnt").alias("cnt"),
+        F.sum("sum_cents").alias("sum_cents"),
+    )
+    return agg.select(
+        *key_cols, "bucket", "cnt", "sum_cents",
+        (
+            F.col("sum_cents").cast("double") / F.lit(100.0)
+            / F.col("cnt").cast("double")
+        ).alias("mean_v"),
+    )
+
+
 def read_quantile(
     spark: SparkSession,
     catalog: TableCatalog,

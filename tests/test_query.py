@@ -281,3 +281,57 @@ def test_read_sliding_warmup_aware_pruning(spark, built):
 
     with _pytest.raises(ValueError, match="multiple"):
         read_sliding(spark, cat, 5400, tier="1h")
+
+
+def test_read_exact_rollup_reaggregates_exactly(spark, built_gorilla):
+    """The (cnt, sum_cents) integer archive re-aggregates to 5m buckets
+    EXACTLY: integer sums match a cents-quantized raw recompute, and the
+    archive answers even though only rollup_1m_counts is read."""
+    from influxer_spark.query import read_exact_rollup
+
+    pages, cat = built_gorilla
+    points = pages_to_points(with_crawl_metrics(with_extracted(
+        spark.read.parquet(pages)
+    )))
+    t1m = rollup_width(points, "warc_ts", ["url", "metric"], "value", 60)
+    want = {
+        (r["url"], r["metric"], r["b5"]): (r["c"], r["sc"])
+        for r in t1m.select(
+            "url", "metric",
+            F.timestamp_seconds(
+                (F.unix_timestamp("bucket") - F.unix_timestamp("bucket") % 300)
+            ).alias("b5"),
+            F.col("cnt").alias("c1"),
+            F.round(F.col("sum_v") * 100, 0).cast("long").alias("sc1"),
+        ).groupBy("url", "metric", "b5").agg(
+            F.sum("c1").alias("c"), F.sum("sc1").alias("sc")
+        ).collect()
+    }
+    got = {
+        (r["url"], r["metric"], r["bucket"]): (r["cnt"], r["sum_cents"])
+        for r in read_exact_rollup(
+            spark, cat, 300, key_cols=("url", "metric")
+        ).collect()
+    }
+    assert got == want and len(got) > 100
+
+
+def test_decode_int2_raises_on_blob_timestamp_mismatch(spark):
+    """A corrupted archive row (blobs from different timestamp runs) fails
+    loudly instead of silently zipping misaligned values."""
+    import numpy as np
+
+    from influxer_spark.operators.intcodec import (
+        decode_int2_series_df,
+        encode_int,
+    )
+
+    t1 = np.array([0, 60, 120], dtype=np.int64)
+    t2 = np.array([0, 60, 180], dtype=np.int64)
+    v = np.array([1, 2, 3], dtype=np.int64)
+    df = spark.createDataFrame(
+        [(["d", "k"], encode_int(t1, v), encode_int(t2, v))],
+        "series_keys array<string>, blob binary, sum_blob binary",
+    )
+    with pytest.raises(Exception, match="disagree|corrupted"):
+        decode_int2_series_df(df).collect()
