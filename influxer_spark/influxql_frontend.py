@@ -1598,6 +1598,42 @@ class InfluxQLEngine:
             "as_of": as_of,
         }
 
+    def _archive_fallback(self, cfg, stmt, agg_calls, start, end):
+        """Cold-tier serving: when retention has expired every plain rollup
+        partition in range (and no raw table covers the range), count/sum/
+        mean GROUP BY time() statements are answered from the compressed
+        integer archive — rollup_1m_counts carries (cnt, sum_cents) blobs
+        per series (query.read_exact_rollup), so the dashboard keeps
+        working at decode cost instead of going dark.  min/max/spread/
+        percentile cannot be served (the archive stores no extremes or
+        cells) and fall through to the normal error.  sum/mean surface the
+        archive's exact integer cents as the engine's standard quantized
+        floats."""
+        from influxer_spark import query as _qapi
+
+        cat = cfg["catalog"]
+        if not cat.exists("rollup_1m_counts"):
+            return None
+        if any(
+            c.fname not in ("count", "sum", "mean")
+            for c in agg_calls.values()
+        ):
+            return None
+        try:
+            exact = _qapi.read_exact_rollup(
+                self._spark(), cat, 60, start, end,
+                key_cols=cfg["key_cols"], as_of=cfg.get("as_of"),
+            )
+        except ValueError:
+            return None
+        df = exact.select(
+            "bucket", *cfg["key_cols"], "cnt",
+            (F.col("sum_cents").cast("double") / F.lit(100.0)).alias("sum_v"),
+        )
+        if stmt.where is not None:
+            df = df.filter(InfluxQLEngine({}, ts_col="bucket")._cond(stmt.where))
+        return df
+
     def _tiered_answerable(self, stmt: Select) -> bool:
         import datetime as _dt
 
@@ -1856,6 +1892,8 @@ class InfluxQLEngine:
                 tail_p.select(narrow) if df is None
                 else df.select(narrow).unionByName(tail_p.select(narrow))
             )
+        if df is None:
+            df = self._archive_fallback(cfg, stmt, agg_calls, start, end)
         if df is None:
             raise InfluxQLError(f"no committed {table} partitions in range")
         aliases = {k: f"_a{i}" for i, k in enumerate(agg_calls)}

@@ -331,6 +331,7 @@ def read_exact_rollup(
     end: dt.datetime | None = None,
     key_cols: Sequence[str] = ("url", "metric"),
     table: str = "rollup_1m_counts",
+    as_of: int | str | None = None,
 ) -> DataFrame:
     """EXACT count/sum/mean at any minute-multiple width from the integer
     archive tier: the pipeline stores (cnt, sum_cents) per 1m bucket as two
@@ -346,10 +347,10 @@ def read_exact_rollup(
     decode), one groupBy on (keys, bucket) — no join between archives."""
     from influxer_spark.operators.intcodec import decode_int2_series_df
 
-    parts = _partitions_in_range(catalog, table, start, end)
+    parts = _partitions_in_range(catalog, table, start, end, as_of=as_of)
     if not parts:
         raise ValueError(f"no committed {table} partitions in range")
-    enc = spark.read.parquet(*catalog.partition_paths(table, parts))
+    enc = spark.read.parquet(*catalog.partition_paths(table, parts, as_of=as_of))
     pts = decode_int2_series_df(enc, blob_col="blob", blob2_col="sum_blob")
     w = F.lit(int(width_seconds)).cast("long")
     epoch = F.unix_timestamp("ts").cast("long")

@@ -680,3 +680,40 @@ def test_as_of_tag_serves_historical_tier(built, spark):
     fixed = InfluxQLEngine({"pages": points}, ts_col="warc_ts")
     fixed.register_tiered("pages", cat, key_cols=("url", "metric"))
     assert {tuple(r[:2]): tuple(r[2:]) for r in fixed.execute(q).collect()} == want
+
+
+def test_expired_tier_served_from_integer_archive(spark, tmp_path_factory):
+    """Retention expires every plain rollup partition; count/sum/mean
+    GROUP BY time() still answers — from the (cnt, sum_cents) archive —
+    and matches the pre-expiry tier answer in the quantized domain, while
+    a min() statement falls through to the normal error."""
+    import pytest as _pytest
+
+    d = tmp_path_factory.mktemp("cold")
+    pages = generate_pages(str(d / "pg"), n_rows=3000, seed=7, days=3)
+    root = str(d / "cat")
+    run_pipeline(spark, pages, root, encode_gorilla=True)
+    cat = TableCatalog(root)
+
+    eng = InfluxQLEngine({}, ts_col="warc_ts")  # tier-only measurement
+    eng.register_tiered("pages", cat, key_cols=("url", "metric"))
+    q = ("SELECT count(value) AS c, sum(value) AS s, mean(value) AS m "
+         "FROM pages GROUP BY time(5m), metric")
+    hot = {tuple(r[:2]): (r["c"], r["s"]) for r in eng.execute(q).collect()}
+
+    for table in ("rollup_1m", "rollup_1h", "rollup_1d"):
+        for day in sorted(cat.committed_partitions(table)):
+            cat.drop_partition(table, day, reason="retention")
+        cat.expire_snapshots(table, keep_last=1)
+
+    cold = {tuple(r[:2]): (r["c"], r["s"]) for r in eng.execute(q).collect()}
+    assert cold.keys() == hot.keys() and len(cold) > 5  # archive answers
+    for k, (c, sv) in cold.items():
+        hc, hs = hot[k]
+        assert c == hc  # counts are exact integers through the archive
+        # sums live in the archive's cents domain: each contributing 1m
+        # bucket rounds to a half cent, 5 buckets per output bucket
+        assert abs(sv - hs) <= 0.03, (k, sv, hs)
+
+    with _pytest.raises(InfluxQLError, match="no committed"):
+        eng.execute("SELECT min(value) FROM pages GROUP BY time(5m), metric")
