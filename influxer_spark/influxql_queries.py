@@ -1355,6 +1355,72 @@ def _q_cusum(spark, sf_dir):
     )
 
 
+def _q_slo_burn(spark, sf_dir):
+    """Multiwindow multi-burn-rate SLO paging (rollup.slo_burn_alerts,
+    Google SRE workbook pattern): hourly good/bad counts per event_type
+    ('bad' = value < 1.0, ~2% of events), 12h long + 1h short trailing
+    windows, page only when BOTH burn rates exceed 14.4× budget.  Exact
+    BIGINT window sums; each burn is one division — bit-replayable."""
+    from influxer_spark.operators.rollup import slo_burn_alerts
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket")
+    ).agg(
+        F.count(F.when(F.col("value") >= 1.0, 1)).alias("good"),
+        F.count(F.when(F.col("value") < 1.0, 1)).alias("bad"),
+    )
+    return slo_burn_alerts(
+        hourly, ["event_type"], 3600,
+        slo_good_fraction=0.999, long_buckets=12, short_buckets=1,
+        burn_threshold=14.4,
+    )
+
+
+def _slo_burn_sql(slo_good: float, long_b: int, short_b: int,
+                  thr: float) -> str:
+    budget = 1.0 - slo_good
+    long_prec = (long_b - 1) * 3600
+    short_prec = (short_b - 1) * 3600
+    burn_l = (
+        "CASE WHEN good_long + bad_long > 0 THEN "
+        "(CAST(bad_long AS DOUBLE) / CAST(good_long + bad_long AS DOUBLE)) "
+        f"/ CAST({budget!r} AS DOUBLE) END"
+    )
+    burn_s = (
+        "CASE WHEN good_short + bad_short > 0 THEN "
+        "(CAST(bad_short AS DOUBLE) / CAST(good_short + bad_short AS DOUBLE)) "
+        f"/ CAST({budget!r} AS DOUBLE) END"
+    )
+    return f"""
+WITH h AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket,
+         CAST(count(CASE WHEN value >= 1.0 THEN 1 END) AS BIGINT) AS good,
+         CAST(count(CASE WHEN value < 1.0 THEN 1 END) AS BIGINT) AS bad
+  FROM events GROUP BY 1, 2
+), s AS (
+  SELECT event_type, bucket,
+    CAST(sum(good) OVER wl AS BIGINT) AS good_long,
+    CAST(sum(bad) OVER wl AS BIGINT) AS bad_long,
+    CAST(sum(good) OVER ws AS BIGINT) AS good_short,
+    CAST(sum(bad) OVER ws AS BIGINT) AS bad_short
+  FROM h
+  WINDOW wl AS (PARTITION BY event_type
+                ORDER BY CAST(floor(epoch(bucket)) AS BIGINT)
+                RANGE BETWEEN {long_prec} PRECEDING AND CURRENT ROW),
+         ws AS (PARTITION BY event_type
+                ORDER BY CAST(floor(epoch(bucket)) AS BIGINT)
+                RANGE BETWEEN {short_prec} PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, bucket, good_long, bad_long, good_short, bad_short,
+  {burn_l} AS burn_long,
+  {burn_s} AS burn_short,
+  coalesce(({burn_l}) > CAST({thr!r} AS DOUBLE)
+           AND ({burn_s}) > CAST({thr!r} AS DOUBLE), false) AS page
+FROM s
+"""
+
+
 def _q_ewma_chart(spark, sf_dir):
     """EWMA control chart (Roberts 1959) over hourly event counts — the
     small-persistent-drift SPC monitor beside sigma (per-point) and CUSUM
@@ -2053,6 +2119,7 @@ def influxql_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sax_daily_motifs": _q_sax_motifs,
         "cusum_changepoints_hourly": _q_cusum,
         "ewma_chart_hourly": _q_ewma_chart,
+        "slo_burn_page_1h": _q_slo_burn,
         "holt_winters_forecast_24h": _q_holt_winters,
     }
 
@@ -2107,4 +2174,5 @@ def influxql_oracle_sql() -> dict[str, str]:
         "sax_daily_motifs": _sax_sql(),
         "cusum_changepoints_hourly": _cusum_sql(0.5, 5.0),
         "ewma_chart_hourly": _ewma_sql(0.2, 3.0),
+        "slo_burn_page_1h": _slo_burn_sql(0.999, 12, 1, 14.4),
     }

@@ -638,3 +638,73 @@ def sumsq_sliding(
         F.sum("s1").over(w).alias("s1"),
         F.sum("s2").over(w).alias("s2"),
     )
+
+
+def slo_burn_alerts(
+    rolled: DataFrame,
+    key_cols: Sequence[str],
+    bucket_seconds: int,
+    slo_good_fraction: float = 0.999,
+    long_buckets: int = 12,
+    short_buckets: int = 1,
+    burn_threshold: float = 14.4,
+) -> DataFrame:
+    """Multiwindow multi-burn-rate SLO alert (the Google SRE workbook
+    pattern, public) over tier rows carrying per-bucket ``good`` / ``bad``
+    BIGINT counts: the burn rate is (bad/total) / error_budget over a
+    trailing window, and the alert fires only when BOTH the long window
+    (sustained burn — pages worth waking for) AND the short window (still
+    burning right now — self-resolved incidents don't page) exceed the
+    threshold.  14.4 over 1h/5m is the workbook's "2% of a 30-day budget
+    in one hour" page.
+
+    Exactness: good/bad window sums are exact BIGINT RANGE windows (the
+    rollup_sliding idiom — epoch-keyed, tier gaps shrink the window by
+    value); each burn rate is ONE division of exact integers scaled by
+    the Python-literal budget, so the whole alert decision replays
+    bit-for-bit in SQL.  One exchange on the series key over tier rows.
+
+    Output at every tier bucket: (bucket, *keys, good_long, bad_long,
+    good_short, bad_short, burn_long, burn_short, page).  Burn is NULL
+    where a window saw no events (no traffic ⇒ no burn evidence).
+    """
+    budget = 1.0 - slo_good_fraction  # Python double literal, shared w/ oracle
+    secs = F.unix_timestamp(F.col("bucket").cast("timestamp")).cast("long")
+
+    def win(buckets: int):
+        span = int(buckets) * int(bucket_seconds)
+        return (
+            Window.partitionBy(*key_cols)
+            .orderBy(secs)
+            .rangeBetween(-(span - int(bucket_seconds)), 0)
+        )
+
+    wl, ws = win(long_buckets), win(short_buckets)
+    gl, bl = F.sum("good").over(wl), F.sum("bad").over(wl)
+    gs, bs = F.sum("good").over(ws), F.sum("bad").over(ws)
+
+    def burn(g, b):
+        total = (g + b).cast("double")
+        return F.when(
+            (g + b) > 0,
+            (b.cast("double") / total) / F.lit(budget),
+        )
+
+    out = rolled.select(
+        "bucket",
+        *key_cols,
+        gl.alias("good_long"),
+        bl.alias("bad_long"),
+        gs.alias("good_short"),
+        bs.alias("bad_short"),
+        burn(gl, bl).alias("burn_long"),
+        burn(gs, bs).alias("burn_short"),
+    )
+    thr = F.lit(float(burn_threshold))
+    return out.withColumn(
+        "page",
+        F.coalesce(
+            (F.col("burn_long") > thr) & (F.col("burn_short") > thr),
+            F.lit(False),
+        ),
+    )

@@ -173,3 +173,43 @@ def test_rollup_sliding_single_exchange(spark, events):
         )
     )
     assert len(_re.findall(r"^\s*\(\d+\) Exchange", plan, _re.M)) == 2, plan
+
+
+def test_slo_burn_multiwindow_pages_only_sustained(spark):
+    """The SRE multiwindow contract: a single-bucket error burst trips the
+    SHORT window but not the LONG one (no page); a sustained burn trips
+    both (page); zero-traffic buckets have NULL burn and never page."""
+    import datetime as dt
+
+    from influxer_spark.operators.rollup import slo_burn_alerts
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    # hours 0-11: healthy (1000 good, 1 bad -> burn 0.999/bucket at 0.1% budget... ~1)
+    for i in range(12):
+        rows.append(("svc", t0 + dt.timedelta(hours=i), 1000, 1))
+    # hour 12: a one-hour 10% burst (short fires, 12h long stays low)
+    rows.append(("svc", t0 + dt.timedelta(hours=12), 900, 100))
+    # hours 13-14: healthy again
+    for i in (13, 14):
+        rows.append(("svc", t0 + dt.timedelta(hours=i), 1000, 1))
+    # hours 15-26: sustained 10% burn -> long catches up, pages
+    for i in range(15, 27):
+        rows.append(("svc", t0 + dt.timedelta(hours=i), 900, 100))
+    # hour 27: zero traffic
+    rows.append(("svc", t0 + dt.timedelta(hours=27), 0, 0))
+    df = spark.createDataFrame(rows, ["k", "bucket", "good", "bad"])
+    out = {
+        r["bucket"].hour + 24 * (r["bucket"].day - 1): r
+        for r in slo_burn_alerts(
+            df, ["k"], 3600, slo_good_fraction=0.999,
+            long_buckets=12, short_buckets=1, burn_threshold=14.4,
+        ).collect()
+    }
+    assert not out[12]["page"]          # burst: short > thr, long below
+    assert out[12]["burn_short"] > 14.4
+    assert out[12]["burn_long"] < 14.4
+    assert any(out[h]["page"] for h in range(15, 27))   # sustained pages
+    last = out[26]
+    assert last["page"] and last["burn_long"] > 14.4 and last["burn_short"] > 14.4
+    assert out[27]["burn_short"] is None and not out[27]["page"]  # no traffic
