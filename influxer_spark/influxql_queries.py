@@ -1355,6 +1355,40 @@ def _q_cusum(spark, sf_dir):
     )
 
 
+def _q_topn_other(spark, sf_dir):
+    """Top-5 users by total events + '__other__' remainder per hour
+    (rollup.topn_with_other) — the dashboard top-N panel with a complete
+    total.  Exact integer counts rank the cut; ties by key ascending."""
+    from influxer_spark.operators.rollup import topn_with_other
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    hourly = ev.groupBy(
+        F.col("user_id").cast("string").alias("user"),
+        F.date_trunc("hour", "ts").alias("bucket"),
+    ).agg(F.count(F.lit(1)).alias("v"))
+    return topn_with_other(hourly, "user", "bucket", "v", 5)
+
+
+_TOPN_OTHER_SQL = """
+WITH h AS (
+  SELECT CAST(user_id AS VARCHAR) AS u, date_trunc('hour', ts) AS bucket,
+         CAST(count(*) AS BIGINT) AS v
+  FROM events GROUP BY 1, 2
+), tot AS (
+  SELECT u, sum(v) AS t,
+         row_number() OVER (ORDER BY sum(v) DESC, u ASC) AS rk
+  FROM h GROUP BY u
+), topk AS (SELECT u FROM tot WHERE rk <= 5)
+SELECT bucket, u AS series, v AS value, false AS is_other
+FROM h WHERE u IN (SELECT u FROM topk)
+UNION ALL
+SELECT bucket, '__other__' AS series, CAST(sum(v) AS BIGINT) AS value,
+       true AS is_other
+FROM h WHERE u NOT IN (SELECT u FROM topk)
+GROUP BY bucket
+"""
+
+
 def _q_slo_burn(spark, sf_dir):
     """Multiwindow multi-burn-rate SLO paging (rollup.slo_burn_alerts,
     Google SRE workbook pattern): hourly good/bad counts per event_type
@@ -2120,6 +2154,7 @@ def influxql_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cusum_changepoints_hourly": _q_cusum,
         "ewma_chart_hourly": _q_ewma_chart,
         "slo_burn_page_1h": _q_slo_burn,
+        "topn_other_hourly": _q_topn_other,
         "holt_winters_forecast_24h": _q_holt_winters,
     }
 
@@ -2175,4 +2210,5 @@ def influxql_oracle_sql() -> dict[str, str]:
         "cusum_changepoints_hourly": _cusum_sql(0.5, 5.0),
         "ewma_chart_hourly": _ewma_sql(0.2, 3.0),
         "slo_burn_page_1h": _slo_burn_sql(0.999, 12, 1, 14.4),
+        "topn_other_hourly": _TOPN_OTHER_SQL,
     }

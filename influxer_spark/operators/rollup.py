@@ -708,3 +708,56 @@ def slo_burn_alerts(
             F.lit(False),
         ),
     )
+
+
+def topn_with_other(
+    rolled: DataFrame,
+    key_col: str,
+    bucket_col: str,
+    value_col: str,
+    n: int,
+    other_label: str = "__other__",
+) -> DataFrame:
+    """Top-N series + an ``__other__`` remainder per bucket — the
+    dashboard view every "top 5 endpoints by traffic" panel renders: the
+    N series with the largest TOTAL over the frame keep their own rows,
+    everything else collapses into one labeled series per bucket, so the
+    panel is complete (sums preserve the grand total) without plotting
+    ten thousand lines.
+
+    Ranking is by exact total (feed integer counts/cents for a
+    bit-deterministic cut), ties by key ascending.  Plan: one groupBy for
+    totals (tiny output — one row per series), broadcast the top-key set
+    back, one groupBy for the remainder — no window over the data rows.
+
+    Output: (bucket, series, value, is_other); remainder rows appear only
+    in buckets where at least one non-top series has a row.
+    """
+    totals = rolled.groupBy(key_col).agg(F.sum(value_col).alias("_total"))
+    wtot = Window.orderBy(F.desc("_total"), F.asc(key_col))
+    top = (
+        totals.withColumn("_rk", F.row_number().over(wtot))
+        .filter(F.col("_rk") <= n)
+        .select(F.col(key_col).alias("_topkey"))
+    )
+    flagged = rolled.join(
+        F.broadcast(top), on=F.col(key_col) == F.col("_topkey"), how="left"
+    )
+    kept = flagged.filter(F.col("_topkey").isNotNull()).select(
+        F.col(bucket_col).alias("bucket"),
+        F.col(key_col).alias("series"),
+        F.col(value_col).alias("value"),
+        F.lit(False).alias("is_other"),
+    )
+    other = (
+        flagged.filter(F.col("_topkey").isNull())
+        .groupBy(bucket_col)
+        .agg(F.sum(value_col).alias("value"))
+        .select(
+            F.col(bucket_col).alias("bucket"),
+            F.lit(other_label).alias("series"),
+            "value",
+            F.lit(True).alias("is_other"),
+        )
+    )
+    return kept.unionByName(other)

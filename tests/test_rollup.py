@@ -213,3 +213,39 @@ def test_slo_burn_multiwindow_pages_only_sustained(spark):
     last = out[26]
     assert last["page"] and last["burn_long"] > 14.4 and last["burn_short"] > 14.4
     assert out[27]["burn_short"] is None and not out[27]["page"]  # no traffic
+
+
+def test_topn_with_other_preserves_total_and_cut(spark):
+    import datetime as dt
+
+    from influxer_spark.operators.rollup import topn_with_other
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    # series a..e with totals 50,40,30,20,10; two buckets
+    for i, (k, v) in enumerate([("a", 25), ("b", 20), ("c", 15),
+                                ("d", 10), ("e", 5)]):
+        rows += [(k, t0, v), (k, t0 + dt.timedelta(hours=1), v)]
+    df = spark.createDataFrame(rows, ["k", "bucket", "v"])
+    out = topn_with_other(df, "k", "bucket", "v", 2).collect()
+    kept = {(r["series"], r["bucket"].hour): r["value"]
+            for r in out if not r["is_other"]}
+    other = {r["bucket"].hour: r["value"] for r in out if r["is_other"]}
+    assert set(s for s, _ in kept) == {"a", "b"}
+    assert other == {0: 30, 1: 30}  # c+d+e per bucket
+    # grand total preserved
+    assert sum(r["value"] for r in out) == sum(v for _, _, v in rows)
+
+
+def test_topn_with_other_tie_breaks_by_key(spark):
+    import datetime as dt
+
+    from influxer_spark.operators.rollup import topn_with_other
+
+    t0 = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [("b", t0, 10), ("a", t0, 10), ("c", t0, 10)], ["k", "bucket", "v"]
+    )
+    out = topn_with_other(df, "k", "bucket", "v", 2).collect()
+    assert {r["series"] for r in out if not r["is_other"]} == {"a", "b"}
+    assert [r["value"] for r in out if r["is_other"]] == [10]
