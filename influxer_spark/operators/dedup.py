@@ -1051,3 +1051,52 @@ def ngram_novelty(
             (F.col("n_novel") / F.col("n_grams")).alias("novelty_frac"),
         )
     )
+
+
+def semantic_decontam(
+    corpus: DataFrame,
+    evalset: DataFrame,
+    id_col: str,
+    vec_col: str,
+    min_cosine: float = 0.8,
+) -> DataFrame:
+    """Embedding-similarity decontamination — the third screen beside the
+    exact n-gram one (:func:`ngram_decontam`) and its Bloom-prefiltered
+    twin (:func:`bloom_decontam`): a paraphrased or reformatted benchmark
+    item shares no 8-gram with its source but still sits next to it in
+    embedding space.  Flags every corpus document whose cosine against
+    ANY eval vector reaches the threshold, with the best-matching eval id
+    as evidence (max cosine, ties by eval id ascending).
+
+    Plan: the eval set is the SMALL side by definition (benchmarks are
+    thousands of items, the corpus is the 10^12 side) — broadcast it, the
+    corpus streams once, per-corpus-row max via one groupBy.  For eval
+    sets past broadcast size, pre-bucket both sides with
+    ``similarity.with_lsh_bucket`` and join on the bucket instead.
+
+    Output: (id, eval_id, cos) — one row per CONTAMINATED corpus doc.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("cvec"),
+        F.sqrt(dot_f64(F.col(vec_col), F.col(vec_col))).alias("cnorm"),
+    )
+    e = evalset.select(
+        F.col(id_col).alias("eval_id"),
+        F.col(vec_col).alias("evec"),
+        F.sqrt(dot_f64(F.col(vec_col), F.col(vec_col))).alias("enorm"),
+    )
+    scored = c.join(F.broadcast(e), F.lit(True)).select(
+        "id",
+        "eval_id",
+        (
+            dot_f64(F.col("cvec"), F.col("evec"))
+            / (F.col("cnorm") * F.col("enorm"))
+        ).alias("cos"),
+    ).filter(F.col("cos") >= F.lit(float(min_cosine)))
+    w = Window.partitionBy("id").orderBy(F.desc("cos"), F.asc("eval_id"))
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select("id", "eval_id", "cos")
+    )

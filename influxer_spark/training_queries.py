@@ -489,6 +489,40 @@ def _q_ann_brute_topk(spark, sf_dir):
     return S.brute_topk(vecs, queries, "vec_id", "embedding", k=10)
 
 
+def _q_semantic_decontam(spark, sf_dir):
+    """Embedding-similarity decontamination (dedup.semantic_decontam):
+    every 50th vector plays the benchmark set; corpus docs whose cosine
+    against any eval vector reaches 0.5 are flagged with the best match
+    (exact copies land at 1.0 — the realistic contamination case)."""
+    vecs = _vecs(spark, sf_dir)
+    evalset = vecs.filter(F.col("vec_id") % 50 == 0)
+    return D.semantic_decontam(vecs, evalset, "vec_id", "embedding", 0.5)
+
+
+_SEMANTIC_DECONTAM_SQL = """
+WITH v AS (
+  SELECT vec_id, embedding AS v,
+         sqrt({dot_self}) AS norm
+  FROM embeddings
+), e AS (SELECT vec_id AS eval_id, v AS ev, norm AS en FROM v
+         WHERE vec_id % 50 = 0),
+scored AS (
+  SELECT c.vec_id AS id, e.eval_id,
+         {dot} / (c.norm * e.en) AS cos
+  FROM v c, e
+)
+SELECT id, eval_id, cos FROM (
+  SELECT id, eval_id, cos,
+         row_number() OVER (PARTITION BY id ORDER BY cos DESC, eval_id ASC)
+           AS rk
+  FROM scored WHERE cos >= CAST(0.5 AS DOUBLE)
+) WHERE rk = 1
+""".format(
+    dot_self=_DOT.format(a="embedding", b="embedding"),
+    dot=_DOT.format(a="c.v", b="e.ev"),
+)
+
+
 def _q_sq8_topk(spark, sf_dir):
     """Scalar-quantized (SQ8) cosine top-k (operators/similarity.py:
     sq8_topk) — exact BIGINT code dots, scales cancel in quantized-space
@@ -1636,6 +1670,7 @@ def training_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_cosine": _q_embedding_neardup,
         "ann_brute_cosine_topk": _q_ann_brute_topk,
         "sq8_topk_cosine": _q_sq8_topk,
+        "semantic_decontam_flags": _q_semantic_decontam,
         "ann_lsh_cosine_topk": _q_ann_lsh_topk,
         "ann_ivf_cosine_topk": _q_ann_ivf_topk,
         "ann_ivf_index_topk": _q_ann_ivf_index_topk,
@@ -1727,6 +1762,7 @@ def training_oracle_sql() -> dict[str, str]:
         "embedding_neardup_cosine": _neardup_cos_sql(0.4),
         "ann_brute_cosine_topk": _topk_sql(10, 100),
         "sq8_topk_cosine": _SQ8_TOPK_SQL,
+        "semantic_decontam_flags": _SEMANTIC_DECONTAM_SQL,
         "ann_lsh_cosine_topk": _lsh_sql(8, 10, 100),
         "ann_ivf_cosine_topk": _ivf_sql(8, 2, 10, 100),
         "ann_ivf_index_topk": _ivf_sql(8, 2, 10, 100),

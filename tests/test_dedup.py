@@ -497,3 +497,25 @@ def test_ngram_novelty_cross_doc_property(spark):
     assert got[4] == (1, 0)            # its only gram also in docs 2 and 3
     assert got[2] == (2, 0)            # both grams also appear in doc 3
     assert got[3] == (3, 1)            # only 'three four five six' is novel
+
+
+def test_semantic_decontam_flags_best_eval_match(spark):
+    from influxer_spark.operators.dedup import semantic_decontam
+
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),   # exact copy of eval 100
+            (2, [0.9, 0.1, 0.0]),   # near eval 100
+            (3, [0.0, 0.0, 1.0]),   # clean
+        ],
+        ["vec_id", "embedding"],
+    )
+    evalset = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0]), (200, [0.0, 1.0, 0.0])],
+        ["vec_id", "embedding"],
+    )
+    got = {r["id"]: (r["eval_id"], r["cos"]) for r in
+           semantic_decontam(corpus, evalset, "vec_id", "embedding", 0.8).collect()}
+    assert set(got) == {1, 2}            # doc 3 is clean
+    assert got[1] == (100, 1.0)          # exact copy, best match evidenced
+    assert got[2][0] == 100 and got[2][1] > 0.98
