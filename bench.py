@@ -162,6 +162,11 @@ def run_pipeline_bench(cores: int, pages_path: str, warm: bool = True) -> dict:
             for c in res.counters.values()
             if c.get("int_bytes_per_point")
         ]
+        spp = [
+            c["sum_bytes_per_point"]
+            for c in res.counters.values()
+            if c.get("sum_bytes_per_point")
+        ]
         return {
             "cores": cores,
             "elapsed_s": round(elapsed, 3),
@@ -169,6 +174,7 @@ def run_pipeline_bench(cores: int, pages_path: str, warm: bool = True) -> dict:
             "points_per_sec": round(points / elapsed, 1),
             "gorilla_bytes_per_point": round(sum(bpp) / len(bpp), 3) if bpp else None,
             "int_bytes_per_point": round(sum(ipp) / len(ipp), 3) if ipp else None,
+            "sum_bytes_per_point": round(sum(spp) / len(spp), 3) if spp else None,
             "tier_query_4h_s": round(t_tier, 3),
             "raw_query_4h_s": round(t_raw, 3),
             "tier_query_speedup": round(t_raw / t_tier, 1) if t_tier else None,
@@ -284,6 +290,7 @@ def main() -> None:
         "pipeline_points_per_sec": pipe["points_per_sec"],
         "gorilla_bytes_per_point": pipe["gorilla_bytes_per_point"],
         "int_bytes_per_point": pipe.get("int_bytes_per_point"),
+        "sum_bytes_per_point": pipe.get("sum_bytes_per_point"),
         "tier_query_speedup_4h": pipe.get("tier_query_speedup"),
         "pages_rows": BENCH_PAGES_ROWS,
         "cpus": CPUS,
