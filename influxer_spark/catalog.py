@@ -439,6 +439,16 @@ class TableCatalog:
             if v in parts
         ]
 
+    def table_columns(self, name: str, as_of: int | None = None) -> list[str] | None:
+        """Column names from the snapshot's recorded schema (wave writes
+        record one), WITHOUT touching any data file — metadata-only, so
+        callers can validate predicates before launching a job.  ``None``
+        when the snapshot predates schema recording."""
+        schema = self.read_manifest(name, as_of).get("schema")
+        if schema is None:
+            return None
+        return [f["name"] for f in schema.get("fields", [])]
+
     def read_partition(
         self, spark: SparkSession, name: str, partition_value: str,
         as_of: int | None = None,
@@ -1271,11 +1281,30 @@ class TableCatalog:
         if cur is not None:
             kept.add(cur)
         refs = self._read_refs(name)
+        all_snaps = set(self.snapshots(name))
         kept |= {
             s
             for s in (*refs["tags"].values(), *refs["branches"].values())
-            if s in self.snapshots(name)
+            if s in all_snaps
         }
+        # A branch head is only publishable (fast_forward) while its parent
+        # chain down to main's current snapshot is walkable — _ancestors
+        # stops at the first missing manifest.  Retain each branch's chain
+        # back to the first already-kept snapshot (Iceberg ref-aware expiry
+        # keeps every snapshot reachable from a ref, for the same reason).
+        for head in refs["branches"].values():
+            node: int | None = head if head in all_snaps else None
+            seen: set[int] = set()
+            while node is not None and node not in seen:
+                seen.add(node)
+                mf = self._manifest_file(name, node)
+                if not os.path.exists(mf):
+                    break
+                with open(mf) as f:
+                    node = json.load(f).get("parent_id")
+                if node is None or node in kept:
+                    break
+                kept.add(node)
         kept = sorted(kept)
         referenced: set[str] = set()
         for v in kept:

@@ -2691,6 +2691,7 @@ class InfluxQLEngine:
         )
         pred = None
         lo_day = hi_day = None
+        tag_cols: set[str] = set()
         for c in parts:
             if not isinstance(c, Cmp):
                 raise InfluxQLError(f"tiered DELETE: unsupported predicate {c!r}")
@@ -2726,12 +2727,34 @@ class InfluxQLEngine:
                   and isinstance(c.right, Str) and c.op in ("=", "!=")):
                 col = (F.col(c.left.name) == c.right.value) if c.op == "=" \
                     else (F.col(c.left.name) != c.right.value)
+                tag_cols.add(c.left.name)
             else:
                 raise InfluxQLError(
                     f"tiered DELETE supports day-aligned time bounds and tag "
                     f"predicates on {sorted(keyset)}; got {c!r}")
             pred = col if pred is None else (pred & col)
         spark = self._spark()
+        # Pre-validate tag predicates against EVERY tier table's recorded
+        # schema BEFORE any snapshot commits.  Sketch families (kmv/hdr)
+        # may be keyed on a subset of the measurement's tags; their rows
+        # aggregate ACROSS the missing tag, so a predicate on it cannot be
+        # expressed exactly there — and failing mid-loop would leave the
+        # rollup tiers already rewritten while the sketch tiers still hold
+        # the series (the drift this method exists to prevent).
+        if tag_cols:
+            for table in self._TIER_TABLES:
+                if not cat.exists(table):
+                    continue
+                cols = cat.table_columns(table)
+                missing = tag_cols - set(cols or ())
+                if missing:
+                    raise InfluxQLError(
+                        f"tiered DELETE: tier table {table!r} does not carry "
+                        f"tag column(s) {sorted(missing)} — its rows "
+                        f"aggregate across them, so the delete cannot be "
+                        f"expressed exactly; drop that table's partitions "
+                        f"and refresh it from the raw data instead "
+                        f"(no tier was modified)")
         out: dict[str, dict] = {}
         time_only = pred is None or not any(
             isinstance(c, Cmp)

@@ -1076,16 +1076,20 @@ def semantic_decontam(
 
     Output: (id, eval_id, cos) — one row per CONTAMINATED corpus doc.
     """
+    # zero-norm vectors (padding / failed-embedding rows) would make
+    # cos = 0/0 = NaN, and Spark orders NaN ABOVE every number — one
+    # all-zero eval vector would flag the entire corpus.  They carry no
+    # direction, so they can never evidence contamination: drop them.
     c = corpus.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("cvec"),
         F.sqrt(dot_f64(F.col(vec_col), F.col(vec_col))).alias("cnorm"),
-    )
+    ).filter(F.col("cnorm") > 0)
     e = evalset.select(
         F.col(id_col).alias("eval_id"),
         F.col(vec_col).alias("evec"),
         F.sqrt(dot_f64(F.col(vec_col), F.col(vec_col))).alias("enorm"),
-    )
+    ).filter(F.col("enorm") > 0)
     scored = c.join(F.broadcast(e), F.lit(True)).select(
         "id",
         "eval_id",

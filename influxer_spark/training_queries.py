@@ -504,6 +504,7 @@ WITH v AS (
   SELECT vec_id, embedding AS v,
          sqrt({dot_self}) AS norm
   FROM embeddings
+  WHERE sqrt({dot_self}) > 0
 ), e AS (SELECT vec_id AS eval_id, v AS ev, norm AS en FROM v
          WHERE vec_id % 50 = 0),
 scored AS (

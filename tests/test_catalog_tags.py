@@ -140,6 +140,25 @@ class TestBranches:
         with pytest.raises(ValueError):
             cat.read_committed(spark, "t", as_of="audit")
 
+    def test_expire_keeps_branch_ancestry_for_fast_forward(self, spark, tmp_path):
+        # two waves on the branch, then expire: the INTERMEDIATE branch
+        # snapshot must survive or fast_forward's ancestry walk breaks at
+        # the missing manifest and refuses a perfectly publishable branch.
+        cat = self._base(spark, tmp_path)
+        cat.create_branch("t", "audit")
+        for day, user, val in (
+            ("2024-01-02", "b", 2.0), ("2024-01-03", "c", 3.0)
+        ):
+            cat.write_partitions(
+                spark.createDataFrame([(day, user, val)],
+                                      ["day", "user", "value"]),
+                "t", [day], branch="audit",
+            )
+        cat.expire_snapshots("t", keep_last=1)
+        head = cat.fast_forward("t", "audit")
+        assert cat.current_snapshot("t") == head
+        assert _vals(cat, spark, "t") == {("a", 1.0), ("b", 2.0), ("c", 3.0)}
+
     def test_branch_validation(self, spark, tmp_path):
         cat = self._base(spark, tmp_path)
         with pytest.raises(ValueError):

@@ -519,3 +519,23 @@ def test_semantic_decontam_flags_best_eval_match(spark):
     assert set(got) == {1, 2}            # doc 3 is clean
     assert got[1] == (100, 1.0)          # exact copy, best match evidenced
     assert got[2][0] == 100 and got[2][1] > 0.98
+
+
+def test_semantic_decontam_ignores_zero_norm_vectors(spark):
+    """An all-zero vector yields cos = 0/0 = NaN, and Spark sorts NaN
+    above every number — without the norm guard one zero EVAL vector
+    flags the whole corpus.  Zero vectors carry no direction: dropped."""
+    from influxer_spark.operators.dedup import semantic_decontam
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 0.0]), (3, [0.0, 1.0])],
+        ["vec_id", "embedding"],
+    )
+    evalset = spark.createDataFrame(
+        [(100, [0.0, 0.0]), (200, [1.0, 0.0])],  # zero eval vec present
+        ["vec_id", "embedding"],
+    )
+    got = {r["id"]: r["eval_id"] for r in
+           semantic_decontam(corpus, evalset, "vec_id", "embedding", 0.8).collect()}
+    # only the genuine match survives; zero vectors flag nothing
+    assert got == {1: 200}

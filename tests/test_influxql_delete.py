@@ -84,6 +84,30 @@ def test_unsupported_tiered_predicates_fail_loudly(spark, tmp_path):
         eng.execute_statement("DELETE FROM m WHERE value > 5")
 
 
+def test_tag_delete_rejected_before_any_commit_when_a_tier_lacks_the_tag(
+    spark, tmp_path
+):
+    """A sketch tier keyed on a SUBSET of the measurement tags aggregates
+    across the missing tag, so a tag DELETE cannot be expressed there.
+    The statement must fail BEFORE any tier commits — not after the
+    rollup tiers were already rewritten (family drift)."""
+    from influxer_spark.operators.kmv import build_kmv_tiers
+
+    ev, cat, eng = _build(spark, tmp_path)
+    # kmv tier keyed on NOTHING: its rows merge all event_types
+    build_kmv_tiers(spark, cat, ev, "ts", [], "event_type", k=16)
+    snaps_before = {t: cat.snapshots(t)[-1]
+                    for t in ("rollup_1m", "rollup_1h", "rollup_1d")}
+    with pytest.raises(InfluxQLError, match="does not carry"):
+        eng.execute_statement("DELETE FROM m WHERE event_type = 'a'")
+    # no tier moved: the rollup snapshots are untouched and 'a' survives
+    for t, s in snaps_before.items():
+        assert cat.snapshots(t)[-1] == s
+    assert eng.execute(
+        "SELECT count(value) AS cnt FROM m GROUP BY time(1d), event_type"
+    ).filter("event_type = 'a'").count() > 0
+
+
 def test_trend_inner_aggregate_is_tier_served(spark, tmp_path):
     """trend(mean(value)) on a registered tiered measurement desugars its
     inner GROUP BY time(1h) through the continuous-aggregate router: the
