@@ -88,11 +88,15 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int = 8):
     keyed = []
     for c in cols:
         if isinstance(df.schema[c].dataType, StringType):
-            # order-preserving numeric image of the string's 7-byte prefix;
-            # rpad left-justifies so 'b' > 'ab' survives the widening
+            # order-preserving numeric image of the string's first 7 BYTES
+            # (not characters: rpad counts characters, and one multi-byte
+            # UTF-8 char would push the hex image past conv's unsigned-64
+            # range — an ANSI ARITHMETIC_OVERFLOW crash).  substr on the
+            # binary slices bytes; the x'20' pad left-justifies so
+            # 'b' > 'ab' survives the widening
             k = F.expr(
-                f"cast(conv(hex(cast(rpad(`{c}`, 7, ' ') as binary)), 16, 10) "
-                "as double)"
+                f"cast(conv(hex(rpad(substr(cast(`{c}` as binary), 1, 7), "
+                "7, x'20')), 16, 10) as double)"
             )
         else:
             k = F.col(c).cast("double")
@@ -543,6 +547,23 @@ class TableCatalog:
             return float(v)
         return v
 
+    _TS_STR_RE = re.compile(r"^\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}")
+
+    @classmethod
+    def _norm_bound(cls, v: Any) -> Any:
+        """Normalize a caller-supplied pruning bound to the stats' stored
+        form: datetime/date objects serialize the same way the stats did,
+        and an ISO-8601 'T'-separated timestamp string becomes space-
+        separated — ' ' (0x20) sorts BELOW 'T' (0x54), so comparing mixed
+        separators lexically would silently prune live partitions."""
+        import datetime as _dt
+
+        if isinstance(v, (_dt.datetime, _dt.date)):
+            v = cls._stat_value(v)
+        if isinstance(v, str) and cls._TS_STR_RE.match(v):
+            return v.replace("T", " ", 1)
+        return v
+
     @classmethod
     def _collect_stats(
         cls, df: DataFrame, stats_cols: list[str], group_col: str | None
@@ -596,6 +617,8 @@ class TableCatalog:
         partitions the stats PROVE empty for the predicate.  All-null
         partitions (min is None with recorded stats) are skipped for a
         range predicate, which SQL comparison semantics make correct."""
+        lo = self._norm_bound(lo)
+        hi = self._norm_bound(hi)
         parts = self.committed_partitions(name, as_of)
         keep: list[str] = []
         for pv, entry in sorted(parts.items()):
@@ -603,8 +626,15 @@ class TableCatalog:
             if st is None:
                 keep.append(pv)
                 continue
-            mn, mx = st.get("min"), st.get("max")
+            mn = self._norm_bound(st.get("min"))
+            mx = self._norm_bound(st.get("max"))
             if mn is None:  # stats recorded, every value NULL
+                # NULL never satisfies a range predicate — but with NO
+                # bounds the residual filter keeps every row, so the
+                # partition must be read (its other columns are live data)
+                if lo is not None or hi is not None:
+                    continue
+                keep.append(pv)
                 continue
             if lo is not None and mx < lo:
                 continue
@@ -1077,46 +1107,56 @@ class TableCatalog:
         from pyspark.sql import functions as F
 
         keys = list(key_cols)
-        days = sorted(
-            r[day_col]
-            for r in source.select(day_col).distinct().collect()
-        )
+        grouped = source.groupBy(day_col, *keys).count()
+        # ONE job answers the three up-front questions (touched days,
+        # source size, duplicate keys) that previously cost a distinct-
+        # collect, a dupes count, and a full source count each
+        summary = grouped.agg(
+            F.collect_set(day_col).alias("days"),
+            F.sum("count").alias("n_src"),
+            F.max("count").alias("max_dupe"),
+        ).first()
+        days = sorted(summary["days"] or [])
         if not days:
             return {"rows_updated": 0, "rows_inserted": 0, "partitions_written": 0}
-        dupes = (
-            source.groupBy(day_col, *keys).count().filter(F.col("count") > 1)
-        )
-        if dupes.limit(1).count():
-            ex = dupes.first()
+        if summary["max_dupe"] > 1:
+            ex = grouped.filter(F.col("count") > 1).first()  # error path only
             raise ValueError(
                 f"merge_into: source has duplicate keys within a partition "
                 f"(e.g. {dict((k, ex[k]) for k in [day_col, *keys])} ×{ex['count']}); "
                 f"each target row must match at most one source row"
             )
-        present = [d for d in days if d in self.committed_partitions(name)]
-        n_src = source.count()
+        committed = self.committed_partitions(name)  # one manifest read
+        present = [d for d in days if d in committed]
+        n_src = int(summary["n_src"])
         n_exist = n_surv = 0
         merged = source
-        if present:
-            existing = self.read_partitions_with_key(
-                spark, name, present
-            ).withColumnRenamed("p", day_col)
-            survivors = existing.join(
-                source.select(day_col, *keys), on=[day_col, *keys], how="left_anti"
+        survivors = None
+        try:
+            if present:
+                existing = self.read_partitions_with_key(
+                    spark, name, present
+                ).withColumnRenamed("p", day_col)
+                survivors = existing.join(
+                    source.select(day_col, *keys), on=[day_col, *keys],
+                    how="left_anti",
+                ).persist()  # counted here, re-read by the wave write
+                n_exist = existing.count()
+                n_surv = survivors.count()
+                # allowMissingColumns = schema evolution through MERGE: a
+                # source with a NEW column upserts it (survivors read it as
+                # NULL), and the wave commit records the widened schema
+                merged = survivors.unionByName(source, allowMissingColumns=True)
+            updated = n_exist - n_surv
+            self.write_partitions(
+                merged, name, days, day_col=day_col,
+                lineage_by_partition={
+                    d: {"op": "merge_into", "reason": reason} for d in days
+                },
             )
-            n_exist = existing.count()
-            n_surv = survivors.count()
-            # allowMissingColumns = schema evolution through MERGE: a source
-            # with a NEW column upserts it (survivors read it as NULL), and
-            # the wave commit records the widened schema for readers
-            merged = survivors.unionByName(source, allowMissingColumns=True)
-        updated = n_exist - n_surv
-        self.write_partitions(
-            merged, name, days, day_col=day_col,
-            lineage_by_partition={
-                d: {"op": "merge_into", "reason": reason} for d in days
-            },
-        )
+        finally:
+            if survivors is not None:
+                survivors.unpersist()
         return {
             "rows_updated": updated,
             "rows_inserted": n_src - updated,

@@ -536,30 +536,24 @@ def ewma_chart(
         return F.struct(z2.alias("z"), f2.alias("f"))
 
     init = F.struct(F.lit(0.0).alias("z"), F.lit(1.0).alias("f"))
-    z_arr = _fold_emit(
+    # ONE fold emits both z (v) and the variance-inflation product f (w) —
+    # a second _fold_emit over the same array would replay the whole O(L)
+    # recurrence a second time for no new information
+    zf_arr = _fold_emit(
         F.col("_arr"), init, step,
-        lambda st, x: F.lit(True), lambda st, x: st["z"],
-    )
-    f_arr = _fold_emit(
-        F.col("_arr"), init, step,
-        lambda st, x: F.lit(True), lambda st, x: st["f"],
+        lambda st, x: F.lit(True),
+        lambda st, x: st["z"],
+        emit_val2=lambda st, x: st["f"],
     )
     zipped = F.zip_with(
-        F.zip_with(
-            F.col("_arr"), z_arr,
-            lambda a, p: F.struct(
-                a["t"].alias("t"), a["v"].alias("v"), a["mu"].alias("mu"),
-                a["mad"].alias("mad"), p["v"].alias("z"),
-            ),
-        ),
-        f_arr,
-        lambda z, q: F.struct(
-            z["t"].alias("t"), z["v"].alias("v"), z["z"].alias("z"),
+        F.col("_arr"), zf_arr,
+        lambda a, p: F.struct(
+            a["t"].alias("t"), a["v"].alias("v"), p["v"].alias("z"),
             (
-                F.lit(l_mads) * z["mad"]
-                * F.sqrt(F.lit(cfac) * (F.lit(1.0) - q["v"]))
+                F.lit(l_mads) * a["mad"]
+                * F.sqrt(F.lit(cfac) * (F.lit(1.0) - p["w"]))
             ).alias("hw"),
-            z["mu"].alias("mu"),
+            a["mu"].alias("mu"),
         ),
     )
     ex = g.select(*key_cols, F.explode(zipped).alias("_p"))
@@ -739,11 +733,14 @@ def alert_states(
 # ---------------------------------------------------------------------------
 
 _TV = "array<struct<t:timestamp,v:double>>"
+_TVW = "array<struct<t:timestamp,v:double,w:double>>"
 
 _FOLD_CHUNK = 64
 
 
-def _fold_emit(arr: Column, init_state: Column, step, emit_cond, emit_val) -> Column:
+def _fold_emit(
+    arr: Column, init_state: Column, step, emit_cond, emit_val, emit_val2=None
+) -> Column:
     """Sequential fold over ``arr`` emitting (t, v) points — in LINEAR time.
 
     A naive F.aggregate that appends to its output array copies the whole
@@ -764,9 +761,13 @@ def _fold_emit(arr: Column, init_state: Column, step, emit_cond, emit_val) -> Co
     bit-identical to the naive fold (and to the oracle's recursive CTE).
 
     ``step(state, x) -> state'`` (struct), ``emit_cond(state', x) -> bool``,
-    ``emit_val(state', x) -> double``.
+    ``emit_val(state', x) -> double``.  An optional ``emit_val2`` adds a
+    second emitted double ``w`` per point in the SAME single fold — two
+    separate _fold_emit calls over the same array would run the whole
+    O(L) recurrence twice (ewma_chart's z and f are one fold this way).
     """
     c = _FOLD_CHUNK
+    tv = _TV if emit_val2 is None else _TVW
     n_chunks = F.ceil(F.size(arr) / F.lit(c)).cast("int")
     idx = F.sequence(F.lit(0), n_chunks - 1)
 
@@ -784,7 +785,10 @@ def _fold_emit(arr: Column, init_state: Column, step, emit_cond, emit_val) -> Co
 
     def inner_merge(a: Column, x: Column) -> Column:
         s2 = step(a["state"], x)
-        point = F.array(F.struct(x["t"].alias("t"), emit_val(s2, x).alias("v")))
+        fields = [x["t"].alias("t"), emit_val(s2, x).alias("v")]
+        if emit_val2 is not None:
+            fields.append(emit_val2(s2, x).alias("w"))
+        point = F.array(F.struct(*fields))
         out2 = F.when(
             emit_cond(s2, x), F.concat(a["out"], point)
         ).otherwise(a["out"])
@@ -795,7 +799,7 @@ def _fold_emit(arr: Column, init_state: Column, step, emit_cond, emit_val) -> Co
             chunk_of(i),
             F.struct(
                 F.element_at(b, i + 1).alias("state"),
-                F.array().cast(_TV).alias("out"),
+                F.array().cast(tv).alias("out"),
             ),
             inner_merge,
             lambda a: a["out"],
@@ -809,7 +813,7 @@ def _fold_emit(arr: Column, init_state: Column, step, emit_cond, emit_val) -> Co
         F.lit(1),
     )
     # sequence(0, -1) on an empty series would count DOWN — guard it
-    return F.when(F.size(arr) == 0, F.array().cast(_TV)).otherwise(folded)
+    return F.when(F.size(arr) == 0, F.array().cast(tv)).otherwise(folded)
 
 
 def _delta_at(v: Column, j: int, w) -> Column:

@@ -434,13 +434,27 @@ def decode_int_series_df(encoded):
         for pdf in batches:
             if not len(pdf):
                 continue
-            rows = {"series_keys": [], "ts": [], "value": []}
+            # per-blob numpy arrays, ONE concatenate per batch (same idiom
+            # as gorilla.decode_series_df) — per-point .extend/.tolist
+            # boxes every decoded point into a Python object and makes the
+            # archive read path interpreter-bound
+            keys_out, ts_out, v_out = [], [], []
             for sk, blob in zip(pdf["series_keys"], pdf["blob"]):
                 t, v = decode_int(bytes(blob))
-                rows["series_keys"].extend([sk] * len(t))
-                rows["ts"].extend(pd.to_datetime(t, unit="s"))
-                rows["value"].extend(v.tolist())
-            yield pd.DataFrame(rows)
+                keys_out.extend([list(sk)] * len(t))
+                ts_out.append(t)
+                v_out.append(v)
+            ts_all = (
+                np.concatenate(ts_out) if ts_out else np.empty(0, np.int64)
+            )
+            v_all = (
+                np.concatenate(v_out) if v_out else np.empty(0, np.int64)
+            )
+            yield pd.DataFrame({
+                "series_keys": keys_out,
+                "ts": pd.to_datetime(ts_all, unit="s"),
+                "value": v_all,
+            })
 
     return encoded.mapInPandas(_dec, schema=DECODED_SCHEMA)
 
@@ -462,7 +476,7 @@ def decode_int2_series_df(encoded, blob_col: str = "blob",
         for pdf in batches:
             if not len(pdf):
                 continue
-            rows = {"series_keys": [], "ts": [], "v1": [], "v2": []}
+            keys_out, ts_out, v1_out, v2_out = [], [], [], []
             for sk, b1, b2 in zip(
                 pdf["series_keys"], pdf[blob_col], pdf[blob2_col]
             ):
@@ -473,10 +487,18 @@ def decode_int2_series_df(encoded, blob_col: str = "blob",
                         "archive blobs disagree on timestamps for series "
                         f"{list(sk)} — corrupted row"
                     )
-                rows["series_keys"].extend([sk] * len(t1))
-                rows["ts"].extend(pd.to_datetime(t1, unit="s"))
-                rows["v1"].extend(x1.tolist())
-                rows["v2"].extend(x2.tolist())
-            yield pd.DataFrame(rows)
+                keys_out.extend([list(sk)] * len(t1))
+                ts_out.append(t1)
+                v1_out.append(x1)
+                v2_out.append(x2)
+            ts_all = (
+                np.concatenate(ts_out) if ts_out else np.empty(0, np.int64)
+            )
+            yield pd.DataFrame({
+                "series_keys": keys_out,
+                "ts": pd.to_datetime(ts_all, unit="s"),
+                "v1": np.concatenate(v1_out) if v1_out else np.empty(0, np.int64),
+                "v2": np.concatenate(v2_out) if v2_out else np.empty(0, np.int64),
+            })
 
     return encoded.mapInPandas(_dec, schema=DECODED2_SCHEMA)

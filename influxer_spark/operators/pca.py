@@ -117,6 +117,10 @@ def gram_exact(
 
     def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         n = 0
+        bound = 0  # running Σ len(batch)·qmax(batch)² in Python ints —
+        # bounds every accumulated |g_ij|; checking only the CURRENT
+        # batch's qmax against the cumulative row count would let later
+        # smaller-qmax batches push g past int64 silently
         s = None
         g = None
         for b in batches:
@@ -126,11 +130,13 @@ def gram_exact(
             q = np.floor(v * scale + 0.5).astype(np.int64)
             qmax = int(np.abs(q).max(initial=0))
             # int64 headroom check BEFORE the matmul (numpy wraps silently)
-            if qmax and (n + len(q)) * qmax * qmax >= (1 << 62):
+            bound += len(q) * qmax * qmax
+            if bound >= (1 << 62):
                 raise OverflowError(
                     f"gram_exact partial would overflow int64: "
-                    f"{n + len(q)} rows with |q| up to {qmax}; lower "
-                    f"scale= or repartition into smaller partitions"
+                    f"{n + len(q)} rows with accumulated |g| bound "
+                    f"{bound}; lower scale= or repartition into smaller "
+                    f"partitions"
                 )
             if s is None:
                 d = q.shape[1]

@@ -213,6 +213,22 @@ def test_zorder_key_string_columns_cluster(spark, tmp_path):
     assert sum(frac_metric) / nf < 0.75
 
 
+def test_zorder_key_handles_non_ascii_strings(spark):
+    """The string image slices the first 7 BYTES of the UTF-8 value; a
+    7-CHARACTER pad would hex-expand multi-byte chars past conv's
+    unsigned-64 range — an ANSI ARITHMETIC_OVERFLOW crash on any
+    non-ASCII url.  The image must evaluate and stay byte-order
+    monotone."""
+    from influxer_spark.catalog import zorder_key
+
+    vals = ["café-url", "caz", "ab", "b", "日本語テスト", "zzzzzz", "", "caf"]
+    df = spark.createDataFrame([(v,) for v in vals], ["s"])
+    got = {r["s"]: r["z"] for r in
+           df.withColumn("z", zorder_key(df, ["s"], bits=8)).collect()}
+    ranked = sorted(vals, key=lambda v: got[v])
+    assert ranked == sorted(vals, key=lambda v: v.encode("utf-8"))
+
+
 def test_compact_with_bloom_filters(spark, tmp_path):
     """bloom_cols rewrites the partition with a parquet bloom filter on
     the listed columns.  pyarrow 16 exposes no bloom metadata, so the

@@ -82,6 +82,54 @@ def test_all_null_partition_is_skipped_for_range(spark, stats_cat):
     )
 
 
+def test_all_null_partition_kept_when_no_bounds(spark, stats_cat):
+    """With NO bounds the residual filter keeps every row, so an all-null
+    partition must still be read — its other columns are live data."""
+    nulls = spark.createDataFrame(
+        [("n", None)], "user string, value double"
+    )
+    stats_cat.write_partition(
+        nulls, "metrics", "2024-01-05", stats_cols=["value"]
+    )
+    assert "2024-01-05" in stats_cat.pruned_partitions("metrics", "value")
+    users = {r["user"] for r in
+             stats_cat.read_where(spark, "metrics", "value").collect()}
+    assert "n" in users  # row with NULL value survives the unbounded read
+
+
+def test_timestamp_bounds_accept_iso_T_and_datetime_objects(spark, tmp_path):
+    """Stats store timestamps as 'YYYY-MM-DD HH:MM:SS'; a 'T'-separated
+    ISO bound or a datetime object must prune identically — lexical
+    comparison of mixed separators would silently drop live partitions
+    (' ' sorts below 'T')."""
+    import datetime as dt
+
+    cat = TableCatalog(str(tmp_path))
+    rows = [
+        ("2024-03-01", f"2024-03-01 {h:02d}:00:00") for h in (6, 12, 18)
+    ] + [
+        ("2024-03-02", f"2024-03-02 {h:02d}:00:00") for h in (6, 12, 18)
+    ]
+    df = spark.createDataFrame(rows, ["day", "ts_s"]).withColumn(
+        "ts", F.to_timestamp("ts_s")
+    ).drop("ts_s")
+    cat.write_partitions(df, "t", ["2024-03-01", "2024-03-02"],
+                         stats_cols=["ts"])
+    want = ["2024-03-01", "2024-03-02"]
+    # noon day 1 onward intersects BOTH partitions, in every bound form
+    assert cat.pruned_partitions("t", "ts", lo="2024-03-01 12:00:00") == want
+    assert cat.pruned_partitions("t", "ts", lo="2024-03-01T12:00:00") == want
+    assert cat.pruned_partitions(
+        "t", "ts", lo=dt.datetime(2024, 3, 1, 12)) == want
+    # and a bound past day 1's max prunes day 1 in every form
+    only2 = ["2024-03-02"]
+    assert cat.pruned_partitions("t", "ts", lo="2024-03-01T19:00:00") == only2
+    assert cat.pruned_partitions(
+        "t", "ts", lo=dt.datetime(2024, 3, 1, 19)) == only2
+    got = cat.read_where(spark, "t", "ts", lo="2024-03-01T12:00:00").count()
+    assert got == 5  # ≥ noon day 1: 12:00 + 18:00 day 1, all three day 2
+
+
 def test_single_partition_write_records_stats(spark, tmp_path):
     cat = TableCatalog(str(tmp_path))
     df = spark.createDataFrame([("a", 3.0), ("b", 7.0)], ["user", "value"])
