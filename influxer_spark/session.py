@@ -44,7 +44,15 @@ def get_spark(
 
     if "SPARK_GRAFT_MASTER" in os.environ:
         builder = builder.master(os.environ["SPARK_GRAFT_MASTER"])
-    elif not SparkConf(loadDefaults=True).contains("spark.master"):
+    elif (
+        # spark-submit (PythonRunner) pre-launches the JVM gateway and
+        # carries --master in it; SparkConf(loadDefaults=True) does NOT
+        # surface that conf on Spark 4 (measured: empty), so the gateway
+        # env var is the reliable "launched by spark-submit" signal —
+        # setting .master() here would pin a cluster submission to local
+        "PYSPARK_GATEWAY_PORT" not in os.environ
+        and not SparkConf(loadDefaults=True).contains("spark.master")
+    ):
         builder = builder.master(f"local[{cores}]")
     builder = (
         builder
