@@ -742,7 +742,10 @@ class InfluxQLEngine:
         self._tz: str | None = None    # per-statement tz() zone (set by _run)
         # measurement → continuous-aggregate config (see register_tiered)
         self.tiered: dict[str, dict[str, Any]] = {}
-        self.cqs: dict[str, str] = {}  # continuous-query name → SELECT…INTO text
+        # continuous-query name → {"query": SELECT…INTO text,
+        #   "every": s|None, "for": s|None, "last_end": iso|None}
+        # (RESAMPLE EVERY/FOR; last_end gates incremental runs)
+        self.cqs: dict[str, dict[str, Any]] = {}
         # retention-policy name → (duration_s | None for INF, replicaN, default)
         self.retention: dict[str, tuple[float | None, int, bool]] = {}
         # optional catalog backing the CQ registry: InfluxDB's CQs live in
@@ -758,8 +761,22 @@ class InfluxQLEngine:
         store rather than a client session."""
         self._cq_catalog = catalog
         stored = catalog.table_property("_cq", "queries", {}) or {}
-        for name, text in stored.items():
-            self.cqs.setdefault(name, text)
+        for name, v in stored.items():
+            self.cqs.setdefault(name, self._cq_entry(v))
+
+    @staticmethod
+    def _cq_entry(v: Any) -> dict[str, Any]:
+        """Normalize a registry value: older catalogs persisted the bare
+        SELECT…INTO text; the dict form adds RESAMPLE EVERY/FOR and the
+        incremental-run watermark."""
+        if isinstance(v, str):
+            v = {"query": v}
+        return {
+            "query": v["query"],
+            "every": v.get("every"),
+            "for": v.get("for"),
+            "last_end": v.get("last_end"),
+        }
 
     def _persist_cqs(self) -> None:
         if self._cq_catalog is not None:
@@ -2519,8 +2536,19 @@ class InfluxQLEngine:
                     "rows_in long, snapshots long, current_snapshot long",
                 )
             if p.kw("CONTINUOUS", "QUERIES"):
+                def _cq_text(c: dict[str, Any]) -> str:
+                    pre = ""
+                    if c["every"] is not None or c["for"] is not None:
+                        pre = "RESAMPLE"
+                        if c["every"] is not None:
+                            pre += f" EVERY {int(c['every'])}s"
+                        if c["for"] is not None:
+                            pre += f" FOR {int(c['for'])}s"
+                        pre += " "
+                    return pre + c["query"]
+
                 return spark.createDataFrame(
-                    [(n, q) for n, q in self.cqs.items()] or [],
+                    [(n, _cq_text(c)) for n, c in self.cqs.items()] or [],
                     "name string, query string",
                 )
             if p.kw("RETENTION", "POLICIES"):
@@ -2579,13 +2607,35 @@ class InfluxQLEngine:
             name = p.ident()
             if p.kw("ON"):
                 p.ident()  # database name (single-database engine)
+            every_s = for_s = None
+            if p.kw("RESAMPLE"):
+                # RESAMPLE [EVERY <dur>] [FOR <dur>] — run cadence and
+                # recompute window for incremental runs (InfluxDB 1.8)
+                got = False
+                if p.kw("EVERY"):
+                    t = p.next()
+                    if t.kind != "duration":
+                        raise InfluxQLError(f"RESAMPLE EVERY needs a duration at {t.pos}")
+                    every_s = parse_duration(t.text)
+                    got = True
+                if p.kw("FOR"):
+                    t = p.next()
+                    if t.kind != "duration":
+                        raise InfluxQLError(f"RESAMPLE FOR needs a duration at {t.pos}")
+                    for_s = parse_duration(t.text)
+                    got = True
+                if not got:
+                    raise InfluxQLError("RESAMPLE needs EVERY and/or FOR")
             m = re.search(r"\bBEGIN\b(.*)\bEND\b\s*;?\s*$", sql, re.I | re.S)
             if not m:
                 raise InfluxQLError("CREATE CONTINUOUS QUERY needs BEGIN … END")
             inner = m.group(1).strip()
             if parse(inner).into is None:
                 raise InfluxQLError("a continuous query must SELECT … INTO …")
-            self.cqs[name] = inner
+            self.cqs[name] = {
+                "query": inner, "every": every_s, "for": for_s,
+                "last_end": None,
+            }
             self._persist_cqs()
             return spark.createDataFrame([(name, inner)], "name string, query string")
         if p.kw("DROP", "CONTINUOUS", "QUERY"):
@@ -2826,11 +2876,135 @@ class InfluxQLEngine:
             )
         return out
 
-    def run_continuous_queries(self) -> dict[str, DataFrame]:
-        """Execute every registered CQ (full recompute into its INTO target,
-        the batch analogue of InfluxDB's periodic CQ runs; the *incremental*
-        path at scale is streaming/incremental.py's watermarked 1m tier)."""
-        return {name: self.execute(q) for name, q in self.cqs.items()}
+    def run_continuous_queries(
+        self, now: Any = None, force: bool = False
+    ) -> dict[str, DataFrame]:
+        """Execute the registered CQs.
+
+        ``now=None`` — full recompute of every CQ into its INTO target
+        (the backfill run).  ``now=<datetime | iso string>`` — InfluxDB
+        1.8 RESAMPLE semantics, the only shape that survives 10^12 rows:
+        each CQ recomputes ONLY the fully-elapsed ``GROUP BY time()``
+        buckets in the trailing ``RESAMPLE FOR`` window ending at ``now``
+        (default window: one run interval), MERGES them into the target
+        (window rows replaced, older rows kept — in the session registry
+        and, with a catalog attached, in the stored day partitions), and
+        is gated by ``RESAMPLE EVERY`` (default: the GROUP BY interval):
+        a CQ whose last incremental run is newer than EVERY is skipped
+        unless ``force``.  Deviation from InfluxDB, pinned by test: "now"
+        is an explicit argument (replayable, deterministic), not the
+        server wall clock.
+        """
+        out: dict[str, DataFrame] = {}
+        dirty = False
+        for name, cq in self.cqs.items():
+            if now is None:
+                out[name] = self.execute(cq["query"])
+                continue
+            df = self._run_cq_incremental(name, cq, now, force)
+            if df is not None:
+                out[name] = df
+                dirty = True
+        if dirty:
+            self._persist_cqs()
+        return out
+
+    def _run_cq_incremental(
+        self, name: str, cq: dict[str, Any], now: Any, force: bool
+    ) -> "DataFrame | None":
+        import datetime as dt
+        from dataclasses import replace as _replace
+
+        if isinstance(now, str):
+            now = dt.datetime.fromisoformat(now)
+        now_s = int(now.replace(tzinfo=dt.timezone.utc).timestamp())
+        stmt = parse(cq["query"])
+        width = stmt.time_width
+        if width is None:
+            raise InfluxQLError(
+                f"continuous query {name!r} needs GROUP BY time() for "
+                "incremental runs"
+            )
+        w = int(width)
+        every = int(cq["every"] or w)
+        for_s = int(cq["for"] or max(every, w))
+        end = (now_s // w) * w                    # only complete buckets
+        n_buckets = max(1, -(-for_s // w))        # ceil(FOR / width)
+        lo = end - n_buckets * w
+        if not force and cq["last_end"] is not None:
+            last = int(
+                dt.datetime.fromisoformat(cq["last_end"])
+                .replace(tzinfo=dt.timezone.utc).timestamp()
+            )
+            if end - last < every:
+                return None                       # not due yet
+        fmt = "%Y-%m-%d %H:%M:%S"
+        lo_str = dt.datetime.fromtimestamp(lo, dt.timezone.utc).strftime(fmt)
+        end_str = dt.datetime.fromtimestamp(end, dt.timezone.utc).strftime(fmt)
+        # epoch-ns Num literals, not Str: a CQ with tz() re-interprets time
+        # STRINGS as zone wall-clock, which would shift the window
+        bounds = [
+            Cmp(">=", Ref("time"), Num(lo * 1e9)),
+            Cmp("<", Ref("time"), Num(end * 1e9)),
+        ]
+        parts = bounds if stmt.where is None else [stmt.where, *bounds]
+        inc = _replace(stmt, where=Bool("and", parts), into=None)
+        new = self._run(inc)
+        if "time" in new.columns and self.ts_col != "time":
+            new = new.withColumnRenamed("time", self.ts_col)
+        target = stmt.into
+        tcol = self.ts_col if self.ts_col in new.columns else None
+        outside = (
+            None if tcol is None else
+            ~(
+                (F.col(tcol) >= F.lit(lo_str).cast("timestamp"))
+                & (F.col(tcol) < F.lit(end_str).cast("timestamp"))
+            )
+        )
+        old = self.tables.get(target)
+        if old is not None and outside is not None and tcol in old.columns:
+            merged = old.filter(outside).unionByName(
+                new, allowMissingColumns=True
+            )
+        else:
+            merged = new
+        self.tables[target] = merged
+        if self._cq_catalog is not None and tcol is not None:
+            self._merge_cq_storage(target, new, outside, tcol)
+        cq["last_end"] = dt.datetime.fromtimestamp(
+            end, dt.timezone.utc
+        ).replace(tzinfo=None).isoformat()
+        return new
+
+    def _merge_cq_storage(
+        self, target: str, new: DataFrame, outside: Column, tcol: str
+    ) -> None:
+        """Merge an incremental CQ result into the stored ``into_<target>``
+        day partitions: only days the window touches are rewritten, and a
+        rewritten day keeps its rows OUTSIDE the window (the window may
+        start or end mid-day) — the wave commit then replaces exactly
+        those partitions atomically."""
+        cat = self._cq_catalog
+        table = f"into_{target}"
+        staged = new.withColumn(
+            "day", F.date_format(F.col(tcol), "yyyy-MM-dd")
+        )
+        days = [r["day"] for r in staged.select("day").distinct().collect()]
+        if not days:
+            return
+        committed = (
+            set(cat.committed_partitions(table)) if cat.exists(table) else set()
+        )
+        present = sorted(set(days) & committed)
+        if present:
+            spark = self._spark()
+            old = (
+                cat.read_partitions_with_key(spark, table, present)
+                .withColumnRenamed("p", "day")
+                .filter(outside)
+            )
+            staged = old.unionByName(staged, allowMissingColumns=True)
+        cat.write_partitions(staged, table, days)
 
 
 def influxql(sql: str, tables: dict[str, DataFrame], ts_col: str = "ts") -> DataFrame:

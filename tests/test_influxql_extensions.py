@@ -115,6 +115,105 @@ def test_continuous_query_lifecycle(eng):
         eng.execute("DROP CONTINUOUS QUERY cq_1h")
 
 
+class TestResampleCQ:
+    """RESAMPLE EVERY/FOR — incremental CQ runs (InfluxDB 1.8), the only
+    CQ shape that survives 10^12 rows: recompute the trailing window's
+    complete buckets only, merge into the target, gate on EVERY."""
+
+    DDL = (
+        "CREATE CONTINUOUS QUERY cq_r ON db RESAMPLE EVERY 1h FOR 2h BEGIN "
+        "SELECT mean(value) AS mv INTO cpu_1h FROM cpu GROUP BY time(1h), host "
+        "END"
+    )
+
+    def test_incremental_recomputes_only_the_for_window(self, eng):
+        eng.execute(self.DDL)
+        assert eng.cqs["cq_r"]["every"] == 3600.0
+        assert eng.cqs["cq_r"]["for"] == 7200.0
+        # data covers hours 0-3; now=03:30 → complete buckets end at 03:00,
+        # FOR 2h → recompute [01:00, 03:00)
+        ran = eng.run_continuous_queries(now=T0 + dt.timedelta(hours=3, minutes=30))
+        got = {(r["ts"], r["host"]): r["mv"] for r in ran["cq_r"].collect()}
+        hours = {t.hour for t, _ in got}
+        assert hours == {1, 2}
+        # target holds exactly the window (no previous rows existed)
+        assert {(t.hour) for t, _ in {
+            (r["ts"], r["host"]) for r in eng.tables["cpu_1h"].collect()
+        }} == {1, 2}
+
+    def test_merge_keeps_rows_outside_the_window(self, eng):
+        # full backfill first (hours 0-3), then an incremental run must
+        # REPLACE only [01:00, 03:00) and keep hours 0 and 3
+        eng.execute(self.DDL)
+        eng.run_continuous_queries()                      # backfill
+        assert eng.tables["cpu_1h"].count() == 4 * 3
+        ran = eng.run_continuous_queries(
+            now=T0 + dt.timedelta(hours=3, minutes=30), force=True
+        )
+        assert set(ran) == {"cq_r"}
+        rows = eng.tables["cpu_1h"].collect()
+        assert len(rows) == 4 * 3                          # still all hours
+        hours = sorted({r["ts"].hour for r in rows})
+        assert hours == [0, 1, 2, 3]
+
+    def test_every_gates_reruns_and_force_overrides(self, eng):
+        eng.execute(self.DDL)
+        now = T0 + dt.timedelta(hours=3, minutes=30)
+        assert set(eng.run_continuous_queries(now=now)) == {"cq_r"}
+        # 20 minutes later: EVERY 1h not elapsed → skipped
+        later = now + dt.timedelta(minutes=20)
+        assert eng.run_continuous_queries(now=later) == {}
+        assert set(eng.run_continuous_queries(now=later, force=True)) == {"cq_r"}
+        # a full hour later: due again
+        assert set(eng.run_continuous_queries(
+            now=now + dt.timedelta(hours=1))) == {"cq_r"}
+
+    def test_defaults_without_resample_clause(self, eng):
+        eng.execute(
+            "CREATE CONTINUOUS QUERY cq_d ON db BEGIN "
+            "SELECT mean(value) AS mv INTO cpu_d FROM cpu GROUP BY time(1h) END"
+        )
+        # EVERY and FOR default to the GROUP BY interval → one bucket
+        ran = eng.run_continuous_queries(now=T0 + dt.timedelta(hours=2, minutes=5))
+        hours = {r["ts"].hour for r in ran["cq_d"].collect()}
+        assert hours == {1}                                # [01:00, 02:00)
+
+    def test_show_renders_resample_clause(self, eng):
+        eng.execute(self.DDL)
+        q = eng.execute("SHOW CONTINUOUS QUERIES").collect()[0]["query"]
+        assert q.startswith("RESAMPLE EVERY 3600s FOR 7200s ")
+
+    def test_resample_persists_through_catalog(self, eng, tmp_path):
+        from influxer_spark.catalog import TableCatalog
+
+        cat = TableCatalog(str(tmp_path))
+        eng.attach_cq_catalog(cat)
+        eng.execute(self.DDL)
+        now = T0 + dt.timedelta(hours=3, minutes=30)
+        eng.run_continuous_queries(now=now)
+        # storage: into_cpu_1h holds the window's buckets
+        import pyspark.sql.functions as F_
+        stored = cat.read_committed(
+            eng.tables["cpu"].sparkSession, "into_cpu_1h"
+        )
+        assert {r["h"] for r in stored.select(
+            F_.hour("ts").alias("h")).distinct().collect()} == {1, 2}
+        # a second engine sees the registry AND the watermark → gated
+        e2 = InfluxQLEngine({"cpu": eng.tables["cpu"]}, ts_col="ts")
+        e2.attach_cq_catalog(cat)
+        assert e2.cqs["cq_r"]["every"] == 3600.0
+        assert e2.run_continuous_queries(
+            now=now + dt.timedelta(minutes=10)) == {}
+
+    def test_incremental_needs_group_by_time(self, eng):
+        eng.execute(
+            "CREATE CONTINUOUS QUERY cq_t ON db BEGIN "
+            "SELECT mean(value) AS mv INTO cpu_t FROM cpu GROUP BY host END"
+        )
+        with pytest.raises(InfluxQLError, match="GROUP BY time"):
+            eng.run_continuous_queries(now=T0 + dt.timedelta(hours=1))
+
+
 def test_multi_measurement_from(eng, spark):
     eng.tables["gpu"] = eng.tables["cpu"].withColumn("value", F.col("value") * 2)
     out = eng.execute("SELECT max(value) FROM cpu, gpu GROUP BY time(1h), host")
