@@ -504,12 +504,19 @@ def main(argv: list[str] | None = None) -> int:
             # CQ registry durability: CREATE/DROP CONTINUOUS QUERY from the
             # CLI persists in the catalog, like InfluxDB's server meta store
             eng.attach_cq_catalog(cat)
-        if args.query.strip().lower() == "cq run":
-            ran = eng.run_continuous_queries()
+        q = args.query.strip().lower()
+        if q == "cq run" or q.startswith("cq run "):
+            # `cq run` → full backfill; `cq run <iso-ts>` → incremental
+            # RESAMPLE window ending at that instant (EVERY-gated)
+            now = args.query.strip()[len("cq run"):].strip() or None
+            ran = eng.run_continuous_queries(now=now)
             for name, df_out in sorted(ran.items()):
                 print(f"cq {name}: {df_out.count()} rows")
             if not ran:
-                print("no continuous queries registered")
+                print(
+                    "no continuous queries due (EVERY-gated)"
+                    if eng.cqs else "no continuous queries registered"
+                )
             print(f"done in {time.time() - t0:.1f}s")
             return 0
         out = eng.execute(args.query)

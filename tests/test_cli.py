@@ -196,6 +196,32 @@ def test_cli_query_kmv_tier_served(spark, tmp_path, capsys):
     assert int(printed.splitlines()[-1].split()[0]) > 0
 
 
+def test_cli_cq_run_incremental(spark, sf_dir, tmp_path, capsys):
+    """`-query "cq run <iso>"`: the CLI drives the RESAMPLE-incremental
+    path — a second run inside EVERY is gated to zero CQs."""
+    root = str(tmp_path / "cqcat")
+    base = [
+        "-input", f"{sf_dir}/events.parquet", "-table", "events",
+        "-timecol", "ts", "-catalog", root, "-cores", "8",
+    ]
+    rc = main([*base, "-query",
+               "CREATE CONTINUOUS QUERY c1 ON db RESAMPLE EVERY 1h FOR 2h "
+               "BEGIN SELECT count(value) AS n INTO ev_1h FROM events "
+               "GROUP BY time(1h), event_type END"])
+    assert rc == 0
+    ts_max = spark.read.parquet(f"{sf_dir}/events.parquet").agg(
+        {"ts": "max"}).collect()[0][0]
+    now = ts_max.replace(minute=30, second=0).isoformat()
+    rc = main([*base, "-query", f"cq run {now}"])
+    assert rc == 0
+    printed = capsys.readouterr().out
+    assert "cq c1:" in printed and " rows" in printed
+    # within EVERY of the persisted watermark: gated
+    rc = main([*base, "-query", f"cq run {now}"])
+    assert rc == 0
+    assert "no continuous queries" in capsys.readouterr().out
+
+
 def test_cli_query_without_input_or_catalog_errors():
     import pytest as _pytest
 
