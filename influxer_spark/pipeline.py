@@ -364,39 +364,33 @@ def process_days(
         }
 
         if encode_gorilla:
-            gstats = (
-                catalog.read_partitions_with_key(spark, "rollup_1m_gorilla", days)
-                .groupBy("p")
+            # byte counters straight off the CACHED per-series encode result
+            # (one job over rows = series count) — re-reading the two
+            # committed archive tables cost two extra parquet scans per wave
+            # for numbers the cache already holds
+            estats = (
+                dual.groupBy("day")
                 .agg(
                     F.sum("n_points").alias("n"),
-                    F.sum("encoded_bytes").alias("enc"),
+                    F.sum("gor_bytes").alias("genc"),
                     F.sum("raw_bytes").alias("raw"),
+                    F.sum("int_bytes").alias("ienc"),
+                    F.sum("int2_bytes").alias("senc"),
                 )
                 .collect()
             )
-            for r in gstats:
-                d = r["p"]
+            for r in estats:
+                d = r["day"]
                 counters[d]["gorilla_bytes_per_point"] = (
-                    r["enc"] / r["n"] if r["n"] else None
+                    r["genc"] / r["n"] if r["n"] else None
                 )
                 counters[d]["gorilla_ratio"] = (
-                    r["enc"] / r["raw"] if r["raw"] else None
+                    r["genc"] / r["raw"] if r["raw"] else None
                 )
-            istats = (
-                catalog.read_partitions_with_key(spark, "rollup_1m_counts", days)
-                .groupBy("p")
-                .agg(
-                    F.sum("n_points").alias("n"),
-                    F.sum("encoded_bytes").alias("enc"),
-                    F.sum("sum_bytes").alias("senc"),
+                counters[d]["int_bytes_per_point"] = (
+                    r["ienc"] / r["n"] if r["n"] else None
                 )
-                .collect()
-            )
-            for r in istats:
-                counters[r["p"]]["int_bytes_per_point"] = (
-                    r["enc"] / r["n"] if r["n"] else None
-                )
-                counters[r["p"]]["sum_bytes_per_point"] = (
+                counters[d]["sum_bytes_per_point"] = (
                     r["senc"] / r["n"] if r["n"] and r["senc"] else None
                 )
         return counters
