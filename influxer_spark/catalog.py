@@ -349,6 +349,48 @@ class TableCatalog:
         with open(mf) as f:
             return json.load(f)
 
+    class _CommitLock:
+        """Per-table exclusive commit lock (O_CREAT|O_EXCL lockfile): makes
+        the _commit_manifest base-check → manifest-write → pointer-flip
+        sequence atomic ACROSS PROCESSES on a shared filesystem — without
+        it, two committers could both pass the stale-base check and the
+        later flip would silently erase the earlier snapshot.  A lock
+        older than ``stale_s`` is broken (crashed holder).  On an object
+        store this role moves to the metastore's conditional swap, as in
+        real Iceberg."""
+
+        def __init__(self, path: str, timeout_s: float = 30.0,
+                     stale_s: float = 60.0):
+            self.path, self.timeout_s, self.stale_s = path, timeout_s, stale_s
+
+        def __enter__(self):
+            deadline = time.time() + self.timeout_s
+            while True:
+                try:
+                    fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                    os.write(fd, str(os.getpid()).encode())
+                    os.close(fd)
+                    return self
+                except FileExistsError:
+                    try:
+                        if time.time() - os.path.getmtime(self.path) > self.stale_s:
+                            os.remove(self.path)  # crashed holder
+                            continue
+                    except OSError:
+                        continue  # holder released between check and stat
+                    if time.time() > deadline:
+                        raise TimeoutError(
+                            f"commit lock {self.path} held past "
+                            f"{self.timeout_s}s"
+                        ) from None
+                    time.sleep(0.01)
+
+        def __exit__(self, *exc):
+            try:
+                os.remove(self.path)
+            except OSError:
+                pass
+
     def _commit_manifest(
         self, name: str, manifest: dict[str, Any], branch: str | None = None
     ) -> int:
@@ -356,9 +398,19 @@ class TableCatalog:
         pointer — _current for main-line commits, the branch ref for
         ``branch=`` commits — the single visibility point (Iceberg's
         metadata.json swap).  Version numbers are unique across ALL lines
-        (max retained + 1), so a branch and main never collide."""
+        (max retained + 1), so a branch and main never collide.  Runs
+        under the per-table commit lock; a caller whose manifest is stale
+        gets :class:`CommitConflictError` and should re-read + reapply
+        (:meth:`_commit_apply` automates that)."""
         tdir = self.table_path(name)
         os.makedirs(tdir, exist_ok=True)
+        with self._CommitLock(os.path.join(tdir, ".commit.lock")):
+            return self._commit_manifest_locked(name, manifest, branch)
+
+    def _commit_manifest_locked(
+        self, name: str, manifest: dict[str, Any], branch: str | None = None
+    ) -> int:
+        tdir = self.table_path(name)
         if branch is not None:
             refs = self._read_refs(name)
             if branch not in refs["branches"]:
@@ -394,6 +446,33 @@ class TableCatalog:
             f.write(str(version))
         os.replace(tmp, self._current_path(name))  # atomic on POSIX
         return version
+
+    def _commit_apply(
+        self,
+        name: str,
+        apply_fn,
+        branch: str | None = None,
+        retries: int = 10,
+    ) -> int:
+        """Iceberg's commit-retry loop: read the head manifest, let
+        ``apply_fn(manifest)`` mutate it, commit; on
+        :class:`CommitConflictError` re-read the NEW head and reapply.
+        Valid because the writers that use it make metadata-only,
+        per-partition-disjoint changes whose data dirs are already staged
+        on disk — reapplying onto a newer base composes both writers'
+        partitions instead of losing one.  ``apply_fn`` must therefore be
+        re-runnable against any base manifest."""
+        last: CommitConflictError | None = None
+        for attempt in range(retries + 1):
+            base = self.branches(name).get(branch) if branch is not None else None
+            manifest = self.read_manifest(name, as_of=base)
+            apply_fn(manifest)
+            try:
+                return self._commit_manifest(name, manifest, branch=branch)
+            except CommitConflictError as e:
+                last = e
+                time.sleep(0.01 * (attempt + 1))
+        raise last  # type: ignore[misc]
 
     def set_table_property(self, name: str, key: str, value: Any) -> None:
         """Set a table-level property in a new snapshot (Iceberg's table
@@ -718,8 +797,6 @@ class TableCatalog:
         dest = os.path.join(self.table_path(name), f"p={partition_value}", vdir)
         df.write.mode("overwrite").parquet(dest)
 
-        manifest = self.read_manifest(name)
-        manifest["schema"] = json.loads(df.schema.json())
         entry = {
             "committed_at": time.time(),
             "dir": vdir,
@@ -728,9 +805,14 @@ class TableCatalog:
         }
         if stats_cols:
             entry["stats"] = self._collect_stats(df, stats_cols, None)[""]
-        manifest["partitions"][partition_value] = entry
-        manifest["lineage"].append({"partition": partition_value, **entry})
-        self._commit_manifest(name, manifest)
+        schema_json = json.loads(df.schema.json())
+
+        def _apply(manifest: dict[str, Any]) -> None:
+            manifest["schema"] = schema_json
+            manifest["partitions"][partition_value] = entry
+            manifest["lineage"].append({"partition": partition_value, **entry})
+
+        self._commit_apply(name, _apply)
         return entry
 
     def write_partitions(
@@ -769,15 +851,10 @@ class TableCatalog:
             # footer-derived metadata an Iceberg writer commits
             staged = df.sparkSession.read.parquet(staging)
             stats_by_pv = self._collect_stats(staged, stats_cols, day_col)
-        # branch commits fork from the BRANCH head, not main — the branch
-        # accumulates its own partition map until fast_forward publishes it
-        base = self.branches(name).get(branch) if branch is not None else None
-        manifest = self.read_manifest(name, as_of=base)
-        # the CURRENT schema is snapshot metadata (Iceberg schema tracking):
-        # data files exclude the partition column, and readers project this
-        # schema so partitions written before a column was added return
-        # NULL for it instead of silently dropping it
-        manifest["schema"] = json.loads(df.drop(day_col).schema.json())
+        # move staged dirs into place ONCE; the manifest mutation below is
+        # metadata-only and re-runnable, so a commit conflict (concurrent
+        # writer on this table) rebases and reapplies instead of failing
+        entries: dict[str, dict[str, Any]] = {}
         for pv in partition_values:
             src = os.path.join(staging, f"{day_col}={pv}")
             if not os.path.exists(src):
@@ -796,9 +873,22 @@ class TableCatalog:
             }
             if pv in stats_by_pv:
                 entry["stats"] = stats_by_pv[pv]
-            manifest["partitions"][pv] = entry
-            manifest["lineage"].append({"partition": pv, **entry})
-        self._commit_manifest(name, manifest, branch=branch)
+            entries[pv] = entry
+        # the CURRENT schema is snapshot metadata (Iceberg schema tracking):
+        # data files exclude the partition column, and readers project this
+        # schema so partitions written before a column was added return
+        # NULL for it instead of silently dropping it
+        schema_json = json.loads(df.drop(day_col).schema.json())
+
+        def _apply(manifest: dict[str, Any]) -> None:
+            manifest["schema"] = schema_json
+            for pv, entry in entries.items():
+                manifest["partitions"][pv] = entry
+                manifest["lineage"].append({"partition": pv, **entry})
+
+        # branch commits fork from the BRANCH head, not main — the branch
+        # accumulates its own partition map until fast_forward publishes it
+        self._commit_apply(name, _apply, branch=branch)
         shutil.rmtree(staging, ignore_errors=True)
 
     def stage_partitions(
@@ -1270,18 +1360,27 @@ class TableCatalog:
         form of :meth:`drop_partition` — DROP MEASUREMENT / retention
         sweeps must not pay one commit per day).  Returns the drop count;
         bytes are reclaimed later by :meth:`expire_snapshots`."""
-        manifest = self.read_manifest(name)
         dropped = 0
-        for pv in partition_values:
-            if pv not in manifest["partitions"]:
-                continue
-            del manifest["partitions"][pv]
-            manifest["lineage"].append(
-                {"partition": pv, "dropped_at": time.time(), "reason": reason}
-            )
-            dropped += 1
-        if dropped:
-            self._commit_manifest(name, manifest)
+
+        def _apply(manifest: dict[str, Any]) -> None:
+            nonlocal dropped
+            dropped = 0  # re-runnable: recount against the rebased manifest
+            for pv in partition_values:
+                if pv not in manifest["partitions"]:
+                    continue
+                del manifest["partitions"][pv]
+                manifest["lineage"].append(
+                    {"partition": pv, "dropped_at": time.time(),
+                     "reason": reason}
+                )
+                dropped += 1
+
+        # probe cheaply first: a drop with no matches must not commit
+        if not any(
+            pv in self.committed_partitions(name) for pv in partition_values
+        ):
+            return 0
+        self._commit_apply(name, _apply)
         return dropped
 
     def dropped_partitions(self, name: str) -> dict[str, str]:

@@ -102,6 +102,59 @@ def test_time_travel_manifest_cannot_commit(spark, tmp_path):
         cat._commit_manifest("t", old)
 
 
+def test_concurrent_writers_same_table_all_land(spark, tmp_path):
+    """Iceberg commit-retry: N threads each commit a DIFFERENT partition
+    of the SAME table at once.  Every partition must survive (reapply on
+    a rebased manifest), every commit is its own snapshot, and no writer
+    errors out — before _commit_apply, one conflicting writer raised and
+    the others could silently erase snapshots across processes."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from influxer_spark.catalog import TableCatalog
+
+    cat = TableCatalog(str(tmp_path / "cat"))
+    n = 8
+    dfs = {
+        f"d{i}": spark.createDataFrame([(i, f"d{i}")], ["x", "day"])
+        for i in range(n)
+    }
+
+    def write(pv):
+        cat.write_partitions(dfs[pv], "t", [pv])
+        return pv
+
+    with ThreadPoolExecutor(max_workers=n) as pool:
+        done = list(pool.map(write, dfs))
+    assert sorted(done) == sorted(dfs)
+    parts = cat.committed_partitions("t")
+    assert sorted(parts) == sorted(dfs)            # nothing lost
+    assert len(cat.snapshots("t")) == n            # one snapshot per commit
+    rows = {
+        (r["x"], r["p"])
+        for r in cat.read_partitions_with_key(spark, "t", sorted(parts)).collect()
+    }
+    assert rows == {(i, f"d{i}") for i in range(n)}
+
+
+def test_stale_commit_lock_is_broken(spark, tmp_path):
+    import os as _os
+    import time as _time
+
+    from influxer_spark.catalog import TableCatalog
+
+    cat = TableCatalog(str(tmp_path / "cat"))
+    df = spark.createDataFrame([(1, "a")], ["x", "day"])
+    cat.write_partition(df, "t", "a")
+    lock = _os.path.join(cat.table_path("t"), ".commit.lock")
+    with open(lock, "w") as f:
+        f.write("99999")  # a crashed holder's leftover
+    old = _time.time() - 3600
+    _os.utime(lock, (old, old))
+    cat.write_partition(df, "t", "b")  # must break the stale lock, not hang
+    assert "b" in cat.committed_partitions("t")
+    assert not _os.path.exists(lock)
+
+
 def test_compact_zorder_clusters_both_columns(spark, tmp_path):
     """ZORDER rewrite: per-file min/max ranges shrink on BOTH interleaved
     columns, where the SORT rewrite leaves the second column's per-file
