@@ -51,6 +51,7 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession
 
 _MANIFEST_RE = re.compile(r"_manifest\.v(\d+)\.json$")
+_MISSING = object()  # sentinel: "property not set" ≠ "property is None"
 
 
 def zorder_key(df: DataFrame, cols: list[str], bits: int = 8):
@@ -216,6 +217,15 @@ class TableCatalog:
             json.dump(refs, f, indent=1)
         os.replace(tmp, self._refs_path(name))  # atomic on POSIX
 
+    def _table_lock(self, name: str) -> "TableCatalog._CommitLock":
+        """The per-table commit lock — shared by snapshot commits AND ref
+        (tag/branch) mutations, so a read→mutate→write of the refs file
+        can't lose a concurrent writer's ref, and fast_forward's
+        ancestry-check→pointer-flip is atomic against main-line commits."""
+        tdir = self.table_path(name)
+        os.makedirs(tdir, exist_ok=True)
+        return self._CommitLock(os.path.join(tdir, ".commit.lock"))
+
     def create_tag(self, name: str, tag: str, snapshot: int | None = None) -> int:
         """Pin a snapshot under a name (Iceberg ``CREATE TAG``): the tagged
         snapshot becomes addressable as ``as_of=tag`` on every read path
@@ -229,23 +239,25 @@ class TableCatalog:
                 f"table {name}: cannot tag snapshot {snap!r} "
                 f"(retained: {self.snapshots(name)})"
             )
-        refs = self._read_refs(name)
-        tags = refs["tags"]
-        if tag in tags and tags[tag] != snap:
-            raise ValueError(
-                f"table {name}: tag {tag!r} already pins snapshot "
-                f"{tags[tag]} — drop it first (tags are immutable refs)"
-            )
-        tags[tag] = snap
-        self._write_refs(name, refs)
+        with self._table_lock(name):
+            refs = self._read_refs(name)
+            tags = refs["tags"]
+            if tag in tags and tags[tag] != snap:
+                raise ValueError(
+                    f"table {name}: tag {tag!r} already pins snapshot "
+                    f"{tags[tag]} — drop it first (tags are immutable refs)"
+                )
+            tags[tag] = snap
+            self._write_refs(name, refs)
         return snap
 
     def drop_tag(self, name: str, tag: str) -> None:
-        refs = self._read_refs(name)
-        if tag not in refs["tags"]:
-            raise ValueError(f"table {name}: no tag {tag!r}")
-        del refs["tags"][tag]
-        self._write_refs(name, refs)
+        with self._table_lock(name):
+            refs = self._read_refs(name)
+            if tag not in refs["tags"]:
+                raise ValueError(f"table {name}: no tag {tag!r}")
+            del refs["tags"][tag]
+            self._write_refs(name, refs)
 
     def create_branch(
         self, name: str, branch: str, from_snapshot: int | None = None
@@ -262,19 +274,23 @@ class TableCatalog:
                 f"table {name}: cannot branch from snapshot {snap!r} "
                 f"(retained: {self.snapshots(name)})"
             )
-        refs = self._read_refs(name)
-        if branch in refs["branches"]:
-            raise ValueError(f"table {name}: branch {branch!r} already exists")
-        refs["branches"][branch] = snap
-        self._write_refs(name, refs)
+        with self._table_lock(name):
+            refs = self._read_refs(name)
+            if branch in refs["branches"]:
+                raise ValueError(
+                    f"table {name}: branch {branch!r} already exists"
+                )
+            refs["branches"][branch] = snap
+            self._write_refs(name, refs)
         return snap
 
     def drop_branch(self, name: str, branch: str) -> None:
-        refs = self._read_refs(name)
-        if branch not in refs["branches"]:
-            raise ValueError(f"table {name}: no branch {branch!r}")
-        del refs["branches"][branch]
-        self._write_refs(name, refs)
+        with self._table_lock(name):
+            refs = self._read_refs(name)
+            if branch not in refs["branches"]:
+                raise ValueError(f"table {name}: no branch {branch!r}")
+            del refs["branches"][branch]
+            self._write_refs(name, refs)
 
     def _ancestors(self, name: str, snapshot: int) -> set[int]:
         """Snapshot ids reachable from ``snapshot`` via parent links."""
@@ -296,20 +312,21 @@ class TableCatalog:
         moved since the fork, a blind flip would erase those commits
         (re-branch, re-apply, retry: the same optimistic-concurrency
         contract as :class:`CommitConflictError` on single commits)."""
-        head = self.branches(name).get(branch)
-        if head is None:
-            raise ValueError(f"table {name}: no branch {branch!r}")
-        cur = self.current_snapshot(name)
-        if cur is not None and cur not in self._ancestors(name, head):
-            raise CommitConflictError(
-                f"table {name}: main is at {cur}, not an ancestor of "
-                f"branch {branch!r} head {head} — cannot fast-forward"
-            )
-        tdir = self.table_path(name)
-        fd, tmp = tempfile.mkstemp(dir=tdir, suffix=".current")
-        with os.fdopen(fd, "w") as f:
-            f.write(str(head))
-        os.replace(tmp, self._current_path(name))
+        with self._table_lock(name):
+            head = self.branches(name).get(branch)
+            if head is None:
+                raise ValueError(f"table {name}: no branch {branch!r}")
+            cur = self.current_snapshot(name)
+            if cur is not None and cur not in self._ancestors(name, head):
+                raise CommitConflictError(
+                    f"table {name}: main is at {cur}, not an ancestor of "
+                    f"branch {branch!r} head {head} — cannot fast-forward"
+                )
+            tdir = self.table_path(name)
+            fd, tmp = tempfile.mkstemp(dir=tdir, suffix=".current")
+            with os.fdopen(fd, "w") as f:
+                f.write(str(head))
+            os.replace(tmp, self._current_path(name))
         return head
 
     def resolve_ref(self, name: str, ref: int | str) -> int:
@@ -402,9 +419,7 @@ class TableCatalog:
         under the per-table commit lock; a caller whose manifest is stale
         gets :class:`CommitConflictError` and should re-read + reapply
         (:meth:`_commit_apply` automates that)."""
-        tdir = self.table_path(name)
-        os.makedirs(tdir, exist_ok=True)
-        with self._CommitLock(os.path.join(tdir, ".commit.lock")):
+        with self._table_lock(name):
             return self._commit_manifest_locked(name, manifest, branch)
 
     def _commit_manifest_locked(
@@ -479,13 +494,16 @@ class TableCatalog:
         properties analogue).  Used by the pipeline to pin schema-coupled
         config — e.g. the histogram bound list the tiers were built with,
         so quantile readers can't silently interpolate against the wrong
-        bounds.  Idempotent: committing an unchanged value is a no-op."""
-        manifest = self.read_manifest(name)
-        props = manifest.setdefault("properties", {})
-        if props.get(key) == value:
+        bounds.  Idempotent: committing an unchanged value is a no-op.
+        Conflicts with concurrent writers rebase and reapply
+        (:meth:`_commit_apply`)."""
+        if self.table_property(name, key, _MISSING) == value:
             return
-        props[key] = value
-        self._commit_manifest(name, manifest)
+
+        def _apply(manifest: dict[str, Any]) -> None:
+            manifest.setdefault("properties", {})[key] = value
+
+        self._commit_apply(name, _apply)
 
     def table_property(self, name: str, key: str, default: Any = None) -> Any:
         if not self.exists(name):
