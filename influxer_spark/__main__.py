@@ -114,6 +114,19 @@ def _build_parser() -> argparse.ArgumentParser:
         "stay time-travelable (pipeline.refresh_pipeline)",
     )
     p.add_argument(
+        "-maintain", action="store_true",
+        help="with -catalog: ONE dependency-ordered maintenance sweep — "
+        "refresh stale days (when -input names the pages source), apply "
+        "the retention DAG (-retention SPEC or the default), binpack-"
+        "compact fragmented partitions, then vacuum orphans and expire "
+        "old snapshots (-keeplast). The sweep a 100 TB deployment crons.",
+    )
+    p.add_argument(
+        "-keeplast", type=int, default=3, metavar="N",
+        help="with -maintain: snapshots to retain per table at expiry "
+        "(tagged snapshots and branch ancestry always survive)",
+    )
+    p.add_argument(
         "-retention", default=None, metavar="SPEC",
         help="with -catalog: apply the dependency-ordered retention DAG "
         "(operators/retention.py) and exit — SPEC is "
@@ -252,20 +265,38 @@ def _generic_config(args):
     return cfg
 
 
+def _retention_policies(spec: str | None):
+    """-retention SPEC ('default' or 'raw=7,1m=30,…' day TTLs) → the
+    dependency-ordered policy list apply_retention consumes."""
+    from influxer_spark.operators.retention import DEFAULT_DAG, RetentionPolicy
+
+    if spec is None or spec.strip().lower() == "default":
+        return DEFAULT_DAG
+    ttls = dict(kv.split("=") for kv in spec.split(",") if kv)
+    name = {"raw": "raw_points", "1m": "rollup_1m",
+            "1h": "rollup_1h", "1d": "rollup_1d"}
+    deps = {"raw_points": "rollup_1m", "rollup_1m": "rollup_1h",
+            "rollup_1h": "rollup_1d", "rollup_1d": None}
+    return [
+        RetentionPolicy(name[k], int(v), depends_on=deps[name[k]])
+        for k, v in ttls.items()
+    ]
+
+
 def main(argv: list[str] | None = None) -> int:
     parser = _build_parser()
     args = parser.parse_args(argv)
     if not getattr(args, "input") and not (
         (args.query or args.retention or args.compact or args.diff
-         or args.deleterows or args.updaterows or args.ref)
+         or args.deleterows or args.updaterows or args.ref or args.maintain)
         and args.catalog
     ):
         # -input stays mandatory everywhere the reference required it; only
         # catalog maintenance/query modes run without raw data
         parser.error(
             "-input is required (optional only with "
-            "-query/-retention/-compact/-diff/-deleterows/-updaterows/-ref "
-            "-catalog)"
+            "-query/-retention/-compact/-diff/-deleterows/-updaterows/-ref/"
+            "-maintain -catalog)"
         )
 
     if args.ref:
@@ -306,33 +337,16 @@ def main(argv: list[str] | None = None) -> int:
             parser.error(f"unknown -ref op {op!r}")
         return 0
 
-    if args.retention:
+    if args.retention and not args.maintain:
         # metadata-only: partition drops via the manifest, no Spark session
         if not args.catalog:
             parser.error("-retention requires -catalog")
         import datetime as _dt
 
         from influxer_spark.catalog import TableCatalog
-        from influxer_spark.operators.retention import (
-            DEFAULT_DAG,
-            RetentionPolicy,
-            apply_retention,
-        )
+        from influxer_spark.operators.retention import apply_retention
 
-        if args.retention.strip().lower() == "default":
-            policies = DEFAULT_DAG
-        else:
-            ttls = dict(
-                kv.split("=") for kv in args.retention.split(",") if kv
-            )
-            name = {"raw": "raw_points", "1m": "rollup_1m",
-                    "1h": "rollup_1h", "1d": "rollup_1d"}
-            deps = {"raw_points": "rollup_1m", "rollup_1m": "rollup_1h",
-                    "rollup_1h": "rollup_1d", "rollup_1d": None}
-            policies = [
-                RetentionPolicy(name[k], int(v), depends_on=deps[name[k]])
-                for k, v in ttls.items()
-            ]
+        policies = _retention_policies(args.retention)
         now = _dt.date.fromisoformat(args.asof) if args.asof else None
         report = apply_retention(TableCatalog(args.catalog), policies, now=now)
         for table, parts in sorted(report.items()):
@@ -355,6 +369,59 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark("influxer_spark_cli", cores=args.cores)
     t0 = time.time()
+
+    if args.maintain:
+        # ONE dependency-ordered sweep (what a deployment crons): refresh
+        # stale days first (so retention/compaction see final data), then
+        # TTL drops, then binpack fragmented partitions, then reclaim —
+        # expiry LAST so every earlier step's pre-images stay
+        # time-travelable until this same sweep's cutoff.
+        if not args.catalog:
+            parser.error("-maintain requires -catalog")
+        import datetime as _dt
+        import json as _json
+
+        from influxer_spark.catalog import TableCatalog
+        from influxer_spark.operators.retention import apply_retention
+
+        cat = TableCatalog(args.catalog)
+        report: dict = {}
+        if getattr(args, "input"):
+            from influxer_spark.pipeline import refresh_pipeline
+
+            res = refresh_pipeline(spark, getattr(args, "input"), args.catalog)
+            report["refreshed_days"] = sorted(res.days_processed)
+            report["fresh_days"] = len(res.days_skipped)
+        now = _dt.date.fromisoformat(args.asof) if args.asof else None
+        dropped = apply_retention(
+            cat, _retention_policies(args.retention), now=now
+        )
+        report["retention_dropped"] = {
+            t: sorted(p) for t, p in sorted(dropped.items())
+        }
+        tables = [
+            t for t in ("raw_points", "rollup_1m", "rollup_1m_gorilla",
+                        "rollup_1m_counts", "rollup_1h", "rollup_1d")
+            if cat.exists(t)
+        ]
+        compacted: dict[str, int] = {}
+        expired: dict[str, dict[str, int]] = {}
+        freed = 0
+        for t in tables:
+            c = cat.compact(spark, t)
+            if c["rewritten"]:
+                compacted[t] = c["rewritten"]
+            freed += cat.vacuum(t)
+            expired[t] = cat.expire_snapshots(t, keep_last=args.keeplast)
+        report["compacted_partitions"] = compacted
+        report["vacuumed_dirs"] = freed
+        report["expired"] = {
+            t: e for t, e in expired.items()
+            if e["manifests"] or e["data_dirs"]
+        }
+        report["elapsed_s"] = round(time.time() - t0, 1)
+        print(_json.dumps(report))
+        return 0
 
     if args.diff:
         if not args.catalog:

@@ -196,6 +196,39 @@ def test_cli_query_kmv_tier_served(spark, tmp_path, capsys):
     assert int(printed.splitlines()[-1].split()[0]) > 0
 
 
+def test_cli_maintain_sweep(spark, tmp_path, capsys):
+    """-maintain: one dependency-ordered sweep — refresh, retention DAG,
+    compaction, vacuum, snapshot expiry — reported as one JSON line."""
+    import json as _json
+
+    from influxer_spark.catalog import TableCatalog
+    from influxer_spark.datagen import generate_pages
+    from influxer_spark.pipeline import run_pipeline
+
+    src = str(tmp_path / "pg")
+    generate_pages(src, n_rows=600, seed=31, days=3)
+    root = str(tmp_path / "cat")
+    run_pipeline(spark, src, root, encode_gorilla=False)
+    cat = TableCatalog(root)
+    days = sorted(cat.committed_partitions("rollup_1d"))
+    assert len(days) == 3
+    # as-of far enough past the data that raw+1m TTLs have elapsed
+    asof = "2024-03-20"
+    rc = main([
+        "-maintain", "-catalog", root, "-input", src, "-cores", "8",
+        "-retention", "raw=7,1m=10", "-asof", asof, "-keeplast", "1",
+    ])
+    assert rc == 0
+    report = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["fresh_days"] == 3 and report["refreshed_days"] == []
+    assert sorted(report["retention_dropped"]) == ["raw_points", "rollup_1m"]
+    assert report["retention_dropped"]["raw_points"] == days
+    # drops committed + expiry ran: raw tiers empty, coarse tiers intact
+    assert cat.committed_partitions("raw_points") == {}
+    assert sorted(cat.committed_partitions("rollup_1d")) == days
+    assert report["elapsed_s"] > 0
+
+
 def test_cli_cq_run_incremental(spark, sf_dir, tmp_path, capsys):
     """`-query "cq run <iso>"`: the CLI drives the RESAMPLE-incremental
     path — a second run inside EVERY is gated to zero CQs."""
