@@ -2103,9 +2103,65 @@ def _q_holt_winters(spark, sf_dir):
     return out.withColumnRenamed("time", "bucket")
 
 
+def _q_cq_resample(spark, sf_dir):
+    """Incremental continuous query (RESAMPLE EVERY 1h FOR 48h) — the
+    merge semantics end-to-end: a backfill runs over a STALE table
+    (values doubled, data only through Jan 28), corrected data arrives,
+    and an incremental run at now=Jan 30 12:00 recomputes ONLY the
+    trailing 48h of complete buckets.  The final target must show stale
+    (doubled) sums before the window and true sums inside it — proving
+    the window replaced exactly its own buckets and kept the rest."""
+    from influxer_spark.influxql_frontend import InfluxQLEngine
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    old = ev.filter(F.col("ts") < "2024-01-29").withColumn(
+        "value", F.col("value") * 2
+    )
+    eng = InfluxQLEngine({"events": old}, ts_col="ts")
+    eng.execute_statement(
+        "CREATE CONTINUOUS QUERY cqr ON db RESAMPLE EVERY 1h FOR 48h BEGIN "
+        "SELECT sum(value) AS sv INTO ev_h FROM events "
+        "GROUP BY time(1h), event_type END"
+    )
+    eng.run_continuous_queries()                       # backfill on stale data
+    eng.tables["events"] = ev                          # corrected data arrives
+    eng.run_continuous_queries(now="2024-01-30T12:00:00")
+    return (
+        eng.tables["ev_h"]
+        .select(
+            F.col("ts").alias("time"),
+            "event_type",
+            F.round(F.col("sv") * 100, 0).cast("long").alias("sv_c"),
+        )
+        .orderBy("time", "event_type")
+    )
+
+
+_CQ_RESAMPLE_SQL = """
+WITH old_b AS (
+  SELECT date_trunc('hour', ts) AS time, event_type,
+         CAST(round(sum(value * 2) * 100, 0) AS BIGINT) AS sv_c
+  FROM events WHERE ts < TIMESTAMP '2024-01-29 00:00:00'
+  GROUP BY 1, 2
+), win AS (
+  SELECT date_trunc('hour', ts) AS time, event_type,
+         CAST(round(sum(value) * 100, 0) AS BIGINT) AS sv_c
+  FROM events
+  WHERE ts >= TIMESTAMP '2024-01-28 12:00:00'
+    AND ts < TIMESTAMP '2024-01-30 12:00:00'
+  GROUP BY 1, 2
+)
+SELECT * FROM old_b WHERE time < TIMESTAMP '2024-01-28 12:00:00'
+UNION ALL
+SELECT * FROM win
+ORDER BY time, event_type
+"""
+
+
 def influxql_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "influxql_math_6h": _q_math_6h,
+        "influxql_cq_resample": _q_cq_resample,
         "influxql_nnd_6h": _q_nnd_6h,
         "influxql_count_distinct_1d": _q_count_distinct_1d,
         "influxql_transforms_1h": _q_transforms,
@@ -2162,6 +2218,7 @@ def influxql_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def influxql_oracle_sql() -> dict[str, str]:
     return {
         "influxql_math_6h": _MATH_6H_SQL,
+        "influxql_cq_resample": _CQ_RESAMPLE_SQL,
         "influxql_nnd_6h": _NND_6H_SQL,
         "influxql_count_distinct_1d": _COUNT_DISTINCT_SQL,
         "influxql_transforms_1h": _TRANSFORMS_SQL,
