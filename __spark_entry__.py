@@ -490,6 +490,48 @@ def _q_tier_refresh_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def _q_concurrent_wave_commits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Commit-concurrency proof (catalog._commit_apply + per-table lock):
+    8 threads each commit a different day's 1m-rollup partition of ONE
+    catalog table simultaneously — lock serializes the pointer flips,
+    conflict retry rebases and reapplies.  The read-back table must
+    hash-match the plain 1m rollup over raw events: a lost snapshot
+    (pre-fix last-writer-wins) would drop whole days from the result."""
+    import shutil
+    import tempfile
+    from concurrent.futures import ThreadPoolExecutor
+
+    from influxer_spark.catalog import TableCatalog
+
+    ev = _t(spark, sf_dir, "events")
+    t1m = R.rollup(ev, "ts", ["event_type"], "value", "1m").withColumn(
+        "day", F.date_format("bucket", "yyyy-MM-dd")
+    )
+    t1m.persist()
+    root = tempfile.mkdtemp(prefix="cc_gate_")
+    try:
+        days = sorted(
+            r["day"] for r in t1m.select("day").distinct().collect()
+        )
+        cat = TableCatalog(root)
+
+        def commit(d: str) -> None:
+            cat.write_partitions(
+                t1m.filter(F.col("day") == d), "rollup_1m", [d]
+            )
+
+        with ThreadPoolExecutor(max_workers=8) as pool:
+            list(pool.map(commit, days))
+        assert len(cat.snapshots("rollup_1m")) == len(days)
+        assert sorted(cat.committed_partitions("rollup_1m")) == days
+        out = _rollup_out(cat.read(spark, "rollup_1m"))
+        rows = out.collect()  # materialize before the scratch dir vanishes
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        t1m.unpersist()
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _q_stitched_rollup_90m(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mixed-granularity stitched tier read VALUE-oracled
     (query.read_rollup_stitched): 90m divides no coarse tier, so the
@@ -2967,6 +3009,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_rollup_replay_1m": _q_stream_rollup_replay,
         "rollup_5m_width": _q_rollup_5m_width,
         "tier_refresh_1h": _q_tier_refresh_1h,
+        "concurrent_wave_commits": _q_concurrent_wave_commits,
         "realtime_rollup_4h": _q_realtime_rollup_4h,
         "stitched_rollup_90m": _q_stitched_rollup_90m,
         "twa_1h_cascade": _q_twa_1h_cascade,
@@ -3083,6 +3126,7 @@ def oracle_sql() -> dict[str, str]:
     )
     return {
         "rollup_1m": _ROLLUP_SELECT.format(unit="minute"),
+        "concurrent_wave_commits": _ROLLUP_SELECT.format(unit="minute"),
         # a resumed stream's merged partials must equal the batch rollup
         "stream_rollup_replay_1m": (
             "SELECT date_trunc('minute', ts) AS bucket, event_type, "
