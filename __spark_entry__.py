@@ -2938,6 +2938,8 @@ _WINDOW_PRIORITY = [
     "influxql_trend_hourly",
     "incremental_read_new_days",
     "wap_publish_rollup",
+    "forecast_linear_24h",
+    "influxql_forecast_linear",
 ]
 
 # Rows-only queries (genuinely non-SQL-expressible internals) — always last.

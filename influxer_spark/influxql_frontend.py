@@ -542,6 +542,10 @@ HW_FNS = {"holt_winters", "holt_winters_with_fit"}
 # per series (operators/trend.py); one row per series, so it also takes
 # over the SELECT (routed to _exec_trend)
 TREND_FNS = {"trend"}
+# engine extension: forecast_linear(agg(f), N) — closed-form per-series OLS
+# continuation, N buckets past each series' last observed bucket (the
+# value-oracled sibling of holt_winters; routed to _exec_forecast_linear)
+FORECAST_FNS = {"forecast_linear"}
 # fn, accepts (hold, warmup_type) extra args
 _FOLD_DISPATCH = {
     "exponential_moving_average": (Q.tr_exponential_moving_average, True),
@@ -1016,7 +1020,7 @@ class InfluxQLEngine:
                 e for e, _ in stmt.projections
                 if isinstance(e, Call)
                 and (e.fname in FOLD_TRANSFORMS or e.fname in HW_FNS
-                     or e.fname in TREND_FNS)
+                     or e.fname in TREND_FNS or e.fname in FORECAST_FNS)
             ),
             None,
         )
@@ -1027,6 +1031,8 @@ class InfluxQLEngine:
                 return self._exec_hw(stmt, None)
             if ta_root.fname in TREND_FNS:
                 return self._exec_trend(stmt, None)
+            if ta_root.fname in FORECAST_FNS:
+                return self._exec_forecast_linear(stmt)
             return self._exec_fold(stmt, None)
         if stmt.measurement in self.tiered and self._kmv_tier_answerable(stmt):
             return self._exec_kmv_tiered(stmt)
@@ -1068,6 +1074,11 @@ class InfluxQLEngine:
             for e, _ in stmt.projections
         ):
             return self._exec_trend(stmt, df)
+        if any(
+            isinstance(e, Call) and e.fname in FORECAST_FNS
+            for e, _ in stmt.projections
+        ):
+            return self._exec_forecast_linear(stmt)
 
         calls: list[Call] = []
         for e, _ in stmt.projections:
@@ -1437,6 +1448,61 @@ class InfluxQLEngine:
             with_fit=e.fname.endswith("_with_fit"),
         )
         out = out.select("time", *keys, F.col("holt_winters").alias(name))
+        return self._finish(stmt, out, keys)
+
+    def _exec_forecast_linear(self, stmt: Select) -> DataFrame:
+        """``forecast_linear(agg(f), N) … GROUP BY time(w)``: closed-form
+        per-series OLS fit over the aggregate series, continued N buckets
+        past each series' own last observed bucket (the holt_winters
+        horizon convention, but with exact-integer normal equations so
+        every forecast value replays bit-for-bit on a SQL oracle —
+        operators/trend.linear_forecast_horizon).  Output shape matches
+        holt_winters: (time, tags…, <name>)."""
+        if len(stmt.projections) != 1 or not (
+            isinstance(stmt.projections[0][0], Call)
+            and stmt.projections[0][0].fname in FORECAST_FNS
+        ):
+            raise InfluxQLError("forecast_linear() must be the only projection")
+        e, alias = stmt.projections[0]
+        if (
+            len(e.args) != 2
+            or not isinstance(e.args[0], Call)
+            or e.args[0].fname not in AGGS
+            or not isinstance(e.args[1], Num)
+        ):
+            raise InfluxQLError(
+                "forecast_linear(agg(field), N) needs an aggregate and an "
+                "integer horizon"
+            )
+        if stmt.time_width is None:
+            raise InfluxQLError("forecast_linear() needs GROUP BY time()")
+        from dataclasses import replace as _replace
+
+        from influxer_spark.operators.trend import linear_forecast_horizon
+
+        inner = _replace(
+            stmt, projections=[(e.args[0], "__fv__")], limit=None,
+            offset=None, slimit=None, soffset=None, order_desc=False,
+            into=None,
+        )
+        frame = self._run(inner)  # tier-served when registered
+        keys = self._frame_keys(stmt, frame)
+        w = stmt.time_width
+        # buckets are w-aligned, so epoch/w is an exact integer index
+        ticks = frame.select(
+            *keys,
+            (F.unix_timestamp("time") / F.lit(w)).cast("long").alias("__idx__"),
+            F.round(F.col("__fv__") * 10000, 0).cast("long").alias("__tv__"),
+        ).filter(F.col("__tv__").isNotNull())
+        fc = linear_forecast_horizon(
+            ticks, keys, "__idx__", "__tv__", horizon=int(e.args[1].value)
+        )
+        name = alias or "forecast_linear"
+        out = fc.select(
+            F.timestamp_seconds(F.col("__idx__") * F.lit(w)).alias("time"),
+            *keys,
+            F.col("pred").alias(name),
+        )
         return self._finish(stmt, out, keys)
 
     def _exec_trend(self, stmt: Select, df: DataFrame | None) -> DataFrame:

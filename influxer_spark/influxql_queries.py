@@ -2103,6 +2103,137 @@ def _q_holt_winters(spark, sf_dir):
     return out.withColumnRenamed("time", "bucket")
 
 
+def _q_forecast_linear(spark, sf_dir):
+    """Closed-form OLS forecast of the next 24 hourly means per event_type,
+    fit on the Jan 3–10 hourly tier (operators/trend.linear_forecast) — the
+    value-oracled forecasting entry beside the rows-only iterative
+    holt_winters.  Regressor is hours-since-window-start (exact BIGINT),
+    observation the 1e-4-tick quantized hourly mean; every OLS moment and
+    both closed-form numerators stay exact BIGINTs, and each prediction is
+    ONE IEEE division — so all 120 rows hash-match the SQL replay bit-for-
+    bit.  Emitted slope_num/slope_den expose the exact rational slope."""
+    from influxer_spark.operators.trend import linear_forecast
+
+    base = 1_704_240_000  # epoch seconds of 2024-01-03 00:00:00 UTC
+    h = _hourly(spark, sf_dir).filter(
+        (F.col("bucket") >= F.timestamp_seconds(F.lit(base)))
+        & (F.col("bucket") < F.timestamp_seconds(F.lit(base + 7 * 86400)))
+    )
+    s = h.select(
+        "event_type",
+        ((F.unix_timestamp("bucket") - F.lit(base)) / 3600)
+        .cast("long")
+        .alias("idx"),
+        F.round(F.col("v") * 10000, 0).cast("long").alias("tick"),
+    )
+    out = linear_forecast(
+        s, ["event_type"], "idx", "tick", list(range(168, 192))
+    )
+    return out.select(
+        "event_type",
+        F.timestamp_seconds(F.lit(base) + F.col("idx") * 3600).alias("bucket"),
+        "n_fit",
+        "slope_num",
+        "slope_den",
+        F.col("pred").alias("pred_v"),
+    )
+
+
+_FORECAST_LINEAR_SQL = f"""
+WITH {_HOURLY_MAT_SQL},
+f AS (
+  SELECT event_type,
+         (CAST(floor(epoch(bucket)) AS BIGINT) - 1704240000) // 3600 AS idx,
+         CAST(round(v * 10000, 0) AS BIGINT) AS tick
+  FROM hourly
+  WHERE bucket >= TIMESTAMP '2024-01-03 00:00:00'
+    AND bucket < TIMESTAMP '2024-01-10 00:00:00'
+),
+m AS (
+  SELECT event_type, count(*) AS n_fit,
+         CAST(sum(idx) AS BIGINT) AS st,
+         CAST(sum(tick) AS BIGINT) AS sy,
+         CAST(sum(idx * idx) AS BIGINT) AS stt,
+         CAST(sum(idx * tick) AS BIGINT) AS sty
+  FROM f GROUP BY 1
+),
+c AS (
+  SELECT event_type, n_fit,
+         n_fit * sty - st * sy AS slope_num,
+         n_fit * stt - st * st AS slope_den,
+         sy * stt - st * sty AS inum
+  FROM m WHERE n_fit >= 2 AND n_fit * stt - st * st != 0
+),
+hz AS (SELECT unnest(generate_series(168, 191)) AS idx)
+SELECT c.event_type,
+       make_timestamp((1704240000 + hz.idx * 3600) * 1000000) AS bucket,
+       c.n_fit, c.slope_num, c.slope_den,
+       CAST(c.inum + c.slope_num * hz.idx AS DOUBLE)
+         / CAST(c.slope_den * 10000 AS DOUBLE) AS pred_v
+FROM c CROSS JOIN hz
+"""
+
+
+def _q_influxql_forecast(spark, sf_dir):
+    """forecast_linear(sum(s_c), 12) … GROUP BY time(6h) through the string
+    front-end: per-series OLS continuation 12 six-hour buckets past each
+    series' last observed bucket.  The inner aggregate sums exact BIGINT
+    cents, the regressor centers per series inside the operator (bit-
+    transparent — see linear_forecast_horizon), and each forecast value is
+    one IEEE division of exact integers, so all 60 rows replay on the SQL
+    side bit-for-bit."""
+    h = _hourly(spark, sf_dir)
+    out = influxql(
+        "SELECT forecast_linear(sum(s_c), 12) AS fc"
+        " FROM hourly GROUP BY time(6h), event_type",
+        {"hourly": h},
+        ts_col="bucket",
+    )
+    return out.withColumnRenamed("time", "bucket")
+
+
+_INFLUXQL_FORECAST_SQL = f"""
+WITH {_HOURLY_MAT_SQL},
+g AS (
+  SELECT event_type,
+         CAST(floor(epoch(bucket)) AS BIGINT) // 21600 AS idx,
+         CAST(sum(s_c) AS BIGINT) * 10000 AS tick
+  FROM hourly GROUP BY 1, 2
+),
+mn AS (SELECT event_type, min(idx) AS tmin FROM g GROUP BY 1),
+c0 AS (
+  SELECT g.event_type, g.idx - mn.tmin AS t, g.tick AS y, mn.tmin AS tmin
+  FROM g JOIN mn USING (event_type)
+),
+m AS (
+  SELECT event_type, count(*) AS n_fit, any_value(tmin) AS tmin,
+         max(t) AS tmax0,
+         CAST(sum(t) AS BIGINT) AS st,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(t * t) AS BIGINT) AS stt,
+         CAST(sum(t * y) AS BIGINT) AS sty
+  FROM c0 GROUP BY 1
+),
+c AS (
+  SELECT event_type, tmin, tmax0,
+         n_fit * sty - st * sy AS num,
+         n_fit * stt - st * st AS den,
+         sy * stt - st * sty AS inum
+  FROM m WHERE n_fit >= 2 AND n_fit * stt - st * st != 0
+),
+hz AS (
+  SELECT event_type, tmin,
+         unnest(generate_series(tmax0 + 1, tmax0 + 12)) AS i0,
+         num, den, inum
+  FROM c
+)
+SELECT make_timestamp((tmin + i0) * 21600 * 1000000) AS bucket,
+       event_type,
+       CAST(inum + num * i0 AS DOUBLE) / CAST(den * 10000 AS DOUBLE) AS fc
+FROM hz
+"""
+
+
 def _q_cq_resample(spark, sf_dir):
     """Incremental continuous query (RESAMPLE EVERY 1h FOR 48h) — the
     merge semantics end-to-end: a backfill runs over a STALE table
@@ -2212,6 +2343,8 @@ def influxql_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "slo_burn_page_1h": _q_slo_burn,
         "topn_other_hourly": _q_topn_other,
         "holt_winters_forecast_24h": _q_holt_winters,
+        "forecast_linear_24h": _q_forecast_linear,
+        "influxql_forecast_linear": _q_influxql_forecast,
     }
 
 
@@ -2268,4 +2401,6 @@ def influxql_oracle_sql() -> dict[str, str]:
         "ewma_chart_hourly": _ewma_sql(0.2, 3.0),
         "slo_burn_page_1h": _slo_burn_sql(0.999, 12, 1, 14.4),
         "topn_other_hourly": _TOPN_OTHER_SQL,
+        "forecast_linear_24h": _FORECAST_LINEAR_SQL,
+        "influxql_forecast_linear": _INFLUXQL_FORECAST_SQL,
     }

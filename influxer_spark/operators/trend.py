@@ -36,6 +36,7 @@ from collections.abc import Sequence
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def mk_theilsen(
@@ -108,4 +109,176 @@ def mk_theilsen(
         series.select(*keys, order_col, tick_col)
         .groupBy(*keys)
         .applyInPandas(stats, out_schema)
+    )
+
+
+def linear_forecast(
+    series: DataFrame,
+    key_cols: Sequence[str],
+    idx_col: str,
+    tick_col: str,
+    forecast_idx: Sequence[int],
+    tick_scale: int = 10_000,
+) -> DataFrame:
+    """Closed-form per-series OLS forecast over integer-tick points — the
+    value-oracled forecasting primitive beside the rows-only iterative
+    ``holtwinters`` fit (and the ``seasonal_naive_eval`` yardstick).
+
+    ``series`` rows are (keys…, idx_col BIGINT, tick_col BIGINT): ``idx`` is
+    the regressor (e.g. hours since the fit-window start — small, exact) and
+    ``tick`` the quantized observation.  For each key and each requested
+    ``forecast_idx`` i emits::
+
+        (keys…, idx=i, n_fit, slope_num, slope_den, pred)
+
+    Exactness discipline (why the oracle hash-matches bit-for-bit): every
+    OLS moment (n, Σt, Σy, Σt², Σty) is an exact BIGINT, so the closed-form
+    slope/intercept numerators
+
+        slope_num = n·Σty − Σt·Σy
+        inum      = Σy·Σt² − Σt·Σty          (intercept numerator)
+        slope_den = n·Σt² − (Σt)²
+
+    are exact BIGINTs too (magnitudes bounded: with idx ≤ ~10³ and ticks
+    ≤ ~10⁷ everything stays far below 2⁵³, so even the DOUBLE cast is
+    exact), and the prediction
+
+        pred = (inum + slope_num·i) / (slope_den · tick_scale)
+
+    is ONE IEEE-754 division of exactly-represented integers — the same
+    single op in any engine, so Spark and the SQL oracle agree to the bit.
+    Degenerate series (n < 2 or a zero denominator, i.e. a single distinct
+    idx) emit nothing rather than NaNs.
+
+    Plan shape: one partial-aggregated groupBy on the series key (map-side
+    combine does the moment sums), then a broadcast-sized literal horizon
+    exploded per key — no shuffle beyond the one aggregation, no UDF, whole
+    plan stays in codegen.  At 100 TB the input is a rollup TIER (bounded
+    points per series), and the output is |keys| × |horizon| rows.
+
+    The reference engine ships no forecasting (Influxer is ingest-only;
+    Program.cs:78-102); this extends the monitoring family like trend().
+    OLS normal equations are public-domain mathematics.
+    """
+    keys = list(key_cols)
+    t = F.col(idx_col).cast("long")
+    y = F.col(tick_col).cast("long")
+    g = (
+        series.select(*keys, t.alias("_t"), y.alias("_y"))
+        .groupBy(*keys)
+        .agg(
+            F.count("*").alias("n_fit"),
+            F.sum("_t").alias("_st"),
+            F.sum("_y").alias("_sy"),
+            F.sum(F.col("_t") * F.col("_t")).alias("_stt"),
+            F.sum(F.col("_t") * F.col("_y")).alias("_sty"),
+        )
+        .withColumn(
+            "slope_num",
+            F.col("n_fit") * F.col("_sty") - F.col("_st") * F.col("_sy"),
+        )
+        .withColumn(
+            "slope_den",
+            F.col("n_fit") * F.col("_stt") - F.col("_st") * F.col("_st"),
+        )
+        .withColumn(
+            "_inum",
+            F.col("_sy") * F.col("_stt") - F.col("_st") * F.col("_sty"),
+        )
+        .filter((F.col("n_fit") >= 2) & (F.col("slope_den") != 0))
+    )
+    horizon = F.array(*[F.lit(int(i)).cast("long") for i in forecast_idx])
+    return (
+        g.withColumn(idx_col, F.explode(horizon))
+        .withColumn(
+            "pred",
+            (F.col("_inum") + F.col("slope_num") * F.col(idx_col)).cast("double")
+            / (F.col("slope_den") * F.lit(int(tick_scale))).cast("double"),
+        )
+        .select(*keys, idx_col, "n_fit", "slope_num", "slope_den", "pred")
+    )
+
+
+def linear_forecast_horizon(
+    series: DataFrame,
+    key_cols: Sequence[str],
+    idx_col: str,
+    tick_col: str,
+    horizon: int,
+    tick_scale: int = 10_000,
+) -> DataFrame:
+    """``linear_forecast`` with a PER-SERIES horizon: forecast ``horizon``
+    index steps past each series' own last observed index (the
+    holt_winters(…, N, S) convention — every series continues from where
+    IT ends, not from a shared window edge).
+
+    Exactness: the regressor is centered per series (idx − min(idx)) before
+    the moments, which keeps every BIGINT product small no matter how large
+    the absolute index (epoch-hours ~5·10⁵ would otherwise push
+    n·Σty·idx past 2⁶³).  Centering is bit-transparent: the slope
+    numerator/denominator are translation-invariant, and the prediction
+    numerator ``inum' + num·(i − c)`` equals the uncentered ``inum + num·i``
+    integer exactly — so an oracle computed WITHOUT centering (at small
+    idx) still hash-matches.  Emitted rows carry the ABSOLUTE index back.
+
+    Plan shape: one groupBy for the per-series min (shuffle on the series
+    key), a same-key join back (co-partitioned, AQE-friendly), one moment
+    groupBy, then a literal-sequence explode — no UDF, no collect.
+    """
+    keys = list(key_cols)
+    t = F.col(idx_col).cast("long")
+    y = F.col(tick_col).cast("long")
+    base = series.select(*keys, t.alias("_ta"), y.alias("_y"))
+    tmin = base.groupBy(*keys).agg(F.min("_ta").alias("_tmin"))
+    centered = base.join(tmin, keys).select(
+        *keys, "_tmin", (F.col("_ta") - F.col("_tmin")).alias("_t"), "_y"
+    )
+    g = (
+        centered.groupBy(*keys)
+        .agg(
+            F.count("*").alias("n_fit"),
+            F.first("_tmin").alias("_tmin"),
+            F.max("_t").alias("_tmax"),
+            F.sum("_t").alias("_st"),
+            F.sum("_y").alias("_sy"),
+            F.sum(F.col("_t") * F.col("_t")).alias("_stt"),
+            F.sum(F.col("_t") * F.col("_y")).alias("_sty"),
+        )
+        .withColumn(
+            "slope_num",
+            F.col("n_fit") * F.col("_sty") - F.col("_st") * F.col("_sy"),
+        )
+        .withColumn(
+            "slope_den",
+            F.col("n_fit") * F.col("_stt") - F.col("_st") * F.col("_st"),
+        )
+        .withColumn(
+            "_inum",
+            F.col("_sy") * F.col("_stt") - F.col("_st") * F.col("_sty"),
+        )
+        .filter((F.col("n_fit") >= 2) & (F.col("slope_den") != 0))
+    )
+    return (
+        g.withColumn(
+            "_i0",
+            F.explode(
+                F.sequence(
+                    F.col("_tmax") + F.lit(1).cast("long"),
+                    F.col("_tmax") + F.lit(int(horizon)).cast("long"),
+                )
+            ),
+        )
+        .withColumn(
+            "pred",
+            (F.col("_inum") + F.col("slope_num") * F.col("_i0")).cast("double")
+            / (F.col("slope_den") * F.lit(int(tick_scale))).cast("double"),
+        )
+        .select(
+            *keys,
+            (F.col("_tmin") + F.col("_i0")).alias(idx_col),
+            "n_fit",
+            "slope_num",
+            "slope_den",
+            "pred",
+        )
     )

@@ -138,3 +138,173 @@ def test_order_col_gaps_rank_not_time(spark):
     )
     row = mk_theilsen(df, ["k"], "i", "v").collect()[0]
     assert row["sen_slope"] == 10.0 and row["mk_s"] == 3
+
+
+# ---------------------------------------------------------------------------
+# linear_forecast — closed-form per-series OLS continuation
+# ---------------------------------------------------------------------------
+
+from influxer_spark.operators.trend import linear_forecast  # noqa: E402
+
+
+def test_linear_forecast_exact_on_perfect_line(spark):
+    # y = 7t + 3 in ticks: the fit must recover slope 7 exactly (rational
+    # slope_num/slope_den reduces to 7/1 scaled) and continue the line.
+    df = _series_df(spark, [3 + 7 * t for t in range(10)])
+    out = linear_forecast(df, ["k"], "i", "v", [10, 11, 12], tick_scale=1)
+    rows = {r["i"]: r for r in out.collect()}
+    assert set(rows) == {10, 11, 12}
+    for i, r in rows.items():
+        assert r["n_fit"] == 10
+        assert r["slope_num"] / r["slope_den"] == 7.0
+        assert r["pred"] == float(3 + 7 * i)
+
+
+def test_linear_forecast_matches_numpy_polyfit(spark):
+    rng = np.random.default_rng(7)
+    v = rng.integers(0, 10_000, size=50).tolist()
+    out = linear_forecast(
+        _series_df(spark, v), ["k"], "i", "v", [50, 60], tick_scale=1
+    ).collect()
+    slope, intercept = np.polyfit(np.arange(50), np.asarray(v, float), 1)
+    by_idx = {r["i"]: r["pred"] for r in out}
+    assert by_idx[50] == pytest.approx(intercept + slope * 50, rel=1e-9)
+    assert by_idx[60] == pytest.approx(intercept + slope * 60, rel=1e-9)
+
+
+def test_linear_forecast_series_isolated_and_degenerate_dropped(spark):
+    # series "a" is a line; series "b" has one point (no fit) — it must
+    # vanish rather than emit NaNs.
+    a = [(("a"), i, 10 * i) for i in range(5)]
+    b = [("b", 0, 99)]
+    df = spark.createDataFrame(a + b, ["k", "i", "v"])
+    out = linear_forecast(df, ["k"], "i", "v", [5], tick_scale=1).collect()
+    assert len(out) == 1 and out[0]["k"] == "a" and out[0]["pred"] == 50.0
+
+
+def test_linear_forecast_tick_scale_divides_once(spark):
+    # ticks are 1e-4 units: pred must come back in field units.
+    df = _series_df(spark, [20_000 + 10_000 * t for t in range(4)])
+    out = linear_forecast(df, ["k"], "i", "v", [4], tick_scale=10_000).collect()
+    assert out[0]["pred"] == 6.0  # 2.0 + 1.0·t at t=4
+
+
+def test_linear_forecast_gate_query_matches_duckdb(spark, sf_dir):
+    import duckdb
+
+    from influxer_spark.influxql_queries import (
+        _FORECAST_LINEAR_SQL,
+        _q_forecast_linear,
+    )
+
+    got = _q_forecast_linear(spark, sf_dir)
+    cols = sorted(got.columns)
+    spark_rows = sorted(
+        tuple(r[c] for c in cols) for r in got.collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'"
+    )
+    cur = con.execute(_FORECAST_LINEAR_SQL)
+    names = [d[0] for d in cur.description]
+    idx = [names.index(c) for c in cols]
+    ora_rows = sorted(tuple(row[i] for i in idx) for row in cur.fetchall())
+    assert len(spark_rows) == len(ora_rows) > 0
+    for s, o in zip(spark_rows, ora_rows):
+        for a, b in zip(s, o):
+            if hasattr(a, "replace") and hasattr(a, "tzinfo"):  # timestamps
+                a = a.replace(tzinfo=None)
+                b = b.replace(tzinfo=None)
+            assert a == b, (s, o)
+
+
+# ---------------------------------------------------------------------------
+# forecast_linear through the InfluxQL string front-end
+# ---------------------------------------------------------------------------
+
+
+def test_linear_forecast_horizon_per_series_continuation(spark):
+    from influxer_spark.operators.trend import linear_forecast_horizon
+
+    # series "a": line over idx 100..104 (ends at 104); series "b": line over
+    # idx 200..202 (ends at 202) — each continues from ITS OWN last index,
+    # and the large absolute index exercises the internal centering.
+    rows = [("a", 100 + t, 5 + 2 * t) for t in range(5)]
+    rows += [("b", 200 + t, 50 - 3 * t) for t in range(3)]
+    df = spark.createDataFrame(rows, ["k", "i", "v"])
+    out = linear_forecast_horizon(df, ["k"], "i", "v", horizon=2, tick_scale=1)
+    got = {(r["k"], r["i"]): r["pred"] for r in out.collect()}
+    assert got == {
+        ("a", 105): float(5 + 2 * 5),
+        ("a", 106): float(5 + 2 * 6),
+        ("b", 203): float(50 - 3 * 3),
+        ("b", 204): float(50 - 3 * 4),
+    }
+
+
+def test_frontend_forecast_linear_string(spark):
+    from influxer_spark.influxql_frontend import influxql
+
+    # hourly sums 0,10,20,…  → forecast continues the line
+    rows = [("2024-01-01T%02d:00:00" % h, "x", 10 * h) for h in range(6)]
+    df = spark.createDataFrame(rows, ["bucket", "tag", "v"]).withColumn(
+        "bucket", F.to_timestamp("bucket")
+    )
+    out = influxql(
+        "SELECT forecast_linear(sum(v), 3) AS fc"
+        " FROM m GROUP BY time(1h), tag",
+        {"m": df},
+        ts_col="bucket",
+    ).collect()
+    assert len(out) == 3
+    by_time = {r["time"].hour: r["fc"] for r in out}
+    assert by_time == {6: 60.0, 7: 70.0, 8: 80.0}
+    assert all(r["tag"] == "x" for r in out)
+
+
+def test_frontend_forecast_linear_rejections(spark):
+    from influxer_spark.influxql_frontend import InfluxQLError, influxql
+
+    df = spark.createDataFrame(
+        [("2024-01-01T00:00:00", "x", 1.0)], ["bucket", "tag", "v"]
+    ).withColumn("bucket", F.to_timestamp("bucket"))
+    for q, msg in [
+        ("SELECT forecast_linear(v, 3) FROM m GROUP BY time(1h)", "aggregate"),
+        ("SELECT forecast_linear(sum(v), 3) FROM m", "GROUP BY time"),
+        (
+            "SELECT forecast_linear(sum(v), 3), mean(v) FROM m"
+            " GROUP BY time(1h)",
+            "only projection",
+        ),
+    ]:
+        with pytest.raises(InfluxQLError, match=msg):
+            influxql(q, {"m": df}, ts_col="bucket").collect()
+
+
+def test_influxql_forecast_gate_matches_duckdb(spark, sf_dir):
+    import duckdb
+
+    from influxer_spark.influxql_queries import (
+        _INFLUXQL_FORECAST_SQL,
+        _q_influxql_forecast,
+    )
+
+    got = _q_influxql_forecast(spark, sf_dir)
+    cols = sorted(got.columns)
+    spark_rows = sorted(tuple(r[c] for c in cols) for r in got.collect())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'"
+    )
+    cur = con.execute(_INFLUXQL_FORECAST_SQL)
+    names = [d[0] for d in cur.description]
+    idx = [names.index(c) for c in cols]
+    ora_rows = sorted(tuple(row[i] for i in idx) for row in cur.fetchall())
+    assert len(spark_rows) == len(ora_rows) > 0
+    for s, o in zip(spark_rows, ora_rows):
+        for a, b in zip(s, o):
+            if hasattr(a, "tzinfo"):
+                a = a.replace(tzinfo=None)
+                b = b.replace(tzinfo=None)
+            assert a == b, (s, o)
