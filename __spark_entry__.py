@@ -2282,6 +2282,70 @@ FROM events GROUP BY 1
 """
 
 
+def _q_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg schema evolution VALUE-oracled (catalog snapshot-recorded
+    schemas; tests/test_pipeline.py:511 pins the full contract): wave 1
+    commits the first half of the days WITHOUT the ``vq`` column, wave 2
+    adds it, and the current read PROJECTS the evolved schema — old
+    partitions return NULL for the added column, no parquet rewrite.  The
+    query also asserts the time-travel shape (the pre-evolution snapshot
+    must NOT show ``vq``) before aggregating.  The oracle recomputes the
+    same per-type counts/sums treating pre-cutoff rows as NULL ``vq``; a
+    hash match proves the projection fed exactly the evolved values."""
+    import shutil
+    import tempfile
+
+    from influxer_spark.catalog import TableCatalog
+
+    ev = _t(spark, sf_dir, "events")
+    cutoff = "2024-01-16"
+    root = tempfile.mkdtemp(prefix="evo_gate_")
+    try:
+        cat = TableCatalog(root)
+        withday = ev.withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+        days = sorted(
+            r["day"] for r in withday.select("day").distinct().collect()
+        )
+        old_days = [d for d in days if d < cutoff]
+        new_days = [d for d in days if d >= cutoff]
+        cat.write_partitions(
+            withday.filter(F.col("day").isin(old_days)), "pages_t", old_days
+        )
+        s1 = cat.current_snapshot("pages_t")
+        cat.write_partitions(
+            withday.filter(F.col("day").isin(new_days)).withColumn(
+                "vq", F.round(F.col("value") * 100, 0).cast("long")
+            ),
+            "pages_t",
+            new_days,
+        )
+        if "vq" in cat.read_committed(spark, "pages_t", as_of=s1).columns:
+            raise AssertionError(
+                "time-travel leaked the evolved column into snapshot s1"
+            )
+        cur = cat.read_committed(spark, "pages_t")
+        out = cur.groupBy("event_type").agg(
+            F.count("*").alias("cnt_total"),
+            F.count("vq").alias("cnt_vq"),
+            F.sum("vq").alias("sum_vq_c"),
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+_SCHEMA_EVOLUTION_ORACLE = """
+SELECT event_type, count(*) AS cnt_total,
+       count(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00' THEN 1 END)
+         AS cnt_vq,
+       CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+                     THEN CAST(round(value * 100, 0) AS BIGINT) END)
+            AS BIGINT) AS sum_vq_c
+FROM events GROUP BY 1
+"""
+
+
 def _q_incremental_read_new_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iceberg incremental read VALUE-oracled (catalog.read_increment):
     commit all but the last two days, snapshot, land the remaining days,
@@ -2940,6 +3004,7 @@ _WINDOW_PRIORITY = [
     "wap_publish_rollup",
     "forecast_linear_24h",
     "influxql_forecast_linear",
+    "schema_evolution_read",
 ]
 
 # Rows-only queries (genuinely non-SQL-expressible internals) — always last.
@@ -3057,6 +3122,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_into_recrawl": _q_merge_into_recrawl,
         "update_where_redact": _q_update_where_redact,
         "incremental_read_new_days": _q_incremental_read_new_days,
+        "schema_evolution_read": _q_schema_evolution_read,
         "wap_publish_rollup": _q_wap_publish_rollup,
         "stats_pruned_read": _q_stats_pruned_read,
         "tagged_snapshot_read": _q_tagged_snapshot_read,
@@ -3183,6 +3249,7 @@ def oracle_sql() -> dict[str, str]:
         "merge_into_recrawl": _MERGE_RECRAWL_ORACLE,
         "update_where_redact": _UPDATE_REDACT_ORACLE,
         "incremental_read_new_days": _INCREMENT_ORACLE,
+        "schema_evolution_read": _SCHEMA_EVOLUTION_ORACLE,
         "wap_publish_rollup": _WAP_ORACLE,
         "stats_pruned_read": _STATS_PRUNED_ORACLE,
         "tagged_snapshot_read": _WAP_ORACLE,
