@@ -2455,6 +2455,71 @@ GROUP BY 1
 """
 
 
+def _q_partition_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg partition-spec evolution VALUE-oracled: the table starts
+    day-partitioned, then the LAST day lands at hour granularity (the spec
+    change a hot table makes when daily partitions grow too coarse — old
+    data is never rewritten; Iceberg v2 keeps both specs side by side).
+    Partition values are opaque manifest keys and pruning works off
+    recorded column stats, so a ts-range read spanning the boundary must
+    (a) prune at BOTH granularities — asserted: at most one day partition
+    plus the covered hour partitions survive — and (b) stay exact.  Oracle
+    = the same filter over the raw table."""
+    import shutil
+    import tempfile
+
+    from influxer_spark.catalog import TableCatalog
+
+    lo, hi = "2024-01-29 12:00:00", "2024-01-30 11:59:59.999999"
+    ev = _t(spark, sf_dir, "events")
+    root = tempfile.mkdtemp(prefix="pevo_gate_")
+    try:
+        cat = TableCatalog(root)
+        old = ev.filter(F.col("ts") < "2024-01-30").withColumn(
+            "day", F.date_format("ts", "yyyy-MM-dd")
+        )
+        days = sorted(r["day"] for r in old.select("day").distinct().collect())
+        cat.write_partitions(old, "pages_t", days, stats_cols=["ts"])
+        hot = ev.filter(F.col("ts") >= "2024-01-30").withColumn(
+            "day", F.date_format("ts", "yyyy-MM-dd-'H'HH")
+        )
+        hours = sorted(r["day"] for r in hot.select("day").distinct().collect())
+        cat.write_partitions(hot, "pages_t", hours, stats_cols=["ts"])
+        pruned = cat.pruned_partitions("pages_t", "ts", lo, hi)
+        # the range covers one day partition + at most 12 hour partitions;
+        # keeping more means pruning failed at one of the granularities
+        if not pruned or len(pruned) > 13:
+            raise AssertionError(
+                f"mixed-spec prune kept {len(pruned)} of "
+                f"{len(days) + len(hours)} partitions"
+            )
+        out = (
+            cat.read_where(spark, "pages_t", "ts", lo, hi)
+            .groupBy("event_type")
+            .agg(
+                F.count("value").alias("cnt"),
+                (_q2(F.sum("value")) / 100.0).alias("sum_v"),
+                F.min("value").alias("min_v"),
+                F.max("value").alias("max_v"),
+            )
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+_PARTITION_EVOLUTION_ORACLE = """
+SELECT event_type, count(value) AS cnt,
+       CAST(round(sum(value) * 100, 0) AS BIGINT) / 100.0 AS sum_v,
+       min(value) AS min_v, max(value) AS max_v
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-29 12:00:00'
+  AND ts <= TIMESTAMP '2024-01-30 11:59:59.999999'
+GROUP BY 1
+"""
+
+
 def _q_archive_exact_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-mean integer archive VALUE-oracled (intcodec
     encode_dual_series_df int_col2= → query.read_exact_rollup): the 1m
@@ -3005,6 +3070,7 @@ _WINDOW_PRIORITY = [
     "forecast_linear_24h",
     "influxql_forecast_linear",
     "schema_evolution_read",
+    "partition_evolution_read",
 ]
 
 # Rows-only queries (genuinely non-SQL-expressible internals) — always last.
@@ -3123,6 +3189,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "update_where_redact": _q_update_where_redact,
         "incremental_read_new_days": _q_incremental_read_new_days,
         "schema_evolution_read": _q_schema_evolution_read,
+        "partition_evolution_read": _q_partition_evolution_read,
         "wap_publish_rollup": _q_wap_publish_rollup,
         "stats_pruned_read": _q_stats_pruned_read,
         "tagged_snapshot_read": _q_tagged_snapshot_read,
@@ -3250,6 +3317,7 @@ def oracle_sql() -> dict[str, str]:
         "update_where_redact": _UPDATE_REDACT_ORACLE,
         "incremental_read_new_days": _INCREMENT_ORACLE,
         "schema_evolution_read": _SCHEMA_EVOLUTION_ORACLE,
+        "partition_evolution_read": _PARTITION_EVOLUTION_ORACLE,
         "wap_publish_rollup": _WAP_ORACLE,
         "stats_pruned_read": _STATS_PRUNED_ORACLE,
         "tagged_snapshot_read": _WAP_ORACLE,
