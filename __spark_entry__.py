@@ -3081,6 +3081,7 @@ _WINDOW_TAIL = [
     "holt_winters_forecast_24h",
     "bpe_train_merges",    # iterative argmax — pytest-pinned vs reference
     "bpe_encode_tokens",   # rank-greedy loop — pytest-pinned vs reference
+    "dtw_pairs_hourly",    # DP recurrence — pytest-pinned vs reference DP
 ]
 
 

@@ -2234,6 +2234,23 @@ FROM hz
 """
 
 
+def _q_dtw_pairs(spark, sf_dir):
+    """Rows-only contract query (a DTW DP recurrence has no SQL oracle;
+    semantics pinned vs a brute-force reference DP in tests/test_dtw.py):
+    band-constrained DTW distance between every pair of event_type hourly
+    profiles — exact int64 costs over 1e-4-tick means, band ±2 hours."""
+    from influxer_spark.operators.dtw import dtw_pairs
+
+    h = _hourly(spark, sf_dir).select(
+        "event_type",
+        "bucket",
+        F.round(F.col("v") * 10000, 0).cast("long").alias("tick"),
+    )
+    return dtw_pairs(h, "event_type", "bucket", "tick", band=2).orderBy(
+        "key_a", "key_b"
+    )
+
+
 def _q_cq_resample(spark, sf_dir):
     """Incremental continuous query (RESAMPLE EVERY 1h FOR 48h) — the
     merge semantics end-to-end: a backfill runs over a STALE table
@@ -2345,6 +2362,7 @@ def influxql_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "holt_winters_forecast_24h": _q_holt_winters,
         "forecast_linear_24h": _q_forecast_linear,
         "influxql_forecast_linear": _q_influxql_forecast,
+        "dtw_pairs_hourly": _q_dtw_pairs,
     }
 
 

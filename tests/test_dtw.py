@@ -1,0 +1,73 @@
+"""Band-constrained DTW pair distances (operators/dtw.py)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from influxer_spark.operators.dtw import _dtw_cost_banded, dtw_pairs
+
+
+def _brute_dtw(a, b, band):
+    """Reference O(n·m) python DP with the Sakoe-Chiba band."""
+    n, m = len(a), len(b)
+    inf = float("inf")
+    d = [[inf] * (m + 1) for _ in range(n + 1)]
+    d[0][0] = 0
+    for i in range(1, n + 1):
+        for j in range(1, m + 1):
+            if abs(i - j) > band:
+                continue
+            c = abs(a[i - 1] - b[j - 1])
+            d[i][j] = c + min(d[i - 1][j], d[i][j - 1], d[i - 1][j - 1])
+    return d[n][m]
+
+
+def test_kernel_matches_bruteforce():
+    rng = np.random.default_rng(3)
+    for band in (1, 2, 5):
+        a = rng.integers(-100, 100, size=30).astype(np.int64)
+        b = rng.integers(-100, 100, size=30).astype(np.int64)
+        assert _dtw_cost_banded(a, b, band) == _brute_dtw(a, b, band)
+
+
+def test_identical_series_cost_zero():
+    a = np.array([5, 9, 1, 7], dtype=np.int64)
+    assert _dtw_cost_banded(a, a.copy(), 2) == 0
+
+
+def test_shifted_series_cheaper_than_euclidean():
+    # b = a delayed by one step: DTW with band>=1 realigns (small cost),
+    # Euclidean (band 0 ≈ diagonal) pays the full shift at every point
+    a = np.array([0, 10, 0, 0, 10, 0, 0, 10, 0], dtype=np.int64)
+    b = np.roll(a, 1)
+    assert _dtw_cost_banded(a, b, 2) < int(np.abs(a - b).sum())
+
+
+def test_dtw_pairs_dataframe(spark):
+    rows = []
+    for k, vals in [("a", [1, 2, 3, 4]), ("b", [1, 2, 3, 4]),
+                    ("c", [9, 9, 9, 9])]:
+        rows += [(k, i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, ["k", "i", "v"])
+    out = {(r["key_a"], r["key_b"]): r["dtw_cost"]
+           for r in dtw_pairs(df, "k", "i", "v", band=1).collect()}
+    assert set(out) == {("a", "b"), ("a", "c"), ("b", "c")}
+    assert out[("a", "b")] == 0
+    assert out[("a", "c")] == out[("b", "c")] > 0
+
+
+def test_dtw_pairs_sorts_by_order_col(spark):
+    # rows arrive shuffled; the fold must order by i before the DP
+    rows = [("a", 2, 3), ("a", 0, 1), ("a", 1, 2),
+            ("b", 1, 2), ("b", 0, 1), ("b", 2, 3)]
+    df = spark.createDataFrame(rows, ["k", "i", "v"])
+    out = dtw_pairs(df, "k", "i", "v", band=1).collect()
+    assert out[0]["dtw_cost"] == 0
+
+
+def test_max_points_guard(spark):
+    rows = [("a", i, i) for i in range(10)] + [("b", i, i) for i in range(10)]
+    df = spark.createDataFrame(rows, ["k", "i", "v"])
+    with pytest.raises(Exception, match="max_points"):
+        dtw_pairs(df, "k", "i", "v", band=1, max_points=5).collect()

@@ -717,3 +717,22 @@ def test_expired_tier_served_from_integer_archive(spark, tmp_path_factory):
 
     with _pytest.raises(InfluxQLError, match="no committed"):
         eng.execute("SELECT min(value) FROM pages GROUP BY time(5m), metric")
+
+
+def test_forecast_linear_inner_agg_tier_served(built):
+    """forecast_linear desugars its inner aggregate through _run, so a
+    registered tiered measurement serves the fit series from the rollup
+    tier (plan shows the tier table), and the forecast matches the raw
+    engine bit-for-bit (exact-integer normal equations both ways)."""
+    points, cat = built
+    raw, tiered = _engines(points, cat)
+    q = (
+        "SELECT forecast_linear(count(value), 4) AS fc "
+        "FROM pages GROUP BY time(4h), metric"
+    )
+    df = tiered.execute(q)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "rollup_1h" in plan
+    want = {(r["time"], r["metric"]): r["fc"] for r in raw.execute(q).collect()}
+    got = {(r["time"], r["metric"]): r["fc"] for r in df.collect()}
+    assert got == want and len(got) > 0
