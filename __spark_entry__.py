@@ -102,6 +102,51 @@ def _q_rollup_1h_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rollup_out(t1h)
 
 
+def _q_ohlc_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candlestick tier VALUE-oracled (rollup.rollup_ohlc): open/close
+    are argmin/argmax by time with a value tie-break (one total order both
+    engines can replay), high/low plain extremes — all existing values, no
+    arithmetic, so every column hash-matches bit-for-bit."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    import influxer_spark.operators.rollup as R
+
+    return R.rollup_ohlc(ev, "ts", ["event_type"], "value", "1h")
+
+
+def _q_ohlc_1d_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC cascade exactness VALUE-oracled: raw→1m candlesticks cascaded
+    to 1d (rollup.cascade_ohlc — coarse open/close taken from the
+    earliest/latest finer bucket) must equal the direct raw→1d
+    computation, which is what the oracle replays."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    import influxer_spark.operators.rollup as R
+
+    t1m = R.rollup_ohlc(ev, "ts", ["event_type"], "value", "1m")
+    return R.cascade_ohlc(t1m, ["event_type"], "1d")
+
+
+def _ohlc_oracle(unit: str) -> str:
+    return f"""
+WITH x AS (
+  SELECT event_type, date_trunc('{unit}', ts) AS bucket, ts, value
+  FROM events WHERE value IS NOT NULL
+), r AS (
+  SELECT event_type, bucket, value,
+    row_number() OVER (PARTITION BY event_type, bucket
+                       ORDER BY ts, value) AS rn_a,
+    row_number() OVER (PARTITION BY event_type, bucket
+                       ORDER BY ts DESC, value DESC) AS rn_z
+  FROM x
+)
+SELECT event_type, bucket,
+  max(CASE WHEN rn_a = 1 THEN value END) AS open_v,
+  max(value) AS high_v, min(value) AS low_v,
+  max(CASE WHEN rn_z = 1 THEN value END) AS close_v,
+  count(*) AS cnt
+FROM r GROUP BY 1, 2
+"""
+
+
 def _q_rollup_1d_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     tiers = R.rollup_cascade_all(ev, "ts", ["event_type"], "value")
@@ -3071,6 +3116,8 @@ _WINDOW_PRIORITY = [
     "influxql_forecast_linear",
     "schema_evolution_read",
     "partition_evolution_read",
+    "ohlc_1h",
+    "ohlc_1d_cascade",
 ]
 
 # Rows-only queries (genuinely non-SQL-expressible internals) — always last.
@@ -3135,6 +3182,8 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_1m": _q_rollup_1m,
         "rollup_1h_cascade": _q_rollup_1h_cascade,
         "rollup_1d_cascade": _q_rollup_1d_cascade,
+        "ohlc_1h": _q_ohlc_1h,
+        "ohlc_1d_cascade": _q_ohlc_1d_cascade,
         "rollup_1m_salted": _q_rollup_1m_salted,
         "sketch_distinct_tiers": _q_sketch_distinct_tiers,
         "hist_quantile_1h": _q_hist_quantile_1h,
@@ -3348,6 +3397,8 @@ def oracle_sql() -> dict[str, str]:
             "FROM events GROUP BY 1, 2"
         ),
         "rollup_1d_cascade": _ROLLUP_SELECT.format(unit="day"),
+        "ohlc_1h": _ohlc_oracle("hour"),
+        "ohlc_1d_cascade": _ohlc_oracle("day"),
         "rollup_1m_salted": _ROLLUP_SELECT.format(unit="minute"),
         # the stitched mixed-tier union must equal the raw 90m rollup
         "stitched_rollup_90m": (

@@ -761,3 +761,74 @@ def topn_with_other(
         )
     )
     return kept.unionByName(other)
+
+
+# ---------------------------------------------------------------------------
+# OHLC (candlestick) tiers
+# ---------------------------------------------------------------------------
+
+
+def rollup_ohlc(
+    df: DataFrame,
+    ts_col: str,
+    key_cols: Sequence[str],
+    value_col: str,
+    tier: str = "1m",
+) -> DataFrame:
+    """Raw points → OHLC candlesticks per (bucket, keys): the open / high /
+    low / close summary every metrics dashboard and financial rollup keeps
+    beside count/sum/min/max — and, like them, an ALGEBRAIC summary that
+    cascades exactly (``cascade_ohlc``), so the continuous-aggregate tiers
+    can serve candlestick panels at any width without touching raw data.
+
+    Determinism discipline: open/close are argmin/argmax BY TIME, and
+    equal-timestamp duplicates tie-break by value (open takes the smaller,
+    close the larger) via lexicographic struct min/max — one total order,
+    so raw→1d direct and raw→1m→1d cascaded produce identical bits and the
+    SQL oracle can replay the same order.  NULL values contribute nothing
+    (same contract as ``rollup``; Influxer skips blank cells,
+    Influxer/GenericFile.cs:81).
+
+    Plan shape: one partial-aggregated groupBy (struct min/max combine
+    map-side like any min/max) — no window, no shuffle beyond the one
+    aggregation.
+    """
+    unit = _trunc_unit(tier)
+    bucket = F.date_trunc(unit, F.col(ts_col)).alias("bucket")
+    v = F.col(value_col)
+    tv = F.when(v.isNotNull(), F.struct(F.col(ts_col).alias("t"), v.alias("v")))
+    return (
+        df.groupBy(bucket, *[F.col(k) for k in key_cols])
+        .agg(
+            F.min(tv).getField("v").alias("open_v"),
+            F.max(v).alias("high_v"),
+            F.min(v).alias("low_v"),
+            F.max(tv).getField("v").alias("close_v"),
+            F.count(v).alias("cnt"),
+        )
+    )
+
+
+def cascade_ohlc(
+    rolled: DataFrame, key_cols: Sequence[str], tier: str
+) -> DataFrame:
+    """Re-aggregate a finer OHLC tier into ``tier`` — exact: the coarse open
+    is the open of the earliest finer bucket (unique per group, so no tie
+    exists that the raw computation would break differently), high/low are
+    max/min, close is the close of the latest finer bucket."""
+    unit = _trunc_unit(tier)
+    o = F.struct(F.col("bucket").alias("t"), F.col("open_v").alias("v"))
+    c = F.struct(F.col("bucket").alias("t"), F.col("close_v").alias("v"))
+    return (
+        rolled.groupBy(
+            F.date_trunc(unit, F.col("bucket")).alias("bucket"),
+            *[F.col(k) for k in key_cols],
+        )
+        .agg(
+            F.min(o).getField("v").alias("open_v"),
+            F.max("high_v").alias("high_v"),
+            F.min("low_v").alias("low_v"),
+            F.max(c).getField("v").alias("close_v"),
+            F.sum("cnt").alias("cnt"),
+        )
+    )

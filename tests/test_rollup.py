@@ -249,3 +249,70 @@ def test_topn_with_other_tie_breaks_by_key(spark):
     out = topn_with_other(df, "k", "bucket", "v", 2).collect()
     assert {r["series"] for r in out if not r["is_other"]} == {"a", "b"}
     assert [r["value"] for r in out if r["is_other"]] == [10]
+
+
+# ---------------------------------------------------------------------------
+# OHLC candlestick tiers
+# ---------------------------------------------------------------------------
+
+
+def _ohlc_rows(spark, rows):
+    return spark.createDataFrame(rows, ["k", "ts", "v"]).withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+
+
+def test_ohlc_basic_open_close_by_time(spark):
+    df = _ohlc_rows(spark, [
+        ("a", "2024-01-01T10:05:00", 5.0),
+        ("a", "2024-01-01T10:01:00", 3.0),   # earliest → open
+        ("a", "2024-01-01T10:59:00", 7.0),   # latest → close
+        ("a", "2024-01-01T10:30:00", 1.0),   # low
+    ])
+    r = R.rollup_ohlc(df, "ts", ["k"], "v", "1h").collect()[0]
+    assert (r["open_v"], r["high_v"], r["low_v"], r["close_v"], r["cnt"]) == (
+        3.0, 7.0, 1.0, 7.0, 4)
+
+
+def test_ohlc_equal_ts_tiebreak_deterministic(spark):
+    # two points share the bucket-edge timestamps: open takes the SMALLER
+    # value, close the LARGER — the documented total order
+    df = _ohlc_rows(spark, [
+        ("a", "2024-01-01T10:00:00", 9.0),
+        ("a", "2024-01-01T10:00:00", 2.0),
+        ("a", "2024-01-01T10:59:00", 4.0),
+        ("a", "2024-01-01T10:59:00", 8.0),
+    ])
+    r = R.rollup_ohlc(df, "ts", ["k"], "v", "1h").collect()[0]
+    assert r["open_v"] == 2.0 and r["close_v"] == 8.0
+
+
+def test_ohlc_nulls_contribute_nothing(spark):
+    df = _ohlc_rows(spark, [
+        ("a", "2024-01-01T10:00:00", None),
+        ("a", "2024-01-01T10:30:00", 5.0),
+    ])
+    r = R.rollup_ohlc(df, "ts", ["k"], "v", "1h").collect()[0]
+    assert (r["open_v"], r["close_v"], r["cnt"]) == (5.0, 5.0, 1)
+
+
+def test_ohlc_cascade_equals_direct(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(17)
+    rows = []
+    for k in ("a", "b"):
+        for i in range(500):
+            ts = f"2024-01-0{1 + i % 3}T{i % 24:02d}:{i % 60:02d}:{(7 * i) % 60:02d}"
+            rows.append((k, ts, float(rng.integers(-50, 50))))
+    df = _ohlc_rows(spark, rows)
+    direct = R.rollup_ohlc(df, "ts", ["k"], "v", "1d")
+    cascaded = R.cascade_ohlc(
+        R.rollup_ohlc(df, "ts", ["k"], "v", "1m"), ["k"], "1d"
+    )
+    key = lambda r: (r["k"], r["bucket"])  # noqa: E731
+    want = {key(r): (r["open_v"], r["high_v"], r["low_v"], r["close_v"],
+                     r["cnt"]) for r in direct.collect()}
+    got = {key(r): (r["open_v"], r["high_v"], r["low_v"], r["close_v"],
+                    r["cnt"]) for r in cascaded.collect()}
+    assert got == want and len(got) == 6
