@@ -131,7 +131,7 @@ WITH x AS (
   SELECT event_type, date_trunc('{unit}', ts) AS bucket, ts, value
   FROM events WHERE value IS NOT NULL
 ), r AS (
-  SELECT event_type, bucket, value,
+  SELECT event_type, bucket, ts, value,
     row_number() OVER (PARTITION BY event_type, bucket
                        ORDER BY ts, value) AS rn_a,
     row_number() OVER (PARTITION BY event_type, bucket
@@ -139,8 +139,10 @@ WITH x AS (
   FROM x
 )
 SELECT event_type, bucket,
+  max(CASE WHEN rn_a = 1 THEN ts END) AS open_t,
   max(CASE WHEN rn_a = 1 THEN value END) AS open_v,
   max(value) AS high_v, min(value) AS low_v,
+  max(CASE WHEN rn_z = 1 THEN ts END) AS close_t,
   max(CASE WHEN rn_z = 1 THEN value END) AS close_v,
   count(*) AS cnt
 FROM r GROUP BY 1, 2
@@ -904,6 +906,62 @@ def _q_hdr_tier_read_4h(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_percentile(
         spark, cat, 4 * 3600, (0.5, 0.95, 0.99), key_cols=("event_type",)
     ).select("event_type", "bucket", "n", "q50", "q95", "q99")
+
+
+def _q_ohlc_tier_read_4h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end tier-served candlesticks: materialize ohlc_1m/1h/1d in a
+    scratch catalog (rollup.build_ohlc_tiers), register the measurement
+    tiered with ohlc=True, and answer a 4h first/max/min/last/count panel
+    through the string front-end — served from the 1h candlestick tier
+    (plan-asserted in tests/test_influxql_tiered.py).  The oracle computes
+    the same 4h OHLC directly from raw in SQL; every output is an existing
+    value (argmin/argmax by time, value tie-break), so the whole
+    materialize→commit→tier-read path hash-matches bit-for-bit."""
+    import tempfile
+
+    from influxer_spark.catalog import TableCatalog
+    from influxer_spark.influxql_frontend import InfluxQLEngine
+    from influxer_spark.operators import rollup as _R
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    cat = TableCatalog(tempfile.mkdtemp(prefix="ohlc_tier_gate_"))
+    _R.build_ohlc_tiers(spark, cat, ev, "ts", ["event_type"], "value")
+    eng = InfluxQLEngine({"events": ev}, ts_col="ts")
+    eng.register_tiered(
+        "events", cat, key_cols=("event_type",), value_field="value",
+        ohlc=True,
+    )
+    out = eng.execute(
+        "SELECT first(value) AS open_v, max(value) AS high_v,"
+        " min(value) AS low_v, last(value) AS close_v,"
+        " count(value) AS cnt"
+        " FROM events GROUP BY time(4h), event_type"
+    )
+    return out.withColumnRenamed("time", "bucket")
+
+
+_OHLC_TIER_4H_ORACLE = """
+WITH x AS (
+  SELECT event_type,
+         make_timestamp((CAST(floor(epoch(ts)) AS BIGINT)
+           - CAST(floor(epoch(ts)) AS BIGINT) % 14400) * 1000000) AS bucket,
+         ts, value
+  FROM events WHERE value IS NOT NULL
+), r AS (
+  SELECT event_type, bucket, value,
+    row_number() OVER (PARTITION BY event_type, bucket
+                       ORDER BY ts, value) AS rn_a,
+    row_number() OVER (PARTITION BY event_type, bucket
+                       ORDER BY ts DESC, value DESC) AS rn_z
+  FROM x
+)
+SELECT bucket, event_type,
+  max(CASE WHEN rn_a = 1 THEN value END) AS open_v,
+  max(value) AS high_v, min(value) AS low_v,
+  max(CASE WHEN rn_z = 1 THEN value END) AS close_v,
+  count(*) AS cnt
+FROM r GROUP BY 1, 2
+"""
 
 
 def _q_twa_1h_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3118,6 +3176,7 @@ _WINDOW_PRIORITY = [
     "partition_evolution_read",
     "ohlc_1h",
     "ohlc_1d_cascade",
+    "ohlc_tier_read_4h",
 ]
 
 # Rows-only queries (genuinely non-SQL-expressible internals) — always last.
@@ -3184,6 +3243,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_1d_cascade": _q_rollup_1d_cascade,
         "ohlc_1h": _q_ohlc_1h,
         "ohlc_1d_cascade": _q_ohlc_1d_cascade,
+        "ohlc_tier_read_4h": _q_ohlc_tier_read_4h,
         "rollup_1m_salted": _q_rollup_1m_salted,
         "sketch_distinct_tiers": _q_sketch_distinct_tiers,
         "hist_quantile_1h": _q_hist_quantile_1h,
@@ -3399,6 +3459,7 @@ def oracle_sql() -> dict[str, str]:
         "rollup_1d_cascade": _ROLLUP_SELECT.format(unit="day"),
         "ohlc_1h": _ohlc_oracle("hour"),
         "ohlc_1d_cascade": _ohlc_oracle("day"),
+        "ohlc_tier_read_4h": _OHLC_TIER_4H_ORACLE,
         "rollup_1m_salted": _ROLLUP_SELECT.format(unit="minute"),
         # the stitched mixed-tier union must equal the raw 90m rollup
         "stitched_rollup_90m": (

@@ -1611,6 +1611,7 @@ class InfluxQLEngine:
         kmv_item_col: str | None = None,
         sumsq: bool = False,
         hdr: bool = False,
+        ohlc: bool = False,
         as_of: int | str | None = None,
     ) -> None:
         """Serve this measurement's ``GROUP BY time(w)`` aggregate queries
@@ -1664,6 +1665,17 @@ class InfluxQLEngine:
         configured the exact-cell histogram path wins (no behavior change
         for existing catalogs).  Served only for hour-multiple widths and
         percentile-only statements; anything else falls back.
+
+        ``ohlc=True`` (requires ``ohlc_1m/1h/1d`` candlestick tiers, see
+        ``operators/rollup.py:build_ohlc_tiers``) opts ``first()``/
+        ``last()`` into tier serving: the coarse open/close are taken from
+        the earliest/latest finer bucket (argmin/argmax by time with a
+        value tie-break — the SAME total order the raw path's
+        struct-min/max uses, so tier and raw answers are identical bits).
+        Companions in the same statement are limited to count/min/max/
+        spread (all on the ohlc table); sum/mean/stddev/percentile live
+        on other tables and force the raw path rather than mix sources.
+        The real-time raw tail composes exactly (OHLC is algebraic).
         """
         # as_of: serve every tier read from that snapshot / tag / branch
         # (Iceberg time travel through the dashboard — "the metrics as of
@@ -1678,6 +1690,7 @@ class InfluxQLEngine:
             "kmv_item_col": kmv_item_col,
             "sumsq": bool(sumsq),
             "hdr": bool(hdr),
+            "ohlc": bool(ohlc),
             "as_of": as_of,
         }
 
@@ -1760,8 +1773,24 @@ class InfluxQLEngine:
             {"percentile", "median"}
             if (cfg["hist_bounds"] or use_hdr)
             else set()
-        ) | ({"stddev"} if cfg.get("sumsq") else set())
+        ) | ({"stddev"} if cfg.get("sumsq") else set()) | (
+            {"first", "last"} if cfg.get("ohlc") else set()
+        )
         has_sd = any(c.fname == "stddev" for c in aggish)
+        has_fl = any(c.fname in ("first", "last") for c in aggish)
+        if has_fl:
+            # a first/last statement is served whole from the ohlc tier;
+            # sum/mean/stddev/percentile live on other tables — mixing
+            # sources would forfeit single-read exactness, so fall back
+            if not all(
+                c.fname in ("first", "last", "count", "min", "max", "spread")
+                for c in aggish
+            ):
+                return False
+            from influxer_spark import query as _qapi
+
+            if not cfg["catalog"].exists(f"ohlc_{_qapi.select_tier(w)}"):
+                return False
         if has_sd:
             # A stddev statement is served whole from the power-sum tier:
             # histogram cells live on a different table, and a float raw
@@ -1880,9 +1909,18 @@ class InfluxQLEngine:
             c.fname in ("percentile", "median") for c in agg_calls.values()
         )
         has_sd = any(c.fname == "stddev" for c in agg_calls.values())
-        # stddev routes to the power-sum tables (exact integer S1/S2);
-        # everything else keeps the float rollup tables untouched
-        table = f"sumsq_{tier}" if has_sd else f"rollup_{tier}"
+        has_fl = any(
+            c.fname in ("first", "last") for c in agg_calls.values()
+        )
+        # stddev routes to the power-sum tables (exact integer S1/S2),
+        # first/last to the candlestick tables; everything else keeps the
+        # float rollup tables untouched
+        if has_fl:
+            table = f"ohlc_{tier}"
+        elif has_sd:
+            table = f"sumsq_{tier}"
+        else:
+            table = f"rollup_{tier}"
         if has_hist and not cfg["hist_bounds"] and cfg.get("hdr"):
             # bounds-free percentiles from the log-linear sketch tiers
             # (percentile-only statements — enforced by _tiered_answerable)
@@ -1902,7 +1940,7 @@ class InfluxQLEngine:
         # falls back to the single-tier path.
         aso = cfg.get("as_of")
         df = None
-        if not has_hist and not has_sd and aso is None and (
+        if not has_hist and not has_sd and not has_fl and aso is None and (
             (tier == "1m" and w > 3600) or (tier == "1h" and w > 86400)
         ):
             try:
@@ -1950,7 +1988,9 @@ class InfluxQLEngine:
         # only: histogram quantiles keep tier-only serving (their cells
         # exist only in materialized tiers).
         raw = self.tables.get(stmt.measurement)
-        wm = _qapi.tier_watermark(cat, tier)
+        wm = _qapi.tier_watermark(
+            cat, tier, family="ohlc" if has_fl else "rollup"
+        )
         if raw is not None and not has_hist and not has_sd and aso is None and (
             wm is None or end is None or end > wm
         ):
@@ -1963,19 +2003,35 @@ class InfluxQLEngine:
                 tail = tail.filter(F.col(self.ts_col) < F.lit(end))
             if stmt.where is not None:
                 tail = tail.filter(self._cond(stmt.where))
-            from influxer_spark.operators.rollup import rollup_width as _rw
+            if has_fl:
+                # OHLC is algebraic: a raw tail rolled to candlesticks at
+                # tier width merges exactly under the cascade's struct order
+                from influxer_spark.operators.rollup import (
+                    rollup_ohlc as _ro,
+                )
 
-            tail_p = _rw(
-                tail, self.ts_col, list(cfg["key_cols"]),
-                cfg["value_field"], _qapi.TIER_SECONDS[tier],
-            )
-            narrow = ["bucket", *cfg["key_cols"],
-                      "cnt", "sum_v", "min_v", "max_v"]
+                tail_p = _ro(
+                    tail.filter(F.col(cfg["value_field"]).isNotNull()),
+                    self.ts_col, list(cfg["key_cols"]),
+                    cfg["value_field"], tier,
+                )
+                narrow = ["bucket", *cfg["key_cols"],
+                          "open_t", "open_v", "high_v", "low_v",
+                          "close_t", "close_v", "cnt"]
+            else:
+                from influxer_spark.operators.rollup import rollup_width as _rw
+
+                tail_p = _rw(
+                    tail, self.ts_col, list(cfg["key_cols"]),
+                    cfg["value_field"], _qapi.TIER_SECONDS[tier],
+                )
+                narrow = ["bucket", *cfg["key_cols"],
+                          "cnt", "sum_v", "min_v", "max_v"]
             df = (
                 tail_p.select(narrow) if df is None
                 else df.select(narrow).unionByName(tail_p.select(narrow))
             )
-        if df is None:
+        if df is None and not has_fl:
             df = self._archive_fallback(cfg, stmt, agg_calls, start, end)
         if df is None:
             raise InfluxQLError(f"no committed {table} partitions in range")
@@ -1995,6 +2051,23 @@ class InfluxQLEngine:
                 "max": F.max("max_v"),
                 "spread": F.max("max_v") - F.min("min_v"),
                 "stddev": F.when(_n > 1, F.sqrt(_var_c2) / F.lit(100.0)),
+            }
+        elif has_fl:
+            # candlestick frame: open/close merge by their ORIGINAL
+            # timestamps (open_t/close_t) — the same struct total order
+            # the raw path's first()/last() uses, so tier == raw
+            # bit-for-bit even when the panel's tags collapse many series
+            _o = F.struct(F.col("open_t").alias("t"),
+                          F.col("open_v").alias("v"))
+            _c = F.struct(F.col("close_t").alias("t"),
+                          F.col("close_v").alias("v"))
+            combine = {
+                "count": F.sum("cnt").cast("long"),
+                "min": F.min("low_v"),
+                "max": F.max("high_v"),
+                "spread": F.max("high_v") - F.min("low_v"),
+                "first": F.min(_o).getField("v"),
+                "last": F.max(_c).getField("v"),
             }
         else:
             combine = {

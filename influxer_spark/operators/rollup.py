@@ -800,11 +800,22 @@ def rollup_ohlc(
     return (
         df.groupBy(bucket, *[F.col(k) for k in key_cols])
         .agg(
-            F.min(tv).getField("v").alias("open_v"),
+            F.min(tv).alias("_o"),
             F.max(v).alias("high_v"),
             F.min(v).alias("low_v"),
-            F.max(tv).getField("v").alias("close_v"),
+            F.max(tv).alias("_c"),
             F.count(v).alias("cnt"),
+        )
+        .select(
+            "bucket",
+            *key_cols,
+            F.col("_o").getField("t").alias("open_t"),
+            F.col("_o").getField("v").alias("open_v"),
+            "high_v",
+            "low_v",
+            F.col("_c").getField("t").alias("close_t"),
+            F.col("_c").getField("v").alias("close_v"),
+            "cnt",
         )
     )
 
@@ -812,23 +823,78 @@ def rollup_ohlc(
 def cascade_ohlc(
     rolled: DataFrame, key_cols: Sequence[str], tier: str
 ) -> DataFrame:
-    """Re-aggregate a finer OHLC tier into ``tier`` — exact: the coarse open
-    is the open of the earliest finer bucket (unique per group, so no tie
-    exists that the raw computation would break differently), high/low are
-    max/min, close is the close of the latest finer bucket."""
+    """Re-aggregate a finer OHLC tier into ``tier`` — exact: open/close
+    carry their ORIGINAL timestamps (``open_t``/``close_t``), so the merge
+    replays the raw total order even when the re-group collapses MULTIPLE
+    series into one group (a coarse-tag dashboard panel) — bucket-order
+    alone could not arbitrate two series' points inside one finer bucket.
+    High/low are plain extremes; counts sum."""
     unit = _trunc_unit(tier)
-    o = F.struct(F.col("bucket").alias("t"), F.col("open_v").alias("v"))
-    c = F.struct(F.col("bucket").alias("t"), F.col("close_v").alias("v"))
+    o = F.struct(F.col("open_t").alias("t"), F.col("open_v").alias("v"))
+    c = F.struct(F.col("close_t").alias("t"), F.col("close_v").alias("v"))
     return (
         rolled.groupBy(
             F.date_trunc(unit, F.col("bucket")).alias("bucket"),
             *[F.col(k) for k in key_cols],
         )
         .agg(
-            F.min(o).getField("v").alias("open_v"),
+            F.min(o).alias("_o"),
             F.max("high_v").alias("high_v"),
             F.min("low_v").alias("low_v"),
-            F.max(c).getField("v").alias("close_v"),
+            F.max(c).alias("_c"),
             F.sum("cnt").alias("cnt"),
         )
+        .select(
+            "bucket",
+            *key_cols,
+            F.col("_o").getField("t").alias("open_t"),
+            F.col("_o").getField("v").alias("open_v"),
+            "high_v",
+            "low_v",
+            F.col("_c").getField("t").alias("close_t"),
+            F.col("_c").getField("v").alias("close_v"),
+            "cnt",
+        )
     )
+
+
+def build_ohlc_tiers(
+    spark,
+    catalog,
+    df: DataFrame,
+    ts_col: str,
+    key_cols: Sequence[str],
+    value_col: str,
+) -> list[str]:
+    """Materialize ``ohlc_1m/1h/1d`` candlestick tiers in the catalog
+    (per-day partitions, wave commit — same layout as the rollup tiers),
+    coarser tiers CASCADED so only the 1m build touches raw points.  Kept
+    as separate tables like ``sumsq_*``/``kmv_*``/``hdr_*``, so opting a
+    catalog into tier-served first()/last() never perturbs the committed
+    rollup schema.  Returns the committed day list."""
+    keys = list(key_cols)
+    t1m = rollup_ohlc(df, ts_col, keys, value_col, "1m").withColumn(
+        "day", F.date_format("bucket", "yyyy-MM-dd")
+    )
+    t1m.persist()
+    try:
+        days = [r["day"] for r in t1m.select("day").distinct().collect()]
+        catalog.write_partitions(t1m, "ohlc_1m", days)
+        t1h = cascade_ohlc(t1m.drop("day"), keys, "1h").withColumn(
+            "day", F.date_format("bucket", "yyyy-MM-dd")
+        )
+        t1h.persist()
+        try:
+            catalog.write_partitions(t1h, "ohlc_1h", days)
+            t1d = cascade_ohlc(t1h.drop("day"), keys, "1d").withColumn(
+                "day", F.date_format("bucket", "yyyy-MM-dd")
+            )
+            catalog.write_partitions(t1d, "ohlc_1d", days)
+        finally:
+            t1h.unpersist()
+    finally:
+        t1m.unpersist()
+    for t in ("ohlc_1m", "ohlc_1h", "ohlc_1d"):
+        catalog.set_table_property(t, "ohlc_value_col", value_col)
+        catalog.set_table_property(t, "ohlc_key_cols", keys)
+    return sorted(days)

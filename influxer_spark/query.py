@@ -552,13 +552,15 @@ def read_percentile(
 
 
 def tier_watermark(
-    catalog: TableCatalog, tier: str = "1m"
+    catalog: TableCatalog, tier: str = "1m", family: str = "rollup"
 ) -> dt.datetime | None:
     """First instant NOT covered by the tier's committed day partitions:
     midnight after the newest committed day (None when nothing committed).
     Day holes BEFORE the watermark are refresh's job (operators/refresh.py),
-    not the read path's."""
-    parts = catalog.committed_partitions(f"rollup_{tier}")
+    not the read path's.  ``family`` selects the tier table family (the
+    candlestick serving path watermarks off ``ohlc_*``, not ``rollup_*`` —
+    a catalog may materialize one without the other)."""
+    parts = catalog.committed_partitions(f"{family}_{tier}")
     if not parts:
         return None
     return dt.datetime.fromisoformat(max(parts)) + dt.timedelta(days=1)

@@ -736,3 +736,100 @@ def test_forecast_linear_inner_agg_tier_served(built):
     want = {(r["time"], r["metric"]): r["fc"] for r in raw.execute(q).collect()}
     got = {(r["time"], r["metric"]): r["fc"] for r in df.collect()}
     assert got == want and len(got) > 0
+
+
+@pytest.fixture(scope="module")
+def built_ohlc(built, spark):
+    from influxer_spark.operators.rollup import build_ohlc_tiers
+
+    points, cat = built
+    build_ohlc_tiers(spark, cat, points, "warc_ts", ["url", "metric"], "value")
+    return points, cat
+
+
+def _ohlc_engines(points, cat):
+    raw = InfluxQLEngine({"pages": points}, ts_col="warc_ts")
+    tiered = InfluxQLEngine({"pages": points}, ts_col="warc_ts")
+    tiered.register_tiered(
+        "pages", cat, key_cols=("url", "metric"), ohlc=True
+    )
+    return raw, tiered
+
+
+def test_first_last_tier_served_matches_raw(built_ohlc):
+    points, cat = built_ohlc
+    raw, tiered = _ohlc_engines(points, cat)
+    q = (
+        "SELECT first(value) AS o, max(value) AS h, min(value) AS l,"
+        " last(value) AS c, count(value) AS n "
+        "FROM pages GROUP BY time(4h), metric"
+    )
+    want = {tuple(r[:2]): tuple(r[2:]) for r in raw.execute(q).collect()}
+    got = {tuple(r[:2]): tuple(r[2:]) for r in tiered.execute(q).collect()}
+    assert got == want and len(got) > 10
+
+
+def test_first_last_reads_ohlc_tier_not_raw(built_ohlc):
+    points, cat = built_ohlc
+    _, tiered = _ohlc_engines(points, cat)
+    df = tiered.execute(
+        "SELECT first(value), last(value) FROM pages GROUP BY time(4h), metric"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ohlc_1h" in plan
+
+
+def test_first_last_with_sum_falls_back_to_raw(built_ohlc):
+    # sum lives on the rollup table, first/last on the ohlc table — a
+    # mixed statement must serve from raw, not stitch two tier sources
+    points, cat = built_ohlc
+    raw, tiered = _ohlc_engines(points, cat)
+    q = (
+        "SELECT first(value) AS o, sum(value) AS s "
+        "FROM pages GROUP BY time(4h), metric"
+    )
+    df = tiered.execute(q)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ohlc_1h" not in plan and "rollup_1h" not in plan
+    want = {tuple(r[:2]): tuple(r[2:]) for r in raw.execute(q).collect()}
+    got = {tuple(r[:2]): tuple(r[2:]) for r in df.collect()}
+    assert got == want
+
+
+def test_first_last_without_ohlc_flag_falls_back(built_ohlc):
+    points, cat = built_ohlc
+    eng = InfluxQLEngine({"pages": points}, ts_col="warc_ts")
+    eng.register_tiered("pages", cat, key_cols=("url", "metric"))  # no ohlc
+    df = eng.execute(
+        "SELECT first(value) FROM pages GROUP BY time(4h), metric"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ohlc_1h" not in plan
+
+
+def test_first_last_realtime_tail_composes_exactly(built, spark,
+                                                   tmp_path_factory):
+    # OHLC tiers committed for the FIRST day only; the raw tail (the other
+    # days) must union in exactly — candlesticks are algebraic, so
+    # tier+tail equals the raw answer bit-for-bit
+    from influxer_spark.operators.rollup import build_ohlc_tiers
+
+    points, _ = built
+    day0 = points.select(F.min(F.to_date("warc_ts"))).collect()[0][0]
+    head = points.filter(F.to_date("warc_ts") == F.lit(day0))
+    cat2 = TableCatalog(str(tmp_path_factory.mktemp("ohlc_tail") / "c"))
+    build_ohlc_tiers(spark, cat2, head, "warc_ts", ["url", "metric"], "value")
+    raw = InfluxQLEngine({"pages": points}, ts_col="warc_ts")
+    tiered = InfluxQLEngine({"pages": points}, ts_col="warc_ts")
+    tiered.register_tiered("pages", cat2, key_cols=("url", "metric"),
+                           ohlc=True)
+    q = (
+        "SELECT first(value) AS o, last(value) AS c, count(value) AS n "
+        "FROM pages GROUP BY time(4h), metric"
+    )
+    df = tiered.execute(q)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ohlc_1h" in plan  # history really is tier-served
+    want = {tuple(r[:2]): tuple(r[2:]) for r in raw.execute(q).collect()}
+    got = {tuple(r[:2]): tuple(r[2:]) for r in df.collect()}
+    assert got == want
