@@ -401,7 +401,11 @@ def main(argv: list[str] | None = None) -> int:
         }
         tables = [
             t for t in ("raw_points", "rollup_1m", "rollup_1m_gorilla",
-                        "rollup_1m_counts", "rollup_1h", "rollup_1d")
+                        "rollup_1m_counts", "rollup_1h", "rollup_1d",
+                        # auxiliary tier families accrue snapshots too
+                        "sumsq_1m", "sumsq_1h", "sumsq_1d",
+                        "ohlc_1m", "ohlc_1h", "ohlc_1d",
+                        "kmv_1h", "kmv_1d", "hdr_1h", "hdr_1d")
             if cat.exists(t)
         ]
         compacted: dict[str, int] = {}
