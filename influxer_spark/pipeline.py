@@ -545,6 +545,23 @@ def refresh_pipeline(
                     spark, catalog, pages_to_points(wide), "warc_ts",
                     list(skeys), vcol,
                 )
+        # Candlestick tiers: stale open/close for a recomputed day would
+        # silently skew tier-served first()/last() — same pinned-input
+        # rebuild contract as the families above.
+        if catalog.exists("ohlc_1m"):
+            vcol = catalog.table_property("ohlc_1m", "ohlc_value_col")
+            okeys = catalog.table_property("ohlc_1m", "ohlc_key_cols")
+            if vcol and okeys:
+                from influxer_spark.extract import pages_to_points
+                from influxer_spark.operators.rollup import build_ohlc_tiers
+
+                wide = catalog.read_partitions_with_key(
+                    spark, "raw_points", recompute
+                ).drop("p")
+                build_ohlc_tiers(
+                    spark, catalog, pages_to_points(wide), "warc_ts",
+                    list(okeys), vcol,
+                )
     if orphaned:
         days = sorted(orphaned)
         for table in (
@@ -552,6 +569,7 @@ def refresh_pipeline(
             "rollup_1m_counts",
             "rollup_1h", "rollup_1d", "kmv_1h", "kmv_1d",
             "hdr_1h", "hdr_1d", "sumsq_1m", "sumsq_1h", "sumsq_1d",
+            "ohlc_1m", "ohlc_1h", "ohlc_1d",
         ):
             # one snapshot per TABLE, not per (table, day)
             catalog.drop_partitions(

@@ -372,3 +372,52 @@ def test_read_rollup_as_of_pre_refresh_snapshot(spark, events, tmp_path):
     assert now_rows == _tier_rows(_direct_1h(events))
     assert old_rows == _tier_rows(_direct_1h(initial))
     assert old_rows != now_rows
+
+
+def test_refresh_rebuilds_ohlc_tiers(spark, tmp_path):
+    """Candlestick tiers must be rebuilt for refreshed days — stale
+    open/close would silently skew tier-served first()/last().  Every
+    column is an existing value or timestamp selected by one total order,
+    so refreshed == from-scratch bit-for-bit."""
+    from influxer_spark.datagen import generate_pages
+    from influxer_spark.extract import (
+        pages_to_points,
+        with_crawl_metrics,
+        with_extracted,
+    )
+    from influxer_spark.operators.rollup import build_ohlc_tiers
+    from influxer_spark.pipeline import refresh_pipeline, run_pipeline
+
+    src = str(tmp_path / "pg")
+    generate_pages(src, n_rows=700, seed=65, days=2)
+    late = generate_pages(str(tmp_path / "late"), n_rows=300, seed=66, days=2)
+
+    def _points(path):
+        return pages_to_points(
+            with_crawl_metrics(with_extracted(spark.read.parquet(path)))
+        )
+
+    root = str(tmp_path / "cat")
+    run_pipeline(spark, src, root, encode_gorilla=False)
+    cat = TableCatalog(root)
+    build_ohlc_tiers(spark, cat, _points(src), "warc_ts", ["metric"], "value")
+
+    shutil.copy(late, f"{src}/late.parquet")
+    res = refresh_pipeline(spark, src, root)
+    assert res.days_processed
+
+    fresh_root = str(tmp_path / "fresh")
+    run_pipeline(spark, src, fresh_root, encode_gorilla=False)
+    fresh = TableCatalog(fresh_root)
+    build_ohlc_tiers(
+        spark, fresh, _points(src), "warc_ts", ["metric"], "value"
+    )
+
+    def _candles(c):
+        return sorted(
+            (r["bucket"], r["metric"], r["open_t"], r["open_v"], r["high_v"],
+             r["low_v"], r["close_t"], r["close_v"], r["cnt"])
+            for r in c.read(spark, "ohlc_1d").collect()
+        )
+
+    assert _candles(cat) == _candles(fresh)
