@@ -570,6 +570,10 @@ def main(argv: list[str] | None = None) -> int:
                 key_cols=tuple(k for k in args.keys.split(",") if k),
                 hist_bounds=hb,
                 kmv_item_col=args.kmvitem,
+                # candlestick serving is bit-identical to the raw path, so
+                # it auto-enables when the tables exist; sumsq/hdr change
+                # float shape/exactness and stay deliberate opt-ins
+                ohlc=cat.exists("ohlc_1m"),
                 as_of=aso,
             )
             # CQ registry durability: CREATE/DROP CONTINUOUS QUERY from the
