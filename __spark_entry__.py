@@ -1871,6 +1871,46 @@ def _q_stream_sumsq_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stream_ohlc_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming candlestick twin VALUE-oracled via stop/resume replay:
+    per-batch OHLC partials (open/close with ORIGINAL timestamps) merged
+    at read time must equal the batch hour candlesticks BIT-FOR-BIT —
+    the struct-ordered monoid commutes, so the mid-table split (and the
+    second availableNow run skipping the committed batch) cannot change
+    any output.  Same oracle as ``ohlc_1h``."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from influxer_spark.streaming import read_ohlc, run_incremental_ohlc
+
+    ev = _t(spark, sf_dir, "events")
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    cut = lo + (hi - lo) / 2
+    root = tempfile.mkdtemp(prefix="stream_ohlc_gate_")
+    d = {n: os.path.join(root, n) for n in ("input", "out", "ckpt", "stage")}
+    os.makedirs(d["input"])
+    for name, part in (
+        ("a", ev.filter(F.col("ts") <= cut)),
+        ("b", ev.filter(F.col("ts") > cut)),
+    ):
+        staging = os.path.join(d["stage"], name)
+        part.coalesce(1).write.mode("overwrite").parquet(staging)
+        if name == "a":
+            shutil.copy(
+                glob.glob(os.path.join(staging, "part-*.parquet"))[0],
+                os.path.join(d["input"], "a.parquet"),
+            )
+    run_incremental_ohlc(spark, d["input"], ev.schema, d["out"], d["ckpt"])
+    shutil.copy(
+        glob.glob(os.path.join(d["stage"], "b", "part-*.parquet"))[0],
+        os.path.join(d["input"], "b.parquet"),
+    )
+    run_incremental_ohlc(spark, d["input"], ev.schema, d["out"], d["ckpt"])
+    return read_ohlc(spark, d["out"], ["event_type"], "1h")
+
+
 def _q_stream_twa_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming time-weighted-average summaries VALUE-oracled via
     stop/resume replay: land events as two time-ordered files, drain with
@@ -3177,6 +3217,7 @@ _WINDOW_PRIORITY = [
     "ohlc_1h",
     "ohlc_1d_cascade",
     "ohlc_tier_read_4h",
+    "stream_ohlc_replay_1h",
 ]
 
 # Rows-only queries (genuinely non-SQL-expressible internals) — always last.
@@ -3244,6 +3285,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ohlc_1h": _q_ohlc_1h,
         "ohlc_1d_cascade": _q_ohlc_1d_cascade,
         "ohlc_tier_read_4h": _q_ohlc_tier_read_4h,
+        "stream_ohlc_replay_1h": _q_stream_ohlc_replay,
         "rollup_1m_salted": _q_rollup_1m_salted,
         "sketch_distinct_tiers": _q_sketch_distinct_tiers,
         "hist_quantile_1h": _q_hist_quantile_1h,
@@ -3460,6 +3502,7 @@ def oracle_sql() -> dict[str, str]:
         "ohlc_1h": _ohlc_oracle("hour"),
         "ohlc_1d_cascade": _ohlc_oracle("day"),
         "ohlc_tier_read_4h": _OHLC_TIER_4H_ORACLE,
+        "stream_ohlc_replay_1h": _ohlc_oracle("hour"),
         "rollup_1m_salted": _ROLLUP_SELECT.format(unit="minute"),
         # the stitched mixed-tier union must equal the raw 90m rollup
         "stitched_rollup_90m": (

@@ -561,6 +561,73 @@ def read_sumsq(
     return cascade_with_sumsq(allb, list(key_cols), tier)
 
 
+def run_incremental_ohlc(
+    spark: SparkSession,
+    input_dir: str,
+    schema,
+    out_dir: str,
+    checkpoint_dir: str,
+    ts_col: str = "ts",
+    key_cols: Sequence[str] = ("event_type",),
+    value_col: str = "value",
+    tier: str = "1h",
+) -> None:
+    """File-source stream → per-batch candlestick partials → idempotent
+    per-batch dirs (availableNow/checkpoint contract of the sumsq/KMV/HDR
+    twins).  No streaming state store: OHLC with ORIGINAL open/close
+    timestamps is a commutative monoid (struct min/max over (t, v) pairs
+    plus count sums), so each micro-batch summarizes only its own rows and
+    the read-time merge is bit-identical to a batch build however the rows
+    were split — late or out-of-order points land in whichever batch
+    carries them and merge by true time, never by arrival order."""
+    from influxer_spark.operators.rollup import rollup_ohlc
+
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+    stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    keys = list(key_cols)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        out = os.path.join(out_dir, f"_batch={batch_id}")
+        marker = os.path.join(out, "_COMMITTED")
+        if os.path.exists(marker):  # stateless replay: nothing to re-run
+            return
+        rollup_ohlc(
+            batch_df.filter(F.col(value_col).isNotNull()),
+            ts_col, keys, value_col, tier,
+        ).write.mode("overwrite").parquet(out)
+        open(marker, "w").close()
+
+    (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def read_ohlc(
+    spark: SparkSession,
+    out_dir: str,
+    key_cols: Sequence[str] = ("event_type",),
+    tier: str = "1h",
+) -> DataFrame:
+    """Merge committed per-batch candlesticks into the exact summary of
+    the union (re-bucketing at the SAME tier is the identity, so this
+    reuses the cascade's struct-ordered merge)."""
+    from influxer_spark.operators.rollup import cascade_ohlc
+
+    batches = _committed_batches(out_dir)
+    if not batches:
+        raise FileNotFoundError(f"no committed batches under {out_dir}")
+    dfs = [spark.read.parquet(os.path.join(out_dir, d)) for d, _ in batches]
+    allb = dfs[0]
+    for d in dfs[1:]:
+        allb = allb.unionByName(d)
+    return cascade_ohlc(allb, list(key_cols), tier)
+
+
 def run_incremental_twa(
     spark: SparkSession,
     input_dir: str,

@@ -364,3 +364,36 @@ def test_streamed_sumsq_matches_batch_tier(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_streamed_ohlc_matches_batch_tier(spark, sf_dir, tmp_path):
+    """Per-batch candlestick partials merged at read time are BIT-identical
+    to a batch build of all the data, across a stop/resume restart —
+    open/close carry original timestamps, so the struct-ordered monoid
+    commutes regardless of how the rows were split into batches."""
+    from influxer_spark.operators import rollup as R
+    from influxer_spark.streaming import read_ohlc, run_incremental_ohlc
+
+    ev = _events(spark, sf_dir)
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    cut = lo + (hi - lo) / 2
+    d = _dirs(tmp_path)
+    _add_file(ev.filter(F.col("ts") <= cut), d["input"], d["stage"], "a")
+    run_incremental_ohlc(spark, d["input"], ev.schema, d["tier"], d["ckpt"])
+    _add_file(ev.filter(F.col("ts") > cut), d["input"], d["stage"], "b")
+    run_incremental_ohlc(spark, d["input"], ev.schema, d["tier"], d["ckpt"])
+
+    cols = ["open_t", "open_v", "high_v", "low_v", "close_t", "close_v",
+            "cnt"]
+    got = {
+        (r["bucket"], r["event_type"]): tuple(r[c] for c in cols)
+        for r in read_ohlc(spark, d["tier"], ["event_type"], "1h").collect()
+    }
+    want = {
+        (r["bucket"], r["event_type"]): tuple(r[c] for c in cols)
+        for r in R.rollup_ohlc(
+            ev.filter(F.col("value").isNotNull()),
+            "ts", ["event_type"], "value", "1h",
+        ).collect()
+    }
+    assert got == want
