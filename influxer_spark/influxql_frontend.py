@@ -2656,6 +2656,7 @@ class InfluxQLEngine:
                             "rollup_1h", "rollup_1d", "kmv_1h", "kmv_1d",
                             "hdr_1h", "hdr_1d",
                             "sumsq_1m", "sumsq_1h", "sumsq_1d",
+                            "ohlc_1m", "ohlc_1h", "ohlc_1d",
                         )
                         if cat.exists(t)
                     ):
@@ -2854,6 +2855,7 @@ class InfluxQLEngine:
     # must hit them all or the families drift out of sync
     _TIER_TABLES = ("rollup_1m", "rollup_1h", "rollup_1d",
                     "sumsq_1m", "sumsq_1h", "sumsq_1d",
+                    "ohlc_1m", "ohlc_1h", "ohlc_1d",
                     "kmv_1h", "kmv_1d", "hdr_1h", "hdr_1d")
 
     def _delete_tiered(self, name: str, cond: Any) -> dict[str, dict]:

@@ -141,3 +141,27 @@ def test_drop_measurement_purges_tiers(spark, tmp_path):
     snaps = cat.snapshots("rollup_1d")
     assert len(snaps) >= 2
     assert cat.committed_partitions("rollup_1d", as_of=snaps[-2]) != {}
+
+
+def test_delete_rewrites_ohlc_tiers_too(spark, tmp_path):
+    """A tiered DELETE must hit the candlestick tables with the rest of
+    the family — a takedown that cleared rollup_* but left ohlc_* would
+    keep serving the deleted series through first()/last()."""
+    from influxer_spark.operators.rollup import build_ohlc_tiers
+
+    ev, cat, eng = _build(spark, tmp_path)
+    build_ohlc_tiers(spark, cat, ev, "ts", ["event_type"], "value")
+    res = {r["tier_table"]: r["rows_deleted"] for r in eng.execute_statement(
+        "DELETE FROM m WHERE event_type = 'a'"
+    ).collect()}
+    assert res.get("ohlc_1h", 0) > 0
+    left = cat.read(spark, "ohlc_1h").select("event_type").distinct().collect()
+    assert [r["event_type"] for r in left] == ["b"]
+    # tier-served first/last reflects the delete
+    eng2 = InfluxQLEngine({"m": ev.filter("event_type != 'a'")}, ts_col="ts")
+    eng2.register_tiered("m", cat, key_cols=("event_type",), ohlc=True)
+    rows = eng2.execute(
+        "SELECT first(value) AS o, last(value) AS c"
+        " FROM m GROUP BY time(1d), event_type"
+    ).collect()
+    assert rows and all(r["event_type"] == "b" for r in rows)
