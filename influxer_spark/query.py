@@ -113,6 +113,62 @@ def read_rollup(
     return rolled
 
 
+def read_candles(
+    spark: SparkSession,
+    catalog: TableCatalog,
+    width_seconds: int,
+    start: dt.datetime | None = None,
+    end: dt.datetime | None = None,
+    key_cols: Sequence[str] = ("url", "metric"),
+    tier: str | None = None,
+    as_of: int | None = None,
+) -> DataFrame:
+    """Exact OHLC candlesticks at any bucket width over [start, end),
+    answered from the cheapest materialized ``ohlc_*`` tier
+    (operators/rollup.py:build_ohlc_tiers) with manifest-level partition
+    pruning — the Python-API twin of the front-end's tier-served
+    first()/last().  Open/close merge by their ORIGINAL timestamps
+    (struct order), so any re-bucket/re-group is bit-identical to
+    computing the candles from raw points."""
+    tier = tier or select_tier(width_seconds)
+    table = f"ohlc_{tier}"
+    parts = _partitions_in_range(catalog, table, start, end, as_of=as_of)
+    if not parts:
+        raise ValueError(f"no committed {table} partitions in range")
+    paths = catalog.partition_paths(table, parts, as_of=as_of)
+    df = spark.read.parquet(*paths)
+    if start is not None:
+        df = df.filter(F.col("bucket") >= F.lit(start))
+    if end is not None:
+        df = df.filter(F.col("bucket") < F.lit(end))
+    secs = F.unix_timestamp(F.col("bucket").cast("timestamp"))
+    out_bucket = F.timestamp_seconds(
+        (secs - (secs % width_seconds)).cast("long")
+    )
+    keys = list(key_cols)
+    o = F.struct(F.col("open_t").alias("t"), F.col("open_v").alias("v"))
+    c = F.struct(F.col("close_t").alias("t"), F.col("close_v").alias("v"))
+    return (
+        df.groupBy(out_bucket.alias("bucket"), *[F.col(k) for k in keys])
+        .agg(
+            F.min(o).alias("_o"),
+            F.max("high_v").alias("high_v"),
+            F.min("low_v").alias("low_v"),
+            F.max(c).alias("_c"),
+            F.sum("cnt").alias("cnt"),
+        )
+        .select(
+            "bucket", *keys,
+            F.col("_o").getField("t").alias("open_t"),
+            F.col("_o").getField("v").alias("open_v"),
+            "high_v", "low_v",
+            F.col("_c").getField("t").alias("close_t"),
+            F.col("_c").getField("v").alias("close_v"),
+            "cnt",
+        )
+    )
+
+
 def _stitch_usable(e, block_w: int, width: int, start_e, end_e):
     """Column predicate: the ``block_w``-second block starting at epoch
     column ``e`` lies fully inside its own output bucket, clipped to the

@@ -316,3 +316,58 @@ def test_ohlc_cascade_equals_direct(spark):
     got = {key(r): (r["open_v"], r["high_v"], r["low_v"], r["close_v"],
                     r["cnt"]) for r in cascaded.collect()}
     assert got == want and len(got) == 6
+
+
+def test_read_candles_from_tiers_matches_direct(spark, tmp_path):
+    """query.read_candles: manifest-pruned ohlc tier read re-bucketed to
+    4h equals the direct raw computation bit-for-bit."""
+    import datetime as dt
+
+    from influxer_spark.catalog import TableCatalog
+    from influxer_spark.query import read_candles
+
+    rows = []
+    for d in (1, 2):
+        for i in range(200):
+            rows.append((
+                "k%d" % (i % 3),
+                dt.datetime(2024, 1, d, (i * 7) % 24, (i * 11) % 60,
+                            (i * 13) % 60),
+                float((i * 37) % 100),
+            ))
+    df = spark.createDataFrame(rows, ["k", "ts", "v"])
+    cat = TableCatalog(str(tmp_path / "c"))
+    R.build_ohlc_tiers(spark, cat, df, "ts", ["k"], "v")
+    got = {
+        (r["bucket"], r["k"]): (r["open_t"], r["open_v"], r["high_v"],
+                                r["low_v"], r["close_t"], r["close_v"],
+                                r["cnt"])
+        for r in read_candles(spark, cat, 4 * 3600, key_cols=("k",)).collect()
+    }
+    # ground truth: 4h candles computed straight from raw points
+    from pyspark.sql import functions as _F
+
+    raw4 = (
+        df.groupBy(
+            _F.timestamp_seconds(
+                (_F.unix_timestamp("ts") - _F.unix_timestamp("ts") % 14400)
+            ).alias("bucket"),
+            "k",
+        )
+        .agg(
+            _F.min(_F.struct(_F.col("ts").alias("t"),
+                             _F.col("v").alias("v"))).alias("_o"),
+            _F.max("v").alias("high_v"),
+            _F.min("v").alias("low_v"),
+            _F.max(_F.struct(_F.col("ts").alias("t"),
+                             _F.col("v").alias("v"))).alias("_c"),
+            _F.count("v").alias("cnt"),
+        )
+    )
+    want = {
+        (r["bucket"], r["k"]): (r["_o"]["t"], r["_o"]["v"], r["high_v"],
+                                r["low_v"], r["_c"]["t"], r["_c"]["v"],
+                                r["cnt"])
+        for r in raw4.collect()
+    }
+    assert got == want and len(got) > 4
