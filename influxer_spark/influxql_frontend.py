@@ -684,9 +684,14 @@ def _agg_expr(fname: str, v: Column, t: Column, args: list[Any]) -> Column:
 
         return F.aggregate(pairs, init, step, lambda a: a.getField("area")) / unit
     if fname == "first":
-        return F.min(F.struct(t.alias("t"), v.alias("v"))).getField("v")
+        # NULL field values are ABSENT points in InfluxDB's model — they
+        # must not win the argmin (a NULL struct field sorts first and
+        # would also diverge from the OHLC tier path, which skips NULLs)
+        tv = F.when(v.isNotNull(), F.struct(t.alias("t"), v.alias("v")))
+        return F.min(tv).getField("v")
     if fname == "last":
-        return F.max(F.struct(t.alias("t"), v.alias("v"))).getField("v")
+        tv = F.when(v.isNotNull(), F.struct(t.alias("t"), v.alias("v")))
+        return F.max(tv).getField("v")
     raise InfluxQLError(f"unknown aggregate {fname!r}")
 
 

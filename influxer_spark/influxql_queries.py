@@ -2238,15 +2238,32 @@ def _q_dtw_pairs(spark, sf_dir):
     """Rows-only contract query (a DTW DP recurrence has no SQL oracle;
     semantics pinned vs a brute-force reference DP in tests/test_dtw.py):
     band-constrained DTW distance between every pair of event_type hourly
-    profiles — exact int64 costs over 1e-4-tick means, band ±2 hours."""
+    ACTIVITY profiles — hourly event counts on a fixed 168-hour spine
+    (0 where no events), so every series has identical length and the
+    ±3-hour band is always feasible (unequal lengths beyond the band now
+    raise loudly instead of leaking the sentinel — see operators/dtw.py)."""
     from influxer_spark.operators.dtw import dtw_pairs
 
-    h = _hourly(spark, sf_dir).select(
-        "event_type",
-        "bucket",
-        F.round(F.col("v") * 10000, 0).cast("long").alias("tick"),
+    base = 1_704_240_000  # 2024-01-03 00:00:00 UTC
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").filter(
+        (F.col("ts") >= F.timestamp_seconds(F.lit(base)))
+        & (F.col("ts") < F.timestamp_seconds(F.lit(base + 7 * 86400)))
     )
-    return dtw_pairs(h, "event_type", "bucket", "tick", band=2).orderBy(
+    counts = ev.groupBy(
+        "event_type",
+        ((F.unix_timestamp("ts") - F.lit(base)) / 3600)
+        .cast("long")
+        .alias("idx"),
+    ).agg(F.count("*").alias("tick"))
+    spine = (
+        counts.select("event_type")
+        .distinct()
+        .crossJoin(spark.range(168).select(F.col("id").alias("idx")))
+    )
+    full = spine.join(counts, ["event_type", "idx"], "left").select(
+        "event_type", "idx", F.coalesce("tick", F.lit(0)).alias("tick")
+    )
+    return dtw_pairs(full, "event_type", "idx", "tick", band=3).orderBy(
         "key_a", "key_b"
     )
 

@@ -49,6 +49,16 @@ def _dtw_cost_banded(a: np.ndarray, b: np.ndarray, band: int) -> int:
     sentinel far above any reachable cost, so int arithmetic stays exact).
     """
     n, m = len(a), len(b)
+    if abs(n - m) > band:
+        # the band admits no monotone path between unequal-length series —
+        # returning the sentinel would leak 2⁶² as a plausible cost, so
+        # fail loudly like the max_points guard (gappy series should be
+        # length-aligned, or the band widened, deliberately)
+        raise ValueError(
+            f"dtw: series lengths {n} and {m} differ by more than "
+            f"band={band}; no warping path exists inside the band — "
+            f"align the series or widen the band deliberately"
+        )
     # any real path cost is < sum of all |a_i - b_j| maxima; this sentinel
     # is orders of magnitude above while leaving int64 headroom to add to
     sent = np.int64(2**62)

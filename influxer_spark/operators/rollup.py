@@ -806,6 +806,11 @@ def rollup_ohlc(
             F.max(tv).alias("_c"),
             F.count(v).alias("cnt"),
         )
+        # an all-NULL bucket would emit cnt=0 with a NULL open/close struct,
+        # and NULL struct FIELDS sort first — one such row would poison every
+        # downstream struct-min merge (cascade, read_candles, tier serving)
+        # into a NULL open.  No values → no candle.
+        .filter(F.col("cnt") > 0)
         .select(
             "bucket",
             *key_cols,
@@ -820,21 +825,21 @@ def rollup_ohlc(
     )
 
 
-def cascade_ohlc(
-    rolled: DataFrame, key_cols: Sequence[str], tier: str
-) -> DataFrame:
-    """Re-aggregate a finer OHLC tier into ``tier`` — exact: open/close
-    carry their ORIGINAL timestamps (``open_t``/``close_t``), so the merge
-    replays the raw total order even when the re-group collapses MULTIPLE
-    series into one group (a coarse-tag dashboard panel) — bucket-order
-    alone could not arbitrate two series' points inside one finer bucket.
-    High/low are plain extremes; counts sum."""
-    unit = _trunc_unit(tier)
+def merge_ohlc(rolled: DataFrame, bucket_expr, key_cols: Sequence[str]) -> DataFrame:
+    """THE one OHLC merge: re-group candlestick rows under ``bucket_expr``
+    (any coarser bucketing of the ``bucket`` column), merging open/close by
+    their ORIGINAL timestamps — which replays the raw total order even
+    when the re-group collapses MULTIPLE series into one group (a
+    coarse-tag dashboard panel); bucket-order alone could not arbitrate
+    two series' points inside one finer bucket.  High/low are plain
+    extremes; counts sum.  Shared by :func:`cascade_ohlc`, the query API's
+    ``read_candles``, and the front-end tier serving, so a change to the
+    total order lands everywhere at once."""
     o = F.struct(F.col("open_t").alias("t"), F.col("open_v").alias("v"))
     c = F.struct(F.col("close_t").alias("t"), F.col("close_v").alias("v"))
     return (
         rolled.groupBy(
-            F.date_trunc(unit, F.col("bucket")).alias("bucket"),
+            bucket_expr.alias("bucket"),
             *[F.col(k) for k in key_cols],
         )
         .agg(
@@ -855,6 +860,16 @@ def cascade_ohlc(
             F.col("_c").getField("v").alias("close_v"),
             "cnt",
         )
+    )
+
+
+def cascade_ohlc(
+    rolled: DataFrame, key_cols: Sequence[str], tier: str
+) -> DataFrame:
+    """Re-aggregate a finer OHLC tier into ``tier`` — exact (see
+    :func:`merge_ohlc` for the total-order argument)."""
+    return merge_ohlc(
+        rolled, F.date_trunc(_trunc_unit(tier), F.col("bucket")), key_cols
     )
 
 

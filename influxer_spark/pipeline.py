@@ -487,6 +487,25 @@ def refresh_pipeline(
             hist_bounds=catalog.table_property("rollup_1m", "hist_bounds"),
         )
         res.days_processed = recompute
+        # ONE shared points frame for every auxiliary tier family below
+        # (kmv/hdr/sumsq/ohlc): each family re-reading raw_points for the
+        # same recomputed days would rescan identical bytes four times.
+        # Built lazily (only when a family exists) and persisted across
+        # the family builds, from the freshly committed raw_points — never
+        # a second extraction.
+        _aux_points = None
+
+        def _recomputed_points():
+            nonlocal _aux_points
+            if _aux_points is None:
+                from influxer_spark.extract import pages_to_points
+
+                wide = catalog.read_partitions_with_key(
+                    spark, "raw_points", recompute
+                ).drop("p")
+                _aux_points = pages_to_points(wide).persist()
+            return _aux_points
+
         # KMV sketch tiers (operators/kmv.py:build_kmv_tiers) live beside
         # the rollups but are built separately — a refresh that skipped
         # them would leave STALE distinct counts for the recomputed days.
@@ -497,14 +516,10 @@ def refresh_pipeline(
             item = catalog.table_property("kmv_1h", "kmv_item_col")
             kmv_keys = catalog.table_property("kmv_1h", "kmv_key_cols")
             if item and kmv_keys:
-                from influxer_spark.extract import pages_to_points
                 from influxer_spark.operators.kmv import build_kmv_tiers
 
-                wide = catalog.read_partitions_with_key(
-                    spark, "raw_points", recompute
-                ).drop("p")
                 build_kmv_tiers(
-                    spark, catalog, pages_to_points(wide), "warc_ts",
+                    spark, catalog, _recomputed_points(), "warc_ts",
                     list(kmv_keys), item,
                     k=int(catalog.table_property("kmv_1h", "kmv_k")),
                 )
@@ -515,14 +530,10 @@ def refresh_pipeline(
             vcol = catalog.table_property("hdr_1h", "hdr_value_col")
             hkeys = catalog.table_property("hdr_1h", "hdr_key_cols")
             if vcol and hkeys:
-                from influxer_spark.extract import pages_to_points
                 from influxer_spark.operators.hdrsketch import build_hdr_tiers
 
-                wide = catalog.read_partitions_with_key(
-                    spark, "raw_points", recompute
-                ).drop("p")
                 build_hdr_tiers(
-                    spark, catalog, pages_to_points(wide), "warc_ts",
+                    spark, catalog, _recomputed_points(), "warc_ts",
                     list(hkeys), vcol,
                     sub_bits=int(
                         catalog.table_property("hdr_1h", "hdr_sub_bits")
@@ -535,14 +546,10 @@ def refresh_pipeline(
             vcol = catalog.table_property("sumsq_1m", "sumsq_value_col")
             skeys = catalog.table_property("sumsq_1m", "sumsq_key_cols")
             if vcol and skeys:
-                from influxer_spark.extract import pages_to_points
                 from influxer_spark.operators.rollup import build_sumsq_tiers
 
-                wide = catalog.read_partitions_with_key(
-                    spark, "raw_points", recompute
-                ).drop("p")
                 build_sumsq_tiers(
-                    spark, catalog, pages_to_points(wide), "warc_ts",
+                    spark, catalog, _recomputed_points(), "warc_ts",
                     list(skeys), vcol,
                 )
         # Candlestick tiers: stale open/close for a recomputed day would
@@ -552,16 +559,14 @@ def refresh_pipeline(
             vcol = catalog.table_property("ohlc_1m", "ohlc_value_col")
             okeys = catalog.table_property("ohlc_1m", "ohlc_key_cols")
             if vcol and okeys:
-                from influxer_spark.extract import pages_to_points
                 from influxer_spark.operators.rollup import build_ohlc_tiers
 
-                wide = catalog.read_partitions_with_key(
-                    spark, "raw_points", recompute
-                ).drop("p")
                 build_ohlc_tiers(
-                    spark, catalog, pages_to_points(wide), "warc_ts",
+                    spark, catalog, _recomputed_points(), "warc_ts",
                     list(okeys), vcol,
                 )
+        if _aux_points is not None:
+            _aux_points.unpersist()
     if orphaned:
         days = sorted(orphaned)
         for table in (

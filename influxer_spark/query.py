@@ -130,7 +130,20 @@ def read_candles(
     first()/last().  Open/close merge by their ORIGINAL timestamps
     (struct order), so any re-bucket/re-group is bit-identical to
     computing the candles from raw points."""
+    from influxer_spark.operators.rollup import merge_ohlc
+
     tier = tier or select_tier(width_seconds)
+    if width_seconds % TIER_SECONDS[tier] != 0:
+        # a tier candle straddling two output buckets cannot be split —
+        # its high/low/close would be attributed to the wrong bucket, so
+        # fail loudly instead (only reachable via an explicit tier= or a
+        # width no tier divides, where select_tier falls back to 1m)
+        raise ValueError(
+            f"read_candles: width {width_seconds}s is not a multiple of "
+            f"the {tier} tier's bucket ({TIER_SECONDS[tier]}s) — candles "
+            "cannot be split across output buckets; choose a dividing "
+            "width or build a finer ohlc tier"
+        )
     table = f"ohlc_{tier}"
     parts = _partitions_in_range(catalog, table, start, end, as_of=as_of)
     if not parts:
@@ -145,28 +158,7 @@ def read_candles(
     out_bucket = F.timestamp_seconds(
         (secs - (secs % width_seconds)).cast("long")
     )
-    keys = list(key_cols)
-    o = F.struct(F.col("open_t").alias("t"), F.col("open_v").alias("v"))
-    c = F.struct(F.col("close_t").alias("t"), F.col("close_v").alias("v"))
-    return (
-        df.groupBy(out_bucket.alias("bucket"), *[F.col(k) for k in keys])
-        .agg(
-            F.min(o).alias("_o"),
-            F.max("high_v").alias("high_v"),
-            F.min("low_v").alias("low_v"),
-            F.max(c).alias("_c"),
-            F.sum("cnt").alias("cnt"),
-        )
-        .select(
-            "bucket", *keys,
-            F.col("_o").getField("t").alias("open_t"),
-            F.col("_o").getField("v").alias("open_v"),
-            "high_v", "low_v",
-            F.col("_c").getField("t").alias("close_t"),
-            F.col("_c").getField("v").alias("close_v"),
-            "cnt",
-        )
-    )
+    return merge_ohlc(df, out_bucket, list(key_cols))
 
 
 def _stitch_usable(e, block_w: int, width: int, start_e, end_e):

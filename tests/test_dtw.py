@@ -71,3 +71,30 @@ def test_max_points_guard(spark):
     df = spark.createDataFrame(rows, ["k", "i", "v"])
     with pytest.raises(Exception, match="max_points"):
         dtw_pairs(df, "k", "i", "v", band=1, max_points=5).collect()
+
+
+def test_unequal_lengths_beyond_band_raise():
+    a = np.arange(10, dtype=np.int64)
+    b = np.arange(5, dtype=np.int64)
+    with pytest.raises(ValueError, match="band"):
+        _dtw_cost_banded(a, b, 2)
+
+
+def test_null_first_last_semantics(spark):
+    # a NULL field value is an ABSENT point: first() must skip it, both on
+    # the raw path and (by construction) in the OHLC tier
+    from pyspark.sql import functions as F
+
+    from influxer_spark.influxql_frontend import influxql
+
+    df = spark.createDataFrame(
+        [("2024-01-01T10:00:00", None), ("2024-01-01T10:30:00", 5.0),
+         ("2024-01-01T10:59:00", None)],
+        ["ts", "v"],
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = influxql(
+        "SELECT first(v) AS o, last(v) AS c FROM m GROUP BY time(1h)",
+        {"m": df},
+        ts_col="ts",
+    ).collect()
+    assert out[0]["o"] == 5.0 and out[0]["c"] == 5.0

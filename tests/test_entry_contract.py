@@ -28,7 +28,7 @@ def test_oracle_keys_subset_of_queries():
     for name in rows_only:
         assert name.startswith(
             ("gorilla", "minhash", "simhash", "ann_", "stream",
-             "holt_winters", "sketch", "bpe")
+             "holt_winters", "sketch", "bpe", "dtw")
         ), (
             f"{name} has no oracle_sql entry but is not a known rows-only op"
         )
