@@ -3229,6 +3229,7 @@ _WINDOW_TAIL = [
     "bpe_train_merges",    # iterative argmax — pytest-pinned vs reference
     "bpe_encode_tokens",   # rank-greedy loop — pytest-pinned vs reference
     "dtw_pairs_hourly",    # DP recurrence — pytest-pinned vs reference DP
+    "asap_smooth_hourly",  # ACF-peak window search — pytest-pinned kernel
 ]
 
 

@@ -2268,6 +2268,21 @@ def _q_dtw_pairs(spark, sf_dir):
     )
 
 
+def _q_asap_smooth(spark, sf_dir):
+    """Rows-only contract query (the ACF-peak window search has no SQL
+    oracle; kernel pinned vs reference metrics in tests/test_asap.py):
+    ASAP automatic smoothing of each event_type's hourly mean series —
+    the chosen window minimizes roughness subject to kurtosis
+    preservation (spikes stay visible); structureless series pass
+    through with window=1."""
+    from influxer_spark.operators.asap import asap_smooth
+
+    h = _hourly(spark, sf_dir).select("event_type", "bucket", "v")
+    return asap_smooth(
+        h, ["event_type"], "bucket", "v", max_window=72
+    ).orderBy("event_type", "idx")
+
+
 def _q_cq_resample(spark, sf_dir):
     """Incremental continuous query (RESAMPLE EVERY 1h FOR 48h) — the
     merge semantics end-to-end: a backfill runs over a STALE table
@@ -2380,6 +2395,7 @@ def influxql_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forecast_linear_24h": _q_forecast_linear,
         "influxql_forecast_linear": _q_influxql_forecast,
         "dtw_pairs_hourly": _q_dtw_pairs,
+        "asap_smooth_hourly": _q_asap_smooth,
     }
 
 

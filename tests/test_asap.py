@@ -1,0 +1,102 @@
+"""ASAP automatic smoothing (operators/asap.py)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from influxer_spark.operators.asap import (
+    _acf,
+    _kurtosis,
+    _roughness,
+    _sma,
+    asap_smooth,
+    asap_window,
+)
+
+
+def _seasonal_noisy(n=480, period=24, spike=20.0, noise=4.0, seed=5):
+    rng = np.random.default_rng(seed)
+    t = np.arange(n)
+    x = 10.0 * np.sin(2 * np.pi * t / period) + rng.normal(0, noise, n)
+    x[200] += spike  # a mild spike the smoothing must keep visible
+    return x
+
+
+def test_acf_finds_the_season():
+    x = _seasonal_noisy()
+    acf = _acf(x, 60)
+    # strongest interior peak at the period
+    peak = int(np.argmax(acf[2:])) + 3
+    assert abs(peak - 24) <= 1
+
+
+def test_sma_matches_numpy_convolve():
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=100)
+    for w in (2, 5, 24):
+        ref = np.convolve(x, np.ones(w) / w, mode="valid")
+        assert np.allclose(_sma(x, w), ref, rtol=1e-12, atol=1e-12)
+
+
+def test_window_choice_smooths_season_keeps_spike():
+    x = _seasonal_noisy()
+    w = asap_window(x, max_window=60)
+    assert w >= 2  # found a usable candidate (the ACF season)
+    s = _sma(x, w)
+    assert _roughness(s) < _roughness(x)          # visibly smoother
+    assert _kurtosis(s) >= _kurtosis(x)           # spike preserved
+
+
+def test_dominant_spike_forces_pass_through():
+    # when one huge spike carries the kurtosis, ANY moving average dilutes
+    # it below the original — spike preservation wins and ASAP refuses to
+    # smooth (the paper's constraint, exactly)
+    x = _seasonal_noisy(spike=80.0, noise=2.0)
+    assert asap_window(x, max_window=60) == 1
+
+
+def test_white_noise_without_structure_passes_through():
+    rng = np.random.default_rng(9)
+    x = rng.normal(size=300)
+    # white noise has no ACF peak above the floor → window 1 (no smoothing)
+    assert asap_window(x, max_window=50, corr_threshold=0.2) == 1
+
+
+def test_constant_series_is_safe():
+    assert asap_window(np.full(50, 3.0)) == 1
+
+
+def test_dataframe_fold_matches_kernel(spark):
+    x = _seasonal_noisy(n=480)
+    rows = [("a", i, float(v)) for i, v in enumerate(x)]
+    df = spark.createDataFrame(rows, ["k", "i", "v"])
+    out = asap_smooth(df, ["k"], "i", "v", max_window=60)
+    got = (
+        out.orderBy("idx").toPandas()
+    )
+    w = asap_window(x, max_window=60)
+    ref = _sma(x, w) if w > 1 else x
+    assert (got["window"] == w).all()
+    assert np.allclose(got["smoothed"].to_numpy(), ref, rtol=0, atol=0)
+    assert len(got) == len(x) - w + 1
+
+
+def test_series_isolated(spark):
+    a = _seasonal_noisy(n=480, seed=5)
+    rng = np.random.default_rng(11)
+    b = rng.normal(size=480)  # no structure
+    rows = [("a", i, float(v)) for i, v in enumerate(a)]
+    rows += [("b", i, float(v)) for i, v in enumerate(b)]
+    df = spark.createDataFrame(rows, ["k", "i", "v"])
+    out = asap_smooth(df, ["k"], "i", "v", max_window=60)
+    ws = {r["k"]: r["window"] for r in out.select("k", "window")
+          .distinct().collect()}
+    assert ws["a"] >= 2 and ws["b"] == 1
+
+
+def test_max_points_guard(spark):
+    rows = [("a", i, float(i)) for i in range(50)]
+    df = spark.createDataFrame(rows, ["k", "i", "v"])
+    with pytest.raises(Exception, match="max_points"):
+        asap_smooth(df, ["k"], "i", "v", max_points=10).collect()
