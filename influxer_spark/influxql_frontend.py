@@ -546,6 +546,9 @@ TREND_FNS = {"trend"}
 # continuation, N buckets past each series' last observed bucket (the
 # value-oracled sibling of holt_winters; routed to _exec_forecast_linear)
 FORECAST_FNS = {"forecast_linear"}
+# engine extension: asap(agg(f)) — ASAP automatic smoothing (Rong & Bailis
+# VLDB'17) of the aggregate series; routed to _exec_asap
+ASAP_FNS = {"asap"}
 # fn, accepts (hold, warmup_type) extra args
 _FOLD_DISPATCH = {
     "exponential_moving_average": (Q.tr_exponential_moving_average, True),
@@ -1025,7 +1028,8 @@ class InfluxQLEngine:
                 e for e, _ in stmt.projections
                 if isinstance(e, Call)
                 and (e.fname in FOLD_TRANSFORMS or e.fname in HW_FNS
-                     or e.fname in TREND_FNS or e.fname in FORECAST_FNS)
+                     or e.fname in TREND_FNS or e.fname in FORECAST_FNS
+                     or e.fname in ASAP_FNS)
             ),
             None,
         )
@@ -1038,6 +1042,8 @@ class InfluxQLEngine:
                 return self._exec_trend(stmt, None)
             if ta_root.fname in FORECAST_FNS:
                 return self._exec_forecast_linear(stmt)
+            if ta_root.fname in ASAP_FNS:
+                return self._exec_asap(stmt)
             return self._exec_fold(stmt, None)
         if stmt.measurement in self.tiered and self._kmv_tier_answerable(stmt):
             return self._exec_kmv_tiered(stmt)
@@ -1084,6 +1090,11 @@ class InfluxQLEngine:
             for e, _ in stmt.projections
         ):
             return self._exec_forecast_linear(stmt)
+        if any(
+            isinstance(e, Call) and e.fname in ASAP_FNS
+            for e, _ in stmt.projections
+        ):
+            return self._exec_asap(stmt)
 
         calls: list[Call] = []
         for e, _ in stmt.projections:
@@ -1507,6 +1518,65 @@ class InfluxQLEngine:
             F.timestamp_seconds(F.col("__idx__") * F.lit(w)).alias("time"),
             *keys,
             F.col("pred").alias(name),
+        )
+        return self._finish(stmt, out, keys)
+
+    def _exec_asap(self, stmt: Select) -> DataFrame:
+        """``asap(agg(f)) … GROUP BY time(w)``: ASAP automatic smoothing of
+        the aggregate series per tag group (operators/asap.py) — the
+        window comes from the series' own ACF peaks, minimizing roughness
+        subject to kurtosis preservation.  Output rows carry the CHOSEN
+        window's start bucket: (time, tags…, <name>, <name>_window)."""
+        if len(stmt.projections) != 1 or not (
+            isinstance(stmt.projections[0][0], Call)
+            and stmt.projections[0][0].fname in ASAP_FNS
+        ):
+            raise InfluxQLError("asap() must be the only projection")
+        e, alias = stmt.projections[0]
+        if (
+            len(e.args) != 1
+            or not isinstance(e.args[0], Call)
+            or e.args[0].fname not in AGGS
+        ):
+            raise InfluxQLError("asap(agg(field)) needs an aggregate argument")
+        if stmt.time_width is None:
+            raise InfluxQLError("asap() needs GROUP BY time()")
+        from dataclasses import replace as _replace
+
+        from influxer_spark.operators.asap import asap_smooth
+
+        inner = _replace(
+            stmt, projections=[(e.args[0], "__fv__")], limit=None,
+            offset=None, slimit=None, soffset=None, order_desc=False,
+            into=None,
+        )
+        frame = self._run(inner)  # tier-served when registered
+        keys = self._frame_keys(stmt, frame)
+        w = stmt.time_width
+        ticks = frame.select(
+            *keys,
+            (F.unix_timestamp("time") / F.lit(w)).cast("long").alias("__i__"),
+            F.col("__fv__").cast("double").alias("__v__"),
+        ).filter(F.col("__v__").isNotNull())
+        sm = asap_smooth(ticks, keys, "__i__", "__v__")
+        name = alias or "asap"
+        # idx is the 0-based RANK of the smoothing window's start within
+        # the observed series (gaps don't manufacture buckets — same rank
+        # convention as trend()/lttb); map each rank back to its actual
+        # bucket for the output timestamp
+        rank_w = Window.partitionBy(*keys).orderBy("__i__")
+        ranked = ticks.select(
+            *keys, "__i__",
+            (F.row_number().over(rank_w) - 1).alias("idx"),
+        )
+        out = (
+            sm.join(ranked, [*keys, "idx"])
+            .select(
+                F.timestamp_seconds(F.col("__i__") * F.lit(w)).alias("time"),
+                *keys,
+                F.col("smoothed").alias(name),
+                F.col("window").alias(f"{name}_window"),
+            )
         )
         return self._finish(stmt, out, keys)
 

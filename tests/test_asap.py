@@ -100,3 +100,38 @@ def test_max_points_guard(spark):
     df = spark.createDataFrame(rows, ["k", "i", "v"])
     with pytest.raises(Exception, match="max_points"):
         asap_smooth(df, ["k"], "i", "v", max_points=10).collect()
+
+
+def test_frontend_asap_string(spark):
+    from pyspark.sql import functions as F
+
+    from influxer_spark.influxql_frontend import InfluxQLError, influxql
+
+    x = _seasonal_noisy(n=480)
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (t0 + dt.timedelta(hours=i), "x", float(v)) for i, v in enumerate(x)
+    ]
+    df = spark.createDataFrame(rows, ["ts", "tag", "v"])
+    out = influxql(
+        "SELECT asap(mean(v)) AS sm FROM m GROUP BY time(1h), tag",
+        {"m": df},
+        ts_col="ts",
+    ).collect()
+    w = asap_window(np.asarray(x), max_window=max(2, len(x) // 10))
+    assert len(out) == len(x) - w + 1
+    assert all(r["sm_window"] == w for r in out)
+    ref = _sma(np.asarray(x), w)
+    got = {r["time"]: r["sm"] for r in out}
+    # the first output row sits at the series start and carries the first
+    # window mean
+    assert got[t0] == ref[0]
+
+    with pytest.raises(InfluxQLError, match="aggregate"):
+        influxql(
+            "SELECT asap(v) FROM m GROUP BY time(1h)", {"m": df}, ts_col="ts"
+        ).collect()
+    with pytest.raises(InfluxQLError, match="GROUP BY time"):
+        influxql("SELECT asap(mean(v)) FROM m", {"m": df}, ts_col="ts").collect()
