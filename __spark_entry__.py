@@ -1632,6 +1632,55 @@ FROM r GROUP BY 1, 2
 """
 
 
+def _q_ohlc_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-24h candlestick at every observed hour from the 1h OHLC
+    tier (operators/rollup.py:ohlc_sliding) — one RANGE window per
+    series, open/close merged by ORIGINAL timestamps inside the window,
+    so every output is an existing (timestamp, value) pair and the
+    oracle's windowed struct min/max replays it bit-for-bit."""
+    from influxer_spark.operators import rollup as R
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    t1h = R.rollup_ohlc(ev, "ts", ["event_type"], "value", "1h")
+    return R.ohlc_sliding(t1h, ["event_type"], 24, 3600)
+
+
+_OHLC_SLIDING_ORACLE = """
+WITH x AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket, ts, value
+  FROM events WHERE value IS NOT NULL
+), r AS (
+  SELECT event_type, bucket, ts, value,
+    row_number() OVER (PARTITION BY event_type, bucket
+                       ORDER BY ts, value) AS rn_a,
+    row_number() OVER (PARTITION BY event_type, bucket
+                       ORDER BY ts DESC, value DESC) AS rn_z
+  FROM x
+), h AS (
+  SELECT event_type, bucket,
+    max(CASE WHEN rn_a = 1 THEN ts END) AS open_t,
+    max(CASE WHEN rn_a = 1 THEN value END) AS open_v,
+    max(value) AS high_v, min(value) AS low_v,
+    max(CASE WHEN rn_z = 1 THEN ts END) AS close_t,
+    max(CASE WHEN rn_z = 1 THEN value END) AS close_v,
+    count(*) AS cnt
+  FROM r GROUP BY 1, 2
+)
+SELECT bucket, event_type,
+  (min({t: open_t, v: open_v}) OVER w).t AS open_t,
+  (min({t: open_t, v: open_v}) OVER w).v AS open_v,
+  max(high_v) OVER w AS high_v,
+  min(low_v) OVER w AS low_v,
+  (max({t: close_t, v: close_v}) OVER w).t AS close_t,
+  (max({t: close_t, v: close_v}) OVER w).v AS close_v,
+  CAST(sum(cnt) OVER w AS BIGINT) AS cnt,
+  CAST(count(*) OVER w AS BIGINT) AS n_buckets
+FROM h
+WINDOW w AS (PARTITION BY event_type ORDER BY epoch(bucket)
+             RANGE BETWEEN 82800 PRECEDING AND CURRENT ROW)
+"""
+
+
 def _q_rollup_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-24h algebraic aggregates at every observed hour from the
     1h tier (operators/rollup.py:rollup_sliding) — one RANGE window per
@@ -3218,6 +3267,7 @@ _WINDOW_PRIORITY = [
     "ohlc_1d_cascade",
     "ohlc_tier_read_4h",
     "stream_ohlc_replay_1h",
+    "ohlc_sliding_24h",
 ]
 
 # Rows-only queries (genuinely non-SQL-expressible internals) — always last.
@@ -3287,6 +3337,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ohlc_1d_cascade": _q_ohlc_1d_cascade,
         "ohlc_tier_read_4h": _q_ohlc_tier_read_4h,
         "stream_ohlc_replay_1h": _q_stream_ohlc_replay,
+        "ohlc_sliding_24h": _q_ohlc_sliding,
         "rollup_1m_salted": _q_rollup_1m_salted,
         "sketch_distinct_tiers": _q_sketch_distinct_tiers,
         "hist_quantile_1h": _q_hist_quantile_1h,
@@ -3504,6 +3555,7 @@ def oracle_sql() -> dict[str, str]:
         "ohlc_1d_cascade": _ohlc_oracle("day"),
         "ohlc_tier_read_4h": _OHLC_TIER_4H_ORACLE,
         "stream_ohlc_replay_1h": _ohlc_oracle("hour"),
+        "ohlc_sliding_24h": _OHLC_SLIDING_ORACLE,
         "rollup_1m_salted": _ROLLUP_SELECT.format(unit="minute"),
         # the stitched mixed-tier union must equal the raw 90m rollup
         "stitched_rollup_90m": (

@@ -913,3 +913,43 @@ def build_ohlc_tiers(
         catalog.set_table_property(t, "ohlc_value_col", value_col)
         catalog.set_table_property(t, "ohlc_key_cols", keys)
     return sorted(days)
+
+
+def ohlc_sliding(
+    rolled: DataFrame,
+    key_cols: Sequence[str],
+    window_buckets: int,
+    bucket_seconds: int,
+) -> DataFrame:
+    """TRAILING-window candlesticks over OHLC tier rows — "the 24h candle
+    ending at each hour" beside :func:`rollup_sliding`'s algebraic twin:
+    one RANGE window per series over the tier (epoch-keyed, so tier gaps
+    are handled by value range, not row offsets).  Open/close merge by
+    their ORIGINAL timestamps inside the window (struct order — the same
+    total order everywhere in the OHLC family), so the trailing candle is
+    bit-identical to computing it from raw points in the span.
+
+    Output at every tier bucket: (bucket, *keys, open_t, open_v, high_v,
+    low_v, close_t, close_v, cnt, n_buckets) over (bucket − window,
+    bucket].  Cost: one exchange on the series key over TIER rows."""
+    span = int(window_buckets) * int(bucket_seconds)
+    secs = F.unix_timestamp(F.col("bucket").cast("timestamp")).cast("long")
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(secs)
+        .rangeBetween(-(span - int(bucket_seconds)), 0)
+    )
+    o = F.struct(F.col("open_t").alias("t"), F.col("open_v").alias("v"))
+    c = F.struct(F.col("close_t").alias("t"), F.col("close_v").alias("v"))
+    return rolled.select(
+        "bucket",
+        *key_cols,
+        F.min(o).over(w).getField("t").alias("open_t"),
+        F.min(o).over(w).getField("v").alias("open_v"),
+        F.max("high_v").over(w).alias("high_v"),
+        F.min("low_v").over(w).alias("low_v"),
+        F.max(c).over(w).getField("t").alias("close_t"),
+        F.max(c).over(w).getField("v").alias("close_v"),
+        F.sum("cnt").over(w).alias("cnt"),
+        F.count(F.lit(1)).over(w).alias("n_buckets"),
+    )

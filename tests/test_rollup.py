@@ -371,3 +371,26 @@ def test_read_candles_from_tiers_matches_direct(spark, tmp_path):
         for r in raw4.collect()
     }
     assert got == want and len(got) > 4
+
+
+def test_ohlc_sliding_trailing_candles(spark):
+    import datetime as dt
+
+    # two hourly candles 3h apart: at the later hour a 24h window spans
+    # both (open from the EARLIER hour's open), a 2h window only itself
+    rows = [
+        ("a", dt.datetime(2024, 1, 1, 0, 10), 5.0),
+        ("a", dt.datetime(2024, 1, 1, 0, 50), 9.0),
+        ("a", dt.datetime(2024, 1, 1, 3, 20), 2.0),
+        ("a", dt.datetime(2024, 1, 1, 3, 40), 7.0),
+    ]
+    df = spark.createDataFrame(rows, ["k", "ts", "v"])
+    t1h = R.rollup_ohlc(df, "ts", ["k"], "v", "1h")
+    wide = {r["bucket"].hour: r for r in
+            R.ohlc_sliding(t1h, ["k"], 24, 3600).collect()}
+    assert wide[3]["open_v"] == 5.0 and wide[3]["close_v"] == 7.0
+    assert wide[3]["high_v"] == 9.0 and wide[3]["low_v"] == 2.0
+    assert wide[3]["n_buckets"] == 2 and wide[3]["cnt"] == 4
+    narrow = {r["bucket"].hour: r for r in
+              R.ohlc_sliding(t1h, ["k"], 2, 3600).collect()}
+    assert narrow[3]["open_v"] == 2.0 and narrow[3]["n_buckets"] == 1
