@@ -3268,6 +3268,7 @@ _WINDOW_PRIORITY = [
     "ohlc_tier_read_4h",
     "stream_ohlc_replay_1h",
     "ohlc_sliding_24h",
+    "influxql_offset_6h1h",
 ]
 
 # Rows-only queries (genuinely non-SQL-expressible internals) — always last.

@@ -1676,6 +1676,19 @@ class InfluxQLEngine:
 
     _TIER_AGGS = {"count", "sum", "mean", "min", "max", "spread"}
 
+    @staticmethod
+    def _serving_tier(w: int, off: int) -> str:
+        """Coarsest tier whose buckets divide BOTH the width and the
+        offset — with an offset, a tier bucket must never straddle an
+        output bucket (off=30m over a 1h width serves from 1m)."""
+        from influxer_spark.query import TIER_SECONDS
+
+        best = "1m"
+        for tier, s in TIER_SECONDS.items():
+            if w % s == 0 and off % s == 0 and s > TIER_SECONDS[best]:
+                best = tier
+        return best
+
     def register_tiered(
         self,
         name: str,
@@ -1815,10 +1828,17 @@ class InfluxQLEngine:
             # after routing, so serving the un-expanded statement from
             # tiers would silently drop every tag.  Raw path only.
             return False
-        if stmt.time_width is None or stmt.time_offset or stmt.tz:
+        if stmt.time_width is None or stmt.tz:
             return False
         w = int(stmt.time_width)
         if stmt.time_width != w or w % 60 != 0:
+            return False
+        # GROUP BY time(w, off): a minute-aligned offset tier-serves — the
+        # serving tier must divide BOTH w and off so no tier bucket
+        # straddles an output bucket (_serving_tier drops to 1m when the
+        # offset breaks the coarser grid); sub-minute offsets need raw
+        off = int(stmt.time_offset)
+        if stmt.time_offset != off or off % 60 != 0:
             return False
         if not set(stmt.group_tags) <= set(cfg["key_cols"]):
             return False
@@ -1842,7 +1862,7 @@ class InfluxQLEngine:
             # vectors, not companion sums) at hour-multiple widths
             if not all(c.fname in ("percentile", "median") for c in aggish):
                 return False
-            if w % 3600 != 0 or not cfg["catalog"].exists("hdr_1h"):
+            if w % 3600 != 0 or off or not cfg["catalog"].exists("hdr_1h"):
                 return False
         allowed = self._TIER_AGGS | (
             {"percentile", "median"}
@@ -1862,9 +1882,7 @@ class InfluxQLEngine:
                 for c in aggish
             ):
                 return False
-            from influxer_spark import query as _qapi
-
-            if not cfg["catalog"].exists(f"ohlc_{_qapi.select_tier(w)}"):
+            if not cfg["catalog"].exists(f"ohlc_{self._serving_tier(w, off)}"):
                 return False
         if has_sd:
             # A stddev statement is served whole from the power-sum tier:
@@ -1876,9 +1894,7 @@ class InfluxQLEngine:
             if self.tables.get(stmt.measurement) is not None:
                 import datetime as _dt2
 
-                from influxer_spark import query as _qapi
-
-                tier = _qapi.select_tier(w)
+                tier = self._serving_tier(w, off)
                 parts = cfg["catalog"].committed_partitions(f"sumsq_{tier}")
                 if not parts:
                     return False
@@ -1970,7 +1986,8 @@ class InfluxQLEngine:
         )
         start = _dt.datetime.fromisoformat(lo[0]) if lo else None
         end = _dt.datetime.fromisoformat(hi[0]) if hi else None
-        tier = _qapi.select_tier(w)
+        off = int(stmt.time_offset)
+        tier = self._serving_tier(w, off)
         cat = cfg["catalog"]
         keys = stmt.group_tags
         agg_calls: dict[tuple, Call] = {}
@@ -2015,7 +2032,9 @@ class InfluxQLEngine:
         # falls back to the single-tier path.
         aso = cfg.get("as_of")
         df = None
-        if not has_hist and not has_sd and not has_fl and aso is None and (
+        if not has_hist and not has_sd and not has_fl and not off and (
+            aso is None
+        ) and (
             (tier == "1m" and w > 3600) or (tier == "1h" and w > 86400)
         ):
             try:
@@ -2107,7 +2126,10 @@ class InfluxQLEngine:
                 else df.select(narrow).unionByName(tail_p.select(narrow))
             )
         if df is None and not has_fl:
-            df = self._archive_fallback(cfg, stmt, agg_calls, start, end)
+            df = (
+                None if off
+                else self._archive_fallback(cfg, stmt, agg_calls, start, end)
+            )
         if df is None:
             raise InfluxQLError(f"no committed {table} partitions in range")
         aliases = {k: f"_a{i}" for i, k in enumerate(agg_calls)}
@@ -2171,7 +2193,7 @@ class InfluxQLEngine:
                 _R.hist_sum_expr(len(bounds) + 1).alias("_hq_hist")
             )
         secs = F.unix_timestamp(F.col("bucket").cast("timestamp")).cast("long")
-        bucket = F.timestamp_seconds(secs - (secs % w)).alias("time")
+        bucket = F.timestamp_seconds(secs - ((secs - off) % w)).alias("time")
         grouped = df.groupBy(bucket, *keys).agg(*aggs)
         if hist_calls:
             for k, c in hist_calls.items():

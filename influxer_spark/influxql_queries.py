@@ -2283,6 +2283,34 @@ def _q_asap_smooth(spark, sf_dir):
     ).orderBy("event_type", "idx")
 
 
+def _q_offset_buckets(spark, sf_dir):
+    """GROUP BY time(6h, 1h) through the string front-end: InfluxQL's
+    offset-shifted bucket grid (buckets at 01:00, 07:00, 13:00, 19:00).
+    Sums are exact integer cents, so the shifted grid replays on the SQL
+    side bit-for-bit — the oracle floors epoch−3600 to the 6h grid and
+    adds the hour back."""
+    h = _hourly(spark, sf_dir)
+    out = influxql(
+        "SELECT sum(s_c) AS s6_c, count(s_c) AS nb"
+        " FROM hourly GROUP BY time(6h, 1h), event_type",
+        {"hourly": h},
+        ts_col="bucket",
+    )
+    return out.withColumnRenamed("time", "bucket")
+
+
+_OFFSET_BUCKETS_SQL = f"""
+WITH {_HOURLY_MAT_SQL}
+SELECT make_timestamp((CAST(floor(epoch(bucket)) AS BIGINT)
+         - (CAST(floor(epoch(bucket)) AS BIGINT) - 3600) % 21600)
+         * 1000000) AS bucket,
+       event_type,
+       CAST(sum(s_c) AS BIGINT) AS s6_c,
+       count(s_c) AS nb
+FROM hourly GROUP BY 1, 2
+"""
+
+
 def _q_cq_resample(spark, sf_dir):
     """Incremental continuous query (RESAMPLE EVERY 1h FOR 48h) — the
     merge semantics end-to-end: a backfill runs over a STALE table
@@ -2396,6 +2424,7 @@ def influxql_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "influxql_forecast_linear": _q_influxql_forecast,
         "dtw_pairs_hourly": _q_dtw_pairs,
         "asap_smooth_hourly": _q_asap_smooth,
+        "influxql_offset_6h1h": _q_offset_buckets,
     }
 
 
@@ -2454,4 +2483,5 @@ def influxql_oracle_sql() -> dict[str, str]:
         "topn_other_hourly": _TOPN_OTHER_SQL,
         "forecast_linear_24h": _FORECAST_LINEAR_SQL,
         "influxql_forecast_linear": _INFLUXQL_FORECAST_SQL,
+        "influxql_offset_6h1h": _OFFSET_BUCKETS_SQL,
     }

@@ -833,3 +833,45 @@ def test_first_last_realtime_tail_composes_exactly(built, spark,
     want = {tuple(r[:2]): tuple(r[2:]) for r in raw.execute(q).collect()}
     got = {tuple(r[:2]): tuple(r[2:]) for r in df.collect()}
     assert got == want
+
+
+def test_offset_buckets_tier_served_and_exact(built):
+    """GROUP BY time(w, off) with a minute-aligned offset tier-serves: an
+    offset that keeps the coarse grid (1h over 4h) reads the 1h tier; an
+    offset that breaks it (30m over 1h) drops to the 1m tier.  Both must
+    equal the raw recompute exactly."""
+    points, cat = built
+    raw, tiered = _engines(points, cat)
+    for q, expect_tbl in [
+        (
+            "SELECT count(value) AS cnt, min(value) AS mn "
+            "FROM pages GROUP BY time(4h, 1h), metric",
+            "rollup_1h",
+        ),
+        (
+            "SELECT count(value) AS cnt, min(value) AS mn "
+            "FROM pages GROUP BY time(1h, 30m), metric",
+            "rollup_1m",
+        ),
+    ]:
+        df = tiered.execute(q)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert expect_tbl in plan, (q, expect_tbl)
+        want = {tuple(r[:2]): tuple(r[2:]) for r in raw.execute(q).collect()}
+        got = {tuple(r[:2]): tuple(r[2:]) for r in df.collect()}
+        assert got == want and len(got) > 10
+
+
+def test_sub_minute_offset_falls_back_to_raw(built):
+    points, cat = built
+    raw, tiered = _engines(points, cat)
+    q = (
+        "SELECT count(value) AS cnt FROM pages "
+        "GROUP BY time(1h, 90s), metric"
+    )
+    df = tiered.execute(q)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "rollup_1m" not in plan and "rollup_1h" not in plan
+    want = {tuple(r[:2]): r[2] for r in raw.execute(q).collect()}
+    got = {tuple(r[:2]): r[2] for r in df.collect()}
+    assert got == want
