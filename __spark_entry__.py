@@ -3281,6 +3281,7 @@ _WINDOW_TAIL = [
     "bpe_encode_tokens",   # rank-greedy loop — pytest-pinned vs reference
     "dtw_pairs_hourly",    # DP recurrence — pytest-pinned vs reference DP
     "asap_smooth_hourly",  # ACF-peak window search — pytest-pinned kernel
+    "pelt_segments_hourly",  # pruned DP — pinned vs exhaustive reference
 ]
 
 

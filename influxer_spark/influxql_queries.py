@@ -2283,6 +2283,23 @@ def _q_asap_smooth(spark, sf_dir):
     ).orderBy("event_type", "idx")
 
 
+def _q_pelt_segments(spark, sf_dir):
+    """Rows-only contract query (a pruned DP has no SQL oracle; PELT's
+    exactness is pinned against an exhaustive optimal-partitioning DP in
+    tests/test_pelt.py): optimal mean-shift segmentation of each
+    event_type's hourly 1e-4-tick mean series, fixed penalty."""
+    from influxer_spark.operators.pelt import pelt_changepoints
+
+    h = _hourly(spark, sf_dir).select(
+        "event_type",
+        "bucket",
+        F.round(F.col("v") * 10000, 0).cast("long").alias("tick"),
+    )
+    return pelt_changepoints(
+        h, ["event_type"], "bucket", "tick", penalty=1e9
+    ).orderBy("event_type", "seg")
+
+
 def _q_offset_buckets(spark, sf_dir):
     """GROUP BY time(6h, 1h) through the string front-end: InfluxQL's
     offset-shifted bucket grid (buckets at 01:00, 07:00, 13:00, 19:00).
@@ -2425,6 +2442,7 @@ def influxql_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dtw_pairs_hourly": _q_dtw_pairs,
         "asap_smooth_hourly": _q_asap_smooth,
         "influxql_offset_6h1h": _q_offset_buckets,
+        "pelt_segments_hourly": _q_pelt_segments,
     }
 
 
