@@ -23,15 +23,14 @@ def test_every_query_runs_at_sf0001(spark, sf_dir):
 def test_oracle_keys_subset_of_queries():
     q, o = set(E.queries()), set(E.oracle_sql())
     assert o <= q
-    # every SQL-expressible query should carry an oracle; track exceptions here
+    # every SQL-expressible query must carry an oracle; the only exceptions
+    # are the declared rows-only entries, which must ALSO sit in the
+    # window tail (so they never burn a driver value-check slot)
     rows_only = q - o
-    for name in rows_only:
-        assert name.startswith(
-            ("gorilla", "minhash", "simhash", "ann_", "stream",
-             "holt_winters", "sketch", "bpe", "dtw")
-        ), (
-            f"{name} has no oracle_sql entry but is not a known rows-only op"
-        )
+    assert rows_only <= set(E._WINDOW_TAIL), (
+        f"{sorted(rows_only - set(E._WINDOW_TAIL))} have no oracle_sql entry "
+        "but are not declared rows-only in _WINDOW_TAIL"
+    )
 
 
 def test_window_rotates_on_recorded_green_rows(tmp_path):
