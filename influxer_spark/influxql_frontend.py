@@ -1553,12 +1553,20 @@ class InfluxQLEngine:
         frame = self._run(inner)  # tier-served when registered
         keys = self._frame_keys(stmt, frame)
         w = stmt.time_width
+        # __i__ orders observed buckets (any strictly increasing map of
+        # bucket → int works; epoch//w stays monotone on offset/tz grids);
+        # the REAL bucket timestamp rides along so output rows are never
+        # re-derived from the index — an offset or tz grid re-derived as
+        # floor(epoch/w)·w would silently mislabel every row
         ticks = frame.select(
             *keys,
+            F.col("time").alias("__t__"),
             (F.unix_timestamp("time") / F.lit(w)).cast("long").alias("__i__"),
             F.col("__fv__").cast("double").alias("__v__"),
         ).filter(F.col("__v__").isNotNull())
-        sm = asap_smooth(ticks, keys, "__i__", "__v__")
+        sm = asap_smooth(
+            ticks.select(*keys, "__i__", "__v__"), keys, "__i__", "__v__"
+        )
         name = alias or "asap"
         # idx is the 0-based RANK of the smoothing window's start within
         # the observed series (gaps don't manufacture buckets — same rank
@@ -1566,13 +1574,13 @@ class InfluxQLEngine:
         # bucket for the output timestamp
         rank_w = Window.partitionBy(*keys).orderBy("__i__")
         ranked = ticks.select(
-            *keys, "__i__",
+            *keys, "__t__",
             (F.row_number().over(rank_w) - 1).alias("idx"),
         )
         out = (
             sm.join(ranked, [*keys, "idx"])
             .select(
-                F.timestamp_seconds(F.col("__i__") * F.lit(w)).alias("time"),
+                F.col("__t__").alias("time"),
                 *keys,
                 F.col("smoothed").alias(name),
                 F.col("window").alias(f"{name}_window"),
@@ -1680,14 +1688,14 @@ class InfluxQLEngine:
     def _serving_tier(w: int, off: int) -> str:
         """Coarsest tier whose buckets divide BOTH the width and the
         offset — with an offset, a tier bucket must never straddle an
-        output bucket (off=30m over a 1h width serves from 1m)."""
-        from influxer_spark.query import TIER_SECONDS
+        output bucket (off=30m over a 1h width serves from 1m).  A tier
+        divides both iff it divides their gcd, so this is select_tier of
+        the gcd (gcd(w, 0) == w keeps the no-offset behavior)."""
+        import math as _math
 
-        best = "1m"
-        for tier, s in TIER_SECONDS.items():
-            if w % s == 0 and off % s == 0 and s > TIER_SECONDS[best]:
-                best = tier
-        return best
+        from influxer_spark.query import select_tier
+
+        return select_tier(_math.gcd(w, off))
 
     def register_tiered(
         self,

@@ -93,7 +93,8 @@ def asap_window(
         if acf[k] > acf[k - 1] and acf[k] > acf[k + 1]
         and acf[k] >= corr_threshold
     ]
-    peaks.sort(key=lambda k: -acf[k - 1])
+    # every candidate is evaluated and the global roughness minimum kept,
+    # so no ordering of the (few) peaks is needed
     orig_kurt = _kurtosis(x)
     best_w, best_r = 1, _roughness(x)
     for w in peaks:
@@ -135,8 +136,21 @@ def asap_smooth(
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(order_col, kind="mergesort")
+        # NULL values are absent points (the engine-wide convention); a
+        # NaN left in place would silently poison the ACF into "no
+        # structure" and pass the series through unsmoothed
+        pdf = pdf[pdf[value_col].notna()]
         x = pdf[value_col].to_numpy(dtype=np.float64)
         n = len(x)
+        if n == 0:
+            return pd.DataFrame(
+                {
+                    **{k: pd.Series(dtype=pdf[k].dtype) for k in keys},
+                    "idx": pd.Series(dtype="int64"),
+                    "window": pd.Series(dtype="int64"),
+                    "smoothed": pd.Series(dtype="float64"),
+                }
+            )
         if n > max_points:
             raise ValueError(
                 f"asap_smooth: series {tuple(pdf.iloc[0][k] for k in keys)!r}"

@@ -59,6 +59,15 @@ def pelt_segments_1d(
         return []
     if n == 1:
         return [(0, 1)]
+    # numpy int64 overflow is silent — without this guard a large-tick
+    # series would return a wrong (possibly negative) RSS with no error,
+    # same discipline as matrixprofile._check_int64_bound
+    peak = float(np.max(np.abs(x))) if n else 0.0
+    if n * peak * peak >= float(2**63):
+        raise ValueError(
+            f"pelt: Σtick² can overflow int64 (n={n}, max|tick|={peak:.3g});"
+            " quantize with a coarser tick or segment a shorter series"
+        )
     c1 = np.concatenate(([0], np.cumsum(x, dtype=np.int64)))
     c2 = np.concatenate(([0], np.cumsum(x.astype(np.int64) ** 2)))
     if penalty is None:

@@ -135,3 +135,36 @@ def test_frontend_asap_string(spark):
         ).collect()
     with pytest.raises(InfluxQLError, match="GROUP BY time"):
         influxql("SELECT asap(mean(v)) FROM m", {"m": df}, ts_col="ts").collect()
+
+
+def test_frontend_asap_offset_grid_keeps_true_times(spark):
+    import datetime as dt
+
+    from influxer_spark.influxql_frontend import influxql
+
+    # offset grid: buckets at :30 — output timestamps must stay on it
+    x = _seasonal_noisy(n=480)
+    t0 = dt.datetime(2024, 1, 1, 0, 30)
+    rows = [
+        (t0 + dt.timedelta(hours=i), "x", float(v)) for i, v in enumerate(x)
+    ]
+    df = spark.createDataFrame(rows, ["ts", "tag", "v"])
+    out = influxql(
+        "SELECT asap(mean(v)) AS sm FROM m GROUP BY time(1h, 30m), tag",
+        {"m": df},
+        ts_col="ts",
+    ).collect()
+    assert out and all(r["time"].minute == 30 for r in out)
+    assert min(r["time"] for r in out) == t0
+
+
+def test_asap_null_values_are_absent_points(spark):
+    # a NULL mid-series must neither poison the ACF nor appear in output
+    x = _seasonal_noisy(n=480)
+    rows = [("a", i, float(v)) for i, v in enumerate(x)]
+    rows.insert(100, ("a", 1000, None))
+    df = spark.createDataFrame(rows, ["k", "i", "v"])
+    out = asap_smooth(df, ["k"], "i", "v", max_window=60)
+    got = out.toPandas()
+    assert got["window"].iloc[0] >= 2          # structure still found
+    assert not got["smoothed"].isna().any()    # no NaN leaked
