@@ -875,3 +875,24 @@ def test_sub_minute_offset_falls_back_to_raw(built):
     want = {tuple(r[:2]): r[2] for r in raw.execute(q).collect()}
     got = {tuple(r[:2]): r[2] for r in df.collect()}
     assert got == want
+
+
+def test_asap_inner_agg_tier_served(built):
+    """asap() desugars its inner aggregate through _run, so a registered
+    tiered measurement serves the fit series from the rollup tier; the
+    smoothed output must match the raw engine exactly (same fold over
+    the same series)."""
+    points, cat = built
+    raw, tiered = _engines(points, cat)
+    q = (
+        "SELECT asap(count(value)) AS sm "
+        "FROM pages GROUP BY time(4h), metric"
+    )
+    df = tiered.execute(q)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "rollup_1h" in plan
+    want = {(r["time"], r["metric"]): (r["sm"], r["sm_window"])
+            for r in raw.execute(q).collect()}
+    got = {(r["time"], r["metric"]): (r["sm"], r["sm_window"])
+           for r in df.collect()}
+    assert got == want and len(got) > 0
