@@ -3282,6 +3282,7 @@ _WINDOW_TAIL = [
     "dtw_pairs_hourly",    # DP recurrence — pytest-pinned vs reference DP
     "asap_smooth_hourly",  # ACF-peak window search — pytest-pinned kernel
     "pelt_segments_hourly",  # pruned DP — pinned vs exhaustive reference
+    "theta_forecast_24h",  # SES recurrence — half-drift identity pinned
 ]
 
 

@@ -2300,6 +2300,20 @@ def _q_pelt_segments(spark, sf_dir):
     ).orderBy("event_type", "seg")
 
 
+def _q_theta_forecast(spark, sf_dir):
+    """Rows-only contract query (SES is an iterative recurrence — no SQL
+    oracle; the canonical half-drift identity and SES parity are pinned
+    in tests/test_theta.py): Theta-method forecast of the next 24 hourly
+    means per event_type — the M4-benchmark hybrid beside the rows-only
+    holt_winters and the value-oracled forecast_linear."""
+    from influxer_spark.operators.theta import theta_forecast
+
+    h = _hourly(spark, sf_dir).select("event_type", "bucket", "v")
+    return theta_forecast(
+        h, ["event_type"], "bucket", "v", horizon=24
+    ).orderBy("event_type", "step")
+
+
 def _q_offset_buckets(spark, sf_dir):
     """GROUP BY time(6h, 1h) through the string front-end: InfluxQL's
     offset-shifted bucket grid (buckets at 01:00, 07:00, 13:00, 19:00).
@@ -2443,6 +2457,7 @@ def influxql_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asap_smooth_hourly": _q_asap_smooth,
         "influxql_offset_6h1h": _q_offset_buckets,
         "pelt_segments_hourly": _q_pelt_segments,
+        "theta_forecast_24h": _q_theta_forecast,
     }
 
 
