@@ -1117,7 +1117,7 @@ WITH p AS (
          ((((idx % 32) + 32) << (idx // 32)) >> 5) AS lb
   FROM s
 )
-SELECT event_type, hod, max(n) AS n,
+SELECT event_type, hod, CAST(max(n) AS BIGINT) AS n,
   min(CASE WHEN cum >= ceil(0.1*n) THEN lb END)/100.0 AS q10,
   min(CASE WHEN cum >= ceil(0.9*n) THEN lb END)/100.0 AS q90
 FROM r GROUP BY 1, 2
@@ -1453,7 +1453,7 @@ WITH s1 AS (
          ((((idx % 32) + 32) << (idx // 32)) >> 5) AS lb
   FROM s
 )
-SELECT step_idx, step, max(n) AS n,
+SELECT step_idx, step, CAST(max(n) AS BIGINT) AS n,
   (min(CASE WHEN cum >= ceil(0.5*n) THEN lb END) / 100.0) * 100.0 AS q50,
   (min(CASE WHEN cum >= ceil(0.9*n) THEN lb END) / 100.0) * 100.0 AS q90
 FROM r GROUP BY 1, 2
@@ -1625,7 +1625,7 @@ WITH p AS (
          ((((idx % 32) + 32) << (idx // 32)) >> 5) AS lb
   FROM win
 )
-SELECT event_type, bucket, max(n) AS n,
+SELECT event_type, bucket, CAST(max(n) AS BIGINT) AS n,
   min(CASE WHEN cum >= ceil(0.5*n) THEN lb END)/100.0 AS q50,
   min(CASE WHEN cum >= ceil(0.95*n) THEN lb END)/100.0 AS q95
 FROM r GROUP BY 1, 2
@@ -2020,7 +2020,7 @@ WITH p AS (
   FROM p
 )
 SELECT event_type, bucket,
-       coalesce(sum(v * (nt - t)), 0) AS area,
+       CAST(coalesce(sum(v * (nt - t)), 0) AS BIGINT) AS area,
        max(t) - min(t) AS dur,
        CASE WHEN max(t) > min(t)
             THEN CAST(coalesce(sum(v * (nt - t)), 0) AS DOUBLE)
@@ -2069,7 +2069,7 @@ WITH p AS (
          ((((idx % 32) + 32) << (idx // 32)) >> 5) AS lb
   FROM s
 )
-SELECT event_type, bucket, max(n) AS n,
+SELECT event_type, bucket, CAST(max(n) AS BIGINT) AS n,
   min(CASE WHEN cum >= ceil(0.5*n) THEN lb END)/100.0 AS q50,
   min(CASE WHEN cum >= ceil(0.95*n) THEN lb END)/100.0 AS q95,
   min(CASE WHEN cum >= ceil(0.99*n) THEN lb END)/100.0 AS q99

@@ -909,6 +909,26 @@ class TableCatalog:
         self._commit_apply(name, _apply, branch=branch)
         shutil.rmtree(staging, ignore_errors=True)
 
+    def amend_partition_counters(
+        self, name: str, counters_by_partition: dict[str, dict[str, Any]]
+    ) -> None:
+        """Metadata-only commit merging counters into already-committed
+        partition entries (no data files move — the Iceberg
+        stats/properties-update shape).  Exists for the storage-backed
+        wave path (``process_days(wave_reuse="storage")``), where per-day
+        counters are computed FROM the committed read-back, so the data
+        commit lands first and its counters follow as their own snapshot.
+        Unknown partition values are ignored (a wave may stage zero rows
+        for a day, which leaves no manifest entry to amend)."""
+
+        def _apply(manifest: dict[str, Any]) -> None:
+            for pv, counters in counters_by_partition.items():
+                entry = manifest["partitions"].get(pv)
+                if entry is not None:
+                    entry.setdefault("counters", {}).update(counters)
+
+        self._commit_apply(name, _apply)
+
     def stage_partitions(
         self,
         df: DataFrame,

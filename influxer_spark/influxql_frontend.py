@@ -1501,13 +1501,25 @@ class InfluxQLEngine:
             offset=None, slimit=None, soffset=None, order_desc=False,
             into=None,
         )
+        if stmt.tz:
+            # tz() wall-clock grids are non-uniform across DST shifts, so
+            # "bucket index * w" has no inverse that lands horizon rows on
+            # the real grid; refuse loudly instead of mislabeling rows.
+            raise InfluxQLError("forecast_linear() does not support tz()")
         frame = self._run(inner)  # tier-served when registered
         keys = self._frame_keys(stmt, frame)
         w = stmt.time_width
-        # buckets are w-aligned, so epoch/w is an exact integer index
+        off = int(stmt.time_offset)
+        # buckets sit on k*w + off, so (epoch - off)/w is an exact integer
+        # index and idx*w + off inverts it exactly — including for the
+        # horizon buckets past the last observation, which is why forecast
+        # cannot carry real timestamps the way _exec_asap does (they don't
+        # exist yet) and must reconstruct the grid instead
         ticks = frame.select(
             *keys,
-            (F.unix_timestamp("time") / F.lit(w)).cast("long").alias("__idx__"),
+            ((F.unix_timestamp("time") - F.lit(off)) / F.lit(w))
+            .cast("long")
+            .alias("__idx__"),
             F.round(F.col("__fv__") * 10000, 0).cast("long").alias("__tv__"),
         ).filter(F.col("__tv__").isNotNull())
         fc = linear_forecast_horizon(
@@ -1515,7 +1527,9 @@ class InfluxQLEngine:
         )
         name = alias or "forecast_linear"
         out = fc.select(
-            F.timestamp_seconds(F.col("__idx__") * F.lit(w)).alias("time"),
+            F.timestamp_seconds(
+                F.col("__idx__") * F.lit(w) + F.lit(off)
+            ).alias("time"),
             *keys,
             F.col("pred").alias(name),
         )

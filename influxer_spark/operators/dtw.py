@@ -102,6 +102,11 @@ def dtw_pairs(
     """
     folded = (
         series.select(key_col, order_col, tick_col)
+        # engine convention: NULL tick = absent point — drop BEFORE the
+        # fold (collect_list keeps None inside struct arrays, and the
+        # int64 cast in the DP would raise an opaque TypeError instead of
+        # this engine's loud, named errors)
+        .filter(F.col(tick_col).isNotNull())
         .groupBy(key_col)
         .agg(
             F.sort_array(

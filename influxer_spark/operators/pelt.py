@@ -127,6 +127,22 @@ def pelt_changepoints(
     )
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        # engine convention: NULL tick = absent point (asap/theta filter
+        # notna the same way) — without this, pandas casts NaN to
+        # INT64_MIN silently and the overflow guard fires with a
+        # misleading "quantize with a coarser tick" error
+        pdf = pdf[pdf[tick_col].notna()]
+        if not len(pdf):
+            return pd.DataFrame(
+                {
+                    **{k: pd.Series([], dtype=object) for k in keys},
+                    "seg": pd.Series([], dtype="int64"),
+                    "start_idx": pd.Series([], dtype="int64"),
+                    "end_idx": pd.Series([], dtype="int64"),
+                    "n": pd.Series([], dtype="int64"),
+                    "mean": pd.Series([], dtype="float64"),
+                }
+            )
         pdf = pdf.sort_values(order_col, kind="mergesort")
         x = pdf[tick_col].to_numpy(dtype=np.int64)
         if len(x) > max_points:

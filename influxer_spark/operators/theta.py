@@ -18,9 +18,10 @@ Execution shape: per-series fold (``applyInPandas``, the
 mk_theilsen/asap posture) with a loud ``max_points`` guard — run over a
 rollup TIER; series parallelize across executors.  Rows-only at the gate
 (SES is an iterative recurrence; no SQL oracle); the kernel is pinned in
-tests/test_theta.py: exact continuation on pure-linear input (the θ=2
-line collapses to a constant), hand-computed SES parity, α-grid
-determinism.
+tests/test_theta.py: the Hyndman–Billah half-drift identity on
+pure-linear input (θ2 = 2x − trend IS the line itself, its SES level
+lags it, so the blended forecast continues at half the drift),
+hand-computed SES parity, α-grid determinism.
 
 Completes the forecasting trio: holt_winters (iterative seasonal),
 linear_forecast (closed-form, value-oracled), theta (benchmark hybrid).

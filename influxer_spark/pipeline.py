@@ -28,6 +28,7 @@ Scale notes:
 from __future__ import annotations
 
 import datetime as dt
+import os
 import time
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
@@ -70,8 +71,16 @@ def run_pipeline(
     validate_extraction: bool = False,
     hist_bounds: list[float] | None = None,
     max_series_per_day: int | None = None,
+    wave_reuse: str | None = None,
 ) -> PipelineResult:
-    """Run (or resume) the full pipeline over a pages parquet table."""
+    """Run (or resume) the full pipeline over a pages parquet table.
+
+    ``wave_reuse`` (or env ``SPARK_GRAFT_WAVE_REUSE``) picks cache- vs
+    storage-backed sharing of the per-page frame — see
+    :func:`process_days`."""
+    wave_reuse = wave_reuse or os.environ.get(
+        "SPARK_GRAFT_WAVE_REUSE", "cache"
+    )
     t0 = time.time()
     catalog = TableCatalog(catalog_root)
     pages = spark.read.parquet(pages_path)
@@ -89,6 +98,7 @@ def run_pipeline(
             source=pages_path,
             hist_bounds=hist_bounds,
             max_series_per_day=max_series_per_day,
+            wave_reuse=wave_reuse,
         )
         res.days_processed = pending
     res.elapsed_s = time.time() - t0
@@ -124,10 +134,25 @@ def process_days(
     source: str = "",
     hist_bounds: list[float] | None = None,
     max_series_per_day: int | None = None,
+    wave_reuse: str = "cache",
 ) -> dict[str, dict[str, Any]]:
     """One distributed wave over every pending day; commits each tier's
     partitions with counters + lineage.  Idempotent: a crashed/partial run
-    leaves uncommitted staging only, and rerunning overwrites cleanly."""
+    leaves uncommitted staging only, and rerunning overwrites cleanly.
+
+    ``wave_reuse`` picks how the per-page metrics frame is shared by the
+    wave's sinks: ``"cache"`` (default) holds it as a Spark cache —
+    fastest when a wave's pages fit executor MEMORY_AND_DISK; ``"storage"``
+    commits raw_points FIRST and builds every tier from the committed
+    read-back, so the only copy of the page-count-sized frame lives in the
+    table it was going to write anyway (the 100×-scale posture: a
+    10^12-row wave cannot be a cache).  Counters for raw_points then land
+    as a follow-up metadata-only commit (amend_partition_counters),
+    computed from the read-back.  Tier math is identical either way."""
+    if wave_reuse not in ("cache", "storage"):
+        raise ValueError(
+            f"wave_reuse must be 'cache' or 'storage', got {wave_reuse!r}"
+        )
     day_pages = pages.filter(_pending_filter(pages, days))
     # mapInArrow is a projection barrier: select the hot-path columns here so
     # the parquet scan prunes (text is only read when validating)
@@ -151,8 +176,24 @@ def process_days(
             "html_bytes", "text_chars", "n_tokens", "text_ratio",
         )
         .withColumn("day", _day_of("warc_ts"))
-        .cache()
     )
+    lineage = {d: {"source": source, "day": d} for d in days}
+    if wave_reuse == "storage":
+        # storage-backed reuse: the ONE extraction pass is the raw_points
+        # write itself; every downstream job (cardinality guard, stats,
+        # the 1m rollup, archives) reads the committed parquet back.  The
+        # guard therefore fires after the raw_points commit — acceptable
+        # because raw_points is one row per PAGE (tag cardinality cannot
+        # multiply it) and rollup_1d, the resume marker, still commits
+        # last, so a guard-failed wave re-runs whole.
+        catalog.write_partitions(
+            wide, "raw_points", days, lineage_by_partition=lineage
+        )
+        wide = catalog.read_partitions_with_key(
+            spark, "raw_points", days
+        ).withColumnRenamed("p", "day")
+    else:
+        wide = wide.cache()
     points = pages_to_points(wide)
     if max_series_per_day is not None:
         # Series-cardinality guard — InfluxDB's max-series-per-database
@@ -178,7 +219,6 @@ def process_days(
                 f"max_series_per_day={max_series_per_day} ({detail}); "
                 "drop or hash the offending tag, or raise the limit"
             )
-    lineage = {d: {"source": source, "day": d} for d in days}
     # hist_bounds opts the tiers into mergeable quantile histograms
     # (rollup.rollup_with_histogram): same single shuffle per tier, an extra
     # array<long> column, exact integer-sum cascade — p50/p95/p99 then serve
@@ -212,7 +252,10 @@ def process_days(
             return R.cascade_with_histogram(frame, POINT_KEYS, tier, ncells)
         return R.cascade(frame, POINT_KEYS, tier)
 
-    pool = ThreadPoolExecutor(max_workers=3)
+    # 6 workers: raw + 1m + dual-materialize + gorilla + counts can all be
+    # in flight (the last two BLOCK on the materialize future, so the pool
+    # must never be able to fill up with waiters alone)
+    pool = ThreadPoolExecutor(max_workers=6)
     dual = None
     try:
         # one job for both per-day counters, straight off the wide cache
@@ -237,18 +280,28 @@ def process_days(
         # measured 8.7s of sequential sink jobs vs ~5s overlapped at sf-bench
         # scale, and on a real cluster this is exactly how independent sinks
         # share a wave of executors.
-        f_raw = pool.submit(
-            catalog.write_partitions,
-            wide, "raw_points", days,
-            counters_by_partition={
-                d: {
-                    "rows_in": stats[d]["rows_in"],
-                    "points_out": stats[d]["points_n"],
-                }
-                for d in days
-            },
-            lineage_by_partition=lineage,
-        )
+        raw_counters = {
+            d: {
+                "rows_in": stats[d]["rows_in"],
+                "points_out": stats[d]["points_n"],
+            }
+            for d in days
+        }
+        if wave_reuse == "storage":
+            # raw_points already committed (it IS the reuse medium); its
+            # counters — computed from the read-back — follow as a
+            # metadata-only amendment, keeping refresh_pipeline's
+            # rows_in-based invalidation intact
+            f_raw = pool.submit(
+                catalog.amend_partition_counters, "raw_points", raw_counters
+            )
+        else:
+            f_raw = pool.submit(
+                catalog.write_partitions,
+                wide, "raw_points", days,
+                counters_by_partition=raw_counters,
+                lineage_by_partition=lineage,
+            )
         # materialize the t1m cache (and collect b1m) while raw_points writes;
         # downstream threads then read the cache, never recompute the rollup
         b1m = {
@@ -289,18 +342,32 @@ def process_days(
                 .withColumn("day", F.element_at("series_keys", 1))
                 .cache()
             )
-            dual.count()  # materialize once before the concurrent sinks
+            # materialize ASYNC, then both archive sinks chain off the
+            # materialize future.  Blocking the main thread here (the r03
+            # shape) serialized the whole triple-codec encode ahead of the
+            # 1h/1d cascade and cost the wave ~2s it didn't owe; the 1d
+            # resume-marker barrier below still waits for the archives, so
+            # commit ordering is unchanged.  The count() is what populates
+            # the cache exactly once — two sinks racing an UNcached frame
+            # would each run the encode.
+            f_dual = pool.submit(dual.count)
             enc = dual.select(
                 "series_keys", "n_points",
                 F.col("gor_blob").alias("blob"), "raw_bytes",
                 F.col("gor_bytes").alias("encoded_bytes"), "day",
             )
-            f_gor = pool.submit(
-                catalog.write_partitions,
-                enc, "rollup_1m_gorilla", days,
-                counters_by_partition={d: {"rows_in": b1m[d]} for d in days},
-                lineage_by_partition=lineage,
-            )
+
+            def _after_dual(frame: DataFrame, table: str):
+                f_dual.result()
+                return catalog.write_partitions(
+                    frame, table, days,
+                    counters_by_partition={
+                        d: {"rows_in": b1m[d]} for d in days
+                    },
+                    lineage_by_partition=lineage,
+                )
+
+            f_gor = pool.submit(_after_dual, enc, "rollup_1m_gorilla")
             enc_i = dual.select(
                 "series_keys", "n_points",
                 F.col("int_blob").alias("blob"), "raw_bytes",
@@ -308,12 +375,7 @@ def process_days(
                 F.col("int2_blob").alias("sum_blob"),
                 F.col("int2_bytes").alias("sum_bytes"), "day",
             )
-            f_cnt = pool.submit(
-                catalog.write_partitions,
-                enc_i, "rollup_1m_counts", days,
-                counters_by_partition={d: {"rows_in": b1m[d]} for d in days},
-                lineage_by_partition=lineage,
-            )
+            f_cnt = pool.submit(_after_dual, enc_i, "rollup_1m_counts")
 
         t1h = _cascade(t1m.drop("day"), "1h").withColumn(
             "day", _day_of("bucket")

@@ -98,3 +98,17 @@ def test_null_first_last_semantics(spark):
         ts_col="ts",
     ).collect()
     assert out[0]["o"] == 5.0 and out[0]["c"] == 5.0
+
+
+def test_null_ticks_dropped_before_fold(spark):
+    # engine convention: NULL tick = absent point.  A None inside the
+    # folded array used to reach np.asarray(int64) and raise an opaque
+    # TypeError; now the fold drops the row and the DP sees clean series.
+    rows = [("a", 0, 1), ("a", 1, None), ("a", 2, 3),
+            ("b", 0, 1), ("b", 1, 3)]
+    df = spark.createDataFrame(rows, "k string, i long, v long")
+    out = dtw_pairs(df, "k", "i", "v", band=1).collect()
+    assert len(out) == 1
+    r = out[0]
+    # series a folds to [1, 3] (the NULL point absent), identical to b
+    assert (r["n_a"], r["n_b"], r["dtw_cost"]) == (2, 2, 0)

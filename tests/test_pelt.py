@@ -112,3 +112,15 @@ def test_max_points_guard(spark):
     df = spark.createDataFrame(rows, ["k", "i", "v"])
     with pytest.raises(Exception, match="max_points"):
         pelt_changepoints(df, ["k"], "i", "v", max_points=10).collect()
+
+
+def test_null_ticks_dropped_before_dp(spark):
+    # engine convention: NULL tick = absent point (asap/theta parity).
+    # Without the notna filter pandas casts NaN to INT64_MIN and the
+    # overflow guard fires with a misleading "coarser tick" error.
+    rows = [("a", 0, 10), ("a", 1, None), ("a", 2, 10), ("a", 3, 10)]
+    rows += [("b", i, None) for i in range(4)]  # all-NULL series → no rows
+    df = spark.createDataFrame(rows, "k string, i long, v long")
+    got = {(r["k"], r["seg"]): (r["start_idx"], r["end_idx"], r["n"], r["mean"])
+           for r in pelt_changepoints(df, ["k"], "i", "v").collect()}
+    assert got == {("a", 0): (0, 3, 3, 10.0)}

@@ -832,3 +832,57 @@ def test_compaction_sort_strategy_clusters_rows(tmp_path, spark):
     assert res2["compacted"]
     res3 = cat.compact_partition(spark, "t", "2024-01-01", target_file_mb=128)
     assert not res3["compacted"]  # binpack path still skips when compact
+
+
+def test_storage_backed_wave_matches_cache_mode(spark, pages_path, tmp_path):
+    """wave_reuse='storage' (commit raw_points first, build tiers from the
+    committed read-back — the 100×-scale posture where a wave's pages
+    cannot live in a Spark cache) must produce bit-identical tiers,
+    archives, and counters vs the default cache mode."""
+    root_c = str(tmp_path / "cache")
+    root_s = str(tmp_path / "storage")
+    res_c = run_pipeline(spark, pages_path, root_c)
+    res_s = run_pipeline(spark, pages_path, root_s, wave_reuse="storage")
+    assert sorted(res_s.days_processed) == sorted(res_c.days_processed)
+
+    a, b = TableCatalog(root_c), TableCatalog(root_s)
+    for tbl in ["raw_points", "rollup_1m", "rollup_1h", "rollup_1d"]:
+        cols = (
+            ["url", "warc_ts", "html_bytes", "text_chars", "n_tokens"]
+            if tbl == "raw_points"
+            else ["bucket", "url", "metric", "cnt", "sum_v", "min_v", "max_v"]
+        )
+        ra = sorted(tuple(r) for r in a.read_committed(spark, tbl).select(cols).collect())
+        rb = sorted(tuple(r) for r in b.read_committed(spark, tbl).select(cols).collect())
+        assert ra == rb, tbl
+
+    # archive blobs identical too (same series order, same codecs)
+    for tbl in ["rollup_1m_gorilla", "rollup_1m_counts"]:
+        ra = sorted(
+            (tuple(r["series_keys"]), bytes(r["blob"]))
+            for r in a.read_committed(spark, tbl).collect()
+        )
+        rb = sorted(
+            (tuple(r["series_keys"]), bytes(r["blob"]))
+            for r in b.read_committed(spark, tbl).collect()
+        )
+        assert ra == rb, tbl
+
+    # raw_points counters amended post-commit — refresh invalidation intact
+    mc = a.read_manifest("raw_points")["partitions"]
+    ms = b.read_manifest("raw_points")["partitions"]
+    for d in res_s.days_processed:
+        assert ms[d]["counters"]["rows_in"] == mc[d]["counters"]["rows_in"]
+        assert ms[d]["counters"]["points_out"] == mc[d]["counters"]["points_out"]
+        assert ms[d]["lineage"]["source"] == pages_path
+
+    # resume semantics unchanged: a completed storage-mode run skips whole
+    res3 = run_pipeline(spark, pages_path, root_s, wave_reuse="storage")
+    assert res3.days_processed == []
+
+
+def test_wave_reuse_rejects_unknown_mode(spark, pages_path, tmp_path):
+    with pytest.raises(ValueError, match="wave_reuse"):
+        run_pipeline(
+            spark, pages_path, str(tmp_path / "x"), wave_reuse="mmap"
+        )

@@ -263,6 +263,43 @@ def test_frontend_forecast_linear_string(spark):
     assert all(r["tag"] == "x" for r in out)
 
 
+def test_frontend_forecast_linear_offset_grid(spark):
+    """GROUP BY time(1h, 15m): every output row — observed-range and
+    horizon alike — must land on the k*w+off grid, and the forecast values
+    must be computed on that same grid (the r03 ADVICE regression rebuilt
+    times as floor(epoch/w)*w, shifting every row by -off)."""
+    from influxer_spark.influxql_frontend import influxql
+
+    # buckets at HH:15 → sums 0,10,…,50 over 6 offset-aligned hours
+    rows = [("2024-01-01T%02d:15:00" % h, "x", 10 * h) for h in range(6)]
+    df = spark.createDataFrame(rows, ["bucket", "tag", "v"]).withColumn(
+        "bucket", F.to_timestamp("bucket")
+    )
+    out = influxql(
+        "SELECT forecast_linear(sum(v), 2) AS fc"
+        " FROM m GROUP BY time(1h, 15m), tag",
+        {"m": df},
+        ts_col="bucket",
+    ).collect()
+    got = {(r["time"].hour, r["time"].minute): r["fc"] for r in out}
+    assert got == {(6, 15): 60.0, (7, 15): 70.0}
+
+
+def test_frontend_forecast_linear_rejects_tz(spark):
+    from influxer_spark.influxql_frontend import InfluxQLError, influxql
+
+    df = spark.createDataFrame(
+        [("2024-01-01T00:00:00", "x", 1.0)], ["bucket", "tag", "v"]
+    ).withColumn("bucket", F.to_timestamp("bucket"))
+    with pytest.raises(InfluxQLError, match="tz"):
+        influxql(
+            "SELECT forecast_linear(sum(v), 2) FROM m"
+            " GROUP BY time(1h) tz('America/New_York')",
+            {"m": df},
+            ts_col="bucket",
+        ).collect()
+
+
 def test_frontend_forecast_linear_rejections(spark):
     from influxer_spark.influxql_frontend import InfluxQLError, influxql
 

@@ -60,6 +60,18 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
     if len(a) != len(b):
         return errs
     for c in a.columns:
+        # The driver hashes TYPED values, so an int64 Spark column vs a
+        # float64 oracle column ("43200" vs "43200.0") is a red row even
+        # when every value is numerically equal (the twa_1h_cascade r03
+        # lesson: DuckDB sum(BIGINT) -> HUGEINT -> float64 in .df()).
+        # Surface dtype-kind drift as a hard failure here so it never
+        # reaches a driver window.
+        if a[c].dtype.kind != b[c].dtype.kind:
+            errs.append(
+                f"dtype kind mismatch in column {c}: "
+                f"spark={a[c].dtype} duck={b[c].dtype}"
+            )
+    for c in a.columns:
         av, bv = a[c].to_numpy(), b[c].to_numpy()
         if av.dtype.kind == "f":
             ok = np.allclose(av, bv, rtol=0, atol=0, equal_nan=True)
