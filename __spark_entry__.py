@@ -3269,6 +3269,9 @@ _WINDOW_PRIORITY = [
     "stream_ohlc_replay_1h",
     "ohlc_sliding_24h",
     "influxql_offset_6h1h",
+    # ---- round-4 additions: rows-only queries converted to value oracles
+    # (recursive-CTE replays of the exact kernel op order) ----
+    "theta_forecast_24h",
 ]
 
 # Rows-only queries (genuinely non-SQL-expressible internals) — always last.
@@ -3282,7 +3285,6 @@ _WINDOW_TAIL = [
     "dtw_pairs_hourly",    # DP recurrence — pytest-pinned vs reference DP
     "asap_smooth_hourly",  # ACF-peak window search — pytest-pinned kernel
     "pelt_segments_hourly",  # pruned DP — pinned vs exhaustive reference
-    "theta_forecast_24h",  # SES recurrence — half-drift identity pinned
 ]
 
 

@@ -2301,17 +2301,87 @@ def _q_pelt_segments(spark, sf_dir):
 
 
 def _q_theta_forecast(spark, sf_dir):
-    """Rows-only contract query (SES is an iterative recurrence — no SQL
-    oracle; the canonical half-drift identity and SES parity are pinned
-    in tests/test_theta.py): Theta-method forecast of the next 24 hourly
-    means per event_type — the M4-benchmark hybrid beside the rows-only
-    holt_winters and the value-oracled forecast_linear."""
+    """Theta-method forecast of the next 24 hourly buckets per event_type
+    (1e-4-tick units) — the M4-benchmark hybrid beside holt_winters and
+    the closed-form forecast_linear.  VALUE-ORACLED: the kernel's OLS is
+    exact integer normal equations, the α grid is i/100.0 with strict-<
+    argmin, and the SES recurrence has one pinned double-op shape per
+    step, so _THETA_SQL replays every forecast bit-for-bit with a
+    recursive CTE (the same discipline as the EMA/KAMA folds).  Feeding
+    integer ticks (not float means) is what makes Σy and Σt·y exact and
+    order-independent on both engines."""
     from influxer_spark.operators.theta import theta_forecast
 
-    h = _hourly(spark, sf_dir).select("event_type", "bucket", "v")
+    h = _hourly(spark, sf_dir).select(
+        "event_type", "bucket", F.round(F.col("v") * 10000, 0).alias("tick")
+    )
     return theta_forecast(
-        h, ["event_type"], "bucket", "v", horizon=24
+        h, ["event_type"], "bucket", "tick", horizon=24
     ).orderBy("event_type", "step")
+
+
+_THETA_SQL = f"""
+WITH RECURSIVE {_HOURLY_MAT_SQL}, t AS MATERIALIZED (
+  SELECT event_type,
+         CAST(round(v * 10000, 0) AS DOUBLE) AS x,
+         CAST(row_number() OVER (PARTITION BY event_type ORDER BY bucket)
+              AS BIGINT) AS rn
+  FROM hourly
+), ols AS (
+  -- exact integer sums (ticks < 2^53): CAST order mirrors the kernel
+  SELECT event_type,
+         count(*) AS n,
+         CAST(count(*) AS DOUBLE) AS fn,
+         CAST((count(*) * (count(*) - 1)) // 2 AS DOUBLE) AS st,
+         CAST((count(*) - 1) * count(*) * (2 * count(*) - 1) // 6
+              AS DOUBLE) AS stt,
+         CAST(sum(CAST(x AS BIGINT)) AS DOUBLE) AS sy,
+         CAST(sum((rn - 1) * CAST(x AS BIGINT)) AS DOUBLE) AS sty
+  FROM t GROUP BY 1
+), slope AS (
+  SELECT event_type, n, fn, st,
+         (fn * sty - st * sy) / (fn * stt - st * st) AS b, sy
+  FROM ols
+), ab AS MATERIALIZED (
+  SELECT event_type, n, b, (sy - b * st) / fn AS a FROM slope
+), th2 AS MATERIALIZED (
+  -- theta2 line: 2x - trend, same elementwise double ops as the kernel
+  SELECT t.event_type, t.rn,
+         2.0 * t.x - (ab.a + ab.b * CAST(t.rn - 1 AS DOUBLE)) AS v
+  FROM t JOIN ab ON t.event_type = ab.event_type
+), grid AS (
+  SELECT CAST(i AS DOUBLE) / 100.0 AS alpha FROM range(1, 100) g(i)
+), ses AS (
+  -- the SES fold, one pinned op shape per step:
+  --   err = v - level;  sse += err*err;  level += alpha*err
+  SELECT s.event_type, g.alpha, s.rn, s.v AS level,
+         CAST(0.0 AS DOUBLE) AS sse
+  FROM th2 s CROSS JOIN grid g WHERE s.rn = 1
+  UNION ALL
+  SELECT s.event_type, p.alpha, s.rn,
+         p.level + p.alpha * (s.v - p.level) AS level,
+         p.sse + (s.v - p.level) * (s.v - p.level) AS sse
+  FROM th2 s JOIN ses p
+    ON s.event_type = p.event_type AND s.rn = p.rn + 1
+), best AS (
+  -- strict-< fold == min (sse, alpha): exact ties keep the smaller alpha
+  SELECT event_type, alpha, level FROM (
+    SELECT f.event_type, f.alpha, f.level,
+           row_number() OVER (PARTITION BY f.event_type
+                              ORDER BY f.sse, f.alpha) AS rk
+    FROM ses f JOIN ab ON f.event_type = ab.event_type AND f.rn = ab.n
+  ) WHERE rk = 1
+)
+SELECT ab.event_type, CAST(h.step AS BIGINT) AS step,
+       0.5 * (best.level
+              + (ab.a + ab.b * CAST(ab.n - 1 + h.step AS DOUBLE)))
+         AS forecast,
+       best.alpha AS alpha,
+       ab.b AS trend_slope
+FROM ab
+JOIN best ON ab.event_type = best.event_type
+CROSS JOIN range(1, 25) h(step)
+"""
 
 
 def _q_offset_buckets(spark, sf_dir):
@@ -2517,4 +2587,5 @@ def influxql_oracle_sql() -> dict[str, str]:
         "forecast_linear_24h": _FORECAST_LINEAR_SQL,
         "influxql_forecast_linear": _INFLUXQL_FORECAST_SQL,
         "influxql_offset_6h1h": _OFFSET_BUCKETS_SQL,
+        "theta_forecast_24h": _THETA_SQL,
     }

@@ -50,13 +50,19 @@ def _ses_level(y: np.ndarray, alpha: float) -> tuple[float, float]:
 
 
 def _best_alpha(y: np.ndarray) -> float:
-    """Deterministic α grid search: min one-step SSE, ties → smallest α."""
+    """Deterministic α grid search: min one-step SSE, ties → smallest α.
+
+    Grid points are ``i/100.0`` (NOT np.arange, whose ``start + i·step``
+    doubles differ in the last ulp) and the comparison is strict ``<`` —
+    both choices exist so a SQL oracle replaying the same grid with
+    ``ORDER BY sse, alpha LIMIT 1`` lands on the identical α."""
     best_a, best_sse = 0.01, float("inf")
-    for a in np.arange(0.01, 1.0, 0.01):
-        _, sse = _ses_level(y, float(a))
-        if sse < best_sse - 1e-12:
-            best_a, best_sse = float(a), sse
-    return round(best_a, 2)
+    for i in range(1, 100):
+        a = i / 100.0
+        _, sse = _ses_level(y, a)
+        if sse < best_sse:
+            best_a, best_sse = a, sse
+    return best_a
 
 
 def theta_forecast_1d(
@@ -69,8 +75,20 @@ def theta_forecast_1d(
     xf = x.astype(np.float64)
     if n == 1:
         return np.full(horizon, xf[0]), 1.0, float(xf[0]), 0.0
-    b = float(np.polyfit(t, xf, 1)[0])
-    a = float(xf.mean() - b * t.mean())
+    # OLS via explicit normal equations in a PINNED op order (replacing
+    # np.polyfit's SVD path, whose last-ulp results no SQL engine can
+    # replay).  St/Stt are exact integers; Sy/Sty use np.sum, which is
+    # EXACT (hence order-independent) whenever the inputs are integers
+    # below 2^53 — which the value-oracled gate query guarantees by
+    # feeding 1e-4-tick integers.  Every double op below has one defined
+    # shape on both engines: see _THETA_ORACLE in influxql_queries.py.
+    fn = float(n)
+    st = float(n * (n - 1) // 2)
+    stt = float((n - 1) * n * (2 * n - 1) // 6)
+    sy = float(np.sum(xf))
+    sty = float(np.sum(t * xf))
+    b = (fn * sty - st * sy) / (fn * stt - st * st)
+    a = (sy - b * st) / fn
     theta2 = 2.0 * xf - (a + b * t)
     alpha = _best_alpha(theta2)
     level, _ = _ses_level(theta2, alpha)

@@ -80,3 +80,26 @@ def test_max_points_guard(spark):
     df = spark.createDataFrame(rows, ["k", "i", "v"])
     with pytest.raises(Exception, match="max_points"):
         theta_forecast(df, ["k"], "i", "v", horizon=2, max_points=10).collect()
+
+
+def test_theta_gate_query_matches_duckdb(spark, sf_dir):
+    """The r04 conversion contract: the theta gate query replays
+    bit-for-bit on the recursive-CTE DuckDB oracle (exact-integer OLS +
+    pinned SES op order) — the same cross-check the driver runs."""
+    import duckdb
+
+    from influxer_spark.influxql_queries import _THETA_SQL, _q_theta_forecast
+
+    got = _q_theta_forecast(spark, sf_dir)
+    cols = sorted(got.columns)
+    spark_rows = sorted(tuple(r[c] for c in cols) for r in got.collect())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'"
+    )
+    cur = con.execute(_THETA_SQL)
+    names = [d[0] for d in cur.description]
+    idx = [names.index(c) for c in cols]
+    ora_rows = sorted(tuple(row[i] for i in idx) for row in cur.fetchall())
+    assert len(spark_rows) == len(ora_rows) > 0
+    assert spark_rows == ora_rows
