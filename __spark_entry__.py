@@ -3272,6 +3272,8 @@ _WINDOW_PRIORITY = [
     # ---- round-4 additions: rows-only queries converted to value oracles
     # (recursive-CTE replays of the exact kernel op order) ----
     "theta_forecast_24h",
+    "dtw_pairs_hourly",
+    "pelt_segments_hourly",
 ]
 
 # Rows-only queries (genuinely non-SQL-expressible internals) — always last.
@@ -3282,9 +3284,7 @@ _WINDOW_TAIL = [
     "holt_winters_forecast_24h",
     "bpe_train_merges",    # iterative argmax — pytest-pinned vs reference
     "bpe_encode_tokens",   # rank-greedy loop — pytest-pinned vs reference
-    "dtw_pairs_hourly",    # DP recurrence — pytest-pinned vs reference DP
     "asap_smooth_hourly",  # ACF-peak window search — pytest-pinned kernel
-    "pelt_segments_hourly",  # pruned DP — pinned vs exhaustive reference
 ]
 
 

@@ -2235,13 +2235,14 @@ FROM hz
 
 
 def _q_dtw_pairs(spark, sf_dir):
-    """Rows-only contract query (a DTW DP recurrence has no SQL oracle;
-    semantics pinned vs a brute-force reference DP in tests/test_dtw.py):
-    band-constrained DTW distance between every pair of event_type hourly
-    ACTIVITY profiles — hourly event counts on a fixed 168-hour spine
-    (0 where no events), so every series has identical length and the
-    ±3-hour band is always feasible (unequal lengths beyond the band now
-    raise loudly instead of leaking the sentinel — see operators/dtw.py)."""
+    """Band-constrained DTW distance between every pair of event_type
+    hourly ACTIVITY profiles — hourly event counts on a fixed 168-hour
+    spine (0 where no events), so every series has identical length and
+    the ±3-hour band is always feasible (unequal lengths beyond the band
+    raise loudly instead of leaking the sentinel — see operators/dtw.py).
+    VALUE-ORACLED since r04: the DP is pure int64, so _DTW_SQL replays the
+    identical recurrence with a recursive CTE (semantics additionally
+    pinned vs a brute-force reference DP in tests/test_dtw.py)."""
     from influxer_spark.operators.dtw import dtw_pairs
 
     base = 1_704_240_000  # 2024-01-03 00:00:00 UTC
@@ -2268,6 +2269,68 @@ def _q_dtw_pairs(spark, sf_dir):
     )
 
 
+# Exact SQL replay of the banded DTW DP (operators/dtw.py:_dtw_cost_banded).
+# Every quantity is int64, so there is no float-op-order question — the
+# oracle only has to compute the SAME recurrence.  The kernel's intra-row
+# prefix dependency cur[j] = c_j + min(prev[j], prev[j-1], cur[j-1])
+# unrolls to cur[j] = min_{k=lo..j} ( min(prev[k], prev[k-1]) + Σ_{l=k..j} c_l )
+# — k below the row's band start lo never wins because those cells hold the
+# 2^62 sentinel — which a nested list lambda evaluates over ≤ 2·band+1
+# candidates per cell.  The recursion walks rows of series a carrying the
+# full DP row as a BIGINT list.
+_DTW_SENT = str(2**62)
+_DTW_SQL = f"""
+WITH RECURSIVE ev AS (
+  SELECT event_type,
+         CAST((CAST(floor(epoch(ts)) AS BIGINT) - 1704240000) // 3600
+              AS BIGINT) AS idx
+  FROM events
+  WHERE epoch(ts) >= 1704240000 AND epoch(ts) < {1704240000 + 7 * 86400}
+), counts AS (
+  SELECT event_type, idx, count(*) AS tick FROM ev GROUP BY 1, 2
+), spine AS (
+  SELECT e.event_type, g.i AS idx
+  FROM (SELECT DISTINCT event_type FROM counts) e, range(0, 168) g(i)
+), fullsp AS (
+  SELECT s.event_type, s.idx, coalesce(c.tick, 0) AS tick
+  FROM spine s LEFT JOIN counts c USING (event_type, idx)
+), arr AS MATERIALIZED (
+  SELECT event_type, list(CAST(tick AS BIGINT) ORDER BY idx) AS v,
+         count(*) AS n
+  FROM fullsp GROUP BY 1
+), pairs AS MATERIALIZED (
+  SELECT a.event_type AS key_a, b.event_type AS key_b,
+         a.v AS va, b.v AS vb,
+         CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b
+  FROM arr a JOIN arr b ON a.event_type < b.event_type
+), dp AS (
+  SELECT key_a, key_b, CAST(0 AS BIGINT) AS i,
+         list_transform(range(0, CAST(n_b AS INT) + 1),
+           j -> CASE WHEN j = 0 THEN CAST(0 AS BIGINT)
+                     ELSE CAST({_DTW_SENT} AS BIGINT) END) AS dprow
+  FROM pairs
+  UNION ALL
+  SELECT d.key_a, d.key_b, d.i + 1,
+         list_transform(range(0, CAST(p.n_b AS INT) + 1), j ->
+           CASE WHEN j = 0 OR abs(d.i + 1 - j) > 3
+                THEN CAST({_DTW_SENT} AS BIGINT)
+                ELSE CAST(list_min(list_transform(
+                       range(greatest(1, CAST(d.i + 1 - 3 AS INT)), j + 1),
+                       k -> least(d.dprow[k + 1], d.dprow[k])
+                            + list_sum(list_transform(range(k, j + 1),
+                                l -> abs(p.va[CAST(d.i + 1 AS INT)]
+                                         - p.vb[l])))
+                     )) AS BIGINT) END)
+  FROM dp d JOIN pairs p ON d.key_a = p.key_a AND d.key_b = p.key_b
+  WHERE d.i < p.n_a
+)
+SELECT d.key_a, d.key_b, p.n_a, p.n_b,
+       CAST(d.dprow[CAST(p.n_b AS INT) + 1] AS BIGINT) AS dtw_cost
+FROM dp d JOIN pairs p ON d.key_a = p.key_a AND d.key_b = p.key_b
+WHERE d.i = p.n_a
+"""
+
+
 def _q_asap_smooth(spark, sf_dir):
     """Rows-only contract query (the ACF-peak window search has no SQL
     oracle; kernel pinned vs reference metrics in tests/test_asap.py):
@@ -2284,10 +2347,14 @@ def _q_asap_smooth(spark, sf_dir):
 
 
 def _q_pelt_segments(spark, sf_dir):
-    """Rows-only contract query (a pruned DP has no SQL oracle; PELT's
-    exactness is pinned against an exhaustive optimal-partitioning DP in
-    tests/test_pelt.py): optimal mean-shift segmentation of each
-    event_type's hourly 1e-4-tick mean series, fixed penalty."""
+    """Optimal mean-shift segmentation of each event_type's hourly
+    1e-4-tick mean series, fixed penalty.  VALUE-ORACLED since r04:
+    _PELT_SQL replays the SAME pruned DP (not an exhaustive rewrite — on
+    an exact float tie a pruned candidate could differ from the
+    exhaustive argmin, so the oracle carries the candidate set) with a
+    recursive CTE over exact int64 prefix sums; exactness is additionally
+    pinned against an exhaustive optimal-partitioning DP in
+    tests/test_pelt.py."""
     from influxer_spark.operators.pelt import pelt_changepoints
 
     h = _hourly(spark, sf_dir).select(
@@ -2298,6 +2365,84 @@ def _q_pelt_segments(spark, sf_dir):
     return pelt_changepoints(
         h, ["event_type"], "bucket", "tick", penalty=1e9
     ).orderBy("event_type", "seg")
+
+
+def _pelt_sql(beta: float) -> str:
+    """Recursive-CTE replay of pelt_segments_1d (operators/pelt.py), op
+    for op: the DP walks t = 1..n carrying f (DOUBLE list), prev and the
+    PRUNED candidate set (BIGINT lists); cost terms cast exact int64
+    prefix-sum differences to double at the same points as _seg_cost, the
+    argmin is first-exact-match (list_position == np.argmin), and the
+    prune keeps s only while cost - β ≤ f[t].  A second recursion
+    backtracks prev into (start, end) segments."""
+    b = _dlit(beta)
+    # cost of candidate s for endpoint t+1, replayed as
+    #   (f[s] + (sxx - sx*sx/n)) + beta  — lists are 1-based
+    costs = (
+        "list_transform(d.cand, s -> (d.f[CAST(s AS INT) + 1]"
+        " + (CAST(d.c2[d.t + 2] - d.c2[CAST(s AS INT) + 1] AS DOUBLE)"
+        " - (CAST(d.c1[d.t + 2] - d.c1[CAST(s AS INT) + 1] AS DOUBLE)"
+        " * CAST(d.c1[d.t + 2] - d.c1[CAST(s AS INT) + 1] AS DOUBLE))"
+        f" / CAST(d.t + 1 - s AS DOUBLE))) + {b})"
+    )
+    return f"""
+WITH RECURSIVE {_HOURLY_MAT_SQL}, t AS MATERIALIZED (
+  SELECT event_type,
+         CAST(round(v * 10000, 0) AS BIGINT) AS tick,
+         CAST(row_number() OVER (PARTITION BY event_type ORDER BY bucket)
+              AS INT) AS rn
+  FROM hourly WHERE v IS NOT NULL
+), pre AS MATERIALIZED (
+  SELECT event_type, CAST(count(*) AS INT) AS n,
+         list_prepend(CAST(0 AS BIGINT),
+                      list(cum1 ORDER BY rn)) AS c1,
+         list_prepend(CAST(0 AS BIGINT),
+                      list(cum2 ORDER BY rn)) AS c2
+  FROM (
+    SELECT event_type, rn,
+           sum(tick) OVER w AS cum1,
+           sum(tick * tick) OVER w AS cum2
+    FROM t
+    WINDOW w AS (PARTITION BY event_type ORDER BY rn
+                 ROWS UNBOUNDED PRECEDING)
+  ) GROUP BY 1
+), dp AS (
+  SELECT event_type, n, c1, c2, 0 AS t,
+         [0.0 - {b}] AS f,
+         [CAST(0 AS BIGINT)] AS prevs,
+         [CAST(0 AS BIGINT)] AS cand
+  FROM pre
+  UNION ALL
+  SELECT d.event_type, d.n, d.c1, d.c2, d.t + 1,
+         list_append(d.f, list_min({costs})),
+         list_append(d.prevs,
+           d.cand[list_position({costs}, list_min({costs}))]),
+         list_append(
+           list_filter(d.cand,
+             (s, i) -> {costs}[i] - {b} <= list_min({costs})),
+           CAST(d.t + 1 AS BIGINT))
+  FROM dp d WHERE d.t < d.n
+), bt AS (
+  SELECT event_type, n, CAST(n AS BIGINT) AS t, prevs, c1
+  FROM dp WHERE t = n
+  UNION ALL
+  SELECT event_type, n, prevs[CAST(t AS INT) + 1], prevs, c1
+  FROM bt WHERE t > 0
+)
+SELECT event_type,
+       CAST(row_number() OVER (PARTITION BY event_type ORDER BY s)
+            - 1 AS BIGINT) AS seg,
+       s AS start_idx, t AS end_idx, t - s AS n,
+       CAST(c1[CAST(t AS INT) + 1] - c1[CAST(s AS INT) + 1] AS DOUBLE)
+         / CAST(t - s AS DOUBLE) AS mean
+FROM (
+  SELECT event_type, prevs[CAST(t AS INT) + 1] AS s, t, c1 FROM bt
+  WHERE t > 0
+)
+"""
+
+
+_PELT_SQL = _pelt_sql(1e9)
 
 
 def _q_theta_forecast(spark, sf_dir):
@@ -2588,4 +2733,6 @@ def influxql_oracle_sql() -> dict[str, str]:
         "influxql_forecast_linear": _INFLUXQL_FORECAST_SQL,
         "influxql_offset_6h1h": _OFFSET_BUCKETS_SQL,
         "theta_forecast_24h": _THETA_SQL,
+        "dtw_pairs_hourly": _DTW_SQL,
+        "pelt_segments_hourly": _PELT_SQL,
     }

@@ -112,3 +112,24 @@ def test_null_ticks_dropped_before_fold(spark):
     r = out[0]
     # series a folds to [1, 3] (the NULL point absent), identical to b
     assert (r["n_a"], r["n_b"], r["dtw_cost"]) == (2, 2, 0)
+
+
+def test_dtw_gate_query_matches_duckdb(spark, sf_dir):
+    """r04 conversion contract: the int64 DP replays bit-for-bit on the
+    recursive-CTE DuckDB oracle — the same cross-check the driver runs."""
+    import duckdb
+
+    from influxer_spark.influxql_queries import _DTW_SQL, _q_dtw_pairs
+
+    got = _q_dtw_pairs(spark, sf_dir)
+    cols = sorted(got.columns)
+    spark_rows = sorted(tuple(r[c] for c in cols) for r in got.collect())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'"
+    )
+    cur = con.execute(_DTW_SQL)
+    names = [d[0] for d in cur.description]
+    idx = [names.index(c) for c in cols]
+    ora_rows = sorted(tuple(row[i] for i in idx) for row in cur.fetchall())
+    assert spark_rows == ora_rows and len(spark_rows) == 10

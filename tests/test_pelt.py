@@ -124,3 +124,25 @@ def test_null_ticks_dropped_before_dp(spark):
     got = {(r["k"], r["seg"]): (r["start_idx"], r["end_idx"], r["n"], r["mean"])
            for r in pelt_changepoints(df, ["k"], "i", "v").collect()}
     assert got == {("a", 0): (0, 3, 3, 10.0)}
+
+
+def test_pelt_gate_query_matches_duckdb(spark, sf_dir):
+    """r04 conversion contract: the pruned DP replays bit-for-bit on the
+    recursive-CTE DuckDB oracle (which carries the candidate set, so even
+    exact-tie prunes agree) — the same cross-check the driver runs."""
+    import duckdb
+
+    from influxer_spark.influxql_queries import _PELT_SQL, _q_pelt_segments
+
+    got = _q_pelt_segments(spark, sf_dir)
+    cols = sorted(got.columns)
+    spark_rows = sorted(tuple(r[c] for c in cols) for r in got.collect())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'"
+    )
+    cur = con.execute(_PELT_SQL)
+    names = [d[0] for d in cur.description]
+    idx = [names.index(c) for c in cols]
+    ora_rows = sorted(tuple(row[i] for i in idx) for row in cur.fetchall())
+    assert spark_rows == ora_rows and len(spark_rows) > 0
