@@ -3280,11 +3280,18 @@ _WINDOW_PRIORITY = [
 _WINDOW_TAIL = [
     # rows-only entries (no SQL oracle exists): keep them out of the
     # driver's 50-slot value-check window so oracled queries fill it
-    "sketch_distinct_tiers",
-    "holt_winters_forecast_24h",
+    "sketch_distinct_tiers",       # Spark-builtin DataSketches HLL — no
+                                   # DuckDB equivalent exists
+    "holt_winters_forecast_24h",   # Nelder-Mead trajectory — gate output
+                                   # pinned bit-for-bit vs the Python
+                                   # mirror on the identical series
+                                   # (test_holtwinters.py::*mirror*)
     "bpe_train_merges",    # iterative argmax — pytest-pinned vs reference
     "bpe_encode_tokens",   # rank-greedy loop — pytest-pinned vs reference
-    "asap_smooth_hourly",  # ACF-peak window search — pytest-pinned kernel
+    "asap_smooth_hourly",  # ACF-peak search — gate output pinned
+                           # bit-for-bit vs the kernel over an
+                           # independently-built DuckDB series
+                           # (test_asap.py::*independent*)
 ]
 
 

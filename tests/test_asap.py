@@ -168,3 +168,46 @@ def test_asap_null_values_are_absent_points(spark):
     got = out.toPandas()
     assert got["window"].iloc[0] >= 2          # structure still found
     assert not got["smoothed"].isna().any()    # no NaN leaked
+
+
+def test_asap_gate_query_matches_independent_duckdb_series(spark, sf_dir):
+    """End-to-end gate pin (the strongest check available for a rows-only
+    entry): DuckDB rebuilds the IDENTICAL hourly mean series (the exact
+    round(sum*100)/(count*100.0) form is one IEEE division on both
+    engines), the Python kernel smooths it, and every (idx, window,
+    smoothed) row must equal the Spark gate output bit-for-bit — pinning
+    the Spark-side fold, ordering, and NULL handling, not just the
+    kernel."""
+    import duckdb
+    import numpy as np
+
+    from influxer_spark.influxql_queries import _q_asap_smooth
+    from influxer_spark.operators.asap import _sma, asap_window
+
+    got = {}
+    for r in _q_asap_smooth(spark, sf_dir).collect():
+        got.setdefault(r["event_type"], []).append(
+            (r["idx"], r["window"], r["smoothed"])
+        )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'"
+    )
+    series = con.execute(
+        """
+        SELECT event_type,
+               list(CAST(round(s * 100, 0) AS BIGINT) / (c * 100.0)
+                    ORDER BY bucket) AS v
+        FROM (SELECT event_type, date_trunc('hour', ts) AS bucket,
+                     sum(value) AS s, count(value) AS c
+              FROM events GROUP BY 1, 2)
+        GROUP BY 1
+        """
+    ).fetchall()
+    assert len(series) == len(got) > 0
+    for key, v in series:
+        x = np.asarray(v, dtype=np.float64)
+        w = asap_window(x, max_window=72)
+        sm = _sma(x, w) if w > 1 else x
+        want = [(i, w, float(sm[i])) for i in range(len(sm))]
+        assert sorted(got[key]) == want, key

@@ -166,3 +166,48 @@ def test_seasonal_naive_mase_detects_seasonality(spark):
     assert out["seasonal"]["n_eval_snaive"] == 96 - 24
     # trend: snaive error = 24 per point, naive-1 error = 1 → mase = 24
     assert out["trend"]["mase"] == 24.0
+
+
+def test_hw_gate_query_matches_mirror_on_same_series(spark, sf_dir):
+    """End-to-end gate pin for the rows-only entry: collect the EXACT
+    hourly-mean series the front-end aggregates (so optimizer-trajectory
+    sensitivity to last-ulp input differences is out of the picture) and
+    require the gate output to equal the plain-Python mirror kernel
+    bit-for-bit — pinning the front-end's grouping, time spine, season
+    phase, and horizon stamping."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from influxer_spark.influxql_queries import _q_holt_winters
+    from influxer_spark.operators.holtwinters import hw_forecast_series
+
+    got = {}
+    for r in _q_holt_winters(spark, sf_dir).collect():
+        got.setdefault(r["event_type"], []).append((r["bucket"], r["hw"]))
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    rows = (
+        ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("b"))
+        .agg(F.avg("value").alias("y"))
+        .orderBy("event_type", "b")
+        .collect()
+    )
+    series: dict[str, list] = {}
+    for r in rows:
+        series.setdefault(r["event_type"], []).append((r["b"], r["y"]))
+    assert sorted(series) == sorted(got)
+    for key, pts in series.items():
+        ts_us = np.asarray(
+            [int(b.timestamp() * 1_000_000) for b, _ in pts], dtype=np.int64
+        )
+        y = np.asarray([v for _, v in pts], dtype=np.float64)
+        out_t, out_v = hw_forecast_series(
+            ts_us, y, n_predict=24, season_length=24,
+            interval_us=3_600_000_000, with_fit=False,
+        )
+        want = [
+            (int(t), float(v)) for t, v in zip(out_t.tolist(), out_v.tolist())
+        ]
+        have = [
+            (int(b.timestamp() * 1_000_000), v) for b, v in sorted(got[key])
+        ]
+        assert have == want, key
