@@ -107,7 +107,11 @@ def run_pipeline_bench(cores: int, pages_path: str, warm: bool = True) -> dict:
     # scan+extract stage at higher parallelism (on a real cluster the input
     # is many files and this knob is moot)
     size = os.path.getsize(pages_path)
-    mpb = max(4 << 20, size // (cores * 3))
+    # floor at 32 MB: sub-8 MB splits measured SLOWER at local[32] on the
+    # sf0.1 input (7.3-7.8s vs 8.0-9.6s per wave — per-task overhead beats
+    # the extra scan parallelism); the size/(3·cores) term still governs
+    # the big scaling-bench inputs where one ~GB file would starve the scan
+    mpb = max(32 << 20, size // (cores * 3))
     # memory scales WITH cores (2 GiB/core), as real executors are sized —
     # a flat heap over-provisions the small-N side per core and starves the
     # large-N side (cache eviction + spill), biasing scaling efficiency down
