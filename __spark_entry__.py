@@ -3274,6 +3274,7 @@ _WINDOW_PRIORITY = [
     "theta_forecast_24h",
     "dtw_pairs_hourly",
     "pelt_segments_hourly",
+    "influxql_tz_tier_1d",
 ]
 
 # Rows-only queries (genuinely non-SQL-expressible internals) — always last.

@@ -708,6 +708,11 @@ def _default_name(e: Any) -> str:
     return "value"
 
 
+# (zone, tier_width, lo_s, hi_s) → servable; zone-offset walks are pure
+# functions of the tz database, so one check serves the whole session
+_TZ_GRID_MEMO: dict[tuple, bool] = {}
+
+
 def _walk_calls(e: Any, out: list[Call]) -> None:
     if isinstance(e, Call):
         out.append(e)
@@ -1850,7 +1855,7 @@ class InfluxQLEngine:
             # after routing, so serving the un-expanded statement from
             # tiers would silently drop every tag.  Raw path only.
             return False
-        if stmt.time_width is None or stmt.tz:
+        if stmt.time_width is None:
             return False
         w = int(stmt.time_width)
         if stmt.time_width != w or w % 60 != 0:
@@ -1862,6 +1867,19 @@ class InfluxQLEngine:
         off = int(stmt.time_offset)
         if stmt.time_offset != off or off % 60 != 0:
             return False
+        tz_tier = None
+        if stmt.tz:
+            # tz() tier serving: UTC tier partials re-bucket on the zone's
+            # wall clock exactly when the zone's offset grid is compatible
+            # with a serving tier (_tz_grid_ok).  Offsets and fill stay on
+            # the raw path: an offset compounds two grid shifts, and a
+            # fill spine stepped in wall seconds would manufacture the
+            # nonexistent spring-forward bucket InfluxDB never emits.
+            if off or stmt.fill_mode != "none":
+                return False
+            tz_tier = self._tz_serving_tier(stmt)
+            if tz_tier is None:
+                return False
         if not set(stmt.group_tags) <= set(cfg["key_cols"]):
             return False
         calls: list[Call] = []
@@ -1881,10 +1899,13 @@ class InfluxQLEngine:
         )
         if use_hdr:
             # HDR serving is percentile-only (the hdr tables carry counter
-            # vectors, not companion sums) at hour-multiple widths
+            # vectors, not companion sums) at hour-multiple widths; the
+            # hdr path has its own re-bucket code that is not zone-aware
             if not all(c.fname in ("percentile", "median") for c in aggish):
                 return False
-            if w % 3600 != 0 or off or not cfg["catalog"].exists("hdr_1h"):
+            if w % 3600 != 0 or off or stmt.tz or not cfg["catalog"].exists(
+                "hdr_1h"
+            ):
                 return False
         allowed = self._TIER_AGGS | (
             {"percentile", "median"}
@@ -1904,7 +1925,9 @@ class InfluxQLEngine:
                 for c in aggish
             ):
                 return False
-            if not cfg["catalog"].exists(f"ohlc_{self._serving_tier(w, off)}"):
+            if not cfg["catalog"].exists(
+                f"ohlc_{tz_tier or self._serving_tier(w, off)}"
+            ):
                 return False
         if has_sd:
             # A stddev statement is served whole from the power-sum tier:
@@ -1916,18 +1939,18 @@ class InfluxQLEngine:
             if self.tables.get(stmt.measurement) is not None:
                 import datetime as _dt2
 
-                tier = self._serving_tier(w, off)
+                tier = tz_tier or self._serving_tier(w, off)
                 parts = cfg["catalog"].committed_partitions(f"sumsq_{tier}")
                 if not parts:
                     return False
-                wm = _dt2.datetime.fromisoformat(max(parts)) + _dt2.timedelta(
-                    days=1
-                )
-                _, hi = self._time_bounds(stmt.where) if stmt.where else (None, None)
-                if hi is None:
-                    return False
-                end = _dt2.datetime.fromisoformat(hi[0])
-                if end > wm:
+                wm = _dt2.datetime.fromisoformat(max(parts)).replace(
+                    tzinfo=_dt2.timezone.utc
+                ) + _dt2.timedelta(days=1)
+                # _bounds_utc interprets a naive literal as wall-clock
+                # under tz(), so the watermark comparison stays honest
+                # in either mode
+                _, end = self._bounds_utc(stmt)
+                if end is None or end > wm:
                     return False
         for c in aggish:
             if c.fname not in allowed:
@@ -1939,15 +1962,124 @@ class InfluxQLEngine:
                 len(c.args) == 2 and isinstance(c.args[1], Num)
             ):
                 return False
+        if stmt.tz:
+            from influxer_spark.query import TIER_SECONDS as _TS
+
+            return self._tier_where_ok(
+                stmt, cfg["key_cols"], w,
+                modulus=_TS[tz_tier], zone=stmt.tz,
+            )
         return self._tier_where_ok(stmt, cfg["key_cols"], w)
 
+    @staticmethod
+    def _tz_grid_ok(zone: str, wt: int, lo_s: int, hi_s: int) -> bool:
+        """True iff serving a tz() query from a UTC tier of width ``wt``
+        is exact over [lo_s, hi_s): every zone offset in range is a whole
+        multiple of ``wt`` AND every offset-transition instant is
+        wt-aligned in UTC.  Together these guarantee no tier bucket
+        straddles a wall-clock output-bucket boundary — the offset is
+        constant within each bucket (transitions land on boundaries) and
+        shifts the bucket to another wt-aligned wall block, which cannot
+        cross a w-boundary when wt | w.  Whole-hour zones (America/*,
+        Europe/*) pass at wt=3600; half-hour zones (Asia/Kolkata) and the
+        pre-1900 LMT seconds-offset era drop to the 1m tier or raw."""
+        import datetime as _dt
+        import zoneinfo as _zi
+
+        key = (zone, wt, lo_s, hi_s)
+        hit = _TZ_GRID_MEMO.get(key)
+        if hit is not None:
+            return hit
+        try:
+            z = _zi.ZoneInfo(zone)
+        except Exception:  # noqa: BLE001 - unknown zone → raw path decides
+            _TZ_GRID_MEMO[key] = False
+            return False
+
+        def off_at(s: int) -> int:
+            return int(
+                _dt.datetime.fromtimestamp(s, tz=z)
+                .utcoffset().total_seconds()
+            )
+
+        ok = True
+        step = 6 * 3600  # < any gap between two same-zone transitions
+        s, o = lo_s, off_at(lo_s)
+        if o % wt:
+            ok = False
+        while ok and s < hi_s:
+            e = min(s + step, hi_s)
+            o2 = off_at(e)
+            if o2 % wt:
+                ok = False
+                break
+            if o2 != o:
+                a, b = s, e
+                while b - a > 1:  # bisect the transition instant
+                    m = (a + b) // 2
+                    if off_at(m) == o:
+                        a = m
+                    else:
+                        b = m
+                if b % wt:
+                    ok = False
+            s, o = e, o2
+        _TZ_GRID_MEMO[key] = ok
+        return ok
+
+    def _bounds_utc(self, stmt: Select):
+        """WHERE time bounds as aware-UTC datetimes.  Under tz(), naive
+        literals are wall-clock in the query zone (InfluxDB semantics —
+        the same interpretation the compiled WHERE applies row-level via
+        to_utc_timestamp); without tz they are UTC."""
+        import datetime as _dt
+        import zoneinfo as _zi
+
+        lo, hi = (
+            self._time_bounds(stmt.where) if stmt.where is not None
+            else (None, None)
+        )
+
+        def cvt(b):
+            if b is None:
+                return None
+            t = _dt.datetime.fromisoformat(b[0])
+            if t.tzinfo is None:
+                t = t.replace(
+                    tzinfo=_zi.ZoneInfo(stmt.tz) if stmt.tz
+                    else _dt.timezone.utc
+                )
+            return t.astimezone(_dt.timezone.utc)
+
+        return cvt(lo), cvt(hi)
+
+    def _tz_serving_tier(self, stmt: Select) -> str | None:
+        """Coarsest tier that serves this tz() statement exactly, or None
+        (→ raw path).  Unbounded ranges are checked over 1970–2100 (memo-
+        ized per zone/tier), bounded ones over their own range."""
+        from influxer_spark.query import TIER_SECONDS
+
+        w = int(stmt.time_width)
+        lo, hi = self._bounds_utc(stmt)
+        lo_s = int(lo.timestamp()) if lo else 0
+        hi_s = int(hi.timestamp()) if hi else 4102444800  # 2100-01-01
+        for tier in ("1d", "1h", "1m"):
+            wt = TIER_SECONDS[tier]
+            if w % wt == 0 and self._tz_grid_ok(stmt.tz, wt, lo_s, hi_s):
+                return tier
+        return None
+
     def _tier_where_ok(
-        self, stmt: Select, key_cols: tuple[str, ...], w: int
+        self, stmt: Select, key_cols: tuple[str, ...], w: int,
+        modulus: int | None = None, zone: str | None = None,
     ) -> bool:
         """WHERE is servable from a tier frame: every ref exists on it, and
         time bounds are bucket-aligned [>=, <) — a mid-bucket bound needs
-        raw points."""
+        raw points.  ``modulus`` overrides the alignment width (tz()
+        serving aligns to the SERVING TIER's buckets, not the output
+        width); ``zone`` interprets naive literals as wall-clock there."""
         import datetime as _dt
+        import zoneinfo as _zi
 
         if stmt.where is None:
             return True
@@ -1989,11 +2121,21 @@ class InfluxQLEngine:
                 t = _dt.datetime.fromisoformat(val)
             except ValueError:
                 return False
-            if t.tzinfo is None:  # naive literals are UTC, like the engine
-                t = t.replace(tzinfo=_dt.timezone.utc)
-            if int(t.timestamp()) % w != 0:
+            if t.tzinfo is None:  # naive literals: UTC, or wall under tz()
+                t = t.replace(
+                    tzinfo=_zi.ZoneInfo(zone) if zone else _dt.timezone.utc
+                )
+            if int(t.timestamp()) % (modulus or w) != 0:
                 return False
         return True
+
+    def _bucket_cond(self, where: Any) -> Column:
+        """Compile a WHERE for a tier frame (time column ``bucket``),
+        inheriting this statement's tz() so wall-clock time literals
+        convert to UTC exactly as they do on the raw path."""
+        eng = InfluxQLEngine({}, ts_col="bucket")
+        eng._tz = self._tz
+        return eng._cond(where)
 
     def _exec_tiered(self, stmt: Select) -> DataFrame:
         import datetime as _dt
@@ -2006,10 +2148,27 @@ class InfluxQLEngine:
             self._time_bounds(stmt.where) if stmt.where is not None
             else (None, None)
         )
-        start = _dt.datetime.fromisoformat(lo[0]) if lo else None
-        end = _dt.datetime.fromisoformat(hi[0]) if hi else None
         off = int(stmt.time_offset)
-        tier = self._serving_tier(w, off)
+        if stmt.tz:
+            # wall-clock literals → UTC for partition pruning, widened by
+            # a day each side: pruning must never EXCLUDE a partition the
+            # row-level filter (compiled with to_utc_timestamp below)
+            # still needs; the exact WHERE re-applies on every frame
+            u_lo, u_hi = self._bounds_utc(stmt)
+            start = (
+                u_lo.replace(tzinfo=None) - _dt.timedelta(days=1)
+                if u_lo else None
+            )
+            end = (
+                u_hi.replace(tzinfo=None) + _dt.timedelta(days=1)
+                if u_hi else None
+            )
+            tier = self._tz_serving_tier(stmt)
+            assert tier is not None  # _tiered_answerable gated this
+        else:
+            start = _dt.datetime.fromisoformat(lo[0]) if lo else None
+            end = _dt.datetime.fromisoformat(hi[0]) if hi else None
+            tier = self._serving_tier(w, off)
         cat = cfg["catalog"]
         keys = stmt.group_tags
         agg_calls: dict[tuple, Call] = {}
@@ -2055,7 +2214,7 @@ class InfluxQLEngine:
         aso = cfg.get("as_of")
         df = None
         if not has_hist and not has_sd and not has_fl and not off and (
-            aso is None
+            aso is None and not stmt.tz
         ) and (
             (tier == "1m" and w > 3600) or (tier == "1h" and w > 86400)
         ):
@@ -2071,9 +2230,7 @@ class InfluxQLEngine:
                 stitched = None
                 for f in frames.values():
                     if stmt.where is not None:
-                        f = f.filter(
-                            InfluxQLEngine({}, ts_col="bucket")._cond(stmt.where)
-                        )
+                        f = f.filter(self._bucket_cond(stmt.where))
                     f = f.select(narrow)
                     stitched = f if stitched is None else stitched.unionByName(f)
                 df = stitched
@@ -2087,12 +2244,10 @@ class InfluxQLEngine:
                 )
                 if stmt.where is not None:
                     # compile the WHERE against the tier frame: its time
-                    # column is `bucket` (bounds are bucket-aligned, so
-                    # filtering buckets is exactly filtering the points
-                    # they summarize)
-                    df = df.filter(
-                        InfluxQLEngine({}, ts_col="bucket")._cond(stmt.where)
-                    )
+                    # column is `bucket` (bounds are bucket-aligned — to
+                    # the serving tier under tz() — so filtering buckets
+                    # is exactly filtering the points they summarize)
+                    df = df.filter(self._bucket_cond(stmt.where))
 
         # REAL-TIME tail (TimescaleDB real-time continuous aggregates,
         # query.read_realtime's routing surfaced through the front-end):
@@ -2148,8 +2303,10 @@ class InfluxQLEngine:
                 else df.select(narrow).unionByName(tail_p.select(narrow))
             )
         if df is None and not has_fl:
+            # archive decode re-buckets on the UTC grid only; tz() ranges
+            # past every committed tier fall back to raw (or error below)
             df = (
-                None if off
+                None if off or stmt.tz
                 else self._archive_fallback(cfg, stmt, agg_calls, start, end)
             )
         if df is None:
@@ -2214,7 +2371,14 @@ class InfluxQLEngine:
             aggs.append(
                 _R.hist_sum_expr(len(bounds) + 1).alias("_hq_hist")
             )
-        secs = F.unix_timestamp(F.col("bucket").cast("timestamp")).cast("long")
+        bt = F.col("bucket").cast("timestamp")
+        if self._tz:
+            # re-bucket tier partials on the zone's WALL clock — the same
+            # from_utc_timestamp + floor the raw path's _bucket applies
+            # per point; exact because _tz_grid_ok guaranteed no tier
+            # bucket straddles a wall boundary in this range
+            bt = F.from_utc_timestamp(bt, self._tz)
+        secs = F.unix_timestamp(bt).cast("long")
         bucket = F.timestamp_seconds(secs - ((secs - off) % w)).alias("time")
         grouped = df.groupBy(bucket, *keys).agg(*aggs)
         if hist_calls:

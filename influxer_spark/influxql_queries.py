@@ -2445,6 +2445,42 @@ FROM (
 _PELT_SQL = _pelt_sql(1e9)
 
 
+def _q_influxql_tz_tier(spark, sf_dir):
+    """tz() tier serving (round 4): a wall-clock daily panel in
+    America/New_York answered from the 1h ROLLUP TIER (frontend
+    _tz_serving_tier + _tz_grid_ok — every NY offset is a whole hour, so
+    UTC hour partials re-bucket exactly onto wall days; the 1d tier
+    cannot serve because wall days are not UTC-day-aligned).  The oracle
+    rebuilds the same wall-day panel from raw in SQL, so a hash match
+    proves the materialize→commit→wall-re-bucket path end to end.
+    count/min/max only: exact under any partial merge order."""
+    import tempfile
+
+    from influxer_spark.catalog import TableCatalog
+    from influxer_spark.influxql_frontend import InfluxQLEngine
+    from influxer_spark.operators.refresh import build_point_tiers
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cat = TableCatalog(tempfile.mkdtemp(prefix="tz_tier_gate_"))
+    build_point_tiers(spark, cat, ev, "ts", ["event_type"], "value")
+    eng = InfluxQLEngine({"m": ev}, ts_col="ts")
+    eng.register_tiered("m", cat, key_cols=("event_type",))
+    out = eng.execute(
+        "SELECT count(value) AS cnt, min(value) AS mn, max(value) AS mx"
+        " FROM m GROUP BY time(1d), event_type tz('America/New_York')"
+    )
+    return out.withColumnRenamed("time", "bucket")
+
+
+_TZ_TIER_SQL = """
+SELECT date_trunc('day',
+         timezone('America/New_York', timezone('UTC', ts))) AS bucket,
+       event_type,
+       count(value) AS cnt, min(value) AS mn, max(value) AS mx
+FROM events GROUP BY 1, 2
+"""
+
+
 def _q_theta_forecast(spark, sf_dir):
     """Theta-method forecast of the next 24 hourly buckets per event_type
     (1e-4-tick units) — the M4-benchmark hybrid beside holt_winters and
@@ -2673,6 +2709,7 @@ def influxql_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "influxql_offset_6h1h": _q_offset_buckets,
         "pelt_segments_hourly": _q_pelt_segments,
         "theta_forecast_24h": _q_theta_forecast,
+        "influxql_tz_tier_1d": _q_influxql_tz_tier,
     }
 
 
@@ -2735,4 +2772,5 @@ def influxql_oracle_sql() -> dict[str, str]:
         "theta_forecast_24h": _THETA_SQL,
         "dtw_pairs_hourly": _DTW_SQL,
         "pelt_segments_hourly": _PELT_SQL,
+        "influxql_tz_tier_1d": _TZ_TIER_SQL,
     }

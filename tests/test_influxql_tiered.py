@@ -896,3 +896,129 @@ def test_asap_inner_agg_tier_served(built):
     got = {(r["time"], r["metric"]): (r["sm"], r["sm_window"])
            for r in df.collect()}
     assert got == want and len(got) > 0
+
+
+# ---------------------------------------------------------------------------
+# tz() tier serving (round 4): UTC tier partials re-bucketed on the zone's
+# wall clock, gated by _tz_grid_ok (no tier bucket may straddle a wall
+# boundary in range)
+# ---------------------------------------------------------------------------
+
+
+def test_tz_tier_served_matches_raw(built):
+    points, cat = built
+    raw, tiered = _engines(points, cat)
+    for w in ("1h", "4h", "1d"):
+        q = (
+            "SELECT count(value) AS cnt, sum(value) AS s, max(value) AS mx "
+            f"FROM pages GROUP BY time({w}), metric"
+            " tz('America/New_York')"
+        )
+        # float sums via tier partials differ in the last ulp from a raw
+        # direct sum (addition order) — the engine-wide tier convention;
+        # count/min/max compare exactly, sums rounded (same as the non-tz
+        # routing tests above)
+        want = {tuple(r[:2]): (r[2], round(r[3], 6), r[4])
+                for r in raw.execute(q).collect()}
+        got_df = tiered.execute(q)
+        got = {tuple(r[:2]): (r[2], round(r[3], 6), r[4])
+               for r in got_df.collect()}
+        assert got == want and len(got) > 0, w
+        plan = got_df._jdf.queryExecution().executedPlan().toString()
+        assert "rollup_1h" in plan or "rollup_1m" in plan, w
+
+
+def test_tz_half_hour_zone_serves_from_1m(built):
+    # Asia/Kolkata (+05:30): hour tier straddles wall hours, so serving
+    # drops to the 1m tier — still tier-served, still exact
+    points, cat = built
+    raw, tiered = _engines(points, cat)
+    q = (
+        "SELECT count(value) AS cnt FROM pages"
+        " GROUP BY time(1h), metric tz('Asia/Kolkata')"
+    )
+    want = {tuple(r[:2]): r[2] for r in raw.execute(q).collect()}
+    got_df = tiered.execute(q)
+    got = {tuple(r[:2]): r[2] for r in got_df.collect()}
+    assert got == want and len(got) > 0
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    assert "rollup_1m" in plan and "rollup_1h" not in plan
+
+
+def test_tz_fill_and_offset_fall_back_to_raw(built):
+    points, cat = built
+    raw, tiered = _engines(points, cat)
+    for q in (
+        "SELECT count(value) AS cnt FROM pages"
+        " GROUP BY time(2h), metric fill(0) tz('America/New_York')",
+        "SELECT count(value) AS cnt FROM pages"
+        " GROUP BY time(2h, 30m), metric tz('America/New_York')",
+    ):
+        want = {tuple(r[:2]): r[2] for r in raw.execute(q).collect()}
+        got_df = tiered.execute(q)
+        got = {tuple(r[:2]): r[2] for r in got_df.collect()}
+        assert got == want
+        plan = got_df._jdf.queryExecution().executedPlan().toString()
+        assert "rollup_1h" not in plan and "rollup_1m" not in plan
+
+
+def test_tz_wall_aligned_where_matches_raw(built):
+    # wall-clock literals: >= '2024-01-03 00:00:00' means NY midnight
+    # (05:00 UTC) — hour-tier-aligned, so the statement tier-serves with
+    # the bound interpreted identically on both paths
+    points, cat = built
+    raw, tiered = _engines(points, cat)
+    days = sorted(cat.committed_partitions("rollup_1h"))
+    lo, hi = days[1], days[2]
+    q = (
+        "SELECT count(value) AS cnt, sum(value) AS s FROM pages"
+        f" WHERE time >= '{lo} 00:00:00' AND time < '{hi} 00:00:00'"
+        " GROUP BY time(1h), metric tz('America/New_York')"
+    )
+    want = {tuple(r[:2]): (r[2], round(r[3], 6))
+            for r in raw.execute(q).collect()}
+    got_df = tiered.execute(q)
+    got = {tuple(r[:2]): (r[2], round(r[3], 6)) for r in got_df.collect()}
+    assert got == want and len(got) > 0
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    assert "rollup_1h" in plan
+
+
+def test_tz_dst_days_match_raw(spark, tmp_path):
+    """Spring-forward (2024-03-10, 23h wall day) and the surrounding days:
+    tier-served daily buckets must equal the raw path's — the 1h tier
+    serves time(1d) because every NY offset is a whole hour and the
+    transition instant (07:00 UTC) is hour-aligned."""
+    from influxer_spark.operators.refresh import build_point_tiers
+
+    rows = []
+    for d in (8, 9, 10, 11):
+        for h in range(0, 24, 2):
+            for k in ("a", "b"):
+                rows.append(
+                    (f"2024-03-{d:02d} {h:02d}:30:00", k, float(d * 100 + h))
+                )
+    ev = spark.createDataFrame(
+        rows, ["ts", "event_type", "value"]
+    ).withColumn("ts", F.to_timestamp("ts"))
+    cat = TableCatalog(str(tmp_path / "cat"))
+    build_point_tiers(spark, cat, ev, "ts", ["event_type"], "value")
+    raw = InfluxQLEngine({"m": ev}, ts_col="ts")
+    tiered = InfluxQLEngine({"m": ev}, ts_col="ts")
+    tiered.register_tiered("m", cat, key_cols=("event_type",))
+    q = (
+        "SELECT count(value) AS cnt, sum(value) AS s, min(value) AS mn"
+        " FROM m GROUP BY time(1d), event_type tz('America/New_York')"
+    )
+    want = {tuple(r[:2]): (r[2], round(r[3], 6), r[4])
+            for r in raw.execute(q).collect()}
+    got_df = tiered.execute(q)
+    got = {tuple(r[:2]): (r[2], round(r[3], 6), r[4])
+           for r in got_df.collect()}
+    assert got == want and len(got) > 0
+    # inputFiles is truncation-proof where the plan's Location string is not
+    assert any("rollup_1h" in f for f in got_df.inputFiles())
+    # the 23-hour wall day really has fewer points per series
+    mar10 = [v for (t, k), v in got.items() if str(t).startswith("2024-03-10")]
+    mar09 = [v for (t, k), v in got.items() if str(t).startswith("2024-03-09")]
+    assert mar10 and mar09 and mar10[0][0] < mar09[0][0]
