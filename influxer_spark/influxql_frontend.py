@@ -1288,6 +1288,7 @@ class InfluxQLEngine:
                     int(stmt.time_width),
                     mode=stmt.fill_mode, fill_value=stmt.fill_value,
                     bucket_col="time", spine_bounds=bounds,
+                    spine_tz=self._tz,
                 ).drop("filled")
             frame_ts = "time"
         else:

@@ -127,6 +127,7 @@ def fill_buckets(
     fill_value: float | None = None,
     bucket_col: str = "bucket",
     spine_bounds: tuple | None = None,
+    spine_tz: str | None = None,
 ) -> DataFrame:
     """General gap-fill: arbitrary bucket width, many value columns, all of
     InfluxQL's ``fill()`` modes — the execution layer under the InfluxQL
@@ -161,6 +162,19 @@ def fill_buckets(
         *key_cols,
         F.explode(F.sequence(F.col("_lo"), F.col("_hi"), interval)).alias(bucket_col),
     )
+    if spine_tz:
+        # tz() buckets are WALL-CLOCK labels: a uniform wall-second spine
+        # would manufacture the spring-forward hour (e.g. 02:00 on a US
+        # DST day), a label no data row can ever carry.  A wall time
+        # exists iff it survives the wall→UTC→wall round trip; the
+        # fall-back hour's two UTC instants share one label, which the
+        # spine emits once — matching the engine's documented NTZ
+        # wall-clock output semantics.
+        spine = spine.filter(
+            F.from_utc_timestamp(
+                F.to_utc_timestamp(F.col(bucket_col), spine_tz), spine_tz
+            ) == F.col(bucket_col)
+        )
     observed = rolled.select(
         *key_cols, bucket_col, *[F.col(c).alias(f"_obs_{c}") for c in value_cols]
     )

@@ -1022,3 +1022,27 @@ def test_tz_dst_days_match_raw(spark, tmp_path):
     mar10 = [v for (t, k), v in got.items() if str(t).startswith("2024-03-10")]
     mar09 = [v for (t, k), v in got.items() if str(t).startswith("2024-03-09")]
     assert mar10 and mar09 and mar10[0][0] < mar09[0][0]
+
+
+def test_tz_fill_spine_skips_nonexistent_wall_hour(spark):
+    """Raw-path tz()+fill across US spring-forward: the spine must NOT
+    manufacture the 02:00 wall label (that local hour does not exist on
+    2024-03-10 in New York), and must emit the fall-back-style labels
+    exactly once."""
+    rows = [
+        ("2024-03-10 05:30:00", "a", 1.0),  # 00:30 NY wall
+        ("2024-03-10 09:30:00", "a", 2.0),  # 05:30 NY wall (gap: 01,03,04)
+    ]
+    ev = spark.createDataFrame(
+        rows, ["ts", "event_type", "value"]
+    ).withColumn("ts", F.to_timestamp("ts"))
+    eng = InfluxQLEngine({"m": ev}, ts_col="ts")
+    out = eng.execute(
+        "SELECT count(value) AS cnt FROM m"
+        " GROUP BY time(1h), event_type fill(0) tz('America/New_York')"
+    ).collect()
+    hours = sorted(r["time"].hour for r in out)
+    assert hours == [0, 1, 3, 4, 5]  # 02:00 never exists on this wall day
+    by_hour = {r["time"].hour: r["cnt"] for r in out}
+    assert by_hour[0] == 1 and by_hour[5] == 1
+    assert by_hour[1] == 0 and by_hour[3] == 0 and by_hour[4] == 0
