@@ -95,6 +95,14 @@ def pack_simple8b(vals: np.ndarray) -> list[int]:
     n = len(vals)
     if n == 0:
         return []
+    if n <= 128:
+        # small-series fast path: the 14 sliding-window maxima below are
+        # fixed overhead that dwarfs a tiny input (measured 200 µs vs
+        # 37 µs at n=17; crossover ≈ 128) — and the archive encoder's
+        # groups at 1m granularity ARE tiny (a day of minutes per
+        # series-day).  The greedy loop is bit-identical by test pin
+        # (test_intcodec.py), so this is dispatch, not a second format.
+        return pack_simple8b_ref(vals)
     widths = _bit_widths(vals)
     # sel_at[i] = smallest-width selector whose window starting at i fits
     # (iterate widest→smallest so the last fitting assignment wins; the

@@ -547,6 +547,8 @@ def refresh_pipeline(
             ),
             source=pages_path,
             hist_bounds=catalog.table_property("rollup_1m", "hist_bounds"),
+            # refreshed days share the deployment's reuse posture
+            wave_reuse=os.environ.get("SPARK_GRAFT_WAVE_REUSE", "cache"),
         )
         res.days_processed = recompute
         # ONE shared points frame for every auxiliary tier family below
