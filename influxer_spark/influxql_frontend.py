@@ -1900,13 +1900,16 @@ class InfluxQLEngine:
         )
         if use_hdr:
             # HDR serving is percentile-only (the hdr tables carry counter
-            # vectors, not companion sums) at hour-multiple widths; the
-            # hdr path has its own re-bucket code that is not zone-aware
+            # vectors, not companion sums) at hour-multiple widths.  Under
+            # tz() the 1h sketch tier serves iff the zone's offset grid is
+            # hour-compatible (tz_tier "1h", or "1d" for UTC-fixed zones —
+            # which implies hour alignment a fortiori); half-hour zones
+            # have no 1m sketch tier to drop to, so they stay raw.
             if not all(c.fname in ("percentile", "median") for c in aggish):
                 return False
-            if w % 3600 != 0 or off or stmt.tz or not cfg["catalog"].exists(
-                "hdr_1h"
-            ):
+            if w % 3600 != 0 or off or not cfg["catalog"].exists("hdr_1h"):
+                return False
+            if stmt.tz and tz_tier not in ("1h", "1d"):
                 return False
         allowed = self._TIER_AGGS | (
             {"percentile", "median"}
@@ -2422,7 +2425,9 @@ class InfluxQLEngine:
 
         cat = cfg["catalog"]
         aso = cfg.get("as_of")
-        table = "hdr_1d" if w % 86400 == 0 else "hdr_1h"
+        # under tz() wall days are not UTC-day aligned, so only the 1h
+        # sketch tier serves (answerable gated this on _tz_grid_ok at 1h)
+        table = "hdr_1d" if w % 86400 == 0 and not stmt.tz else "hdr_1h"
         if not cat.exists(table):
             table = "hdr_1h"
         parts = _qapi._partitions_in_range(cat, table, start, end, as_of=aso)
@@ -2432,7 +2437,7 @@ class InfluxQLEngine:
             *cat.partition_paths(table, parts, as_of=aso)
         )
         if stmt.where is not None:
-            df = df.filter(InfluxQLEngine({}, ts_col="bucket")._cond(stmt.where))
+            df = df.filter(self._bucket_cond(stmt.where))
         keys = stmt.group_tags
         sub_bits = int(
             cat.table_property(table, "hdr_sub_bits", H.DEFAULT_SUB_BITS)
@@ -2442,7 +2447,7 @@ class InfluxQLEngine:
             k: (0.5 if c.fname == "median" else float(c.args[1].value) / 100.0)
             for k, c in agg_calls.items()
         }
-        merged = H.hdr_rebucket(df, keys, w)
+        merged = H.hdr_rebucket(df, keys, w, tz=self._tz)
         quants = H.hdr_quantiles(
             merged, keys, tuple(dict.fromkeys(ps.values())), sub_bits
         )
@@ -2499,8 +2504,6 @@ class InfluxQLEngine:
                 "approx_count_distinct() does not support fill() (a sketch "
                 "of an empty bucket is empty, not zero)"
             )
-        if stmt.tz:
-            raise InfluxQLError("approx_count_distinct() does not support tz()")
         k = int(c.args[1].value) if len(c.args) > 1 else DEFAULT_K
         if k < 2:
             raise InfluxQLError("approx_count_distinct() needs k >= 2")
@@ -2541,15 +2544,25 @@ class InfluxQLEngine:
             return False
         if len(c.args) > 1:
             return False  # explicit k: only the pinned build k is stored
-        if stmt.time_width is None or stmt.time_offset or stmt.tz:
+        if stmt.time_width is None or stmt.time_offset:
             return False
         if stmt.fill_mode != "none":
             return False
         w = int(stmt.time_width)
         if stmt.time_width != w or w % 3600 != 0:
             return False
+        if stmt.tz:
+            # wall re-bucket of the 1h sketch tier: same grid gate as the
+            # rollup/hdr paths; no 1m sketch tier exists for half-hour
+            # zones to drop to, so those stay raw
+            if self._tz_serving_tier(stmt) not in ("1h", "1d"):
+                return False
         if not set(stmt.group_tags) <= set(cfg["key_cols"]):
             return False
+        if stmt.tz:
+            return self._tier_where_ok(
+                stmt, cfg["key_cols"], w, modulus=3600, zone=stmt.tz
+            )
         return self._tier_where_ok(stmt, cfg["key_cols"], w)
 
     def _exec_kmv_tiered(self, stmt: Select) -> DataFrame:
@@ -2561,16 +2574,28 @@ class InfluxQLEngine:
         cfg = self.tiered[stmt.measurement]
         cat = cfg["catalog"]
         w = int(stmt.time_width)
-        table = "kmv_1d" if w % 86400 == 0 else "kmv_1h"
+        # wall days are not UTC-day aligned → the 1h sketch tier serves
+        table = "kmv_1d" if w % 86400 == 0 and not stmt.tz else "kmv_1h"
         k = cat.table_property(table, "kmv_k")
         if k is None:
             raise InfluxQLError(f"{table} pins no kmv_k table property")
-        lo, hi = (
-            self._time_bounds(stmt.where) if stmt.where is not None
-            else (None, None)
-        )
-        start = _dt.datetime.fromisoformat(lo[0]) if lo else None
-        end = _dt.datetime.fromisoformat(hi[0]) if hi else None
+        if stmt.tz:
+            u_lo, u_hi = self._bounds_utc(stmt)
+            start = (
+                u_lo.replace(tzinfo=None) - _dt.timedelta(days=1)
+                if u_lo else None
+            )
+            end = (
+                u_hi.replace(tzinfo=None) + _dt.timedelta(days=1)
+                if u_hi else None
+            )
+        else:
+            lo, hi = (
+                self._time_bounds(stmt.where) if stmt.where is not None
+                else (None, None)
+            )
+            start = _dt.datetime.fromisoformat(lo[0]) if lo else None
+            end = _dt.datetime.fromisoformat(hi[0]) if hi else None
         aso = cfg.get("as_of")
         parts = _qapi._partitions_in_range(cat, table, start, end, as_of=aso)
         if not parts:
@@ -2579,12 +2604,10 @@ class InfluxQLEngine:
             *cat.partition_paths(table, parts, as_of=aso)
         )
         if stmt.where is not None:
-            df = df.filter(
-                InfluxQLEngine({}, ts_col="bucket")._cond(stmt.where)
-            )
+            df = df.filter(self._bucket_cond(stmt.where))
         keys = stmt.group_tags
         alias = stmt.projections[0][1] or "approx_count_distinct"
-        merged = KMV.kmv_rebucket(df, keys, w, int(k))
+        merged = KMV.kmv_rebucket(df, keys, w, int(k), tz=self._tz)
         est = KMV.kmv_estimate(merged, keys, int(k))
         out = est.select(
             F.col("bucket").alias("time"), *keys,

@@ -155,11 +155,19 @@ def hdr_quantiles(
 
 
 def hdr_rebucket(
-    sketch: DataFrame, key_cols: Sequence[str], width_seconds: int
+    sketch: DataFrame, key_cols: Sequence[str], width_seconds: int,
+    tz: str | None = None,
 ) -> DataFrame:
     """Re-bucket sketch rows to ANY width that their tier divides —
-    counter-vector sum, lossless like the cascade."""
-    secs = F.unix_timestamp(F.col("bucket").cast("timestamp"))
+    counter-vector sum, lossless like the cascade.  ``tz`` re-buckets on
+    that zone's WALL clock (exact when the caller has proven, via the
+    frontend's _tz_grid_ok, that no tier bucket straddles a wall
+    boundary — counter vectors then sum losslessly onto wall buckets the
+    same way they do onto UTC ones)."""
+    bt = F.col("bucket").cast("timestamp")
+    if tz:
+        bt = F.from_utc_timestamp(bt, tz)
+    secs = F.unix_timestamp(bt)
     out_bucket = F.timestamp_seconds(
         (secs - (secs % width_seconds)).cast("long")
     ).alias("bucket")

@@ -196,13 +196,20 @@ def kmv_rebucket(
     key_cols: Sequence[str],
     width_seconds: int,
     k: int = DEFAULT_K,
+    tz: str | None = None,
 ) -> DataFrame:
     """Merge sketches into epoch-aligned buckets of ANY width that is a
     multiple of the sketch tier — the continuous-aggregate re-bucket
     (``GROUP BY time(4h)`` served from the 1h KMV tier).  Same lossless
-    k-min union as :func:`kmv_cascade`, calendar-free bucket math."""
+    k-min union as :func:`kmv_cascade`, calendar-free bucket math.
+    ``tz`` re-buckets on that zone's WALL clock (exact under the
+    frontend's _tz_grid_ok precondition — the k-min union is
+    bucket-assignment-agnostic)."""
     keys = list(key_cols)
-    secs = F.unix_timestamp(F.col("bucket").cast("timestamp")).cast("long")
+    bt = F.col("bucket").cast("timestamp")
+    if tz:
+        bt = F.from_utc_timestamp(bt, tz)
+    secs = F.unix_timestamp(bt).cast("long")
     pts = summary.select(
         F.timestamp_seconds(secs - (secs % width_seconds)).alias("bucket"),
         *keys,

@@ -1046,3 +1046,84 @@ def test_tz_fill_spine_skips_nonexistent_wall_hour(spark):
     by_hour = {r["time"].hour: r["cnt"] for r in out}
     assert by_hour[0] == 1 and by_hour[5] == 1
     assert by_hour[1] == 0 and by_hour[3] == 0 and by_hour[4] == 0
+
+
+def test_tz_percentile_served_from_hdr_tier(built_hdr):
+    """tz() + hdr: a wall-clock daily percentile panel serves from the 1h
+    sketch tier (hdr_1d cannot — wall days are not UTC-day aligned).  The
+    sketch answer for a wall bucket must EQUAL re-bucketing the same 1h
+    counter vectors by wall day through the operator API directly — the
+    frontend adds routing, not new math."""
+    from influxer_spark.operators import hdrsketch as H
+
+    points, cat = built_hdr
+    tiered = InfluxQLEngine({}, ts_col="warc_ts")
+    tiered.register_tiered("pages", cat, key_cols=("url", "metric"), hdr=True)
+    q = (
+        "SELECT percentile(value, 95) AS p95 FROM pages"
+        " GROUP BY time(1d), metric tz('America/New_York')"
+    )
+    df = tiered.execute(q)
+    assert any("hdr_1h" in f for f in df.inputFiles())
+    assert not any("hdr_1d" in f for f in df.inputFiles())
+    got = {tuple(r[:2]): r["p95"] for r in df.collect()}
+
+    spark = points.sparkSession
+    h1 = cat.read_committed(spark, "hdr_1h").drop("day")
+    merged = H.hdr_rebucket(h1, ["metric"], 86400, tz="America/New_York")
+    ref = H.hdr_quantiles(merged, ["metric"], (0.95,))
+    want = {(r["bucket"], r["metric"]): r["q95"] for r in ref.collect()}
+    assert got == want and len(got) > 0
+
+
+def test_tz_hdr_half_hour_zone_falls_back_to_raw(built_hdr):
+    # no 1m sketch tier exists, so Asia/Kolkata percentiles stay raw
+    points, cat = built_hdr
+    tiered = InfluxQLEngine({"pages": points}, ts_col="warc_ts")
+    tiered.register_tiered("pages", cat, key_cols=("url", "metric"), hdr=True)
+    df = tiered.execute(
+        "SELECT percentile(value, 95) AS p95 FROM pages"
+        " GROUP BY time(1d), metric tz('Asia/Kolkata')"
+    )
+    assert not any("hdr_" in f for f in df.inputFiles())
+
+
+def test_tz_approx_distinct_tier_matches_raw_path(built, spark):
+    """tz() + KMV: the estimate is a pure function of each wall bucket's
+    item set, so the tier-served wall-day panel must be IDENTICAL to the
+    raw path's (which buckets per point via the tz-aware _bucket) — and
+    it must read the 1h sketch tier, never kmv_1d (wall days are not
+    UTC-day aligned)."""
+    from influxer_spark.operators.kmv import build_kmv_tiers
+
+    points, cat = built
+    if not cat.committed_partitions("kmv_1h"):
+        build_kmv_tiers(spark, cat, points, "warc_ts", ["metric"], "url", k=32)
+    raw = InfluxQLEngine({"pages": points}, ts_col="warc_ts")
+    tiered = InfluxQLEngine({"pages": points}, ts_col="warc_ts")
+    tiered.register_tiered(
+        "pages", cat, key_cols=("metric",), kmv_item_col="url"
+    )
+    q_raw = (
+        "SELECT approx_count_distinct(url, 32) AS uu FROM pages"
+        " GROUP BY time(1d), metric tz('America/New_York')"
+    )
+    q_tier = (
+        "SELECT approx_count_distinct(url) AS uu FROM pages"
+        " GROUP BY time(1d), metric tz('America/New_York')"
+    )
+    want = {(r["time"], r["metric"]): r["uu"]
+            for r in raw.execute(q_raw).collect()}
+    got_df = tiered.execute(q_tier)
+    got = {(r["time"], r["metric"]): r["uu"] for r in got_df.collect()}
+    assert got == want and len(got) > 0
+    files = got_df.inputFiles()
+    assert files and all("kmv_1h" in f for f in files)
+
+    # half-hour zone: no 1m sketch tier → raw path (identical by purity)
+    fb = tiered.execute(
+        "SELECT approx_count_distinct(url) AS uu FROM pages"
+        " GROUP BY time(1d), metric tz('Asia/Kolkata')"
+    )
+    assert not any("kmv_" in f for f in fb.inputFiles())
+    assert fb.count() > 0
