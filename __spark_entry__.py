@@ -3275,6 +3275,7 @@ _WINDOW_PRIORITY = [
     "dtw_pairs_hourly",
     "pelt_segments_hourly",
     "influxql_tz_tier_1d",
+    "kmv_tz_tier_1d",
 ]
 
 # Rows-only queries (genuinely non-SQL-expressible internals) — always last.

@@ -2481,6 +2481,61 @@ FROM events GROUP BY 1, 2
 """
 
 
+def _q_kmv_tz_tier(spark, sf_dir):
+    """tz() + KMV tier serving (round 4): wall-day distinct users in
+    America/New_York, answered from the kmv_1h sketch tier via the string
+    front-end (kmv_rebucket's wall re-bucket — k-min union is
+    bucket-assignment-agnostic, so the wall panel is EXACTLY the estimate
+    a raw wall-bucket pass produces).  The oracle replays the identical
+    md5-based 60-bit hash, wall-day grouping, k-min order statistic and
+    1e-4 quantization in SQL, so the hash match proves the
+    materialize→commit→wall-re-bucket→estimate path end to end."""
+    import tempfile
+
+    from influxer_spark.catalog import TableCatalog
+    from influxer_spark.influxql_frontend import InfluxQLEngine
+    from influxer_spark.operators.kmv import build_kmv_tiers
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cat = TableCatalog(tempfile.mkdtemp(prefix="kmv_tz_gate_"))
+    build_kmv_tiers(spark, cat, ev, "ts", ["event_type"], "user_id", k=64)
+    eng = InfluxQLEngine({"m": ev}, ts_col="ts")
+    eng.register_tiered(
+        "m", cat, key_cols=("event_type",), kmv_item_col="user_id"
+    )
+    out = eng.execute(
+        "SELECT approx_count_distinct(user_id) AS uu FROM m"
+        " GROUP BY time(1d), event_type tz('America/New_York')"
+    )
+    return out.withColumnRenamed("time", "bucket")
+
+
+_KMV_TZ_TIER_SQL = """
+WITH h AS (
+  SELECT DISTINCT
+         date_trunc('day',
+           timezone('America/New_York', timezone('UTC', ts))) AS bucket,
+         event_type,
+         CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS hv
+  FROM events
+), r AS (
+  SELECT bucket, event_type, hv,
+         row_number() OVER (PARTITION BY bucket, event_type
+                            ORDER BY hv) AS rn,
+         count(*) OVER (PARTITION BY bucket, event_type) AS n
+  FROM h
+)
+SELECT bucket, event_type,
+  CAST(round(
+    (CASE WHEN max(n) < 64 THEN CAST(max(n) AS DOUBLE)
+          ELSE 63.0 * 1152921504606846976.0
+               / CAST(max(CASE WHEN rn = 64 THEN hv END) AS DOUBLE) END)
+    * 10000, 0) AS BIGINT) / 10000.0 AS uu
+FROM r GROUP BY 1, 2
+"""
+
+
 def _q_theta_forecast(spark, sf_dir):
     """Theta-method forecast of the next 24 hourly buckets per event_type
     (1e-4-tick units) — the M4-benchmark hybrid beside holt_winters and
@@ -2710,6 +2765,7 @@ def influxql_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pelt_segments_hourly": _q_pelt_segments,
         "theta_forecast_24h": _q_theta_forecast,
         "influxql_tz_tier_1d": _q_influxql_tz_tier,
+        "kmv_tz_tier_1d": _q_kmv_tz_tier,
     }
 
 
@@ -2773,4 +2829,5 @@ def influxql_oracle_sql() -> dict[str, str]:
         "dtw_pairs_hourly": _DTW_SQL,
         "pelt_segments_hourly": _PELT_SQL,
         "influxql_tz_tier_1d": _TZ_TIER_SQL,
+        "kmv_tz_tier_1d": _KMV_TZ_TIER_SQL,
     }
