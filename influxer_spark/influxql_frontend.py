@@ -708,9 +708,63 @@ def _default_name(e: Any) -> str:
     return "value"
 
 
-# (zone, tier_width, lo_s, hi_s) → servable; zone-offset walks are pure
-# functions of the tz database, so one check serves the whole session
-_TZ_GRID_MEMO: dict[tuple, bool] = {}
+# zone → (off0, transition_times, offsets_after) over the engine horizon
+# (1970–2100 UTC), or None for unknown zones.  ONE bounded entry per zone
+# per process: the transition list is derived from the zoneinfo data once
+# (coarse 6h scan + bisection — 6h is below the minimum gap between two
+# same-zone transitions), and every later _tz_grid_ok range query answers
+# in O(log n_transitions) without re-walking offsets or growing a
+# per-range memo (dashboards issuing many distinct rolling windows
+# previously re-scanned and permanently cached each exact range).
+_TZ_HORIZON_END = 4102444800  # 2100-01-01 UTC
+_TZ_TRANSITIONS: dict[
+    str, tuple[int, tuple[int, ...], tuple[int, ...]] | None
+] = {}
+
+
+def _tz_transitions(
+    zone: str,
+) -> tuple[int, tuple[int, ...], tuple[int, ...]] | None:
+    """(initial_offset, transition_instants_utc, offsets_after) for ``zone``
+    over 1970–2100, memoized per zone; None for unknown zones."""
+    if zone in _TZ_TRANSITIONS:
+        return _TZ_TRANSITIONS[zone]
+    import datetime as _dt
+    import zoneinfo as _zi
+
+    try:
+        z = _zi.ZoneInfo(zone)
+    except Exception:  # noqa: BLE001 - unknown zone → caller falls to raw
+        _TZ_TRANSITIONS[zone] = None
+        return None
+
+    def off_at(s: int) -> int:
+        return int(
+            _dt.datetime.fromtimestamp(s, tz=z).utcoffset().total_seconds()
+        )
+
+    times: list[int] = []
+    offs: list[int] = []
+    step = 6 * 3600
+    s = 0
+    off0 = o = off_at(0)
+    while s < _TZ_HORIZON_END:
+        e = min(s + step, _TZ_HORIZON_END)
+        o2 = off_at(e)
+        if o2 != o:
+            a, b = s, e
+            while b - a > 1:  # bisect the transition instant
+                m = (a + b) // 2
+                if off_at(m) == o:
+                    a = m
+                else:
+                    b = m
+            times.append(b)
+            offs.append(o2)
+        s, o = e, o2
+    out = (off0, tuple(times), tuple(offs))
+    _TZ_TRANSITIONS[zone] = out
+    return out
 
 
 def _walk_calls(e: Any, out: list[Call]) -> None:
@@ -971,6 +1025,19 @@ class InfluxQLEngine:
         return out
 
     def _run(self, stmt: Select) -> DataFrame:
+        # Validate tz() once, up front: a bad zone name must be a loud,
+        # named error (InfluxDB: "unable to find time zone"), not a
+        # ZoneInfoNotFoundError from _bounds_utc mid-planning or a Spark
+        # ZoneRulesException at collect time.
+        if stmt.tz is not None:
+            import zoneinfo as _zi
+
+            try:
+                _zi.ZoneInfo(stmt.tz)
+            except Exception as e:  # noqa: BLE001
+                raise InfluxQLError(
+                    f"unknown time zone {stmt.tz!r}"
+                ) from e
         self._tz = stmt.tz
         if stmt.sub is not None:
             # subquery: run the inner SELECT, then the outer over its result
@@ -1872,11 +1939,13 @@ class InfluxQLEngine:
         if stmt.tz:
             # tz() tier serving: UTC tier partials re-bucket on the zone's
             # wall clock exactly when the zone's offset grid is compatible
-            # with a serving tier (_tz_grid_ok).  Offsets and fill stay on
-            # the raw path: an offset compounds two grid shifts, and a
-            # fill spine stepped in wall seconds would manufacture the
-            # nonexistent spring-forward bucket InfluxDB never emits.
-            if off or stmt.fill_mode != "none":
+            # with a serving tier (_tz_grid_ok).  Offsets stay on the raw
+            # path (an offset compounds two grid shifts).  fill() IS
+            # servable since r5: fill_buckets' tz-aware spine drops only
+            # manufactured nonexistent wall labels (spring-forward hours)
+            # and keeps observed DST-gap boundary labels, so the tier
+            # path fills the identical wall spine the raw path does.
+            if off:
                 return False
             tz_tier = self._tz_serving_tier(stmt)
             if tz_tier is None:
@@ -1986,50 +2055,28 @@ class InfluxQLEngine:
         shifts the bucket to another wt-aligned wall block, which cannot
         cross a w-boundary when wt | w.  Whole-hour zones (America/*,
         Europe/*) pass at wt=3600; half-hour zones (Asia/Kolkata) and the
-        pre-1900 LMT seconds-offset era drop to the 1m tier or raw."""
-        import datetime as _dt
-        import zoneinfo as _zi
+        pre-1900 LMT seconds-offset era drop to the 1m tier or raw.
 
-        key = (zone, wt, lo_s, hi_s)
-        hit = _TZ_GRID_MEMO.get(key)
-        if hit is not None:
-            return hit
-        try:
-            z = _zi.ZoneInfo(zone)
-        except Exception:  # noqa: BLE001 - unknown zone → raw path decides
-            _TZ_GRID_MEMO[key] = False
+        Answers from the per-zone precomputed transition list
+        (``_tz_transitions``): O(log n) bisect to the offset at ``lo_s``
+        plus one pass over the (few hundred at most) transitions inside
+        the range — no per-range offset walk, no per-range memo entry."""
+        import bisect as _bisect
+
+        if lo_s < 0 or hi_s > _TZ_HORIZON_END:
+            return False  # outside the verified horizon → raw path
+        zt = _tz_transitions(zone)
+        if zt is None:
+            return False  # unknown zone → raw path decides
+        off0, times, offs = zt
+        i = _bisect.bisect_right(times, lo_s)
+        if (offs[i - 1] if i else off0) % wt:
             return False
-
-        def off_at(s: int) -> int:
-            return int(
-                _dt.datetime.fromtimestamp(s, tz=z)
-                .utcoffset().total_seconds()
-            )
-
-        ok = True
-        step = 6 * 3600  # < any gap between two same-zone transitions
-        s, o = lo_s, off_at(lo_s)
-        if o % wt:
-            ok = False
-        while ok and s < hi_s:
-            e = min(s + step, hi_s)
-            o2 = off_at(e)
-            if o2 % wt:
-                ok = False
-                break
-            if o2 != o:
-                a, b = s, e
-                while b - a > 1:  # bisect the transition instant
-                    m = (a + b) // 2
-                    if off_at(m) == o:
-                        a = m
-                    else:
-                        b = m
-                if b % wt:
-                    ok = False
-            s, o = e, o2
-        _TZ_GRID_MEMO[key] = ok
-        return ok
+        while i < len(times) and times[i] < hi_s:
+            if times[i] % wt or offs[i] % wt:
+                return False
+            i += 1
+        return True
 
     def _bounds_utc(self, stmt: Select):
         """WHERE time bounds as aware-UTC datetimes.  Under tz(), naive
@@ -2059,8 +2106,9 @@ class InfluxQLEngine:
 
     def _tz_serving_tier(self, stmt: Select) -> str | None:
         """Coarsest tier that serves this tz() statement exactly, or None
-        (→ raw path).  Unbounded ranges are checked over 1970–2100 (memo-
-        ized per zone/tier), bounded ones over their own range."""
+        (→ raw path).  Unbounded ranges are checked over 1970–2100,
+        bounded ones over their own range — both against the per-zone
+        precomputed transition list (one bounded memo entry per zone)."""
         from influxer_spark.query import TIER_SECONDS
 
         w = int(stmt.time_width)
@@ -2408,6 +2456,7 @@ class InfluxQLEngine:
                 grouped, keys, list(aliases.values()), w,
                 mode=stmt.fill_mode, fill_value=stmt.fill_value,
                 bucket_col="time", spine_bounds=bounds,
+                spine_tz=self._tz,
             ).drop("filled")
         return self._agg_tail(stmt, grouped, keys, aliases, "time", "time")
 
@@ -2470,6 +2519,7 @@ class InfluxQLEngine:
                 grouped, keys, list(aliases.values()), w,
                 mode=stmt.fill_mode, fill_value=stmt.fill_value,
                 bucket_col="time", spine_bounds=bounds,
+                spine_tz=self._tz,
             ).drop("filled")
         return self._agg_tail(stmt, grouped, keys, aliases, "time", "time")
 

@@ -162,19 +162,6 @@ def fill_buckets(
         *key_cols,
         F.explode(F.sequence(F.col("_lo"), F.col("_hi"), interval)).alias(bucket_col),
     )
-    if spine_tz:
-        # tz() buckets are WALL-CLOCK labels: a uniform wall-second spine
-        # would manufacture the spring-forward hour (e.g. 02:00 on a US
-        # DST day), a label no data row can ever carry.  A wall time
-        # exists iff it survives the wall→UTC→wall round trip; the
-        # fall-back hour's two UTC instants share one label, which the
-        # spine emits once — matching the engine's documented NTZ
-        # wall-clock output semantics.
-        spine = spine.filter(
-            F.from_utc_timestamp(
-                F.to_utc_timestamp(F.col(bucket_col), spine_tz), spine_tz
-            ) == F.col(bucket_col)
-        )
     observed = rolled.select(
         *key_cols, bucket_col, *[F.col(c).alias(f"_obs_{c}") for c in value_cols]
     )
@@ -182,6 +169,30 @@ def fill_buckets(
     # column so all-NULL observed aggregates aren't misread as gaps
     marked = observed.withColumn("_hit", F.lit(True))
     joined = spine.join(marked, on=[*key_cols, bucket_col], how="left")
+    if spine_tz:
+        # tz() buckets are WALL-CLOCK labels: a uniform wall-second spine
+        # would manufacture the spring-forward hour (e.g. 02:00 on a US
+        # DST day), a label no data row can ever carry.  A wall time
+        # exists iff it survives the wall→UTC→wall round trip; the
+        # fall-back hour's two UTC instants share one label, which the
+        # spine emits once — matching the engine's documented NTZ
+        # wall-clock output semantics.  The check must run AFTER the
+        # spine↔observed join and spare joined rows: when a DST gap
+        # contains the bucket-boundary wall time itself (midnight
+        # transitions — America/Santiago, Atlantic/Azores), the raw
+        # path still emits that label via wall-second floor, so the
+        # label is OBSERVED despite failing the round trip; dropping
+        # it from the spine would silently lose a data-carrying row.
+        # Only manufactured (no-hit) nonexistent labels are dropped.
+        joined = joined.filter(
+            F.col("_hit").isNotNull()
+            | (
+                F.from_utc_timestamp(
+                    F.to_utc_timestamp(F.col(bucket_col), spine_tz), spine_tz
+                )
+                == F.col(bucket_col)
+            )
+        )
     filled_flag = F.col("_hit").isNull()
 
     w_back = (

@@ -16,8 +16,11 @@ answer every run.
 
 Execution shape: per-series fold (``applyInPandas``, the
 mk_theilsen/asap posture) with a loud ``max_points`` guard — run over a
-rollup TIER; series parallelize across executors.  Rows-only at the gate
-(SES is an iterative recurrence; no SQL oracle); the kernel is pinned in
+rollup TIER; series parallelize across executors.  VALUE-ORACLED at the
+gate since r4: ``theta_forecast_24h`` feeds and returns integer 1e-4
+tick units, and the DuckDB oracle (``_THETA_SQL`` in
+influxql_queries.py) replays the SES recurrence with a recursive CTE —
+bit-exact at sf0.001 and sf0.01.  The kernel is additionally pinned in
 tests/test_theta.py: the Hyndman–Billah half-drift identity on
 pure-linear input (θ2 = 2x − trend IS the line itself, its SES level
 lags it, so the blended forecast continues at half the drift),

@@ -599,3 +599,55 @@ def test_select_into_writes_to_catalog_storage(spark, m, tmp_path):
     eng.run_continuous_queries()
     again = cat.read_committed(spark, "into_cpu_1m").drop("day")
     assert sorted(map(tuple, again.select(*out.columns).collect())) == want
+
+
+def test_unknown_time_zone_is_loud_named_error(spark):
+    """tz() with a bad zone name must raise InfluxQLError up front (the
+    InfluxDB 'unable to find time zone' analogue) — not a
+    ZoneInfoNotFoundError out of _bounds_utc mid-planning or a Spark
+    ZoneRulesException at collect time (ADVICE r4)."""
+    ev = spark.createDataFrame(
+        [("2024-01-01 00:00:00", "a", 1.0)], ["ts", "k", "value"]
+    ).withColumn("ts", F.to_timestamp("ts"))
+    eng = InfluxQLEngine({"m": ev}, ts_col="ts")
+    with pytest.raises(InfluxQLError, match="unknown time zone"):
+        eng.execute(
+            "SELECT mean(value) AS mv FROM m WHERE"
+            " time >= '2024-01-01T00:00:00' AND time < '2024-01-02T00:00:00'"
+            " GROUP BY time(1h) fill(0) tz('Mars/Olympus_Mons')"
+        )
+
+
+def test_tz_grid_ok_transition_list_verdicts():
+    """_tz_grid_ok now answers from a per-zone precomputed transition
+    list (one bounded memo entry per zone, no per-range cache).  Verdicts
+    must match the zone-offset facts: whole-hour zones pass at wt=3600,
+    half-hour zones fail, no zone's DST instants are UTC-day-aligned, and
+    ranges outside the verified 1970–2100 horizon fall to raw."""
+    from influxer_spark.influxql_frontend import (
+        _TZ_TRANSITIONS,
+        _tz_transitions,
+        InfluxQLEngine as E,
+    )
+
+    lo, hi = 1700000000, 1750000000  # late 2023 .. mid 2025, spans DST flips
+    assert E._tz_grid_ok("America/New_York", 3600, lo, hi)
+    assert E._tz_grid_ok("America/Santiago", 3600, lo, hi)
+    assert not E._tz_grid_ok("Asia/Kolkata", 3600, lo, hi)  # +05:30
+    assert E._tz_grid_ok("Asia/Kolkata", 60, lo, hi)  # but whole-minute
+    assert not E._tz_grid_ok("America/New_York", 86400, lo, hi)
+    assert E._tz_grid_ok("UTC", 86400, lo, hi)
+    assert not E._tz_grid_ok("Not/A_Zone", 3600, lo, hi)
+    assert not E._tz_grid_ok("America/New_York", 3600, -10, hi)  # pre-1970
+    # the memo is bounded: one entry per ZONE, never per range
+    n = len(_TZ_TRANSITIONS)
+    for lo2 in range(lo, lo + 50):
+        E._tz_grid_ok("America/New_York", 3600, lo2, hi)
+    assert len(_TZ_TRANSITIONS) == n
+    off0, times, offs = _tz_transitions("America/New_York")
+    assert off0 == -5 * 3600 and len(times) == len(offs) > 200
+    assert list(times) == sorted(times)
+    # every recorded transition really flips the offset
+    assert all(
+        offs[i] != (offs[i - 1] if i else off0) for i in range(len(offs))
+    )

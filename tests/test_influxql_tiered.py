@@ -945,21 +945,33 @@ def test_tz_half_hour_zone_serves_from_1m(built):
     assert "rollup_1m" in plan and "rollup_1h" not in plan
 
 
-def test_tz_fill_and_offset_fall_back_to_raw(built):
+def test_tz_fill_tier_serves_and_offset_falls_back(built):
+    """tz() + fill() tier-serves since r5 (the spine fix made the wall
+    spine exact); tz() + a bucket offset still compounds two grid shifts
+    and stays raw."""
     points, cat = built
     raw, tiered = _engines(points, cat)
-    for q in (
-        "SELECT count(value) AS cnt FROM pages"
-        " GROUP BY time(2h), metric fill(0) tz('America/New_York')",
-        "SELECT count(value) AS cnt FROM pages"
-        " GROUP BY time(2h, 30m), metric tz('America/New_York')",
-    ):
+    for mode in ("0", "previous", "linear", "null"):
+        q = (
+            "SELECT count(value) AS cnt FROM pages"
+            f" GROUP BY time(2h), metric fill({mode}) tz('America/New_York')"
+        )
         want = {tuple(r[:2]): r[2] for r in raw.execute(q).collect()}
         got_df = tiered.execute(q)
         got = {tuple(r[:2]): r[2] for r in got_df.collect()}
-        assert got == want
+        assert got == want and len(got) > 0, mode
         plan = got_df._jdf.queryExecution().executedPlan().toString()
-        assert "rollup_1h" not in plan and "rollup_1m" not in plan
+        assert "rollup_1h" in plan, mode
+    q = (
+        "SELECT count(value) AS cnt FROM pages"
+        " GROUP BY time(2h, 30m), metric tz('America/New_York')"
+    )
+    want = {tuple(r[:2]): r[2] for r in raw.execute(q).collect()}
+    got_df = tiered.execute(q)
+    got = {tuple(r[:2]): r[2] for r in got_df.collect()}
+    assert got == want
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    assert "rollup_1h" not in plan and "rollup_1m" not in plan
 
 
 def test_tz_wall_aligned_where_matches_raw(built):
@@ -1024,6 +1036,50 @@ def test_tz_dst_days_match_raw(spark, tmp_path):
     assert mar10 and mar09 and mar10[0][0] < mar09[0][0]
 
 
+def test_tz_fill_dst_day_tier_matches_raw(spark, tmp_path):
+    """tz() + fill() tier serving across the spring-forward day: sparse
+    hours around the transition leave real gaps, so every fill mode does
+    work; the tier answer must equal raw bit-for-bit, including the
+    ABSENT 02:00 wall label (nonexistent on 2024-03-10) and the filled
+    gap rows."""
+    from influxer_spark.operators.refresh import build_point_tiers
+
+    rows = []
+    for d, hours in ((9, range(0, 24, 2)), (10, (0, 1, 8, 14, 22)),
+                     (11, range(1, 24, 3))):
+        for h in hours:
+            for k in ("a", "b"):
+                rows.append(
+                    (f"2024-03-{d:02d} {h:02d}:30:00", k, float(d * 100 + h))
+                )
+    ev = spark.createDataFrame(
+        rows, ["ts", "event_type", "value"]
+    ).withColumn("ts", F.to_timestamp("ts"))
+    cat = TableCatalog(str(tmp_path / "cat"))
+    build_point_tiers(spark, cat, ev, "ts", ["event_type"], "value")
+    raw = InfluxQLEngine({"m": ev}, ts_col="ts")
+    tiered = InfluxQLEngine({"m": ev}, ts_col="ts")
+    tiered.register_tiered("m", cat, key_cols=("event_type",))
+    for mode in ("0", "previous", "linear", "null"):
+        q = (
+            "SELECT count(value) AS cnt, sum(value) AS s FROM m"
+            " WHERE time >= '2024-03-09 00:00:00'"
+            " AND time < '2024-03-12 00:00:00'"
+            f" GROUP BY time(1h), event_type fill({mode})"
+            " tz('America/New_York')"
+        )
+        rnd = lambda x: None if x is None else round(x, 6)  # noqa: E731
+        want = {tuple(r[:2]): (r[2], rnd(r[3]))
+                for r in raw.execute(q).collect()}
+        got_df = tiered.execute(q)
+        got = {tuple(r[:2]): (r[2], rnd(r[3])) for r in got_df.collect()}
+        assert got == want and len(got) > 0, mode
+        assert any("rollup_1h" in f for f in got_df.inputFiles()), mode
+        # the spine covers the WHERE range, gaps included, minus the
+        # nonexistent spring-forward hour: 71 wall labels × 2 series
+        assert len(got) == 71 * 2, mode
+
+
 def test_tz_fill_spine_skips_nonexistent_wall_hour(spark):
     """Raw-path tz()+fill across US spring-forward: the spine must NOT
     manufacture the 02:00 wall label (that local hour does not exist on
@@ -1046,6 +1102,39 @@ def test_tz_fill_spine_skips_nonexistent_wall_hour(spark):
     by_hour = {r["time"].hour: r["cnt"] for r in out}
     assert by_hour[0] == 1 and by_hour[5] == 1
     assert by_hour[1] == 0 and by_hour[3] == 0 and by_hour[4] == 0
+
+
+def test_tz_fill_keeps_observed_dst_gap_boundary_label(spark):
+    """America/Santiago springs forward at MIDNIGHT (2024-09-08 00:00 →
+    01:00): the daily wall label 2024-09-08 00:00 fails the wall→UTC→wall
+    round trip yet IS observed — wall-second floor assigns every instant of
+    that 23-hour wall day to it.  fill(0) must not drop the data-carrying
+    row: the round-trip filter applies only to manufactured (no-hit) spine
+    labels (ADVICE r4 high)."""
+    rows = [
+        ("2024-09-07 12:00:00", "a", 1.0),  # 08:00 wall, Sep 7 (UTC-4)
+        ("2024-09-08 04:30:00", "a", 2.0),  # 01:30 wall, Sep 8 (UTC-3)
+        ("2024-09-08 15:00:00", "a", 3.0),  # 12:00 wall, Sep 8
+    ]
+    ev = spark.createDataFrame(
+        rows, ["ts", "event_type", "value"]
+    ).withColumn("ts", F.to_timestamp("ts"))
+    eng = InfluxQLEngine({"m": ev}, ts_col="ts")
+    q = (
+        "SELECT count(value) AS cnt FROM m"
+        " GROUP BY time(1d), event_type fill({f}) tz('America/Santiago')"
+    )
+    nofill = {
+        str(r["time"])[:10]: r["cnt"]
+        for r in eng.execute(q.format(f="none")).collect()
+    }
+    assert nofill == {"2024-09-07": 1, "2024-09-08": 2}
+    for mode in ("0", "previous", "linear"):
+        got = {
+            str(r["time"])[:10]: r["cnt"]
+            for r in eng.execute(q.format(f=mode)).collect()
+        }
+        assert got == nofill, mode  # no gap here — fill must be a no-op
 
 
 def test_tz_percentile_served_from_hdr_tier(built_hdr):
