@@ -3276,6 +3276,8 @@ _WINDOW_PRIORITY = [
     "pelt_segments_hourly",
     "influxql_tz_tier_1d",
     "kmv_tz_tier_1d",
+    # ---- round-5 additions ----
+    "decode_image_meta",
 ]
 
 # Rows-only queries (genuinely non-SQL-expressible internals) — always last.

@@ -1,21 +1,27 @@
 """Multimodal (binary) column plumbing for training-data pipelines.
 
 Images / audio / video ride through Spark as opaque ``binary`` columns with a
-typed metadata struct; the decode step is library-dependent and NOT available
-in this container, so it is stubbed behind ``decode_media`` — but everything
-Spark-side (schema, Arrow batch shape, ``mapInPandas`` signature,
-partition-preserving flow) is real and tested.
+typed metadata struct.  Image METADATA decode is real and dependency-free
+(JPEG marker walk + EXIF, PNG IHDR — parse_image_meta_bytes below); pixel
+decode and audio/video remain honestly gated behind ``decode_media``'s
+NotImplementedError (codec libraries are not in this container), with the
+Spark-side plumbing (schema, Arrow batch shape, ``mapInPandas`` signature,
+partition-preserving flow) fully exercised.
 
-- ``with_payload``     attach (payload: binary, media: struct) derived
-                       deterministically from the text column — the stand-in
-                       for a real WARC body / image blob.
-- ``byte_features``    REAL feature extraction over the binary payload via
-                       ``mapInPandas`` + numpy: byte count, mean byte, Shannon
-                       entropy of the byte histogram.  Deterministic; this is
-                       the exact execution shape a JPEG-decode UDF would use.
-- ``decode_media``     the gated decode stub (raises NotImplementedError) —
-                       swap in Pillow/librosa/ffmpeg bindings on a real
-                       cluster without touching the plan.
+- ``with_payload``        attach (payload: binary, media: struct) derived
+                          deterministically from the text column — the
+                          stand-in for a real WARC body.
+- ``byte_features``       REAL feature extraction over the binary payload via
+                          ``mapInPandas`` + numpy: byte count, mean byte,
+                          Shannon entropy of the byte histogram.
+- ``with_image_payload``  synthesize structurally-valid PNG/JPEG payloads
+                          from h32(id) — oracle-predictable by construction.
+- ``decode_image_meta``   REAL structure decode: dimensions, bit depth,
+                          progressive/interlace flags, EXIF orientation,
+                          decode_error — integer-exact, DuckDB-oracled.
+- ``decode_media``        dispatch: image/* → decode_image_meta; audio/video
+                          raise NotImplementedError until real codec
+                          bindings are swapped in on a cluster.
 
 Scale notes: ``mapInPandas`` streams Arrow batches — memory is bounded by
 ``spark.sql.execution.arrow.maxRecordsPerBatch`` regardless of blob sizes;
@@ -33,6 +39,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    BooleanType,
     DoubleType,
     LongType,
     StringType,
@@ -104,15 +111,274 @@ def byte_features(df: DataFrame) -> DataFrame:
     return df.select("id", "payload").mapInPandas(extract, BYTE_FEATURES_SCHEMA)
 
 
-def decode_media(df: DataFrame, mime: str) -> DataFrame:
-    """Decode stub: image/audio/video codecs are not in this container.
+# ---------------------------------------------------------------------------
+# Deterministic image-payload synthesis: REAL (structurally valid) PNG and
+# JPEG byte streams whose every parameter derives from a 32-bit md5 hash of
+# the row id — the same h32 both engines compute (dedup.h32 / DuckDB
+# ``CAST('0x' || substr(md5(x),1,8) AS BIGINT)``).  The gate query builds
+# payloads here and parses them back with decode_image_meta, while the
+# DuckDB oracle predicts the integers straight from the hash formula:
+# builder and parser are independent code paths, so the round trip
+# value-proves the parser end to end.
+# ---------------------------------------------------------------------------
 
-    On a real cluster, replace the body with a mapInPandas over the same
-    (id, payload) projection calling Pillow / soundfile / pyav; the plan
-    shape (narrow Arrow-batched transform after an Iceberg scan) is already
-    exercised by ``byte_features``.
+
+def build_image_payload_bytes(h: int) -> bytes:
+    """One payload from a 32-bit hash.  h%3==0 → PNG (bit depth 8, color
+    type in {0,2,3,4,6} by h%5, Adam7 iff h%2); else JPEG (APP1 EXIF with
+    orientation 1+h%8 unless h%4==0, byte order MM iff h%2, JFIF APP0, a
+    DQT filler, SOF2 progressive iff h%2 else SOF0 baseline, 3
+    components).  Width 1+h%4093, height 1+h%2039.  h%17==0 truncates the
+    stream to 9 bytes — below any complete header."""
+    import struct
+    import zlib
+
+    w, ht = 1 + h % 4093, 1 + h % 2039
+    if h % 3 == 0:
+        def chunk(tag: bytes, data: bytes) -> bytes:
+            return (
+                struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+            )
+
+        ihdr = struct.pack(
+            ">IIBBBBB", w, ht, 8, (0, 2, 3, 4, 6)[h % 5], 0, 0, h % 2
+        )
+        blob = _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IEND", b"")
+    else:
+        parts = [b"\xff\xd8"]
+        if h % 4:
+            e = ">" if h % 2 else "<"
+            tiff = (
+                (b"MM\x00\x2a" if h % 2 else b"II\x2a\x00")
+                + struct.pack(e + "I", 8)         # IFD0 offset
+                + struct.pack(e + "H", 1)         # one entry
+                + struct.pack(e + "HHI", 0x0112, 3, 1)
+                + struct.pack(e + "H", 1 + h % 8) + b"\x00\x00"
+                + struct.pack(e + "I", 0)         # no next IFD
+            )
+            body = b"Exif\x00\x00" + tiff
+            parts.append(b"\xff\xe1" + struct.pack(">H", len(body) + 2) + body)
+        jfif = b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+        parts.append(b"\xff\xe0" + struct.pack(">H", len(jfif) + 2) + jfif)
+        parts.append(b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(64))
+        sof = struct.pack(">BHHB", 8, ht, w, 3) + b"".join(
+            struct.pack("BBB", c + 1, 0x11, 0) for c in range(3)
+        )
+        parts.append(
+            bytes([0xFF, 0xC2 if h % 2 else 0xC0])
+            + struct.pack(">H", len(sof) + 2) + sof
+        )
+        parts.append(b"\xff\xd9")
+        blob = b"".join(parts)
+    return blob[:9] if h % 17 == 0 else blob
+
+
+def with_image_payload(df: DataFrame, id_col: str) -> DataFrame:
+    """(id, payload, media) with synthesized image bytes — the image-table
+    stand-in (no image corpus ships with the testdata), built per
+    ``build_image_payload_bytes`` from h32(id) so an oracle can predict
+    the decoded metadata."""
+    from influxer_spark.operators.dedup import h32
+
+    src = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        h32(F.col(id_col).cast("string")).alias("_h"),
+    )
+
+    out_schema = StructType([
+        StructField("id", LongType()),
+        StructField("payload", BinaryType()),
+    ])
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "id": pdf["id"],
+                "payload": [
+                    build_image_payload_bytes(int(h)) for h in pdf["_h"]
+                ],
+            })
+
+    built = src.mapInPandas(build, out_schema)
+    return built.withColumn(
+        "media",
+        F.struct(
+            F.when(
+                F.substring("payload", 1, 8)
+                == F.lit(bytes(_PNG_SIG)), "image/png"
+            ).otherwise("image/jpeg").alias("mime"),
+            F.octet_length("payload").cast("long").alias("n_bytes"),
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dependency-free image STRUCTURE decode (no codec libraries needed):
+# JPEG marker walk (SOF dimensions/precision/components, progressive flag,
+# EXIF APP1 orientation in either byte order) and PNG IHDR parse
+# (dimensions, bit depth, color type, Adam7 interlace flag) — RFC-described
+# container formats, parsed from bytes with the stdlib only.  Pixel decode
+# (Huffman/inflate) stays out of scope: metadata is what a curation
+# pipeline filters on (resolution floors, EXIF rotation, progressive
+# re-encode queues), and it is integer-exact — DuckDB-oracle-checkable.
+# ---------------------------------------------------------------------------
+
+IMAGE_META_SCHEMA = StructType([
+    StructField("id", LongType()),
+    StructField("format", StringType()),
+    StructField("width", LongType()),
+    StructField("height", LongType()),
+    StructField("bit_depth", LongType()),
+    StructField("color_type", LongType()),
+    StructField("n_components", LongType()),
+    StructField("progressive", BooleanType()),
+    StructField("interlaced", BooleanType()),
+    StructField("orientation", LongType()),
+    StructField("decode_error", StringType()),
+])
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# SOFn markers carry frame dimensions; C4/C8/CC are DHT/JPG/DAC, not SOFs
+_SOF_MARKERS = frozenset(
+    {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+     0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
+)
+_PROGRESSIVE_SOFS = frozenset({0xC2, 0xC6, 0xCA, 0xCE})
+
+
+def _exif_orientation(seg: bytes) -> int:
+    """Orientation (tag 0x0112, SHORT) from an APP1 payload following
+    'Exif\\0\\0' — both TIFF byte orders; 0 when absent/unreadable."""
+    if len(seg) < 14:
+        return 0
+    endian = {b"II": "little", b"MM": "big"}.get(seg[:2])
+    if endian is None or int.from_bytes(seg[2:4], endian) != 42:
+        return 0
+    off = int.from_bytes(seg[4:8], endian)
+    if off + 2 > len(seg):
+        return 0
+    n = int.from_bytes(seg[off:off + 2], endian)
+    p = off + 2
+    for _ in range(n):
+        if p + 12 > len(seg):
+            return 0
+        tag = int.from_bytes(seg[p:p + 2], endian)
+        typ = int.from_bytes(seg[p + 2:p + 4], endian)
+        if tag == 0x0112 and typ == 3:  # SHORT, left-justified in value
+            return int.from_bytes(seg[p + 8:p + 10], endian)
+        p += 12
+    return 0
+
+
+def parse_image_meta_bytes(b: bytes) -> dict:
+    """Pure structure parse of one payload → IMAGE_META_SCHEMA fields
+    (without id).  On any error every field is NULL except decode_error
+    (a short stable code: empty / not_image / truncated / bad_ihdr /
+    bad_marker / no_sof)."""
+    null = dict.fromkeys(
+        ("format", "width", "height", "bit_depth", "color_type",
+         "n_components", "progressive", "interlaced", "orientation"),
+    )
+
+    def err(code: str) -> dict:
+        return {**null, "decode_error": code}
+
+    if not b:
+        return err("empty")
+    if b[:8] == _PNG_SIG:
+        # first chunk must be IHDR: len(4) 'IHDR' data(13) crc(4)
+        if len(b) < 29:
+            return err("truncated")
+        if b[12:16] != b"IHDR" or int.from_bytes(b[8:12], "big") != 13:
+            return err("bad_ihdr")
+        return {
+            "format": "png",
+            "width": int.from_bytes(b[16:20], "big"),
+            "height": int.from_bytes(b[20:24], "big"),
+            "bit_depth": b[24],
+            "color_type": b[25],
+            "n_components": None,
+            "progressive": None,
+            "interlaced": b[28] == 1,
+            "orientation": 0,
+            "decode_error": None,
+        }
+    if b[:2] != b"\xff\xd8":
+        return err("not_image")
+    orientation = 0
+    i = 2
+    while True:
+        if i + 2 > len(b):
+            return err("truncated")
+        if b[i] != 0xFF:
+            return err("bad_marker")
+        while i + 1 < len(b) and b[i + 1] == 0xFF:
+            i += 1  # fill bytes
+        if i + 2 > len(b):
+            return err("truncated")
+        m = b[i + 1]
+        if m == 0x01 or 0xD0 <= m <= 0xD8:  # standalone, no length
+            i += 2
+            continue
+        if m == 0xD9:  # EOI before any SOF
+            return err("no_sof")
+        if i + 4 > len(b):
+            return err("truncated")
+        seglen = int.from_bytes(b[i + 2:i + 4], "big")
+        if seglen < 2 or i + 2 + seglen > len(b):
+            return err("truncated")
+        seg = b[i + 4:i + 2 + seglen]
+        if m == 0xE1 and seg[:6] == b"Exif\x00\x00":
+            orientation = _exif_orientation(seg[6:])
+        if m in _SOF_MARKERS:
+            if len(seg) < 6:
+                return err("truncated")
+            return {
+                "format": "jpeg",
+                "width": int.from_bytes(seg[3:5], "big"),
+                "height": int.from_bytes(seg[1:3], "big"),
+                "bit_depth": seg[0],  # sample precision
+                "color_type": None,
+                "n_components": seg[5],
+                "progressive": m in _PROGRESSIVE_SOFS,
+                "interlaced": None,
+                "orientation": orientation,
+                "decode_error": None,
+            }
+        i += 2 + seglen
+
+
+def decode_image_meta(df: DataFrame) -> DataFrame:
+    """Arrow-batched structure decode over (id, payload) — the REAL decode
+    path for image payloads, mapInPandas with the same narrow,
+    batch-bounded shape as ``byte_features``; no shuffle, pipelines with
+    the scan."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, buf in zip(pdf["id"], pdf["payload"]):
+                meta = parse_image_meta_bytes(
+                    bytes(buf) if buf is not None else b""
+                )
+                rows.append({"id": i, **meta})
+            yield pd.DataFrame(rows)
+
+    return df.select("id", "payload").mapInPandas(decode, IMAGE_META_SCHEMA)
+
+
+def decode_media(df: DataFrame, mime: str) -> DataFrame:
+    """Decode dispatch.  ``image/*`` (png/jpeg) runs the dependency-free
+    structure parser above — real metadata decode, no codec libraries.
+    Audio/video remain honestly stubbed: their containers need sample
+    decoders this environment does not ship; on a real cluster swap in a
+    mapInPandas body calling soundfile / pyav over the same (id, payload)
+    projection — the plan shape is identical.
     """
+    if mime.startswith("image/") or mime == "image":
+        return decode_image_meta(df)
     raise NotImplementedError(
         f"decode for {mime!r} requires media libraries not present in this "
-        "environment; use byte_features for the deterministic fake path"
+        "environment; image/* decodes structurally via decode_image_meta"
     )

@@ -44,6 +44,15 @@ from influxer_spark.operators.intcodec import encode_dual_series_df
 
 POINT_KEYS = ["url", "metric"]
 
+# Each page emits one point per crawl metric (html_bytes, text_chars,
+# n_tokens, text_ratio) — the page→point fan-out used to size a wave.
+METRICS_PER_PAGE = 4
+# Measured cache/storage crossover (BASELINE.md, r4 sweep): cache- and
+# storage-backed wave reuse tie at ~1.2M points and storage wins ~7% at
+# 8M and keeps widening — and past executor memory a cache is not a
+# choice at all.  Auto mode flips to storage at this point count.
+WAVE_REUSE_AUTO_POINTS = 8_000_000
+
 
 @dataclass
 class PipelineResult:
@@ -77,9 +86,10 @@ def run_pipeline(
 
     ``wave_reuse`` (or env ``SPARK_GRAFT_WAVE_REUSE``) picks cache- vs
     storage-backed sharing of the per-page frame — see
-    :func:`process_days`."""
+    :func:`process_days`.  Default ``"auto"``: the engine sizes the
+    pending wave and flips to storage past the measured crossover."""
     wave_reuse = wave_reuse or os.environ.get(
-        "SPARK_GRAFT_WAVE_REUSE", "cache"
+        "SPARK_GRAFT_WAVE_REUSE", "auto"
     )
     t0 = time.time()
     catalog = TableCatalog(catalog_root)
@@ -148,10 +158,16 @@ def process_days(
     table it was going to write anyway (the 100×-scale posture: a
     10^12-row wave cannot be a cache).  Counters for raw_points then land
     as a follow-up metadata-only commit (amend_partition_counters),
-    computed from the read-back.  Tier math is identical either way."""
-    if wave_reuse not in ("cache", "storage"):
+    computed from the read-back.  Tier math is identical either way.
+    ``"auto"`` (the default via :func:`run_pipeline`) counts the pending
+    wave's pages (a pruned warc_ts-only scan) and picks storage at or
+    above ``WAVE_REUSE_AUTO_POINTS`` — acting on the measured crossover
+    rather than documenting it.  The resolved mode is recorded in each
+    raw_points partition's lineage."""
+    if wave_reuse not in ("cache", "storage", "auto"):
         raise ValueError(
-            f"wave_reuse must be 'cache' or 'storage', got {wave_reuse!r}"
+            "wave_reuse must be 'cache', 'storage' or 'auto', "
+            f"got {wave_reuse!r}"
         )
     day_pages = pages.filter(_pending_filter(pages, days))
     # mapInArrow is a projection barrier: select the hot-path columns here so
@@ -160,6 +176,11 @@ def process_days(
         ["text"] if validate_extraction and "text" in pages.columns else []
     )
     day_pages = day_pages.select([c for c in need if c in pages.columns])
+    if wave_reuse == "auto":
+        est_points = day_pages.count() * METRICS_PER_PAGE
+        wave_reuse = (
+            "storage" if est_points >= WAVE_REUSE_AUTO_POINTS else "cache"
+        )
     ext = with_extracted(day_pages, validate=validate_extraction)
     if validate_extraction:
         n_bad = ext.filter(~F.col("text_ok")).count()
@@ -177,7 +198,10 @@ def process_days(
         )
         .withColumn("day", _day_of("warc_ts"))
     )
-    lineage = {d: {"source": source, "day": d} for d in days}
+    lineage = {
+        d: {"source": source, "day": d, "wave_reuse": wave_reuse}
+        for d in days
+    }
     if wave_reuse == "storage":
         # storage-backed reuse: the ONE extraction pass is the raw_points
         # write itself; every downstream job (cardinality guard, stats,

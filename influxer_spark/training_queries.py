@@ -1234,6 +1234,21 @@ def _q_byte_features(spark, sf_dir):
     )
 
 
+def _q_decode_image_meta(spark, sf_dir):
+    """Dependency-free image metadata decode, value-oracled end to end:
+    with_image_payload builds structurally-valid PNG/JPEG bytes whose
+    parameters derive from h32(doc_id); decode_media's marker-walk/IHDR
+    parser (an independent code path) reads them back; the DuckDB oracle
+    predicts every integer straight from the md5 formula.  decode_error
+    exercises the truncation path (h%17==0 rows are cut at 9 bytes)."""
+    pay = M.with_image_payload(_docs(spark, sf_dir), "doc_id")
+    return M.decode_media(pay, "image/*").select(
+        F.col("id").alias("doc_id"), "format", "width", "height",
+        "bit_depth", "color_type", "n_components", "progressive",
+        "interlaced", "orientation", "decode_error",
+    )
+
+
 def _q_hash_split(spark, sf_dir):
     return SA.hash_split(
         _docs(spark, sf_dir), "doc_id",
@@ -1702,6 +1717,7 @@ def training_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": _q_fingerprints,
         "binary_payload_stats": _q_payload_stats,
         "byte_entropy_features": _q_byte_features,
+        "decode_image_meta": _q_decode_image_meta,
         "hash_split_documents": _q_hash_split,
         "stratified_sample_lang": _q_stratified_sample,
         "upsample_epochs_mixture": _q_upsample_epochs,
@@ -1947,6 +1963,36 @@ SELECT t.id, t.n AS n_bytes, t.fb AS first_byte,
        * 1000000, 0) AS BIGINT) / 1000000.0 AS entropy
 FROM hist h JOIN tot t ON t.id = h.id
 GROUP BY t.id, t.n, t.fb
+""",
+        # mirror of build_image_payload_bytes' parameter derivation: the
+        # Spark side BUILDS real PNG/JPEG bytes from h32(doc_id) and PARSES
+        # them back (two independent code paths); the oracle predicts the
+        # same integers from the identical md5 hash formula.
+        "decode_image_meta": """
+WITH h AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+           AS h
+  FROM documents
+)
+SELECT doc_id,
+  CASE WHEN h%17=0 THEN NULL WHEN h%3=0 THEN 'png' ELSE 'jpeg' END AS format,
+  CASE WHEN h%17=0 THEN NULL ELSE CAST(1 + h%4093 AS BIGINT) END AS width,
+  CASE WHEN h%17=0 THEN NULL ELSE CAST(1 + h%2039 AS BIGINT) END AS height,
+  CASE WHEN h%17=0 THEN NULL ELSE CAST(8 AS BIGINT) END AS bit_depth,
+  CASE WHEN h%17=0 OR h%3<>0 THEN NULL
+       ELSE CAST(([0,2,3,4,6])[CAST(h%5 AS INT) + 1] AS BIGINT)
+  END AS color_type,
+  CASE WHEN h%17=0 OR h%3=0 THEN NULL ELSE CAST(3 AS BIGINT)
+  END AS n_components,
+  CASE WHEN h%17=0 OR h%3=0 THEN NULL ELSE h%2=1 END AS progressive,
+  CASE WHEN h%17=0 OR h%3<>0 THEN NULL ELSE h%2=1 END AS interlaced,
+  CASE WHEN h%17=0 THEN NULL
+       WHEN h%3<>0 AND h%4<>0 THEN CAST(1 + h%8 AS BIGINT)
+       ELSE CAST(0 AS BIGINT)
+  END AS orientation,
+  CASE WHEN h%17=0 THEN 'truncated' END AS decode_error
+FROM h
 """,
         "hash_split_documents": (
             "SELECT doc_id AS id, CASE WHEN "

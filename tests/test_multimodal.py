@@ -42,6 +42,112 @@ def test_byte_features_known_values(payloads):
     assert rows[3]["entropy"] == pytest.approx(-sum(x * math.log2(x) for x in p))
 
 
-def test_decode_media_is_gated(payloads):
-    with pytest.raises(NotImplementedError):
-        M.decode_media(payloads, "image/jpeg")
+def test_decode_media_audio_video_still_gated(payloads):
+    # image/* decodes structurally since r5; sample-level codecs stay out
+    for mime in ("audio/wav", "video/mp4", "application/pdf"):
+        with pytest.raises(NotImplementedError):
+            M.decode_media(payloads, mime)
+
+
+def _h32_py(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+def test_image_builder_parser_roundtrip_pure():
+    """build_image_payload_bytes → parse_image_meta_bytes over a hash
+    sweep: every derived parameter reads back exactly (independent code
+    paths — the builder packs, the parser walks markers/chunks)."""
+    seen = {"png": 0, "jpeg": 0, "trunc": 0, "exif_mm": 0, "exif_ii": 0}
+    for i in range(2000):
+        h = _h32_py(str(i))
+        m = M.parse_image_meta_bytes(M.build_image_payload_bytes(h))
+        if h % 17 == 0:
+            assert m["decode_error"] == "truncated" and m["width"] is None
+            seen["trunc"] += 1
+            continue
+        assert m["decode_error"] is None
+        assert m["width"] == 1 + h % 4093
+        assert m["height"] == 1 + h % 2039
+        assert m["bit_depth"] == 8
+        if h % 3 == 0:
+            assert m["format"] == "png"
+            assert m["color_type"] == (0, 2, 3, 4, 6)[h % 5]
+            assert m["interlaced"] == (h % 2 == 1)
+            assert m["orientation"] == 0
+            assert m["progressive"] is None and m["n_components"] is None
+            seen["png"] += 1
+        else:
+            assert m["format"] == "jpeg"
+            assert m["n_components"] == 3
+            assert m["progressive"] == (h % 2 == 1)
+            assert m["orientation"] == (0 if h % 4 == 0 else 1 + h % 8)
+            assert m["color_type"] is None and m["interlaced"] is None
+            seen["jpeg"] += 1
+            if h % 4:
+                seen["exif_mm" if h % 2 else "exif_ii"] += 1
+    assert all(v > 0 for v in seen.values()), seen  # every branch exercised
+
+
+def test_image_parser_corrupt_inputs():
+    p = M.parse_image_meta_bytes
+    assert p(b"")["decode_error"] == "empty"
+    assert p(b"GIF89a not supported")["decode_error"] == "not_image"
+    assert p(b"\x89PNG\r\n\x1a\n" + b"\x00" * 10)["decode_error"] == "truncated"
+    assert (
+        p(b"\x89PNG\r\n\x1a\n\x00\x00\x00\x0dIDAT" + b"\x00" * 17)["decode_error"]
+        == "bad_ihdr"
+    )
+    assert p(b"\xff\xd8\xff\xd9")["decode_error"] == "no_sof"
+    assert p(b"\xff\xd8\x00\x00")["decode_error"] == "bad_marker"
+    # segment length pointing past the buffer
+    assert p(b"\xff\xd8\xff\xe0\xff\xff")["decode_error"] == "truncated"
+    # errors never leak partial fields
+    for blob in (b"", b"junk", b"\xff\xd8\xff\xd9"):
+        m = p(blob)
+        assert all(
+            m[k] is None
+            for k in m
+            if k != "decode_error"
+        )
+
+
+def test_decode_image_meta_spark_matches_pure(spark, sf_dir):
+    """The Spark path (with_image_payload → decode_media) equals the pure
+    builder+parser fold and the DuckDB oracle prediction at sf0.001."""
+    import duckdb
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = {
+        r["id"]: r.asDict()
+        for r in M.decode_media(
+            M.with_image_payload(docs, "doc_id"), "image/png"
+        ).collect()
+    }
+    from influxer_spark.training_queries import training_oracle_sql
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    want = con.execute(training_oracle_sql()["decode_image_meta"]).fetchall()
+    assert len(want) == len(out) > 0
+    for row in want:
+        doc_id, fmt, w, ht, bd, ct, nc, prog, il, orient, errc = row
+        got = out[doc_id]
+        assert (
+            got["format"], got["width"], got["height"], got["bit_depth"],
+            got["color_type"], got["n_components"], got["progressive"],
+            got["interlaced"], got["orientation"], got["decode_error"],
+        ) == (fmt, w, ht, bd, ct, nc, prog, il, orient, errc), doc_id
+    # mime metadata agrees with the decoded format
+    mimes = {
+        r["id"]: r["media"]["mime"]
+        for r in M.with_image_payload(docs, "doc_id").collect()
+    }
+    for doc_id, meta in out.items():
+        if meta["format"] == "png":
+            assert mimes[doc_id] == "image/png"
+        elif meta["format"] == "jpeg":
+            assert mimes[doc_id] == "image/jpeg"

@@ -886,3 +886,44 @@ def test_wave_reuse_rejects_unknown_mode(spark, pages_path, tmp_path):
         run_pipeline(
             spark, pages_path, str(tmp_path / "x"), wave_reuse="mmap"
         )
+
+
+def test_wave_reuse_auto_picks_mode_by_wave_size(
+    spark, pages_path, tmp_path, monkeypatch
+):
+    """Default wave_reuse is 'auto': the engine sizes the pending wave and
+    flips to storage at the measured cache/storage crossover
+    (WAVE_REUSE_AUTO_POINTS) instead of just documenting it.  The resolved
+    mode is recorded in raw_points lineage.  Both sides of the threshold
+    are exercised by moving the threshold across this fixture's size."""
+    from influxer_spark import pipeline as P
+
+    # small wave (fixture ≪ 8M points) → cache
+    root_c = str(tmp_path / "auto_cache")
+    res = run_pipeline(spark, pages_path, root_c)
+    assert res.days_processed
+    mc = TableCatalog(root_c).read_manifest("raw_points")["partitions"]
+    assert all(
+        mc[d]["lineage"]["wave_reuse"] == "cache" for d in res.days_processed
+    )
+
+    # same wave with the threshold lowered beneath it → storage
+    monkeypatch.setattr(P, "WAVE_REUSE_AUTO_POINTS", 1)
+    root_s = str(tmp_path / "auto_storage")
+    res2 = run_pipeline(spark, pages_path, root_s)
+    assert res2.days_processed
+    ms = TableCatalog(root_s).read_manifest("raw_points")["partitions"]
+    assert all(
+        ms[d]["lineage"]["wave_reuse"] == "storage"
+        for d in res2.days_processed
+    )
+    # and the two modes' tiers agree (bit-identical math either way)
+    a, b = TableCatalog(root_c), TableCatalog(root_s)
+    cols = ["bucket", "url", "metric", "cnt", "sum_v"]
+    ra = sorted(
+        tuple(r) for r in a.read_committed(spark, "rollup_1d").select(cols).collect()
+    )
+    rb = sorted(
+        tuple(r) for r in b.read_committed(spark, "rollup_1d").select(cols).collect()
+    )
+    assert ra == rb and len(ra) > 0
