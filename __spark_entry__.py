@@ -3278,6 +3278,7 @@ _WINDOW_PRIORITY = [
     "kmv_tz_tier_1d",
     # ---- round-5 additions ----
     "decode_image_meta",
+    "influxql_tz_fill_tier_6h",
 ]
 
 # Rows-only queries (genuinely non-SQL-expressible internals) — always last.

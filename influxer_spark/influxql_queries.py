@@ -2481,6 +2481,72 @@ FROM events GROUP BY 1, 2
 """
 
 
+def _q_influxql_tz_fill_tier(spark, sf_dir):
+    """tz() + fill() tier serving (round 5): a bounded 6h wall-clock panel
+    in America/New_York with fill(0), answered from the 1h ROLLUP TIER —
+    the r5 answerable gate lifts the old fill-forces-raw refusal, and
+    fill_buckets builds the wall spine with spine_tz (keeping observed
+    DST-gap labels, dropping only manufactured nonexistent ones).  The
+    WHERE range extends past the data on both ends, so the spine
+    manufactures leading/trailing gap rows that fill(0) zeroes; the
+    oracle rebuilds wall bucketing + spine + fill in SQL.  count/min
+    only: exact under any partial merge order.  cnt re-cast to long (the
+    fill literal is typed double, as on the raw path)."""
+    import tempfile
+
+    from influxer_spark.catalog import TableCatalog
+    from influxer_spark.influxql_frontend import InfluxQLEngine
+    from influxer_spark.operators.refresh import build_point_tiers
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cat = TableCatalog(tempfile.mkdtemp(prefix="tz_fill_gate_"))
+    build_point_tiers(spark, cat, ev, "ts", ["event_type"], "value")
+    eng = InfluxQLEngine({"m": ev}, ts_col="ts")
+    eng.register_tiered("m", cat, key_cols=("event_type",))
+    out = eng.execute(
+        "SELECT count(value) AS cnt, min(value) AS mn FROM m"
+        " WHERE time >= '2023-12-31 00:00:00'"
+        " AND time < '2024-02-02 00:00:00'"
+        " GROUP BY time(6h), event_type fill(0) tz('America/New_York')"
+    )
+    return out.withColumnRenamed("time", "bucket").withColumn(
+        "cnt", F.col("cnt").cast("long")
+    )
+
+
+_TZ_FILL_TIER_SQL = """
+WITH w AS (
+  SELECT timezone('America/New_York', timezone('UTC', ts)) AS wts,
+         event_type, value
+  FROM events
+), b AS (
+  SELECT make_timestamp(
+           CAST(floor(epoch(wts) / 21600) AS BIGINT) * 21600 * 1000000
+         ) AS bucket,
+         event_type, value
+  FROM w
+  WHERE wts >= TIMESTAMP '2023-12-31 00:00:00'
+    AND wts <  TIMESTAMP '2024-02-02 00:00:00'
+), agg AS (
+  SELECT bucket, event_type, count(value) AS cnt, min(value) AS mn
+  FROM b GROUP BY 1, 2
+), spine AS (
+  SELECT s.bucket, e.event_type
+  FROM (
+    SELECT unnest(generate_series(TIMESTAMP '2023-12-31 00:00:00',
+                                  TIMESTAMP '2024-02-01 18:00:00',
+                                  INTERVAL 6 HOUR)) AS bucket
+  ) s
+  CROSS JOIN (SELECT DISTINCT event_type FROM events) e
+)
+SELECT sp.bucket, sp.event_type,
+       CAST(COALESCE(a.cnt, 0) AS BIGINT) AS cnt,
+       CAST(COALESCE(a.mn, 0) AS DOUBLE) AS mn
+FROM spine sp
+LEFT JOIN agg a ON a.bucket = sp.bucket AND a.event_type = sp.event_type
+"""
+
+
 def _q_kmv_tz_tier(spark, sf_dir):
     """tz() + KMV tier serving (round 4): wall-day distinct users in
     America/New_York, answered from the kmv_1h sketch tier via the string
@@ -2766,6 +2832,7 @@ def influxql_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theta_forecast_24h": _q_theta_forecast,
         "influxql_tz_tier_1d": _q_influxql_tz_tier,
         "kmv_tz_tier_1d": _q_kmv_tz_tier,
+        "influxql_tz_fill_tier_6h": _q_influxql_tz_fill_tier,
     }
 
 
@@ -2830,4 +2897,5 @@ def influxql_oracle_sql() -> dict[str, str]:
         "pelt_segments_hourly": _PELT_SQL,
         "influxql_tz_tier_1d": _TZ_TIER_SQL,
         "kmv_tz_tier_1d": _KMV_TZ_TIER_SQL,
+        "influxql_tz_fill_tier_6h": _TZ_FILL_TIER_SQL,
     }

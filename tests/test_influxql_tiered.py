@@ -1216,3 +1216,36 @@ def test_tz_approx_distinct_tier_matches_raw_path(built, spark):
     )
     assert not any("kmv_" in f for f in fb.inputFiles())
     assert fb.count() > 0
+
+
+def test_tz_fill_gate_query_tier_serves_and_matches_duckdb(spark, sf_dir):
+    """The influxql_tz_fill_tier_6h gate query really serves from the 1h
+    tier (not raw) AND matches its DuckDB oracle at sf0.001 — the r5
+    tz()+fill serving path value-proved locally before the driver sees
+    it."""
+    import duckdb
+
+    from influxer_spark.influxql_queries import (
+        influxql_oracle_sql,
+        influxql_queries,
+    )
+
+    df = influxql_queries()["influxql_tz_fill_tier_6h"](spark, sf_dir)
+    assert any("rollup_1h" in f for f in df.inputFiles())
+    got = sorted(
+        (r["bucket"], r["event_type"], r["cnt"], r["mn"])
+        for r in df.collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'"
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            influxql_oracle_sql()["influxql_tz_fill_tier_6h"]
+        ).fetchall()
+    )
+    assert got == want and len(got) > 0
+    # the out-of-data-range spine rows really got manufactured + zeroed
+    assert any(c == 0 for (_, _, c, _) in got)
