@@ -1035,9 +1035,18 @@ class InfluxQLEngine:
             try:
                 _zi.ZoneInfo(stmt.tz)
             except Exception as e:  # noqa: BLE001
-                raise InfluxQLError(
-                    f"unknown time zone {stmt.tz!r}"
-                ) from e
+                # only reject when tzdata itself is working: in a slim
+                # container with no IANA database, every name fails here
+                # but the JVM's own zone db can still serve the raw path
+                try:
+                    _zi.ZoneInfo("UTC")
+                    tzdata_ok = True
+                except Exception:  # noqa: BLE001
+                    tzdata_ok = False
+                if tzdata_ok:
+                    raise InfluxQLError(
+                        f"unknown time zone {stmt.tz!r}"
+                    ) from e
         self._tz = stmt.tz
         if stmt.sub is not None:
             # subquery: run the inner SELECT, then the outer over its result
@@ -2114,7 +2123,7 @@ class InfluxQLEngine:
         w = int(stmt.time_width)
         lo, hi = self._bounds_utc(stmt)
         lo_s = int(lo.timestamp()) if lo else 0
-        hi_s = int(hi.timestamp()) if hi else 4102444800  # 2100-01-01
+        hi_s = int(hi.timestamp()) if hi else _TZ_HORIZON_END
         for tier in ("1d", "1h", "1m"):
             wt = TIER_SECONDS[tier]
             if w % wt == 0 and self._tz_grid_ok(stmt.tz, wt, lo_s, hi_s):

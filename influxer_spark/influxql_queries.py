@@ -2537,7 +2537,10 @@ WITH w AS (
                                   TIMESTAMP '2024-02-01 18:00:00',
                                   INTERVAL 6 HOUR)) AS bucket
   ) s
-  CROSS JOIN (SELECT DISTINCT event_type FROM events) e
+  -- series set mirrors the engine's PER-SERIES spine: only event types
+  -- with data inside the WHERE range get a spine (fill_buckets derives
+  -- bounds per observed series), not every type in the table
+  CROSS JOIN (SELECT DISTINCT event_type FROM b) e
 )
 SELECT sp.bucket, sp.event_type,
        CAST(COALESCE(a.cnt, 0) AS BIGINT) AS cnt,

@@ -172,26 +172,31 @@ def fill_buckets(
     if spine_tz:
         # tz() buckets are WALL-CLOCK labels: a uniform wall-second spine
         # would manufacture the spring-forward hour (e.g. 02:00 on a US
-        # DST day), a label no data row can ever carry.  A wall time
-        # exists iff it survives the wall→UTC→wall round trip; the
-        # fall-back hour's two UTC instants share one label, which the
-        # spine emits once — matching the engine's documented NTZ
-        # wall-clock output semantics.  The check must run AFTER the
-        # spine↔observed join and spare joined rows: when a DST gap
-        # contains the bucket-boundary wall time itself (midnight
-        # transitions — America/Santiago, Atlantic/Azores), the raw
-        # path still emits that label via wall-second floor, so the
-        # label is OBSERVED despite failing the round trip; dropping
-        # it from the spine would silently lose a data-carrying row.
-        # Only manufactured (no-hit) nonexistent labels are dropped.
+        # DST day), a label no data row can ever carry.  A bucket label
+        # L is REAL iff some wall instant in [L, L+w) exists, i.e.
+        # survives the wall→UTC→wall round trip.  Checking L alone is
+        # wrong when a DST gap contains the bucket-boundary wall time
+        # itself (midnight transitions — America/Santiago,
+        # Atlantic/Azores): L does not exist, yet the wall-second floor
+        # assigns the whole day's data to it, so the bucket is real and
+        # must render (zero-filled when empty — fill's one-row-per-
+        # bucket contract cannot depend on whether data happens to be
+        # present).  Since a zone's gap is one contiguous interval, the
+        # whole bucket is inside it iff BOTH endpoints L and L+w-1 fail
+        # the round trip; observed (_hit) labels are kept regardless.
+        def _rt_ok(c):
+            return (
+                F.from_utc_timestamp(F.to_utc_timestamp(c, spine_tz), spine_tz)
+                == c
+            )
+
+        last = F.timestamp_seconds(
+            F.unix_timestamp(F.col(bucket_col)) + int(width_seconds) - 1
+        )
         joined = joined.filter(
             F.col("_hit").isNotNull()
-            | (
-                F.from_utc_timestamp(
-                    F.to_utc_timestamp(F.col(bucket_col), spine_tz), spine_tz
-                )
-                == F.col(bucket_col)
-            )
+            | _rt_ok(F.col(bucket_col))
+            | _rt_ok(last)
         )
     filled_flag = F.col("_hit").isNull()
 

@@ -355,15 +355,22 @@ def decode_image_meta(df: DataFrame) -> DataFrame:
     batch-bounded shape as ``byte_features``; no shuffle, pipelines with
     the scan."""
 
+    cols = [f.name for f in IMAGE_META_SCHEMA.fields]
+
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
+            # dict-of-lists with explicit columns: pd.DataFrame([]) from a
+            # zero-row Arrow batch would be column-less and crash the
+            # Arrow serializer on schema selection (byte_features pattern)
+            out: dict[str, list] = {c: [] for c in cols}
             for i, buf in zip(pdf["id"], pdf["payload"]):
                 meta = parse_image_meta_bytes(
                     bytes(buf) if buf is not None else b""
                 )
-                rows.append({"id": i, **meta})
-            yield pd.DataFrame(rows)
+                out["id"].append(i)
+                for k in cols[1:]:
+                    out[k].append(meta[k])
+            yield pd.DataFrame(out)
 
     return df.select("id", "payload").mapInPandas(decode, IMAGE_META_SCHEMA)
 

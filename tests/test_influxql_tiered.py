@@ -1136,6 +1136,23 @@ def test_tz_fill_keeps_observed_dst_gap_boundary_label(spark):
         }
         assert got == nofill, mode  # no gap here — fill must be a no-op
 
+    # EMPTY midnight-gap day: fill's one-row-per-bucket contract cannot
+    # depend on data being present — the Sep 8 label renders zero-filled
+    # even though 2024-09-08 00:00 itself does not exist as a wall time
+    rows2 = [
+        ("2024-09-07 12:00:00", "a", 1.0),  # Sep 7 wall
+        ("2024-09-09 15:00:00", "a", 3.0),  # Sep 9 wall (Sep 8 empty)
+    ]
+    ev2 = spark.createDataFrame(
+        rows2, ["ts", "event_type", "value"]
+    ).withColumn("ts", F.to_timestamp("ts"))
+    eng2 = InfluxQLEngine({"m": ev2}, ts_col="ts")
+    got2 = {
+        str(r["time"])[:10]: r["cnt"]
+        for r in eng2.execute(q.format(f="0")).collect()
+    }
+    assert got2 == {"2024-09-07": 1, "2024-09-08": 0, "2024-09-09": 1}
+
 
 def test_tz_percentile_served_from_hdr_tier(built_hdr):
     """tz() + hdr: a wall-clock daily percentile panel serves from the 1h
