@@ -1948,14 +1948,16 @@ class InfluxQLEngine:
         if stmt.tz:
             # tz() tier serving: UTC tier partials re-bucket on the zone's
             # wall clock exactly when the zone's offset grid is compatible
-            # with a serving tier (_tz_grid_ok).  Offsets stay on the raw
-            # path (an offset compounds two grid shifts).  fill() IS
-            # servable since r5: fill_buckets' tz-aware spine drops only
-            # manufactured nonexistent wall labels (spring-forward hours)
-            # and keeps observed DST-gap boundary labels, so the tier
-            # path fills the identical wall spine the raw path does.
-            if off:
-                return False
+            # with a serving tier (_tz_grid_ok).  fill() IS servable since
+            # r5: fill_buckets' tz-aware spine drops only manufactured
+            # nonexistent wall labels (spring-forward hours) and keeps
+            # observed DST-gap boundary labels, so the tier path fills the
+            # identical wall spine the raw path does.  A bucket offset is
+            # servable too when the serving tier divides it
+            # (_tz_serving_tier requires wt | off): the shifted wall grid
+            # keeps every boundary wt-aligned, so no tier bucket straddles
+            # an output bucket — incompatible offsets yield tz_tier None
+            # and fall to raw.
             tz_tier = self._tz_serving_tier(stmt)
             if tz_tier is None:
                 return False
@@ -2121,12 +2123,16 @@ class InfluxQLEngine:
         from influxer_spark.query import TIER_SECONDS
 
         w = int(stmt.time_width)
+        off = int(stmt.time_offset)
         lo, hi = self._bounds_utc(stmt)
         lo_s = int(lo.timestamp()) if lo else 0
         hi_s = int(hi.timestamp()) if hi else _TZ_HORIZON_END
         for tier in ("1d", "1h", "1m"):
             wt = TIER_SECONDS[tier]
-            if w % wt == 0 and self._tz_grid_ok(stmt.tz, wt, lo_s, hi_s):
+            if (
+                w % wt == 0 and off % wt == 0
+                and self._tz_grid_ok(stmt.tz, wt, lo_s, hi_s)
+            ):
                 return tier
         return None
 

@@ -945,10 +945,11 @@ def test_tz_half_hour_zone_serves_from_1m(built):
     assert "rollup_1m" in plan and "rollup_1h" not in plan
 
 
-def test_tz_fill_tier_serves_and_offset_falls_back(built):
+def test_tz_fill_tier_serves_and_offset_routing(built):
     """tz() + fill() tier-serves since r5 (the spine fix made the wall
-    spine exact); tz() + a bucket offset still compounds two grid shifts
-    and stays raw."""
+    spine exact).  tz() + a bucket offset serves from the coarsest tier
+    dividing BOTH width and offset (time(2h,1h) → 1h tier, time(2h,30m)
+    → 1m tier); only offsets no tier divides (sub-minute) stay raw."""
     points, cat = built
     raw, tiered = _engines(points, cat)
     for mode in ("0", "previous", "linear", "null"):
@@ -962,9 +963,24 @@ def test_tz_fill_tier_serves_and_offset_falls_back(built):
         assert got == want and len(got) > 0, mode
         plan = got_df._jdf.queryExecution().executedPlan().toString()
         assert "rollup_1h" in plan, mode
+    for off, tier_in, tier_out in (
+        ("1h", "rollup_1h", "rollup_1m"),
+        ("30m", "rollup_1m", "rollup_1h"),
+    ):
+        q = (
+            "SELECT count(value) AS cnt FROM pages"
+            f" GROUP BY time(2h, {off}), metric tz('America/New_York')"
+        )
+        want = {tuple(r[:2]): r[2] for r in raw.execute(q).collect()}
+        got_df = tiered.execute(q)
+        got = {tuple(r[:2]): r[2] for r in got_df.collect()}
+        assert got == want and len(got) > 0, off
+        plan = got_df._jdf.queryExecution().executedPlan().toString()
+        assert tier_in in plan and tier_out not in plan, off
+    # sub-minute offset: no tier divides it → raw (rejected before tz)
     q = (
         "SELECT count(value) AS cnt FROM pages"
-        " GROUP BY time(2h, 30m), metric tz('America/New_York')"
+        " GROUP BY time(2h, 90s), metric tz('America/New_York')"
     )
     want = {tuple(r[:2]): r[2] for r in raw.execute(q).collect()}
     got_df = tiered.execute(q)
