@@ -3279,6 +3279,7 @@ _WINDOW_PRIORITY = [
     # ---- round-5 additions ----
     "decode_image_meta",
     "influxql_tz_fill_tier_6h",
+    "decode_av_meta",
 ]
 
 # Rows-only queries (genuinely non-SQL-expressible internals) — always last.

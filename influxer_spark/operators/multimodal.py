@@ -1,12 +1,14 @@
 """Multimodal (binary) column plumbing for training-data pipelines.
 
 Images / audio / video ride through Spark as opaque ``binary`` columns with a
-typed metadata struct.  Image METADATA decode is real and dependency-free
-(JPEG marker walk + EXIF, PNG IHDR — parse_image_meta_bytes below); pixel
-decode and audio/video remain honestly gated behind ``decode_media``'s
-NotImplementedError (codec libraries are not in this container), with the
-Spark-side plumbing (schema, Arrow batch shape, ``mapInPandas`` signature,
-partition-preserving flow) fully exercised.
+typed metadata struct.  METADATA decode is real and dependency-free for all
+three: JPEG marker walk + EXIF and PNG IHDR (parse_image_meta_bytes), WAV
+RIFF chunk walk and MP4/ISO-BMFF box walk (parse_av_meta_bytes).  Only
+pixel/sample-level decode (Huffman, PCM resample, H.264/AAC) remains
+honestly gated behind ``decode_media``'s NotImplementedError (codec
+libraries are not in this container), with the Spark-side plumbing (schema,
+Arrow batch shape, ``mapInPandas`` signature, partition-preserving flow)
+fully exercised.
 
 - ``with_payload``        attach (payload: binary, media: struct) derived
                           deterministically from the text column — the
@@ -19,9 +21,15 @@ partition-preserving flow) fully exercised.
 - ``decode_image_meta``   REAL structure decode: dimensions, bit depth,
                           progressive/interlace flags, EXIF orientation,
                           decode_error — integer-exact, DuckDB-oracled.
-- ``decode_media``        dispatch: image/* → decode_image_meta; audio/video
-                          raise NotImplementedError until real codec
-                          bindings are swapped in on a cluster.
+- ``with_av_payload``     synthesize structurally-valid WAV/MP4 payloads
+                          from h32(id) — oracle-predictable by construction.
+- ``decode_av_meta``      REAL container decode: channels, sample rate, bit
+                          depth, sample count, brand, timescale, duration —
+                          integer-exact, DuckDB-oracled.
+- ``decode_media``        dispatch: image/* → decode_image_meta, audio/* /
+                          video/* → decode_av_meta; other mimes raise
+                          NotImplementedError until real codec bindings are
+                          swapped in on a cluster.
 
 Scale notes: ``mapInPandas`` streams Arrow batches — memory is bounded by
 ``spark.sql.execution.arrow.maxRecordsPerBatch`` regardless of blob sizes;
@@ -375,17 +383,272 @@ def decode_image_meta(df: DataFrame) -> DataFrame:
     return df.select("id", "payload").mapInPandas(decode, IMAGE_META_SCHEMA)
 
 
+# ---------------------------------------------------------------------------
+# Audio/video CONTAINER decode, same dependency-free posture as images:
+# WAV RIFF chunk walk (channels, sample rate, bit depth, sample count) and
+# MP4/ISO-BMFF box walk (ftyp major brand, moov/mvhd timescale + duration,
+# both mvhd versions) — RFC/ISO-described structures parsed from bytes.
+# Sample-level decode (PCM resample, H.264, AAC) stays honestly out of
+# scope; container metadata is what a curation pipeline filters on
+# (duration floors, sample-rate buckets, channel layout) and is
+# integer-exact, so the same synthesize→parse→predict oracle applies.
+# ---------------------------------------------------------------------------
+
+AV_META_SCHEMA = StructType([
+    StructField("id", LongType()),
+    StructField("container", StringType()),
+    StructField("channels", LongType()),
+    StructField("sample_rate", LongType()),
+    StructField("bits_per_sample", LongType()),
+    StructField("n_samples", LongType()),
+    StructField("brand", StringType()),
+    StructField("timescale", LongType()),
+    StructField("duration", LongType()),
+    StructField("duration_ms", LongType()),
+    StructField("decode_error", StringType()),
+])
+
+_WAV_RATES = (8000, 16000, 22050, 44100, 48000)
+_MP4_TIMESCALES = (600, 1000, 90000, 48000)
+
+
+def build_av_payload_bytes(h: int) -> bytes:
+    """One audio/video payload from a 32-bit hash.  h%2==0 → WAV (PCM
+    fmt chunk + a real data chunk of 1+h%256 samples, channels 1+h%3∈
+    {1,2,3}, rate _WAV_RATES[h%5], bits in {8,16,24,32} by h%4);
+    else MP4 (ftyp 'isom' or 'mp42' by h%3, moov/mvhd v0 with timescale
+    _MP4_TIMESCALES[h%4] and duration h%1000000).  h%13==0 truncates to
+    6 bytes."""
+    import struct
+
+    if h % 2 == 0:
+        ch = 1 + h % 3
+        rate = _WAV_RATES[h % 5]
+        bits = (8, 16, 24, 32)[h % 4]
+        n = 1 + h % 256
+        data = bytes((i * 37 + h) % 256 for i in range(n * ch * (bits // 8)))
+        fmt = struct.pack(
+            "<HHIIHH", 1, ch, rate, rate * ch * bits // 8,
+            ch * bits // 8, bits,
+        )
+        body = (
+            b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+        blob = b"RIFF" + struct.pack("<I", len(body)) + body
+    else:
+        brand = b"isom" if h % 3 else b"mp42"
+        ftyp = brand + struct.pack(">I", 0) + b"isommp42"
+        ftyp_box = struct.pack(">I", 8 + len(ftyp)) + b"ftyp" + ftyp
+        ts = _MP4_TIMESCALES[h % 4]
+        dur = h % 1000000
+        mvhd_body = (
+            b"\x00\x00\x00\x00"             # version 0 + flags
+            + struct.pack(">II", 0, 0)       # ctime, mtime
+            + struct.pack(">II", ts, dur)    # timescale, duration
+            + struct.pack(">I", 0x00010000)  # rate 1.0
+            + struct.pack(">H", 0x0100)      # volume 1.0
+            + bytes(10)                      # reserved
+            + bytes(36)                      # matrix
+            + bytes(24)                      # pre_defined
+            + struct.pack(">I", 2)           # next_track_id
+        )
+        mvhd = struct.pack(">I", 8 + len(mvhd_body)) + b"mvhd" + mvhd_body
+        moov = struct.pack(">I", 8 + len(mvhd)) + b"moov" + mvhd
+        blob = ftyp_box + moov
+    return blob[:6] if h % 13 == 0 else blob
+
+
+def parse_av_meta_bytes(b: bytes) -> dict:
+    """Pure container parse of one payload → AV_META_SCHEMA fields
+    (without id).  On any error every field is NULL except decode_error
+    (empty / not_media / truncated / no_fmt / no_data / no_mvhd)."""
+    null = dict.fromkeys(
+        ("container", "channels", "sample_rate", "bits_per_sample",
+         "n_samples", "brand", "timescale", "duration", "duration_ms"),
+    )
+
+    def err(code: str) -> dict:
+        return {**null, "decode_error": code}
+
+    if not b:
+        return err("empty")
+    if b[:4] == b"RIFF":
+        if len(b) < 12 or b[8:12] != b"WAVE":
+            return err("truncated" if len(b) < 12 else "not_media")
+        fmt = None
+        data_size = None
+        i = 12
+        while i + 8 <= len(b):
+            tag = b[i:i + 4]
+            size = int.from_bytes(b[i + 4:i + 8], "little")
+            if tag == b"fmt " and i + 8 + size <= len(b) and size >= 16:
+                fmt = b[i + 8:i + 8 + 16]
+            elif tag == b"data":
+                data_size = size  # payload itself need not be inspected
+            i += 8 + size + (size & 1)  # RIFF chunks are word-aligned
+        if fmt is None:
+            return err("no_fmt")
+        if data_size is None:
+            return err("no_data")
+        ch = int.from_bytes(fmt[2:4], "little")
+        rate = int.from_bytes(fmt[4:8], "little")
+        bits = int.from_bytes(fmt[14:16], "little")
+        frame = ch * (bits // 8)
+        n = data_size // frame if frame else None
+        return {
+            "container": "wav",
+            "channels": ch,
+            "sample_rate": rate,
+            "bits_per_sample": bits,
+            "n_samples": n,
+            "brand": None,
+            "timescale": None,
+            "duration": None,
+            "duration_ms": (n * 1000) // rate if rate and n is not None
+            else None,
+            "decode_error": None,
+        }
+
+    def boxes(lo: int, hi: int):
+        i = lo
+        while i + 8 <= hi:
+            size = int.from_bytes(b[i:i + 4], "big")
+            typ = b[i + 4:i + 8]
+            if size == 1:  # 64-bit largesize
+                if i + 16 > hi:
+                    return
+                real = int.from_bytes(b[i + 8:i + 16], "big")
+                if real < 16:
+                    return  # malformed: stop walking
+                yield typ, i + 16, min(i + real, hi)
+                i += real
+            elif size == 0:  # box extends to end of file
+                yield typ, i + 8, hi
+                return
+            else:
+                if size < 8:
+                    return  # malformed: stop walking
+                yield typ, i + 8, min(i + size, hi)
+                i += size
+
+    if len(b) >= 8 and b[4:8] == b"ftyp":
+        brand = b[8:12].decode("latin1") if len(b) >= 12 else None
+        if brand is None:
+            return err("truncated")
+        for typ, lo, hi in boxes(0, len(b)):
+            if typ != b"moov":
+                continue
+            for t2, lo2, hi2 in boxes(lo, hi):
+                if t2 != b"mvhd" or lo2 + 4 > hi2:
+                    continue
+                ver = b[lo2]
+                # v0: 4+4+4 ctime/mtime then ts(4)+dur(4);
+                # v1: 8+8 then ts(4)+dur(8)
+                if ver == 0:
+                    need = lo2 + 4 + 8 + 8
+                    if need > hi2:
+                        return err("truncated")
+                    ts = int.from_bytes(b[lo2 + 12:lo2 + 16], "big")
+                    dur = int.from_bytes(b[lo2 + 16:lo2 + 20], "big")
+                else:
+                    need = lo2 + 4 + 16 + 12
+                    if need > hi2:
+                        return err("truncated")
+                    ts = int.from_bytes(b[lo2 + 20:lo2 + 24], "big")
+                    dur = int.from_bytes(b[lo2 + 24:lo2 + 32], "big")
+                return {
+                    "container": "mp4",
+                    "channels": None,
+                    "sample_rate": None,
+                    "bits_per_sample": None,
+                    "n_samples": None,
+                    "brand": brand,
+                    "timescale": ts,
+                    "duration": dur,
+                    "duration_ms": (dur * 1000) // ts if ts else None,
+                    "decode_error": None,
+                }
+        return err("no_mvhd")
+    if len(b) < 12:
+        return err("truncated")
+    return err("not_media")
+
+
+def with_av_payload(df: DataFrame, id_col: str) -> DataFrame:
+    """(id, payload, media) with synthesized WAV/MP4 bytes from h32(id) —
+    the audio/video analogue of with_image_payload."""
+    from influxer_spark.operators.dedup import h32
+
+    src = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        h32(F.col(id_col).cast("string")).alias("_h"),
+    )
+    out_schema = StructType([
+        StructField("id", LongType()),
+        StructField("payload", BinaryType()),
+    ])
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "id": pdf["id"],
+                "payload": [
+                    build_av_payload_bytes(int(h)) for h in pdf["_h"]
+                ],
+            })
+
+    built = src.mapInPandas(build, out_schema)
+    return built.withColumn(
+        "media",
+        F.struct(
+            F.when(
+                F.substring("payload", 1, 4) == F.lit(b"RIFF"), "audio/wav"
+            ).otherwise("video/mp4").alias("mime"),
+            F.octet_length("payload").cast("long").alias("n_bytes"),
+        ),
+    )
+
+
+def decode_av_meta(df: DataFrame) -> DataFrame:
+    """Arrow-batched WAV/MP4 container decode over (id, payload) — same
+    narrow batch-bounded shape as decode_image_meta."""
+    cols = [f.name for f in AV_META_SCHEMA.fields]
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {c: [] for c in cols}
+            for i, buf in zip(pdf["id"], pdf["payload"]):
+                meta = parse_av_meta_bytes(
+                    bytes(buf) if buf is not None else b""
+                )
+                out["id"].append(i)
+                for k in cols[1:]:
+                    out[k].append(meta[k])
+            yield pd.DataFrame(out)
+
+    return df.select("id", "payload").mapInPandas(decode, AV_META_SCHEMA)
+
+
 def decode_media(df: DataFrame, mime: str) -> DataFrame:
-    """Decode dispatch.  ``image/*`` (png/jpeg) runs the dependency-free
-    structure parser above — real metadata decode, no codec libraries.
-    Audio/video remain honestly stubbed: their containers need sample
-    decoders this environment does not ship; on a real cluster swap in a
-    mapInPandas body calling soundfile / pyav over the same (id, payload)
-    projection — the plan shape is identical.
+    """Decode dispatch.  ``image/*`` (png/jpeg) runs the image structure
+    parser; ``audio/*`` / ``video/*`` (wav/mp4) run the container parser
+    — all real metadata decode, no codec libraries.  Sample/pixel-level
+    decode (PCM, H.264, AAC, JPEG Huffman) remains honestly gated: on a
+    real cluster swap in a mapInPandas body calling Pillow / soundfile /
+    pyav over the same (id, payload) projection — the plan shape is
+    identical.
     """
     if mime.startswith("image/") or mime == "image":
         return decode_image_meta(df)
+    if (
+        mime.startswith("audio/") or mime.startswith("video/")
+        or mime in ("audio", "video")
+    ):
+        return decode_av_meta(df)
     raise NotImplementedError(
         f"decode for {mime!r} requires media libraries not present in this "
-        "environment; image/* decodes structurally via decode_image_meta"
+        "environment; image/audio/video decode structurally via "
+        "decode_image_meta / decode_av_meta"
     )

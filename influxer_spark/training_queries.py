@@ -1249,6 +1249,22 @@ def _q_decode_image_meta(spark, sf_dir):
     )
 
 
+def _q_decode_av_meta(spark, sf_dir):
+    """WAV/MP4 container metadata decode, value-oracled the same way as
+    decode_image_meta: with_av_payload builds real RIFF/ISO-BMFF byte
+    streams from h32(doc_id) (PCM fmt+data chunks; ftyp + moov/mvhd),
+    decode_media's chunk/box walker reads them back, and the oracle
+    predicts every integer — channels, rates, bit depths, sample counts,
+    timescales, durations, integer-division duration_ms — from the md5
+    formula.  h%13==0 rows are truncated to 6 bytes."""
+    pay = M.with_av_payload(_docs(spark, sf_dir), "doc_id")
+    return M.decode_media(pay, "audio/*").select(
+        F.col("id").alias("doc_id"), "container", "channels",
+        "sample_rate", "bits_per_sample", "n_samples", "brand",
+        "timescale", "duration", "duration_ms", "decode_error",
+    )
+
+
 def _q_hash_split(spark, sf_dir):
     return SA.hash_split(
         _docs(spark, sf_dir), "doc_id",
@@ -1718,6 +1734,7 @@ def training_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "binary_payload_stats": _q_payload_stats,
         "byte_entropy_features": _q_byte_features,
         "decode_image_meta": _q_decode_image_meta,
+        "decode_av_meta": _q_decode_av_meta,
         "hash_split_documents": _q_hash_split,
         "stratified_sample_lang": _q_stratified_sample,
         "upsample_epochs_mixture": _q_upsample_epochs,
@@ -1992,6 +2009,49 @@ SELECT doc_id,
        ELSE CAST(0 AS BIGINT)
   END AS orientation,
   CASE WHEN h%17=0 THEN 'truncated' END AS decode_error
+FROM h
+""",
+        # mirror of build_av_payload_bytes' parameter derivation (the WAV
+        # RIFF / MP4 mvhd analogue of the decode_image_meta oracle)
+        "decode_av_meta": """
+WITH h AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+           AS h
+  FROM documents
+)
+SELECT doc_id,
+  CASE WHEN h%13=0 THEN NULL WHEN h%2=0 THEN 'wav' ELSE 'mp4'
+  END AS container,
+  CASE WHEN h%13=0 OR h%2<>0 THEN NULL ELSE CAST(1 + h%3 AS BIGINT)
+  END AS channels,
+  CASE WHEN h%13=0 OR h%2<>0 THEN NULL
+       ELSE CAST(([8000,16000,22050,44100,48000])[CAST(h%5 AS INT) + 1]
+                 AS BIGINT)
+  END AS sample_rate,
+  CASE WHEN h%13=0 OR h%2<>0 THEN NULL
+       ELSE CAST(([8,16,24,32])[CAST(h%4 AS INT) + 1] AS BIGINT)
+  END AS bits_per_sample,
+  CASE WHEN h%13=0 OR h%2<>0 THEN NULL ELSE CAST(1 + h%256 AS BIGINT)
+  END AS n_samples,
+  CASE WHEN h%13=0 OR h%2=0 THEN NULL
+       WHEN h%3<>0 THEN 'isom' ELSE 'mp42'
+  END AS brand,
+  CASE WHEN h%13=0 OR h%2=0 THEN NULL
+       ELSE CAST(([600,1000,90000,48000])[CAST(h%4 AS INT) + 1] AS BIGINT)
+  END AS timescale,
+  CASE WHEN h%13=0 OR h%2=0 THEN NULL ELSE CAST(h%1000000 AS BIGINT)
+  END AS duration,
+  CASE WHEN h%13=0 THEN NULL
+       WHEN h%2=0 THEN CAST(
+         ((1 + h%256) * 1000)
+         // ([8000,16000,22050,44100,48000])[CAST(h%5 AS INT) + 1]
+         AS BIGINT)
+       ELSE CAST(
+         ((h%1000000) * 1000)
+         // ([600,1000,90000,48000])[CAST(h%4 AS INT) + 1] AS BIGINT)
+  END AS duration_ms,
+  CASE WHEN h%13=0 THEN 'truncated' END AS decode_error
 FROM h
 """,
         "hash_split_documents": (

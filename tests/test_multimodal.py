@@ -42,9 +42,10 @@ def test_byte_features_known_values(payloads):
     assert rows[3]["entropy"] == pytest.approx(-sum(x * math.log2(x) for x in p))
 
 
-def test_decode_media_audio_video_still_gated(payloads):
-    # image/* decodes structurally since r5; sample-level codecs stay out
-    for mime in ("audio/wav", "video/mp4", "application/pdf"):
+def test_decode_media_non_media_mimes_still_gated(payloads):
+    # image/audio/video decode structurally since r5; everything else
+    # (and sample/pixel-level decode) stays honestly out of scope
+    for mime in ("application/pdf", "text/html", "font/woff2"):
         with pytest.raises(NotImplementedError):
             M.decode_media(payloads, mime)
 
@@ -151,3 +152,105 @@ def test_decode_image_meta_spark_matches_pure(spark, sf_dir):
             assert mimes[doc_id] == "image/png"
         elif meta["format"] == "jpeg":
             assert mimes[doc_id] == "image/jpeg"
+
+
+def test_av_builder_parser_roundtrip_pure():
+    """build_av_payload_bytes → parse_av_meta_bytes over a hash sweep:
+    every derived WAV/MP4 parameter reads back exactly, including the
+    integer-division duration_ms."""
+    seen = {"wav": 0, "mp4": 0, "trunc": 0}
+    for i in range(2000):
+        h = _h32_py(str(i))
+        m = M.parse_av_meta_bytes(M.build_av_payload_bytes(h))
+        if h % 13 == 0:
+            assert m["decode_error"] == "truncated" and m["container"] is None
+            seen["trunc"] += 1
+            continue
+        assert m["decode_error"] is None
+        if h % 2 == 0:
+            ch, rate = 1 + h % 3, M._WAV_RATES[h % 5]
+            bits, n = (8, 16, 24, 32)[h % 4], 1 + h % 256
+            assert m["container"] == "wav"
+            assert (m["channels"], m["sample_rate"], m["bits_per_sample"],
+                    m["n_samples"]) == (ch, rate, bits, n)
+            assert m["duration_ms"] == (n * 1000) // rate
+            assert m["brand"] is None and m["timescale"] is None
+            seen["wav"] += 1
+        else:
+            ts, dur = M._MP4_TIMESCALES[h % 4], h % 1000000
+            assert m["container"] == "mp4"
+            assert m["brand"] == ("isom" if h % 3 else "mp42")
+            assert (m["timescale"], m["duration"]) == (ts, dur)
+            assert m["duration_ms"] == (dur * 1000) // ts
+            assert m["channels"] is None
+            seen["mp4"] += 1
+    assert all(v > 0 for v in seen.values()), seen
+
+
+def test_av_parser_corrupt_and_spec_edges():
+    import struct
+
+    p = M.parse_av_meta_bytes
+    assert p(b"")["decode_error"] == "empty"
+    assert p(b"plain text bytes")["decode_error"] == "not_media"
+    assert p(b"RIFFxx")["decode_error"] == "truncated"
+    assert p(b"RIFF\x04\x00\x00\x00WAVE")["decode_error"] == "no_fmt"
+    # fmt but no data chunk
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    blob = b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt)) + b"WAVE" \
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    assert p(blob)["decode_error"] == "no_data"
+    # odd-sized chunk before fmt: RIFF word alignment must be honored
+    odd = b"LIST" + struct.pack("<I", 3) + b"abc\x00"  # 3 data + 1 pad
+    blob2 = (
+        b"RIFF" + struct.pack("<I", 100) + b"WAVE" + odd
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", 8) + bytes(8)
+    )
+    m = p(blob2)
+    assert m["decode_error"] is None and m["n_samples"] == 8
+    # mp4: ftyp without moov / mvhd
+    ftyp = struct.pack(">I", 16) + b"ftypisom" + struct.pack(">I", 0)
+    assert p(ftyp)["decode_error"] == "no_mvhd"
+    # mvhd VERSION 1 (64-bit times) — not generated by the builder, but
+    # real files use it; the parser must read the shifted offsets
+    body_v1 = (
+        b"\x01\x00\x00\x00" + bytes(16)            # v1 + ctime/mtime 8+8
+        + struct.pack(">I", 90000)                  # timescale
+        + struct.pack(">Q", 123456789)              # duration (64-bit)
+    )
+    mvhd = struct.pack(">I", 8 + len(body_v1)) + b"mvhd" + body_v1
+    moov = struct.pack(">I", 8 + len(mvhd)) + b"moov" + mvhd
+    m2 = p(ftyp + moov)
+    assert m2["decode_error"] is None
+    assert m2["timescale"] == 90000 and m2["duration"] == 123456789
+    assert m2["duration_ms"] == (123456789 * 1000) // 90000
+    # 64-bit largesize box wrapping moov
+    big = struct.pack(">I", 1) + b"moov" + struct.pack(">Q", 16 + len(mvhd)) + mvhd
+    m3 = p(ftyp + big)
+    assert m3["decode_error"] is None and m3["timescale"] == 90000
+    # errors never leak partial fields
+    for blob in (b"", b"junk", b"RIFFxx"):
+        mm = p(blob)
+        assert all(mm[k] is None for k in mm if k != "decode_error")
+
+
+def test_decode_av_meta_spark_matches_oracle(spark, sf_dir):
+    import duckdb
+
+    from influxer_spark.training_queries import (
+        training_oracle_sql,
+        training_queries,
+    )
+
+    df = training_queries()["decode_av_meta"](spark, sf_dir)
+    got = sorted(tuple(r) for r in df.collect())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute(training_oracle_sql()["decode_av_meta"]).fetchall()
+    )
+    assert got == want and len(got) > 0
