@@ -3280,6 +3280,7 @@ _WINDOW_PRIORITY = [
     "decode_image_meta",
     "influxql_tz_fill_tier_6h",
     "decode_av_meta",
+    "influxql_tz_offset_tier_6h1h",
 ]
 
 # Rows-only queries (genuinely non-SQL-expressible internals) — always last.

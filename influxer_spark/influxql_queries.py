@@ -2550,6 +2550,45 @@ LEFT JOIN agg a ON a.bucket = sp.bucket AND a.event_type = sp.event_type
 """
 
 
+def _q_influxql_tz_offset_tier(spark, sf_dir):
+    """tz() + bucket offset tier serving (round 5): time(6h,1h) on the
+    America/New_York wall clock — the shifted wall grid keeps every
+    boundary 1h-tier-aligned (wt | off and wt | w), so UTC hour partials
+    re-bucket exactly onto the offset wall grid.  The oracle floors wall
+    seconds on the same shifted grid.  count/min/max: exact merges."""
+    import tempfile
+
+    from influxer_spark.catalog import TableCatalog
+    from influxer_spark.influxql_frontend import InfluxQLEngine
+    from influxer_spark.operators.refresh import build_point_tiers
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cat = TableCatalog(tempfile.mkdtemp(prefix="tz_off_gate_"))
+    build_point_tiers(spark, cat, ev, "ts", ["event_type"], "value")
+    eng = InfluxQLEngine({"m": ev}, ts_col="ts")
+    eng.register_tiered("m", cat, key_cols=("event_type",))
+    out = eng.execute(
+        "SELECT count(value) AS cnt, min(value) AS mn, max(value) AS mx"
+        " FROM m GROUP BY time(6h, 1h), event_type tz('America/New_York')"
+    )
+    return out.withColumnRenamed("time", "bucket")
+
+
+_TZ_OFFSET_TIER_SQL = """
+WITH w AS (
+  SELECT timezone('America/New_York', timezone('UTC', ts)) AS wts,
+         event_type, value
+  FROM events
+)
+SELECT make_timestamp(
+         ((epoch(wts)::BIGINT - 3600) // 21600 * 21600 + 3600) * 1000000
+       ) AS bucket,
+       event_type,
+       count(value) AS cnt, min(value) AS mn, max(value) AS mx
+FROM w GROUP BY 1, 2
+"""
+
+
 def _q_kmv_tz_tier(spark, sf_dir):
     """tz() + KMV tier serving (round 4): wall-day distinct users in
     America/New_York, answered from the kmv_1h sketch tier via the string
@@ -2836,6 +2875,7 @@ def influxql_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "influxql_tz_tier_1d": _q_influxql_tz_tier,
         "kmv_tz_tier_1d": _q_kmv_tz_tier,
         "influxql_tz_fill_tier_6h": _q_influxql_tz_fill_tier,
+        "influxql_tz_offset_tier_6h1h": _q_influxql_tz_offset_tier,
     }
 
 
@@ -2901,4 +2941,5 @@ def influxql_oracle_sql() -> dict[str, str]:
         "influxql_tz_tier_1d": _TZ_TIER_SQL,
         "kmv_tz_tier_1d": _KMV_TZ_TIER_SQL,
         "influxql_tz_fill_tier_6h": _TZ_FILL_TIER_SQL,
+        "influxql_tz_offset_tier_6h1h": _TZ_OFFSET_TIER_SQL,
     }

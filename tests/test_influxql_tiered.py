@@ -1282,3 +1282,33 @@ def test_tz_fill_gate_query_tier_serves_and_matches_duckdb(spark, sf_dir):
     assert got == want and len(got) > 0
     # the out-of-data-range spine rows really got manufactured + zeroed
     assert any(c == 0 for (_, _, c, _) in got)
+
+
+def test_tz_offset_gate_query_tier_serves_and_matches_duckdb(spark, sf_dir):
+    """influxql_tz_offset_tier_6h1h really serves from the 1h tier and
+    matches its DuckDB oracle at sf0.001 — r5 tz()+offset serving
+    value-proved locally before the driver sees it."""
+    import duckdb
+
+    from influxer_spark.influxql_queries import (
+        influxql_oracle_sql,
+        influxql_queries,
+    )
+
+    df = influxql_queries()["influxql_tz_offset_tier_6h1h"](spark, sf_dir)
+    assert any("rollup_1h" in f for f in df.inputFiles())
+    got = sorted(tuple(r) for r in df.collect())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'"
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            influxql_oracle_sql()["influxql_tz_offset_tier_6h1h"]
+        ).fetchall()
+    )
+    assert got == want and len(got) > 0
+    # the offset grid really shifted: every bucket lands on HH:00 with
+    # HH ≡ 1 (mod 6) in wall clock
+    assert all(b.hour % 6 == 1 and b.minute == 0 for (b, *_rest) in got)
