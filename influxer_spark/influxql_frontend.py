@@ -1987,7 +1987,13 @@ class InfluxQLEngine:
             # have no 1m sketch tier to drop to, so they stay raw.
             if not all(c.fname in ("percentile", "median") for c in aggish):
                 return False
-            if w % 3600 != 0 or off or not cfg["catalog"].exists("hdr_1h"):
+            # hour-multiple widths AND offsets: the 1h sketch tier must
+            # divide both so no counter vector straddles a shifted (or
+            # wall-clock) output boundary
+            if (
+                w % 3600 != 0 or off % 3600 != 0
+                or not cfg["catalog"].exists("hdr_1h")
+            ):
                 return False
             if stmt.tz and tz_tier not in ("1h", "1d"):
                 return False
@@ -2489,9 +2495,15 @@ class InfluxQLEngine:
 
         cat = cfg["catalog"]
         aso = cfg.get("as_of")
+        off = int(stmt.time_offset)
         # under tz() wall days are not UTC-day aligned, so only the 1h
-        # sketch tier serves (answerable gated this on _tz_grid_ok at 1h)
-        table = "hdr_1d" if w % 86400 == 0 and not stmt.tz else "hdr_1h"
+        # sketch tier serves (answerable gated this on _tz_grid_ok at 1h);
+        # a bucket offset likewise drops to 1h unless whole days divide it
+        table = (
+            "hdr_1d"
+            if w % 86400 == 0 and off % 86400 == 0 and not stmt.tz
+            else "hdr_1h"
+        )
         if not cat.exists(table):
             table = "hdr_1h"
         parts = _qapi._partitions_in_range(cat, table, start, end, as_of=aso)
@@ -2511,7 +2523,7 @@ class InfluxQLEngine:
             k: (0.5 if c.fname == "median" else float(c.args[1].value) / 100.0)
             for k, c in agg_calls.items()
         }
-        merged = H.hdr_rebucket(df, keys, w, tz=self._tz)
+        merged = H.hdr_rebucket(df, keys, w, tz=self._tz, offset_seconds=off)
         quants = H.hdr_quantiles(
             merged, keys, tuple(dict.fromkeys(ps.values())), sub_bits
         )
@@ -2609,8 +2621,11 @@ class InfluxQLEngine:
             return False
         if len(c.args) > 1:
             return False  # explicit k: only the pinned build k is stored
-        if stmt.time_width is None or stmt.time_offset:
+        if stmt.time_width is None:
             return False
+        off = int(stmt.time_offset)
+        if stmt.time_offset != off or off % 3600 != 0:
+            return False  # the 1h sketch tier must divide the offset
         if stmt.fill_mode != "none":
             return False
         w = int(stmt.time_width)
@@ -2628,7 +2643,12 @@ class InfluxQLEngine:
             return self._tier_where_ok(
                 stmt, cfg["key_cols"], w, modulus=3600, zone=stmt.tz
             )
-        return self._tier_where_ok(stmt, cfg["key_cols"], w)
+        # hour-aligned bounds suffice for exactness (the filter applies to
+        # 1h sketch buckets, so hour alignment makes bucket filtering ≡
+        # point filtering); with an offset grid the natural bounds are
+        # offset-aligned, not w-aligned, so the w modulus would wrongly
+        # force raw
+        return self._tier_where_ok(stmt, cfg["key_cols"], w, modulus=3600)
 
     def _exec_kmv_tiered(self, stmt: Select) -> DataFrame:
         import datetime as _dt
@@ -2639,8 +2659,14 @@ class InfluxQLEngine:
         cfg = self.tiered[stmt.measurement]
         cat = cfg["catalog"]
         w = int(stmt.time_width)
-        # wall days are not UTC-day aligned → the 1h sketch tier serves
-        table = "kmv_1d" if w % 86400 == 0 and not stmt.tz else "kmv_1h"
+        off = int(stmt.time_offset)
+        # wall days are not UTC-day aligned → the 1h sketch tier serves;
+        # a bucket offset likewise drops to 1h unless whole days divide it
+        table = (
+            "kmv_1d"
+            if w % 86400 == 0 and off % 86400 == 0 and not stmt.tz
+            else "kmv_1h"
+        )
         k = cat.table_property(table, "kmv_k")
         if k is None:
             raise InfluxQLError(f"{table} pins no kmv_k table property")
@@ -2672,7 +2698,9 @@ class InfluxQLEngine:
             df = df.filter(self._bucket_cond(stmt.where))
         keys = stmt.group_tags
         alias = stmt.projections[0][1] or "approx_count_distinct"
-        merged = KMV.kmv_rebucket(df, keys, w, int(k), tz=self._tz)
+        merged = KMV.kmv_rebucket(
+            df, keys, w, int(k), tz=self._tz, offset_seconds=off
+        )
         est = KMV.kmv_estimate(merged, keys, int(k))
         out = est.select(
             F.col("bucket").alias("time"), *keys,

@@ -156,20 +156,23 @@ def hdr_quantiles(
 
 def hdr_rebucket(
     sketch: DataFrame, key_cols: Sequence[str], width_seconds: int,
-    tz: str | None = None,
+    tz: str | None = None, offset_seconds: int = 0,
 ) -> DataFrame:
     """Re-bucket sketch rows to ANY width that their tier divides —
     counter-vector sum, lossless like the cascade.  ``tz`` re-buckets on
     that zone's WALL clock (exact when the caller has proven, via the
     frontend's _tz_grid_ok, that no tier bucket straddles a wall
     boundary — counter vectors then sum losslessly onto wall buckets the
-    same way they do onto UTC ones)."""
+    same way they do onto UTC ones); ``offset_seconds`` shifts the
+    bucket grid (``GROUP BY time(6h, 1h)``) — exact when the sketch tier
+    divides the offset."""
     bt = F.col("bucket").cast("timestamp")
     if tz:
         bt = F.from_utc_timestamp(bt, tz)
     secs = F.unix_timestamp(bt)
+    off = int(offset_seconds)
     out_bucket = F.timestamp_seconds(
-        (secs - (secs % width_seconds)).cast("long")
+        (secs - ((secs - off) % width_seconds)).cast("long")
     ).alias("bucket")
     return (
         sketch.groupBy(out_bucket, *[F.col(k) for k in key_cols], "idx")

@@ -197,6 +197,7 @@ def kmv_rebucket(
     width_seconds: int,
     k: int = DEFAULT_K,
     tz: str | None = None,
+    offset_seconds: int = 0,
 ) -> DataFrame:
     """Merge sketches into epoch-aligned buckets of ANY width that is a
     multiple of the sketch tier — the continuous-aggregate re-bucket
@@ -204,14 +205,19 @@ def kmv_rebucket(
     k-min union as :func:`kmv_cascade`, calendar-free bucket math.
     ``tz`` re-buckets on that zone's WALL clock (exact under the
     frontend's _tz_grid_ok precondition — the k-min union is
-    bucket-assignment-agnostic)."""
+    bucket-assignment-agnostic); ``offset_seconds`` shifts the grid
+    (``GROUP BY time(6h, 1h)``) — exact when the sketch tier divides the
+    offset, so no tier bucket straddles a shifted boundary."""
     keys = list(key_cols)
     bt = F.col("bucket").cast("timestamp")
     if tz:
         bt = F.from_utc_timestamp(bt, tz)
     secs = F.unix_timestamp(bt).cast("long")
+    off = int(offset_seconds)
     pts = summary.select(
-        F.timestamp_seconds(secs - (secs % width_seconds)).alias("bucket"),
+        F.timestamp_seconds(
+            secs - ((secs - off) % width_seconds)
+        ).alias("bucket"),
         *keys,
         F.explode("hashes").alias("h"),
     ).distinct()

@@ -1312,3 +1312,69 @@ def test_tz_offset_gate_query_tier_serves_and_matches_duckdb(spark, sf_dir):
     # the offset grid really shifted: every bucket lands on HH:00 with
     # HH ≡ 1 (mod 6) in wall clock
     assert all(b.hour % 6 == 1 and b.minute == 0 for (b, *_rest) in got)
+
+
+def test_approx_distinct_offset_grid_serves_from_tier(built, spark):
+    """time(4h, 1h) KMV: the shifted grid keeps hour alignment, so the
+    sketch tier serves and (KMV purity) the answer equals the raw path
+    exactly; a sub-hour offset still falls back to raw."""
+    from influxer_spark.operators.kmv import build_kmv_tiers
+
+    points, cat = built
+    if not cat.exists("kmv_1h"):
+        build_kmv_tiers(
+            spark, cat, points, "warc_ts", ["metric"], "url", k=32
+        )
+    raw = InfluxQLEngine({"pages": points}, ts_col="warc_ts")
+    tiered = InfluxQLEngine({"pages": points}, ts_col="warc_ts")
+    tiered.register_tiered(
+        "pages", cat, key_cols=("metric",), kmv_item_col="url"
+    )
+    q_raw = (
+        "SELECT approx_count_distinct(url, 32) AS uu FROM pages "
+        "GROUP BY time(4h, 1h), metric"
+    )
+    q_tier = (
+        "SELECT approx_count_distinct(url) AS uu FROM pages "
+        "GROUP BY time(4h, 1h), metric"
+    )
+    want = {(r["time"], r["metric"]): r["uu"]
+            for r in raw.execute(q_raw).collect()}
+    got_df = tiered.execute(q_tier)
+    got = {(r["time"], r["metric"]): r["uu"] for r in got_df.collect()}
+    assert got == want and len(got) > 10
+    assert all(t.hour % 4 == 1 for (t, _m) in got)  # grid really shifted
+    files = got_df.inputFiles()
+    assert files and all("kmv_1h" in f for f in files)
+    # sub-hour offset: no sketch tier divides it → raw
+    fb = tiered.execute(
+        "SELECT approx_count_distinct(url) AS uu FROM pages "
+        "GROUP BY time(4h, 30m), metric"
+    )
+    assert not any("kmv_1h" in f for f in fb.inputFiles())
+
+
+def test_hdr_percentile_offset_grid_serves_from_tier(built_hdr):
+    """time(6h, 1h) percentile panel: the 1h HDR sketch tier divides both
+    width and offset, so it serves; answers equal re-bucketing the same
+    counter vectors on the shifted grid through the operator API."""
+    from influxer_spark.operators import hdrsketch as H
+
+    points, cat = built_hdr
+    tiered = InfluxQLEngine({}, ts_col="warc_ts")
+    tiered.register_tiered("pages", cat, key_cols=("url", "metric"), hdr=True)
+    q = (
+        "SELECT percentile(value, 95) AS p95 FROM pages"
+        " GROUP BY time(6h, 1h), metric"
+    )
+    df = tiered.execute(q)
+    assert any("hdr_1h" in f for f in df.inputFiles())
+    got = {tuple(r[:2]): r["p95"] for r in df.collect()}
+    assert len(got) > 0 and all(t.hour % 6 == 1 for (t, _m) in got)
+
+    spark = points.sparkSession
+    h1 = cat.read_committed(spark, "hdr_1h").drop("day")
+    merged = H.hdr_rebucket(h1, ["metric"], 6 * 3600, offset_seconds=3600)
+    ref = H.hdr_quantiles(merged, ["metric"], (0.95,))
+    want = {(r["bucket"], r["metric"]): r["q95"] for r in ref.collect()}
+    assert got == want
