@@ -3281,6 +3281,7 @@ _WINDOW_PRIORITY = [
     "influxql_tz_fill_tier_6h",
     "decode_av_meta",
     "influxql_tz_offset_tier_6h1h",
+    "kmv_offset_tier_4h1h",
 ]
 
 # Rows-only queries (genuinely non-SQL-expressible internals) — always last.

@@ -2644,6 +2644,60 @@ FROM r GROUP BY 1, 2
 """
 
 
+def _q_kmv_offset_tier(spark, sf_dir):
+    """KMV distinct on a bucket-offset grid (round 5): time(4h,1h)
+    distinct users served from the kmv_1h sketch tier — the hour tier
+    divides both width and offset, so k-min unions re-bucket exactly
+    onto the shifted grid.  The oracle replays the identical md5 60-bit
+    hash, shifted-grid grouping, k-min order statistic and 1e-4
+    quantization in SQL."""
+    import tempfile
+
+    from influxer_spark.catalog import TableCatalog
+    from influxer_spark.influxql_frontend import InfluxQLEngine
+    from influxer_spark.operators.kmv import build_kmv_tiers
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cat = TableCatalog(tempfile.mkdtemp(prefix="kmv_off_gate_"))
+    build_kmv_tiers(spark, cat, ev, "ts", ["event_type"], "user_id", k=64)
+    eng = InfluxQLEngine({"m": ev}, ts_col="ts")
+    eng.register_tiered(
+        "m", cat, key_cols=("event_type",), kmv_item_col="user_id"
+    )
+    out = eng.execute(
+        "SELECT approx_count_distinct(user_id) AS uu FROM m"
+        " GROUP BY time(4h, 1h), event_type"
+    )
+    return out.withColumnRenamed("time", "bucket")
+
+
+_KMV_OFFSET_TIER_SQL = """
+WITH h AS (
+  SELECT DISTINCT
+         make_timestamp(
+           ((epoch(ts)::BIGINT - 3600) // 14400 * 14400 + 3600) * 1000000
+         ) AS bucket,
+         event_type,
+         CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS hv
+  FROM events
+), r AS (
+  SELECT bucket, event_type, hv,
+         row_number() OVER (PARTITION BY bucket, event_type
+                            ORDER BY hv) AS rn,
+         count(*) OVER (PARTITION BY bucket, event_type) AS n
+  FROM h
+)
+SELECT bucket, event_type,
+  CAST(round(
+    (CASE WHEN max(n) < 64 THEN CAST(max(n) AS DOUBLE)
+          ELSE 63.0 * 1152921504606846976.0
+               / CAST(max(CASE WHEN rn = 64 THEN hv END) AS DOUBLE) END)
+    * 10000, 0) AS BIGINT) / 10000.0 AS uu
+FROM r GROUP BY 1, 2
+"""
+
+
 def _q_theta_forecast(spark, sf_dir):
     """Theta-method forecast of the next 24 hourly buckets per event_type
     (1e-4-tick units) — the M4-benchmark hybrid beside holt_winters and
@@ -2876,6 +2930,7 @@ def influxql_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_tz_tier_1d": _q_kmv_tz_tier,
         "influxql_tz_fill_tier_6h": _q_influxql_tz_fill_tier,
         "influxql_tz_offset_tier_6h1h": _q_influxql_tz_offset_tier,
+        "kmv_offset_tier_4h1h": _q_kmv_offset_tier,
     }
 
 
@@ -2942,4 +2997,5 @@ def influxql_oracle_sql() -> dict[str, str]:
         "kmv_tz_tier_1d": _KMV_TZ_TIER_SQL,
         "influxql_tz_fill_tier_6h": _TZ_FILL_TIER_SQL,
         "influxql_tz_offset_tier_6h1h": _TZ_OFFSET_TIER_SQL,
+        "kmv_offset_tier_4h1h": _KMV_OFFSET_TIER_SQL,
     }

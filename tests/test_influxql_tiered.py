@@ -1378,3 +1378,16 @@ def test_hdr_percentile_offset_grid_serves_from_tier(built_hdr):
     ref = H.hdr_quantiles(merged, ["metric"], (0.95,))
     want = {(r["bucket"], r["metric"]): r["q95"] for r in ref.collect()}
     assert got == want
+
+
+def test_kmv_offset_gate_query_serves_from_sketch_tier(spark, sf_dir):
+    """kmv_offset_tier_4h1h really reads the kmv_1h sketch tier (KMV
+    purity makes tier ≡ raw in VALUE, so the route needs its own pin)."""
+    from influxer_spark.influxql_queries import influxql_queries
+
+    df = influxql_queries()["kmv_offset_tier_4h1h"](spark, sf_dir)
+    files = df.inputFiles()
+    assert files and all("kmv_1h" in f for f in files)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert all(r["bucket"].hour % 4 == 1 for r in rows)
