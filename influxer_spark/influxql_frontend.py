@@ -2059,7 +2059,30 @@ class InfluxQLEngine:
                 stmt, cfg["key_cols"], w,
                 modulus=_TS[tz_tier], zone=stmt.tz,
             )
+        if use_hdr:
+            # HDR serves from hdr_1h/1d sketch tables: bounds aligned to
+            # the SERVING table's grid filter sketch buckets exactly —
+            # requiring w-alignment would wrongly force raw for the
+            # offset grid's natural (offset-aligned) bounds
+            return self._tier_where_ok(
+                stmt, cfg["key_cols"], w,
+                modulus=self._sketch_tier_seconds(w, off, stmt.tz),
+            )
         return self._tier_where_ok(stmt, cfg["key_cols"], w)
+
+    @staticmethod
+    def _sketch_tier_seconds(w: int, off: int, tz: str | None) -> int:
+        """Serving granularity of the 1h/1d SKETCH-tier families (hdr_*,
+        kmv_*): whole days only when the output grid is day-aligned in
+        UTC — one rule shared by the answerable-side WHERE modulus and
+        the exec-side table pick, so the two can never diverge (a
+        day-width query with hour-aligned bounds must NOT read the 1d
+        table, where an hour bound cuts day buckets mid-bucket)."""
+        return (
+            86400
+            if w % 86400 == 0 and off % 86400 == 0 and not tz
+            else 3600
+        )
 
     @staticmethod
     def _tz_grid_ok(zone: str, wt: int, lo_s: int, hi_s: int) -> bool:
@@ -2501,7 +2524,7 @@ class InfluxQLEngine:
         # a bucket offset likewise drops to 1h unless whole days divide it
         table = (
             "hdr_1d"
-            if w % 86400 == 0 and off % 86400 == 0 and not stmt.tz
+            if self._sketch_tier_seconds(w, off, stmt.tz) == 86400
             else "hdr_1h"
         )
         if not cat.exists(table):
@@ -2643,12 +2666,17 @@ class InfluxQLEngine:
             return self._tier_where_ok(
                 stmt, cfg["key_cols"], w, modulus=3600, zone=stmt.tz
             )
-        # hour-aligned bounds suffice for exactness (the filter applies to
-        # 1h sketch buckets, so hour alignment makes bucket filtering ≡
-        # point filtering); with an offset grid the natural bounds are
-        # offset-aligned, not w-aligned, so the w modulus would wrongly
-        # force raw
-        return self._tier_where_ok(stmt, cfg["key_cols"], w, modulus=3600)
+        # bounds aligned to the SERVING table's grid suffice for
+        # exactness (bucket filtering ≡ point filtering); with an offset
+        # grid the natural bounds are offset-aligned, not w-aligned, so
+        # the w modulus would wrongly force raw.  _sketch_tier_seconds
+        # keeps this in lock-step with _exec_kmv_tiered's table pick —
+        # day-width queries with merely hour-aligned bounds get modulus
+        # 86400 and correctly fall to raw rather than mis-filter kmv_1d.
+        return self._tier_where_ok(
+            stmt, cfg["key_cols"], w,
+            modulus=self._sketch_tier_seconds(w, off, stmt.tz),
+        )
 
     def _exec_kmv_tiered(self, stmt: Select) -> DataFrame:
         import datetime as _dt
@@ -2664,7 +2692,7 @@ class InfluxQLEngine:
         # a bucket offset likewise drops to 1h unless whole days divide it
         table = (
             "kmv_1d"
-            if w % 86400 == 0 and off % 86400 == 0 and not stmt.tz
+            if self._sketch_tier_seconds(w, off, stmt.tz) == 86400
             else "kmv_1h"
         )
         k = cat.table_property(table, "kmv_k")

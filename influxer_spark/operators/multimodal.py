@@ -182,18 +182,17 @@ def build_image_payload_bytes(h: int) -> bytes:
     return blob[:9] if h % 17 == 0 else blob
 
 
-def with_image_payload(df: DataFrame, id_col: str) -> DataFrame:
-    """(id, payload, media) with synthesized image bytes — the image-table
-    stand-in (no image corpus ships with the testdata), built per
-    ``build_image_payload_bytes`` from h32(id) so an oracle can predict
-    the decoded metadata."""
+def _build_payload_df(df: DataFrame, id_col: str, builder) -> DataFrame:
+    """(id, payload) via an Arrow-batched synthesizer: ``builder`` is a
+    module-level bytes-from-hash function applied over h32(id).  Shared
+    scaffold of with_image_payload / with_av_payload — dict-of-lists
+    output keeps zero-row Arrow batches typed."""
     from influxer_spark.operators.dedup import h32
 
     src = df.select(
         F.col(id_col).cast("long").alias("id"),
         h32(F.col(id_col).cast("string")).alias("_h"),
     )
-
     out_schema = StructType([
         StructField("id", LongType()),
         StructField("payload", BinaryType()),
@@ -203,13 +202,39 @@ def with_image_payload(df: DataFrame, id_col: str) -> DataFrame:
         for pdf in batches:
             yield pd.DataFrame({
                 "id": pdf["id"],
-                "payload": [
-                    build_image_payload_bytes(int(h)) for h in pdf["_h"]
-                ],
+                "payload": [builder(int(h)) for h in pdf["_h"]],
             })
 
-    built = src.mapInPandas(build, out_schema)
-    return built.withColumn(
+    return src.mapInPandas(build, out_schema)
+
+
+def _decode_meta_df(df: DataFrame, parse_fn, schema: StructType) -> DataFrame:
+    """Arrow-batched structure decode over (id, payload) with a pure
+    per-payload parser — the shared scaffold of decode_image_meta /
+    decode_av_meta.  Builds dict-of-lists with explicit columns so a
+    zero-row Arrow batch yields an empty TYPED frame instead of crashing
+    the serializer on schema selection."""
+    cols = [f.name for f in schema.fields]
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {c: [] for c in cols}
+            for i, buf in zip(pdf["id"], pdf["payload"]):
+                meta = parse_fn(bytes(buf) if buf is not None else b"")
+                out["id"].append(i)
+                for k in cols[1:]:
+                    out[k].append(meta[k])
+            yield pd.DataFrame(out)
+
+    return df.select("id", "payload").mapInPandas(decode, schema)
+
+
+def with_image_payload(df: DataFrame, id_col: str) -> DataFrame:
+    """(id, payload, media) with synthesized image bytes — the image-table
+    stand-in (no image corpus ships with the testdata), built per
+    ``build_image_payload_bytes`` from h32(id) so an oracle can predict
+    the decoded metadata."""
+    return _build_payload_df(df, id_col, build_image_payload_bytes).withColumn(
         "media",
         F.struct(
             F.when(
@@ -362,25 +387,7 @@ def decode_image_meta(df: DataFrame) -> DataFrame:
     path for image payloads, mapInPandas with the same narrow,
     batch-bounded shape as ``byte_features``; no shuffle, pipelines with
     the scan."""
-
-    cols = [f.name for f in IMAGE_META_SCHEMA.fields]
-
-    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            # dict-of-lists with explicit columns: pd.DataFrame([]) from a
-            # zero-row Arrow batch would be column-less and crash the
-            # Arrow serializer on schema selection (byte_features pattern)
-            out: dict[str, list] = {c: [] for c in cols}
-            for i, buf in zip(pdf["id"], pdf["payload"]):
-                meta = parse_image_meta_bytes(
-                    bytes(buf) if buf is not None else b""
-                )
-                out["id"].append(i)
-                for k in cols[1:]:
-                    out[k].append(meta[k])
-            yield pd.DataFrame(out)
-
-    return df.select("id", "payload").mapInPandas(decode, IMAGE_META_SCHEMA)
+    return _decode_meta_df(df, parse_image_meta_bytes, IMAGE_META_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -486,7 +493,12 @@ def parse_av_meta_bytes(b: bytes) -> dict:
             if tag == b"fmt " and i + 8 + size <= len(b) and size >= 16:
                 fmt = b[i + 8:i + 8 + 16]
             elif tag == b"data":
-                data_size = size  # payload itself need not be inspected
+                # the declared size must actually be present: a stream cut
+                # mid-data would otherwise yield fabricated n_samples /
+                # duration with decode_error NULL
+                if i + 8 + size > len(b):
+                    return err("truncated")
+                data_size = size  # payload bytes need not be inspected
             i += 8 + size + (size & 1)  # RIFF chunks are word-aligned
         if fmt is None:
             return err("no_fmt")
@@ -579,28 +591,7 @@ def parse_av_meta_bytes(b: bytes) -> dict:
 def with_av_payload(df: DataFrame, id_col: str) -> DataFrame:
     """(id, payload, media) with synthesized WAV/MP4 bytes from h32(id) —
     the audio/video analogue of with_image_payload."""
-    from influxer_spark.operators.dedup import h32
-
-    src = df.select(
-        F.col(id_col).cast("long").alias("id"),
-        h32(F.col(id_col).cast("string")).alias("_h"),
-    )
-    out_schema = StructType([
-        StructField("id", LongType()),
-        StructField("payload", BinaryType()),
-    ])
-
-    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            yield pd.DataFrame({
-                "id": pdf["id"],
-                "payload": [
-                    build_av_payload_bytes(int(h)) for h in pdf["_h"]
-                ],
-            })
-
-    built = src.mapInPandas(build, out_schema)
-    return built.withColumn(
+    return _build_payload_df(df, id_col, build_av_payload_bytes).withColumn(
         "media",
         F.struct(
             F.when(
@@ -614,21 +605,7 @@ def with_av_payload(df: DataFrame, id_col: str) -> DataFrame:
 def decode_av_meta(df: DataFrame) -> DataFrame:
     """Arrow-batched WAV/MP4 container decode over (id, payload) — same
     narrow batch-bounded shape as decode_image_meta."""
-    cols = [f.name for f in AV_META_SCHEMA.fields]
-
-    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out: dict[str, list] = {c: [] for c in cols}
-            for i, buf in zip(pdf["id"], pdf["payload"]):
-                meta = parse_av_meta_bytes(
-                    bytes(buf) if buf is not None else b""
-                )
-                out["id"].append(i)
-                for k in cols[1:]:
-                    out[k].append(meta[k])
-            yield pd.DataFrame(out)
-
-    return df.select("id", "payload").mapInPandas(decode, AV_META_SCHEMA)
+    return _decode_meta_df(df, parse_av_meta_bytes, AV_META_SCHEMA)
 
 
 def decode_media(df: DataFrame, mime: str) -> DataFrame:

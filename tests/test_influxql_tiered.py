@@ -1391,3 +1391,51 @@ def test_kmv_offset_gate_query_serves_from_sketch_tier(spark, sf_dir):
     rows = df.collect()
     assert len(rows) > 0
     assert all(r["bucket"].hour % 4 == 1 for r in rows)
+
+
+def test_kmv_day_width_hour_bounds_fall_to_raw(built, spark):
+    """A day-width KMV query with merely hour-aligned bounds must NOT
+    serve from kmv_1d (an hour bound cuts day buckets mid-bucket) — the
+    WHERE modulus tracks the exec-side table pick via
+    _sketch_tier_seconds.  Day-aligned bounds DO serve from kmv_1d."""
+    from influxer_spark.operators.kmv import build_kmv_tiers
+
+    points, cat = built
+    if not cat.exists("kmv_1h"):
+        build_kmv_tiers(
+            spark, cat, points, "warc_ts", ["metric"], "url", k=32
+        )
+    raw = InfluxQLEngine({"pages": points}, ts_col="warc_ts")
+    tiered = InfluxQLEngine({"pages": points}, ts_col="warc_ts")
+    tiered.register_tiered(
+        "pages", cat, key_cols=("metric",), kmv_item_col="url"
+    )
+    days = sorted(cat.committed_partitions("kmv_1h"))
+    lo, hi = days[0], days[-1]
+    q_hour = (
+        "SELECT approx_count_distinct(url) AS uu FROM pages"
+        f" WHERE time >= '{lo} 06:00:00' AND time < '{hi} 06:00:00'"
+        " GROUP BY time(1d), metric"
+    )
+    got_df = tiered.execute(q_hour)
+    # falls all the way to raw (default k), never mis-filters kmv_1d
+    files = got_df.inputFiles()
+    assert not any("kmv_1d" in f or "kmv_1h" in f for f in files)
+    want = {tuple(r[:2]): r[2] for r in raw.execute(q_hour).collect()}
+    got = {tuple(r[:2]): r[2] for r in got_df.collect()}
+    assert got == want and len(got) > 0
+
+    q_day = (
+        "SELECT approx_count_distinct(url) AS uu FROM pages"
+        f" WHERE time >= '{lo}' AND time < '{hi}'"
+        " GROUP BY time(1d), metric"
+    )
+    day_df = tiered.execute(q_day)
+    if cat.exists("kmv_1d"):
+        assert any("kmv_1d" in f for f in day_df.inputFiles())
+    want2 = {
+        tuple(r[:2]): r[2]
+        for r in raw.execute(q_day.replace("(url)", "(url, 32)")).collect()
+    }
+    got2 = {tuple(r[:2]): r[2] for r in day_df.collect()}
+    assert got2 == want2 and len(got2) > 0

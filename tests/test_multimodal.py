@@ -254,3 +254,19 @@ def test_decode_av_meta_spark_matches_oracle(spark, sf_dir):
         for r in con.execute(training_oracle_sql()["decode_av_meta"]).fetchall()
     )
     assert got == want and len(got) > 0
+
+
+def test_wav_truncated_inside_data_chunk_is_flagged():
+    """A WAV cut off mid-data (intact headers, declared data size larger
+    than the bytes present) must report 'truncated', not fabricate
+    n_samples/duration from the declared size."""
+    import struct
+
+    fmt = struct.pack("<HHIIHH", 1, 2, 44100, 176400, 4, 16)
+    blob = (
+        b"RIFF" + struct.pack("<I", 4 + 24 + 8 + 176400) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", 176400) + bytes(100)  # cut short
+    )
+    m = M.parse_av_meta_bytes(blob)
+    assert m["decode_error"] == "truncated" and m["n_samples"] is None
