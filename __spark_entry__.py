@@ -3282,6 +3282,7 @@ _WINDOW_PRIORITY = [
     "decode_av_meta",
     "influxql_tz_offset_tier_6h1h",
     "kmv_offset_tier_4h1h",
+    "hdr_offset_tier_6h1h",
 ]
 
 # Rows-only queries (genuinely non-SQL-expressible internals) — always last.

@@ -2581,7 +2581,8 @@ WITH w AS (
   FROM events
 )
 SELECT make_timestamp(
-         ((epoch(wts)::BIGINT - 3600) // 21600 * 21600 + 3600) * 1000000
+         ((CAST(floor(epoch(wts)) AS BIGINT) - 3600) // 21600 * 21600 + 3600)
+         * 1000000
        ) AS bucket,
        event_type,
        count(value) AS cnt, min(value) AS mn, max(value) AS mx
@@ -2675,7 +2676,8 @@ _KMV_OFFSET_TIER_SQL = """
 WITH h AS (
   SELECT DISTINCT
          make_timestamp(
-           ((epoch(ts)::BIGINT - 3600) // 14400 * 14400 + 3600) * 1000000
+           ((CAST(floor(epoch(ts)) AS BIGINT) - 3600) // 14400 * 14400 + 3600)
+           * 1000000
          ) AS bucket,
          event_type,
          CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
@@ -2694,6 +2696,59 @@ SELECT bucket, event_type,
           ELSE 63.0 * 1152921504606846976.0
                / CAST(max(CASE WHEN rn = 64 THEN hv END) AS DOUBLE) END)
     * 10000, 0) AS BIGINT) / 10000.0 AS uu
+FROM r GROUP BY 1, 2
+"""
+
+
+def _q_hdr_offset_tier(spark, sf_dir):
+    """HDR percentile on a bucket-offset grid (round 5): time(6h,1h) p95
+    through the string front-end, served from the hdr_1h sketch tier
+    (hdr_rebucket offset_seconds — counter vectors sum losslessly onto
+    the shifted grid because the hour tier divides both width and
+    offset).  The oracle replays the identical integer log-linear bucket
+    math on the shifted grid — bit-exact, like hdr_quantile_1h."""
+    import tempfile
+
+    from influxer_spark.catalog import TableCatalog
+    from influxer_spark.influxql_frontend import InfluxQLEngine
+    from influxer_spark.operators.hdrsketch import build_hdr_tiers
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cat = TableCatalog(tempfile.mkdtemp(prefix="hdr_off_gate_"))
+    build_hdr_tiers(spark, cat, ev, "ts", ["event_type"], "value")
+    eng = InfluxQLEngine({"m": ev}, ts_col="ts")
+    eng.register_tiered("m", cat, key_cols=("event_type",), hdr=True)
+    out = eng.execute(
+        "SELECT percentile(value, 95) AS p95 FROM m"
+        " GROUP BY time(6h, 1h), event_type"
+    )
+    return out.withColumnRenamed("time", "bucket")
+
+
+_HDR_OFFSET_TIER_SQL = """
+WITH p AS (
+  SELECT event_type,
+         make_timestamp(
+           ((CAST(floor(epoch(ts)) AS BIGINT) - 3600) // 21600 * 21600
+            + 3600) * 1000000
+         ) AS bucket,
+         greatest(CAST(round(value*100,0) AS BIGINT), 1) AS v
+  FROM events
+), b AS (
+  SELECT event_type, bucket, v, CAST(length(bin(v))-1 AS BIGINT) AS e FROM p
+), i AS (
+  SELECT event_type, bucket, e*32 + ((v*32) >> e) - 32 AS idx FROM b
+), s AS (
+  SELECT event_type, bucket, idx, count(*) AS cnt FROM i GROUP BY 1,2,3
+), r AS (
+  SELECT event_type, bucket, idx, cnt,
+         sum(cnt) OVER (PARTITION BY event_type, bucket ORDER BY idx) AS cum,
+         sum(cnt) OVER (PARTITION BY event_type, bucket) AS n,
+         ((((idx % 32) + 32) << (idx // 32)) >> 5) AS lb
+  FROM s
+)
+SELECT bucket, event_type,
+  min(CASE WHEN cum >= ceil(0.95*n) THEN lb END)/100.0 AS p95
 FROM r GROUP BY 1, 2
 """
 
@@ -2931,6 +2986,7 @@ def influxql_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "influxql_tz_fill_tier_6h": _q_influxql_tz_fill_tier,
         "influxql_tz_offset_tier_6h1h": _q_influxql_tz_offset_tier,
         "kmv_offset_tier_4h1h": _q_kmv_offset_tier,
+        "hdr_offset_tier_6h1h": _q_hdr_offset_tier,
     }
 
 
@@ -2998,4 +3054,5 @@ def influxql_oracle_sql() -> dict[str, str]:
         "influxql_tz_fill_tier_6h": _TZ_FILL_TIER_SQL,
         "influxql_tz_offset_tier_6h1h": _TZ_OFFSET_TIER_SQL,
         "kmv_offset_tier_4h1h": _KMV_OFFSET_TIER_SQL,
+        "hdr_offset_tier_6h1h": _HDR_OFFSET_TIER_SQL,
     }

@@ -1439,3 +1439,16 @@ def test_kmv_day_width_hour_bounds_fall_to_raw(built, spark):
     }
     got2 = {tuple(r[:2]): r[2] for r in day_df.collect()}
     assert got2 == want2 and len(got2) > 0
+
+
+def test_hdr_offset_gate_query_serves_from_sketch_tier(spark, sf_dir):
+    """hdr_offset_tier_6h1h really reads the hdr_1h sketch tier, and the
+    offset grid shows in the output labels."""
+    from influxer_spark.influxql_queries import influxql_queries
+
+    df = influxql_queries()["hdr_offset_tier_6h1h"](spark, sf_dir)
+    files = df.inputFiles()
+    assert files and all("hdr_1h" in f for f in files)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert all(r["bucket"].hour % 6 == 1 for r in rows)
